@@ -1,0 +1,7 @@
+package graft.queries
+
+/** Central list of every driver-checkable query. Grows per milestone. */
+object Registry {
+  def all: Seq[NamedQuery] =
+    Relational.all
+}

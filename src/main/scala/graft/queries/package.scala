@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+package object queries {
+
+  /** A driver-checkable query: a Spark build function plus (optionally) the
+    * equivalent ANSI SQL that DuckDB runs over the same parquet tables.
+    * Column names must match exactly between the two (the driver sorts
+    * columns by name and hashes values).
+    */
+  final case class NamedQuery(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  object NamedQuery {
+    def apply(name: String, sql: String)(build: (SparkSession, String) => DataFrame): NamedQuery =
+      NamedQuery(name, build, Some(sql))
+    def unoracled(name: String)(build: (SparkSession, String) => DataFrame): NamedQuery =
+      NamedQuery(name, build, None)
+  }
+
+  // ---- cross-engine determinism conventions -------------------------------
+  //
+  // Floating-point aggregation order differs between Spark and DuckDB, so
+  // any SUM/AVG that feeds a hash compare goes through DECIMAL (exact,
+  // order-independent) and is rounded half-up (both engines) before being
+  // cast back to double. Scalar per-row doubles are rounded the same way.
+
+  private val Dec = DecimalType(28, 6)
+
+  /** Order-independent sum: decimal accumulate, round, back to double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(Dec)), scale).cast("double")
+
+  /** Order-independent mean via decimal sum / count. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(Dec)) / count(lit(1)), scale).cast("double")
+
+  /** Deterministic per-row rounding of a double expression. */
+  def dround(c: Column, scale: Int = 4): Column =
+    round(c.cast(Dec), scale).cast("double")
+
+  // DuckDB-side equivalents (string snippets for oracle SQL)
+  def sqlDsum(expr: String, scale: Int = 2): String =
+    s"CAST(round(sum(CAST(($expr) AS DECIMAL(28,6))), $scale) AS DOUBLE)"
+  def sqlDavg(expr: String, scale: Int = 4): String =
+    s"CAST(round(sum(CAST(($expr) AS DECIMAL(28,6))) / count(*), $scale) AS DOUBLE)"
+  def sqlDround(expr: String, scale: Int = 4): String =
+    s"CAST(round(CAST(($expr) AS DECIMAL(28,6)), $scale) AS DOUBLE)"
+}
