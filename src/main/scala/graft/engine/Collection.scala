@@ -1,0 +1,24 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import graft.model.IndexSchema
+
+/** A collection = a DataFrame with a `_id` string column plus one typed
+  * column per indexed property (reference models/collection.go:3–13 maps a
+  * collection to sharded bbolt files; here the DataFrame's partitions ARE
+  * the shards, and Catalyst's partial top-k + exchange replaces the
+  * cluster fan-out/merge of reference cluster/actions.go:312–376).
+  *
+  * Dotted property paths ("nested.vector") resolve into struct columns.
+  */
+final case class Collection(df: DataFrame, schema: IndexSchema) {
+  require(df.columns.contains(Collection.IdCol), s"collection must have ${Collection.IdCol}")
+}
+
+object Collection {
+  val IdCol = "_id"
+  val DistanceCol = "_distance"
+  val ScoreCol = "_score"
+  val HybridScoreCol = "_hybridScore"
+  val MetaCols: Seq[String] = Seq(IdCol, DistanceCol, ScoreCol, HybridScoreCol)
+}

@@ -1,0 +1,278 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+import graft.model._
+import graft.functions.{Distances, TextAnalyzer}
+import Collection._
+
+/** Compiles a query AST into DataFrame algebra.
+  *
+  * A compiled node is `(set, ranked)` exactly like the reference's
+  * `(roaring bitmap, []SearchResult)` pair (reference shard/index/search.go:21–24):
+  *   - `set`: which rows match — either a lazy `Column` predicate (pure
+  *     filters; stays pushdown-able all the way to the parquet scan) or a
+  *     materialized id DataFrame (ranked leaves, mixed combinators).
+  *   - `ranked`: optional DataFrame `(_id, _distance, _score, _hybridScore)`
+  *     for score-producing leaves (vector `near`, text search).
+  *
+  * Merge laws replicate reference shard/index/search.go:243–298: `_and`
+  * intersects sets, `_or` unions them; ranked lists concatenate, restricted
+  * to the final set for `_and`, deduplicated by id with `_hybridScore`
+  * SUMMED and the first non-null `_distance`/`_score` (in child order) kept.
+  */
+object QueryCompiler {
+
+  sealed trait SetRep
+  final case class Pred(c: Column) extends SetRep
+  /** Single `_id` column, distinct rows. */
+  final case class Ids(df: DataFrame) extends SetRep
+
+  final case class Compiled(set: SetRep, ranked: Option[DataFrame])
+
+  def compile(col: Collection, q: Query): Compiled = q.property match {
+    case "_and" => merge(col, q.and.map(compile(col, _)), disjunction = false)
+    case "_or" => merge(col, q.or.map(compile(col, _)), disjunction = true)
+    case "_id" => Compiled(Pred(idPredicate(q)), None)
+    case prop =>
+      col.schema.get(prop) match {
+        case None => throw new IllegalArgumentException(
+          s"property $prop not found in index schema, cannot query")
+        case Some(kind) => leaf(col, prop, kind, q)
+      }
+  }
+
+  // ---- leaves -------------------------------------------------------------
+
+  private def leaf(col: Collection, prop: String, kind: IndexKind, q: Query): Compiled =
+    (kind, q) match {
+      case (k: IndexKind.Str, _) if q.string.isDefined =>
+        Compiled(Pred(stringPredicate(prop, q.string.get, k.caseSensitive)), None)
+      case (IndexKind.Integer, _) if q.integer.isDefined =>
+        val o = q.integer.get
+        Compiled(Pred(cmpPredicate(column(prop), o.operator, lit(o.value), lit(o.endValue))), None)
+      case (IndexKind.Float, _) if q.float.isDefined =>
+        val o = q.float.get
+        Compiled(Pred(cmpPredicate(column(prop), o.operator, lit(o.value), lit(o.endValue))), None)
+      case (k: IndexKind.StrArray, _) if q.stringArray.isDefined =>
+        Compiled(Pred(stringArrayPredicate(prop, q.stringArray.get, k.caseSensitive)), None)
+      case (k: IndexKind.VectorFlat, _) if q.vectorFlat.isDefined =>
+        val o = q.vectorFlat.get
+        near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight)
+      case (k: IndexKind.VectorVamana, _) if q.vectorVamana.isDefined =>
+        val o = q.vectorVamana.get
+        near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight)
+      case (_: IndexKind.Text, _) if q.text.isDefined =>
+        textSearch(col, prop, q.text.get)
+      case _ => throw new IllegalArgumentException(
+        s"${kind.name} query options not provided for property $prop")
+    }
+
+  /** Dotted property paths resolve through struct columns natively. */
+  private def column(prop: String): Column = col(prop)
+
+  private def idPredicate(q: Query): Column = (q.string, q.stringArray) match {
+    case (Some(s), _) => col(IdCol) === lit(s.value)
+    case (_, Some(sa)) => col(IdCol).isin(sa.value: _*)
+    case _ => throw new IllegalArgumentException(
+      "only string-equals and stringArray-containsAny queries supported for _id")
+  }
+
+  private def stringPredicate(prop: String, o: StringOpts, caseSensitive: Boolean): Column = {
+    // caseSensitive=false lowers BOTH sides (reference inverted/string.go:25–51
+    // stores lowercased keys and lowercases the query value).
+    val c = if (caseSensitive) column(prop) else lower(column(prop))
+    val v = if (caseSensitive) o.value else o.value.toLowerCase
+    val end = if (caseSensitive) o.endValue else o.endValue.toLowerCase
+    o.operator match {
+      case Op.StartsWith => c.startsWith(v)
+      case other => cmpPredicate(c, other, lit(v), lit(end))
+    }
+  }
+
+  private def cmpPredicate(c: Column, op: String, v: Column, end: Column): Column = op match {
+    case Op.Equals => c === v
+    case Op.NotEquals => c =!= v // null rows don't match, like the index scan
+    case Op.GreaterThan => c > v
+    case Op.GreaterOrEq => c >= v
+    case Op.LessThan => c < v
+    case Op.LessOrEq => c <= v
+    case Op.InRange => c.between(v, end) // inclusive both ends (inverted.go:244–251)
+    case other => throw new IllegalArgumentException(s"invalid operator $other")
+  }
+
+  private def stringArrayPredicate(prop: String, o: StringArrayOpts, caseSensitive: Boolean): Column = {
+    val arr = if (caseSensitive) column(prop) else transform(column(prop), lower(_))
+    val values = if (caseSensitive) o.value else o.value.map(_.toLowerCase)
+    o.operator match {
+      case Op.ContainsAll =>
+        values.map(v => array_contains(arr, v)).reduce(_ && _)
+      case Op.ContainsAny =>
+        arrays_overlap(arr, array(values.map(lit): _*))
+      case other => throw new IllegalArgumentException(s"invalid stringArray operator $other")
+    }
+  }
+
+  // ---- vector near --------------------------------------------------------
+
+  /** Exact top-k by distance — the `near` semantic for both vectorFlat and
+    * vectorVamana (recall 1.0 ≥ the reference's graph search). Plan shape is
+    * `TakeOrderedAndProject(limit, filter(scan))`: per-partition partial
+    * top-k then a single driver merge, the exact analogue of the
+    * reference's per-shard search + cluster merge — no full sort, no wide
+    * shuffle, scales linearly with executors.
+    *
+    * The pre-`filter` subquery restricts eligible rows BEFORE the top-k
+    * (filter-first design, reference models/search.go:9–15). HybridScore is
+    * `-weight * distance` (flat.go:109–111).
+    */
+  private def near(
+      col0: Collection, prop: String, metric: IndexKind.Metric,
+      vector: Seq[Float], limit: Int, filter: Option[Query],
+      weight: Option[Float]): Compiled = {
+    val w = weight.getOrElse(1.0f)
+    val base = filter.map(f => applySet(col0, compile(col0, f).set)).getOrElse(col0.df)
+    val d = Distances.distanceToQuery(metric, column(prop), vector).cast(FloatType)
+    val ranked = base
+      .filter(column(prop).isNotNull)
+      .select(col(IdCol), d.as(DistanceCol))
+      .orderBy(col(DistanceCol).asc, col(IdCol).asc) // id tie-break for determinism
+      .limit(limit)
+      .withColumn(ScoreCol, lit(null).cast(FloatType))
+      .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
+    Compiled(Ids(ranked.select(IdCol)), Some(ranked))
+  }
+
+  // ---- text search --------------------------------------------------------
+
+  /** Term postings for a text property: one row per (doc, term) with the
+    * term frequency and analyzed document length. At scale this is the
+    * derived "index DataFrame" — cache/persist it per collection rather
+    * than recomputing per query (the reference maintains it incrementally
+    * in bbolt buckets, text.go:151–258; batch recompute is the Spark-native
+    * equivalent).
+    */
+  def postings(col0: Collection, prop: String): DataFrame = {
+    val tokens = col0.df
+      .filter(column(prop).isNotNull)
+      .select(col(IdCol), TextAnalyzer.analyze(column(prop)).as("_terms"))
+      .withColumn("_doclen", size(col("_terms")))
+    tokens
+      .select(col(IdCol), col("_doclen"), explode(col("_terms")).as("_term"))
+      .groupBy(IdCol, "_doclen", "_term")
+      .agg(count(lit(1)).as("_freq"))
+  }
+
+  /** tf-idf scored text search (reference text.go:305–396):
+    * score(doc) = Σ_t∈queryTerms (freq_t/docLen) * log10(numDocs/(df_t+1)),
+    * over the containsAll/containsAny matched set, optionally intersected
+    * with a pre-filter, sorted desc and truncated to `limit`. df/idf are
+    * computed over ALL docs with the property — the pre-filter narrows the
+    * candidate set, not the statistics (text.go:328–334 intersects after
+    * the posting-set merge).
+    */
+  private def textSearch(col0: Collection, prop: String, o: TextOpts): Compiled = {
+    val terms = TextAnalyzer.analyzeString(o.value).distinct
+    if (terms.isEmpty)
+      throw new IllegalArgumentException("text query value has no terms after analysis")
+    val post = postings(col0, prop)
+    val docs = col0.df.filter(column(prop).isNotNull)
+    val numDocs = docs.count() // numDocs of the text index (text.go:371)
+
+    // document frequency per query term, computed once and broadcast
+    val qterms = post.filter(col("_term").isin(terms: _*))
+    val dfTable = qterms.groupBy("_term").agg(count(lit(1)).as("_df"))
+
+    // matched docs: per-doc count of distinct matched query terms
+    val perDoc = qterms
+      .join(broadcast(dfTable), "_term")
+      .groupBy(IdCol)
+      .agg(
+        count(lit(1)).as("_nterms"),
+        // Σ (freq/docLen) * log10(numDocs/(df+1)); doclen constant per doc
+        sum((col("_freq").cast("double") / col("_doclen").cast("double")) *
+          log10(lit(numDocs.toDouble) / (col("_df").cast("double") + 1.0))).as("_rawscore"))
+    val matched = o.operator match {
+      case Op.ContainsAll => perDoc.filter(col("_nterms") === terms.length)
+      case Op.ContainsAny => perDoc
+      case other => throw new IllegalArgumentException(s"invalid text operator $other")
+    }
+    // pre-filter intersect (after set merge, before scoring truncation)
+    val filtered = o.filter match {
+      case None => matched
+      case Some(f) => applySet(col0, compile(col0, f).set, matched)
+    }
+    val w = o.weight.getOrElse(1.0f)
+    val ranked = filtered
+      .select(
+        col(IdCol),
+        lit(null).cast(FloatType).as(DistanceCol),
+        col("_rawscore").cast(FloatType).as(ScoreCol))
+      .withColumn(HybridScoreCol, (col(ScoreCol) * lit(w)).cast(FloatType))
+      .orderBy(col(ScoreCol).desc, col(IdCol).asc)
+      .limit(o.limit)
+    Compiled(Ids(ranked.select(IdCol)), Some(ranked))
+  }
+
+  // ---- combinators --------------------------------------------------------
+
+  private def merge(col0: Collection, children: Seq[Compiled], disjunction: Boolean): Compiled = {
+    require(children.nonEmpty, "combinator must have at least one subquery")
+    if (children.length == 1) return children.head // shortcut (search.go:243–246)
+
+    // set merge: stay in Column algebra when every child is a predicate —
+    // the whole tree then collapses into one pushdown-able filter.
+    val set: SetRep =
+      if (children.forall(_.set.isInstanceOf[Pred])) {
+        val preds = children.map(_.set.asInstanceOf[Pred].c)
+        Pred(if (disjunction) preds.reduce(_ || _) else preds.reduce(_ && _))
+      } else {
+        val idDfs = children.map(c => materialize(col0, c.set))
+        Ids(if (disjunction) idDfs.reduce(_ union _).distinct()
+            else idDfs.reduce((a, b) => a.join(b, Seq(IdCol), "left_semi")))
+      }
+
+    // ranked merge: concat, restrict to final set for _and, dedup summing
+    // hybrid score, first non-null distance/score in child order.
+    val rankedChildren = children.zipWithIndex.collect {
+      case (Compiled(_, Some(r)), i) => r.withColumn("_child", lit(i))
+    }
+    val ranked: Option[DataFrame] =
+      if (rankedChildren.isEmpty) None
+      else {
+        val unioned = rankedChildren.reduce(_ unionByName _)
+        val restricted =
+          if (disjunction) unioned
+          else set match {
+            case Pred(p) => unioned.join(col0.df.filter(p).select(IdCol), Seq(IdCol), "left_semi")
+            case Ids(ids) => unioned.join(ids, Seq(IdCol), "left_semi")
+          }
+        Some(restricted
+          .groupBy(IdCol)
+          .agg(
+            sum(HybridScoreCol).cast(FloatType).as(HybridScoreCol),
+            expr(s"min_by($DistanceCol, _child) FILTER (WHERE $DistanceCol IS NOT NULL)")
+              .as(DistanceCol),
+            expr(s"min_by($ScoreCol, _child) FILTER (WHERE $ScoreCol IS NOT NULL)")
+              .as(ScoreCol))
+          .select(col(IdCol), col(DistanceCol), col(ScoreCol), col(HybridScoreCol)))
+      }
+    Compiled(set, ranked)
+  }
+
+  /** Materialize a set representation to a distinct `_id` DataFrame. */
+  def materialize(col0: Collection, set: SetRep): DataFrame = set match {
+    case Pred(p) => col0.df.filter(p).select(IdCol)
+    case Ids(df) => df
+  }
+
+  /** Restrict the collection (or a keyed DataFrame) to a set. */
+  def applySet(col0: Collection, set: SetRep): DataFrame = applySet(col0, set, col0.df)
+
+  def applySet(col0: Collection, set: SetRep, target: DataFrame): DataFrame = set match {
+    case Pred(p) if target.eq(col0.df) => target.filter(p)
+    case Pred(p) => target.join(col0.df.filter(p).select(IdCol), Seq(IdCol), "left_semi")
+    case Ids(ids) => target.join(ids, Seq(IdCol), "left_semi")
+  }
+}

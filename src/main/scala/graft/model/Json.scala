@@ -1,0 +1,104 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** JSON wire format for SearchRequest, matching the reference's HTTP body
+  * shape byte-for-byte on field names (`_and`, `_or`, `vectorFlat`, ...).
+  * Hand-rolled (no reflection) so error messages and defaults are explicit.
+  */
+object Json {
+
+  def parseSearchRequest(json: String): SearchRequest =
+    searchRequest(JsonMethods.parse(json))
+
+  def parseQuery(json: String): Query = query(JsonMethods.parse(json))
+
+  def searchRequest(j: JValue): SearchRequest = SearchRequest(
+    query = query(j \ "query"),
+    select = strSeq(j \ "select"),
+    sort = (j \ "sort") match {
+      case JArray(xs) => xs.map(s => SortOption(str(s \ "property"), bool(s \ "descending")))
+      case _ => Nil
+    },
+    offset = int(j \ "offset", 0),
+    limit = int(j \ "limit", 10))
+
+  def query(j: JValue): Query = j match {
+    case JNothing | JNull => throw new IllegalArgumentException("query is required")
+    case _ => Query(
+      property = str(j \ "property"),
+      vectorFlat = opt(j \ "vectorFlat")(v => VectorFlatOpts(
+        floatSeq(v \ "vector"), str(v \ "operator"), int(v \ "limit", 10),
+        opt(v \ "filter")(query), optFloat(v \ "weight"))),
+      vectorVamana = opt(j \ "vectorVamana")(v => VectorVamanaOpts(
+        floatSeq(v \ "vector"), str(v \ "operator"),
+        int(v \ "searchSize", 75), int(v \ "limit", 10),
+        opt(v \ "filter")(query), optFloat(v \ "weight"))),
+      text = opt(j \ "text")(v => TextOpts(
+        str(v \ "value"), str(v \ "operator"), int(v \ "limit", 10),
+        opt(v \ "filter")(query), optFloat(v \ "weight"))),
+      string = opt(j \ "string")(v => StringOpts(
+        str(v \ "value"), str(v \ "operator"), str(v \ "endValue", ""))),
+      integer = opt(j \ "integer")(v => IntegerOpts(
+        long(v \ "value"), str(v \ "operator"), long(v \ "endValue", 0L))),
+      float = opt(j \ "float")(v => FloatOpts(
+        double(v \ "value"), str(v \ "operator"), double(v \ "endValue", 0.0))),
+      stringArray = opt(j \ "stringArray")(v => StringArrayOpts(
+        strSeq(v \ "value"), str(v \ "operator"))),
+      and = (j \ "_and") match { case JArray(xs) => xs.map(query); case _ => Nil },
+      or = (j \ "_or") match { case JArray(xs) => xs.map(query); case _ => Nil })
+  }
+
+  // ---- primitives ---------------------------------------------------------
+
+  private def opt[T](j: JValue)(f: JValue => T): Option[T] = j match {
+    case JNothing | JNull => None
+    case v => Some(f(v))
+  }
+  private def optFloat(j: JValue): Option[Float] = opt(j)(v => double(v).toFloat)
+  private def str(j: JValue, default: String = null): String = j match {
+    case JString(s) => s
+    case JNothing | JNull if default != null => default
+    case other => throw new IllegalArgumentException(s"expected string, got $other")
+  }
+  private def bool(j: JValue): Boolean = j match {
+    case JBool(b) => b
+    case _ => false
+  }
+  private def int(j: JValue, default: Int): Int = j match {
+    case JInt(n) => n.toInt
+    case JLong(n) => n.toInt
+    case JNothing | JNull => default
+    case other => throw new IllegalArgumentException(s"expected int, got $other")
+  }
+  private def long(j: JValue, default: java.lang.Long = null): Long = j match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case JDouble(d) if d.isWhole => d.toLong
+    case JNothing | JNull if default != null => default
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
+  private def double(j: JValue, default: java.lang.Double = null): Double = j match {
+    case JDouble(d) => d
+    case JInt(n) => n.toDouble
+    case JLong(n) => n.toDouble
+    case JDecimal(d) => d.toDouble
+    case JNothing | JNull if default != null => default
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+  private def strSeq(j: JValue): Seq[String] = j match {
+    case JArray(xs) => xs.map(x => str(x))
+    case _ => Nil
+  }
+  private def floatSeq(j: JValue): Seq[Float] = j match {
+    case JArray(xs) => xs.map {
+      case JDouble(d) => d.toFloat
+      case JInt(n) => n.toFloat
+      case JLong(n) => n.toFloat
+      case JDecimal(d) => d.toFloat
+      case other => throw new IllegalArgumentException(s"expected number in vector, got $other")
+    }
+    case _ => Nil
+  }
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.Collection
+import graft.model.{IndexSchema, IndexKind}
+import IndexKind._
+
+/** Maps the driver testdata onto semadb-style collections so every §2
+  * operator can run (and be oracle-checked) on real tables.
+  */
+object TestCollections {
+
+  /** `part` as a multi-index collection: string (both case modes),
+    * stringArray, integer and float properties.
+    */
+  def parts(s: SparkSession, d: String): Collection = Collection(
+    Tables.part(s, d).select(
+      col("p_partkey").cast("string").as("_id"),
+      col("p_name"),
+      col("p_brand"),
+      col("p_type"),
+      split(col("p_name"), " ").as("name_words"),
+      col("p_size").cast("long").as("p_size"),
+      col("p_retailprice")),
+    IndexSchema(
+      "p_name" -> Str(caseSensitive = false),
+      "p_brand" -> Str(caseSensitive = false),
+      "p_type" -> Str(caseSensitive = true),
+      "name_words" -> StrArray(caseSensitive = false),
+      "p_size" -> Integer,
+      "p_retailprice" -> Float))
+
+  /** documents ⋈ embeddings (doc_id = vec_id) as a hybrid text+vector
+    * collection — text index on `text`, flat cosine on `embedding`, a
+    * vamana-declared euclidean view of the same vectors on `vec_l2`.
+    */
+  def docs(s: SparkSession, d: String): Collection = {
+    val doc = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    Collection(
+      doc.join(emb, doc("doc_id") === emb("vec_id"))
+        .select(
+          doc("doc_id").cast("string").as("_id"),
+          col("text"),
+          col("lang"),
+          col("source"),
+          col("n_chars"),
+          col("label").cast("long").as("label"),
+          col("embedding"),
+          col("embedding").as("vec_l2")),
+      IndexSchema(
+        "text" -> Text(),
+        "lang" -> Str(caseSensitive = false),
+        "source" -> Str(caseSensitive = false),
+        "n_chars" -> Integer,
+        "label" -> Integer,
+        "embedding" -> VectorFlat(64, Metric.Cosine),
+        "vec_l2" -> VectorVamana(64, Metric.Euclidean)))
+  }
+
+  /** A deterministic query vector: the embedding of a given vec_id,
+    * fetched driver-side (a handful of floats, like a user-supplied query).
+    */
+  def queryVector(s: SparkSession, d: String, vecId: Long): Seq[Float] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") === vecId)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+}

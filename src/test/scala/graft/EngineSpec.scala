@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Collection, Search}
+import graft.model._
+import graft.model.IndexKind._
+
+/** Countable-fixture tests mirroring the reference's canonical test schema
+  * (FIXTURES.md §1–2; reference shard/shard_vector_test.go:275–306 and
+  * shard_search_test.go:27–112).
+  */
+class EngineSpec extends SparkSuite {
+  import spark.implicits._
+
+  // row i of n: size=i, price=i+0.5, category = "category <i>",
+  // labels = [label1 <i>, label2 <i+1>], flat = [i, i+1]
+  lazy val fixture: Collection = {
+    val n = 100
+    val df = (0 until n).map { i =>
+      (i.toString, Array(i.toFloat, (i + 1).toFloat), s"This is a description $i",
+        s"category $i", Seq(s"label1 $i", s"label2 ${i + 1}"), i.toLong, i + 0.5)
+    }.toDF("_id", "flat", "description", "category", "labels", "size", "price")
+    Collection(df, IndexSchema(
+      "flat" -> VectorFlat(2, Metric.Euclidean),
+      "description" -> Text(),
+      "category" -> Str(caseSensitive = false),
+      "labels" -> StrArray(caseSensitive = false),
+      "size" -> Integer,
+      "price" -> Float))
+  }
+
+  private def run(req: SearchRequest) = Search.search(fixture, req).collect()
+
+  test("integer inRange 10..15 returns 6 rows (shard_search_test.go:27-52)") {
+    val rows = run(SearchRequest(
+      Query("size", integer = Some(IntegerOpts(10, Op.InRange, 15))), limit = 100))
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[String]("_id")).sorted.toSeq ==
+      Seq("10", "11", "12", "13", "14", "15").sorted)
+  }
+
+  test("integer lessThanOrEquals 10 returns 11 rows") {
+    val rows = run(SearchRequest(
+      Query("size", integer = Some(IntegerOpts(10, Op.LessOrEq))), limit = 100))
+    assert(rows.length == 11)
+  }
+
+  test("select subset returns only requested + metadata columns") {
+    val df = Search.search(fixture, SearchRequest(
+      Query("size", integer = Some(IntegerOpts(10, Op.InRange, 15))),
+      select = Seq("size", "category", "nonExistent"), limit = 100))
+    // nonExistent silently dropped (shard_search_test.go:97-108)
+    assert(df.columns.toSeq ==
+      Seq("_id", "_distance", "_score", "_hybridScore", "size", "category"))
+  }
+
+  test("select * returns all data columns") {
+    val df = Search.search(fixture, SearchRequest(
+      Query("size", integer = Some(IntegerOpts(0, Op.GreaterOrEq))),
+      select = Seq("*"), limit = 10))
+    assert(df.columns.length == 4 + 6) // meta + data
+  }
+
+  test("string equals is case-insensitive by default") {
+    val rows = run(SearchRequest(
+      Query("category", string = Some(StringOpts("CATEGORY 7", Op.Equals))), limit = 100))
+    assert(rows.map(_.getAs[String]("_id")).toSeq == Seq("7"))
+  }
+
+  test("labels containsAny/All with case folding") {
+    val any = run(SearchRequest(
+      Query("labels", stringArray = Some(StringArrayOpts(Seq("LABEL1 5", "label2 99"), Op.ContainsAny))),
+      limit = 100))
+    assert(any.map(_.getAs[String]("_id")).sorted.toSeq == Seq("5", "98"))
+    val all = run(SearchRequest(
+      Query("labels", stringArray = Some(StringArrayOpts(Seq("label1 5", "label2 6"), Op.ContainsAll))),
+      limit = 100))
+    assert(all.map(_.getAs[String]("_id")).toSeq == Seq("5"))
+  }
+
+  test("_id containsAny lookup skips missing ids") {
+    val rows = run(SearchRequest(
+      Query("_id", stringArray = Some(StringArrayOpts(Seq("3", "98", "notthere"), Op.ContainsAny))),
+      limit = 100))
+    assert(rows.map(_.getAs[String]("_id")).sorted.toSeq == Seq("3", "98"))
+  }
+
+  test("and/or combinators of predicates") {
+    val and = run(SearchRequest(Query("_and", and = Seq(
+      Query("size", integer = Some(IntegerOpts(10, Op.InRange, 20))),
+      Query("category", string = Some(StringOpts("category 15", Op.Equals))))), limit = 100))
+    assert(and.map(_.getAs[String]("_id")).toSeq == Seq("15"))
+    val or = run(SearchRequest(Query("_or", or = Seq(
+      Query("size", integer = Some(IntegerOpts(2, Op.LessOrEq))),
+      Query("size", integer = Some(IntegerOpts(97, Op.GreaterOrEq))))), limit = 100))
+    assert(or.length == 6)
+  }
+
+  test("sort missing-last and offset/limit pagination") {
+    val rows = run(SearchRequest(
+      Query("size", integer = Some(IntegerOpts(0, Op.GreaterOrEq))),
+      select = Seq("size"),
+      sort = Seq(SortOption("size", descending = true)),
+      offset = 10, limit = 5))
+    assert(rows.map(_.getAs[Long]("size")).toSeq == Seq(89L, 88L, 87L, 86L, 85L))
+  }
+
+  test("near returns self first with distance 0, exact top-k order") {
+    val rows = run(SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(50f, 51f), Op.Near, 5))), limit = 100))
+    assert(rows.length == 5)
+    assert(rows.head.getAs[String]("_id") == "50")
+    assert(rows.head.getAs[Float]("_distance") == 0.0f)
+    // squared L2 to [50,51]: ids 49 and 51 at distance 2, 48/52 at 8
+    assert(rows.map(_.getAs[String]("_id")).toSeq == Seq("50", "49", "51", "48", "52"))
+    assert(rows.map(_.getAs[Float]("_hybridScore")).toSeq == Seq(0f, -2f, -2f, -8f, -8f))
+  }
+
+  test("near with pre-filter restricts candidates (filter-first)") {
+    val rows = run(SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(50f, 51f), Op.Near, 3,
+        filter = Some(Query("size", integer = Some(IntegerOpts(60, Op.GreaterOrEq))))))),
+      limit = 100))
+    assert(rows.map(_.getAs[String]("_id")).toSeq == Seq("60", "61", "62"))
+  }
+
+  test("JSON round-trip drives the same query") {
+    val json =
+      """{"query": {"property": "_and", "_and": [
+        |  {"property": "size", "integer": {"operator": "inRange", "value": 10, "endValue": 15}},
+        |  {"property": "category", "string": {"operator": "notEquals", "value": "category 12"}}]},
+        | "select": ["size"], "sort": [{"property": "size", "descending": true}],
+        | "offset": 1, "limit": 3}""".stripMargin
+    val rows = Search.searchJson(fixture, json).collect()
+    assert(rows.map(_.getAs[Long]("size")).toSeq == Seq(14L, 13L, 11L))
+  }
+
+  test("validation bounds are enforced") {
+    def bad(req: SearchRequest) =
+      intercept[IllegalArgumentException](Search.search(fixture, req))
+    bad(SearchRequest(Query("size", integer = Some(IntegerOpts(1, Op.Equals))), limit = 0))
+    bad(SearchRequest(Query("size", integer = Some(IntegerOpts(1, Op.Equals))), limit = 101))
+    bad(SearchRequest(Query("size", integer = Some(IntegerOpts(1, Op.Equals))), offset = -1))
+    bad(SearchRequest(Query("size", integer = Some(IntegerOpts(5, Op.InRange, 5))), limit = 10))
+    bad(SearchRequest(Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(1f, 2f), Op.Near, 80))), limit = 10))
+    bad(SearchRequest(Query("missing", integer = Some(IntegerOpts(1, Op.Equals))), limit = 10))
+    bad(SearchRequest(Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(1f, 2f, 3f), Op.Near, 10))), limit = 10))
+  }
+}
