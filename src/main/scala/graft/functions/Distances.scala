@@ -30,8 +30,15 @@ object Distances {
   def distanceToQuery(metric: Metric, v: Column, query: Seq[Float]): Column =
     distance(metric, v, lit(query.toArray))
 
-  /** Distance between two array<float> columns. */
-  def distance(metric: Metric, a: Column, b: Column): Column = metric match {
+  /** Distance between two array<float> columns — routed through the native
+    * codegen expression; [[distanceBuiltins]] is the pure-builtin
+    * formulation kept as a cross-check in tests.
+    */
+  def distance(metric: Metric, a: Column, b: Column): Column =
+    VectorDistance(a, b, metric)
+
+  /** Built-in (higher-order-function) formulation of the same kernels. */
+  def distanceBuiltins(metric: Metric, a: Column, b: Column): Column = metric match {
     case Metric.Euclidean =>
       sumAgg(zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d

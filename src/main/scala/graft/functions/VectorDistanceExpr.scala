@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import graft.model.IndexKind.Metric
+
+/** Native Catalyst expression for the six distance kernels — the hot loop
+  * of every `near` / kNN-join, so it participates in whole-stage codegen:
+  * a tight primitive float loop per row, no boxing, no lambda dispatch
+  * (the higher-order-function formulation via zip_with/aggregate falls out
+  * of codegen and allocates per element).
+  *
+  * Semantics identical to [[Distances]] / the reference kernels
+  * (reference distance/distance.go:14–67): accumulate in double, lower is
+  * closer, hamming/jaccard binarize both sides at 0.5
+  * (vectorstore.go:56–67), haversine takes [lat,lon] degrees.
+  *
+  * Null elements inside vectors are not expected (schema-coerced float
+  * arrays); a null array yields null via nullSafeEval.
+  */
+case class VectorDistance(left: Expression, right: Expression, metric: Metric)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"vector_distance_${metric.name}"
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDistance =
+    copy(left = l, right = r)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    metric match {
+      case Metric.Euclidean =>
+        var acc = 0.0; var i = 0
+        while (i < n) { val d = x.getFloat(i).toDouble - y.getFloat(i); acc += d * d; i += 1 }
+        acc
+      case Metric.Dot =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+        -acc
+      case Metric.Cosine =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+        1.0 - acc
+      case Metric.Haversine =>
+        VectorDistance.haversineDegrees(x.getFloat(0), x.getFloat(1), y.getFloat(0), y.getFloat(1))
+      case Metric.Hamming =>
+        var acc = 0.0; var i = 0
+        while (i < n) {
+          if ((x.getFloat(i) > 0.5f) != (y.getFloat(i) > 0.5f)) acc += 1.0
+          i += 1
+        }
+        acc
+      case Metric.Jaccard =>
+        var inter = 0.0; var union = 0.0; var i = 0
+        while (i < n) {
+          val xa = x.getFloat(i) > 0.5f; val ya = y.getFloat(i) > 0.5f
+          if (xa && ya) inter += 1.0
+          if (xa || ya) union += 1.0
+          i += 1
+        }
+        if (union == 0.0) 0.0 else 1.0 - inter / union
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val res = ev.value
+      val header = s"int $n = java.lang.Math.min($a.numElements(), $b.numElements());"
+      metric match {
+        case Metric.Euclidean =>
+          s"""$header
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+             |  $acc += d * d;
+             |}
+             |$res = $acc;""".stripMargin
+        case Metric.Dot =>
+          s"""$header
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+             |}
+             |$res = -$acc;""".stripMargin
+        case Metric.Cosine =>
+          s"""$header
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+             |}
+             |$res = 1.0 - $acc;""".stripMargin
+        case Metric.Haversine =>
+          val cls = VectorDistance.getClass.getName.stripSuffix("$") + "$"
+          s"""$res = $cls.MODULE$$.haversineDegrees(
+             |  $a.getFloat(0), $a.getFloat(1), $b.getFloat(0), $b.getFloat(1));""".stripMargin
+        case Metric.Hamming =>
+          s"""$header
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if (($a.getFloat($i) > 0.5f) != ($b.getFloat($i) > 0.5f)) $acc += 1.0;
+             |}
+             |$res = $acc;""".stripMargin
+        case Metric.Jaccard =>
+          val inter = ctx.freshName("inter")
+          s"""$header
+             |double $inter = 0.0;
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  boolean xa = $a.getFloat($i) > 0.5f;
+             |  boolean ya = $b.getFloat($i) > 0.5f;
+             |  if (xa && ya) $inter += 1.0;
+             |  if (xa || ya) $acc += 1.0;
+             |}
+             |$res = ($acc == 0.0) ? 0.0 : 1.0 - $inter / $acc;""".stripMargin
+      }
+    })
+}
+
+object VectorDistance {
+  /** Called from generated code for the haversine kernel. */
+  def haversineDegrees(lat1: Float, lon1: Float, lat2: Float, lon2: Float): Double = {
+    val rLat1 = math.toRadians(lat1.toDouble)
+    val rLat2 = math.toRadians(lat2.toDouble)
+    val dLat = rLat2 - rLat1
+    val dLon = math.toRadians(lon2.toDouble) - math.toRadians(lon1.toDouble)
+    val h = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(rLat1) * math.cos(rLat2) * math.pow(math.sin(dLon / 2), 2)
+    2.0 * 6371000.0 * math.asin(math.sqrt(h))
+  }
+
+  /** Column-API entry point; inputs are cast to array<float> so literal
+    * double arrays and float columns both work.
+    */
+  def apply(a: Column, b: Column, metric: Metric): Column = {
+    val af = ArrayType(FloatType)
+    Bridge.toColumn(VectorDistance(
+      Bridge.toExpression(a.cast(af)), Bridge.toExpression(b.cast(af)), metric))
+  }
+}

@@ -3,5 +3,5 @@ package graft.queries
 /** Central list of every driver-checkable query. Grows per milestone. */
 object Registry {
   def all: Seq[NamedQuery] =
-    Relational.all ++ SemaOps.all
+    Relational.all ++ SemaOps.all ++ VectorQueries.all
 }

@@ -49,7 +49,18 @@ object TestCollections {
           col("n_chars"),
           col("label").cast("long").as("label"),
           col("embedding"),
-          col("embedding").as("vec_l2")),
+          col("embedding").as("vec_l2"),
+          col("embedding").as("emb_dot"),
+          // sign bits of the embedding as a 0/1 float vector — exercises the
+          // hamming/jaccard 0.5-binarization contract on meaningful bits
+          transform(col("embedding"), x => when(x > 0f, 1.0f).otherwise(0.0f).cast("float"))
+            .as("bits"),
+          transform(col("embedding"), x => when(x > 0f, 1.0f).otherwise(0.0f).cast("float"))
+            .as("bits_jac"),
+          // first two dims scaled into [lat,lon] degrees for haversine
+          array(
+            (element_at(col("embedding"), 1) * 60.0f).cast("float"),
+            (element_at(col("embedding"), 2) * 120.0f).cast("float")).as("geo")),
       IndexSchema(
         "text" -> Text(),
         "lang" -> Str(caseSensitive = false),
@@ -57,7 +68,11 @@ object TestCollections {
         "n_chars" -> Integer,
         "label" -> Integer,
         "embedding" -> VectorFlat(64, Metric.Cosine),
-        "vec_l2" -> VectorVamana(64, Metric.Euclidean)))
+        "vec_l2" -> VectorVamana(64, Metric.Euclidean),
+        "emb_dot" -> VectorFlat(64, Metric.Dot),
+        "bits" -> VectorFlat(64, Metric.Hamming),
+        "bits_jac" -> VectorFlat(64, Metric.Jaccard),
+        "geo" -> VectorFlat(2, Metric.Haversine)))
   }
 
   /** A deterministic query vector: the embedding of a given vec_id,

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Search
+import graft.model._
+
+/** S1/S2 `near` queries over the docs collection, one per distance metric,
+  * plus pre-filter and weight variants. Distances are rounded through
+  * DECIMAL on both engines and used as the primary order key (with `_id`
+  * tie-break) so float accumulation differences can't flip the hash.
+  *
+  * The query vector is always the embedding of vec_id 0 (deterministic,
+  * fetched like a user-supplied query); DuckDB reproduces it with a scalar
+  * subquery. Note the collection is documents ⋈ embeddings, so oracles
+  * join both tables.
+  */
+object VectorQueries {
+
+  private val Scale = 4
+
+  /** Run a near search and emit (_id, dist_r, hybrid_r) rounded + re-sorted
+    * on the rounded value for cross-engine order stability.
+    */
+  private def nearQuery(name: String, sql: String)(mk: (org.apache.spark.sql.SparkSession, String) => SearchRequest): NamedQuery =
+    NamedQuery(name, sql) { (s, d) =>
+      Search.search(TestCollections.docs(s, d), mk(s, d))
+        .select(
+          col("_id"),
+          dround(col("_distance"), Scale).as("dist_r"),
+          dround(col("_hybridScore"), Scale).as("hybrid_r"))
+        .orderBy(col("dist_r"), col("_id"))
+    }
+
+  private def sqlNear(distExpr: String, k: Int, where: String = "TRUE", weight: Double = 1.0): String =
+    s"""WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |ranked AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id, ($distExpr) AS dist
+       |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
+       |  WHERE $where
+       |  ORDER BY dist ASC, _id ASC LIMIT $k)
+       |SELECT _id,
+       |  CAST(round(CAST(dist AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(-($weight) * dist AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
+       |FROM ranked ORDER BY dist_r, _id""".stripMargin
+
+  val s2NearCosine = nearQuery(
+    "s2_near_flat_cosine",
+    sqlNear("1.0 - list_inner_product(embedding, q.v)", 10))(
+    (s, d) => SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10))),
+      limit = 100))
+
+  val s1NearVamanaEuclidean = nearQuery(
+    "s1_near_vamana_euclidean",
+    sqlNear("power(list_distance(embedding, q.v), 2)", 10, weight = 2.0))(
+    (s, d) => SearchRequest(
+      Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, searchSize = 75, limit = 10,
+        weight = Some(2.0f)))),
+      limit = 100))
+
+  val s1NearFiltered = nearQuery(
+    "s1_near_filtered",
+    sqlNear("power(list_distance(embedding, q.v), 2)", 10,
+      where = "label BETWEEN 0 AND 4"))(
+    (s, d) => SearchRequest(
+      Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, searchSize = 75, limit = 10,
+        filter = Some(Query("label", integer = Some(IntegerOpts(0, Op.InRange, 4))))))),
+      limit = 100))
+
+  val s2NearDot = nearQuery(
+    "s2_near_dot",
+    sqlNear("-list_inner_product(embedding, q.v)", 10))(
+    (s, d) => SearchRequest(
+      Query("emb_dot", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10))),
+      limit = 100))
+
+  val s2NearHamming = nearQuery(
+    "s2_near_hamming",
+    sqlNear(
+      s"""len(list_filter(range(1, len(embedding) + 1),
+         |    i -> (embedding[i] > 0) != (q.v[i] > 0)))""".stripMargin, 10))(
+    (s, d) => SearchRequest(
+      Query("bits", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0).map(x => if (x > 0f) 1.0f else 0.0f),
+        Op.Near, 10))),
+      limit = 100))
+
+  val s2NearJaccard = nearQuery(
+    "s2_near_jaccard",
+    sqlNear(
+      s"""1.0 - CAST(len(list_filter(range(1, len(embedding) + 1),
+         |      i -> (embedding[i] > 0) AND (q.v[i] > 0))) AS DOUBLE)
+         |  / nullif(len(list_filter(range(1, len(embedding) + 1),
+         |      i -> (embedding[i] > 0) OR (q.v[i] > 0))), 0)""".stripMargin, 10))(
+    (s, d) => SearchRequest(
+      Query("bits_jac", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0).map(x => if (x > 0f) 1.0f else 0.0f),
+        Op.Near, 10))),
+      limit = 100))
+
+  val s2NearHaversine = NamedQuery(
+    "s2_near_haversine",
+    s"""WITH q AS (
+       |  SELECT CAST(embedding[1] * 60 AS REAL) AS qlat,
+       |         CAST(embedding[2] * 120 AS REAL) AS qlon
+       |  FROM embeddings WHERE vec_id = 0),
+       |geo AS (
+       |  -- stored [lat,lon] is float32, like the engine's column
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id,
+       |         CAST(embedding[1] * 60 AS REAL) AS lat,
+       |         CAST(embedding[2] * 120 AS REAL) AS lon
+       |  FROM documents JOIN embeddings ON doc_id = vec_id),
+       |ranked AS (
+       |  SELECT _id,
+       |    2.0 * 6371000.0 * asin(sqrt(
+       |      pow(sin(radians(CAST(lat AS DOUBLE) - CAST(qlat AS DOUBLE)) / 2), 2)
+       |      + cos(radians(CAST(qlat AS DOUBLE))) * cos(radians(CAST(lat AS DOUBLE)))
+       |        * pow(sin(radians(CAST(lon AS DOUBLE) - CAST(qlon AS DOUBLE)) / 2), 2))) AS dist
+       |  FROM geo CROSS JOIN q
+       |  ORDER BY dist ASC, _id ASC LIMIT 10)
+       |SELECT _id,
+       |  CAST(round(CAST(dist AS DECIMAL(28,6)), 1) AS DOUBLE) AS dist_r
+       |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val qv = TestCollections.queryVector(s, d, 0)
+    val geoQ = Seq(qv(0) * 60.0f, qv(1) * 120.0f)
+    Search.search(TestCollections.docs(s, d), SearchRequest(
+      Query("geo", vectorFlat = Some(VectorFlatOpts(geoQ, Op.Near, 10))),
+      limit = 100))
+      .select(col("_id"), dround(col("_distance"), 1).as("dist_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
+    s2NearHamming, s2NearJaccard, s2NearHaversine)
+}
