@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Search
+import graft.functions.TextAnalyzer
+import graft.model._
+
+/** Q2/Q3 hybrid merge queries: weighted combinations of ranked vector and
+  * text searches, including the docs' "kitchen sink" shape (reference
+  * docs/content/docs/search/kitchen.md): a pre-filtered weighted vector
+  * search OR'd with a post-filtered weighted text search, then
+  * select/sort/limit.
+  *
+  * Weights are chosen binary-exact (0.5, 2.0, 0.25, 0.75) so float32
+  * hybrid scores agree bit-for-bit across engines before rounding.
+  */
+object HybridQueries {
+
+  /** Shared oracle CTEs: the joined collection, vector ranking (euclidean²
+    * or cosine), and tf-idf text ranking — mirrors of the engine's leaves.
+    */
+  private def prelude(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |coll AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id, text, lang, source, n_chars,
+       |         label, embedding
+       |  FROM documents JOIN embeddings ON doc_id = vec_id),
+       |tok AS (
+       |  SELECT _id, ${TextAnalyzer.sqlAnalyze("text")} AS terms FROM coll),
+       |posts AS (
+       |  SELECT _id, len(terms) AS doclen, unnest(terms) AS term FROM tok),
+       |grouped AS (
+       |  SELECT _id, doclen, term, count(*) AS freq
+       |  FROM posts GROUP BY _id, doclen, term),
+       |stats AS (SELECT count(*) AS numdocs FROM tok),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ($termList) GROUP BY term),
+       |scored AS (
+       |  SELECT g._id, count(*) AS nterms,
+       |    sum((CAST(g.freq AS DOUBLE) / g.doclen)
+       |        * log10(CAST(numdocs AS DOUBLE) / (d.df + 1))) AS score
+       |  FROM grouped g JOIN dfreq d USING (term) CROSS JOIN stats
+       |  GROUP BY g._id)""".stripMargin
+  }
+
+  val q2HybridAnd = NamedQuery(
+    "q2_hybrid_and",
+    s"""${prelude(Seq("spark", "filter", "merge"))},
+       |vrank AS (
+       |  SELECT _id, 1.0 - list_inner_product(embedding, q.v) AS dist
+       |  FROM coll CROSS JOIN q ORDER BY dist ASC, _id ASC LIMIT 75),
+       |vh AS (
+       |  SELECT _id, CAST(dist AS REAL) AS dist32,
+       |         CAST(-0.5 * CAST(dist AS REAL) AS REAL) AS vhybrid
+       |  FROM vrank),
+       |trank AS (
+       |  SELECT _id, CAST(score AS REAL) AS score32 FROM scored
+       |  ORDER BY score DESC, _id ASC LIMIT 75),
+       |th AS (
+       |  SELECT _id, score32, CAST(2.0 * score32 AS REAL) AS thybrid FROM trank),
+       |merged AS (
+       |  SELECT v._id, v.dist32, t.score32,
+       |         CAST(v.vhybrid + t.thybrid AS REAL) AS hybrid
+       |  FROM vh v JOIN th t USING (_id))
+       |SELECT _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r,
+       |  CAST(round(CAST(hybrid AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+       |FROM merged ORDER BY hybrid_r DESC, _id""".stripMargin) { (s, d) =>
+    val req = SearchRequest(
+      Query("_and", and = Seq(
+        Query("embedding", vectorFlat = Some(VectorFlatOpts(
+          TestCollections.queryVector(s, d, 0), Op.Near, 75, weight = Some(0.5f)))),
+        Query("text", text = Some(TextOpts("spark filter merge", Op.ContainsAny, 75,
+          weight = Some(2.0f)))))),
+      limit = 100)
+    Search.search(TestCollections.docs(s, d), req)
+      .select(
+        col("_id"),
+        dround(col("_distance"), 4).as("dist_r"),
+        dround(col("_score"), 4).as("score_r"),
+        dround(col("_hybridScore"), 4).as("hybrid_r"))
+      .orderBy(col("hybrid_r").desc, col("_id"))
+  }
+
+  val q3HybridOr = NamedQuery(
+    "q3_hybrid_or",
+    s"""${prelude(Seq("spark", "filter", "merge"))},
+       |vrank AS (
+       |  SELECT _id, 1.0 - list_inner_product(embedding, q.v) AS dist
+       |  FROM coll CROSS JOIN q ORDER BY dist ASC, _id ASC LIMIT 20),
+       |vh AS (
+       |  SELECT _id, CAST(dist AS REAL) AS dist32,
+       |         CAST(-0.5 * CAST(dist AS REAL) AS REAL) AS vhybrid
+       |  FROM vrank),
+       |trank AS (
+       |  SELECT _id, CAST(score AS REAL) AS score32 FROM scored
+       |  ORDER BY score DESC, _id ASC LIMIT 20),
+       |th AS (
+       |  SELECT _id, score32, CAST(2.0 * score32 AS REAL) AS thybrid FROM trank),
+       |merged AS (
+       |  SELECT coalesce(v._id, t._id) AS _id, v.dist32, t.score32,
+       |         CAST(coalesce(v.vhybrid, 0) + coalesce(t.thybrid, 0) AS REAL) AS hybrid
+       |  FROM vh v FULL OUTER JOIN th t ON v._id = t._id)
+       |SELECT _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r,
+       |  CAST(round(CAST(hybrid AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+       |FROM merged ORDER BY hybrid_r DESC, _id""".stripMargin) { (s, d) =>
+    val req = SearchRequest(
+      Query("_or", or = Seq(
+        Query("embedding", vectorFlat = Some(VectorFlatOpts(
+          TestCollections.queryVector(s, d, 0), Op.Near, 20, weight = Some(0.5f)))),
+        Query("text", text = Some(TextOpts("spark filter merge", Op.ContainsAny, 20,
+          weight = Some(2.0f)))))),
+      limit = 100)
+    Search.search(TestCollections.docs(s, d), req)
+      .select(
+        col("_id"),
+        dround(col("_distance"), 4).as("dist_r"),
+        dround(col("_score"), 4).as("score_r"),
+        dround(col("_hybridScore"), 4).as("hybrid_r"))
+      .orderBy(col("hybrid_r").desc, col("_id"))
+  }
+
+  /** Kitchen sink: pre-filtered weighted vamana OR post-filtered weighted
+    * text, select + data-column sort + limit 5.
+    */
+  val kitchenSink = NamedQuery(
+    "q5_kitchen_sink",
+    s"""${prelude(Seq("spark", "window"))},
+       |vrank AS (
+       |  SELECT _id, power(list_distance(embedding, q.v), 2) AS dist
+       |  FROM coll CROSS JOIN q
+       |  WHERE label BETWEEN 0 AND 4 AND n_chars > 100
+       |  ORDER BY dist ASC, _id ASC LIMIT 10),
+       |vh AS (
+       |  SELECT _id, CAST(dist AS REAL) AS dist32,
+       |         CAST(-0.25 * CAST(dist AS REAL) AS REAL) AS vhybrid
+       |  FROM vrank),
+       |trank AS (
+       |  SELECT _id, CAST(score AS REAL) AS score32 FROM scored
+       |  WHERE nterms = 2
+       |  ORDER BY score DESC, _id ASC LIMIT 10),
+       |th AS (
+       |  SELECT t._id, t.score32, CAST(0.75 * t.score32 AS REAL) AS thybrid
+       |  FROM trank t JOIN coll c ON t._id = c._id
+       |  WHERE c.n_chars > 200),
+       |merged AS (
+       |  SELECT coalesce(v._id, t._id) AS _id, v.dist32, t.score32,
+       |         CAST(coalesce(v.vhybrid, 0) + coalesce(t.thybrid, 0) AS REAL) AS hybrid
+       |  FROM vh v FULL OUTER JOIN th t ON v._id = t._id),
+       |paged AS (
+       |  SELECT m._id, m.dist32, m.score32, m.hybrid, c.n_chars, c.lang
+       |  FROM merged m JOIN coll c ON m._id = c._id
+       |  ORDER BY c.n_chars ASC, m._id ASC LIMIT 5)
+       |SELECT _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r,
+       |  CAST(round(CAST(hybrid AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r,
+       |  n_chars, lang
+       |FROM paged ORDER BY n_chars, _id""".stripMargin) { (s, d) =>
+    val req = SearchRequest(
+      Query("_or", or = Seq(
+        Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+          TestCollections.queryVector(s, d, 0), Op.Near, searchSize = 75, limit = 10,
+          filter = Some(Query("_and", and = Seq(
+            Query("label", integer = Some(IntegerOpts(0, Op.InRange, 4))),
+            Query("n_chars", integer = Some(IntegerOpts(100, Op.GreaterThan)))))),
+          weight = Some(0.25f)))),
+        Query("_and", and = Seq(
+          Query("text", text = Some(TextOpts("spark window", Op.ContainsAll, 10,
+            weight = Some(0.75f)))),
+          Query("n_chars", integer = Some(IntegerOpts(200, Op.GreaterThan))))))),
+      select = Seq("n_chars", "lang"),
+      sort = Seq(SortOption("n_chars")),
+      limit = 5)
+    Search.search(TestCollections.docs(s, d), req)
+      .select(
+        col("_id"),
+        dround(col("_distance"), 4).as("dist_r"),
+        dround(col("_score"), 4).as("score_r"),
+        dround(col("_hybridScore"), 4).as("hybrid_r"),
+        col("n_chars"), col("lang"))
+      .orderBy(col("n_chars"), col("_id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(q2HybridAnd, q3HybridOr, kitchenSink)
+}

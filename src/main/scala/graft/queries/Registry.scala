@@ -3,5 +3,6 @@ package graft.queries
 /** Central list of every driver-checkable query. Grows per milestone. */
 object Registry {
   def all: Seq[NamedQuery] =
-    Relational.all ++ SemaOps.all ++ VectorQueries.all
+    Relational.all ++ SemaOps.all ++ VectorQueries.all ++ TextQueries.all ++
+      HybridQueries.all
 }

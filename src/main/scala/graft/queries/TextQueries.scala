@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Search
+import graft.functions.TextAnalyzer
+import graft.model._
+
+/** S3 text-search queries: tf-idf scored containsAny / containsAll with
+  * analyzer parity (tokenize + lowercase + stopword removal replicated in
+  * the DuckDB oracle), plus a pre-filtered variant.
+  *
+  * Score determinism across engines: the engine surfaces float32 scores
+  * (like the reference); the oracle casts its double score to REAL before
+  * rounding so both sides round the same 32-bit value.
+  */
+object TextQueries {
+
+  /** Oracle CTE scaffolding shared by the text queries. `terms` must be the
+    * already-analyzed query terms (the Scala side analyzes at query build).
+    */
+  private def sqlText(terms: Seq[String], having: String, where: String, k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id, lang,
+       |         ${TextAnalyzer.sqlAnalyze("text")} AS terms
+       |  FROM documents JOIN embeddings ON doc_id = vec_id),
+       |posts AS (
+       |  SELECT _id, lang, len(terms) AS doclen, unnest(terms) AS term FROM tok),
+       |grouped AS (
+       |  SELECT _id, lang, doclen, term, count(*) AS freq
+       |  FROM posts GROUP BY _id, lang, doclen, term),
+       |stats AS (SELECT count(*) AS numdocs FROM tok),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ($termList) GROUP BY term),
+       |scored AS (
+       |  SELECT g._id, g.lang, count(*) AS nterms,
+       |    sum((CAST(g.freq AS DOUBLE) / g.doclen)
+       |        * log10(CAST(numdocs AS DOUBLE) / (d.df + 1))) AS score
+       |  FROM grouped g JOIN dfreq d USING (term) CROSS JOIN stats
+       |  GROUP BY g._id, g.lang),
+       |ranked AS (
+       |  SELECT _id, CAST(score AS REAL) AS score32 FROM scored
+       |  WHERE ($having) AND ($where)
+       |  ORDER BY score DESC, _id ASC LIMIT $k)
+       |SELECT _id,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r
+       |FROM ranked ORDER BY score_r DESC, _id""".stripMargin
+  }
+
+  private def textQuery(name: String, sql: String)(req: SearchRequest): NamedQuery =
+    NamedQuery(name, sql) { (s, d) =>
+      Search.search(TestCollections.docs(s, d), req)
+        .select(col("_id"), dround(col("_score"), 4).as("score_r"))
+        .orderBy(col("score_r").desc, col("_id"))
+    }
+
+  // "the spark AND filter, merge!" analyzes to [spark, filter, merge] —
+  // exercises tokenizer + stopword removal on the query side too.
+  val s3ContainsAny = textQuery(
+    "s3_text_containsany",
+    sqlText(Seq("spark", "filter", "merge"), "TRUE", "TRUE", 10))(
+    SearchRequest(
+      Query("text", text = Some(TextOpts("the spark AND filter, merge!", Op.ContainsAny, 10))),
+      limit = 100))
+
+  val s3ContainsAll = textQuery(
+    "s3_text_containsall",
+    sqlText(Seq("spark", "window"), "nterms = 2", "TRUE", 10))(
+    SearchRequest(
+      Query("text", text = Some(TextOpts("spark window", Op.ContainsAll, 10))),
+      limit = 100))
+
+  val s3Filtered = textQuery(
+    "s3_text_filtered",
+    sqlText(Seq("vector", "table"), "TRUE", "lang = 'de'", 10))(
+    SearchRequest(
+      Query("text", text = Some(TextOpts("vector table", Op.ContainsAny, 10,
+        filter = Some(Query("lang", string = Some(StringOpts("de", Op.Equals))))))),
+      limit = 100))
+
+  val all: Seq[NamedQuery] = Seq(s3ContainsAny, s3ContainsAll, s3Filtered)
+}
