@@ -1,0 +1,65 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.model.{IndexKind, IndexSchema}
+import graft.store.CollectionStore
+
+/** W1–W3 exercised end-to-end against a real on-disk collection, with the
+  * final state expressed as plain SQL over the original table: create from
+  * part (p_size ≤ 10), insert the p_size ∈ [11,12] rows, update prices
+  * (+100 where p_size ≤ 3) and blank p_name where p_size = 5, delete
+  * p_size ∈ [9,10]. Every mutation is deterministic, so the surviving
+  * state is a closed-form SELECT.
+  */
+object WriteQueries {
+
+  val w1WritePath = NamedQuery(
+    "w1_write_path",
+    """SELECT CAST(p_partkey AS VARCHAR) AS _id,
+      |  CASE WHEN p_size = 5 THEN NULL ELSE p_name END AS p_name,
+      |  CAST(p_size AS BIGINT) AS p_size,
+      |  CASE WHEN p_size <= 3 THEN p_retailprice + 100 ELSE p_retailprice END AS p_retailprice
+      |FROM part
+      |WHERE p_size <= 12 AND NOT (p_size BETWEEN 9 AND 10)
+      |ORDER BY _id""".stripMargin) { (s, d) =>
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val store = new CollectionStore(s, dir)
+    val part = Tables.part(s, d).select(
+      col("p_partkey").cast("string").as("_id"),
+      col("p_name"),
+      col("p_size").cast("long").as("p_size"),
+      col("p_retailprice"))
+    val schema = IndexSchema(
+      "p_name" -> IndexKind.Str(),
+      "p_size" -> IndexKind.Integer,
+      "p_retailprice" -> IndexKind.Float)
+
+    store.create("parts", schema, part.filter(col("p_size") <= 10))
+    store.insert("parts", part.filter(col("p_size").between(11, 12)))
+    // field-merge: bump price where p_size <= 3 (other fields untouched),
+    // in reference-sized batches of ≤100
+    import s.implicits._
+    val priceUpdates = part.filter(col("p_size") <= 3)
+      .select(col("_id"), (col("p_retailprice") + 100).as("p_retailprice"))
+      .as[(String, Double)].collect().toSeq
+    priceUpdates.grouped(CollectionStore.MaxUpdateBatch).foreach { b =>
+      store.update("parts", b.toDF("_id", "p_retailprice"))
+    }
+    // sentinel delete of a string field where p_size = 5
+    val nameDeletes = part.filter(col("p_size") === 5)
+      .select("_id").as[String].collect().toSeq
+    nameDeletes.grouped(CollectionStore.MaxUpdateBatch).foreach { b =>
+      store.update("parts",
+        b.map(id => (id, CollectionStore.DeleteSentinel)).toDF("_id", "p_name"))
+    }
+    val doomed = part.filter(col("p_size").between(9, 10))
+      .select("_id").as[String].collect().toSeq
+    doomed.grouped(CollectionStore.MaxDeleteBatch).foreach(b => store.delete("parts", b))
+
+    store.load("parts").df.orderBy("_id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(w1WritePath)
+}

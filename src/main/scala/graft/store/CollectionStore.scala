@@ -1,0 +1,226 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Collection
+import graft.model.{IndexKind, IndexSchema}
+
+/** The write path (reference W1–W3): insert / field-merge update / delete
+  * over versioned parquet collections.
+  *
+  * Storage layout per collection:
+  * {{{
+  *   <root>/<name>/schema.json      — index schema (property → kind)
+  *   <root>/<name>/v<N>/            — full parquet snapshot, monotonic N
+  * }}}
+  * A write materializes the next `v<N+1>` directory and becomes visible
+  * only once the directory write completes — the zero-dependency analogue
+  * of a Delta commit (single-writer optimistic versioning; readers pin the
+  * latest complete version). At cluster scale the same layout works with a
+  * real transaction log; nothing here relies on single-file tables, and
+  * rewrites go through Spark jobs (no driver-side row loops).
+  *
+  * Semantics mirrored from the reference:
+  *  - insert (shard/shard.go:133–227): batch ≤ 10000, duplicate `_id`
+  *    within the batch or vs existing data rejects the batch.
+  *  - update (shard/shard.go:231–325): batch ≤ 100; field-level merge —
+  *    null incoming fields leave the stored value, non-null overwrite;
+  *    the `"_delete"` sentinel on string fields (and an `_unset` string
+  *    array for typed fields — the typed-column adaptation) removes the
+  *    value; unknown `_id`s are silently skipped (no-op).
+  *  - delete (shard/shard.go:476–550): batch ≤ 100 by id.
+  */
+final class CollectionStore(spark: SparkSession, root: String) {
+
+  import CollectionStore._
+
+  def create(name: String, schema: IndexSchema, data: DataFrame): Unit = {
+    val dir = Paths.get(root, name)
+    require(!Files.exists(dir), s"collection $name already exists")
+    IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
+    writeVersion(name, normalize(data))
+  }
+
+  def load(name: String): Collection =
+    Collection(spark.read.parquet(currentVersionPath(name)), readSchema(name))
+
+  def drop(name: String): Unit = {
+    val dir = Paths.get(root, name)
+    if (Files.exists(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  def list(): Seq[String] =
+    Files.list(Paths.get(root)).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+
+  /** W1 — all-or-nothing batch insert. */
+  def insert(name: String, points: DataFrame): Long = {
+    val batch = normalize(points)
+    val n = batch.count()
+    require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
+    val dupInBatch = batch.groupBy(IdCol).count().filter(col("count") > 1).count()
+    require(dupInBatch == 0, "duplicate _id within insert batch")
+    val existing = spark.read.parquet(currentVersionPath(name))
+    val clash = batch.join(existing.select(IdCol), Seq(IdCol), "left_semi").count()
+    require(clash == 0, s"$clash point(s) already exist")
+    // schema-coerce the batch onto the stored layout: missing properties
+    // stay null (sparse rows), types cast, unknown columns dropped
+    val aligned = existing.schema.fields.map { f =>
+      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }
+    writeVersion(name, existing.unionByName(batch.select(aligned.toSeq: _*)))
+    n
+  }
+
+  /** W2 — field-merge batch update; returns number of updated rows.
+    * `updates` carries `_id`, any subset of data columns (null = keep
+    * stored value), optionally `_unset: array<string>` naming fields to
+    * clear; string fields also honor the `"_delete"` sentinel value.
+    */
+  def update(name: String, updates: DataFrame): Long = {
+    require(updates.count() <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
+    val existing = spark.read.parquet(currentVersionPath(name))
+    val hasUnset = updates.columns.contains(UnsetCol)
+    val u = updates.columns.filterNot(_ == IdCol).foldLeft(updates) {
+      (df, c) => df.withColumnRenamed(c, s"_u_$c")
+    }
+    val joined = existing.join(broadcast(u), Seq(IdCol), "left_outer")
+    val merged = existing.columns.filterNot(_ == IdCol).foldLeft(joined) { (df, c) =>
+      if (!u.columns.contains(s"_u_$c") && !hasUnset) df
+      else {
+        val stored = df(c)
+        val withUnset =
+          if (hasUnset) when(
+            array_contains(coalesce(col(s"_u_$UnsetCol"), array().cast("array<string>")), c),
+            lit(null).cast(existing.schema(c).dataType))
+          else when(lit(false), lit(null).cast(existing.schema(c).dataType))
+        val incoming = if (u.columns.contains(s"_u_$c")) col(s"_u_$c") else lit(null)
+        val value = existing.schema(c).dataType match {
+          case StringType =>
+            withUnset
+              .when(incoming === DeleteSentinel, lit(null).cast(StringType))
+              .when(incoming.isNotNull, incoming)
+              .otherwise(stored)
+          case dt =>
+            withUnset
+              .when(incoming.isNotNull, incoming.cast(dt))
+              .otherwise(stored)
+        }
+        df.withColumn(s"_m_$c", value)
+      }
+    }
+    val result = merged.select(
+      col(IdCol) +: existing.columns.filterNot(_ == IdCol).map { c =>
+        (if (merged.columns.contains(s"_m_$c")) col(s"_m_$c") else col(c)).as(c)
+      }.toSeq: _*)
+    val updated = existing.join(u.select(IdCol), Seq(IdCol), "left_semi").count()
+    writeVersion(name, result)
+    updated
+  }
+
+  /** W3 — delete by id; unknown ids are no-ops; returns rows removed. */
+  def delete(name: String, ids: Seq[String]): Long = {
+    require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
+    val existing = spark.read.parquet(currentVersionPath(name))
+    val removed = existing.filter(col(IdCol).isin(ids: _*)).count()
+    writeVersion(name, existing.filter(!col(IdCol).isin(ids: _*)))
+    removed
+  }
+
+  // ---- storage plumbing ---------------------------------------------------
+
+  private def normalize(df: DataFrame): DataFrame = {
+    require(df.columns.contains(IdCol), s"points must carry $IdCol")
+    df.withColumn(IdCol, col(IdCol).cast(StringType))
+  }
+
+  private def versions(name: String): Seq[Long] = {
+    val dir = Paths.get(root, name)
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .toSeq.sorted
+  }
+
+  private def currentVersionPath(name: String): String = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"collection $name has no data")
+    Paths.get(root, name, s"v${vs.last}").toString
+  }
+
+  private def writeVersion(name: String, df: DataFrame): Unit = {
+    val next = versions(name) match { case Nil => 0L; case vs => vs.last + 1 }
+    val tmp = Paths.get(root, name, s".tmp_v$next").toString
+    df.write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(tmp), Paths.get(root, name, s"v$next"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readSchema(name: String): IndexSchema =
+    jsonToSchema(Files.readString(Paths.get(root, name, "schema.json")))
+}
+
+object CollectionStore {
+  val IdCol = "_id"
+  val UnsetCol = "_unset"
+  val DeleteSentinel = "_delete" // reference shard/shard.go:41
+  val MaxInsertBatch = 10000 // reference httpapi/v2/handlers.go:229–237
+  val MaxUpdateBatch = 100
+  val MaxDeleteBatch = 100
+
+  // minimal stable serialization of the index schema (property → kind+params)
+  def schemaToJson(s: IndexSchema): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def o(pairs: (String, JValue)*): JObject = JObject(pairs.toList)
+    val fields = s.props.toSeq.sortBy(_._1).map { case (p, k) =>
+      val obj = k match {
+        case IndexKind.VectorFlat(n, m) =>
+          o("type" -> JString(k.name), "vectorSize" -> JInt(n), "metric" -> JString(m.name))
+        case IndexKind.VectorVamana(n, m, ss, db, a) =>
+          o("type" -> JString(k.name), "vectorSize" -> JInt(n), "metric" -> JString(m.name),
+            "searchSize" -> JInt(ss), "degreeBound" -> JInt(db), "alpha" -> JDouble(a))
+        case IndexKind.Text(an) => o("type" -> JString(k.name), "analyser" -> JString(an))
+        case IndexKind.Str(cs) => o("type" -> JString(k.name), "caseSensitive" -> JBool(cs))
+        case IndexKind.StrArray(cs) => o("type" -> JString(k.name), "caseSensitive" -> JBool(cs))
+        case _ => o("type" -> JString(k.name))
+      }
+      p -> (obj: JValue)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
+  }
+
+  def jsonToSchema(json: String): IndexSchema = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JObject(fields) = JsonMethods.parse(json): @unchecked
+    IndexSchema(fields.map { case (p, v) =>
+      def str(k: String) = (v \ k) match { case JString(x) => x; case _ => "" }
+      def int(k: String, d: Int) = (v \ k) match {
+        case JInt(x) => x.toInt; case JLong(x) => x.toInt; case _ => d }
+      def dbl(k: String, d: Double) = (v \ k) match {
+        case JDouble(x) => x; case JInt(x) => x.toDouble; case _ => d }
+      def boolOf(k: String) = (v \ k) match { case JBool(x) => x; case _ => false }
+      val kind: IndexKind = str("type") match {
+        case "vectorFlat" => IndexKind.VectorFlat(int("vectorSize", 0), IndexKind.Metric.parse(str("metric")))
+        case "vectorVamana" => IndexKind.VectorVamana(
+          int("vectorSize", 0), IndexKind.Metric.parse(str("metric")),
+          int("searchSize", 75), int("degreeBound", 64), dbl("alpha", 1.2))
+        case "text" => IndexKind.Text(if (str("analyser").isEmpty) "standard" else str("analyser"))
+        case "string" => IndexKind.Str(boolOf("caseSensitive"))
+        case "stringArray" => IndexKind.StrArray(boolOf("caseSensitive"))
+        case "integer" => IndexKind.Integer
+        case "float" => IndexKind.Float
+        case other => throw new IllegalArgumentException(s"unknown index type $other")
+      }
+      p -> kind
+    }.toMap)
+  }
+}

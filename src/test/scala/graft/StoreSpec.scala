@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.{IndexKind, IndexSchema}
+import graft.store.CollectionStore
+
+class StoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() =
+    new CollectionStore(spark, Files.createTempDirectory("graft_test_").toString)
+
+  private val schema = IndexSchema(
+    "name" -> IndexKind.Str(),
+    "size" -> IndexKind.Integer)
+
+  private def seed = Seq(
+    ("a", "alpha", 1L), ("b", "beta", 2L), ("c", "gamma", 3L)
+  ).toDF("_id", "name", "size")
+
+  test("create + load round-trips data and schema") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    val coll = st.load("c1")
+    assert(coll.df.count() == 3)
+    assert(coll.schema.get("size").contains(IndexKind.Integer))
+    assert(coll.schema.get("name").exists(_.isInstanceOf[IndexKind.Str]))
+  }
+
+  test("insert appends, aligns sparse columns, rejects duplicates") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    // sparse row: no name column
+    assert(st.insert("c1", Seq(("d", 4L)).toDF("_id", "size")) == 1)
+    val df = st.load("c1").df
+    assert(df.count() == 4)
+    assert(df.filter(col("_id") === "d").head().isNullAt(df.columns.indexOf("name")))
+    intercept[IllegalArgumentException] {
+      st.insert("c1", Seq(("a", "again", 9L)).toDF("_id", "name", "size"))
+    }
+    intercept[IllegalArgumentException] {
+      st.insert("c1", Seq(("x", 1L), ("x", 2L)).toDF("_id", "size"))
+    }
+  }
+
+  test("update merges fields, honors _delete sentinel and _unset, skips unknown ids") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    // merge: only size changes for b; name stays
+    assert(st.update("c1", Seq(("b", 20L)).toDF("_id", "size")) == 1)
+    // sentinel: name removed for a; unknown id z skipped
+    assert(st.update("c1", Seq(("a", "_delete"), ("z", "nope")).toDF("_id", "name")) == 1)
+    // _unset: clears size for c
+    assert(st.update("c1",
+      Seq(("c", Seq("size"))).toDF("_id", "_unset")) == 1)
+    val rows = st.load("c1").df.orderBy("_id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val a = rows(0); val b = rows(1); val c = rows(2)
+    assert(a.isNullAt(1) && a.getLong(2) == 1L)
+    assert(b.getString(1) == "beta" && b.getLong(2) == 20L)
+    assert(c.getString(1) == "gamma" && c.isNullAt(2))
+  }
+
+  test("delete removes by id, unknown ids are no-ops; versions accumulate") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    assert(st.delete("c1", Seq("a", "nope")) == 1)
+    assert(st.load("c1").df.count() == 2)
+    // old version still readable semantics: a second delete sees current state
+    assert(st.delete("c1", Seq("b")) == 1)
+    assert(st.load("c1").df.select("_id").as[String].collect().toSeq == Seq("c"))
+  }
+
+  test("batch bounds are enforced") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    intercept[IllegalArgumentException] {
+      st.delete("c1", (1 to 101).map(_.toString))
+    }
+    intercept[IllegalArgumentException] {
+      st.update("c1", (1 to 101).map(i => (i.toString, 1L)).toDF("_id", "size"))
+    }
+  }
+
+  test("searching a stored collection works (store → engine integration)") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    import graft.model._
+    val got = graft.engine.Search.search(st.load("c1"), SearchRequest(
+      Query("size", integer = Some(IntegerOpts(2, Op.GreaterOrEq))), limit = 10)).collect()
+    assert(got.map(_.getAs[String]("_id")).sorted.toSeq == Seq("b", "c"))
+  }
+}
