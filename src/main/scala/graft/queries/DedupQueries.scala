@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dedup operator queries over `documents`/`embeddings`, each with a DuckDB
+  * oracle replaying the identical md5-based pipeline in SQL. The testdata
+  * plants 25 near-duplicate document pairs (3-gram jaccard ≈ 0.98) that
+  * every near-dup method must surface.
+  */
+object DedupQueries {
+
+  /** Shared SQL: tokens and distinct 3-gram shingles per doc. */
+  private val shingleCte =
+    """tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                             t -> t != '') AS raw
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(raw) >= 3
+      |      THEN list_transform(range(1, len(raw) - 1),
+      |           i -> raw[i] || ' ' || raw[i+1] || ' ' || raw[i+2])
+      |      ELSE [] END) AS sh3
+      |  FROM tok)""".stripMargin
+
+  val dedupExact = NamedQuery(
+    "dedup_exact",
+    """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
+      |  (SELECT count(*) FROM (
+      |     SELECT md5(text) k FROM documents GROUP BY 1 HAVING count(*) > 1)) AS n_dup_groups
+      |FROM documents""".stripMargin) { (s, d) =>
+    Dedup.exactStats(Tables.documents(s, d), col("text"))
+  }
+
+  val dedupNgramJaccard = NamedQuery(
+    "dedup_ngram_jaccard",
+    s"""WITH $shingleCte,
+       |posts AS (SELECT doc_id, len(sh3) AS cnt, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.cnt AS ca, b.cnt AS cb,
+       |         count(*) AS common
+       |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |  CAST(round(CAST(CAST(common AS DOUBLE) / (ca + cb - common) AS DECIMAL(28,6)), 4) AS DOUBLE) AS jaccard_r
+       |FROM pairs
+       |WHERE CAST(common AS DOUBLE) / (ca + cb - common) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), dround(col("jaccard"), 4).as("jaccard_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupMinhashSig = NamedQuery(
+    "dedup_minhash_sig",
+    s"""WITH $shingleCte,
+       |posts AS (SELECT doc_id, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0),
+       |perms AS (SELECT unnest(range(0, 16)) AS perm)
+       |SELECT doc_id AS id, perm,
+       |  min(CAST(('0x' || substr(md5(s || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+       |FROM posts CROSS JOIN perms
+       |WHERE doc_id < 100
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Dedup.minhashSignatures(
+        Tables.documents(s, d).filter(col("doc_id") < 100), col("doc_id"), col("text"))
+      .orderBy("id", "perm")
+  }
+
+  val dedupMinhashLsh = NamedQuery(
+    "dedup_minhash_lsh",
+    s"""WITH $shingleCte,
+       |posts AS (SELECT doc_id, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0),
+       |perms AS (SELECT unnest(range(0, 16)) AS perm),
+       |sigs AS (
+       |  SELECT doc_id AS id, perm,
+       |    min(CAST(('0x' || substr(md5(s || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
+       |  FROM posts CROSS JOIN perms GROUP BY 1, 2),
+       |banded AS (
+       |  SELECT id, perm // 4 AS band,
+       |         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS bandkey
+       |  FROM sigs GROUP BY id, perm // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.id < b.id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.id = c.id_a
+       |  JOIN sigs sb ON sb.id = c.id_b AND sb.perm = sa.perm
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(round(CAST(est AS DECIMAL(28,6)), 4) AS DOUBLE) AS est_r
+       |FROM verified WHERE est >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), col("doc_id"), col("text"))
+    Dedup.minhashLshPairs(sigs, perms = 16, bandRows = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), dround(col("est_jaccard"), 4).as("est_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupSimhash = NamedQuery(
+    "dedup_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                                    t -> t != '')) AS t
+      |  FROM documents),
+      |posts AS (
+      |  SELECT doc_id, t, count(*) AS freq,
+      |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      |  FROM tok GROUP BY doc_id, t),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN ((h >> j) & 1) = 1 THEN freq ELSE -freq END) AS s
+      |  FROM posts CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id AS id,
+      |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin) { (s, d) =>
+    Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  val dedupEmbCosine = NamedQuery(
+    "dedup_emb_cosine",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+      |  CAST(round(CAST(
+      |    list_inner_product(a.embedding, b.embedding) /
+      |      (sqrt(list_inner_product(a.embedding, a.embedding))
+      |       * sqrt(list_inner_product(b.embedding, b.embedding)))
+      |    AS DECIMAL(28,6)), 4) AS DOUBLE) AS sim_r
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_inner_product(a.embedding, b.embedding) /
+      |      (sqrt(list_inner_product(a.embedding, a.embedding))
+      |       * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.embeddingCosinePairs(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), col("label"), threshold = 0.3)
+      .select(col("id_a"), col("id_b"), col("block"),
+        dround(col("cosine_sim"), 4).as("sim_r"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashLsh,
+    dedupSimhash, dedupEmbCosine)
+}
