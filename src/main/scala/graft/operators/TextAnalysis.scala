@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalyzer
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-word heuristic), quality scoring (length/punctuation/stopword
+  * ratios), token counting (whitespace + analyzer + subword estimate) and
+  * document fingerprinting (sorted-distinct-token key collision hash).
+  *
+  * Everything is pure Column algebra (codegen-friendly, one pass over the
+  * text, no shuffle except explicit aggregations), and every formula is
+  * replayable in ANSI SQL for the oracles.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/marker language heuristic.
+    * Deliberately tiny and deterministic; precedence below breaks ties.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"))
+
+  /** Predicted language + per-language marker hits. Ties resolve by the
+    * fixed precedence en > de > es > fr (the Markers order).
+    */
+  def languageId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = Dedup.tokens(text)
+    val withCounts = Markers.foldLeft(df.select(id.as("id"), toks.as("_toks"))) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"c_$lang",
+          size(filter(col("_toks"), t => t.isin(words: _*))))
+    }
+    val maxc = greatest(Markers.map { case (l, _) => col(s"c_$l") }: _*)
+    val pred = Markers.foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, (lang, _)) => acc.when(col(s"c_$lang") === maxc, lit(lang))
+    }
+    withCounts
+      .withColumn("pred_lang", when(maxc === 0, lit("und")).otherwise(pred))
+      .select(col("id") +: col("pred_lang") +:
+        Markers.map { case (l, _) => col(s"c_$l") }: _*)
+  }
+
+  /** Quality metrics + a composite score:
+    * score = 0.25·len_score + 0.25·(1−stopword_ratio) + 0.25·(1−punct_ratio)
+    *         + 0.25·uniq_ratio,  len_score = min(n_tokens/100, 1).
+    */
+  def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = Dedup.tokens(text)
+    val base = df.select(
+      id.as("id"),
+      length(text).cast("long").as("n_chars"),
+      toks.as("_toks"),
+      text.as("_text"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+    base
+      .withColumn("stopword_ratio",
+        size(filter(col("_toks"), t => t.isin(TextAnalyzer.StopWords: _*)))
+          .cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        (length(col("_text")) -
+          length(regexp_replace(col("_text"), "[^\\p{L}\\p{N}\\s]", "")))
+          .cast("double") / col("n_chars"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("_toks"))).cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("quality",
+        lit(0.25) * col("len_score") + lit(0.25) * (lit(1.0) - col("stopword_ratio")) +
+          lit(0.25) * (lit(1.0) - col("punct_ratio")) + lit(0.25) * col("uniq_ratio"))
+      .select("id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio",
+        "uniq_ratio", "quality")
+  }
+
+  /** Token counts: whitespace split, analyzer terms (stopword-free), and a
+    * ~4-chars-per-token subword (BPE-ish) estimate.
+    */
+  def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("id"),
+      size(filter(split(text, "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
+      size(TextAnalyzer.analyze(text)).cast("long").as("analyzed_tokens"),
+      ceil(length(text).cast("double") / 4.0).cast("long").as("est_subword_tokens"))
+
+  /** Key-collision fingerprint: md5 of the space-joined sorted distinct
+    * lowercase tokens — whitespace/word-order/duplication-invariant.
+    */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("id"),
+      md5(concat_ws(" ", array_sort(array_distinct(Dedup.tokens(text))))).as("fingerprint"))
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+import graft.model.IndexKind.Metric
+
+/** LLM-pipeline operator queries: text analysis, batch kNN join, grid-IVF
+  * ANN, multimodal plumbing, sessionization and windowed event aggregation.
+  */
+object PipelineQueries {
+
+  private val rawToksSql =
+    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t != '')"""
+
+  val textLangId = NamedQuery(
+    "text_langid",
+    s"""WITH tok AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents),
+       |c AS (
+       |  SELECT id,
+       |    len(list_filter(raw, t -> t IN ('the','a','is','and','of'))) AS c_en,
+       |    len(list_filter(raw, t -> t IN ('der','die','das','und','ist'))) AS c_de,
+       |    len(list_filter(raw, t -> t IN ('el','los','las','y','es'))) AS c_es,
+       |    len(list_filter(raw, t -> t IN ('le','les','une','et','est'))) AS c_fr
+       |  FROM tok)
+       |SELECT id,
+       |  CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+       |       WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+       |       WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+       |       WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  c_en, c_de, c_es, c_fr
+       |FROM c ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.languageId(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  val textQuality = NamedQuery(
+    "text_quality",
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, length(text) AS n_chars, $rawToksSql AS raw, text
+       |  FROM documents),
+       |m AS (
+       |  SELECT id, n_chars, len(raw) AS n_tokens,
+       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")}))) AS DOUBLE) / len(raw) AS stopword_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+       |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
+       |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score
+       |  FROM tok WHERE len(raw) > 0)
+       |SELECT id, n_chars, n_tokens,
+       |  CAST(round(CAST(stopword_ratio AS DECIMAL(28,6)), 4) AS DOUBLE) AS stopword_r,
+       |  CAST(round(CAST(punct_ratio AS DECIMAL(28,6)), 4) AS DOUBLE) AS punct_r,
+       |  CAST(round(CAST(uniq_ratio AS DECIMAL(28,6)), 4) AS DOUBLE) AS uniq_r,
+       |  CAST(round(CAST(0.25*len_score + 0.25*(1-stopword_ratio) + 0.25*(1-punct_ratio) + 0.25*uniq_ratio AS DECIMAL(28,6)), 4) AS DOUBLE) AS quality_r
+       |FROM m ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.quality(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("id"), col("n_chars"), col("n_tokens"),
+        dround(col("stopword_ratio"), 4).as("stopword_r"),
+        dround(col("punct_ratio"), 4).as("punct_r"),
+        dround(col("uniq_ratio"), 4).as("uniq_r"),
+        dround(col("quality"), 4).as("quality_r"))
+      .orderBy("id")
+  }
+
+  val textTokens = NamedQuery(
+    "text_tokens",
+    s"""SELECT doc_id AS id,
+       |  len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS ws_tokens,
+       |  len(${graft.functions.TextAnalyzer.sqlAnalyze("text")}) AS analyzed_tokens,
+       |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_subword_tokens
+       |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  val textFingerprint = NamedQuery(
+    "text_fingerprint",
+    s"""WITH tok AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents)
+       |SELECT id, md5(array_to_string(list_sort(list_distinct(raw)), ' ')) AS fingerprint
+       |FROM tok ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.fingerprint(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  val annKnnJoin = NamedQuery(
+    "ann_knn_join",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |d AS (
+      |  SELECT q.query_id, e.vec_id AS corpus_id,
+      |         1.0 - list_inner_product(e.embedding, q.qv) AS dist,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |                            ORDER BY 1.0 - list_inner_product(e.embedding, q.qv), e.vec_id) AS rank
+      |  FROM embeddings e CROSS JOIN q)
+      |SELECT query_id, corpus_id, rank,
+      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM d WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnJoin(
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"),
+        k = 5, metric = Metric.Cosine)
+      .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"),
+        dround(col("distance"), 4).as("dist_r"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfGrid = NamedQuery(
+    "ann_ivf_grid",
+    """WITH q AS (
+      |  SELECT embedding AS qv,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+      |     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS qb
+      |  FROM embeddings WHERE vec_id = 7),
+      |bucketed AS (
+      |  SELECT vec_id AS id, embedding,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+      |     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+      |  FROM embeddings)
+      |SELECT b.id, b.bucket,
+      |  CAST(round(CAST(1.0 - list_inner_product(b.embedding, q.qv) AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM bucketed b CROSS JOIN q
+      |WHERE b.bucket = q.qb OR b.bucket IN
+      |  (xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8), xor(q.qb, 16), xor(q.qb, 32))
+      |ORDER BY 1.0 - list_inner_product(b.embedding, q.qv) ASC, b.id ASC
+      |LIMIT 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qv = TestCollections.queryVector(s, d, 7)
+    Similarity.ivfSearch(emb, col("vec_id"), col("embedding"), qv,
+        k = 5, metric = Metric.Cosine, nBits = 6)
+      .select(col("id"), col("bucket"), dround(col("distance"), 4).as("dist_r"))
+  }
+
+  val q6Sessionize = NamedQuery(
+    "q6_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, tsec,
+      |    CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsec
+      |                           ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_no, count(*) AS n FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+      |       max(n) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    EventsStream.sessionizeBatch(Tables.events(s, d))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val q7StreamWindow = NamedQuery(
+    "q7_stream_window",
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_r
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    EventsStream.windowedAgg(Tables.events(s, d))
+      .select(col("hour"), col("event_type"), col("n"),
+        dsum0(col("sum_value")).as("sum_r"))
+      .orderBy("hour", "event_type")
+  }
+
+  // windowedAgg already summed; re-round the double deterministically
+  private def dsum0(c: org.apache.spark.sql.Column) = dround(c, 2)
+
+  val multimodalDecode = NamedQuery(
+    "multimodal_decode",
+    """SELECT doc_id AS id,
+      |  (length(text) % 640) + 1 AS width,
+      |  ((length(text) * 7) % 480) + 1 AS height,
+      |  3 AS channels
+      |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d), col("doc_id"), col("text"), "text/plain")
+    Multimodal.decode(payloads)
+      .select(col("id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .orderBy("id")
+  }
+
+  val multimodalFrames = NamedQuery(
+    "multimodal_frames",
+    """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+      |  CAST(i * 100 AS BIGINT) AS "offset",
+      |  md5(substr(text, CAST(i * 100 AS INT) + 1, 100)) AS frame_sha
+      |FROM documents
+      |CROSS JOIN unnest(range(0, 100)) AS t(i)
+      |WHERE i <= (length(text) - 1) // 100
+      |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d), col("doc_id"), col("text"), "video/fake")
+    Multimodal.frameSample(payloads, stride = 100)
+      .orderBy("id", "frame_idx")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    textLangId, textQuality, textTokens, textFingerprint,
+    annKnnJoin, annIvfGrid, q6Sessionize, q7StreamWindow,
+    multimodalDecode, multimodalFrames)
+}

@@ -4,5 +4,6 @@ package graft.queries
 object Registry {
   def all: Seq[NamedQuery] =
     Relational.all ++ SemaOps.all ++ VectorQueries.all ++ TextQueries.all ++
-      HybridQueries.all ++ WriteQueries.all ++ DedupQueries.all
+      HybridQueries.all ++ WriteQueries.all ++ DedupQueries.all ++
+      PipelineQueries.all
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: tumbling/sliding windowed
+  * aggregation with watermarks, plus sessionization. Each transform is a
+  * pure DataFrame→DataFrame function so the SAME code runs in batch mode
+  * (for the DuckDB oracle) and streaming mode (readStream → memory sink,
+  * exercised in tests): the Spark-native way to keep lambda/batch parity.
+  */
+object EventsStream {
+
+  /** Raw events schema as stored (ts arrives as TIMESTAMP_NTZ after the
+    * Tables.events nanos normalization; streaming reads use this schema).
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val SessionGap = "30 minutes"
+
+  /** Tumbling 1-hour windows per event type: count + sum(value). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch sessionization (gaps-and-islands): a session ends after 30
+    * minutes of inactivity. Returns one row per session.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          col("ts").cast("timestamp").cast("long") - col("_prev").cast("timestamp").cast("long") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("_new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Streaming sessionization via event-time session windows (watermarked
+    * state, merges on gap ≤ 30 min) — the stateful-streaming counterpart
+    * of [[sessionizeBatch]].
+    */
+  def sessionizeStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), SessionGap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Run any events transform as a real stream over the parquet file and
+    * collect the complete result via a memory sink (test/demo harness).
+    */
+  def runAsStream(
+      spark: SparkSession, sfDir: String,
+      transform: DataFrame => DataFrame,
+      outputMode: String = "complete"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(StructType(Schema.fields.map {
+        case f if f.name == "ts" => StructField("ts", LongType) // nanos
+        case f => f
+      }))
+      // the file source wants a directory; pick just the events table out
+      // of the scale-factor dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    // streaming watermarks require TIMESTAMP (not NTZ); with the session
+    // in UTC the wall values match the batch NTZ path exactly
+    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_${System.nanoTime()}"
+    val q = transform(events).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+    // normalize timestamps back to NTZ so results compare 1:1 with batch
+    out.select(out.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        col(f.name).cast("timestamp_ntz").as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.streaming.EventsStream
+import graft.model.IndexKind.Metric
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming windowed agg equals the batch run (exactly-once parity)") {
+    val batch = EventsStream.windowedAgg(Tables.events(spark, sf0001))
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("hour").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    val streamed = EventsStream.runAsStream(spark, sf0001,
+        EventsStream.windowedAgg)
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("hour").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(streamed.nonEmpty)
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
+  test("streaming session windows cover the same events as batch sessions") {
+    val batchTotal = EventsStream.sessionizeBatch(Tables.events(spark, sf0001))
+      .agg(sum("n_events")).head().getLong(0)
+    val streamed = EventsStream.runAsStream(spark, sf0001,
+      EventsStream.sessionizeStreaming)
+    assert(streamed.agg(sum("n_events")).head().getLong(0) == batchTotal)
+    // session boundaries also agree (session_window and gaps-and-islands
+    // are the same semantics)
+    val batchSessions = EventsStream.sessionizeBatch(Tables.events(spark, sf0001)).count()
+    assert(streamed.count() == batchSessions)
+  }
+
+  test("ivf search trades recall for scan reduction but finds near hits") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val ivf = Similarity.ivfSearch(emb, col("vec_id"), col("embedding"), qv,
+      k = 5, metric = Metric.Cosine, nBits = 6).collect()
+    assert(ivf.length == 5)
+    // the query's own vector lives in its own bucket → exact self-match
+    assert(ivf.head.getAs[Long]("id") == 7L)
+    assert(math.abs(ivf.head.getAs[Double]("distance")) < 1e-6)
+    // scan reduction: probed buckets hold a fraction of the corpus
+    val probed = Similarity.signBuckets(emb, col("embedding"), 6)
+      .filter(col("bucket").isin(ivf.map(_.getAs[Int]("bucket")).distinct.toSeq: _*))
+      .count()
+    assert(probed < emb.count())
+  }
+
+  test("multimodal payload → decode keeps ids, shapes, and feature norm") {
+    val payloads = Multimodal.withPayload(
+      Tables.documents(spark, sf0001), col("doc_id"), col("text"), "text/plain")
+    assert(payloads.schema("payload").dataType.typeName == "binary")
+    val decoded = Multimodal.decode(payloads)
+    assert(decoded.count() == payloads.count())
+    val row = decoded.filter(col("id") === 0).head()
+    assert(row.getAs[Int]("width") >= 1 && row.getAs[Int]("height") >= 1)
+    val feat = row.getSeq[Float](row.fieldIndex("feature"))
+    assert(feat.length == 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-3) // histogram normalized
+    // resize stub respects max dimension
+    val resized = Multimodal.resizeStub(decoded, 64)
+    assert(resized.agg(max("width")).head().getInt(0) <= 64)
+  }
+
+  test("frame sampling covers the whole payload with stride-sized slices") {
+    val payloads = Multimodal.withPayload(
+      Tables.documents(spark, sf0001), col("doc_id"), col("text"), "video/fake")
+    val frames = Multimodal.frameSample(payloads, stride = 100)
+    val byDoc = frames.groupBy("id").agg(count(lit(1)).as("n"), max("offset").as("mx"))
+      .join(payloads.select(col("id"), length(col("payload")).as("len")), "id")
+    // every doc's last frame starts within the payload
+    assert(byDoc.filter(col("mx") >= col("len")).count() == 0)
+    assert(byDoc.filter(col("n") =!= ceil(col("len") / lit(100.0))).count() == 0)
+  }
+}
