@@ -28,15 +28,30 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), TokenPattern), t => t =!= "")
 
-  /** Distinct word n-gram shingles of the text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. Important: passing `tokens(text)` directly here is an
+    * O(L²) trap — higher-order functions are interpreted, so every
+    * `element_at(toks, i)` reference would re-run the tokenize pipeline
+    * per element. Tokenize into a column first (behind a persist or at
+    * least a separate projection) and shingle from the reference.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
         .otherwise(array().cast("array<string>")))
-  }
+
+  /** Tokenized view of (id, tokens), persisted — the shared first stage of
+    * every shingle-based operator.
+    */
+  private def tokenized(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("_pid"), tokens(text).as("_toks")).persist()
+
+  private def shingled(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    tokenized(df, id, text)
+      .select(col("_pid"), shinglesFromTokens(col("_toks"), n).as("_sh"))
+      .filter(size(col("_sh")) > 0)
 
   /** 60-bit non-negative hash of a string column (md5 prefix). */
   def hash60(c: Column): Column =
@@ -51,78 +66,126 @@ object Dedup {
         count(lit(1)).as("n_distinct"),
         sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
-  /** Exact n-gram Jaccard similar pairs via inverted-index join:
-    * explode shingles → self-join on the shingle → per-pair common count →
-    * jaccard = common / (|A| + |B| − common) ≥ threshold.
+  /** Exact n-gram Jaccard similar pairs via PPJoin-style prefix filtering
+    * (Xiao et al.): order each document's shingles by global document
+    * frequency (rarest first), keep only the prefix of length
+    * |A| − ⌈τ·|A|⌉ + 1 — any pair with jaccard ≥ τ must collide inside
+    * both prefixes — join on prefix shingles, then verify candidates
+    * exactly with an array intersection. Same results as the naive
+    * inverted-index join, but the join fan-out is driven by RARE shingles
+    * only (frequent shingles never pair), which is what survives a 1000×
+    * corpus: candidates ≈ near-dups, not all co-occurrences.
+    *
+    * `maxShingleDf` additionally drops stop-shingles from candidate
+    * generation (approximate; off by default).
     */
   def ngramJaccardPairs(
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val base = df.select(id.as("_pid"), shingles(text, n).as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    // materialize the shingle arrays once: base feeds three consumers
+    // (postings, and both verification sides)
+    val base = shingled(df, id, text, n)
       .withColumn("_cnt", size(col("_sh")))
-    val posts0 = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
-    val posts = maxShingleDf match {
-      case None => posts0
-      case Some(cap) =>
-        // drop stop-shingles to bound join fan-out (skew guard)
-        val rare = posts0.groupBy("_s").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap).select("_s")
-        posts0.join(broadcast(rare), "_s")
+      .persist()
+    val posts = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
+    val dfTable0 = posts.groupBy("_s").agg(count(lit(1)).as("_df"))
+    val dfTable = maxShingleDf match {
+      case None => dfTable0
+      case Some(cap) => dfTable0.filter(col("_df") <= cap)
     }
-    val a = posts.select(col("_pid").as("id_a"), col("_cnt").as("ca"), col("_s"))
-    val b = posts.select(col("_pid").as("id_b"), col("_cnt").as("cb"), col("_s"))
-    a.join(b, Seq("_s"))
+    // rank shingles per doc by (global df asc, shingle asc); keep the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col("_df").asc, col("_s").asc)
+    val prefix = posts.join(dfTable, "_s")
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= col("_cnt") - ceil(lit(threshold) * col("_cnt")) + 1)
+      .select("_pid", "_s")
+    val cand = prefix.select(col("_pid").as("id_a"), col("_s"))
+      .join(prefix.select(col("_pid").as("id_b"), col("_s")), Seq("_s"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "ca", "cb")
-      .agg(count(lit(1)).as("common"))
+      .select("id_a", "id_b")
+      .distinct()
+    // exact verification on the full shingle sets
+    val setsA = base.select(col("_pid").as("id_a"), col("_sh").as("_sha"), col("_cnt").as("ca"))
+    val setsB = base.select(col("_pid").as("id_b"), col("_sh").as("_shb"), col("_cnt").as("cb"))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("common", size(array_intersect(col("_sha"), col("_shb"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("ca") + col("cb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures, one row per (id, perm): minhash_p =
-    * min over shingles of hash60(shingle + "#" + p).
+  /** MinHash base hashes: two independent 30-bit hashes per shingle
+    * (md5 salt "#1"/"#2"); permutation j is the affine combination
+    * (h1 + j·h2) mod (2^31−1) — the standard 2-universal construction, so
+    * the whole P-permutation signature costs 2 md5s per shingle and stays
+    * narrow (no explode, no shuffle).
     */
+  val MinhashMod = 2147483647L // 2^31 − 1
+  private val H30 = 1073741824L // 2^30
+
+  /** Per-document signature array: sig[j] = min over shingles. */
+  def minhashSigArrays(
+      df: DataFrame, id: Column, text: Column,
+      n: Int = 3, perms: Int = 16): DataFrame = {
+    // materialize the per-shingle hashes before the P-permutation loop —
+    // otherwise CollapseProject inlines the md5 pipeline into every (perm,
+    // element) lambda step and the hash is recomputed P× per shingle
+    val hashed = shingled(df, id, text, n)
+      .withColumn("_h1", transform(col("_sh"), s => hash60(concat(s, lit("#1"))) % H30))
+      .withColumn("_h2", transform(col("_sh"), s => hash60(concat(s, lit("#2"))) % H30))
+      .select(col("_pid").as("id"), col("_h1"), col("_h2"))
+      .persist()
+    hashed
+      .withColumn("sig", transform(sequence(lit(0), lit(perms - 1)),
+        j => array_min(zip_with(col("_h1"), col("_h2"),
+          (a, b) => (a + j.cast("long") * b) % MinhashMod))))
+      .select("id", "sig")
+  }
+
+  /** Exploded (id, perm, minhash) view of the signatures. */
   def minhashSignatures(
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, perms: Int = 16): DataFrame =
-    df.select(id.as("_pid"), shingles(text, n).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col("_pid"), explode(col("_sh")).as("_s"))
-      .select(col("_pid"), col("_s"), explode(sequence(lit(0), lit(perms - 1))).as("perm"))
-      .groupBy("_pid", "perm")
-      .agg(min(hash60(concat(col("_s"), lit("#"), col("perm").cast("string")))).as("minhash"))
-      .select(col("_pid").as("id"), col("perm"), col("minhash"))
+    minhashSigArrays(df, id, text, n, perms)
+      .select(col("id"), posexplode(col("sig")))
+      .select(col("id"), col("pos").as("perm"), col("col").as("minhash"))
 
-  /** LSH candidate pairs from banded signatures, verified by signature
-    * agreement: band hash = md5 of the band's minhashes; pairs sharing any
-    * band are estimated as (equal perms)/perms and kept at ≥ threshold.
+  /** LSH candidate pairs from banded signature arrays, verified by
+    * signature agreement: band key = md5 of the band's slice; pairs
+    * sharing any band are estimated as (equal perms)/perms and kept at
+    * ≥ threshold. Joins are equi-joins on (band, bandkey) — the only
+    * rows that pair are actual collisions.
     */
   def minhashLshPairs(
       sigs: DataFrame, perms: Int = 16, bandRows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val banded = sigs
-      .withColumn("band", (col("perm") / bandRows).cast("int"))
-      .groupBy("id", "band")
-      .agg(sort_array(collect_list(struct(col("perm"), col("minhash")))).as("_bs"))
+    val nBands = perms / bandRows
+    val sigsM = sigs.persist() // three consumers: banding + both verify sides
+    val banded = sigsM
+      .select(col("id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"),
+        col("sig"))
       .withColumn("bandkey",
-        md5(concat_ws(",", transform(col("_bs"), s => s.getField("minhash").cast("string")))))
+        md5(concat_ws(",",
+          transform(slice(col("sig"), col("band") * bandRows + 1, lit(bandRows)),
+            _.cast("string")))))
       .select("id", "band", "bandkey")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sa = sigs.select(col("id").as("id_a"), col("perm"), col("minhash").as("ha"))
-    val sb = sigs.select(col("id").as("id_b"), col("perm"), col("minhash").as("hb"))
-    cand.join(sa, "id_a").join(sb, Seq("id_b", "perm"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)) / lit(perms))
-        .cast("double").as("est_jaccard"))
+    val sa = sigsM.select(col("id").as("id_a"), col("sig").as("_siga"))
+    val sb = sigsM.select(col("id").as("id_b"), col("sig").as("_sigb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("_siga"), col("_sigb"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / perms)
       .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** 60-bit SimHash per document: bit j of the fingerprint is set when
@@ -152,13 +215,21 @@ object Dedup {
   def embeddingCosinePairs(
       df: DataFrame, id: Column, vec: Column, block: Column,
       threshold: Double): DataFrame = {
+    // precompute each vector's norm once (narrow pass), then the pair loop
+    // is a single codegen'd dot product per candidate
     val base = df.select(id.as("_pid"), vec.as("_v"), block.as("_blk"))
-    val a = base.select(col("_pid").as("id_a"), col("_v").as("va"), col("_blk"))
-    val b = base.select(col("_pid").as("id_b"), col("_v").as("vb"), col("_blk"))
+      .withColumn("_norm", sqrt(aggregate(
+        transform(col("_v"), x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)))
+    val a = base.select(col("_pid").as("id_a"), col("_v").as("va"),
+      col("_norm").as("na"), col("_blk"))
+    val b = base.select(col("_pid").as("id_b"), col("_v").as("vb"),
+      col("_norm").as("nb"), col("_blk"))
     a.join(b, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim",
-        Distances.cosineSimilarityNormalized(col("va"), col("vb")))
+        -Distances.distance(graft.model.IndexKind.Metric.Dot, col("va"), col("vb")) /
+          (col("na") * col("nb")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("_blk").as("block"), col("cosine_sim"))
   }

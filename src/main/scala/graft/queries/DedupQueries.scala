@@ -54,16 +54,26 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The 2-universal minhash family: perm j of shingle s is
+    * (h1 + j·h2) mod (2^31−1) with h1/h2 = 30-bit md5-prefix hashes.
+    */
+  private val sigCte =
+    """posts AS (
+      |  SELECT doc_id, s,
+      |    CAST(('0x' || substr(md5(s || '#1'), 1, 15)) AS BIGINT) % 1073741824 AS h1,
+      |    CAST(('0x' || substr(md5(s || '#2'), 1, 15)) AS BIGINT) % 1073741824 AS h2
+      |  FROM (SELECT doc_id, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0)),
+      |perms AS (SELECT unnest(range(0, 16)) AS perm),
+      |sigs AS (
+      |  SELECT doc_id AS id, perm,
+      |    min((h1 + perm * h2) % 2147483647) AS minhash
+      |  FROM posts CROSS JOIN perms GROUP BY 1, 2)""".stripMargin
+
   val dedupMinhashSig = NamedQuery(
     "dedup_minhash_sig",
     s"""WITH $shingleCte,
-       |posts AS (SELECT doc_id, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0),
-       |perms AS (SELECT unnest(range(0, 16)) AS perm)
-       |SELECT doc_id AS id, perm,
-       |  min(CAST(('0x' || substr(md5(s || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
-       |FROM posts CROSS JOIN perms
-       |WHERE doc_id < 100
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+       |$sigCte
+       |SELECT id, perm, minhash FROM sigs WHERE id < 100 ORDER BY 1, 2""".stripMargin) { (s, d) =>
     Dedup.minhashSignatures(
         Tables.documents(s, d).filter(col("doc_id") < 100), col("doc_id"), col("text"))
       .orderBy("id", "perm")
@@ -72,12 +82,7 @@ object DedupQueries {
   val dedupMinhashLsh = NamedQuery(
     "dedup_minhash_lsh",
     s"""WITH $shingleCte,
-       |posts AS (SELECT doc_id, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0),
-       |perms AS (SELECT unnest(range(0, 16)) AS perm),
-       |sigs AS (
-       |  SELECT doc_id AS id, perm,
-       |    min(CAST(('0x' || substr(md5(s || '#' || CAST(perm AS VARCHAR)), 1, 15)) AS BIGINT)) AS minhash
-       |  FROM posts CROSS JOIN perms GROUP BY 1, 2),
+       |$sigCte,
        |banded AS (
        |  SELECT id, perm // 4 AS band,
        |         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS bandkey
@@ -96,7 +101,7 @@ object DedupQueries {
        |SELECT id_a, id_b,
        |  CAST(round(CAST(est AS DECIMAL(28,6)), 4) AS DOUBLE) AS est_r
        |FROM verified WHERE est >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSigArrays(Tables.documents(s, d), col("doc_id"), col("text"))
     Dedup.minhashLshPairs(sigs, perms = 16, bandRows = 4, threshold = 0.5)
       .select(col("id_a"), col("id_b"), dround(col("est_jaccard"), 4).as("est_r"))
       .orderBy("id_a", "id_b")

@@ -24,7 +24,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash LSH recovers the same pairs with est ≈ jaccard") {
-    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+    val sigs = Dedup.minhashSigArrays(docs, col("doc_id"), col("text"))
     val pairs = Dedup.minhashLshPairs(sigs, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == exactPairs)
