@@ -11,8 +11,18 @@ import graft.model.IndexSchema
   *
   * Dotted property paths ("nested.vector") resolve into struct columns.
   */
-final case class Collection(df: DataFrame, schema: IndexSchema) {
+final case class Collection(
+    df: DataFrame,
+    schema: IndexSchema,
+    textIndexes: Map[String, TextIndex] = Map.empty) {
   require(df.columns.contains(Collection.IdCol), s"collection must have ${Collection.IdCol}")
+
+  /** Return a copy with the text index for `prop` built and attached
+    * (postings persisted) — queries then skip re-tokenizing the corpus.
+    */
+  def withTextIndex(prop: String): Collection =
+    if (textIndexes.contains(prop)) this
+    else copy(textIndexes = textIndexes + (prop -> TextIndex.build(df, prop)))
 }
 
 object Collection {

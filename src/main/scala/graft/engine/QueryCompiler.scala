@@ -176,9 +176,11 @@ object QueryCompiler {
     val terms = TextAnalyzer.analyzeString(o.value).distinct
     if (terms.isEmpty)
       throw new IllegalArgumentException("text query value has no terms after analysis")
-    val post = postings(col0, prop)
-    val docs = col0.df.filter(column(prop).isNotNull)
-    val numDocs = docs.count() // numDocs of the text index (text.go:371)
+    // prebuilt (persisted) index when attached; ad-hoc postings otherwise
+    val index = col0.textIndexes.getOrElse(prop,
+      TextIndex(postings(col0, prop), col0.df.filter(column(prop).isNotNull).count()))
+    val post = index.postings
+    val numDocs = index.numDocs // numDocs of the text index (text.go:371)
 
     // document frequency per query term, computed once and broadcast
     val qterms = post.filter(col("_term").isin(terms: _*))

@@ -32,11 +32,20 @@ object TestCollections {
       "p_size" -> Integer,
       "p_retailprice" -> Float))
 
+  // one built collection per (session, sfDir): the text index (persisted
+  // postings + numDocs) is shared across every query in the session, like
+  // the reference's cached per-shard index structures
+  private val docsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Collection]()
+
   /** documents ⋈ embeddings (doc_id = vec_id) as a hybrid text+vector
     * collection — text index on `text`, flat cosine on `embedding`, a
     * vamana-declared euclidean view of the same vectors on `vec_l2`.
     */
-  def docs(s: SparkSession, d: String): Collection = {
+  def docs(s: SparkSession, d: String): Collection =
+    docsCache.computeIfAbsent((s, d), _ => docsUncached(s, d).withTextIndex("text"))
+
+  private def docsUncached(s: SparkSession, d: String): Collection = {
     val doc = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     Collection(
