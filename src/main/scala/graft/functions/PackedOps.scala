@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Bit-packing + packed-word distance kernels for the binary quantizer
+  * (reference shard/vectorstore/binary.go:103–140): bit i of the packed
+  * little-endian long words is set when `vector(i) > threshold(i)`;
+  * distances are popcount arithmetic over the words, 64 dimensions per
+  * CPU word — the Spark analogue of the reference's uint64 layout.
+  */
+case class PackBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // left: array<float> vector, right: array<double> per-dimension thresholds
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pack_bits"
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PackBits =
+    copy(left = l, right = r)
+
+  override def nullSafeEval(v: Any, t: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val th = t.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (vec.getFloat(i).toDouble > th.getDouble(i)) words(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, t) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""int $n = $v.numElements();
+         |long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ((double) $v.getFloat($i) > $t.getDouble($i)) {
+         |    $words[$i / 64] |= 1L << ($i % 64);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($words);
+         |""".stripMargin
+    })
+}
+
+/** Hamming (or, with `jaccard = true`, Jaccard) distance over packed long
+  * words via popcount — 64 dimensions per instruction.
+  */
+case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boolean)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String =
+    if (jaccard) "packed_jaccard" else "packed_hamming"
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PackedBitDistance =
+    copy(left = l, right = r)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (jaccard) {
+      var inter = 0L; var union = 0L; var i = 0
+      while (i < n) {
+        val xa = x.getLong(i); val ya = y.getLong(i)
+        inter += java.lang.Long.bitCount(xa & ya)
+        union += java.lang.Long.bitCount(xa | ya)
+        i += 1
+      }
+      if (union == 0L) 0.0 else 1.0 - inter.toDouble / union
+    } else {
+      var acc = 0L; var i = 0
+      while (i < n) {
+        acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+        i += 1
+      }
+      acc.toDouble
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      if (jaccard) {
+        val inter = ctx.freshName("inter")
+        val union = ctx.freshName("union")
+        s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $inter = 0L; long $union = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long xa = $a.getLong($i); long ya = $b.getLong($i);
+           |  $inter += java.lang.Long.bitCount(xa & ya);
+           |  $union += java.lang.Long.bitCount(xa | ya);
+           |}
+           |${ev.value} = ($union == 0L) ? 0.0 : 1.0 - (double) $inter / $union;
+           |""".stripMargin
+      } else {
+        val acc = ctx.freshName("acc")
+        s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+           |}
+           |${ev.value} = (double) $acc;
+           |""".stripMargin
+      }
+    })
+}
+
+object PackedOps {
+  def packBits(vec: Column, thresholds: Column): Column =
+    Bridge.toColumn(PackBits(
+      Bridge.toExpression(vec.cast(ArrayType(FloatType))),
+      Bridge.toExpression(thresholds.cast(ArrayType(DoubleType)))))
+
+  def packedHamming(a: Column, b: Column): Column =
+    Bridge.toColumn(PackedBitDistance(
+      Bridge.toExpression(a), Bridge.toExpression(b), jaccard = false))
+
+  def packedJaccard(a: Column, b: Column): Column =
+    Bridge.toColumn(PackedBitDistance(
+      Bridge.toExpression(a), Bridge.toExpression(b), jaccard = true))
+}

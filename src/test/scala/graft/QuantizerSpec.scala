@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Distances, PackedOps}
+import graft.operators.{BinaryQuantizer, ProductQuantizer}
+import graft.model.IndexKind.Metric
+
+class QuantizerSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+  lazy val exact10: Seq[Long] = {
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    emb.select(col("vec_id"),
+        Distances.distanceToQuery(Metric.Euclidean, col("embedding"), qv).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSeq
+  }
+
+  test("packed hamming equals elementwise hamming on 0/1 vectors") {
+    val zeros = Array.fill(64)(0.5)
+    val bits = emb.select(col("vec_id"),
+      transform(col("embedding"), x => when(x > 0f, 1.0f).otherwise(0.0f)).as("b"))
+    val packed = bits.withColumn("packed", PackedOps.packBits(col("b"), lit(zeros)))
+    val qbits = graft.queries.TestCollections.queryVector(spark, sf0001, 0)
+      .map(x => if (x > 0f) 1.0f else 0.0f)
+    val qWords = BinaryQuantizer.packWords(qbits, zeros)
+    val viaPacked = packed
+      .select(col("vec_id"), PackedOps.packedHamming(col("packed"), lit(qWords)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaElems = bits
+      .select(col("vec_id"), Distances.distanceToQuery(Metric.Hamming, col("b"), qbits).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaPacked == viaElems)
+  }
+
+  test("packed jaccard matches the elementwise kernel") {
+    val zeros = Array.fill(64)(0.5)
+    val bits = emb.select(col("vec_id"),
+      transform(col("embedding"), x => when(x > 0f, 1.0f).otherwise(0.0f)).as("b"))
+    val packed = bits.withColumn("packed", PackedOps.packBits(col("b"), lit(zeros)))
+    val qbits = graft.queries.TestCollections.queryVector(spark, sf0001, 3)
+      .map(x => if (x > 0f) 1.0f else 0.0f)
+    val qWords = BinaryQuantizer.packWords(qbits, zeros)
+    val viaPacked = packed
+      .select(col("vec_id"), PackedOps.packedJaccard(col("packed"), lit(qWords)).as("d"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9)).toMap
+    val viaElems = bits
+      .select(col("vec_id"), Distances.distanceToQuery(Metric.Jaccard, col("b"), qbits).as("d"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9)).toMap
+    assert(viaPacked == viaElems)
+  }
+
+  test("bq fit learns per-dimension means; self-search returns the query first") {
+    val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
+    assert(th.length == 64)
+    val encoded = BinaryQuantizer.encode(emb, col("embedding"), th)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 0)
+    val top = BinaryQuantizer.search(encoded, col("vec_id"), qv, th, k = 5).collect()
+    assert(top.head.getAs[Long]("id") == 0L)
+    assert(top.head.getAs[Double]("distance") == 0.0)
+  }
+
+  test("pq: codes in range, encoding deterministic, ADC recall beats random") {
+    val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 16, dim = 64)
+    assert(model.centroids.length == 8 && model.centroids.forall(_.length == 16))
+    val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model)
+    val sample = codes.limit(50).collect()
+    sample.foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+    // deterministic given the seed
+    val model2 = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 16, dim = 64)
+    assert(model.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      model2.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    // recall@10 of ADC vs exact euclidean top-10 (500 vectors): approximate
+    // but far above the random baseline of 10/500
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val adc10 = ProductQuantizer.adcSearch(codes, qv, model, k = 10)
+      .select("id").as[Long].collect().toSet
+    val recall = exact10.count(adc10.contains).toDouble / 10
+    assert(recall >= 0.3, s"ADC recall@10 = $recall")
+  }
+}
