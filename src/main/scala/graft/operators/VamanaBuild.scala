@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Distances
+import graft.model.IndexKind.Metric
+
+/** Batch Vamana/DiskANN graph construction.
+  *
+  * The reference builds its graph point-at-a-time (greedy search → robust
+  * prune → bidirectional patch, vamana/insert.go:16–68) — inherently
+  * sequential. The batch variant replaces search-based candidate
+  * generation with NN-Descent-style rounds, which is how DiskANN-family
+  * systems build at scale:
+  *
+  *   1. init: a deterministic ring over the id order (guarantees strong
+  *      connectivity from round zero);
+  *   2. each round: candidates = current edges ∪ reversed edges ∪
+  *      neighbors-of-neighbors (one self-join of the edge list), distances
+  *      via the codegen kernel, then per-node α-robust pruning (reference
+  *      search.go:106–138 semantics) over the collected candidate list;
+  *   3. the final edge set is the pruned graph ∪ the ring backbone — one
+  *      extra edge per node buys unconditional BFS connectivity (the
+  *      reference re-attaches stragglers to the start node instead,
+  *      vamana.go:136–263).
+  *
+  * Everything distributes: rounds are joins + groupBy on node id; the only
+  * per-node sequential piece is the prune over ≤ ~R² candidates, which
+  * runs inside an aggregation UDF. Output: (id, neighbors array<long>),
+  * the index artifact a serving layer consumes.
+  */
+object VamanaBuild {
+
+  final case class Params(
+      degreeBound: Int = 64,
+      alpha: Double = 1.2,
+      iterations: Int = 2,
+      ringDegree: Int = 4)
+
+  /** α-robust prune (reference vamana/search.go:106–138): walk candidates
+    * by ascending distance; keep the closest remaining; drop any later
+    * candidate j with α·dist(kept, j) < dist(node, j); stop at the degree
+    * bound.
+    */
+  def robustPrune(
+      cands: Seq[(Double, Long, Array[Float])],
+      alpha: Double, degreeBound: Int, metric: Metric): Seq[Long] = {
+    val sorted = cands.sortBy(c => (c._1, c._2)).toArray
+    val removed = new Array[Boolean](sorted.length)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < sorted.length && kept.length < degreeBound) {
+      if (!removed(i)) {
+        val (_, id, vec) = sorted(i)
+        kept += id
+        var j = i + 1
+        while (j < sorted.length) {
+          if (!removed(j)) {
+            val (dj, _, vj) = sorted(j)
+            if (alpha * dist(metric, vec, vj) < dj) removed(j) = true
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    kept.toSeq
+  }
+
+  private def dist(metric: Metric, a: Array[Float], b: Array[Float]): Double = metric match {
+    case Metric.Cosine | Metric.Dot =>
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i); i += 1 }
+      if (metric == Metric.Dot) -acc else 1.0 - acc
+    case _ => // euclidean (squared) as the default graph metric
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val d = a(i).toDouble - b(i); acc += d * d; i += 1
+      }
+      acc
+  }
+
+  /** Build the graph. `df` must expose a LONG id and an array<float>
+    * vector; output is (id, neighbors array<long>, ring array<long>).
+    */
+  def build(
+      df: DataFrame, id: Column, vec: Column,
+      metric: Metric, params: Params = Params()): DataFrame = {
+    val vecs = df.select(id.cast("long").as("id"), vec.as("vec")).persist()
+
+    // ring init over the rank order: rank r → r+1 .. r+ringDegree (mod n)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val ranked = vecs.select(col("id"))
+      .withColumn("_r", row_number().over(w) - 1).persist()
+    val n = ranked.count()
+    val ring = ranked.select(col("id").as("src"), col("_r"),
+        explode(sequence(lit(1), lit(params.ringDegree))).as("_k"))
+      .withColumn("_tr", (col("_r") + col("_k")) % n)
+      .join(ranked.select(col("id").as("dst"), col("_r").as("_tr")), "_tr")
+      .select("src", "dst")
+
+    val pruneUdf = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      robustPrune(
+        cands.map(r => (r.getDouble(0), r.getLong(1), r.getSeq[Float](2).toArray)),
+        params.alpha, params.degreeBound, metric)
+    }
+
+    var edges = ring
+    for (_ <- 1 to params.iterations) {
+      val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val nn2 = undirected.as("e1")
+        .join(undirected.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      val cands = undirected.union(nn2)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+        .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+        .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
+      edges = cands
+        .groupBy("src")
+        .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
+        .select(col("src"), explode(col("_nbrs")).as("dst"))
+      edges = edges.persist()
+    }
+
+    // pruned graph ∪ ring backbone (connectivity by construction)
+    edges.union(ring).distinct()
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+  }
+
+  /** Greedy beam search over a collected adjacency (serving-side
+    * algorithm, reference vamana/search.go:9–102; used here for recall
+    * evaluation — Spark-side queries use exact top-k instead).
+    */
+  def greedySearch(
+      adj: Map[Long, Seq[Long]], vecs: Map[Long, Array[Float]],
+      query: Array[Float], k: Int, searchSize: Int, start: Long,
+      metric: Metric): Seq[Long] = {
+    val d = scala.collection.mutable.Map[Long, Double]()
+    def distTo(id: Long): Double = d.getOrElseUpdate(id, dist(metric, vecs(id), query))
+    // standard beam: pool of ≤ searchSize best candidates; repeatedly
+    // expand the nearest unexpanded pool member until the pool is settled
+    val expanded = scala.collection.mutable.Set[Long]()
+    var pool = scala.collection.immutable.SortedSet[(Double, Long)]((distTo(start), start))
+    var continue = true
+    while (continue) {
+      pool.find(e => !expanded(e._2)) match {
+        case None => continue = false
+        case Some((_, c)) =>
+          expanded += c
+          adj.getOrElse(c, Nil).foreach { nb =>
+            if (!pool.exists(_._2 == nb)) pool += ((distTo(nb), nb))
+          }
+          if (pool.size > searchSize) pool = pool.take(searchSize)
+      }
+    }
+    pool.take(k).toSeq.map(_._2)
+  }
+}

@@ -46,5 +46,19 @@ object QuantizerQueries {
       .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
   }
 
-  val all: Seq[NamedQuery] = Seq(bqHammingPacked, pqAdcTopk)
+  /** Rows-only: the batch-built Vamana graph artifact (deterministic edge
+    * lists; recall/connectivity invariants live in VamanaSpec). Uses a
+    * small parameterization so the per-round bench stays bounded.
+    */
+  val vamanaGraph = NamedQuery.unoracled("vamana_graph") { (s, d) =>
+    graft.operators.VamanaBuild.build(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      graft.model.IndexKind.Metric.Euclidean,
+      graft.operators.VamanaBuild.Params(
+        degreeBound = 32, alpha = 1.2, iterations = 2, ringDegree = 4))
+      .withColumn("degree", size(col("neighbors")))
+      .select("id", "degree", "neighbors")
+  }
+
+  val all: Seq[NamedQuery] = Seq(bqHammingPacked, pqAdcTopk, vamanaGraph)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VamanaBuild
+import graft.functions.Distances
+import graft.model.IndexKind.Metric
+
+/** Batch Vamana: the reference's de-facto invariant (BFS connectivity from
+  * the start node, vamana_test.go:29–46) plus beam-search recall against
+  * exact top-k.
+  */
+class VamanaSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+  lazy val graph = VamanaBuild.build(
+    emb, col("vec_id"), col("embedding"), Metric.Euclidean,
+    VamanaBuild.Params(degreeBound = 32, alpha = 1.2, iterations = 3, ringDegree = 4))
+  lazy val adj: Map[Long, Seq[Long]] = graph
+    .as[(Long, Seq[Long])].collect().toMap
+  lazy val vecs: Map[Long, Array[Float]] = emb
+    .select(col("vec_id"), col("embedding"))
+    .as[(Long, Seq[Float])].collect().map { case (i, v) => i -> v.toArray }.toMap
+
+  test("every node present, degree bounded (+ring backbone)") {
+    assert(adj.size == 500)
+    assert(adj.values.forall(n => n.nonEmpty && n.length <= 32 + 4))
+    // neighbors reference real nodes, no self-loops
+    assert(adj.forall { case (id, ns) => ns.forall(n => n != id && adj.contains(n)) })
+  }
+
+  test("BFS from the start node reaches every live point (reference invariant)") {
+    val start = adj.keys.min
+    val seen = scala.collection.mutable.Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj(_)).filterNot(seen)
+      seen ++= frontier
+    }
+    assert(seen.size == 500)
+  }
+
+  test("beam search recall@10 vs exact top-10") {
+    val queries = Seq(3L, 77L, 250L, 444L)
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      val exact = emb.select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Euclidean, col("embedding"), qv.toSeq).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = VamanaBuild.greedySearch(adj, vecs, qv, k = 10, searchSize = 75,
+        start = adj.keys.min, metric = Metric.Euclidean).toSet
+      exact.count(got.contains).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.7, s"mean recall $mean (per-query: $recalls)")
+  }
+
+  test("deterministic: rebuilding yields the identical edge list") {
+    val again = VamanaBuild.build(
+      emb, col("vec_id"), col("embedding"), Metric.Euclidean,
+      VamanaBuild.Params(degreeBound = 32, alpha = 1.2, iterations = 3, ringDegree = 4))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again == adj)
+  }
+}
