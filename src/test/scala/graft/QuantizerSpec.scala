@@ -62,16 +62,16 @@ class QuantizerSpec extends SparkSuite {
   }
 
   test("pq: codes in range, encoding deterministic, ADC recall beats random") {
-    val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 16, dim = 64)
-    assert(model.centroids.length == 8 && model.centroids.forall(_.length == 16))
+    val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 32, dim = 64)
+    assert(model.centroids.length == 8 && model.centroids.forall(_.length == 32))
     val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model)
     val sample = codes.limit(50).collect()
     sample.foreach { r =>
       val cs = r.getSeq[Int](r.fieldIndex("codes"))
-      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 32))
     }
     // deterministic given the seed
-    val model2 = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 16, dim = 64)
+    val model2 = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 32, dim = 64)
     assert(model.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
       model2.centroids.map(_.map(_.toSeq).toSeq).toSeq)
     // recall@10 of ADC vs exact euclidean top-10 (500 vectors): approximate
