@@ -83,6 +83,21 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("W5: JSON documents ingest through spark.read.json into a collection") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    val json = Seq(
+      """{"_id": "j1", "name": "from json", "size": 7}""",
+      """{"_id": "j2", "size": 8, "ignored_extra": true}""")
+    val parsed = spark.read.json(json.toDS())
+    assert(st.insert("c1", parsed) == 2)
+    val rows = st.load("c1").df.filter(col("_id").startsWith("j")).orderBy("_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("name") == "from json" && rows(0).getAs[Long]("size") == 7L)
+    // unknown JSON fields are dropped by schema alignment; missing → null
+    assert(rows(1).isNullAt(rows(1).fieldIndex("name")))
+  }
+
   test("searching a stored collection works (store → engine integration)") {
     val st = freshStore()
     st.create("c1", schema, seed)
