@@ -72,16 +72,29 @@ object Search {
       df.select(metaCols ++ dataCols: _*)
     } else {
       val resolved = select.filter(p => resolves(dataSchema, p))
-      // group dotted paths by root so "nested.vector" comes back as a
-      // struct column "nested" with field "vector"
-      val byRoot = resolved.groupBy(_.split('.').head)
+      // re-nest dotted paths recursively: "a.b.c" returns struct a{b{c}};
+      // selecting a whole struct subsumes selecting its fields
+      val byRoot = resolved.map(_.split('.').toList).groupBy(_.head)
       val dataCols = resolved.map(_.split('.').head).distinct.map { root =>
-        val paths = byRoot(root)
-        if (paths == Seq(root)) col(root)
-        else struct(paths.map(p => col(p).as(p.split('.').last)): _*).as(root)
+        val tails = byRoot(root).map(_.tail)
+        if (tails.exists(_.isEmpty)) col(root) // whole column requested
+        else renest(root, tails).as(root)
       }
       df.select(metaCols ++ dataCols: _*)
     }
+  }
+
+  /** Build the struct column for `prefix` containing exactly the requested
+    * sub-paths (each a non-empty segment list below the prefix).
+    */
+  private def renest(prefix: String, tails: Seq[List[String]]): Column = {
+    val bySeg = tails.groupBy(_.head)
+    struct(bySeg.keys.toSeq.sorted.map { seg =>
+      val deeper = bySeg(seg).map(_.tail)
+      val path = s"$prefix.$seg"
+      if (deeper.exists(_.isEmpty)) col(path).as(seg)
+      else renest(path, deeper).as(seg)
+    }: _*)
   }
 
   private def resolves(schema: StructType, path: String): Boolean = {

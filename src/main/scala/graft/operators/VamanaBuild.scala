@@ -98,6 +98,7 @@ object VamanaBuild {
       .withColumn("_tr", (col("_r") + col("_k")) % n)
       .join(ranked.select(col("id").as("dst"), col("_r").as("_tr")), "_tr")
       .select("src", "dst")
+      .filter(col("src") =!= col("dst")) // n <= ringDegree would self-loop
 
     val pruneUdf = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
       robustPrune(

@@ -142,16 +142,16 @@ object PipelineQueries {
   val q6Sessionize = NamedQuery(
     "q6_sessionize",
     """WITH e AS (
-      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, tsec,
-      |    CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w >= 1800000000
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
       |sessions AS (
       |  SELECT user_id,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tsec
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
       |                           ROWS UNBOUNDED PRECEDING) AS session_no
       |  FROM flagged),
       |per_session AS (
@@ -204,7 +204,7 @@ object PipelineQueries {
       |  CAST(i * 100 AS BIGINT) AS "offset",
       |  md5(substr(text, CAST(i * 100 AS INT) + 1, 100)) AS frame_sha
       |FROM documents
-      |CROSS JOIN unnest(range(0, 100)) AS t(i)
+      |CROSS JOIN unnest(range(0, 2000)) AS t(i)
       |WHERE i <= (length(text) - 1) // 100
       |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
     val payloads = Multimodal.withPayload(

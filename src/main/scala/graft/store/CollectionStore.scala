@@ -41,9 +41,15 @@ final class CollectionStore(spark: SparkSession, root: String) {
     val dir = Paths.get(root, name)
     require(!Files.exists(dir), s"collection $name already exists")
     IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
+    val initial = normalize(data)
+    schema.props.foreach {
+      case (prop, k: IndexKind.VectorFlat) => requireVecLen(initial, prop, k.vectorSize)
+      case (prop, k: IndexKind.VectorVamana) => requireVecLen(initial, prop, k.vectorSize)
+      case _ =>
+    }
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
-    writeVersion(name, normalize(data))
+    writeVersion(name, initial)
   }
 
   def load(name: String): Collection =
@@ -75,9 +81,23 @@ final class CollectionStore(spark: SparkSession, root: String) {
       (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)
     }
-    writeVersion(name, existing.unionByName(batch.select(aligned.toSeq: _*)))
+    val coerced = batch.select(aligned.toSeq: _*)
+    // vector-size validation (reference CheckCompatibleMap parity): a
+    // wrong-length vector would silently truncate every later distance
+    readSchema(name).props.foreach {
+      case (prop, k: IndexKind.VectorFlat) => requireVecLen(coerced, prop, k.vectorSize)
+      case (prop, k: IndexKind.VectorVamana) => requireVecLen(coerced, prop, k.vectorSize)
+      case _ =>
+    }
+    writeVersion(name, existing.unionByName(coerced))
     n
   }
+
+  private def requireVecLen(df: DataFrame, prop: String, n: Int): Unit =
+    if (df.columns.contains(prop)) {
+      val bad = df.filter(col(prop).isNotNull && size(col(prop)) =!= n).count()
+      require(bad == 0, s"$bad point(s) have wrong vector length for $prop (expected $n)")
+    }
 
   /** W2 — field-merge batch update; returns number of updated rows.
     * `updates` carries `_id`, any subset of data columns (null = keep
@@ -86,6 +106,10 @@ final class CollectionStore(spark: SparkSession, root: String) {
     */
   def update(name: String, updates: DataFrame): Long = {
     require(updates.count() <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
+    // duplicate ids in the batch would fan out the left join and duplicate
+    // stored rows permanently — reject like insert does
+    val dupInBatch = updates.groupBy(IdCol).count().filter(col("count") > 1).count()
+    require(dupInBatch == 0, "duplicate _id within update batch")
     val existing = spark.read.parquet(currentVersionPath(name))
     val hasUnset = updates.columns.contains(UnsetCol)
     val u = updates.columns.filterNot(_ == IdCol).foldLeft(updates) {

@@ -41,11 +41,16 @@ object EventsStream {
     */
   def sessionizeBatch(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // gap test at full event-time precision, boundary semantics matching
+    // session_window: a session spans [t, t+gap), so a gap of EXACTLY 30
+    // minutes starts a new session (>=, not >)
+    val gapMicros = 1800L * 1000000L
     events
       .withColumn("_prev", lag(col("ts"), 1).over(byUser))
       .withColumn("_new_session",
         when(col("_prev").isNull ||
-          col("ts").cast("timestamp").cast("long") - col("_prev").cast("timestamp").cast("long") > 1800L, 1L).otherwise(0L))
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("_prev").cast("timestamp")) >= gapMicros, 1L).otherwise(0L))
       .withColumn("session_no", sum(col("_new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_no")

@@ -47,6 +47,28 @@ class NestedSpec extends SparkSuite {
       Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("deep and overlapping select paths re-nest correctly") {
+    import org.apache.spark.sql.types.StructType
+    val df3 = Seq(("x", ((1L, 2L), 3L)))
+      .toDF("_id", "a")
+      .withColumn("a", col("a").cast("struct<b:struct<c:bigint,d:bigint>,e:bigint>"))
+    val c3 = Collection(df3, IndexSchema("a.e" -> Integer))
+    // depth-3 path a.b.c comes back as a{b{c}}
+    val deep = Search.search(c3, SearchRequest(
+      Query("a.e", integer = Some(IntegerOpts(3, Op.Equals))),
+      select = Seq("a.b.c"), limit = 10))
+    val aType = deep.schema("a").dataType.asInstanceOf[StructType]
+    assert(aType.fieldNames.toSeq == Seq("b"))
+    assert(aType("b").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("c"))
+    assert(deep.head().getAs[org.apache.spark.sql.Row]("a").getStruct(0).getLong(0) == 1L)
+    // selecting the whole struct plus one of its fields returns the struct
+    val whole = Search.search(c3, SearchRequest(
+      Query("a.e", integer = Some(IntegerOpts(3, Op.Equals))),
+      select = Seq("a", "a.b.c"), limit = 10))
+    assert(whole.schema("a").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("b", "e"))
+  }
+
   test("schema validation rejects unknown nested paths") {
     intercept[IllegalArgumentException] {
       Search.search(coll, SearchRequest(

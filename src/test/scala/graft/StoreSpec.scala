@@ -72,6 +72,29 @@ class StoreSpec extends SparkSuite {
     assert(st.load("c1").df.select("_id").as[String].collect().toSeq == Seq("c"))
   }
 
+  test("update rejects duplicate ids in one batch (no row fan-out)") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    intercept[IllegalArgumentException] {
+      st.update("c1", Seq(("a", 1L), ("a", 2L)).toDF("_id", "size"))
+    }
+    assert(st.load("c1").df.count() == 3)
+  }
+
+  test("vector length is validated at create and insert") {
+    val st = freshStore()
+    val vschema = IndexSchema("v" -> IndexKind.VectorFlat(3, IndexKind.Metric.Euclidean))
+    intercept[IllegalArgumentException] {
+      st.create("bad", vschema, Seq(("a", Array(1f, 2f))).toDF("_id", "v"))
+    }
+    st.drop("bad")
+    st.create("vc", vschema, Seq(("a", Array(1f, 2f, 3f))).toDF("_id", "v"))
+    intercept[IllegalArgumentException] {
+      st.insert("vc", Seq(("b", Array(1f, 2f))).toDF("_id", "v"))
+    }
+    assert(st.insert("vc", Seq(("c", Array(4f, 5f, 6f))).toDF("_id", "v")) == 1)
+  }
+
   test("batch bounds are enforced") {
     val st = freshStore()
     st.create("c1", schema, seed)
