@@ -75,6 +75,14 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup: first event per key wins; watermarked state so
+    * the dedup set is bounded (the streaming face of the Dedup operators).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(keys)
+
   /** Run any events transform as a real stream over the parquet file and
     * collect the complete result via a memory sink (test/demo harness).
     */

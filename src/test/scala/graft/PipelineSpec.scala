@@ -34,6 +34,31 @@ class PipelineSpec extends SparkSuite {
     assert(streamed.count() == batchSessions)
   }
 
+  test("streaming dedup matches batch dropDuplicates counts") {
+    val batch = Tables.events(spark, sf0001)
+      .dropDuplicates("user_id", "event_type").count()
+    val streamed = EventsStream.runAsStream(spark, sf0001,
+      EventsStream.dedupStream(_, Seq("user_id", "event_type")),
+      outputMode = "append")
+    assert(streamed.count() == batch)
+  }
+
+  test("bucket-partitioned IVF storage turns probes into partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Similarity.signBuckets(Tables.embeddings(spark, sf0001), col("embedding"), 6)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val qBucket = (0 until 6).map(i => if (qv(i) > 0f) 1 << i else 0).sum
+    val probe = spark.read.parquet(dir).filter(col("bucket") === qBucket)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the bucket predicate must land in PartitionFilters (scan prunes
+    // directories), not in a post-scan Filter
+    assert(plan.contains("PartitionFilters") && plan.contains(s"bucket"), plan)
+    assert(probe.count() > 0)
+    val allBuckets = spark.read.parquet(dir).count()
+    assert(probe.count() < allBuckets)
+  }
+
   test("ivf search trades recall for scan reduction but finds near hits") {
     val emb = Tables.embeddings(spark, sf0001)
     val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
