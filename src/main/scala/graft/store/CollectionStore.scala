@@ -42,11 +42,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
     require(!Files.exists(dir), s"collection $name already exists")
     IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
     val initial = normalize(data)
-    schema.props.foreach {
-      case (prop, k: IndexKind.VectorFlat) => requireVecLen(initial, prop, k.vectorSize)
-      case (prop, k: IndexKind.VectorVamana) => requireVecLen(initial, prop, k.vectorSize)
-      case _ =>
-    }
+    requireVecLens(initial, schema)
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
     writeVersion(name, initial)
@@ -68,10 +64,12 @@ final class CollectionStore(spark: SparkSession, root: String) {
   /** W1 — all-or-nothing batch insert. */
   def insert(name: String, points: DataFrame): Long = {
     val batch = normalize(points)
-    val n = batch.count()
+    // size + in-batch duplicate check in one aggregate job
+    val stats = batch.agg(
+      count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d")).head()
+    val n = stats.getLong(0)
     require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
-    val dupInBatch = batch.groupBy(IdCol).count().filter(col("count") > 1).count()
-    require(dupInBatch == 0, "duplicate _id within insert batch")
+    require(stats.getLong(1) == n, "duplicate _id within insert batch")
     val existing = spark.read.parquet(currentVersionPath(name))
     val clash = batch.join(existing.select(IdCol), Seq(IdCol), "left_semi").count()
     require(clash == 0, s"$clash point(s) already exist")
@@ -84,20 +82,28 @@ final class CollectionStore(spark: SparkSession, root: String) {
     val coerced = batch.select(aligned.toSeq: _*)
     // vector-size validation (reference CheckCompatibleMap parity): a
     // wrong-length vector would silently truncate every later distance
-    readSchema(name).props.foreach {
-      case (prop, k: IndexKind.VectorFlat) => requireVecLen(coerced, prop, k.vectorSize)
-      case (prop, k: IndexKind.VectorVamana) => requireVecLen(coerced, prop, k.vectorSize)
-      case _ =>
-    }
+    requireVecLens(coerced, readSchema(name))
     writeVersion(name, existing.unionByName(coerced))
     n
   }
 
-  private def requireVecLen(df: DataFrame, prop: String, n: Int): Unit =
-    if (df.columns.contains(prop)) {
-      val bad = df.filter(col(prop).isNotNull && size(col(prop)) =!= n).count()
-      require(bad == 0, s"$bad point(s) have wrong vector length for $prop (expected $n)")
+  /** One aggregate job validating every vector property's length. */
+  private def requireVecLens(df: DataFrame, schema: IndexSchema): Unit = {
+    val checks = schema.props.toSeq.sortBy(_._1).collect {
+      case (prop, k: IndexKind.VectorFlat) if df.columns.contains(prop) => (prop, k.vectorSize)
+      case (prop, k: IndexKind.VectorVamana) if df.columns.contains(prop) => (prop, k.vectorSize)
     }
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (prop, len) =>
+        sum(when(col(prop).isNotNull && size(col(prop)) =!= len, 1L).otherwise(0L)).as(prop)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      checks.zipWithIndex.foreach { case ((prop, len), i) =>
+        require(row.getLong(i) == 0L,
+          s"${row.getLong(i)} point(s) have wrong vector length for $prop (expected $len)")
+      }
+    }
+  }
 
   /** W2 — field-merge batch update; returns number of updated rows.
     * `updates` carries `_id`, any subset of data columns (null = keep
@@ -105,11 +111,12 @@ final class CollectionStore(spark: SparkSession, root: String) {
     * clear; string fields also honor the `"_delete"` sentinel value.
     */
   def update(name: String, updates: DataFrame): Long = {
-    require(updates.count() <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
-    // duplicate ids in the batch would fan out the left join and duplicate
-    // stored rows permanently — reject like insert does
-    val dupInBatch = updates.groupBy(IdCol).count().filter(col("count") > 1).count()
-    require(dupInBatch == 0, "duplicate _id within update batch")
+    // size + duplicate check in one aggregate: duplicate ids in the batch
+    // would fan out the left join and duplicate stored rows permanently
+    val stats = updates.agg(
+      count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d")).head()
+    require(stats.getLong(0) <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
+    require(stats.getLong(1) == stats.getLong(0), "duplicate _id within update batch")
     val existing = spark.read.parquet(currentVersionPath(name))
     val hasUnset = updates.columns.contains(UnsetCol)
     val u = updates.columns.filterNot(_ == IdCol).foldLeft(updates) {
