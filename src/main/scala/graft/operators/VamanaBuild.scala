@@ -35,7 +35,8 @@ object VamanaBuild {
       degreeBound: Int = 64,
       alpha: Double = 1.2,
       iterations: Int = 2,
-      ringDegree: Int = 4)
+      ringDegree: Int = 4,
+      randomDegree: Int = 8)
 
   /** α-robust prune (reference vamana/search.go:106–138): walk candidates
     * by ascending distance; keep the closest remaining; drop any later
@@ -88,10 +89,15 @@ object VamanaBuild {
       metric: Metric, params: Params = Params()): DataFrame = {
     val vecs = df.select(id.cast("long").as("id"), vec.as("vec")).persist()
 
-    // ring init over the rank order: rank r → r+1 .. r+ringDegree (mod n)
+    // init = ring over the rank order (connectivity backbone) + per-node
+    // deterministic pseudo-random LONG-RANGE links (md5-derived offsets).
+    // NN-Descent needs the long links: with only local init the
+    // neighbor-of-neighbor rounds explore an id-local neighborhood and
+    // recall collapses as n grows (measured: 0.98 @500 nodes → 0.32 @2000
+    // with ring-only init; random links restore global mixing).
     val w = org.apache.spark.sql.expressions.Window.orderBy("id")
     val ranked = vecs.select(col("id"))
-      .withColumn("_r", row_number().over(w) - 1).persist()
+      .withColumn("_r", (row_number().over(w) - 1).cast("long")).persist()
     val n = ranked.count()
     val ring = ranked.select(col("id").as("src"), col("_r"),
         explode(sequence(lit(1), lit(params.ringDegree))).as("_k"))
@@ -99,6 +105,18 @@ object VamanaBuild {
       .join(ranked.select(col("id").as("dst"), col("_r").as("_tr")), "_tr")
       .select("src", "dst")
       .filter(col("src") =!= col("dst")) // n <= ringDegree would self-loop
+    val longLinks =
+      if (n <= params.ringDegree + 1) ring.limit(0)
+      else ranked.select(col("id").as("src"), col("_r"),
+          explode(sequence(lit(1), lit(params.randomDegree))).as("_k"))
+        .withColumn("_off",
+          conv(substring(md5(concat(col("_r"), lit("#"), col("_k"))), 1, 15), 16, 10)
+            .cast("long") % (n - 1) + 1)
+        .withColumn("_tr", (col("_r") + col("_off")) % n)
+        .join(ranked.select(col("id").as("dst"), col("_r").as("_tr")), "_tr")
+        .select("src", "dst")
+        .filter(col("src") =!= col("dst"))
+    val init = ring.union(longLinks).distinct()
 
     val pruneUdf = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
       robustPrune(
@@ -106,7 +124,7 @@ object VamanaBuild {
         params.alpha, params.degreeBound, metric)
     }
 
-    var edges = ring
+    var edges = init
     for (_ <- 1 to params.iterations) {
       val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val nn2 = undirected.as("e1")
