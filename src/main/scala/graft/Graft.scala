@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.{Collection, Search}
+import graft.model.{IndexSchema, SearchRequest}
+import graft.store.CollectionStore
+
+/** The user-facing façade — the Spark-native equivalent of the reference's
+  * HTTP API surface (reference httpapi/v2/handlers.go): collection DDL,
+  * point writes, and JSON search against a storage root.
+  *
+  * {{{
+  *   val db = Graft(spark, "/data/graft")
+  *   db.createCollection("products", schema, seedDf)
+  *   db.insert("products", pointsDf)
+  *   db.search("products", """{"query": {...}, "limit": 10}""").show()
+  * }}}
+  *
+  * Collections are cached per name with their text indexes built lazily on
+  * first text query (like the reference's shard cache manager,
+  * cluster/shardmgr.go:56–110) and invalidated on every write.
+  */
+final class Graft(spark: SparkSession, root: String) {
+
+  private val store = new CollectionStore(spark, root)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Collection]()
+
+  // ---- collection DDL (reference W4) --------------------------------------
+
+  def createCollection(name: String, schema: IndexSchema, data: DataFrame): Unit = {
+    store.create(name, schema, data)
+    cache.remove(name)
+  }
+
+  def listCollections(): Seq[String] = store.list()
+
+  def dropCollection(name: String): Unit = {
+    store.drop(name)
+    cache.remove(name)
+  }
+
+  def collection(name: String): Collection =
+    cache.computeIfAbsent(name, store.load(_))
+
+  // ---- point writes (W1–W3); cache invalidated per write ------------------
+
+  def insert(name: String, points: DataFrame): Long =
+    invalidating(name)(store.insert(name, points))
+
+  def update(name: String, updates: DataFrame): Long =
+    invalidating(name)(store.update(name, updates))
+
+  def delete(name: String, ids: Seq[String]): Long =
+    invalidating(name)(store.delete(name, ids))
+
+  private def invalidating[T](name: String)(op: => T): T =
+    try op finally cache.remove(name)
+
+  // ---- search (the flagship path) -----------------------------------------
+
+  /** JSON request body → result DataFrame (data columns + `_id`,
+    * `_distance`, `_score`, `_hybridScore`).
+    */
+  def search(name: String, requestJson: String): DataFrame = {
+    ensureTextIndexes(name)
+    Search.searchJson(collection(name), requestJson)
+  }
+
+  def search(name: String, request: SearchRequest): DataFrame = {
+    ensureTextIndexes(name)
+    Search.search(collection(name), request)
+  }
+
+  /** Build + cache text indexes for every text property of the collection
+    * (first search pays the build; subsequent searches reuse it).
+    */
+  private def ensureTextIndexes(name: String): Unit = {
+    val coll = collection(name)
+    val withIdx = coll.schema.props.collect {
+      case (prop, _: graft.model.IndexKind.Text) => prop
+    }.foldLeft(coll)((c, prop) => c.withTextIndex(prop))
+    cache.put(name, withIdx)
+  }
+}
+
+object Graft {
+  def apply(spark: SparkSession, root: String): Graft = new Graft(spark, root)
+}

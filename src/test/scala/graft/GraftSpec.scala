@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.{IndexKind, IndexSchema}
+import IndexKind._
+
+/** End-to-end façade: DDL → writes → JSON searches against disk, the full
+  * surface a reference user would migrate onto.
+  */
+class GraftSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("full lifecycle: create, insert, hybrid JSON search, update, delete") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema(
+      "body" -> Text(),
+      "category" -> Str(caseSensitive = false),
+      "price" -> Float,
+      "vec" -> VectorFlat(2, Metric.Euclidean))
+    val seed = Seq(
+      ("1", "red apple pie recipe", "food", 5.0, Array(1f, 1f)),
+      ("2", "green apple tart", "food", 7.5, Array(2f, 2f)),
+      ("3", "laptop stand metal", "office", 30.0, Array(9f, 9f))
+    ).toDF("_id", "body", "category", "price", "vec")
+    db.createCollection("items", schema, seed)
+    assert(db.listCollections() == Seq("items"))
+
+    // text search via raw JSON
+    val apples = db.search("items",
+      """{"query": {"property": "body",
+        |  "text": {"value": "apple", "operator": "containsAny", "limit": 10}},
+        | "select": ["category", "price"], "limit": 10}""".stripMargin).collect()
+    assert(apples.map(_.getAs[String]("_id")).sorted.toSeq == Seq("1", "2"))
+    // idf = log10(3 docs / (df 2 + 1)) = 0 here, so scores are exactly 0 —
+    // matching the reference's formula on tiny corpora
+    assert(apples.forall(r => !r.isNullAt(r.fieldIndex("_score"))))
+
+    // hybrid: vector near AND category filter
+    val hybrid = db.search("items",
+      """{"query": {"property": "_and", "_and": [
+        |  {"property": "vec", "vectorFlat": {"vector": [1, 1], "operator": "near", "limit": 2}},
+        |  {"property": "category", "string": {"operator": "equals", "value": "FOOD"}}]},
+        | "limit": 10}""".stripMargin).collect()
+    assert(hybrid.map(_.getAs[String]("_id")).sorted.toSeq == Seq("1", "2"))
+
+    // write-through: update a price, insert a doc, delete one
+    db.update("items", Seq(("3", 25.0)).toDF("_id", "price"))
+    db.insert("items", Seq(("4", "apple charger cable", "office", 12.0, Array(5f, 5f)))
+      .toDF("_id", "body", "category", "price", "vec"))
+    assert(db.delete("items", Seq("2")) == 1)
+
+    // post-write search sees the new state (cache invalidated)
+    val after = db.search("items",
+      """{"query": {"property": "body",
+        |  "text": {"value": "apple", "operator": "containsAny", "limit": 10}},
+        | "limit": 10}""".stripMargin).collect()
+    assert(after.map(_.getAs[String]("_id")).sorted.toSeq == Seq("1", "4"))
+    val p3 = db.search("items",
+      """{"query": {"property": "_id", "string": {"operator": "equals", "value": "3"}},
+        | "select": ["price"], "limit": 1}""".stripMargin).head()
+    assert(p3.getAs[Double]("price") == 25.0)
+
+    db.dropCollection("items")
+    assert(db.listCollections().isEmpty)
+  }
+}
