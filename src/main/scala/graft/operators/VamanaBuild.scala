@@ -36,7 +36,12 @@ object VamanaBuild {
       alpha: Double = 1.2,
       iterations: Int = 2,
       ringDegree: Int = 4,
-      randomDegree: Int = 8)
+      randomDegree: Int = 8,
+      /** Per-node candidate-list cap per round (the DiskANN "L" list):
+        * bounds the prune UDF to O(L²) and the shuffle to L vectors per
+        * node; neighbor-of-neighbor fan-out is quadratic without it.
+        */
+      maxCandidates: Int = 128)
 
   /** α-robust prune (reference vamana/search.go:106–138): walk candidates
     * by ascending distance; keep the closest remaining; drop any later
@@ -130,12 +135,16 @@ object VamanaBuild {
       val nn2 = undirected.as("e1")
         .join(undirected.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
+      val candW = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
       val cands = undirected.union(nn2)
         .filter(col("src") =!= col("dst"))
         .distinct()
         .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
         .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
         .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
+        .withColumn("_cr", row_number().over(candW))
+        .filter(col("_cr") <= params.maxCandidates)
       edges = cands
         .groupBy("src")
         .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
