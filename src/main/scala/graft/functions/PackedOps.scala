@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -14,11 +14,16 @@ import org.apache.spark.sql.types._
   * CPU word — the Spark analogue of the reference's uint64 layout.
   */
 case class PackBits(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   // left: array<float> vector, right: array<double> per-dimension thresholds
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pack_bits"
+
+  // analyzer-level coercion so SQL double-array literals can't reach
+  // getFloat/getDouble with the wrong element stride
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PackBits =
     copy(left = l, right = r)
@@ -57,7 +62,10 @@ case class PackBits(left: Expression, right: Expression)
   * words via popcount — 64 dimensions per instruction.
   */
 case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boolean)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -23,10 +23,18 @@ import graft.model.IndexKind.Metric
   * arrays); a null array yields null via nullSafeEval.
   */
 case class VectorDistance(left: Expression, right: Expression, metric: Metric)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"vector_distance_${metric.name}"
+
+  /** SQL array literals are array<double>; without the declared input
+    * types the analyzer would hand this kernel 8-byte elements that
+    * `getFloat` misreads with a 4-byte stride — coerce (or reject) at
+    * analysis instead.
+    */
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDistance =
     copy(left = l, right = r)

@@ -126,24 +126,47 @@ object Dedup {
   val MinhashMod = 2147483647L // 2^31 − 1
   private val H30 = 1073741824L // 2^30
 
+  /** md5-prefix 60-bit hash computed JVM-side — bit-identical to
+    * [[hash60]]'s Column algebra (`conv(substring(md5(s),1,15),16,10)`):
+    * the first 15 hex chars are bytes 0–6 plus the high nibble of byte 7.
+    */
+  private def hash60Local(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Primitive-loop MinHash signature: 2 MD5s per shingle + P affine
+    * combinations inside ONE UDF call per document. The round-1 HOF
+    * formulation (`transform(sequence…, array_min(zip_with(…)))`) was
+    * interpreted per (perm, element) step and dominated the dedup bench;
+    * values here are bit-identical, so the SQL oracles replay unchanged.
+    */
+  private def minhashSigUdf(perms: Int) = udf { (shingles: Seq[String]) =>
+    val out = Array.fill(perms)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    shingles.foreach { s =>
+      val h1 = hash60Local(md, s + "#1") % H30
+      val h2 = hash60Local(md, s + "#2") % H30
+      var j = 0
+      while (j < perms) {
+        val v = (h1 + j * h2) % MinhashMod
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+    }
+    out
+  }
+
   /** Per-document signature array: sig[j] = min over shingles. */
   def minhashSigArrays(
       df: DataFrame, id: Column, text: Column,
-      n: Int = 3, perms: Int = 16): DataFrame = {
-    // materialize the per-shingle hashes before the P-permutation loop —
-    // otherwise CollapseProject inlines the md5 pipeline into every (perm,
-    // element) lambda step and the hash is recomputed P× per shingle
-    val hashed = shingled(df, id, text, n)
-      .withColumn("_h1", transform(col("_sh"), s => hash60(concat(s, lit("#1"))) % H30))
-      .withColumn("_h2", transform(col("_sh"), s => hash60(concat(s, lit("#2"))) % H30))
-      .select(col("_pid").as("id"), col("_h1"), col("_h2"))
-      .persist()
-    hashed
-      .withColumn("sig", transform(sequence(lit(0), lit(perms - 1)),
-        j => array_min(zip_with(col("_h1"), col("_h2"),
-          (a, b) => (a + j.cast("long") * b) % MinhashMod))))
-      .select("id", "sig")
-  }
+      n: Int = 3, perms: Int = 16): DataFrame =
+    shingled(df, id, text, n)
+      .select(col("_pid").as("id"), minhashSigUdf(perms)(col("_sh")).as("sig"))
 
   /** Exploded (id, perm, minhash) view of the signatures. */
   def minhashSignatures(

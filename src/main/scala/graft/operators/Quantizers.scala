@@ -56,6 +56,36 @@ object BinaryQuantizer {
     }
     words
   }
+
+  /** Two-stage search: hamming over the packed words selects a
+    * `rescore`-sized candidate set (the 32×-smaller scan), then the TRUE
+    * metric re-ranks just those candidates — the standard BQ operating
+    * mode at low dimension counts, where d sign bits alone can't separate
+    * the top-k (64-d ⇒ 64 bits; the reference's published BQ points are
+    * 768–1536-bit signatures). Stage 1 reads only (id, packed); stage 2
+    * fetches the `rescore` full vectors via a broadcast semi-join — at
+    * 100 TB the wide column is only read for the candidate rows.
+    */
+  def searchRescored(
+      encoded: DataFrame, id: Column, vec: Column, queryVec: Seq[Float],
+      thresholds: Array[Double], k: Int, rescore: Int,
+      metric: graft.model.IndexKind.Metric, jaccard: Boolean = false): DataFrame = {
+    val queryWords = packWords(queryVec, thresholds)
+    val d =
+      if (jaccard) PackedOps.packedJaccard(col("packed"), lit(queryWords))
+      else PackedOps.packedHamming(col("packed"), lit(queryWords))
+    val cands = encoded
+      .select(id.as("id"), d.as("_hd"))
+      .orderBy(col("_hd").asc, col("id").asc)
+      .limit(rescore)
+    encoded
+      .select(id.as("id"), vec.as("_v"))
+      .join(broadcast(cands.select("id")), "id")
+      .select(col("id"),
+        graft.functions.Distances.distanceToQuery(metric, col("_v"), queryVec).as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+  }
 }
 
 /** Per-subspace codebooks: centroids(i)(j) is the j-th centroid of
@@ -92,8 +122,10 @@ object ProductQuantizer {
     PQModel(m, k, dim, centroids)
   }
 
-  /** Seeded Lloyd's with kmeans++-style init (deterministic). */
-  private def lloyds(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int): Array[Array[Double]] = {
+  /** Seeded Lloyd's with kmeans++-style init (deterministic). Shared with
+    * the learned-centroid IVF in [[Similarity]].
+    */
+  private[operators] def lloyds(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int): Array[Array[Double]] = {
     val n = points.length
     val d = points.head.length
     val rnd = new scala.util.Random(seed)
@@ -206,6 +238,25 @@ object ProductQuantizer {
     codes
       .select(col("id"), approx.as("approx_distance"))
       .orderBy(col("approx_distance").asc, col("id").asc)
+      .limit(k)
+  }
+
+  /** ADC candidates + exact re-rank: byte codes pick `rescore` candidates,
+    * the true metric orders just those (same two-stage shape as
+    * [[BinaryQuantizer.searchRescored]] — the wide vector column is read
+    * only for the candidate rows).
+    */
+  def adcSearchRescored(
+      codes: DataFrame, raw: DataFrame, id: Column, vec: Column,
+      queryVec: Seq[Float], model: PQModel, k: Int, rescore: Int,
+      metric: graft.model.IndexKind.Metric): DataFrame = {
+    val cands = adcSearch(codes, queryVec, model, rescore)
+    raw
+      .select(id.as("id"), vec.as("_v"))
+      .join(broadcast(cands.select("id")), "id")
+      .select(col("id"),
+        graft.functions.Distances.distanceToQuery(metric, col("_v"), queryVec).as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
       .limit(k)
   }
 }

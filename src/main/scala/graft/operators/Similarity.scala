@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.Distances
 import graft.model.IndexKind.Metric
 
@@ -11,7 +11,9 @@ import graft.model.IndexKind.Metric
   *  - [[knnJoin]] — batch k-nearest-neighbors: every query row gets its
   *    top-k corpus rows. The query side is broadcast (it is the small
   *    side by construction) so the corpus never shuffles for the join;
-  *    the only shuffle is the per-query top-k window, keyed by query id.
+  *    the per-query top-k is a bounded-buffer aggregate whose map-side
+  *    partial keeps ≤ k rows per (query × input partition) — the shuffle
+  *    carries k·P·Q rows, never the |corpus|×|queries| product.
   *  - [[signBuckets]] / [[ivfSearch]] — a deterministic IVF-style coarse
   *    quantizer: bucket = sign bits of the first `nBits` dimensions.
   *    Search probes the query's bucket plus all hamming-1 neighbors
@@ -24,23 +26,60 @@ import graft.model.IndexKind.Metric
   */
 object Similarity {
 
+  /** Bounded top-k aggregation buffer: parallel (distance, id) arrays with
+    * at most 2k live entries between compactions.
+    */
+  final case class TopKBuf(ds: Array[Double], ids: Array[Long])
+
+  /** Top-k as an [[Aggregator]]: the buffer never exceeds 2k entries, so
+    * the map-side partial aggregate (ObjectHashAggregate partial) reduces
+    * each input partition to ≤ k rows per group BEFORE the exchange —
+    * the scale-correct alternative to a `row_number` window over the full
+    * cross product (which shuffles |corpus|×|queries| rows into
+    * `n_queries` partitions: skew by construction). Ordering is
+    * (distance asc, id asc), matching the exact-top-k tie-break contract.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+    private def compact(ds: Array[Double], ids: Array[Long], keep: Int): TopKBuf = {
+      val idx = Array.range(0, ds.length).sortBy(i => (ds(i), ids(i)))
+      val n = math.min(keep, ds.length)
+      val od = new Array[Double](n); val oi = new Array[Long](n)
+      var j = 0
+      while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
+      TopKBuf(od, oi)
+    }
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+    override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
+      val ds = b.ds :+ a._1
+      val ids = b.ids :+ a._2
+      if (ds.length >= 2 * k) compact(ds, ids, k) else TopKBuf(ds, ids)
+    }
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+      compact(x.ds ++ y.ds, x.ids ++ y.ids, k)
+    override def finish(b: TopKBuf): TopKBuf = compact(b.ds, b.ids, k)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
   /** For each row of `queries`, the `k` nearest `corpus` rows by `metric`.
-    * Output: (query_id, corpus_id, distance, rank).
+    * Output: (query_id, corpus_id, distance, rank). Ids must be castable
+    * to long (attach a surrogate id first — e.g. zipWithIndex — for
+    * string-keyed corpora).
     */
   def knnJoin(
       queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column,
       k: Int, metric: Metric): DataFrame = {
-    val q = queries.select(qId.as("query_id"), qVec.as("_qv"))
-    val c = corpus.select(cId.as("corpus_id"), cVec.as("_cv"))
-    val joined = c.crossJoin(broadcast(q))
+    val q = queries.select(qId.cast("long").as("query_id"), qVec.as("_qv"))
+    val c = corpus.select(cId.cast("long").as("corpus_id"), cVec.as("_cv"))
+    val topk = udaf(new TopKAgg(k))
+    c.crossJoin(broadcast(q))
       .withColumn("distance", Distances.distance(metric, col("_cv"), col("_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("distance").asc, col("corpus_id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "distance", "rank")
+      .groupBy("query_id")
+      .agg(topk(col("distance"), col("corpus_id")).as("_top"))
+      .select(col("query_id"), posexplode(arrays_zip(col("_top.ds"), col("_top.ids"))))
+      .select(col("query_id"), col("col.ids").as("corpus_id"),
+        col("col.ds").as("distance"), (col("pos") + 1).as("rank"))
   }
 
   /** Sign-bit coarse bucket of the first `nBits` vector dimensions. */
@@ -52,6 +91,62 @@ object Similarity {
   /** Assign every corpus row its bucket (the IVF "index build"). */
   def signBuckets(corpus: DataFrame, vec: Column, nBits: Int): DataFrame =
     corpus.withColumn("bucket", signBucket(vec, nBits))
+
+  /** Learned IVF coarse quantizer: seeded-Lloyd's centroids over a bounded
+    * sample (training is sample-scale by nature; assignment/search stay
+    * distributed). Swaps in for the sign-bit bucket expression — same
+    * partition-pruning story, much tighter cells.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, vec: Column, kClusters: Int,
+      seed: Long = 42L, sampleLimit: Int = 100000): Array[Array[Float]] = {
+    val sample = corpus.select(vec.cast("array<double>").as("_v"))
+      .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+    ProductQuantizer.lloyds(sample, kClusters, seed, maxIter = 25)
+      .map(_.map(_.toFloat))
+  }
+
+  /** Nearest-centroid bucket assignment (primitive-loop UDF over the
+    * broadcast codebook — the IVF "index build").
+    */
+  def kmeansBuckets(corpus: DataFrame, vec: Column, centroids: Array[Array[Float]]): DataFrame = {
+    val assign = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        var acc = 0.0; var t = 0
+        val n = math.min(arr.length, c.length)
+        while (t < n) { val x = arr(t).toDouble - c(t); acc += x * x; t += 1 }
+        if (acc < bd) { bd = acc; best = j }
+        j += 1
+      }
+      best
+    }
+    corpus.withColumn("bucket", assign(vec))
+  }
+
+  /** Multi-probe learned-IVF search: scan the `nprobe` buckets whose
+    * centroids are nearest the query. At scale `bucket` is the partition
+    * key, so the probes are partition pruning.
+    */
+  def kmeansIvfSearch(
+      corpus: DataFrame, cId: Column, cVec: Column,
+      queryVec: Seq[Float], k: Int, metric: Metric,
+      centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    val probes = centroids.zipWithIndex.map { case (c, j) =>
+      val n = math.min(queryVec.length, c.length)
+      var acc = 0.0; var t = 0
+      while (t < n) { val x = queryVec(t).toDouble - c(t); acc += x * x; t += 1 }
+      (acc, j)
+    }.sorted.take(nprobe).map(_._2).toSeq
+    kmeansBuckets(corpus, cVec, centroids)
+      .filter(col("bucket").isin(probes: _*))
+      .select(cId.as("id"), col("bucket"),
+        Distances.distanceToQuery(metric, cVec, queryVec).as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+  }
 
   /** ANN search: scan only the query's bucket and, when `probeNeighbors`,
     * its hamming-1 neighbor buckets.

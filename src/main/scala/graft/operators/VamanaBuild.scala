@@ -92,6 +92,7 @@ object VamanaBuild {
   def build(
       df: DataFrame, id: Column, vec: Column,
       metric: Metric, params: Params = Params()): DataFrame = {
+    val spark = df.sparkSession
     val vecs = df.select(id.cast("long").as("id"), vec.as("vec")).persist()
 
     // init = ring over the rank order (connectivity backbone) + per-node
@@ -100,9 +101,19 @@ object VamanaBuild {
     // neighbor-of-neighbor rounds explore an id-local neighborhood and
     // recall collapses as n grows (measured: 0.98 @500 nodes → 0.32 @2000
     // with ring-only init; random links restore global mixing).
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-    val ranked = vecs.select(col("id"))
-      .withColumn("_r", (row_number().over(w) - 1).cast("long")).persist()
+    //
+    // Ranks are assigned with a range-partitioned sort + zipWithIndex
+    // (per-partition counts, cumulative offsets, one tiny driver reduce) —
+    // NOT a global Window.orderBy, which would pull every id into a single
+    // partition and wall at 10⁹ nodes.
+    val ranked = {
+      import spark.implicits._
+      vecs.select(col("id")).as[Long].rdd
+        .sortBy(identity)
+        .zipWithIndex()
+        .toDF("id", "_r")
+        .persist()
+    }
     val n = ranked.count()
     val ring = ranked.select(col("id").as("src"), col("_r"),
         explode(sequence(lit(1), lit(params.ringDegree))).as("_k"))
@@ -130,6 +141,7 @@ object VamanaBuild {
     }
 
     var edges = init
+    var prevRound: Option[DataFrame] = None
     for (_ <- 1 to params.iterations) {
       val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val nn2 = undirected.as("e1")
@@ -149,13 +161,23 @@ object VamanaBuild {
         .groupBy("src")
         .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
         .select(col("src"), explode(col("_nbrs")).as("dst"))
-      edges = edges.persist()
+        .persist()
+      edges.count() // materialize before releasing the previous round's cache
+      prevRound.foreach(_.unpersist(false))
+      prevRound = Some(edges)
     }
 
-    // pruned graph ∪ ring backbone (connectivity by construction)
-    edges.union(ring).distinct()
+    // pruned graph ∪ ring backbone (connectivity by construction).
+    // Materialize eagerly (truncating the iteration lineage), then release
+    // every intermediate cache — builds must not accumulate storage.
+    val result = edges.union(ring).distinct()
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .localCheckpoint()
+    prevRound.foreach(_.unpersist(false))
+    ranked.unpersist(false)
+    vecs.unpersist(false)
+    result
   }
 
   /** Greedy beam search over a collected adjacency (serving-side

@@ -50,14 +50,19 @@ object QuantizerQueries {
     * lists; recall/connectivity invariants live in VamanaSpec). Uses a
     * small parameterization so the per-round bench stays bounded.
     */
+  /** Neighbor lists are emitted as a CSV string, not array&lt;long&gt; —
+    * the driver's pandas harness sorts result columns and cannot hash
+    * numpy arrays (round-1 `unhashable type` failure).
+    */
   val vamanaGraph = NamedQuery.unoracled("vamana_graph") { (s, d) =>
     graft.operators.VamanaBuild.build(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
       graft.model.IndexKind.Metric.Euclidean,
       graft.operators.VamanaBuild.Params(
         degreeBound = 32, alpha = 1.2, iterations = 2, ringDegree = 4))
-      .withColumn("degree", size(col("neighbors")))
-      .select("id", "degree", "neighbors")
+      .select(col("id"), size(col("neighbors")).as("degree"),
+        concat_ws(",", transform(col("neighbors"), _.cast("string")))
+          .as("neighbors_csv"))
   }
 
   val all: Seq[NamedQuery] = Seq(bqHammingPacked, pqAdcTopk, vamanaGraph)

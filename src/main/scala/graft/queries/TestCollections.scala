@@ -43,7 +43,19 @@ object TestCollections {
     * vamana-declared euclidean view of the same vectors on `vec_l2`.
     */
   def docs(s: SparkSession, d: String): Collection =
-    docsCache.computeIfAbsent((s, d), _ => docsUncached(s, d).withTextIndex("text"))
+    docsCache.computeIfAbsent((s, d), _ =>
+      docsUncached(s, d).withTextIndexCached("text", textIdxCacheDir(d)))
+
+  /** Per-sfDir parquet location for the docs text index: survives
+    * `clearCache()` (the bench isolation step) and even JVM restarts —
+    * a cleared cache costs a columnar re-read, not a corpus re-tokenize.
+    */
+  private def textIdxCacheDir(d: String): java.nio.file.Path = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_textidx_${key}_text")
+  }
 
   private def docsUncached(s: SparkSession, d: String): Collection = {
     val doc = Tables.documents(s, d)

@@ -9,19 +9,28 @@ import graft.engine.Collection
 import graft.model.{IndexKind, IndexSchema}
 
 /** The write path (reference W1–W3): insert / field-merge update / delete
-  * over versioned parquet collections.
+  * over versioned parquet collections with a base+delta merge-on-read log.
   *
   * Storage layout per collection:
   * {{{
   *   <root>/<name>/schema.json      — index schema (property → kind)
-  *   <root>/<name>/v<N>/            — full parquet snapshot, monotonic N
+  *   <root>/<name>/v<N>/            — base parquet snapshot, monotonic N
+  *   <root>/<name>/d<N>_<S>/        — delta S on base N: full row versions
+  *                                    of the affected ids (+ `_seq`,
+  *                                    `_tombstone` columns)
   * }}}
-  * A write materializes the next `v<N+1>` directory and becomes visible
-  * only once the directory write completes — the zero-dependency analogue
-  * of a Delta commit (single-writer optimistic versioning; readers pin the
-  * latest complete version). At cluster scale the same layout works with a
-  * real transaction log; nothing here relies on single-file tables, and
-  * rewrites go through Spark jobs (no driver-side row loops).
+  * A write appends one tiny delta directory (≤ batch-size rows) instead of
+  * rewriting the snapshot — a 100-row update against a 100 TB collection
+  * writes 100 rows. The read view is
+  * `base ⟕anti(broadcast delta-ids) ∪ latest-delta-row-per-id` — the base
+  * scan stays narrow (no shuffle; the delta side is bounded by
+  * `CompactThreshold × batch size` and broadcast). Once `CompactThreshold`
+  * deltas accumulate, the merged view is rewritten as the next base
+  * `v<N+1>` and the delta log resets (merge-on-read + periodic compaction,
+  * the Delta/Iceberg MOR pattern). Each directory becomes visible only via
+  * an atomic rename; a compaction that commits `v<N+1>` but crashes before
+  * removing `d<N>_*` is safe — readers only consume deltas keyed to the
+  * LATEST base version.
   *
   * Semantics mirrored from the reference:
   *  - insert (shard/shard.go:133–227): batch ≤ 10000, duplicate `_id`
@@ -37,6 +46,9 @@ final class CollectionStore(spark: SparkSession, root: String) {
 
   import CollectionStore._
 
+  // a fresh root must be listable before the first create()
+  Files.createDirectories(Paths.get(root))
+
   def create(name: String, schema: IndexSchema, data: DataFrame): Unit = {
     val dir = Paths.get(root, name)
     require(!Files.exists(dir), s"collection $name already exists")
@@ -49,7 +61,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
   }
 
   def load(name: String): Collection =
-    Collection(spark.read.parquet(currentVersionPath(name)), readSchema(name))
+    Collection(mergedView(name), readSchema(name))
 
   def drop(name: String): Unit = {
     val dir = Paths.get(root, name)
@@ -58,8 +70,12 @@ final class CollectionStore(spark: SparkSession, root: String) {
     }
   }
 
-  def list(): Seq[String] =
-    Files.list(Paths.get(root)).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  def list(): Seq[String] = {
+    val r = Paths.get(root)
+    if (!Files.exists(r)) Nil
+    else Files.list(r).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
 
   /** W1 — all-or-nothing batch insert. */
   def insert(name: String, points: DataFrame): Long = {
@@ -70,7 +86,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
     val n = stats.getLong(0)
     require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
     require(stats.getLong(1) == n, "duplicate _id within insert batch")
-    val existing = spark.read.parquet(currentVersionPath(name))
+    val existing = mergedView(name)
     val clash = batch.join(existing.select(IdCol), Seq(IdCol), "left_semi").count()
     require(clash == 0, s"$clash point(s) already exist")
     // schema-coerce the batch onto the stored layout: missing properties
@@ -83,7 +99,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
     // vector-size validation (reference CheckCompatibleMap parity): a
     // wrong-length vector would silently truncate every later distance
     requireVecLens(coerced, readSchema(name))
-    writeVersion(name, existing.unionByName(coerced))
+    writeDelta(name, coerced, tombstone = false)
     n
   }
 
@@ -117,7 +133,11 @@ final class CollectionStore(spark: SparkSession, root: String) {
       count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d")).head()
     require(stats.getLong(0) <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
     require(stats.getLong(1) == stats.getLong(0), "duplicate _id within update batch")
-    val existing = spark.read.parquet(currentVersionPath(name))
+    // merge against the AFFECTED slice of the current view only — the
+    // delta written below carries just these ≤ MaxUpdateBatch row versions
+    val existing = mergedView(name)
+      .join(broadcast(updates.select(col(IdCol).cast(StringType).as(IdCol))),
+        Seq(IdCol), "left_semi")
     val hasUnset = updates.columns.contains(UnsetCol)
     val u = updates.columns.filterNot(_ == IdCol).foldLeft(updates) {
       (df, c) => df.withColumnRenamed(c, s"_u_$c")
@@ -150,18 +170,27 @@ final class CollectionStore(spark: SparkSession, root: String) {
     val result = merged.select(
       col(IdCol) +: existing.columns.filterNot(_ == IdCol).map { c =>
         (if (merged.columns.contains(s"_m_$c")) col(s"_m_$c") else col(c)).as(c)
-      }.toSeq: _*)
-    val updated = existing.join(u.select(IdCol), Seq(IdCol), "left_semi").count()
-    writeVersion(name, result)
+      }.toSeq: _*).persist()
+    // update-side vector-length validation (reference CheckCompatibleMap,
+    // httpapi/v2/handlers.go:345): an update must not persist a
+    // wrong-length vector — the distance kernels would silently truncate
+    requireVecLens(result, readSchema(name))
+    val updated = result.count() // `existing` is already the affected slice
+    if (updated > 0) writeDelta(name, result, tombstone = false)
+    result.unpersist(false)
     updated
   }
 
-  /** W3 — delete by id; unknown ids are no-ops; returns rows removed. */
+  /** W3 — delete by id; unknown ids are no-ops; returns rows removed.
+    * Deletes write `_tombstone` row versions; the base is untouched.
+    */
   def delete(name: String, ids: Seq[String]): Long = {
     require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
-    val existing = spark.read.parquet(currentVersionPath(name))
-    val removed = existing.filter(col(IdCol).isin(ids: _*)).count()
-    writeVersion(name, existing.filter(!col(IdCol).isin(ids: _*)))
+    val view = mergedView(name)
+    val affected = view.filter(col(IdCol).isin(ids: _*)).persist()
+    val removed = affected.count()
+    if (removed > 0) writeDelta(name, affected, tombstone = true)
+    affected.unpersist(false)
     removed
   }
 
@@ -180,10 +209,82 @@ final class CollectionStore(spark: SparkSession, root: String) {
       .toSeq.sorted
   }
 
-  private def currentVersionPath(name: String): String = {
+  private def currentVersion(name: String): Long = {
     val vs = versions(name)
     require(vs.nonEmpty, s"collection $name has no data")
-    Paths.get(root, name, s"v${vs.last}").toString
+    vs.last
+  }
+
+  /** Delta sequence numbers attached to base version `base`, ascending.
+    * Deltas keyed to an older base are orphans from an interrupted
+    * compaction and are ignored.
+    */
+  private def deltaSeqs(name: String, base: Long): Seq[Long] = {
+    val prefix = s"d${base}_"
+    Files.list(Paths.get(root, name)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith(prefix) => s.drop(prefix.length).toLong }
+      .toSeq.sorted
+  }
+
+  private def deltaPath(name: String, base: Long, seq: Long): String =
+    Paths.get(root, name, s"d${base}_$seq").toString
+
+  /** The current read view: base snapshot with the delta log applied.
+    * The base never shuffles — delta ids are broadcast into an anti-join
+    * and the winning (max `_seq`) delta row versions are unioned on. The
+    * delta side is bounded by CompactThreshold × batch size.
+    */
+  private def mergedView(name: String): DataFrame = {
+    val base = currentVersion(name)
+    val baseDf = spark.read.parquet(Paths.get(root, name, s"v$base").toString)
+    val seqs = deltaSeqs(name, base)
+    if (seqs.isEmpty) baseDf
+    else {
+      val dAll = spark.read.parquet(seqs.map(deltaPath(name, base, _)): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(IdCol).orderBy(col(SeqCol).desc)
+      val latest = dAll
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && !col(TombstoneCol))
+        .drop("_rn", SeqCol, TombstoneCol)
+      baseDf
+        .join(broadcast(dAll.select(IdCol).distinct()), Seq(IdCol), "left_anti")
+        .unionByName(latest)
+    }
+  }
+
+  /** Append one delta directory (full row versions of the affected ids),
+    * compacting into a fresh base once the log reaches CompactThreshold.
+    */
+  private def writeDelta(name: String, rows: DataFrame, tombstone: Boolean): Unit = {
+    val base = currentVersion(name)
+    val seqs = deltaSeqs(name, base)
+    val next = seqs.lastOption.fold(0L)(_ + 1)
+    val out = rows
+      .withColumn(SeqCol, lit(next))
+      .withColumn(TombstoneCol, lit(tombstone))
+    val tmp = Paths.get(root, name, s".tmp_d${base}_$next").toString
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(tmp), Paths.get(root, name, s"d${base}_$next"),
+      StandardCopyOption.ATOMIC_MOVE)
+    if (seqs.length + 1 >= CompactThreshold) compact(name)
+  }
+
+  /** Fold the delta log into the next base snapshot and drop the deltas.
+    * Readers pin (latest base, its deltas), so a crash between the rename
+    * and the delta removal only leaves ignorable orphan directories.
+    */
+  def compact(name: String): Unit = {
+    val base = currentVersion(name)
+    val seqs = deltaSeqs(name, base)
+    if (seqs.nonEmpty) {
+      writeVersion(name, mergedView(name))
+      seqs.foreach { s =>
+        val dir = Paths.get(deltaPath(name, base, s))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
   }
 
   private def writeVersion(name: String, df: DataFrame): Unit = {
@@ -201,10 +302,16 @@ final class CollectionStore(spark: SparkSession, root: String) {
 object CollectionStore {
   val IdCol = "_id"
   val UnsetCol = "_unset"
+  val SeqCol = "_seq"
+  val TombstoneCol = "_tombstone"
   val DeleteSentinel = "_delete" // reference shard/shard.go:41
   val MaxInsertBatch = 10000 // reference httpapi/v2/handlers.go:229–237
   val MaxUpdateBatch = 100
   val MaxDeleteBatch = 100
+  /** Delta-log length that triggers compaction into a fresh base. Bounds
+    * the read-side broadcast at CompactThreshold × max batch size rows.
+    */
+  val CompactThreshold = 16
 
   // minimal stable serialization of the index schema (property → kind+params)
   def schemaToJson(s: IndexSchema): String = {

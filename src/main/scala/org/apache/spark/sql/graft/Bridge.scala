@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.{ColumnConversions, ExpressionColumnNode}
 object Bridge {
   def toColumn(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def toExpression(c: Column): Expression = ColumnConversions.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`; expressions outside the spark
+    * package need this alias to declare `inputTypes` for analyzer-side
+    * implicit casting.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -17,6 +17,21 @@ class ExtensionsSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("d") + 1.0) < 1e-5)
   }
 
+  test("SQL double-array literals coerce to float arrays (no stride misread)") {
+    GraftExtensions.register(spark)
+    // array(3.0, 4.0) is array<double>; ImplicitCastInputTypes must insert
+    // the float cast — without it getFloat reads 8-byte doubles with a
+    // 4-byte stride and silently returns garbage
+    val e = spark.sql(
+      "SELECT vector_distance_euclidean(array(3.0, 4.0), array(0.0, 0.0)) AS e")
+      .head().getAs[Double]("e")
+    assert(e == 25.0, s"expected 25.0 (3²+4²), got $e")
+    val h = spark.sql(
+      "SELECT vector_distance_hamming(array(1.0, 0.0), array(0.0, 0.0)) AS h")
+      .head().getAs[Double]("h")
+    assert(h == 1.0)
+  }
+
   test("withExtensions wires functions at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

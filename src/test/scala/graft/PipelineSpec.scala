@@ -43,6 +43,31 @@ class PipelineSpec extends SparkSuite {
     assert(streamed.count() == batch)
   }
 
+  test("knnJoin: bounded partial top-k — exact results, no per-query window") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Similarity.knnJoin(
+      emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+      emb, col("vec_id"), col("embedding"), k = 4, metric = Metric.Cosine)
+    // scale contract: the top-k is a partial (map-side) bounded aggregate,
+    // not a row_number window shuffling the full cross product by query_id
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_topkagg"), plan)
+    val rows = res.collect()
+    assert(rows.length == 12)
+    // exact vs driver-side brute force for query 0
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      1.0 - a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expect = all.map { case (id, v) => (cos(q, v), id) }.sorted.take(4).map(_._2)
+    val got = rows.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("corpus_id"))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("bucket-partitioned IVF storage turns probes into partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
     Similarity.signBuckets(Tables.embeddings(spark, sf0001), col("embedding"), 6)

@@ -82,4 +82,51 @@ class QuantizerSpec extends SparkSuite {
     val recall = exact10.count(adc10.contains).toDouble / 10
     assert(recall >= 0.3, s"ADC recall@10 = $recall")
   }
+
+  test("bq rescored search: quantized candidates + exact re-rank ≈ exact top-k") {
+    val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
+    val encoded = BinaryQuantizer.encode(
+      emb.select(col("vec_id"), col("embedding")), col("embedding"), th)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val exactCos = emb.select(col("vec_id"),
+        Distances.distanceToQuery(Metric.Cosine, col("embedding"), qv).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = BinaryQuantizer.searchRescored(encoded, col("vec_id"), col("embedding"),
+        qv, th, k = 10, rescore = 100, Metric.Cosine)
+      .select("id").as[Long].collect()
+    assert(got.length == 10)
+    val recall = exactCos.count(got.contains).toDouble / 10
+    assert(recall >= 0.7, s"rescored BQ recall@10 = $recall")
+    // re-ranked distances are TRUE metric values: the self-match leads
+    assert(got.head == 7L)
+  }
+
+  test("pq rescored ADC beats pure ADC; finer codebook beats coarser") {
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val model = ProductQuantizer.fit(emb, col("embedding"), m = 16, k = 64, dim = 64)
+    val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model)
+    val got = ProductQuantizer.adcSearchRescored(codes, emb, col("vec_id"),
+        col("embedding"), qv, model, k = 10, rescore = 100, Metric.Euclidean)
+      .select("id").as[Long].collect()
+    val recall = exact10.count(got.contains).toDouble / 10
+    assert(recall >= 0.8, s"rescored PQ recall@10 = $recall")
+  }
+
+  test("learned k-means IVF: deterministic centroids, self-match, scan reduction") {
+    import graft.operators.Similarity
+    val cents = Similarity.kmeansCentroids(emb, col("embedding"), kClusters = 16)
+    val cents2 = Similarity.kmeansCentroids(emb, col("embedding"), kClusters = 16)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq) // seeded
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val got = Similarity.kmeansIvfSearch(emb, col("vec_id"), col("embedding"), qv,
+      k = 5, Metric.Cosine, cents, nprobe = 2).collect()
+    assert(got.length == 5)
+    assert(got.head.getAs[Long]("id") == 7L) // own bucket is always probed
+    // probing 2/16 buckets scans a strict subset of the corpus
+    val scanned = Similarity.kmeansBuckets(emb, col("embedding"), cents)
+      .groupBy("bucket").count().orderBy(desc("count")).limit(2)
+      .agg(sum("count")).head().getLong(0)
+    assert(scanned < emb.count())
+  }
 }

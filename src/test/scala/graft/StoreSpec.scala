@@ -106,6 +106,68 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("writes append tiny deltas; the base snapshot is not rewritten") {
+    val dir = Files.createTempDirectory("graft_test_").toString
+    val st = new CollectionStore(spark, dir)
+    st.create("c1", schema, seed)
+    assert(st.update("c1", Seq(("b", 20L)).toDF("_id", "size")) == 1)
+    assert(st.delete("c1", Seq("c")) == 1)
+    def entries = Files.list(java.nio.file.Paths.get(dir, "c1")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(entries)
+      .asScala.map(_.getFileName.toString).toSeq.sorted
+    // base v0 untouched, two delta dirs, no compacted v1 yet
+    assert(names.contains("v0") && !names.contains("v1"), names)
+    assert(names.count(_.startsWith("d0_")) == 2, names)
+    // merge-on-read view reflects both deltas
+    val rows = st.load("c1").df.orderBy("_id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(1).getLong(2) == 20L)
+    // update-after-update stacks on the newest row version
+    assert(st.update("c1", Seq(("b", 30L)).toDF("_id", "size")) == 1)
+    assert(st.load("c1").df.filter(col("_id") === "b").head().getLong(2) == 30L)
+  }
+
+  test("delta log compacts into the next base at the threshold") {
+    val dir = Files.createTempDirectory("graft_test_").toString
+    val st = new CollectionStore(spark, dir)
+    st.create("c1", schema, seed)
+    (1 to CollectionStore.CompactThreshold).foreach { i =>
+      st.update("c1", Seq(("a", i.toLong)).toDF("_id", "size"))
+    }
+    def entries = Files.list(java.nio.file.Paths.get(dir, "c1")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(entries)
+      .asScala.map(_.getFileName.toString).toSeq.sorted
+    assert(names.contains("v1"), names)
+    assert(!names.exists(_.startsWith("d0_")), names)
+    val a = st.load("c1").df.filter(col("_id") === "a").head()
+    assert(a.getLong(2) == CollectionStore.CompactThreshold.toLong)
+    assert(st.load("c1").df.count() == 3)
+  }
+
+  test("update validates vector length (no silent truncation)") {
+    val st = freshStore()
+    val vschema = IndexSchema("v" -> IndexKind.VectorFlat(3, IndexKind.Metric.Euclidean))
+    st.create("vc", vschema, Seq(("a", Array(1f, 2f, 3f))).toDF("_id", "v"))
+    intercept[IllegalArgumentException] {
+      st.update("vc", Seq(("a", Array(1f, 2f))).toDF("_id", "v"))
+    }
+    assert(st.update("vc", Seq(("a", Array(7f, 8f, 9f))).toDF("_id", "v")) == 1)
+  }
+
+  test("list on a fresh root is empty; zero-match writes are no-ops on disk") {
+    val dir = Files.createTempDirectory("graft_test_").toString
+    val st = new CollectionStore(spark, dir)
+    assert(st.list().isEmpty)
+    st.create("c1", schema, seed)
+    assert(st.list() == Seq("c1"))
+    assert(st.delete("c1", Seq("nope")) == 0)
+    assert(st.update("c1", Seq(("nope", 1L)).toDF("_id", "size")) == 0)
+    def entries = Files.list(java.nio.file.Paths.get(dir, "c1")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(entries)
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(!names.exists(_.startsWith("d0_")), names) // nothing written
+  }
+
   test("W5: JSON documents ingest through spark.read.json into a collection") {
     val st = freshStore()
     st.create("c1", schema, seed)
