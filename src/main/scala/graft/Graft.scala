@@ -42,6 +42,13 @@ final class Graft(spark: SparkSession, root: String) {
   def collection(name: String): Collection =
     cache.computeIfAbsent(name, store.load(_))
 
+  /** The trained quantizer for a vector property, once the collection has
+    * crossed its declared `triggerThreshold` (fitted automatically on
+    * create/insert).
+    */
+  def quantizer(name: String, prop: String): Option[graft.store.FittedQuantizer] =
+    store.loadQuantizer(name, prop)
+
   // ---- point writes (W1–W3); cache invalidated per write ------------------
 
   def insert(name: String, points: DataFrame): Long =
@@ -78,6 +85,10 @@ final class Graft(spark: SparkSession, root: String) {
     ensureTextIndexes(name)
     Search.search(collection(name), request)
   }
+
+  /** msgpack request body → result DataFrame (same parser as JSON). */
+  def searchMsgPack(name: String, requestBody: Array[Byte]): DataFrame =
+    search(name, graft.model.Json.parseSearchRequestMsgPack(requestBody))
 
   /** Build + cache text indexes for every text property of the collection
     * (first search pays the build; subsequent searches reuse it).

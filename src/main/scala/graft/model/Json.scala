@@ -12,6 +12,12 @@ object Json {
   def parseSearchRequest(json: String): SearchRequest =
     searchRequest(JsonMethods.parse(json))
 
+  /** msgpack wire body → the same AST → the same parser (the reference
+    * accepts both encodings on every endpoint, handlers.go:97–100).
+    */
+  def parseSearchRequestMsgPack(bytes: Array[Byte]): SearchRequest =
+    searchRequest(MsgPack.decode(bytes))
+
   def parseQuery(json: String): Query = query(JsonMethods.parse(json))
 
   def searchRequest(j: JValue): SearchRequest = SearchRequest(

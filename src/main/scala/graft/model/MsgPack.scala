@@ -1,0 +1,123 @@
+package graft.model
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.json4s._
+
+/** Minimal MessagePack codec (public spec, msgpack.org) for wire bodies —
+  * the reference accepts JSON and msgpack on every endpoint
+  * (httpapi/v2/handlers.go:97–100) and stores point payloads as msgpack
+  * (models/point.go:39–42). No msgpack library ships with Spark, so this
+  * is a dependency-free implementation of the value subset a request body
+  * can contain: nil/bool/int/float/str/bin/array/map (ext types are
+  * rejected). Decoding targets the same json4s AST the JSON path uses, so
+  * both wire formats share one request parser.
+  */
+object MsgPack {
+
+  def decode(bytes: Array[Byte]): JValue = {
+    val buf = ByteBuffer.wrap(bytes)
+    val v = read(buf)
+    require(!buf.hasRemaining, s"${buf.remaining()} trailing byte(s) after msgpack value")
+    v
+  }
+
+  private def read(b: ByteBuffer): JValue = {
+    val tag = b.get() & 0xff
+    tag match {
+      case t if t <= 0x7f => JLong(t.toLong)                       // positive fixint
+      case t if t >= 0xe0 => JLong((t - 256).toLong)               // negative fixint
+      case t if (t & 0xf0) == 0x80 => readMap(b, t & 0x0f)         // fixmap
+      case t if (t & 0xf0) == 0x90 => readArray(b, t & 0x0f)       // fixarray
+      case t if (t & 0xe0) == 0xa0 => JString(readStr(b, t & 0x1f)) // fixstr
+      case 0xc0 => JNull
+      case 0xc2 => JBool(false)
+      case 0xc3 => JBool(true)
+      case 0xc4 => bin(b, b.get() & 0xff)
+      case 0xc5 => bin(b, b.getShort() & 0xffff)
+      case 0xc6 => bin(b, b.getInt())
+      case 0xca => JDouble(b.getFloat().toDouble)
+      case 0xcb => JDouble(b.getDouble())
+      case 0xcc => JLong((b.get() & 0xff).toLong)
+      case 0xcd => JLong((b.getShort() & 0xffff).toLong)
+      case 0xce => JLong(b.getInt() & 0xffffffffL)
+      case 0xcf =>
+        val v = b.getLong()
+        require(v >= 0, "uint64 above Long.MaxValue unsupported")
+        JLong(v)
+      case 0xd0 => JLong(b.get().toLong)
+      case 0xd1 => JLong(b.getShort().toLong)
+      case 0xd2 => JLong(b.getInt().toLong)
+      case 0xd3 => JLong(b.getLong())
+      case 0xd9 => JString(readStr(b, b.get() & 0xff))
+      case 0xda => JString(readStr(b, b.getShort() & 0xffff))
+      case 0xdb => JString(readStr(b, b.getInt()))
+      case 0xdc => readArray(b, b.getShort() & 0xffff)
+      case 0xdd => readArray(b, b.getInt())
+      case 0xde => readMap(b, b.getShort() & 0xffff)
+      case 0xdf => readMap(b, b.getInt())
+      case other => throw new IllegalArgumentException(
+        f"unsupported msgpack tag 0x$other%02x (ext types not accepted)")
+    }
+  }
+
+  private def readStr(b: ByteBuffer, n: Int): String = {
+    val a = new Array[Byte](n); b.get(a); new String(a, StandardCharsets.UTF_8)
+  }
+
+  /** Binary payloads surface as base64 strings (JSON-side parity). */
+  private def bin(b: ByteBuffer, n: Int): JValue = {
+    val a = new Array[Byte](n); b.get(a)
+    JString(java.util.Base64.getEncoder.encodeToString(a))
+  }
+
+  private def readArray(b: ByteBuffer, n: Int): JValue =
+    JArray(List.fill(n)(read(b)))
+
+  private def readMap(b: ByteBuffer, n: Int): JValue =
+    JObject(List.fill(n) {
+      read(b) match {
+        case JString(k) => k -> read(b)
+        case other => throw new IllegalArgumentException(s"non-string map key: $other")
+      }
+    })
+
+  def encode(v: JValue): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    write(out, v)
+    out.toByteArray
+  }
+
+  private def write(o: ByteArrayOutputStream, v: JValue): Unit = v match {
+    case JNull | JNothing => o.write(0xc0)
+    case JBool(x) => o.write(if (x) 0xc3 else 0xc2)
+    case JInt(x) => writeLong(o, x.toLong)
+    case JLong(x) => writeLong(o, x)
+    case JDouble(x) => o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(x).array())
+    case JDecimal(x) => o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(x.toDouble).array())
+    case JString(s) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      if (b.length < 32) o.write(0xa0 | b.length)
+      else if (b.length < 256) { o.write(0xd9); o.write(b.length) }
+      else { o.write(0xda); o.write(b.length >> 8); o.write(b.length & 0xff) }
+      writeBytes(o, b)
+    case JArray(xs) =>
+      if (xs.length < 16) o.write(0x90 | xs.length)
+      else { o.write(0xdc); o.write(xs.length >> 8); o.write(xs.length & 0xff) }
+      xs.foreach(write(o, _))
+    case JObject(fs) =>
+      if (fs.length < 16) o.write(0x80 | fs.length)
+      else { o.write(0xde); o.write(fs.length >> 8); o.write(fs.length & 0xff) }
+      fs.foreach { case (k, fv) => write(o, JString(k)); write(o, fv) }
+    case JSet(xs) => write(o, JArray(xs.toList))
+  }
+
+  private def writeLong(o: ByteArrayOutputStream, x: Long): Unit =
+    if (x >= 0 && x <= 0x7f) o.write(x.toInt)
+    else if (x < 0 && x >= -32) o.write((x & 0xff).toInt)
+    else { o.write(0xd3); writeBytes(o, ByteBuffer.allocate(8).putLong(x).array()) }
+
+  private def writeBytes(o: ByteArrayOutputStream, b: Array[Byte]): Unit =
+    o.write(b, 0, b.length)
+}

@@ -173,10 +173,10 @@ object Validation {
       schema.get(p) match {
         case None => err(s"property $p not found in index schema, cannot query")
         case Some(kind) => (kind, q) match {
-          case (IndexKind.VectorFlat(n, _), Query(_, Some(o), _, _, _, _, _, _, _, _)) =>
+          case (IndexKind.VectorFlat(n, _, _), Query(_, Some(o), _, _, _, _, _, _, _, _)) =>
             if (o.vector.length != n) err(s"vector length mismatch for $p, expected $n got ${o.vector.length}")
             else o.filter.map(validateSchema(_, schema)).getOrElse(ok)
-          case (IndexKind.VectorVamana(n, _, _, _, _), Query(_, _, Some(o), _, _, _, _, _, _, _)) =>
+          case (IndexKind.VectorVamana(n, _, _, _, _, _), Query(_, _, Some(o), _, _, _, _, _, _, _)) =>
             if (o.vector.length != n) err(s"vector length mismatch for $p, expected $n got ${o.vector.length}")
             else o.filter.map(validateSchema(_, schema)).getOrElse(ok)
           case (_: IndexKind.Text, Query(_, _, _, Some(o), _, _, _, _, _, _)) =>

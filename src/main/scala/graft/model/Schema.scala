@@ -25,7 +25,26 @@ object IndexKind {
       throw new IllegalArgumentException(s"unknown distance metric: $s"))
   }
 
-  final case class VectorFlat(vectorSize: Int, metric: Metric) extends IndexKind {
+  /** Vector compression declared on the index (reference
+    * models/quantizer.go:51–76): `NoQuant` stores raw vectors; the others
+    * are FITTED LAZILY by the store once the collection holds
+    * `triggerThreshold` vectors (reference trains on the shard the same
+    * way, vectorstore/product.go:175–183 / binary Fit).
+    */
+  sealed trait Quantizer { def name: String }
+  object Quantizer {
+    case object NoQuant extends Quantizer { val name = "none" }
+    final case class Binary(triggerThreshold: Int = 10000) extends Quantizer {
+      val name = "binary"
+    }
+    final case class Product(
+        numCentroids: Int = 256, numSubVectors: Int = 8,
+        triggerThreshold: Int = 10000) extends Quantizer { val name = "product" }
+  }
+
+  final case class VectorFlat(
+      vectorSize: Int, metric: Metric,
+      quantizer: Quantizer = Quantizer.NoQuant) extends IndexKind {
     val name = "vectorFlat"
   }
   /** Vamana params accepted for parity; `near` executes as exact top-k
@@ -33,7 +52,8 @@ object IndexKind {
     */
   final case class VectorVamana(
       vectorSize: Int, metric: Metric,
-      searchSize: Int = 75, degreeBound: Int = 64, alpha: Double = 1.2)
+      searchSize: Int = 75, degreeBound: Int = 64, alpha: Double = 1.2,
+      quantizer: Quantizer = Quantizer.NoQuant)
     extends IndexKind { val name = "vectorVamana" }
   final case class Text(analyser: String = "standard") extends IndexKind {
     val name = "text"
@@ -59,10 +79,11 @@ object IndexSchema {
   val MaxVectorSize = 4096
   def validate(schema: IndexSchema): Either[String, Unit] = {
     schema.props.collectFirst {
-      case (p, IndexKind.VectorFlat(n, m)) if badVec(n, m) =>
-        s"property $p: invalid vector size $n for metric ${m.name}"
-      case (p, IndexKind.VectorVamana(n, m, ss, db, a))
-          if badVec(n, m) || ss < 25 || ss > 75 || db < 32 || db > 64 || a < 1.1 || a > 1.5 =>
+      case (p, IndexKind.VectorFlat(n, m, q)) if badVec(n, m) || badQuant(n, q) =>
+        s"property $p: invalid vector size $n / quantizer for metric ${m.name}"
+      case (p, IndexKind.VectorVamana(n, m, ss, db, a, q))
+          if badVec(n, m) || badQuant(n, q) ||
+            ss < 25 || ss > 75 || db < 32 || db > 64 || a < 1.1 || a > 1.5 =>
         s"property $p: invalid vamana parameters"
       case (p, IndexKind.Text(a)) if a != "standard" =>
         s"property $p: unknown analyser $a"
@@ -70,4 +91,11 @@ object IndexSchema {
   }
   private def badVec(n: Int, m: IndexKind.Metric): Boolean =
     n < 1 || n > MaxVectorSize || (m == IndexKind.Metric.Haversine && n != 2)
+  /** Quantizer bounds (reference models/quantizer.go validation). */
+  private def badQuant(n: Int, q: IndexKind.Quantizer): Boolean = q match {
+    case IndexKind.Quantizer.NoQuant => false
+    case IndexKind.Quantizer.Binary(t) => t < 1
+    case IndexKind.Quantizer.Product(kc, m, t) =>
+      t < 1 || kc < 2 || kc > 256 || m < 1 || n % m != 0
+  }
 }

@@ -134,11 +134,7 @@ object VamanaBuild {
         .filter(col("src") =!= col("dst"))
     val init = ring.union(longLinks).distinct()
 
-    val pruneUdf = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
-      robustPrune(
-        cands.map(r => (r.getDouble(0), r.getLong(1), r.getSeq[Float](2).toArray)),
-        params.alpha, params.degreeBound, metric)
-    }
+    val pruneUdf = mkPruneUdf(metric, params)
 
     var edges = init
     var prevRound: Option[DataFrame] = None
@@ -176,6 +172,86 @@ object VamanaBuild {
       .localCheckpoint()
     prevRound.foreach(_.unpersist(false))
     ranked.unpersist(false)
+    vecs.unpersist(false)
+    result
+  }
+
+  private def mkPruneUdf(metric: Metric, params: Params) =
+    udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      robustPrune(
+        cands.map(r => (r.getDouble(0), r.getLong(1), r.getSeq[Float](2).toArray)),
+        params.alpha, params.degreeBound, metric)
+    }
+
+  /** Incremental batch insert (reference vamana/insert.go:16–68): extend an
+    * existing graph artifact with new points WITHOUT a full rebuild.
+    *
+    *   1. candidate generation — for every new point, its top-L closest
+    *      points (existing ∪ batch) via ONE bounded-top-k pass over the
+    *      vectors (the batch analogue of the reference's per-point greedy
+    *      search candidate collection; the scan is a single map-side
+    *      partial top-k, not |new|×|corpus| shuffled rows);
+    *   2. α-robust prune per new point → the new node's edge list;
+    *   3. backward edges to every chosen neighbor, then a re-prune of just
+    *      the AFFECTED nodes (their old neighbors ∪ new backlinks, capped
+    *      at maxCandidates) — the reference's degree-bound patch
+    *      (insert.go:47–66) as one grouped job;
+    *   4. untouched rows pass through unchanged.
+    *
+    * `allVecs` must contain the vectors of every graph node AND the new
+    * points; `newIds` is one LONG id per new point. Output schema matches
+    * [[build]]: (id, neighbors array&lt;long&gt;).
+    */
+  def insertBatch(
+      graph: DataFrame, allVecs: DataFrame, id: Column, vec: Column,
+      newIds: DataFrame, metric: Metric, params: Params = Params()): DataFrame = {
+    val vecs = allVecs.select(id.cast("long").as("id"), vec.as("vec")).persist()
+    val nids = newIds.select(col(newIds.columns.head).cast("long").as("id"))
+    val newPts = vecs.join(nids, "id")
+    val pruneUdf = mkPruneUdf(metric, params)
+
+    val searchL = math.max(params.maxCandidates, params.degreeBound * 2)
+    val cand = Similarity.knnJoin(
+        newPts, col("id"), col("vec"), vecs, col("id"), col("vec"), searchL, metric)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id").as("src"), col("corpus_id").as("dst"),
+        col("distance").as("_d"))
+    val newEdges = cand
+      .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+      .groupBy("src")
+      .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
+      .select(col("src"), explode(col("_nbrs")).as("dst"))
+      .persist()
+    newEdges.count()
+
+    val backlinks = newEdges.select(col("dst").as("src"), col("src").as("dst"))
+    val affected = backlinks.select("src").distinct()
+    val baseAdj = graph
+      .select(col("id").cast("long").as("src"),
+        explode(col("neighbors").cast("array<long>")).as("dst"))
+      .union(newEdges)
+
+    val candW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
+    val repruned = baseAdj.join(affected, "src").union(backlinks)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+      .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+      .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
+      .withColumn("_cr", row_number().over(candW))
+      .filter(col("_cr") <= params.maxCandidates)
+      .groupBy("src")
+      .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
+      .select(col("src"), explode(col("_nbrs")).as("dst"))
+
+    val result = baseAdj.join(affected, Seq("src"), "left_anti")
+      .union(repruned)
+      .distinct()
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .localCheckpoint()
+    newEdges.unpersist(false)
     vecs.unpersist(false)
     result
   }

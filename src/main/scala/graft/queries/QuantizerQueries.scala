@@ -46,6 +46,61 @@ object QuantizerQueries {
       .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
   }
 
+  /** The same encode + ADC arithmetic under a CLOSED-FORM codebook —
+    * centroid j of subspace i is the i-th 16-float slice of the vec_id-j
+    * embedding (m=4, k=8) — so DuckDB can replay the full pipeline:
+    * per-(vector, subspace) argmin code, query→centroid distance table,
+    * m table lookups. Gives the ADC path (reference
+    * vectorstore/product.go:238–305) a real oracle row; the learned
+    * codebook stays covered by recall specs + the rows-only query above.
+    */
+  val pqAdcFixed = NamedQuery(
+    "pq_adc_fixed",
+    """WITH subs AS (SELECT unnest(range(4)) AS i),
+      |cents AS (SELECT unnest(range(8)) AS j),
+      |cb AS (
+      |  SELECT s.i, c.j, list_slice(e.embedding, s.i*16 + 1, s.i*16 + 16) AS cv
+      |  FROM embeddings e, subs s, cents c
+      |  WHERE e.vec_id = c.j),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+      |dists AS (
+      |  SELECT e.vec_id, cb.i, cb.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> (CAST(e.embedding[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |         * (CAST(e.embedding[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM embeddings e CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, i, j AS code FROM (
+      |    SELECT vec_id, i, j,
+      |      row_number() OVER (PARTITION BY vec_id, i ORDER BY d2, j) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |qtab AS (
+      |  SELECT cb.i, cb.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |         * (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM cb CROSS JOIN q),
+      |scores AS (
+      |  SELECT c.vec_id AS id, sum(t.d2) AS approx
+      |  FROM codes c JOIN qtab t ON c.i = t.i AND c.code = t.j
+      |  GROUP BY c.vec_id),
+      |top AS (SELECT id, approx FROM scores ORDER BY approx, id LIMIT 10)
+      |SELECT id, CAST(round(CAST(approx AS DECIMAL(28,6)), 4) AS DOUBLE) AS approx_r
+      |FROM top ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cents = (0 until 4).map { i =>
+      (0 until 8).map(j =>
+        java.util.Arrays.copyOfRange(base(j), i * 16, (i + 1) * 16)).toArray
+    }.toArray
+    val model = graft.operators.PQModel(m = 4, k = 8, dim = 64, centroids = cents)
+    val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model)
+    ProductQuantizer.adcSearch(codes, TestCollections.queryVector(s, d, 7), model, k = 10)
+      .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
+  }
+
   /** Rows-only: the batch-built Vamana graph artifact (deterministic edge
     * lists; recall/connectivity invariants live in VamanaSpec). Uses a
     * small parameterization so the per-round bench stays bounded.
@@ -65,5 +120,5 @@ object QuantizerQueries {
           .as("neighbors_csv"))
   }
 
-  val all: Seq[NamedQuery] = Seq(bqHammingPacked, pqAdcTopk, vamanaGraph)
+  val all: Seq[NamedQuery] = Seq(bqHammingPacked, pqAdcTopk, pqAdcFixed, vamanaGraph)
 }

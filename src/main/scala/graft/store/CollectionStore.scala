@@ -58,6 +58,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
     writeVersion(name, initial)
+    maybeFitQuantizers(name)
   }
 
   def load(name: String): Collection =
@@ -100,6 +101,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
     // wrong-length vector would silently truncate every later distance
     requireVecLens(coerced, readSchema(name))
     writeDelta(name, coerced, tombstone = false)
+    maybeFitQuantizers(name)
     n
   }
 
@@ -192,6 +194,87 @@ final class CollectionStore(spark: SparkSession, root: String) {
     if (removed > 0) writeDelta(name, affected, tombstone = true)
     affected.unpersist(false)
     removed
+  }
+
+  // ---- quantizer lifecycle (reference models/quantizer.go:51–76) ----------
+
+  /** The fitted quantizer artifact for a vector property, if its
+    * `triggerThreshold` has fired.
+    */
+  def loadQuantizer(name: String, prop: String): Option[FittedQuantizer] = {
+    val p = quantizerPath(name, prop)
+    if (!Files.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(Files.readString(p))
+      def dbls(v: JValue): Array[Double] = (v: @unchecked) match {
+        case JArray(xs) => xs.map {
+          case JDouble(x) => x; case JInt(x) => x.toDouble
+          case JDecimal(x) => x.toDouble; case JLong(x) => x.toDouble
+          case other => throw new IllegalStateException(s"bad number $other")
+        }.toArray
+      }
+      (j \ "type") match {
+        case JString("binary") => Some(FittedBinary(dbls(j \ "thresholds")))
+        case JString("product") =>
+          val JArray(subs) = (j \ "centroids"): @unchecked
+          val cents = subs.map { case JArray(cs) =>
+            cs.map(c => dbls(c).map(_.toFloat)).toArray
+          case other => throw new IllegalStateException(s"bad centroids $other") }.toArray
+          def i(k: String) = (j \ k) match {
+            case JInt(x) => x.toInt; case JLong(x) => x.toInt
+            case other => throw new IllegalStateException(s"bad $k: $other") }
+          Some(FittedProduct(graft.operators.PQModel(i("m"), i("k"), i("dim"), cents)))
+        case _ => None
+      }
+    }
+  }
+
+  private def quantizerPath(name: String, prop: String) =
+    Paths.get(root, name, s"quantizer_$prop.json")
+
+  /** Fit every declared-but-unfitted quantizer whose trigger the
+    * collection's row count has crossed (the reference trains lazily the
+    * same way once `triggerThreshold` vectors arrive). Idempotent: a
+    * fitted artifact is never re-trained by later writes.
+    */
+  private def maybeFitQuantizers(name: String): Unit = {
+    import graft.model.IndexKind.Quantizer
+    val declared = readSchema(name).props.toSeq.sortBy(_._1).collect {
+      case (p, IndexKind.VectorFlat(n, _, q)) if q != Quantizer.NoQuant => (p, n, q)
+      case (p, IndexKind.VectorVamana(n, _, _, _, _, q)) if q != Quantizer.NoQuant => (p, n, q)
+    }.filterNot { case (p, _, _) => Files.exists(quantizerPath(name, p)) }
+    if (declared.nonEmpty) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val view = mergedView(name)
+      val total = view.count()
+      declared.foreach { case (prop, dim, q) =>
+        val vecs = view.filter(col(prop).isNotNull)
+        val json: Option[JValue] = q match {
+          case Quantizer.Binary(t) if total >= t =>
+            val th = graft.operators.BinaryQuantizer.fit(vecs, col(prop), dim)
+            Some(JObject(
+              "type" -> JString("binary"),
+              "thresholds" -> JArray(th.map(JDouble(_)).toList)))
+          case Quantizer.Product(kc, m, t) if total >= t =>
+            val model = graft.operators.ProductQuantizer.fit(vecs, col(prop), m, kc, dim)
+            Some(JObject(
+              "type" -> JString("product"),
+              "m" -> JInt(model.m), "k" -> JInt(model.k), "dim" -> JInt(model.dim),
+              "centroids" -> JArray(model.centroids.map(sub =>
+                JArray(sub.map(c =>
+                  JArray(c.map(x => JDouble(x.toDouble)).toList)).toList)).toList)))
+          case _ => None
+        }
+        json.foreach { jv =>
+          val tmp = Paths.get(root, name, s".tmp_quantizer_$prop.json")
+          Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(jv)))
+          Files.move(tmp, quantizerPath(name, prop), StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
   }
 
   // ---- storage plumbing ---------------------------------------------------
@@ -299,6 +382,11 @@ final class CollectionStore(spark: SparkSession, root: String) {
     jsonToSchema(Files.readString(Paths.get(root, name, "schema.json")))
 }
 
+/** A trained quantizer artifact loaded from a collection directory. */
+sealed trait FittedQuantizer
+final case class FittedBinary(thresholds: Array[Double]) extends FittedQuantizer
+final case class FittedProduct(model: graft.operators.PQModel) extends FittedQuantizer
+
 object CollectionStore {
   val IdCol = "_id"
   val UnsetCol = "_unset"
@@ -318,13 +406,23 @@ object CollectionStore {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def o(pairs: (String, JValue)*): JObject = JObject(pairs.toList)
+    def quant(q: IndexKind.Quantizer): JValue = q match {
+      case IndexKind.Quantizer.NoQuant => JObject("type" -> JString("none"))
+      case IndexKind.Quantizer.Binary(t) =>
+        o("type" -> JString("binary"), "triggerThreshold" -> JInt(t))
+      case IndexKind.Quantizer.Product(kc, m, t) =>
+        o("type" -> JString("product"), "numCentroids" -> JInt(kc),
+          "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t))
+    }
     val fields = s.props.toSeq.sortBy(_._1).map { case (p, k) =>
       val obj = k match {
-        case IndexKind.VectorFlat(n, m) =>
-          o("type" -> JString(k.name), "vectorSize" -> JInt(n), "metric" -> JString(m.name))
-        case IndexKind.VectorVamana(n, m, ss, db, a) =>
+        case IndexKind.VectorFlat(n, m, q) =>
           o("type" -> JString(k.name), "vectorSize" -> JInt(n), "metric" -> JString(m.name),
-            "searchSize" -> JInt(ss), "degreeBound" -> JInt(db), "alpha" -> JDouble(a))
+            "quantizer" -> quant(q))
+        case IndexKind.VectorVamana(n, m, ss, db, a, q) =>
+          o("type" -> JString(k.name), "vectorSize" -> JInt(n), "metric" -> JString(m.name),
+            "searchSize" -> JInt(ss), "degreeBound" -> JInt(db), "alpha" -> JDouble(a),
+            "quantizer" -> quant(q))
         case IndexKind.Text(an) => o("type" -> JString(k.name), "analyser" -> JString(an))
         case IndexKind.Str(cs) => o("type" -> JString(k.name), "caseSensitive" -> JBool(cs))
         case IndexKind.StrArray(cs) => o("type" -> JString(k.name), "caseSensitive" -> JBool(cs))
@@ -346,11 +444,25 @@ object CollectionStore {
       def dbl(k: String, d: Double) = (v \ k) match {
         case JDouble(x) => x; case JInt(x) => x.toDouble; case _ => d }
       def boolOf(k: String) = (v \ k) match { case JBool(x) => x; case _ => false }
+      def quant: IndexKind.Quantizer = {
+        val qv = v \ "quantizer"
+        def qint(k: String, d: Int) = (qv \ k) match {
+          case JInt(x) => x.toInt; case JLong(x) => x.toInt; case _ => d }
+        (qv \ "type") match {
+          case JString("binary") =>
+            IndexKind.Quantizer.Binary(qint("triggerThreshold", 10000))
+          case JString("product") => IndexKind.Quantizer.Product(
+            qint("numCentroids", 256), qint("numSubVectors", 8),
+            qint("triggerThreshold", 10000))
+          case _ => IndexKind.Quantizer.NoQuant
+        }
+      }
       val kind: IndexKind = str("type") match {
-        case "vectorFlat" => IndexKind.VectorFlat(int("vectorSize", 0), IndexKind.Metric.parse(str("metric")))
+        case "vectorFlat" => IndexKind.VectorFlat(
+          int("vectorSize", 0), IndexKind.Metric.parse(str("metric")), quant)
         case "vectorVamana" => IndexKind.VectorVamana(
           int("vectorSize", 0), IndexKind.Metric.parse(str("metric")),
-          int("searchSize", 75), int("degreeBound", 64), dbl("alpha", 1.2))
+          int("searchSize", 75), int("degreeBound", 64), dbl("alpha", 1.2), quant)
         case "text" => IndexKind.Text(if (str("analyser").isEmpty) "standard" else str("analyser"))
         case "string" => IndexKind.Str(boolOf("caseSensitive"))
         case "stringArray" => IndexKind.StrArray(boolOf("caseSensitive"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.model.{Json, MsgPack}
+
+/** msgpack wire format: decode targets the same AST as JSON, so a request
+  * encoded either way must parse identically (reference accepts both on
+  * every endpoint, httpapi/v2/handlers.go:97–100).
+  */
+class MsgPackSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val requestJson =
+    """{"query": {"property": "p_size",
+      |           "_and": [{"property": "p_size", "integer": {"value": 5, "operator": "greaterThanOrEquals"}},
+      |                    {"property": "p_name", "string": {"value": "a", "operator": "startsWith"}}]},
+      | "select": ["p_name", "p_size"],
+      | "sort": [{"property": "p_size", "descending": true}],
+      | "offset": 2, "limit": 7}""".stripMargin
+
+  test("SearchRequest round-trips JSON AST → msgpack → same parsed request") {
+    val ast = JsonMethods.parse(requestJson)
+    val viaJson = Json.parseSearchRequest(requestJson)
+    val viaMsgPack = Json.parseSearchRequestMsgPack(MsgPack.encode(ast))
+    assert(viaJson == viaMsgPack)
+    assert(viaMsgPack.limit == 7 && viaMsgPack.offset == 2)
+    assert(viaMsgPack.query.and.length == 2)
+  }
+
+  test("all wire-relevant format families decode (hand-built bytes)") {
+    // fixstr + str8, fixint families, uint/int widths, float32/64, nil/bool
+    def hex(s: String): Array[Byte] =
+      s.split(" ").map(x => Integer.parseInt(x, 16).toByte)
+    assert(MsgPack.decode(hex("c0")) == JNull)
+    assert(MsgPack.decode(hex("c3")) == JBool(true))
+    assert(MsgPack.decode(hex("7f")) == JLong(127))
+    assert(MsgPack.decode(hex("e0")) == JLong(-32))
+    assert(MsgPack.decode(hex("cc ff")) == JLong(255))
+    assert(MsgPack.decode(hex("cd 01 00")) == JLong(256))
+    assert(MsgPack.decode(hex("ce 00 01 00 00")) == JLong(65536))
+    assert(MsgPack.decode(hex("d0 80")) == JLong(-128))
+    assert(MsgPack.decode(hex("d1 ff 00")) == JLong(-256))
+    assert(MsgPack.decode(hex("ca 3f 80 00 00")) == JDouble(1.0))
+    assert(MsgPack.decode(hex("cb 40 09 21 fb 54 44 2d 18")) == JDouble(3.141592653589793))
+    assert(MsgPack.decode(hex("a2 68 69")) == JString("hi"))
+    assert(MsgPack.decode(hex("92 01 02")) == JArray(List(JLong(1), JLong(2))))
+    assert(MsgPack.decode(hex("81 a1 6b 2a")) == JObject(List("k" -> JLong(42))))
+    // ext types are rejected, trailing bytes are rejected
+    intercept[IllegalArgumentException](MsgPack.decode(hex("d4 01 00")))
+    intercept[IllegalArgumentException](MsgPack.decode(hex("c0 c0")))
+  }
+
+  test("vectors of doubles survive the float64 path") {
+    val ast = JObject(List("vector" -> JArray(List(JDouble(0.25), JDouble(-1.5)))))
+    val back = MsgPack.decode(MsgPack.encode(ast))
+    assert(back == ast)
+  }
+}

@@ -168,6 +168,51 @@ class StoreSpec extends SparkSuite {
     assert(!names.exists(_.startsWith("d0_")), names) // nothing written
   }
 
+  test("quantizer auto-trigger: fits once the row count crosses triggerThreshold") {
+    import graft.store.{FittedBinary, FittedProduct}
+    val st = freshStore()
+    val vschema = IndexSchema(
+      "v" -> IndexKind.VectorFlat(4, IndexKind.Metric.Euclidean,
+        IndexKind.Quantizer.Binary(triggerThreshold = 5)),
+      "w" -> IndexKind.VectorFlat(4, IndexKind.Metric.Euclidean,
+        IndexKind.Quantizer.Product(numCentroids = 2, numSubVectors = 2,
+          triggerThreshold = 5)))
+    def pts(ids: Range) = ids.map { i =>
+      (i.toString, Array(i.toFloat, 2f * i, -i.toFloat, 0.5f * i),
+        Array(i.toFloat, i.toFloat, 1f - i, 2f + i))
+    }.toDF("_id", "v", "w")
+    st.create("qc", vschema, pts(0 until 3))
+    assert(st.loadQuantizer("qc", "v").isEmpty) // 3 rows < trigger 5
+    assert(st.loadQuantizer("qc", "w").isEmpty)
+    st.insert("qc", pts(3 until 6)) // 6 rows ≥ trigger → both fit
+    val bin = st.loadQuantizer("qc", "v")
+    assert(bin.exists { case FittedBinary(th) => th.length == 4; case _ => false })
+    // thresholds are the per-dimension means of all 6 vectors
+    val th = bin.get.asInstanceOf[FittedBinary].thresholds
+    assert(math.abs(th(0) - (0 until 6).map(_.toDouble).sum / 6) < 1e-9)
+    val pq = st.loadQuantizer("qc", "w")
+    assert(pq.exists {
+      case FittedProduct(m) => m.m == 2 && m.k == 2 && m.dim == 4
+      case _ => false
+    })
+    // fitted artifacts survive the schema round-trip and later writes
+    st.insert("qc", pts(6 until 8))
+    assert(st.loadQuantizer("qc", "v").isDefined)
+  }
+
+  test("quantizer config round-trips through schema.json") {
+    val st = freshStore()
+    val vschema = IndexSchema(
+      "v" -> IndexKind.VectorFlat(4, IndexKind.Metric.Cosine,
+        IndexKind.Quantizer.Product(numCentroids = 8, numSubVectors = 4,
+          triggerThreshold = 100)))
+    st.create("qr", vschema,
+      Seq(("a", Array(1f, 2f, 3f, 4f))).toDF("_id", "v"))
+    val loaded = st.load("qr").schema.get("v")
+    assert(loaded.contains(IndexKind.VectorFlat(4, IndexKind.Metric.Cosine,
+      IndexKind.Quantizer.Product(8, 4, 100))))
+  }
+
   test("W5: JSON documents ingest through spark.read.json into a collection") {
     val st = freshStore()
     st.create("c1", schema, seed)

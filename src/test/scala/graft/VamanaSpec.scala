@@ -56,6 +56,42 @@ class VamanaSpec extends SparkSuite {
     assert(mean >= 0.7, s"mean recall $mean (per-query: $recalls)")
   }
 
+  test("incremental insert: 10% new points patch in — connectivity + recall, no rebuild") {
+    val oldEmb = emb.filter(col("vec_id") >= 50)
+    val base = VamanaBuild.build(
+      oldEmb, col("vec_id"), col("embedding"), Metric.Euclidean,
+      VamanaBuild.Params(degreeBound = 32, alpha = 1.2, iterations = 3, ringDegree = 4))
+    val newIds = emb.filter(col("vec_id") < 50).select("vec_id")
+    val patched = VamanaBuild.insertBatch(base, emb, col("vec_id"), col("embedding"),
+      newIds, Metric.Euclidean, VamanaBuild.Params(degreeBound = 32, alpha = 1.2))
+    val padj = patched.as[(Long, Seq[Long])].collect().toMap
+    assert(padj.size == 500)
+    assert(padj.forall { case (id, ns) => ns.forall(n => n != id && padj.contains(n)) })
+    // BFS connectivity from the start node still reaches everything
+    val start = padj.keys.min
+    val seen = scala.collection.mutable.Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(padj(_)).filterNot(seen)
+      seen ++= frontier
+    }
+    assert(seen.size == 500, s"BFS reached ${seen.size}/500")
+    // beam recall over a mix of old and NEW query points
+    val queries = Seq(3L, 20L, 77L, 250L, 444L)
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      val exact = emb.select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Euclidean, col("embedding"), qv.toSeq).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = VamanaBuild.greedySearch(padj, vecs, qv, k = 10, searchSize = 75,
+        start = start, metric = Metric.Euclidean).toSet
+      exact.count(got.contains).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.95, s"patched-graph recall $mean (per-query: $recalls)")
+  }
+
   test("deterministic: rebuilding yields the identical edge list") {
     val again = VamanaBuild.build(
       emb, col("vec_id"), col("embedding"), Metric.Euclidean,
