@@ -65,6 +65,8 @@ final class CollectionStore(spark: SparkSession, root: String) {
     Collection(mergedView(name), readSchema(name))
 
   def drop(name: String): Unit = {
+    clearDeltaCache(name)
+    baseCache.remove(name)
     val dir = Paths.get(root, name)
     if (Files.exists(dir)) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -129,58 +131,76 @@ final class CollectionStore(spark: SparkSession, root: String) {
     * clear; string fields also honor the `"_delete"` sentinel value.
     */
   def update(name: String, updates: DataFrame): Long = {
-    // size + duplicate check in one aggregate: duplicate ids in the batch
-    // would fan out the left join and duplicate stored rows permanently
-    val stats = updates.agg(
-      count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d")).head()
-    require(stats.getLong(0) <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
-    require(stats.getLong(1) == stats.getLong(0), "duplicate _id within update batch")
-    // merge against the AFFECTED slice of the current view only — the
-    // delta written below carries just these ≤ MaxUpdateBatch row versions
-    val existing = mergedView(name)
-      .join(broadcast(updates.select(col(IdCol).cast(StringType).as(IdCol))),
-        Seq(IdCol), "left_semi")
-    val hasUnset = updates.columns.contains(UnsetCol)
-    val u = updates.columns.filterNot(_ == IdCol).foldLeft(updates) {
-      (df, c) => df.withColumnRenamed(c, s"_u_$c")
-    }
-    val joined = existing.join(broadcast(u), Seq(IdCol), "left_outer")
-    val merged = existing.columns.filterNot(_ == IdCol).foldLeft(joined) { (df, c) =>
-      if (!u.columns.contains(s"_u_$c") && !hasUnset) df
+    // the batch is ≤ MaxUpdateBatch rows by the reference contract — one
+    // bounded collect covers the size/duplicate checks AND turns the batch
+    // into literal id→value maps, so the merge is a pure projection over
+    // the affected slice (no per-batch broadcast-join build)
+    val batchRows = updates.limit(MaxUpdateBatch + 1).collect()
+    require(batchRows.length <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
+    val uSchema = updates.schema
+    require(uSchema.fieldNames.contains(IdCol), s"updates must carry $IdCol")
+    val idIdx = uSchema.fieldIndex(IdCol)
+    val batchIds = batchRows.map { r =>
+      require(!r.isNullAt(idIdx), s"null $IdCol in update batch")
+      r.get(idIdx).toString
+    }.toSeq
+    require(batchIds.distinct.length == batchIds.length, "duplicate _id within update batch")
+
+    val existing = viewRowsFor(name, batchIds)
+    val storedSchema = existing.schema
+    def litOf(v: Any, dt: DataType): Column =
+      org.apache.spark.sql.graft.Bridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
+    // id → non-null incoming value as a literal map; a missing entry reads
+    // as null = "keep stored", exactly the old left-join semantics
+    def incomingFor(c: String): Option[Column] =
+      if (!uSchema.fieldNames.contains(c)) None
       else {
-        val stored = df(c)
-        val withUnset =
-          if (hasUnset) when(
-            array_contains(coalesce(col(s"_u_$UnsetCol"), array().cast("array<string>")), c),
-            lit(null).cast(existing.schema(c).dataType))
-          else when(lit(false), lit(null).cast(existing.schema(c).dataType))
-        val incoming = if (u.columns.contains(s"_u_$c")) col(s"_u_$c") else lit(null)
-        val value = existing.schema(c).dataType match {
+        val fi = uSchema.fieldIndex(c)
+        val dt = uSchema(c).dataType
+        val entries = batchRows.filter(!_.isNullAt(fi))
+          .map(r => (r.get(idIdx).toString, r.get(fi)))
+        if (entries.isEmpty) Some(lit(null).cast(dt))
+        else Some(element_at(
+          map_from_arrays(
+            array(entries.map(e => lit(e._1)): _*),
+            array(entries.map(e => litOf(e._2, dt)): _*)),
+          col(IdCol)))
+      }
+    val unsetMap = if (uSchema.fieldNames.contains(UnsetCol)) incomingFor(UnsetCol) else None
+    val merged = storedSchema.fieldNames.filterNot(_ == IdCol).map { c =>
+      val dt = storedSchema(c).dataType
+      val inc = incomingFor(c)
+      if (inc.isEmpty && unsetMap.isEmpty) col(c).as(c)
+      else {
+        val stored = col(c)
+        val withUnset = unsetMap match {
+          case Some(un) => when(
+            array_contains(coalesce(un.cast("array<string>"), array().cast("array<string>")), c),
+            lit(null).cast(dt))
+          case None => when(lit(false), lit(null).cast(dt))
+        }
+        val incoming = inc.getOrElse(lit(null))
+        val value = dt match {
           case StringType =>
             withUnset
               .when(incoming === DeleteSentinel, lit(null).cast(StringType))
               .when(incoming.isNotNull, incoming)
               .otherwise(stored)
-          case dt =>
+          case other =>
             withUnset
-              .when(incoming.isNotNull, incoming.cast(dt))
+              .when(incoming.isNotNull, incoming.cast(other))
               .otherwise(stored)
         }
-        df.withColumn(s"_m_$c", value)
+        value.as(c)
       }
     }
-    val result = merged.select(
-      col(IdCol) +: existing.columns.filterNot(_ == IdCol).map { c =>
-        (if (merged.columns.contains(s"_m_$c")) col(s"_m_$c") else col(c)).as(c)
-      }.toSeq: _*).persist()
+    val result = existing.select(col(IdCol) +: merged.toSeq: _*)
     // update-side vector-length validation (reference CheckCompatibleMap,
     // httpapi/v2/handlers.go:345): an update must not persist a
     // wrong-length vector — the distance kernels would silently truncate
     requireVecLens(result, readSchema(name))
-    val updated = result.count() // `existing` is already the affected slice
-    if (updated > 0) writeDelta(name, result, tombstone = false)
-    result.unpersist(false)
-    updated
+    writeDelta(name, result, tombstone = false) // rows written = ids matched
   }
 
   /** W3 — delete by id; unknown ids are no-ops; returns rows removed.
@@ -188,12 +208,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
     */
   def delete(name: String, ids: Seq[String]): Long = {
     require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
-    val view = mergedView(name)
-    val affected = view.filter(col(IdCol).isin(ids: _*)).persist()
-    val removed = affected.count()
-    if (removed > 0) writeDelta(name, affected, tombstone = true)
-    affected.unpersist(false)
-    removed
+    writeDelta(name, viewRowsFor(name, ids), tombstone = true)
   }
 
   // ---- quantizer lifecycle (reference models/quantizer.go:51–76) ----------
@@ -313,6 +328,55 @@ final class CollectionStore(spark: SparkSession, root: String) {
   private def deltaPath(name: String, base: Long, seq: Long): String =
     Paths.get(root, name, s"d${base}_$seq").toString
 
+  // In-memory mirror of the delta log (single-writer store, like the
+  // reference's shard cache): each delta is a lineage-free checkpointed
+  // frame of ≤ batch-size rows, so per-batch merge plans read memory
+  // instead of re-listing and re-footer-reading parquet directories.
+  // Validated against the on-disk listing on every access (staleness
+  // self-heals); released on compaction/drop. Bounded by
+  // CompactThreshold × batch size rows.
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Vector[(Long, DataFrame)])]()
+
+  private def cachedDeltas(name: String, base: Long): Vector[(Long, DataFrame)] = {
+    val seqs = deltaSeqs(name, base).toVector
+    val cur = deltaCache.get(name)
+    if (cur != null && cur._1 == base && cur._2.map(_._1) == seqs) cur._2
+    else {
+      if (cur != null) cur._2.foreach(_._2.unpersist(false))
+      val frames = seqs.map(s =>
+        s -> spark.read.parquet(deltaPath(name, base, s)).localCheckpoint())
+      deltaCache.put(name, (base, frames))
+      frames
+    }
+  }
+
+  private def registerDelta(name: String, base: Long, seq: Long, df: DataFrame): Unit = {
+    val cur = deltaCache.get(name)
+    if (cur != null && cur._1 == base) deltaCache.put(name, (base, cur._2 :+ (seq -> df)))
+    else deltaCache.put(name, (base, Vector(seq -> df)))
+  }
+
+  private def clearDeltaCache(name: String): Unit = {
+    val cur = deltaCache.remove(name)
+    if (cur != null) cur._2.foreach(_._2.unpersist(false))
+  }
+
+  // Reuse the analyzed base relation per (name, version): re-creating it
+  // per call re-lists the directory and re-reads footers for schema.
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private def baseFrame(name: String, base: Long): DataFrame = {
+    val cur = baseCache.get(name)
+    if (cur != null && cur._1 == base) cur._2
+    else {
+      val df = spark.read.parquet(Paths.get(root, name, s"v$base").toString)
+      baseCache.put(name, (base, df))
+      df
+    }
+  }
+
   /** The current read view: base snapshot with the delta log applied.
     * The base never shuffles — delta ids are broadcast into an anti-join
     * and the winning (max `_seq`) delta row versions are unioned on. The
@@ -320,11 +384,11 @@ final class CollectionStore(spark: SparkSession, root: String) {
     */
   private def mergedView(name: String): DataFrame = {
     val base = currentVersion(name)
-    val baseDf = spark.read.parquet(Paths.get(root, name, s"v$base").toString)
-    val seqs = deltaSeqs(name, base)
-    if (seqs.isEmpty) baseDf
+    val baseDf = baseFrame(name, base)
+    val frames = cachedDeltas(name, base)
+    if (frames.isEmpty) baseDf
     else {
-      val dAll = spark.read.parquet(seqs.map(deltaPath(name, base, _)): _*)
+      val dAll = frames.map(_._2).reduce(_ unionByName _)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(IdCol).orderBy(col(SeqCol).desc)
       val latest = dAll
@@ -337,10 +401,40 @@ final class CollectionStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Current row versions for a BOUNDED id set: point merge-on-read. The
+    * base scan carries an `_id IN (...)` pushdown instead of the full
+    * anti-join view, so a ≤100-row update/delete batch touches ~batch-size
+    * rows (plus the tiny delta log), never the whole collection — and no
+    * broadcast exchange is built per batch.
+    */
+  private def viewRowsFor(name: String, ids: Seq[String]): DataFrame = {
+    val base = currentVersion(name)
+    val baseDf = baseFrame(name, base)
+      .filter(col(IdCol).isin(ids: _*))
+      .withColumn(SeqCol, lit(-1L))
+      .withColumn(TombstoneCol, lit(false))
+    val frames = cachedDeltas(name, base)
+    val all =
+      if (frames.isEmpty) baseDf
+      else baseDf.unionByName(
+        frames.map(_._2).reduce(_ unionByName _).filter(col(IdCol).isin(ids: _*)))
+    // ≤ |ids| × (deltas+1) rows by construction — one partition satisfies
+    // the window's clustering requirement with no exchange
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(IdCol).orderBy(col(SeqCol).desc)
+    all.coalesce(1).withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(TombstoneCol))
+      .drop("_rn", SeqCol, TombstoneCol)
+  }
+
   /** Append one delta directory (full row versions of the affected ids),
     * compacting into a fresh base once the log reaches CompactThreshold.
+    * Runs exactly ONE Spark job: the write executes the (tiny) merge plan
+    * directly; the row count comes from the written parquet footers
+    * driver-side, and an empty result removes the directory again (the
+    * zero-match no-op). Returns the number of rows written.
     */
-  private def writeDelta(name: String, rows: DataFrame, tombstone: Boolean): Unit = {
+  private def writeDelta(name: String, rows: DataFrame, tombstone: Boolean): Long = {
     val base = currentVersion(name)
     val seqs = deltaSeqs(name, base)
     val next = seqs.lastOption.fold(0L)(_ + 1)
@@ -349,9 +443,32 @@ final class CollectionStore(spark: SparkSession, root: String) {
       .withColumn(TombstoneCol, lit(tombstone))
     val tmp = Paths.get(root, name, s".tmp_d${base}_$next").toString
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(tmp), Paths.get(root, name, s"d${base}_$next"),
-      StandardCopyOption.ATOMIC_MOVE)
-    if (seqs.length + 1 >= CompactThreshold) compact(name)
+    val written = parquetRowCount(Paths.get(tmp))
+    if (written == 0) {
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    } else {
+      val dir = Paths.get(root, name, s"d${base}_$next")
+      Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+      // lazy checkpoint: the mirror frame materializes from this file on
+      // its first use and is cached from then on
+      registerDelta(name, base, next,
+        spark.read.parquet(dir.toString).localCheckpoint(false))
+      if (seqs.length + 1 >= CompactThreshold) compact(name)
+    }
+    written
+  }
+
+  /** Driver-side row count from parquet footers — no Spark job. */
+  private def parquetRowCount(dir: java.nio.file.Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Fold the delta log into the next base snapshot and drop the deltas.
@@ -367,6 +484,7 @@ final class CollectionStore(spark: SparkSession, root: String) {
         val dir = Paths.get(deltaPath(name, base, s))
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
+      clearDeltaCache(name)
     }
   }
 

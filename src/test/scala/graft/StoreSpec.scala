@@ -127,6 +127,15 @@ class StoreSpec extends SparkSuite {
     assert(st.load("c1").df.filter(col("_id") === "b").head().getLong(2) == 30L)
   }
 
+  test("merge-on-read plan: delta ids broadcast into the base scan, no sort-merge join") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    st.update("c1", Seq(("b", 20L)).toDF("_id", "size"))
+    val plan = st.load("c1").df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("delta log compacts into the next base at the threshold") {
     val dir = Files.createTempDirectory("graft_test_").toString
     val st = new CollectionStore(spark, dir)
