@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Collection, Search}
+import graft.engine.{Collection, Search, TextIndex}
 import graft.model.{IndexSchema, SearchRequest}
 import graft.store.CollectionStore
 
@@ -49,19 +49,47 @@ final class Graft(spark: SparkSession, root: String) {
   def quantizer(name: String, prop: String): Option[graft.store.FittedQuantizer] =
     store.loadQuantizer(name, prop)
 
-  // ---- point writes (W1–W3); cache invalidated per write ------------------
+  // ---- point writes (W1–W3) -----------------------------------------------
+  // A write refreshes the cached collection view; built text indexes are
+  // PATCHED for just the affected ids (reference per-write postings
+  // maintenance, text.go:151–258) instead of being dropped and rebuilt
+  // from the corpus on the next search.
 
   def insert(name: String, points: DataFrame): Long =
-    invalidating(name)(store.insert(name, points))
+    writeThrough(name,
+      points.select(points(graft.store.CollectionStore.IdCol).cast("string"))
+        .collect().map(_.getString(0)).toSeq) {
+      store.insert(name, points)
+    }
 
   def update(name: String, updates: DataFrame): Long =
-    invalidating(name)(store.update(name, updates))
+    writeThrough(name,
+      updates.select(updates(graft.store.CollectionStore.IdCol).cast("string"))
+        .collect().map(_.getString(0)).toSeq) {
+      store.update(name, updates)
+    }
 
   def delete(name: String, ids: Seq[String]): Long =
-    invalidating(name)(store.delete(name, ids))
+    writeThrough(name, ids)(store.delete(name, ids))
 
-  private def invalidating[T](name: String)(op: => T): T =
-    try op finally evict(name)
+  /** Run a store write; on success, refresh the cached view and patch any
+    * built text indexes for the affected ids. A failed write leaves both
+    * the store and the cache untouched. Collections without a built index
+    * are simply evicted (next read reloads lazily).
+    */
+  private def writeThrough(name: String, affectedIds: => Seq[String])(op: => Long): Long = {
+    val before = cache.get(name)
+    val result = op // throws on invalid batches — cache stays valid
+    if (before != null && before.textIndexes.nonEmpty) {
+      val ids = affectedIds
+      val fresh = store.load(name)
+      val patchedIdx = before.textIndexes.map { case (prop, idx) =>
+        prop -> TextIndex.patched(idx, fresh.df, prop, ids)
+      }
+      cache.put(name, fresh.copy(textIndexes = patchedIdx))
+    } else evict(name)
+    result
+  }
 
   /** Drop the cached collection AND release its persisted text-index
     * postings — removing only the map entry would leak the cached RDD

@@ -38,6 +38,30 @@ object TextIndex {
     TextIndex(postings.persist(), n)
   }
 
+  /** Incrementally patch a built index after a write (the reference
+    * updates its inverted postings per point, text.go:151–258): drop the
+    * affected ids' postings, re-analyze JUST those ids from the new
+    * collection view, splice, and materialize. Cost scales with the batch,
+    * never the corpus. The superseded postings cache is released once the
+    * patched frame is materialized.
+    */
+  def patched(idx: TextIndex, newView: DataFrame, prop: String, ids: Seq[String]): TextIndex = {
+    val spark = newView.sparkSession
+    import spark.implicits._
+    val idsDf = ids.toDF(IdCol)
+    val removedDocs = idx.postings
+      .join(broadcast(idsDf), Seq(IdCol), "left_semi")
+      .select(IdCol).distinct().count()
+    val (add, nAdd) = compute(
+      newView.join(broadcast(idsDf), Seq(IdCol), "left_semi"), prop)
+    val postings = idx.postings
+      .join(broadcast(idsDf), Seq(IdCol), "left_anti")
+      .unionByName(add)
+      .localCheckpoint() // eager: lineage-free before the old cache drops
+    idx.postings.unpersist(false)
+    TextIndex(postings, idx.numDocs - removedDocs + nAdd)
+  }
+
   /** Build the index materialized to parquet under `cacheDir` (first call
     * pays the tokenize + write; later calls — including fresh sessions or
     * after a `clearCache()` — pay a columnar read, never a corpus

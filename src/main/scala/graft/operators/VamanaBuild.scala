@@ -256,6 +256,61 @@ object VamanaBuild {
     result
   }
 
+  /** Incremental batch delete (reference vamana.go removePoint semantics):
+    * drop the deleted nodes and re-wire every node that pointed at one —
+    * its candidate set becomes its surviving neighbors ∪ the deleted
+    * node's surviving neighbors (edge inheritance keeps the graph
+    * navigable through the hole), re-pruned to the degree bound. Nodes
+    * with no edge into the deleted set pass through untouched.
+    */
+  def deleteBatch(
+      graph: DataFrame, allVecs: DataFrame, id: Column, vec: Column,
+      deletedIds: DataFrame, metric: Metric, params: Params = Params()): DataFrame = {
+    val vecs = allVecs.select(id.cast("long").as("id"), vec.as("vec")).persist()
+    val del = deletedIds.select(col(deletedIds.columns.head).cast("long").as("_del")).persist()
+    val pruneUdf = mkPruneUdf(metric, params)
+
+    val adjE = graph.select(col("id").cast("long").as("src"),
+      explode(col("neighbors").cast("array<long>")).as("dst"))
+    // edges with both endpoints surviving / edges out of deleted nodes
+    val keepEdges = adjE
+      .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
+      .join(del.withColumnRenamed("_del", "dst"), Seq("dst"), "left_anti")
+    val delOut = adjE.join(del.withColumnRenamed("_del", "src"), "src")
+      .select(col("src").as("_d"), col("dst"))
+      .join(del.withColumnRenamed("_del", "dst"), Seq("dst"), "left_anti")
+    // survivors that pointed at a deleted node inherit its surviving edges
+    val affectedIn = adjE.join(del.withColumnRenamed("_del", "dst"), "dst")
+      .select(col("src"), col("dst").as("_d"))
+      .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
+    val inherited = affectedIn.join(delOut, "_d").select("src", "dst")
+    val affected = affectedIn.select("src").distinct()
+
+    val candW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
+    val repruned = keepEdges.join(affected, "src").union(inherited)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+      .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+      .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
+      .withColumn("_cr", row_number().over(candW))
+      .filter(col("_cr") <= params.maxCandidates)
+      .groupBy("src")
+      .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
+      .select(col("src"), explode(col("_nbrs")).as("dst"))
+
+    val result = keepEdges.join(affected, Seq("src"), "left_anti")
+      .union(repruned)
+      .distinct()
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .localCheckpoint()
+    del.unpersist(false)
+    vecs.unpersist(false)
+    result
+  }
+
   /** Greedy beam search over a collected adjacency (serving-side
     * algorithm, reference vamana/search.go:9–102; used here for recall
     * evaluation — Spark-side queries use exact top-k instead).

@@ -64,4 +64,34 @@ class GraftSpec extends SparkSuite {
     db.dropCollection("items")
     assert(db.listCollections().isEmpty)
   }
+
+  test("text index is patched per write — numDocs tracks the live corpus") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema("t" -> Text())
+    db.createCollection("docs", schema, Seq(
+      ("a", "alpha bird"), ("b", "beta bird"), ("c", "gamma fish")
+    ).toDF("_id", "t"))
+    def q(term: String) =
+      s"""{"query": {"property": "t",
+         |  "text": {"value": "$term", "operator": "containsAny", "limit": 10}},
+         | "limit": 10}""".stripMargin
+    assert(db.search("docs", q("bird")).collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b"))
+    assert(db.collection("docs").textIndexes("t").numDocs == 3)
+
+    db.insert("docs", Seq(("d", "delta bird")).toDF("_id", "t"))
+    assert(db.collection("docs").textIndexes("t").numDocs == 4)
+    assert(db.search("docs", q("bird")).collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b", "d"))
+
+    // sentinel-delete the text of a → drops out of the index (null prop)
+    db.update("docs", Seq(("a", "_delete")).toDF("_id", "t"))
+    assert(db.collection("docs").textIndexes("t").numDocs == 3)
+    assert(db.search("docs", q("bird")).collect().map(_.getString(0)).sorted.toSeq
+      == Seq("b", "d"))
+
+    db.delete("docs", Seq("b"))
+    assert(db.collection("docs").textIndexes("t").numDocs == 2)
+    assert(db.search("docs", q("bird")).collect().map(_.getString(0)).toSeq == Seq("d"))
+  }
 }

@@ -92,6 +92,43 @@ class VamanaSpec extends SparkSuite {
     assert(mean >= 0.95, s"patched-graph recall $mean (per-query: $recalls)")
   }
 
+  test("incremental delete: nodes removed, edges re-wired, recall holds") {
+    val del = (0L until 500L by 10L).toSeq // 50 of 500
+    val delDf = del.toDF("vec_id")
+    val patched = VamanaBuild.deleteBatch(graph, emb, col("vec_id"), col("embedding"),
+      delDf, Metric.Euclidean, VamanaBuild.Params(degreeBound = 32, alpha = 1.2))
+    val padj = patched.as[(Long, Seq[Long])].collect().toMap
+    val delSet = del.toSet
+    // every survivor present, no deleted node survives as node or neighbor
+    assert(padj.size == 450, s"${padj.size}")
+    assert(padj.keySet.intersect(delSet).isEmpty)
+    assert(padj.values.forall(_.forall(n => !delSet.contains(n))))
+    // BFS connectivity over the survivors
+    val start = padj.keys.min
+    val seen = scala.collection.mutable.Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(padj(_)).filterNot(seen)
+      seen ++= frontier
+    }
+    assert(seen.size == 450, s"BFS reached ${seen.size}/450")
+    // beam recall vs exact top-10 over the surviving corpus
+    val alive = emb.filter(!col("vec_id").isin(del: _*))
+    val queries = Seq(3L, 77L, 251L, 444L).filterNot(delSet)
+    val recalls = queries.map { q =>
+      val qv = vecs(q)
+      val exact = alive.select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Euclidean, col("embedding"), qv.toSeq).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = VamanaBuild.greedySearch(padj, vecs, qv, k = 10, searchSize = 75,
+        start = start, metric = Metric.Euclidean).toSet
+      exact.count(got.contains).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"post-delete recall $mean (per-query: $recalls)")
+  }
+
   test("deterministic: rebuilding yields the identical edge list") {
     val again = VamanaBuild.build(
       emb, col("vec_id"), col("embedding"), Metric.Euclidean,
