@@ -41,7 +41,13 @@ object VamanaBuild {
         * bounds the prune UDF to O(L²) and the shuffle to L vectors per
         * node; neighbor-of-neighbor fan-out is quadratic without it.
         */
-      maxCandidates: Int = 128)
+      maxCandidates: Int = 128,
+      /** Per-node sample of the undirected adjacency fed into the
+        * neighbor-of-neighbor self-join (NN-Descent's ρK sampling): the
+        * join fan-out is sampleDegree² per node instead of degree², which
+        * is the round's dominant cost. Deterministic md5-ranked sample.
+        */
+      sampleDegree: Int = 24)
 
   /** α-robust prune (reference vamana/search.go:106–138): walk candidates
     * by ascending distance; keep the closest remaining; drop any later
@@ -140,8 +146,17 @@ object VamanaBuild {
     var prevRound: Option[DataFrame] = None
     for (_ <- 1 to params.iterations) {
       val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val nn2 = undirected.as("e1")
-        .join(undirected.as("e2"), col("e1.dst") === col("e2.src"))
+      // deterministic ρK sample of each node's adjacency for the n-of-n
+      // expansion — full degree² fan-out is the round's dominant shuffle
+      val sampleW = org.apache.spark.sql.expressions.Window
+        .partitionBy("src")
+        .orderBy(md5(concat_ws("#", col("src"), col("dst"))), col("dst"))
+      val sampled = undirected
+        .withColumn("_sr", row_number().over(sampleW))
+        .filter(col("_sr") <= params.sampleDegree)
+        .drop("_sr")
+      val nn2 = sampled.as("e1")
+        .join(sampled.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
       val candW = org.apache.spark.sql.expressions.Window
         .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
