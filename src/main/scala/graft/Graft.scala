@@ -20,9 +20,10 @@ import graft.store.CollectionStore
   * first text query (like the reference's shard cache manager,
   * cluster/shardmgr.go:56–110) and invalidated on every write.
   */
-final class Graft(spark: SparkSession, root: String) {
+final class Graft(spark: SparkSession, root: String,
+    plan: graft.store.UserPlan = graft.store.UserPlan()) {
 
-  private val store = new CollectionStore(spark, root)
+  private val store = new CollectionStore(spark, root, plan)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Collection]()
 
   // ---- collection DDL (reference W4) --------------------------------------
@@ -132,4 +133,6 @@ final class Graft(spark: SparkSession, root: String) {
 
 object Graft {
   def apply(spark: SparkSession, root: String): Graft = new Graft(spark, root)
+  def apply(spark: SparkSession, root: String, plan: graft.store.UserPlan): Graft =
+    new Graft(spark, root, plan)
 }

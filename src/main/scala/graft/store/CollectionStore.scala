@@ -42,7 +42,18 @@ import graft.model.{IndexKind, IndexSchema}
   *    value; unknown `_id`s are silently skipped (no-op).
   *  - delete (shard/shard.go:476–550): batch ≤ 100 by id.
   */
-final class CollectionStore(spark: SparkSession, root: String) {
+/** Per-user resource limits (reference models/collection.go:3–13
+  * `UserPlan`; quota enforcement cluster/actions.go:181–265): bounds on
+  * collection count, points per collection, and on-disk bytes per
+  * collection. Defaults are unlimited.
+  */
+final case class UserPlan(
+    maxCollections: Int = Int.MaxValue,
+    maxPointsPerCollection: Long = Long.MaxValue,
+    maxStorageBytesPerCollection: Long = Long.MaxValue)
+
+final class CollectionStore(
+    spark: SparkSession, root: String, plan: UserPlan = UserPlan()) {
 
   import CollectionStore._
 
@@ -52,6 +63,8 @@ final class CollectionStore(spark: SparkSession, root: String) {
   def create(name: String, schema: IndexSchema, data: DataFrame): Unit = {
     val dir = Paths.get(root, name)
     require(!Files.exists(dir), s"collection $name already exists")
+    require(list().size < plan.maxCollections,
+      s"user plan allows at most ${plan.maxCollections} collections")
     IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
     val initial = normalize(data)
     requireVecLens(initial, schema)
@@ -92,6 +105,19 @@ final class CollectionStore(spark: SparkSession, root: String) {
     val existing = mergedView(name)
     val clash = batch.join(existing.select(IdCol), Seq(IdCol), "left_semi").count()
     require(clash == 0, s"$clash point(s) already exist")
+    // quota checks (reference cluster/actions.go:181–265): point count
+    // from the live view, storage from the directory footprint
+    if (plan.maxPointsPerCollection != Long.MaxValue) {
+      val current = existing.count()
+      require(current + n <= plan.maxPointsPerCollection,
+        s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
+    }
+    if (plan.maxStorageBytesPerCollection != Long.MaxValue) {
+      val bytes = Files.walk(Paths.get(root, name)).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      require(bytes <= plan.maxStorageBytesPerCollection,
+        s"collection exceeds the user plan's storage quota")
+    }
     // schema-coerce the batch onto the stored layout: missing properties
     // stay null (sparse rows), types cast, unknown columns dropped
     val aligned = existing.schema.fields.map { f =>

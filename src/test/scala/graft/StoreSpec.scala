@@ -222,6 +222,22 @@ class StoreSpec extends SparkSuite {
       IndexKind.Quantizer.Product(8, 4, 100))))
   }
 
+  test("user plan quotas: collection count and points per collection") {
+    import graft.store.UserPlan
+    val dir = Files.createTempDirectory("graft_test_").toString
+    val st = new CollectionStore(spark, dir,
+      UserPlan(maxCollections = 1, maxPointsPerCollection = 4))
+    st.create("c1", schema, seed) // 3 points
+    intercept[IllegalArgumentException] {
+      st.create("c2", schema, seed) // plan allows 1 collection
+    }
+    assert(st.insert("c1", Seq(("d", 4L)).toDF("_id", "size")) == 1) // 4 ≤ 4
+    intercept[IllegalArgumentException] {
+      st.insert("c1", Seq(("e", 5L)).toDF("_id", "size")) // would be 5 > 4
+    }
+    assert(st.load("c1").df.count() == 4)
+  }
+
   test("W5: JSON documents ingest through spark.read.json into a collection") {
     val st = freshStore()
     st.create("c1", schema, seed)
