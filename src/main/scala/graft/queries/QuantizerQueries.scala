@@ -35,6 +35,43 @@ object QuantizerQueries {
       TestCollections.queryVector(s, d, 0), th, k = 10)
   }
 
+  /** The production BQ operating mode, fully oracled: hamming over packed
+    * sign bits picks the top-50 candidates, the true cosine re-ranks just
+    * those (Quantizers.searchRescored) — DuckDB replays thresholds,
+    * hamming, candidate cut, and re-rank.
+    */
+  val bqRescoredTopk = NamedQuery(
+    "bq_rescored_topk",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |means AS (
+      |  SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings CROSS JOIN dims GROUP BY i),
+      |th AS (SELECT list(m ORDER BY i) AS t FROM means),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |hd AS (
+      |  SELECT e.vec_id AS id, e.embedding,
+      |    len(list_filter(range(1, 65),
+      |      i -> (CAST(e.embedding[i] AS DOUBLE) > th.t[i])
+      |           != (CAST(q.v[i] AS DOUBLE) > th.t[i]))) AS hdist
+      |  FROM embeddings e CROSS JOIN q CROSS JOIN th),
+      |cand AS (SELECT id, embedding FROM hd ORDER BY hdist ASC, id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT c.id, 1.0 - list_inner_product(c.embedding, q.v) AS dist
+      |  FROM cand c CROSS JOIN q),
+      |top AS (SELECT id, dist FROM rr ORDER BY dist ASC, id ASC LIMIT 10)
+      |SELECT id, CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM top ORDER BY dist_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
+    val encoded = BinaryQuantizer.encode(
+      emb.select(col("vec_id"), col("embedding")), col("embedding"), th)
+    BinaryQuantizer.searchRescored(encoded, col("vec_id"), col("embedding"),
+        TestCollections.queryVector(s, d, 0), th, k = 10, rescore = 50,
+        graft.model.IndexKind.Metric.Cosine)
+      .select(col("id"), dround(col("distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("id"))
+  }
+
   /** Rows-only (k-means has no cross-engine closed form): ADC top-10 for
     * the vec_id-7 query under an m=8, k=32 codebook.
     */
@@ -120,5 +157,6 @@ object QuantizerQueries {
           .as("neighbors_csv"))
   }
 
-  val all: Seq[NamedQuery] = Seq(bqHammingPacked, pqAdcTopk, pqAdcFixed, vamanaGraph)
+  val all: Seq[NamedQuery] =
+    Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph)
 }
