@@ -48,9 +48,30 @@ object Dedup {
   private def tokenized(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("_pid"), tokens(text).as("_toks")).persist()
 
+  /** Primitive-loop shingler — same distinct word n-grams as
+    * [[shinglesFromTokens]] (first-occurrence order), without the
+    * interpreted per-element HOF walk. Shingle VALUES are identical, so
+    * the SQL oracles replay unchanged.
+    */
+  private def shingleUdf(n: Int) = udf { (toks: Seq[String]) =>
+    if (toks.length < n) Array.empty[String]
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
   private def shingled(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     tokenized(df, id, text)
-      .select(col("_pid"), shinglesFromTokens(col("_toks"), n).as("_sh"))
+      .select(col("_pid"), shingleUdf(n)(col("_toks")).as("_sh"))
       .filter(size(col("_sh")) > 0)
 
   /** 60-bit non-negative hash of a string column (md5 prefix). */
