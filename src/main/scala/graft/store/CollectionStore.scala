@@ -80,6 +80,8 @@ final class CollectionStore(
   def drop(name: String): Unit = {
     clearDeltaCache(name)
     baseCache.remove(name)
+    Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
+    pendingOps.remove(name)
     val dir = Paths.get(root, name)
     if (Files.exists(dir)) {
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -155,12 +157,15 @@ final class CollectionStore(
     * `updates` carries `_id`, any subset of data columns (null = keep
     * stored value), optionally `_unset: array<string>` naming fields to
     * clear; string fields also honor the `"_delete"` sentinel value.
+    *
+    * GROUP COMMIT: the batch is validated driver-side, its matched-row
+    * count answered by a liveness probe, and the patch itself appended to
+    * a durable driver-side WAL (`pending/p<seq>.json`, atomic rename, no
+    * Spark job). Consecutive batches fold into ONE delta at the next read
+    * or at the pending threshold — the reference's per-batch ack semantics
+    * at a fraction of the per-transaction cost.
     */
   def update(name: String, updates: DataFrame): Long = {
-    // the batch is ≤ MaxUpdateBatch rows by the reference contract — one
-    // bounded collect covers the size/duplicate checks AND turns the batch
-    // into literal id→value maps, so the merge is a pure projection over
-    // the affected slice (no per-batch broadcast-join build)
     val batchRows = updates.limit(MaxUpdateBatch + 1).collect()
     require(batchRows.length <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
     val uSchema = updates.schema
@@ -171,20 +176,220 @@ final class CollectionStore(
       r.get(idIdx).toString
     }.toSeq
     require(batchIds.distinct.length == batchIds.length, "duplicate _id within update batch")
+    if (batchIds.isEmpty) return 0L
+    // update-side vector-length validation (reference CheckCompatibleMap,
+    // httpapi/v2/handlers.go:345) — driver-side over the ≤100 rows in hand
+    validatePatchVecLens(uSchema, batchRows, readSchema(name))
+    recoverPending(name)
+    val live = liveIds(name, batchIds)
+    val matched = batchIds.count(live)
+    if (matched > 0) appendPending(name, PendingPatch(uSchema, batchRows.toSeq))
+    if (pendingOps.getOrDefault(name, Vector.empty).length >= CompactThreshold) flush(name)
+    matched.toLong
+  }
 
-    val existing = viewRowsFor(name, batchIds)
-    val storedSchema = existing.schema
+  /** W3 — delete by id; unknown ids are no-ops; returns rows removed.
+    * Deletes append a tombstone op to the WAL; the fold at flush writes
+    * `_tombstone` row versions — the base is untouched.
+    */
+  def delete(name: String, ids: Seq[String]): Long = {
+    require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
+    if (ids.isEmpty) return 0L
+    recoverPending(name)
+    val live = liveIds(name, ids)
+    val removed = ids.distinct.filter(live)
+    if (removed.nonEmpty) appendPending(name, PendingTombstone(removed))
+    if (pendingOps.getOrDefault(name, Vector.empty).length >= CompactThreshold) flush(name)
+    removed.length.toLong
+  }
+
+  // ---- group-commit write-ahead log ---------------------------------------
+
+  private sealed trait Pending
+  private final case class PendingPatch(
+      schema: StructType, rows: Seq[org.apache.spark.sql.Row]) extends Pending
+  private final case class PendingTombstone(ids: Seq[String]) extends Pending
+
+  private val pendingOps =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(Long, Pending)]]()
+  private val flushing =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  private def pendingDir(name: String) = Paths.get(root, name, "pending")
+
+  private def pendingTombstoned(name: String): Set[String] =
+    pendingOps.getOrDefault(name, Vector.empty).flatMap {
+      case (_, PendingTombstone(ids)) => ids
+      case _ => Nil
+    }.toSet
+
+  // The probe's id index: the base's `_id` column kept as a persisted
+  // frame per version (the cluster-cached analogue of the reference's id
+  // bucket) so per-batch liveness probes scan memory, not parquet.
+  private val idFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
+
+  private def baseIdFrame(name: String, base: Long): DataFrame = {
+    val cur = idFrameCache.get(name)
+    if (cur != null && cur._1 == base) cur._2
+    else {
+      if (cur != null) cur._2.unpersist(false)
+      val df = baseFrame(name, base).select(col(IdCol)).persist()
+      idFrameCache.put(name, (base, df))
+      df
+    }
+  }
+
+  /** Which of `ids` are live in (base ∪ deltas) minus pending tombstones —
+    * one tiny job over the cached id index + delta mirrors, no flush.
+    */
+  private def liveIds(name: String, ids: Seq[String]): Set[String] = {
+    val base = currentVersion(name)
+    val baseIds = baseIdFrame(name, base)
+      .filter(col(IdCol).isin(ids: _*))
+      .withColumn(SeqCol, lit(-1L))
+      .withColumn(TombstoneCol, lit(false))
+    val frames = cachedDeltas(name, base)
+    val all =
+      if (frames.isEmpty) baseIds
+      else baseIds.unionByName(
+        frames.map(_._2.select(col(IdCol), col(SeqCol), col(TombstoneCol)))
+          .reduce(_ unionByName _)
+          .filter(col(IdCol).isin(ids: _*)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(IdCol).orderBy(col(SeqCol).desc)
+    val live = all.coalesce(1)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(TombstoneCol))
+      .select(IdCol).collect().map(_.getString(0)).toSet
+    live -- pendingTombstoned(name)
+  }
+
+  /** Append one op to the WAL (atomic file rename — durable before the
+    * call returns, like the reference's per-batch bbolt commit) and to the
+    * in-memory mirror.
+    */
+  private def appendPending(name: String, op: Pending): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val cur = pendingOps.getOrDefault(name, Vector.empty)
+    val seq = cur.lastOption.fold(0L)(_._1 + 1)
+    val dir = pendingDir(name)
+    Files.createDirectories(dir)
+    val json: JValue = op match {
+      case PendingPatch(s, rows) => JObject(
+        "base" -> JLong(currentVersion(name)),
+        "op" -> JString("patch"),
+        "schema" -> JString(s.json),
+        "rows" -> JArray(rows.map(r =>
+          JArray(s.fields.indices.map(i => valueToJson(r.get(i))).toList)).toList))
+      case PendingTombstone(ids) => JObject(
+        "base" -> JLong(currentVersion(name)),
+        "op" -> JString("tombstone"),
+        "ids" -> JArray(ids.map(JString(_)).toList))
+    }
+    val tmp = dir.resolve(s".tmp_p$seq.json")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
+    Files.move(tmp, dir.resolve(s"p$seq.json"), StandardCopyOption.ATOMIC_MOVE)
+    pendingOps.put(name, cur :+ (seq -> op))
+  }
+
+  /** Load the WAL into memory if this store has not seen the collection
+    * yet (crash recovery / second store instance). Memory is authoritative
+    * once loaded — single-writer, like the reference's shard ownership.
+    */
+  private def recoverPending(name: String): Unit =
+    if (!pendingOps.containsKey(name)) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val dir = pendingDir(name)
+      val ops: Vector[(Long, Pending)] =
+        if (!Files.exists(dir)) Vector.empty
+        else Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.matches("p\\d+\\.json")).toVector
+          .sortBy(_.getFileName.toString.drop(1).dropRight(5).toLong)
+          .map { f =>
+            val seq = f.getFileName.toString.drop(1).dropRight(5).toLong
+            val j = JsonMethods.parse(Files.readString(f))
+            (j \ "op") match {
+              case JString("tombstone") =>
+                val JArray(ids) = (j \ "ids"): @unchecked
+                seq -> (PendingTombstone(ids.map {
+                  case JString(s) => s
+                  case other => throw new IllegalStateException(s"bad id $other")
+                }): Pending)
+              case _ =>
+                val JString(schemaJson) = (j \ "schema"): @unchecked
+                val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+                val JArray(rows) = (j \ "rows"): @unchecked
+                val rs = rows.map {
+                  case JArray(vals) => org.apache.spark.sql.Row.fromSeq(
+                    vals.zipWithIndex.map { case (v, i) =>
+                      jsonToValue(v, s.fields(i).dataType) })
+                  case other => throw new IllegalStateException(s"bad row $other")
+                }
+                seq -> (PendingPatch(s, rs): Pending)
+            }
+          }
+      pendingOps.put(name, ops)
+    }
+
+  /** Fold the whole pending log into ONE delta: apply every op in order to
+    * the affected slice of the current view (patches guarded by a `_dead`
+    * flag so a pending delete wins over a later pending update), write the
+    * mixed tombstone/value rows, then clear the WAL. Replay after a crash
+    * between the delta commit and the WAL delete is idempotent — patches
+    * carry absolute values.
+    */
+  private def flush(name: String): Unit = {
+    if (!flushing.add(name)) return
+    try {
+      recoverPending(name)
+      val ops = pendingOps.getOrDefault(name, Vector.empty)
+      if (ops.nonEmpty) {
+        val storedSchema = baseFrame(name, currentVersion(name)).schema
+        val allIds = ops.flatMap {
+          case (_, PendingPatch(s, rows)) =>
+            val ii = s.fieldIndex(IdCol)
+            rows.map(_.get(ii).toString)
+          case (_, PendingTombstone(ids)) => ids
+        }.distinct
+        val slice = viewRowsFor(name, allIds).withColumn(DeadCol, lit(false))
+        val folded = ops.foldLeft(slice) {
+          case (df, (_, p: PendingPatch)) => applyPatch(df, storedSchema, p)
+          case (df, (_, PendingTombstone(ids))) =>
+            df.withColumn(DeadCol, col(DeadCol) || col(IdCol).isin(ids: _*))
+        }
+        val out = folded.select(
+          storedSchema.fieldNames.map(col).toSeq :+ col(DeadCol).as(TombstoneCol): _*)
+        writeDeltaFlagged(name, out)
+        pendingOps.remove(name)
+        val pd = pendingDir(name)
+        if (Files.exists(pd))
+          Files.list(pd).iterator().asScala.toSeq.foreach(Files.delete)
+      }
+    } finally flushing.remove(name)
+  }
+
+  /** One patch op as a projection over the slice: id → non-null incoming
+    * value as literal maps (a missing entry reads as null = "keep stored",
+    * exactly left-join merge semantics), `_delete` sentinel on strings,
+    * `_unset` name lists, everything guarded by the `_dead` flag.
+    */
+  private def applyPatch(
+      df: DataFrame, storedSchema: StructType, p: PendingPatch): DataFrame = {
+    val uSchema = p.schema
+    val idIdx = uSchema.fieldIndex(IdCol)
     def litOf(v: Any, dt: DataType): Column =
       org.apache.spark.sql.graft.Bridge.toColumn(
         org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt))
-    // id → non-null incoming value as a literal map; a missing entry reads
-    // as null = "keep stored", exactly the old left-join semantics
     def incomingFor(c: String): Option[Column] =
       if (!uSchema.fieldNames.contains(c)) None
       else {
         val fi = uSchema.fieldIndex(c)
         val dt = uSchema(c).dataType
-        val entries = batchRows.filter(!_.isNullAt(fi))
+        val entries = p.rows.filter(!_.isNullAt(fi))
           .map(r => (r.get(idIdx).toString, r.get(fi)))
         if (entries.isEmpty) Some(lit(null).cast(dt))
         else Some(element_at(
@@ -218,23 +423,89 @@ final class CollectionStore(
               .when(incoming.isNotNull, incoming.cast(other))
               .otherwise(stored)
         }
-        value.as(c)
+        when(col(DeadCol), stored).otherwise(value).as(c)
       }
     }
-    val result = existing.select(col(IdCol) +: merged.toSeq: _*)
-    // update-side vector-length validation (reference CheckCompatibleMap,
-    // httpapi/v2/handlers.go:345): an update must not persist a
-    // wrong-length vector — the distance kernels would silently truncate
-    requireVecLens(result, readSchema(name))
-    writeDelta(name, result, tombstone = false) // rows written = ids matched
+    df.select(col(IdCol) +: merged.toSeq :+ col(DeadCol): _*)
   }
 
-  /** W3 — delete by id; unknown ids are no-ops; returns rows removed.
-    * Deletes write `_tombstone` row versions; the base is untouched.
+  /** Driver-side vector-length validation over the collected batch rows
+    * (the Spark-agg variant would force a per-batch job).
     */
-  def delete(name: String, ids: Seq[String]): Long = {
-    require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
-    writeDelta(name, viewRowsFor(name, ids), tombstone = true)
+  private def validatePatchVecLens(
+      uSchema: StructType, rows: Array[org.apache.spark.sql.Row],
+      schema: IndexSchema): Unit = {
+    val checks = schema.props.toSeq.sortBy(_._1).collect {
+      case (prop, k: IndexKind.VectorFlat) if uSchema.fieldNames.contains(prop) =>
+        (prop, k.vectorSize)
+      case (prop, k: IndexKind.VectorVamana) if uSchema.fieldNames.contains(prop) =>
+        (prop, k.vectorSize)
+    }
+    checks.foreach { case (prop, len) =>
+      val fi = uSchema.fieldIndex(prop)
+      rows.foreach { r =>
+        if (!r.isNullAt(fi)) {
+          val n = r.get(fi) match {
+            case s: scala.collection.Seq[_] => s.length
+            case a: Array[_] => a.length
+            case _ => -1
+          }
+          require(n == len,
+            s"wrong vector length for $prop (expected $len, got $n)")
+        }
+      }
+    }
+  }
+
+  /** WAL value codec: the external-row value types an update batch can
+    * carry. Recovery coerces back through the recorded schema.
+    */
+  private def valueToJson(v: Any): org.json4s.JValue = {
+    import org.json4s._
+    v match {
+      case null => JNull
+      case s: String => JString(s)
+      case b: Boolean => JBool(b)
+      case b: Byte => JLong(b.toLong)
+      case s: Short => JLong(s.toLong)
+      case i: Int => JLong(i.toLong)
+      case l: Long => JLong(l)
+      case f: Float => JDouble(f.toDouble)
+      case d: Double => JDouble(d)
+      case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+      case d: BigDecimal => JDecimal(d)
+      case seq: scala.collection.Seq[_] => JArray(seq.map(valueToJson).toList)
+      case arr: Array[_] => JArray(arr.map(valueToJson).toList)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WAL value type: ${other.getClass.getName}")
+    }
+  }
+
+  private def jsonToValue(j: org.json4s.JValue, dt: DataType): Any = {
+    import org.json4s._
+    (j, dt) match {
+      case (JNull | JNothing, _) => null
+      case (JString(s), _) => s
+      case (JBool(b), _) => b
+      case (JLong(x), IntegerType) => x.toInt
+      case (JLong(x), ShortType) => x.toShort
+      case (JLong(x), ByteType) => x.toByte
+      case (JLong(x), DoubleType) => x.toDouble
+      case (JLong(x), FloatType) => x.toFloat
+      case (JLong(x), _) => x
+      case (JInt(x), IntegerType) => x.toInt
+      case (JInt(x), DoubleType) => x.toDouble
+      case (JInt(x), FloatType) => x.toFloat
+      case (JInt(x), _) => x.toLong
+      case (JDouble(x), FloatType) => x.toFloat
+      case (JDouble(x), _) => x
+      case (JDecimal(x), DoubleType) => x.toDouble
+      case (JDecimal(x), FloatType) => x.toFloat
+      case (JDecimal(x), _) => x
+      case (JArray(xs), ArrayType(et, _)) => xs.map(jsonToValue(_, et))
+      case (JArray(xs), _) => xs.map(jsonToValue(_, StringType))
+      case (other, _) => throw new IllegalStateException(s"bad WAL value $other")
+    }
   }
 
   // ---- quantizer lifecycle (reference models/quantizer.go:51–76) ----------
@@ -409,6 +680,7 @@ final class CollectionStore(
     * delta side is bounded by CompactThreshold × batch size.
     */
   private def mergedView(name: String): DataFrame = {
+    flush(name) // fold any pending write batches first (read-your-writes)
     val base = currentVersion(name)
     val baseDf = baseFrame(name, base)
     val frames = cachedDeltas(name, base)
@@ -460,13 +732,17 @@ final class CollectionStore(
     * driver-side, and an empty result removes the directory again (the
     * zero-match no-op). Returns the number of rows written.
     */
-  private def writeDelta(name: String, rows: DataFrame, tombstone: Boolean): Long = {
+  private def writeDelta(name: String, rows: DataFrame, tombstone: Boolean): Long =
+    writeDeltaFlagged(name, rows.withColumn(TombstoneCol, lit(tombstone)))
+
+  /** Variant for rows that already carry their own `_tombstone` flag
+    * (the group-commit fold mixes patched and deleted rows in one delta).
+    */
+  private def writeDeltaFlagged(name: String, rows: DataFrame): Long = {
     val base = currentVersion(name)
     val seqs = deltaSeqs(name, base)
     val next = seqs.lastOption.fold(0L)(_ + 1)
-    val out = rows
-      .withColumn(SeqCol, lit(next))
-      .withColumn(TombstoneCol, lit(tombstone))
+    val out = rows.withColumn(SeqCol, lit(next))
     val tmp = Paths.get(root, name, s".tmp_d${base}_$next").toString
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
     val written = parquetRowCount(Paths.get(tmp))
@@ -536,6 +812,7 @@ object CollectionStore {
   val UnsetCol = "_unset"
   val SeqCol = "_seq"
   val TombstoneCol = "_tombstone"
+  val DeadCol = "_dead" // flush-time fold marker, never persisted under this name
   val DeleteSentinel = "_delete" // reference shard/shard.go:41
   val MaxInsertBatch = 10000 // reference httpapi/v2/handlers.go:229–237
   val MaxUpdateBatch = 100

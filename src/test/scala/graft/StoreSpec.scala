@@ -106,25 +106,53 @@ class StoreSpec extends SparkSuite {
     }
   }
 
-  test("writes append tiny deltas; the base snapshot is not rewritten") {
+  test("writes land in the WAL, fold into ONE delta at the next read") {
     val dir = Files.createTempDirectory("graft_test_").toString
     val st = new CollectionStore(spark, dir)
     st.create("c1", schema, seed)
     assert(st.update("c1", Seq(("b", 20L)).toDF("_id", "size")) == 1)
     assert(st.delete("c1", Seq("c")) == 1)
-    def entries = Files.list(java.nio.file.Paths.get(dir, "c1")).iterator()
-    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(entries)
+    def names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        Files.walk(java.nio.file.Paths.get(dir, "c1")).iterator())
       .asScala.map(_.getFileName.toString).toSeq.sorted
-    // base v0 untouched, two delta dirs, no compacted v1 yet
-    assert(names.contains("v0") && !names.contains("v1"), names)
-    assert(names.count(_.startsWith("d0_")) == 2, names)
-    // merge-on-read view reflects both deltas
+    // both batches durable in the WAL; no delta, no snapshot rewrite yet
+    val before = names
+    assert(before.count(_.matches("p\\d+\\.json")) == 2, before)
+    assert(before.contains("v0") && !before.contains("v1") &&
+      !before.exists(_.startsWith("d0_")), before)
+    // the read folds the whole pending log into ONE delta (group commit)
     val rows = st.load("c1").df.orderBy("_id").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
     assert(rows(1).getLong(2) == 20L)
+    val after = names
+    assert(after.count(_.startsWith("d0_")) == 1, after)
+    assert(!after.exists(_.matches("p\\d+\\.json")), after)
     // update-after-update stacks on the newest row version
     assert(st.update("c1", Seq(("b", 30L)).toDF("_id", "size")) == 1)
     assert(st.load("c1").df.filter(col("_id") === "b").head().getLong(2) == 30L)
+  }
+
+  test("a second store instance recovers the WAL (crash durability)") {
+    val dir = Files.createTempDirectory("graft_test_").toString
+    val st = new CollectionStore(spark, dir)
+    st.create("c1", schema, seed)
+    assert(st.update("c1", Seq(("b", 21L)).toDF("_id", "size")) == 1)
+    assert(st.delete("c1", Seq("a")) == 1)
+    // fresh instance = process restart: pending batches must survive
+    val st2 = new CollectionStore(spark, dir)
+    val rows = st2.load("c1").df.orderBy("_id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b", "c"))
+    assert(rows(0).getLong(2) == 21L)
+  }
+
+  test("pending delete wins over a later pending update on the same id") {
+    val st = freshStore()
+    st.create("c1", schema, seed)
+    assert(st.delete("c1", Seq("b")) == 1)
+    // b is pending-deleted: the update must see it as gone
+    assert(st.update("c1", Seq(("b", 99L)).toDF("_id", "size")) == 0)
+    val rows = st.load("c1").df.orderBy("_id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "c"))
   }
 
   test("merge-on-read plan: delta ids broadcast into the base scan, no sort-merge join") {
@@ -140,8 +168,11 @@ class StoreSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_test_").toString
     val st = new CollectionStore(spark, dir)
     st.create("c1", schema, seed)
+    // update+read cycles: each read folds one batch into its own delta,
+    // so the DELTA log (not just the WAL) reaches the threshold
     (1 to CollectionStore.CompactThreshold).foreach { i =>
       st.update("c1", Seq(("a", i.toLong)).toDF("_id", "size"))
+      st.load("c1").df.count()
     }
     def entries = Files.list(java.nio.file.Paths.get(dir, "c1")).iterator()
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(entries)
@@ -171,10 +202,11 @@ class StoreSpec extends SparkSuite {
     assert(st.list() == Seq("c1"))
     assert(st.delete("c1", Seq("nope")) == 0)
     assert(st.update("c1", Seq(("nope", 1L)).toDF("_id", "size")) == 0)
-    def entries = Files.list(java.nio.file.Paths.get(dir, "c1")).iterator()
+    def entries = Files.walk(java.nio.file.Paths.get(dir, "c1")).iterator()
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(entries)
       .asScala.map(_.getFileName.toString).toSeq
     assert(!names.exists(_.startsWith("d0_")), names) // nothing written
+    assert(!names.exists(_.matches("p\\d+\\.json")), names) // no WAL entries
   }
 
   test("quantizer auto-trigger: fits once the row count crosses triggerThreshold") {
