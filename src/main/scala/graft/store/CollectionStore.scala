@@ -97,20 +97,23 @@ final class CollectionStore(
 
   /** W1 — all-or-nothing batch insert. */
   def insert(name: String, points: DataFrame): Long = {
+    // pending ops must fold first: a pending tombstone on a re-inserted id
+    // would otherwise outrank the new row at the next flush
+    flush(name)
     val batch = normalize(points)
-    // size + in-batch duplicate check in one aggregate job
-    val stats = batch.agg(
-      count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d")).head()
-    val n = stats.getLong(0)
+    // one bounded id collect covers the size check, the in-batch duplicate
+    // check, and the clash probe (no aggregate job, no broadcast build)
+    val batchIds = batch.select(col(IdCol))
+      .limit(MaxInsertBatch + 1).collect().map(_.getString(0)).toSeq
+    val n = batchIds.length.toLong
     require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
-    require(stats.getLong(1) == n, "duplicate _id within insert batch")
-    val existing = mergedView(name)
-    val clash = batch.join(existing.select(IdCol), Seq(IdCol), "left_semi").count()
-    require(clash == 0, s"$clash point(s) already exist")
+    require(batchIds.distinct.length == batchIds.length, "duplicate _id within insert batch")
+    val clash = liveIds(name, batchIds)
+    require(clash.isEmpty, s"${clash.size} point(s) already exist")
     // quota checks (reference cluster/actions.go:181–265): point count
     // from the live view, storage from the directory footprint
     if (plan.maxPointsPerCollection != Long.MaxValue) {
-      val current = existing.count()
+      val current = mergedView(name).count()
       require(current + n <= plan.maxPointsPerCollection,
         s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
     }
@@ -122,7 +125,8 @@ final class CollectionStore(
     }
     // schema-coerce the batch onto the stored layout: missing properties
     // stay null (sparse rows), types cast, unknown columns dropped
-    val aligned = existing.schema.fields.map { f =>
+    val storedSchema = baseFrame(name, currentVersion(name)).schema
+    val aligned = storedSchema.fields.map { f =>
       (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)
     }
