@@ -83,6 +83,32 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicates(keys)
 
+  /** Continuously ingest a stream into a stored collection: each
+    * micro-batch lands through the store's insert contract (≤ 10k-point
+    * sub-batches, duplicate/clash checks, delta log) via `foreachBatch` —
+    * exactly-once per the sink's idempotent id checks, so a replayed
+    * micro-batch rejects rather than duplicates. The streaming face of W1.
+    */
+  def ingestInto(
+      stream: DataFrame, store: graft.store.CollectionStore, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // spark's micro-batch can exceed the insert contract; split via
+        // bounded collects (the contract caps memory at 10k rows per call)
+        val rows = batch.collect()
+        val schema = batch.schema
+        rows.grouped(graft.store.CollectionStore.MaxInsertBatch).foreach { g =>
+          val spark = batch.sparkSession
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(g: _*), schema)
+          store.insert(name, df)
+        }
+      }
+      .start()
+
   /** Run any events transform as a real stream over the parquet file and
     * collect the complete result via a memory sink (test/demo harness).
     */

@@ -43,6 +43,28 @@ class PipelineSpec extends SparkSuite {
     assert(streamed.count() == batch)
   }
 
+  test("streaming ingestion lands micro-batches through the store contract") {
+    import graft.model.{IndexKind, IndexSchema}
+    import graft.store.CollectionStore
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src_").toString
+    val seedRows = Seq(("s1", "alpha", 1L), ("s2", "beta", 2L))
+    seedRows.toDF("_id", "name", "size").write.mode("overwrite").parquet(srcDir)
+    val store = new CollectionStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_store_").toString)
+    store.create("stream_c",
+      IndexSchema("name" -> IndexKind.Str(), "size" -> IndexKind.Integer),
+      Seq(("seed", "zero", 0L)).toDF("_id", "name", "size"))
+    val stream = spark.readStream
+      .schema(seedRows.toDF("_id", "name", "size").schema)
+      .parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val q = EventsStream.ingestInto(stream, store, "stream_c", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = store.load("stream_c").df.orderBy("_id").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("s1", "s2", "seed"))
+    assert(got.map(_.getAs[Long]("size")).sum == 3L)
+  }
+
   test("knnJoin: bounded partial top-k — exact results, no per-query window") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = Similarity.knnJoin(
