@@ -90,6 +90,11 @@ object RecallReport {
           Metric.Cosine, cents, nprobe = 4)
         .select("id").as[Long].collect().toSet
     }
+    val ivfKm8 = queryIds.map { q =>
+      Similarity.kmeansIvfSearch(emb, col("vec_id"), col("embedding"), vec(q), k,
+          Metric.Cosine, cents, nprobe = 8)
+        .select("id").as[Long].collect().toSet
+    }
 
     // batch Vamana + beam search (euclidean)
     val graph = VamanaBuild.build(emb, col("vec_id"), col("embedding"),
@@ -101,6 +106,34 @@ object RecallReport {
       VamanaBuild.greedySearch(adj, vecs, vecs(q), k, searchSize = 75,
         start = adj.keys.min, metric = Metric.Euclidean).toSet
     }
+
+    // incrementally maintained Vamana: build on 90% of the corpus, patch
+    // in the remaining 10% (insertBatch), then delete 5% (deleteBatch) —
+    // the graph a write-heavy user actually serves from
+    val cut = n / 10
+    val baseGraph = VamanaBuild.build(
+      emb.filter(col("vec_id") >= cut), col("vec_id"), col("embedding"),
+      Metric.Euclidean, VamanaBuild.Params(degreeBound = 32, iterations = 3))
+    val patched = VamanaBuild.insertBatch(baseGraph, emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < cut).select("vec_id"), Metric.Euclidean,
+      VamanaBuild.Params(degreeBound = 32))
+    val delLo = n / 2
+    val delHi = delLo + n / 20
+    val shrunk = VamanaBuild.deleteBatch(patched, emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") >= delLo && col("vec_id") < delHi).select("vec_id"),
+      Metric.Euclidean, VamanaBuild.Params(degreeBound = 32))
+    val sAdj = shrunk.as[(Long, Seq[Long])].collect().toMap
+    val aliveEmb = emb.filter(col("vec_id") < delLo || col("vec_id") >= delHi)
+    val vamMaint = queryIds.filter(q => q < delLo || q >= delHi).map { q =>
+      val exact = aliveEmb.select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Euclidean, col("embedding"), vec(q)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+      val got = VamanaBuild.greedySearch(sAdj, vecs, vecs(q), k, searchSize = 75,
+        start = sAdj.keys.min, metric = Metric.Euclidean).toSet
+      exact.count(got.contains).toDouble / k
+    }
+    val vamMaintRecall = vamMaint.sum / vamMaint.length
 
     val report =
       f"""# RECALL — approximate search vs exact top-$k (graft round 2)
@@ -120,7 +153,9 @@ object RecallReport {
          || product quantizer + rescore | m=16/k=64 top-$rescoreC → exact re-rank | ${recallOf(pq16R, exactCos)}%.3f |
          || sign-bit IVF | 6 bits, hamming-1 probes (7/64 buckets) | ${recallOf(ivf, exactCos)}%.3f |
          || learned IVF (k-means) | 32 centroids, nprobe=4 (⅛ of corpus) | ${recallOf(ivfKm, exactCos)}%.3f |
+         || learned IVF (k-means) | 32 centroids, nprobe=8 (¼ of corpus) | ${recallOf(ivfKm8, exactCos)}%.3f |
          || batch Vamana + beam | degree 32, α 1.2, 3 rounds, searchSize 75 | ${recallOf(vam, exactL2)}%.3f |
+         || maintained Vamana + beam | 90%% built, +10%% insertBatch, −5%% deleteBatch | $vamMaintRecall%.3f |
          |
          |Interpretation: exact search IS the correctness surface (always
          |available, recall 1.0); the approximate artifacts trade recall for
