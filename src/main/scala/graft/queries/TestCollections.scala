@@ -49,10 +49,17 @@ object TestCollections {
   /** Per-sfDir parquet location for the docs text index: survives
     * `clearCache()` (the bench isolation step) and even JVM restarts —
     * a cleared cache costs a columnar re-read, not a corpus re-tokenize.
+    * The key fingerprints the source file's (size, mtime) so a
+    * regenerated documents.parquet can never serve stale postings.
     */
   private def textIdxCacheDir(d: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$d#$stamp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_textidx_${key}_text")
   }

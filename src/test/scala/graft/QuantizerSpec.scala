@@ -113,6 +113,21 @@ class QuantizerSpec extends SparkSuite {
     assert(recall >= 0.8, s"rescored PQ recall@10 = $recall")
   }
 
+  test("rescored search plan: partial top-k candidate cut + broadcast re-rank join") {
+    val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
+    val encoded = BinaryQuantizer.encode(
+      emb.select(col("vec_id"), col("embedding")), col("embedding"), th)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
+    val res = BinaryQuantizer.searchRescored(encoded, col("vec_id"), col("embedding"),
+      qv, th, k = 10, rescore = 100, Metric.Cosine)
+    val plan = res.queryExecution.executedPlan.toString
+    // stage 1: hamming candidates via per-partition partial top-k (no sort)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // stage 2: wide vectors fetched only for the candidate rows (broadcast)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("learned k-means IVF: deterministic centroids, self-match, scan reduction") {
     import graft.operators.Similarity
     val cents = Similarity.kmeansCentroids(emb, col("embedding"), kClusters = 16)
