@@ -50,6 +50,17 @@ final class Graft(spark: SparkSession, root: String,
   def quantizer(name: String, prop: String): Option[graft.store.FittedQuantizer] =
     store.loadQuantizer(name, prop)
 
+  /** Build the Vamana graph artifact for a vamana-declared property; once
+    * built, every write patches it incrementally (insert/delete/vector
+    * update) instead of invalidating it.
+    */
+  def buildVamanaIndex(name: String, prop: String): Unit =
+    store.buildVamanaIndex(name, prop)
+
+  /** The maintained graph artifact: (graph(nid, neighbors), idmap(_id, nid)). */
+  def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] =
+    store.vamanaIndex(name, prop)
+
   // ---- point writes (W1–W3) -----------------------------------------------
   // A write refreshes the cached collection view; built text indexes are
   // PATCHED for just the affected ids (reference per-write postings

@@ -135,6 +135,9 @@ final class CollectionStore(
     // wrong-length vector would silently truncate every later distance
     requireVecLens(coerced, readSchema(name))
     writeDelta(name, coerced, tombstone = false)
+    val vamProps = builtVamanaProps(name)
+    if (vamProps.nonEmpty)
+      patchVamanaIndexes(name, vamProps.map(_ -> batchIds).toMap, Nil)
     maybeFitQuantizers(name)
     n
   }
@@ -372,6 +375,25 @@ final class CollectionStore(
         val pd = pendingDir(name)
         if (Files.exists(pd))
           Files.list(pd).iterator().asScala.toSeq.foreach(Files.delete)
+        // built graph artifacts follow the data: tombstoned ids leave the
+        // graph, patches touching a vamana property re-enter their nodes
+        val vamProps = builtVamanaProps(name)
+        if (vamProps.nonEmpty) {
+          val removed = ops.flatMap {
+            case (_, PendingTombstone(ids)) => ids
+            case _ => Nil
+          }.distinct
+          val upserts = vamProps.map { p =>
+            p -> ops.flatMap {
+              case (_, PendingPatch(s, rows))
+                  if s.fieldNames.contains(p) || s.fieldNames.contains(UnsetCol) =>
+                val ii = s.fieldIndex(IdCol)
+                rows.map(_.get(ii).toString)
+              case _ => Nil
+            }.distinct.filterNot(removed.contains)
+          }.toMap
+          patchVamanaIndexes(name, upserts, removed)
+        }
       }
     } finally flushing.remove(name)
   }
@@ -512,6 +534,139 @@ final class CollectionStore(
     }
   }
 
+  // ---- vamana artifact lifecycle (reference vamana/insert.go, vamana.go) --
+  //
+  // A built graph artifact lives under `<name>/vamana_<prop>/` as two
+  // parquet dirs: `graph` (nid long, neighbors array<long>) and `idmap`
+  // (_id string → nid long surrogate). Writes PATCH it — updated vectors
+  // re-enter via deleteBatch+insertBatch over just the affected nodes,
+  // deletes re-wire the survivors — instead of invalidating the whole
+  // graph (the reference's per-point maintenance, done batch-at-a-time).
+  // The artifact itself is compact (n × degree longs), so each patch
+  // rewrites it atomically; at 100 TB the same base+delta layout as the
+  // data would apply to the graph rows.
+
+  /** Build (or rebuild) the graph artifact for a vamana-declared property. */
+  def buildVamanaIndex(name: String, prop: String): Unit = {
+    val (metric, params) = vamanaConfig(name, prop)
+    val view = mergedView(name).filter(col(prop).isNotNull)
+    val spark0 = spark
+    import spark0.implicits._
+    val idmap = view.select(col(IdCol)).as[String].rdd
+      .sortBy(identity).zipWithIndex()
+      .toDF(IdCol, "nid")
+    val vecs = view.join(idmap, IdCol).select(col("nid").as("id"), col(prop).as("vec"))
+    val graph = graft.operators.VamanaBuild.build(
+      vecs, col("id"), col("vec"), metric, params)
+    writeVamanaArtifact(name, prop, graph, idmap)
+  }
+
+  /** The graph artifact, if built: (graph(nid, neighbors), idmap(_id, nid)). */
+  def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] = {
+    val dir = vamanaDir(name, prop)
+    if (!Files.exists(dir.resolve("graph"))) None
+    else Some((
+      spark.read.parquet(dir.resolve("graph").toString),
+      spark.read.parquet(dir.resolve("idmap").toString)))
+  }
+
+  private def vamanaDir(name: String, prop: String) =
+    Paths.get(root, name, s"vamana_$prop")
+
+  private def vamanaConfig(name: String, prop: String) = {
+    val schema = readSchema(name)
+    schema.get(prop) match {
+      case Some(IndexKind.VectorVamana(_, m, _, db, a, _)) =>
+        (m, graft.operators.VamanaBuild.Params(
+          degreeBound = db, alpha = a,
+          ringDegree = math.min(4, db), randomDegree = math.min(8, db)))
+      case other => throw new IllegalArgumentException(
+        s"$prop is not a vamana-indexed property (got $other)")
+    }
+  }
+
+  private def writeVamanaArtifact(
+      name: String, prop: String, graph: DataFrame, idmap: DataFrame): Unit = {
+    val tmp = Paths.get(root, name, s".tmp_vamana_$prop")
+    graph.write.mode("overwrite").parquet(tmp.resolve("graph").toString)
+    idmap.write.mode("overwrite").parquet(tmp.resolve("idmap").toString)
+    val dst = vamanaDir(name, prop)
+    if (Files.exists(dst))
+      Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    // the artifact path is reused across patches — drop Spark's cached
+    // file listing or later reads resolve to the replaced part files
+    spark.catalog.refreshByPath(dst.toString)
+  }
+
+  /** Vamana-declared properties with a built artifact. */
+  private def builtVamanaProps(name: String): Seq[String] =
+    readSchema(name).props.toSeq.sortBy(_._1).collect {
+      case (p, _: IndexKind.VectorVamana)
+          if Files.exists(vamanaDir(name, p).resolve("graph")) => p
+    }
+
+  /** Patch every built artifact after a write: `removedIds` leave the
+    * graph (deleteBatch re-wires their in-neighbors), upserted ids with a
+    * non-null vector (re-)enter via insertBatch; an updated vector is a
+    * delete+insert of just that node.
+    */
+  private def patchVamanaIndexes(
+      name: String, upsertsByProp: Map[String, Seq[String]],
+      removedIds: Seq[String]): Unit = {
+    val props = builtVamanaProps(name)
+    if (props.nonEmpty) {
+      lazy val view = mergedView(name)
+      props.foreach { prop =>
+        val upsertIds = upsertsByProp.getOrElse(prop, Nil)
+        val touched = (upsertIds ++ removedIds).distinct
+        if (touched.nonEmpty) {
+          val (metric, params) = vamanaConfig(name, prop)
+          val Some((graph, idmap)) = vamanaIndex(name, prop): @unchecked
+          val touchedNids = idmap.filter(col(IdCol).isin(touched: _*))
+          // 1. every touched node leaves the graph (updated vectors must
+          //    not serve stale edges)
+          val afterDelete =
+            if (touchedNids.isEmpty) graph
+            else graft.operators.VamanaBuild.deleteBatch(
+              graph, graphVecs(view, idmap, prop), col("id"), col("vec"),
+              touchedNids.select("nid"), metric, params)
+          // 2. surviving upserts re-enter with fresh vectors (new ids get
+          //    fresh surrogates appended to the idmap)
+          val live =
+            if (upsertIds.isEmpty) view.limit(0).select(col(IdCol))
+            else view.filter(col(prop).isNotNull)
+              .filter(col(IdCol).isin(upsertIds: _*)).select(col(IdCol))
+          val novel = live.join(idmap, Seq(IdCol), "left_anti")
+          val maxNid = idmap.agg(coalesce(max("nid"), lit(-1L))).head().getLong(0)
+          val spark0 = spark
+          import spark0.implicits._
+          val novelMap = novel.select(col(IdCol)).as[String].rdd
+            .sortBy(identity).zipWithIndex()
+            .map { case (id, i) => (id, maxNid + 1 + i) }
+            .toDF(IdCol, "nid")
+          val idmap2 = idmap
+            .join(view.select(IdCol), Seq(IdCol), "left_semi") // prune dead ids
+            .unionByName(novelMap)
+          val insertNids = live.join(idmap, Seq(IdCol), "left_semi")
+            .join(idmap, IdCol).select(col("nid"))
+            .unionByName(novelMap.select(col("nid")))
+          val patched =
+            if (insertNids.isEmpty) afterDelete
+            else graft.operators.VamanaBuild.insertBatch(
+              afterDelete, graphVecs(view, idmap2, prop), col("id"), col("vec"),
+              insertNids, metric, params)
+          writeVamanaArtifact(name, prop, patched, idmap2)
+        }
+      }
+    }
+  }
+
+  private def graphVecs(view: DataFrame, idmap: DataFrame, prop: String): DataFrame =
+    view.filter(col(prop).isNotNull)
+      .join(idmap, IdCol)
+      .select(col("nid").as("id"), col(prop).as("vec"))
+
   // ---- quantizer lifecycle (reference models/quantizer.go:51–76) ----------
 
   /** The fitted quantizer artifact for a vector property, if its
@@ -604,7 +759,7 @@ final class CollectionStore(
     val dir = Paths.get(root, name)
     Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
       .toSeq.sorted
   }
 

@@ -270,6 +270,54 @@ class StoreSpec extends SparkSuite {
     assert(st.load("c1").df.count() == 4)
   }
 
+  test("vamana artifact follows store writes: insert, vector update, delete") {
+    import graft.operators.VamanaBuild
+    import graft.model.IndexKind.Metric
+    val st = freshStore()
+    val vschema = IndexSchema(
+      "v" -> IndexKind.VectorVamana(2, IndexKind.Metric.Euclidean, degreeBound = 32))
+    // a small grid of points: exact neighbors are easy to reason about
+    val pts = (0 until 20).map(i => (s"p$i", Array(i.toFloat, (i % 5).toFloat)))
+    st.create("vc", vschema, pts.toDF("_id", "v"))
+    st.buildVamanaIndex("vc", "v")
+    def artifact = st.vamanaIndex("vc", "v").get
+    assert(artifact._1.count() == 20 && artifact._2.count() == 20)
+
+    // insert: new points join the graph with fresh surrogate ids
+    assert(st.insert("vc", Seq(("p20", Array(20f, 0f)), ("p21", Array(21f, 1f)))
+      .toDF("_id", "v")) == 2)
+    val (g1, m1) = artifact
+    assert(m1.count() == 22 && g1.count() == 22)
+    assert(m1.filter(col("_id") === "p20").count() == 1)
+
+    // vector update: the node re-enters with the fresh vector
+    assert(st.update("vc", Seq(("p3", Array(100f, 100f))).toDF("_id", "v")) == 1)
+    st.load("vc").df.count() // flush folds the patch + graph
+    val (g2, m2) = artifact
+    assert(g2.count() == 22)
+    // nid mapping must be read BEFORE the next patch swaps the artifact
+    val deadNids = m2.filter(col("_id").isin("p7", "p20"))
+      .select("nid").collect().map(_.getLong(0)).toSet
+    // delete: node leaves graph and idmap; survivors stay connected
+    assert(st.delete("vc", Seq("p7", "p20")) == 2)
+    st.load("vc").df.count()
+    val (g3, m3) = artifact
+    assert(g3.count() == 20 && m3.count() == 20)
+    val adj = g3.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(adj.keySet.intersect(deadNids).isEmpty)
+    assert(adj.values.forall(_.forall(n => !deadNids.contains(n))))
+    // BFS over survivors still spans the graph
+    val start = adj.keys.min
+    val seen = scala.collection.mutable.Set(start)
+    var frontier = List(start)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj(_)).filterNot(seen)
+      seen ++= frontier
+    }
+    assert(seen.size == adj.size, s"BFS ${seen.size}/${adj.size}")
+  }
+
   test("W5: JSON documents ingest through spark.read.json into a collection") {
     val st = freshStore()
     st.create("c1", schema, seed)
