@@ -502,6 +502,7 @@ final class CollectionStore(
       case d: BigDecimal => JDecimal(d)
       case seq: scala.collection.Seq[_] => JArray(seq.map(valueToJson).toList)
       case arr: Array[_] => JArray(arr.map(valueToJson).toList)
+      case r: org.apache.spark.sql.Row => JArray(r.toSeq.map(valueToJson).toList)
       case other => throw new IllegalArgumentException(
         s"unsupported WAL value type: ${other.getClass.getName}")
     }
@@ -529,6 +530,8 @@ final class CollectionStore(
       case (JDecimal(x), FloatType) => x.toFloat
       case (JDecimal(x), _) => x
       case (JArray(xs), ArrayType(et, _)) => xs.map(jsonToValue(_, et))
+      case (JArray(xs), st: StructType) => org.apache.spark.sql.Row.fromSeq(
+        xs.zipWithIndex.map { case (v, i) => jsonToValue(v, st.fields(i).dataType) })
       case (JArray(xs), _) => xs.map(jsonToValue(_, StringType))
       case (other, _) => throw new IllegalStateException(s"bad WAL value $other")
     }
