@@ -61,5 +61,39 @@ object WriteQueries {
     store.load("parts").df.orderBy("_id")
   }
 
-  val all: Seq[NamedQuery] = Seq(w1WritePath)
+  /** W4 end-to-end through the façade: collection DDL onto disk, then a
+    * JSON search request (compound filter + select + sort + pagination)
+    * answered from the stored collection — the full reference API surface
+    * (create → search) as one oracled driver row.
+    */
+  val w4FacadeSearch = NamedQuery(
+    "w4_facade_search",
+    """SELECT CAST(p_partkey AS VARCHAR) AS _id,
+      |  CAST(NULL AS REAL) AS _distance, CAST(NULL AS REAL) AS _score,
+      |  CAST(0.0 AS REAL) AS _hybridScore,
+      |  p_name, CAST(p_size AS BIGINT) AS p_size
+      |FROM part
+      |WHERE p_size <= 10 AND lower(p_name) LIKE 'red%'
+      |ORDER BY p_size DESC NULLS LAST, _id LIMIT 12 OFFSET 3""".stripMargin) { (s, d) =>
+    val dir = Files.createTempDirectory("graft_facade_").toString
+    val db = graft.Graft(s, dir)
+    val part = Tables.part(s, d).select(
+      col("p_partkey").cast("string").as("_id"),
+      col("p_name"),
+      col("p_size").cast("long").as("p_size"),
+      col("p_retailprice"))
+    db.createCollection("parts", IndexSchema(
+      "p_name" -> IndexKind.Str(),
+      "p_size" -> IndexKind.Integer,
+      "p_retailprice" -> IndexKind.Float), part)
+    db.search("parts",
+      """{"query": {"property": "_and", "_and": [
+        |  {"property": "p_size", "integer": {"value": 10, "operator": "lessThanOrEquals"}},
+        |  {"property": "p_name", "string": {"value": "red", "operator": "startsWith"}}]},
+        | "select": ["p_name", "p_size"],
+        | "sort": [{"property": "p_size", "descending": true}],
+        | "offset": 3, "limit": 12}""".stripMargin)
+  }
+
+  val all: Seq[NamedQuery] = Seq(w1WritePath, w4FacadeSearch)
 }
