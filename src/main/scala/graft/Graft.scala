@@ -92,14 +92,19 @@ final class Graft(spark: SparkSession, root: String,
   private def writeThrough(name: String, affectedIds: => Seq[String])(op: => Long): Long = {
     val before = cache.get(name)
     val result = op // throws on invalid batches — cache stays valid
-    if (before != null && before.textIndexes.nonEmpty) {
-      val ids = affectedIds
-      val fresh = store.load(name)
-      val patchedIdx = before.textIndexes.map { case (prop, idx) =>
-        prop -> TextIndex.patched(idx, fresh.df, prop, ids)
-      }
-      cache.put(name, fresh.copy(textIndexes = patchedIdx))
-    } else evict(name)
+    // once the store write has committed, the cached view is stale: any
+    // failure while refreshing/patching must still evict it, or searches
+    // would keep serving pre-write data
+    try {
+      if (before != null && before.textIndexes.nonEmpty) {
+        val ids = affectedIds
+        val fresh = store.load(name)
+        val patchedIdx = before.textIndexes.map { case (prop, idx) =>
+          prop -> TextIndex.patched(idx, fresh.df, prop, ids)
+        }
+        cache.put(name, fresh.copy(textIndexes = patchedIdx))
+      } else evict(name)
+    } catch { case e: Throwable => evict(name); throw e }
     result
   }
 

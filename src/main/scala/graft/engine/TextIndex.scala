@@ -49,17 +49,17 @@ object TextIndex {
     val spark = newView.sparkSession
     import spark.implicits._
     val idsDf = ids.toDF(IdCol)
-    val removedDocs = idx.postings
-      .join(broadcast(idsDf), Seq(IdCol), "left_semi")
-      .select(IdCol).distinct().count()
-    val (add, nAdd) = compute(
+    val (add, _) = compute(
       newView.join(broadcast(idsDf), Seq(IdCol), "left_semi"), prop)
     val postings = idx.postings
       .join(broadcast(idsDf), Seq(IdCol), "left_anti")
       .unionByName(add)
       .localCheckpoint() // eager: lineage-free before the old cache drops
     idx.postings.unpersist(false)
-    TextIndex(postings, idx.numDocs - removedDocs + nAdd)
+    // numDocs recomputed from the new view, NOT by postings delta
+    // bookkeeping: a doc with non-null but token-less text has no
+    // postings rows, and delta arithmetic would drift upward per write
+    TextIndex(postings, newView.filter(col(prop).isNotNull).count())
   }
 
   /** Build the index materialized to parquet under `cacheDir` (first call

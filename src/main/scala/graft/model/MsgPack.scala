@@ -100,17 +100,29 @@ object MsgPack {
       val b = s.getBytes(StandardCharsets.UTF_8)
       if (b.length < 32) o.write(0xa0 | b.length)
       else if (b.length < 256) { o.write(0xd9); o.write(b.length) }
-      else { o.write(0xda); o.write(b.length >> 8); o.write(b.length & 0xff) }
+      else if (b.length < 65536) { o.write(0xda); writeU16(o, b.length) }
+      else { o.write(0xdb); writeU32(o, b.length) }
       writeBytes(o, b)
     case JArray(xs) =>
       if (xs.length < 16) o.write(0x90 | xs.length)
-      else { o.write(0xdc); o.write(xs.length >> 8); o.write(xs.length & 0xff) }
+      else if (xs.length < 65536) { o.write(0xdc); writeU16(o, xs.length) }
+      else { o.write(0xdd); writeU32(o, xs.length) }
       xs.foreach(write(o, _))
     case JObject(fs) =>
       if (fs.length < 16) o.write(0x80 | fs.length)
-      else { o.write(0xde); o.write(fs.length >> 8); o.write(fs.length & 0xff) }
+      else if (fs.length < 65536) { o.write(0xde); writeU16(o, fs.length) }
+      else { o.write(0xdf); writeU32(o, fs.length) }
       fs.foreach { case (k, fv) => write(o, JString(k)); write(o, fv) }
     case JSet(xs) => write(o, JArray(xs.toList))
+  }
+
+  private def writeU16(o: ByteArrayOutputStream, n: Int): Unit = {
+    o.write((n >> 8) & 0xff); o.write(n & 0xff)
+  }
+
+  private def writeU32(o: ByteArrayOutputStream, n: Int): Unit = {
+    o.write((n >> 24) & 0xff); o.write((n >> 16) & 0xff)
+    o.write((n >> 8) & 0xff); o.write(n & 0xff)
   }
 
   private def writeLong(o: ByteArrayOutputStream, x: Long): Unit =

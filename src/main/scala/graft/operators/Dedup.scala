@@ -54,7 +54,9 @@ object Dedup {
     * the SQL oracles replay unchanged.
     */
   private def shingleUdf(n: Int) = udf { (toks: Seq[String]) =>
-    if (toks.length < n) Array.empty[String]
+    // null-text rows reach here as a null array (split/filter propagate
+    // null); the Column formulation returned empty — match it
+    if (toks == null || toks.length < n) Array.empty[String]
     else {
       val out = new Array[String](toks.length - n + 1)
       var i = 0

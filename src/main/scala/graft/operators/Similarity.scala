@@ -27,9 +27,10 @@ import graft.model.IndexKind.Metric
 object Similarity {
 
   /** Bounded top-k aggregation buffer: parallel (distance, id) arrays with
-    * at most 2k live entries between compactions.
+    * `n` live entries (capacity ≤ 2k between compactions; slots past `n`
+    * are garbage and never read).
     */
-  final case class TopKBuf(ds: Array[Double], ids: Array[Long])
+  final case class TopKBuf(var ds: Array[Double], var ids: Array[Long], var n: Int)
 
   /** Top-k as an [[Aggregator]]: the buffer never exceeds 2k entries, so
     * the map-side partial aggregate (ObjectHashAggregate partial) reduces
@@ -40,23 +41,47 @@ object Similarity {
     * (distance asc, id asc), matching the exact-top-k tie-break contract.
     */
   final class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
-    private def compact(ds: Array[Double], ids: Array[Long], keep: Int): TopKBuf = {
-      val idx = Array.range(0, ds.length).sortBy(i => (ds(i), ids(i)))
-      val n = math.min(keep, ds.length)
+    /** Exact-size top-`keep` of the first `used` entries. */
+    private def compact(ds: Array[Double], ids: Array[Long], used: Int, keep: Int): TopKBuf = {
+      val idx = Array.range(0, used).sortBy(i => (ds(i), ids(i)))
+      val n = math.min(keep, used)
       val od = new Array[Double](n); val oi = new Array[Long](n)
       var j = 0
       while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
-      TopKBuf(od, oi)
+      TopKBuf(od, oi, n)
     }
-    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+    override def zero: TopKBuf = TopKBuf(new Array(2 * k), new Array(2 * k), 0)
+    // O(1) amortized per row, zero allocation: mutate the fill pointer,
+    // compact in place down to k when the 2k capacity fills (the typed
+    // Aggregator contract allows returning a mutated buffer)
     override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
-      val ds = b.ds :+ a._1
-      val ids = b.ids :+ a._2
-      if (ds.length >= 2 * k) compact(ds, ids, k) else TopKBuf(ds, ids)
+      if (b.n == b.ds.length) {
+        if (b.ds.length < 2 * k) { // deserialized exact-size buffer: regrow
+          val nd = new Array[Double](2 * k); val ni = new Array[Long](2 * k)
+          java.lang.System.arraycopy(b.ds, 0, nd, 0, b.n)
+          java.lang.System.arraycopy(b.ids, 0, ni, 0, b.n)
+          b.ds = nd; b.ids = ni
+        } else {
+          val c = compact(b.ds, b.ids, b.n, k)
+          java.lang.System.arraycopy(c.ds, 0, b.ds, 0, c.n)
+          java.lang.System.arraycopy(c.ids, 0, b.ids, 0, c.n)
+          b.n = c.n
+        }
+      }
+      b.ds(b.n) = a._1
+      b.ids(b.n) = a._2
+      b.n += 1
+      b
     }
-    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
-      compact(x.ds ++ y.ds, x.ids ++ y.ids, k)
-    override def finish(b: TopKBuf): TopKBuf = compact(b.ds, b.ids, k)
+    override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      val ds = new Array[Double](x.n + y.n); val ids = new Array[Long](x.n + y.n)
+      java.lang.System.arraycopy(x.ds, 0, ds, 0, x.n)
+      java.lang.System.arraycopy(x.ids, 0, ids, 0, x.n)
+      java.lang.System.arraycopy(y.ds, 0, ds, x.n, y.n)
+      java.lang.System.arraycopy(y.ids, 0, ids, x.n, y.n)
+      compact(ds, ids, x.n + y.n, k)
+    }
+    override def finish(b: TopKBuf): TopKBuf = compact(b.ds, b.ids, b.n, k)
     override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
@@ -70,6 +95,16 @@ object Similarity {
       queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column,
       k: Int, metric: Metric): DataFrame = {
+    // a string id would cast to null silently and collapse every row into
+    // one null group — reject at plan time instead
+    def requireNumericId(df: DataFrame, c: Column, side: String): Unit = {
+      val dt = df.select(c).schema.head.dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"$side id must be numeric (got $dt) — attach a long surrogate " +
+          "(zipWithIndex) for string-keyed data")
+    }
+    requireNumericId(queries, qId, "query")
+    requireNumericId(corpus, cId, "corpus")
     val q = queries.select(qId.cast("long").as("query_id"), qVec.as("_qv"))
     val c = corpus.select(cId.cast("long").as("corpus_id"), cVec.as("_cv"))
     val topk = udaf(new TopKAgg(k))

@@ -315,8 +315,24 @@ object VamanaBuild {
       .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
       .select(col("src"), explode(col("_nbrs")).as("dst"))
 
-    val result = keepEdges.join(affected, Seq("src"), "left_anti")
+    // a survivor whose whole candidate set was deleted (clustered batch
+    // delete) would otherwise vanish from the adjacency — re-attach such
+    // stragglers to the start node in both directions, the reference's
+    // straggler handling (vamana.go re-attach)
+    val edgesAll = keepEdges.join(affected, Seq("src"), "left_anti")
       .union(repruned)
+      .distinct()
+    val survivors = graph.select(col("id").cast("long").as("src"))
+      .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
+    val missing = survivors
+      .join(edgesAll.select("src").distinct(), Seq("src"), "left_anti")
+    val start = survivors.agg(min("src")).head().getLong(0)
+    val reattached = missing
+      .filter(col("src") =!= start)
+      .select(col("src"), lit(start).as("dst"))
+    val result = edgesAll
+      .union(reattached)
+      .union(reattached.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("neighbors"))

@@ -940,13 +940,18 @@ final class CollectionStore(
     * and the delta removal only leaves ignorable orphan directories.
     */
   def compact(name: String): Unit = {
+    // fold pending batches FIRST: flush may itself write a delta and, at
+    // the threshold, recursively compact — list the log only afterwards
+    // so this pass neither double-compacts nor deletes vanished dirs
+    flush(name)
     val base = currentVersion(name)
     val seqs = deltaSeqs(name, base)
     if (seqs.nonEmpty) {
       writeVersion(name, mergedView(name))
       seqs.foreach { s =>
         val dir = Paths.get(deltaPath(name, base, s))
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        if (Files.exists(dir))
+          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
       clearDeltaCache(name)
     }

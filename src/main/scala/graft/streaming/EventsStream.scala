@@ -98,10 +98,17 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // spark's micro-batch can exceed the insert contract; split via
         // bounded collects (the contract caps memory at 10k rows per call)
-        val rows = batch.collect()
+        val spark = batch.sparkSession
         val schema = batch.schema
+        // replay tolerance: a restarted micro-batch may contain rows that
+        // already landed (crash between store commit and checkpoint
+        // commit) — drop them instead of letting the clash check wedge
+        // the stream forever; within one delivery this is a no-op
+        val fresh = batch.join(
+          store.load(name).df.select(graft.store.CollectionStore.IdCol),
+          Seq(graft.store.CollectionStore.IdCol), "left_anti")
+        val rows = fresh.collect()
         rows.grouped(graft.store.CollectionStore.MaxInsertBatch).foreach { g =>
-          val spark = batch.sparkSession
           val df = spark.createDataFrame(
             java.util.Arrays.asList(g: _*), schema)
           store.insert(name, df)
