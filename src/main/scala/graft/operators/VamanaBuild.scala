@@ -326,13 +326,30 @@ object VamanaBuild {
       .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
     val missing = survivors
       .join(edgesAll.select("src").distinct(), Seq("src"), "left_anti")
-    val start = survivors.agg(min("src")).head().getLong(0)
-    val reattached = missing
-      .filter(col("src") =!= start)
-      .select(col("src"), lit(start).as("dst"))
+    // anchor = the smallest survivor that still HAS edges (so it is never
+    // itself missing); fully-degenerate graphs (no surviving edge at all)
+    // fall back to a ring over the survivors
+    val anchorRow = edgesAll.agg(min("src")).head()
+    val fixup =
+      if (!anchorRow.isNullAt(0)) {
+        val anchor = anchorRow.getLong(0)
+        val reattached = missing.select(col("src"), lit(anchor).as("dst"))
+        reattached.union(reattached.select(col("dst").as("src"), col("src").as("dst")))
+      } else {
+        val spark = graph.sparkSession
+        import spark.implicits._
+        val ranked = survivors.as[Long].rdd.sortBy(identity).zipWithIndex()
+          .toDF("src", "_r")
+        val m = ranked.count()
+        if (m <= 1) ranked.select(col("src"), col("src").as("dst")).limit(0)
+        else ranked
+          .withColumn("_tr", (col("_r") + 1) % m)
+          .join(ranked.select(col("src").as("dst"), col("_r").as("_tr")), "_tr")
+          .select("src", "dst")
+          .filter(col("src") =!= col("dst"))
+      }
     val result = edgesAll
-      .union(reattached)
-      .union(reattached.select(col("dst").as("src"), col("src").as("dst")))
+      .union(fixup)
       .distinct()
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("neighbors"))

@@ -9,6 +9,19 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSuite {
   import spark.implicits._
 
+  test("null-text rows pass through every shingle-based operator") {
+    val nullDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(
+      nullDocs, col("id"), col("text"), n = 3, threshold = 0.5).collect()
+    assert(pairs.length == 1) // docs 1/2 pair; the null row is skipped
+    val sigs = Dedup.minhashSigArrays(
+      nullDocs, col("id"), col("text")).collect()
+    assert(sigs.length == 2)
+  }
+
   lazy val docs = Tables.documents(spark, sf001)
 
   lazy val exactPairs: Set[(Long, Long)] =

@@ -55,4 +55,13 @@ class MsgPackSpec extends org.scalatest.funsuite.AnyFunSuite {
     val back = MsgPack.decode(MsgPack.encode(ast))
     assert(back == ast)
   }
+
+  test("large payloads round-trip: str32 and array lengths past 16 bits") {
+    val big = "x" * 70000 // str32 territory
+    val ast = JObject(List(
+      "text" -> JString(big),
+      "ids" -> JArray((0 until 70000).map(i => JLong(i.toLong)).toList)))
+    val back = MsgPack.decode(MsgPack.encode(ast))
+    assert(back == ast)
+  }
 }

@@ -129,6 +129,25 @@ class VamanaSpec extends SparkSuite {
     assert(mean >= 0.9, s"post-delete recall $mean (per-query: $recalls)")
   }
 
+  test("deleteBatch re-attaches stragglers whose whole candidate set died") {
+    // hand-built chain: 0→1, 1→2, 2→1; deleting {1,2} leaves survivor 0
+    // with no surviving candidates — it must not vanish from the graph
+    val g = Seq(
+      (0L, Seq(1L)), (1L, Seq(2L)), (2L, Seq(1L)),
+      (3L, Seq(4L)), (4L, Seq(3L))).toDF("id", "neighbors")
+    val vecsDf = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(3f, 0f)), (4L, Array(4f, 0f))).toDF("id", "v")
+    val out = VamanaBuild.deleteBatch(g, vecsDf, col("id"), col("v"),
+      Seq(1L, 2L).toDF("id"), Metric.Euclidean,
+      VamanaBuild.Params(degreeBound = 32, alpha = 1.2))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out.keySet == Set(0L, 3L, 4L), out)
+    assert(out(0L).nonEmpty && out(0L).forall(Set(3L, 4L)), out)
+    // and the anchor gained a backlink so 0 is reachable
+    assert(out.exists { case (id, ns) => id != 0L && ns.contains(0L) }, out)
+  }
+
   test("deterministic: rebuilding yields the identical edge list") {
     val again = VamanaBuild.build(
       emb, col("vec_id"), col("embedding"), Metric.Euclidean,
