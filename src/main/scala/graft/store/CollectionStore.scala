@@ -60,6 +60,26 @@ final class CollectionStore(
   // a fresh root must be listable before the first create()
   Files.createDirectories(Paths.get(root))
 
+  // Files.list/Files.walk return streams holding a directory fd until
+  // closed — these run on every read/write, so leak-free wrappers only
+  private def listNames(dir: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq finally s.close()
+  }
+  private def listPaths(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toSeq.reverse.foreach(Files.delete) finally s.close()
+  }
+  private def treeBytes(dir: java.nio.file.Path): Long = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+    finally s.close()
+  }
+
   def create(name: String, schema: IndexSchema, data: DataFrame): Unit = {
     val dir = Paths.get(root, name)
     require(!Files.exists(dir), s"collection $name already exists")
@@ -67,6 +87,14 @@ final class CollectionStore(
       s"user plan allows at most ${plan.maxCollections} collections")
     IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
     val initial = normalize(data)
+    // duplicate or null ids in the seed would silently corrupt the
+    // merge-on-read view later (the window dedups deltas only, and null
+    // keys never join) — reject up front, same as insert
+    val idStats = initial.agg(
+      count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d"),
+      sum(when(col(IdCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
+    require(idStats.getLong(2) == 0L, s"null $IdCol in initial data")
+    require(idStats.getLong(1) == idStats.getLong(0), s"duplicate $IdCol in initial data")
     requireVecLens(initial, schema)
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
@@ -83,16 +111,14 @@ final class CollectionStore(
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
     pendingOps.remove(name)
     val dir = Paths.get(root, name)
-    if (Files.exists(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    if (Files.exists(dir)) deleteTree(dir)
   }
 
   def list(): Seq[String] = {
     val r = Paths.get(root)
     if (!Files.exists(r)) Nil
-    else Files.list(r).iterator().asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else listPaths(r).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
   }
 
   /** W1 — all-or-nothing batch insert. */
@@ -100,13 +126,17 @@ final class CollectionStore(
     // pending ops must fold first: a pending tombstone on a re-inserted id
     // would otherwise outrank the new row at the next flush
     flush(name)
-    val batch = normalize(points)
+    // materialize the batch ONCE: the id collect, the vector-length agg,
+    // and the delta write below must all see the same rows even for
+    // non-deterministic sources (uuid ids, samples, changing inputs)
+    val batch = normalize(points).localCheckpoint()
     // one bounded id collect covers the size check, the in-batch duplicate
     // check, and the clash probe (no aggregate job, no broadcast build)
     val batchIds = batch.select(col(IdCol))
       .limit(MaxInsertBatch + 1).collect().map(_.getString(0)).toSeq
     val n = batchIds.length.toLong
     require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
+    require(!batchIds.contains(null), s"null $IdCol in insert batch")
     require(batchIds.distinct.length == batchIds.length, "duplicate _id within insert batch")
     val clash = liveIds(name, batchIds)
     require(clash.isEmpty, s"${clash.size} point(s) already exist")
@@ -118,8 +148,7 @@ final class CollectionStore(
         s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
     }
     if (plan.maxStorageBytesPerCollection != Long.MaxValue) {
-      val bytes = Files.walk(Paths.get(root, name)).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      val bytes = treeBytes(Paths.get(root, name))
       require(bytes <= plan.maxStorageBytesPerCollection,
         s"collection exceeds the user plan's storage quota")
     }
@@ -135,12 +164,22 @@ final class CollectionStore(
     // wrong-length vector would silently truncate every later distance
     requireVecLens(coerced, readSchema(name))
     writeDelta(name, coerced, tombstone = false)
+    batch.unpersist(false)
     val vamProps = builtVamanaProps(name)
     if (vamProps.nonEmpty)
       patchVamanaIndexes(name, vamProps.map(_ -> batchIds).toMap, Nil)
     maybeFitQuantizers(name)
     n
   }
+
+  /** Pre-write storage admission (quota is an estimate measured before
+    * the write, like the reference's checks; compaction eventually
+    * reclaims superseded row versions). No-op for unlimited plans.
+    */
+  private def requireStorageQuota(name: String): Unit =
+    if (plan.maxStorageBytesPerCollection != Long.MaxValue)
+      require(treeBytes(Paths.get(root, name)) <= plan.maxStorageBytesPerCollection,
+        s"collection exceeds the user plan's storage quota")
 
   /** One aggregate job validating every vector property's length. */
   private def requireVecLens(df: DataFrame, schema: IndexSchema): Unit = {
@@ -187,6 +226,7 @@ final class CollectionStore(
     // update-side vector-length validation (reference CheckCompatibleMap,
     // httpapi/v2/handlers.go:345) — driver-side over the ≤100 rows in hand
     validatePatchVecLens(uSchema, batchRows, readSchema(name))
+    requireStorageQuota(name)
     recoverPending(name)
     val live = liveIds(name, batchIds)
     val matched = batchIds.count(live)
@@ -202,6 +242,7 @@ final class CollectionStore(
   def delete(name: String, ids: Seq[String]): Long = {
     require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
     if (ids.isEmpty) return 0L
+    requireStorageQuota(name)
     recoverPending(name)
     val live = liveIds(name, ids)
     val removed = ids.distinct.filter(live)
@@ -219,9 +260,11 @@ final class CollectionStore(
 
   private val pendingOps =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[(Long, Pending)]]()
-  private val flushing =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  // per-collection flush lock: concurrent readers BLOCK until the fold
+  // completes (read-your-writes); only the same thread re-entering (a
+  // threshold compaction inside flush) short-circuits
+  private val flushLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
   private def pendingDir(name: String) = Paths.get(root, name, "pending")
 
@@ -313,7 +356,7 @@ final class CollectionStore(
       val dir = pendingDir(name)
       val ops: Vector[(Long, Pending)] =
         if (!Files.exists(dir)) Vector.empty
-        else Files.list(dir).iterator().asScala
+        else listPaths(dir)
           .filter(_.getFileName.toString.matches("p\\d+\\.json")).toVector
           .sortBy(_.getFileName.toString.drop(1).dropRight(5).toLong)
           .map { f =>
@@ -350,7 +393,10 @@ final class CollectionStore(
     * carry absolute values.
     */
   private def flush(name: String): Unit = {
-    if (!flushing.add(name)) return
+    val lock = flushLocks.computeIfAbsent(name,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (lock.isHeldByCurrentThread) return // re-entrant compaction no-op
+    lock.lock()
     try {
       recoverPending(name)
       val ops = pendingOps.getOrDefault(name, Vector.empty)
@@ -374,7 +420,7 @@ final class CollectionStore(
         pendingOps.remove(name)
         val pd = pendingDir(name)
         if (Files.exists(pd))
-          Files.list(pd).iterator().asScala.toSeq.foreach(Files.delete)
+          listPaths(pd).foreach(Files.delete)
         // built graph artifacts follow the data: tombstoned ids leave the
         // graph, patches touching a vamana property re-enter their nodes
         val vamProps = builtVamanaProps(name)
@@ -388,14 +434,25 @@ final class CollectionStore(
               case (_, PendingPatch(s, rows))
                   if s.fieldNames.contains(p) || s.fieldNames.contains(UnsetCol) =>
                 val ii = s.fieldIndex(IdCol)
-                rows.map(_.get(ii).toString)
+                val pi = if (s.fieldNames.contains(p)) s.fieldIndex(p) else -1
+                val ui = if (s.fieldNames.contains(UnsetCol)) s.fieldIndex(UnsetCol) else -1
+                // only rows that actually touch the vector property — a
+                // batch-wide _unset of some OTHER field must not churn
+                // untouched graph nodes
+                rows.filter { r =>
+                  (pi >= 0 && !r.isNullAt(pi)) ||
+                  (ui >= 0 && !r.isNullAt(ui) && (r.get(ui) match {
+                    case seq: scala.collection.Seq[_] => seq.contains(p)
+                    case _ => false
+                  }))
+                }.map(_.get(ii).toString)
               case _ => Nil
             }.distinct.filterNot(removed.contains)
           }.toMap
           patchVamanaIndexes(name, upserts, removed)
         }
       }
-    } finally flushing.remove(name)
+    } finally lock.unlock()
   }
 
   /** One patch op as a projection over the slice: id → non-null incoming
@@ -514,17 +571,26 @@ final class CollectionStore(
       case (JNull | JNothing, _) => null
       case (JString(s), _) => s
       case (JBool(b), _) => b
+      // NOTE: json4s-jackson parses every integral as JInt and every
+      // decimal as JDouble — each numeric branch must exist for BOTH tags
+      // or recovery hands Literal.create a mistyped value and wedges the
+      // collection until the WAL file is removed by hand
       case (JLong(x), IntegerType) => x.toInt
       case (JLong(x), ShortType) => x.toShort
       case (JLong(x), ByteType) => x.toByte
       case (JLong(x), DoubleType) => x.toDouble
       case (JLong(x), FloatType) => x.toFloat
+      case (JLong(x), _: DecimalType) => BigDecimal(x)
       case (JLong(x), _) => x
       case (JInt(x), IntegerType) => x.toInt
+      case (JInt(x), ShortType) => x.toShort
+      case (JInt(x), ByteType) => x.toByte
       case (JInt(x), DoubleType) => x.toDouble
       case (JInt(x), FloatType) => x.toFloat
+      case (JInt(x), _: DecimalType) => BigDecimal(x)
       case (JInt(x), _) => x.toLong
       case (JDouble(x), FloatType) => x.toFloat
+      case (JDouble(x), _: DecimalType) => BigDecimal(x)
       case (JDouble(x), _) => x
       case (JDecimal(x), DoubleType) => x.toDouble
       case (JDecimal(x), FloatType) => x.toFloat
@@ -573,8 +639,15 @@ final class CollectionStore(
       spark.read.parquet(dir.resolve("idmap").toString)))
   }
 
-  private def vamanaDir(name: String, prop: String) =
-    Paths.get(root, name, s"vamana_$prop")
+  private def vamanaDir(name: String, prop: String) = {
+    val dst = Paths.get(root, name, s"vamana_$prop")
+    // crash recovery: a swap interrupted between its two renames leaves
+    // only the .prev copy — restore it as current
+    val prev = Paths.get(root, name, s".prev_vamana_$prop")
+    if (!Files.exists(dst) && Files.exists(prev))
+      Files.move(prev, dst, StandardCopyOption.ATOMIC_MOVE)
+    dst
+  }
 
   private def vamanaConfig(name: String, prop: String) = {
     val schema = readSchema(name)
@@ -594,9 +667,14 @@ final class CollectionStore(
     graph.write.mode("overwrite").parquet(tmp.resolve("graph").toString)
     idmap.write.mode("overwrite").parquet(tmp.resolve("idmap").toString)
     val dst = vamanaDir(name, prop)
-    if (Files.exists(dst))
-      Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // rename-chain swap: old → .prev, tmp → current, drop .prev. A crash
+    // between the two renames leaves .prev for vamanaDir's recovery, so
+    // the artifact can never silently vanish mid-replace.
+    val prev = Paths.get(root, name, s".prev_vamana_$prop")
+    if (Files.exists(prev)) deleteTree(prev)
+    if (Files.exists(dst)) Files.move(dst, prev, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(prev)) deleteTree(prev)
     // the artifact path is reused across patches — drop Spark's cached
     // file listing or later reads resolve to the replaced part files
     spark.catalog.refreshByPath(dst.toString)
@@ -651,8 +729,7 @@ final class CollectionStore(
           val idmap2 = idmap
             .join(view.select(IdCol), Seq(IdCol), "left_semi") // prune dead ids
             .unionByName(novelMap)
-          val insertNids = live.join(idmap, Seq(IdCol), "left_semi")
-            .join(idmap, IdCol).select(col("nid"))
+          val insertNids = live.join(idmap, IdCol).select(col("nid"))
             .unionByName(novelMap.select(col("nid")))
           val patched =
             if (insertNids.isEmpty) afterDelete
@@ -760,10 +837,9 @@ final class CollectionStore(
 
   private def versions(name: String): Seq[Long] = {
     val dir = Paths.get(root, name)
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(dir)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   private def currentVersion(name: String): Long = {
@@ -778,10 +854,9 @@ final class CollectionStore(
     */
   private def deltaSeqs(name: String, base: Long): Seq[Long] = {
     val prefix = s"d${base}_"
-    Files.list(Paths.get(root, name)).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(Paths.get(root, name))
       .collect { case s if s.startsWith(prefix) => s.drop(prefix.length).toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   private def deltaPath(name: String, base: Long, seq: Long): String =
@@ -909,7 +984,7 @@ final class CollectionStore(
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
     val written = parquetRowCount(Paths.get(tmp))
     if (written == 0) {
-      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      deleteTree(Paths.get(tmp))
     } else {
       val dir = Paths.get(root, name, s"d${base}_$next")
       Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
@@ -925,7 +1000,7 @@ final class CollectionStore(
   /** Driver-side row count from parquet footers — no Spark job. */
   private def parquetRowCount(dir: java.nio.file.Path): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Files.list(dir).iterator().asScala
+    listPaths(dir).iterator
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -950,8 +1025,7 @@ final class CollectionStore(
       writeVersion(name, mergedView(name))
       seqs.foreach { s =>
         val dir = Paths.get(deltaPath(name, base, s))
-        if (Files.exists(dir))
-          Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        if (Files.exists(dir)) deleteTree(dir)
       }
       clearDeltaCache(name)
     }
