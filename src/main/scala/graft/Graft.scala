@@ -108,43 +108,67 @@ final class Graft(spark: SparkSession, root: String,
     result
   }
 
-  /** Drop the cached collection AND release its persisted text-index
-    * postings — removing only the map entry would leak the cached RDD
-    * blocks for the session's lifetime.
+  /** Drop the cached collection AND release its text-index postings
+    * (persisted OR checkpointed — `unpersist` alone is a no-op for the
+    * latter) — removing only the map entry would leak the blocks for the
+    * session's lifetime.
     */
   private def evict(name: String): Unit =
     Option(cache.remove(name))
-      .foreach(_.textIndexes.values.foreach(_.postings.unpersist(false)))
+      .foreach(_.textIndexes.values.foreach(i =>
+        org.apache.spark.sql.graft.Bridge.release(i.postings)))
 
   // ---- search (the flagship path) -----------------------------------------
 
   /** JSON request body → result DataFrame (data columns + `_id`,
     * `_distance`, `_score`, `_hybridScore`).
     */
-  def search(name: String, requestJson: String): DataFrame = {
-    ensureTextIndexes(name)
-    Search.searchJson(collection(name), requestJson)
-  }
+  def search(name: String, requestJson: String): DataFrame =
+    search(name, graft.model.Json.parseSearchRequest(requestJson))
 
   def search(name: String, request: SearchRequest): DataFrame = {
-    ensureTextIndexes(name)
+    ensureTextIndexes(name, textProps(request.query))
     Search.search(collection(name), request)
+  }
+
+  /** Text properties a query tree actually touches (including filters
+    * nested under vector/text operators) — only these pay an index build.
+    */
+  private def textProps(q: graft.model.Query): Set[String] = {
+    val self = if (q.text.isDefined) Set(q.property) else Set.empty[String]
+    val filters = Seq(
+      q.vectorFlat.flatMap(_.filter), q.vectorVamana.flatMap(_.filter),
+      q.text.flatMap(_.filter)).flatten
+    self ++ filters.flatMap(textProps) ++
+      q.and.flatMap(textProps) ++ q.or.flatMap(textProps)
   }
 
   /** msgpack request body → result DataFrame (same parser as JSON). */
   def searchMsgPack(name: String, requestBody: Array[Byte]): DataFrame =
     search(name, graft.model.Json.parseSearchRequestMsgPack(requestBody))
 
-  /** Build + cache text indexes for every text property of the collection
-    * (first search pays the build; subsequent searches reuse it).
+  /** Build + cache text indexes for the text properties THIS request
+    * needs (lazy per property — a vector-only search on a text-indexed
+    * collection builds nothing). The install is a compare-and-swap: if a
+    * concurrent write replaced the collection view while we were
+    * building, the stale pre-write view must not be reinstalled.
     */
-  private def ensureTextIndexes(name: String): Unit = {
-    val coll = collection(name)
-    val withIdx = coll.schema.props.collect {
-      case (prop, _: graft.model.IndexKind.Text) => prop
-    }.foldLeft(coll)((c, prop) => c.withTextIndex(prop))
-    cache.put(name, withIdx)
-  }
+  private def ensureTextIndexes(name: String, props: Set[String]): Unit =
+    if (props.nonEmpty) {
+      val coll = collection(name)
+      val wanted = coll.schema.props.collect {
+        case (prop, _: graft.model.IndexKind.Text) if props.contains(prop) => prop
+      }.filterNot(coll.textIndexes.contains)
+      if (wanted.nonEmpty) {
+        val withIdx = wanted.foldLeft(coll)((c, prop) => c.withTextIndex(prop))
+        if (!cache.replace(name, coll, withIdx)) {
+          // lost the race against a write — release the just-built
+          // postings; the next search rebuilds against the fresh view
+          wanted.foreach(p =>
+            org.apache.spark.sql.graft.Bridge.release(withIdx.textIndexes(p).postings))
+        }
+      }
+    }
 }
 
 object Graft {

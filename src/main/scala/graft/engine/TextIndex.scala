@@ -55,7 +55,7 @@ object TextIndex {
       .join(broadcast(idsDf), Seq(IdCol), "left_anti")
       .unionByName(add)
       .localCheckpoint() // eager: lineage-free before the old cache drops
-    idx.postings.unpersist(false)
+    org.apache.spark.sql.graft.Bridge.release(idx.postings)
     // numDocs recomputed from the new view, NOT by postings delta
     // bookkeeping: a doc with non-null but token-less text has no
     // postings rows, and delta arithmetic would drift upward per write

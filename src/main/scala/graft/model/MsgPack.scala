@@ -36,7 +36,7 @@ object MsgPack {
       case 0xc3 => JBool(true)
       case 0xc4 => bin(b, b.get() & 0xff)
       case 0xc5 => bin(b, b.getShort() & 0xffff)
-      case 0xc6 => bin(b, b.getInt())
+      case 0xc6 => bin(b, checkedLen(b, b.getInt()))
       case 0xca => JDouble(b.getFloat().toDouble)
       case 0xcb => JDouble(b.getDouble())
       case 0xcc => JLong((b.get() & 0xff).toLong)
@@ -52,14 +52,25 @@ object MsgPack {
       case 0xd3 => JLong(b.getLong())
       case 0xd9 => JString(readStr(b, b.get() & 0xff))
       case 0xda => JString(readStr(b, b.getShort() & 0xffff))
-      case 0xdb => JString(readStr(b, b.getInt()))
+      case 0xdb => JString(readStr(b, checkedLen(b, b.getInt())))
       case 0xdc => readArray(b, b.getShort() & 0xffff)
-      case 0xdd => readArray(b, b.getInt())
+      case 0xdd => readArray(b, checkedLen(b, b.getInt()))
       case 0xde => readMap(b, b.getShort() & 0xffff)
-      case 0xdf => readMap(b, b.getInt())
+      case 0xdf => readMap(b, checkedLen(b, b.getInt()))
       case other => throw new IllegalArgumentException(
         f"unsupported msgpack tag 0x$other%02x (ext types not accepted)")
     }
+  }
+
+  /** 32-bit lengths arrive as SIGNED ints: a hostile payload can carry a
+    * negative count (List.fill silently yields Nil and the parser
+    * desyncs) or a 2 GB allocation request — bound by the bytes actually
+    * remaining instead.
+    */
+  private def checkedLen(b: ByteBuffer, n: Int): Int = {
+    require(n >= 0 && n <= b.remaining(),
+      s"msgpack length $n out of bounds (${b.remaining()} bytes remain)")
+    n
   }
 
   private def readStr(b: ByteBuffer, n: Int): String = {

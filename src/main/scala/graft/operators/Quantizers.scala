@@ -24,10 +24,14 @@ object BinaryQuantizer {
     * cross-engine determinism).
     */
   def fit(df: DataFrame, vec: Column, dim: Int): Array[Double] = {
-    val sums = df.select(posexplode(vec).as(Seq("_pos", "_v")))
+    val sums = df.filter(vec.isNotNull)
+      .select(posexplode(vec).as(Seq("_pos", "_v")))
       .groupBy("_pos").agg(avg(col("_v").cast("double")).as("_m"))
       .collect().map(r => r.getAs[Int]("_pos") -> r.getAs[Double]("_m")).toMap
-    (0 until dim).map(sums).toArray
+    (0 until dim).map(i => sums.getOrElse(i,
+      throw new IllegalArgumentException(
+        s"no values at dimension $i — vectors shorter than dim=$dim or empty corpus")))
+      .toArray
   }
 
   /** Add a packed bits column for `vec` under the learned thresholds. */
@@ -111,10 +115,12 @@ object ProductQuantizer {
     require(dim % m == 0, s"dim $dim not divisible by numSubVectors $m")
     val subDim = dim / m
     val sample: Array[Array[Double]] = df
+      .filter(vec.isNotNull)
       .select(vec.cast("array<double>").as("_v"))
       .limit(sampleLimit)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot fit a product quantizer on an empty corpus")
     val centroids = (0 until m).map { i =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
       lloyds(subs, k, seed + i, maxIter = 25).map(_.map(_.toFloat))

@@ -135,8 +135,10 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, vec: Column, kClusters: Int,
       seed: Long = 42L, sampleLimit: Int = 100000): Array[Array[Float]] = {
-    val sample = corpus.select(vec.cast("array<double>").as("_v"))
+    val sample = corpus.filter(vec.isNotNull)
+      .select(vec.cast("array<double>").as("_v"))
       .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot learn IVF centroids on an empty corpus")
     ProductQuantizer.lloyds(sample, kClusters, seed, maxIter = 25)
       .map(_.map(_.toFloat))
   }

@@ -52,7 +52,9 @@ object VamanaBuild {
   /** α-robust prune (reference vamana/search.go:106–138): walk candidates
     * by ascending distance; keep the closest remaining; drop any later
     * candidate j with α·dist(kept, j) < dist(node, j); stop at the degree
-    * bound.
+    * bound. The α margin is applied sign-safely: distances can be
+    * negative under the dot metric, where a plain multiply would INVERT
+    * α's semantics (α>1 must always make pruning harder, not easier).
     */
   def robustPrune(
       cands: Seq[(Double, Long, Array[Float])],
@@ -69,7 +71,9 @@ object VamanaBuild {
         while (j < sorted.length) {
           if (!removed(j)) {
             val (dj, _, vj) = sorted(j)
-            if (alpha * dist(metric, vec, vj) < dj) removed(j) = true
+            val d = dist(metric, vec, vj)
+            val scaled = if (d >= 0) alpha * d else d / alpha
+            if (scaled < dj) removed(j) = true
           }
           j += 1
         }
@@ -79,17 +83,39 @@ object VamanaBuild {
     kept.toSeq
   }
 
-  private def dist(metric: Metric, a: Array[Float], b: Array[Float]): Double = metric match {
-    case Metric.Cosine | Metric.Dot =>
-      var acc = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i); i += 1 }
-      if (metric == Metric.Dot) -acc else 1.0 - acc
-    case _ => // euclidean (squared) as the default graph metric
-      var acc = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        val d = a(i).toDouble - b(i); acc += d * d; i += 1
-      }
-      acc
+  /** Same kernel semantics as [[graft.functions.Distances]] for ALL six
+    * metrics — the prune compares this against candidate distances
+    * computed by the codegen kernel, so the two must be commensurable
+    * (a euclidean fallback for hamming/jaccard/haversine graphs would
+    * prune against meters with squared degrees).
+    */
+  private def dist(metric: Metric, a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    metric match {
+      case Metric.Cosine | Metric.Dot =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i).toDouble * b(i); i += 1 }
+        if (metric == Metric.Dot) -acc else 1.0 - acc
+      case Metric.Hamming =>
+        var acc = 0.0; var i = 0
+        while (i < n) { if ((a(i) > 0.5f) != (b(i) > 0.5f)) acc += 1.0; i += 1 }
+        acc
+      case Metric.Jaccard =>
+        var inter = 0.0; var union = 0.0; var i = 0
+        while (i < n) {
+          val xa = a(i) > 0.5f; val ya = b(i) > 0.5f
+          if (xa && ya) inter += 1.0
+          if (xa || ya) union += 1.0
+          i += 1
+        }
+        if (union == 0.0) 0.0 else 1.0 - inter / union
+      case Metric.Haversine =>
+        graft.functions.VectorDistance.haversineDegrees(a(0), a(1), b(0), b(1))
+      case _ => // euclidean (squared)
+        var acc = 0.0; var i = 0
+        while (i < n) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+        acc
+    }
   }
 
   /** Build the graph. `df` must expose a LONG id and an array<float>
@@ -191,6 +217,39 @@ object VamanaBuild {
     result
   }
 
+  /** Ensure every node in `required` (col "src") appears as an edge
+    * source: stragglers re-attach bidirectionally to the smallest node
+    * that still has edges, falling back to a ring over `required` when no
+    * edges survive at all (the reference re-attaches stragglers to the
+    * start node, vamana.go).
+    */
+  private def withReattached(edges: DataFrame, required: DataFrame): DataFrame = {
+    val missing = required
+      .join(edges.select("src").distinct(), Seq("src"), "left_anti")
+    val anchorRow = edges.agg(min("src")).head()
+    if (!anchorRow.isNullAt(0)) {
+      val anchor = anchorRow.getLong(0)
+      val reattached = missing
+        .filter(col("src") =!= anchor)
+        .select(col("src"), lit(anchor).as("dst"))
+      edges
+        .union(reattached)
+        .union(reattached.select(col("dst").as("src"), col("src").as("dst")))
+    } else {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val ranked = required.select(col("src")).as[Long].rdd
+        .sortBy(identity).zipWithIndex().toDF("src", "_r")
+      val m = ranked.count()
+      if (m <= 1) edges
+      else edges.union(ranked
+        .withColumn("_tr", (col("_r") + 1) % m)
+        .join(ranked.select(col("src").as("dst"), col("_r").as("_tr")), "_tr")
+        .select("src", "dst")
+        .filter(col("src") =!= col("dst")))
+    }
+  }
+
   private def mkPruneUdf(metric: Metric, params: Params) =
     udf { (cands: Seq[org.apache.spark.sql.Row]) =>
       robustPrune(
@@ -260,12 +319,22 @@ object VamanaBuild {
       .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
       .select(col("src"), explode(col("_nbrs")).as("dst"))
 
-    val result = baseAdj.join(affected, Seq("src"), "left_anti")
+    // every node — existing and new — must keep an adjacency row: a new
+    // point with no usable neighbors (empty/singleton base graph) would
+    // otherwise silently never enter the graph
+    val edgesAll = baseAdj.join(affected, Seq("src"), "left_anti")
       .union(repruned)
+      .distinct()
+      .persist()
+    val requiredIds = graph.select(col("id").cast("long").as("src"))
+      .union(nids.select(col("id").as("src")))
+      .distinct()
+    val result = withReattached(edgesAll, requiredIds)
       .distinct()
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
       .localCheckpoint()
+    edgesAll.unpersist(false)
     newEdges.unpersist(false)
     vecs.unpersist(false)
     result
@@ -319,41 +388,21 @@ object VamanaBuild {
     // delete) would otherwise vanish from the adjacency — re-attach such
     // stragglers to the start node in both directions, the reference's
     // straggler handling (vamana.go re-attach)
+    // persist: the edge set feeds the re-attach anchor lookup, the
+    // missing-node anti-join, and the final union — three evaluations of
+    // the prune subtree without it
     val edgesAll = keepEdges.join(affected, Seq("src"), "left_anti")
       .union(repruned)
       .distinct()
+      .persist()
     val survivors = graph.select(col("id").cast("long").as("src"))
       .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
-    val missing = survivors
-      .join(edgesAll.select("src").distinct(), Seq("src"), "left_anti")
-    // anchor = the smallest survivor that still HAS edges (so it is never
-    // itself missing); fully-degenerate graphs (no surviving edge at all)
-    // fall back to a ring over the survivors
-    val anchorRow = edgesAll.agg(min("src")).head()
-    val fixup =
-      if (!anchorRow.isNullAt(0)) {
-        val anchor = anchorRow.getLong(0)
-        val reattached = missing.select(col("src"), lit(anchor).as("dst"))
-        reattached.union(reattached.select(col("dst").as("src"), col("src").as("dst")))
-      } else {
-        val spark = graph.sparkSession
-        import spark.implicits._
-        val ranked = survivors.as[Long].rdd.sortBy(identity).zipWithIndex()
-          .toDF("src", "_r")
-        val m = ranked.count()
-        if (m <= 1) ranked.select(col("src"), col("src").as("dst")).limit(0)
-        else ranked
-          .withColumn("_tr", (col("_r") + 1) % m)
-          .join(ranked.select(col("src").as("dst"), col("_r").as("_tr")), "_tr")
-          .select("src", "dst")
-          .filter(col("src") =!= col("dst"))
-      }
-    val result = edgesAll
-      .union(fixup)
+    val result = withReattached(edgesAll, survivors)
       .distinct()
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
       .localCheckpoint()
+    edgesAll.unpersist(false)
     del.unpersist(false)
     vecs.unpersist(false)
     result

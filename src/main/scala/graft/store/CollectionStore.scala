@@ -164,7 +164,7 @@ final class CollectionStore(
     // wrong-length vector would silently truncate every later distance
     requireVecLens(coerced, readSchema(name))
     writeDelta(name, coerced, tombstone = false)
-    batch.unpersist(false)
+    org.apache.spark.sql.graft.Bridge.release(batch)
     val vamProps = builtVamanaProps(name)
     if (vamProps.nonEmpty)
       patchVamanaIndexes(name, vamProps.map(_ -> batchIds).toMap, Nil)
@@ -877,7 +877,7 @@ final class CollectionStore(
     val cur = deltaCache.get(name)
     if (cur != null && cur._1 == base && cur._2.map(_._1) == seqs) cur._2
     else {
-      if (cur != null) cur._2.foreach(_._2.unpersist(false))
+      if (cur != null) cur._2.foreach(f => org.apache.spark.sql.graft.Bridge.release(f._2))
       val frames = seqs.map(s =>
         s -> spark.read.parquet(deltaPath(name, base, s)).localCheckpoint())
       deltaCache.put(name, (base, frames))
@@ -893,7 +893,7 @@ final class CollectionStore(
 
   private def clearDeltaCache(name: String): Unit = {
     val cur = deltaCache.remove(name)
-    if (cur != null) cur._2.foreach(_._2.unpersist(false))
+    if (cur != null) cur._2.foreach(f => org.apache.spark.sql.graft.Bridge.release(f._2))
   }
 
   // Reuse the analyzed base relation per (name, version): re-creating it

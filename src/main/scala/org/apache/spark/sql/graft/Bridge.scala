@@ -18,4 +18,16 @@ object Bridge {
     * implicit casting.
     */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Release the storage behind a DataFrame whether it was `persist()`ed
+    * (CacheManager) or `localCheckpoint()`ed — checkpoint blocks live in
+    * the RDD layer, where `Dataset.unpersist` is a silent no-op.
+    */
+  def release(df: org.apache.spark.sql.Dataset[_]): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+    df.unpersist(false)
+  }
 }
