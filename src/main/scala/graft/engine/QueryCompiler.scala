@@ -29,7 +29,14 @@ object QueryCompiler {
   /** Single `_id` column, distinct rows. */
   final case class Ids(df: DataFrame) extends SetRep
 
-  final case class Compiled(set: SetRep, ranked: Option[DataFrame])
+  /** `setFromRanked`: the set is EXACTLY the ranked frame's ids (every
+    * ranked leaf) — the search assembly then joins the collection against
+    * `ranked` once instead of running the top-k subtree twice (semi-join
+    * membership + broadcast backfill are different projections of the
+    * same plan, which Spark will not share).
+    */
+  final case class Compiled(
+      set: SetRep, ranked: Option[DataFrame], setFromRanked: Boolean = false)
 
   def compile(col: Collection, q: Query): Compiled = q.property match {
     case "_and" => merge(col, q.and.map(compile(col, _)), disjunction = false)
@@ -141,7 +148,7 @@ object QueryCompiler {
       .limit(limit)
       .withColumn(ScoreCol, lit(null).cast(FloatType))
       .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
-    Compiled(Ids(ranked.select(IdCol)), Some(ranked))
+    Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
   }
 
   // ---- text search --------------------------------------------------------
@@ -176,9 +183,14 @@ object QueryCompiler {
     val terms = TextAnalyzer.analyzeString(o.value).distinct
     if (terms.isEmpty)
       throw new IllegalArgumentException("text query value has no terms after analysis")
-    // prebuilt (persisted) index when attached; ad-hoc postings otherwise
-    val index = col0.textIndexes.getOrElse(prop,
-      TextIndex(postings(col0, prop), col0.df.filter(column(prop).isNotNull).count()))
+    // prebuilt (persisted) index when attached; otherwise an ad-hoc one,
+    // materialized once — the postings feed both the df table and the
+    // per-doc probe side, which would otherwise re-tokenize the corpus
+    // twice on top of the numDocs count
+    val index = col0.textIndexes.getOrElse(prop, {
+      val (p, n) = TextIndex.compute(col0.df, prop)
+      TextIndex(p.localCheckpoint(), n)
+    })
     val post = index.postings
     val numDocs = index.numDocs // numDocs of the text index (text.go:371)
 
@@ -214,7 +226,7 @@ object QueryCompiler {
       .withColumn(HybridScoreCol, (col(ScoreCol) * lit(w)).cast(FloatType))
       .orderBy(col(ScoreCol).desc, col(IdCol).asc)
       .limit(o.limit)
-    Compiled(Ids(ranked.select(IdCol)), Some(ranked))
+    Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
   }
 
   // ---- combinators --------------------------------------------------------
@@ -238,7 +250,7 @@ object QueryCompiler {
     // ranked merge: concat, restrict to final set for _and, dedup summing
     // hybrid score, first non-null distance/score in child order.
     val rankedChildren = children.zipWithIndex.collect {
-      case (Compiled(_, Some(r)), i) => r.withColumn("_child", lit(i))
+      case (Compiled(_, Some(r), _), i) => r.withColumn("_child", lit(i))
     }
     val ranked: Option[DataFrame] =
       if (rankedChildren.isEmpty) None
@@ -247,6 +259,9 @@ object QueryCompiler {
         val restricted =
           if (disjunction) unioned
           else set match {
+            // invariant: a ranked child always carries an Ids set, so a
+            // merged set with ranked children can never be Pred — the
+            // branch exists only for pattern exhaustiveness
             case Pred(p) => unioned.join(col0.df.filter(p).select(IdCol), Seq(IdCol), "left_semi")
             case Ids(ids) => unioned.join(ids, Seq(IdCol), "left_semi")
           }

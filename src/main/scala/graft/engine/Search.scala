@@ -23,17 +23,21 @@ object Search {
 
     // Backfill: every row in the final set gets its data; ranked rows carry
     // their scores, set-only rows get hybrid score 0 (shard.go:350–369).
-    val matched = applySet(col0, compiled.set)
     val withScores = compiled.ranked match {
       case None =>
-        matched
+        applySet(col0, compiled.set)
           .withColumn(DistanceCol, lit(null).cast(FloatType))
           .withColumn(ScoreCol, lit(null).cast(FloatType))
           .withColumn(HybridScoreCol, lit(0.0f))
+      case Some(ranked) if compiled.setFromRanked =>
+        // leaf case: the set IS the ranked ids — one inner broadcast join
+        // does membership AND backfill, so the top-k subtree runs once
+        // (a semi-join + separate broadcast would execute it twice)
+        col0.df.join(broadcast(ranked), Seq(IdCol), "inner")
       case Some(ranked) =>
         // ranked is bounded by per-index limits (≤75 rows per leaf), so the
         // join is a broadcast — no shuffle of the collection side.
-        matched
+        applySet(col0, compiled.set)
           .join(broadcast(ranked), Seq(IdCol), "left_outer")
           .withColumn(HybridScoreCol, coalesce(col(HybridScoreCol), lit(0.0f)))
     }
@@ -71,7 +75,9 @@ object Search {
       val dataCols = dataSchema.fieldNames.filterNot(_ == IdCol).map(col).toSeq
       df.select(metaCols ++ dataCols: _*)
     } else {
-      val resolved = select.filter(p => resolves(dataSchema, p))
+      // drop IdCol like the "*" branch — metaCols already lead with it, and
+      // a second copy makes every downstream df("_id") ambiguous
+      val resolved = select.filterNot(_ == IdCol).filter(p => resolves(dataSchema, p))
       // re-nest dotted paths recursively: "a.b.c" returns struct a{b{c}};
       // selecting a whole struct subsumes selecting its fields
       val byRoot = resolved.map(_.split('.').toList).groupBy(_.head)

@@ -18,7 +18,7 @@ final case class TextIndex(postings: DataFrame, numDocs: Long)
 object TextIndex {
 
   /** Tokenize + aggregate the postings frame (shared by both builds). */
-  private def compute(df: DataFrame, prop: String): (DataFrame, Long) = {
+  private[engine] def compute(df: DataFrame, prop: String): (DataFrame, Long) = {
     val docs = df.filter(col(prop).isNotNull)
     // tokenize into a materialized column first — HOFs are interpreted, so
     // downstream per-element references must not inline the tokenizer

@@ -25,7 +25,8 @@ object Json {
     select = strSeq(j \ "select"),
     sort = (j \ "sort") match {
       case JArray(xs) => xs.map(s => SortOption(str(s \ "property"), bool(s \ "descending")))
-      case _ => Nil
+      case JNothing | JNull => Nil
+      case other => throw new IllegalArgumentException(s"expected sort array, got $other")
     },
     offset = int(j \ "offset", 0),
     limit = int(j \ "limit", 10))
@@ -70,16 +71,22 @@ object Json {
   }
   private def bool(j: JValue): Boolean = j match {
     case JBool(b) => b
-    case _ => false
+    case JNothing | JNull => false
+    case other => throw new IllegalArgumentException(s"expected boolean, got $other")
   }
+  // out-of-range integers must error, not wrap (BigInt.toInt / Long.toInt
+  // keep the low bits: {"limit": 2^32+10} would silently become 10)
   private def int(j: JValue, default: Int): Int = j match {
-    case JInt(n) => n.toInt
-    case JLong(n) => n.toInt
+    case JInt(n) =>
+      require(n.isValidInt, s"integer out of range: $n"); n.toInt
+    case JLong(n) =>
+      require(n >= Int.MinValue && n <= Int.MaxValue, s"integer out of range: $n"); n.toInt
     case JNothing | JNull => default
     case other => throw new IllegalArgumentException(s"expected int, got $other")
   }
   private def long(j: JValue, default: java.lang.Long = null): Long = j match {
-    case JInt(n) => n.toLong
+    case JInt(n) =>
+      require(n.isValidLong, s"integer out of range: $n"); n.toLong
     case JLong(n) => n
     case JDouble(d) if d.isWhole => d.toLong
     case JNothing | JNull if default != null => default
@@ -95,7 +102,8 @@ object Json {
   }
   private def strSeq(j: JValue): Seq[String] = j match {
     case JArray(xs) => xs.map(x => str(x))
-    case _ => Nil
+    case JNothing | JNull => Nil
+    case other => throw new IllegalArgumentException(s"expected string array, got $other")
   }
   private def floatSeq(j: JValue): Seq[Float] = j match {
     case JArray(xs) => xs.map {
