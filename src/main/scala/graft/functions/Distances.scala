@@ -75,7 +75,10 @@ object Distances {
     val dot = sumAgg(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
     val na = sqrt(sumAgg(transform(a, x => x.cast("double") * x.cast("double"))))
     val nb = sqrt(sumAgg(transform(b, x => x.cast("double") * x.cast("double"))))
-    lit(1.0) - dot / (na * nb)
+    // a zero vector would divide 0/0 into NaN, which silently fails every
+    // threshold filter — define it as maximally distant instead
+    when(na * nb === 0.0, lit(1.0))
+      .otherwise(lit(1.0) - dot / (na * nb))
   }
 
   def cosineSimilarityNormalized(a: Column, b: Column): Column =

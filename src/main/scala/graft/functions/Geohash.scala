@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StringType}
@@ -15,7 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * bounding-box pre-filter and `near` with haversine ranks inside it.
   */
 case class GeohashExpr(child: Expression, precision: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  // analyzer-side coercion: a double-array child would otherwise be read
+  // with a 4-byte stride (same hazard VectorDistance guards against)
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = StringType
   override def prettyName: String = "geohash"
@@ -24,12 +28,16 @@ case class GeohashExpr(child: Expression, precision: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    require(arr.numElements() >= 2, "geohash requires a [lat, lon] vector")
     UTF8String.fromString(Geohash.encode(arr.getFloat(0), arr.getFloat(1), precision))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+      s"""if ($a.numElements() < 2) {
+         |  throw new IllegalArgumentException("geohash requires a [lat, lon] vector");
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
          |  graft.functions.Geohash.encode($a.getFloat(0), $a.getFloat(1), $precision));
          |""".stripMargin)
 }

@@ -50,7 +50,7 @@ object Multimodal {
   private def decodeStub(id: Long, payload: Array[Byte]): Row = {
     val n = payload.length
     val width = (n % 640) + 1
-    val height = ((n * 7) % 480) + 1
+    val height = ((n.toLong * 7) % 480).toInt + 1 // Int math overflows past ~306 MB
     // fake "feature": normalized byte histogram over 8 buckets
     val hist = new Array[Float](8)
     payload.foreach(b => hist(((b & 0xFF) >> 5)) += 1f)
@@ -76,8 +76,10 @@ object Multimodal {
     * becomes a frame marker (stub for keyframe extraction); output is one
     * row per sampled frame with its byte slice hash.
     */
-  def frameSample(payloads: DataFrame, stride: Int): DataFrame =
+  def frameSample(payloads: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive (got $stride)")
     payloads
+      .filter(length(col("payload")) > 0) // an empty payload has no frames
       .select(col("id"), col("payload"),
         posexplode(sequence(lit(0),
           greatest(floor((length(col("payload")) - 1) / stride), lit(0)))))
@@ -85,6 +87,7 @@ object Multimodal {
       .select(
         col("id"), col("pos").cast("int").as("frame_idx"), col("offset"),
         md5(expr(s"substring(payload, CAST(offset AS INT) + 1, $stride)")).as("frame_sha"))
+  }
 
   /** Resize stub: metadata-only transform (a real impl rewrites pixels);
     * keeps the contract that resize changes meta, not identity.
@@ -95,7 +98,9 @@ object Multimodal {
       lit(maxDim).cast("double") / col("height"),
       lit(1.0))
     decoded
-      .withColumn("width", ceil(col("width") * scale).cast("int"))
-      .withColumn("height", ceil(col("height") * scale).cast("int"))
+      // clamp: double rounding can put width*scale one ulp above maxDim,
+      // and ceil would then exceed the cap
+      .withColumn("width", least(ceil(col("width") * scale), lit(maxDim.toLong)).cast("int"))
+      .withColumn("height", least(ceil(col("height") * scale), lit(maxDim.toLong)).cast("int"))
   }
 }

@@ -28,7 +28,9 @@ object TextAnalysis {
     * fixed precedence en > de > es > fr (the Markers order).
     */
   def languageId(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = Dedup.tokens(text)
+    // null text classifies as 'und' (counts 0), not a null row — keeps the
+    // engine and the SQL oracle on the same branch
+    val toks = coalesce(Dedup.tokens(text), array().cast("array<string>"))
     val withCounts = Markers.foldLeft(df.select(id.as("id"), toks.as("_toks"))) {
       case (acc, (lang, words)) =>
         acc.withColumn(s"c_$lang",

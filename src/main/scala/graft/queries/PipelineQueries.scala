@@ -16,7 +16,7 @@ object PipelineQueries {
 
   val textLangId = NamedQuery(
     "text_langid",
-    s"""WITH tok AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents),
+    s"""WITH tok AS (SELECT doc_id AS id, coalesce($rawToksSql, []) AS raw FROM documents),
        |c AS (
        |  SELECT id,
        |    len(list_filter(raw, t -> t IN ('the','a','is','and','of'))) AS c_en,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -47,10 +48,12 @@ object EventsStream {
     val gapMicros = 1800L * 1000000L
     events
       .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      // diff NTZ wall times directly: casting NTZ→TIMESTAMP interprets in
+      // the session zone, where a DST transition would shift gaps by an
+      // hour and split/merge sessions wrongly
       .withColumn("_new_session",
         when(col("_prev").isNull ||
-          unix_micros(col("ts").cast("timestamp")) -
-            unix_micros(col("_prev").cast("timestamp")) >= gapMicros, 1L).otherwise(0L))
+          expr("timestampdiff(MICROSECOND, _prev, ts)") >= gapMicros, 1L).otherwise(0L))
       .withColumn("session_no", sum(col("_new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session_no")
@@ -75,13 +78,15 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
-  /** Streaming exact dedup: first event per key wins; watermarked state so
-    * the dedup set is bounded (the streaming face of the Dedup operators).
+  /** Streaming exact dedup: first event per key wins, with state ACTUALLY
+    * bounded by the watermark — plain `dropDuplicates(keys)` only evicts
+    * state when the event-time column is among the keys, so it grows
+    * forever for key-only dedup.
     */
   def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates(keys)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Continuously ingest a stream into a stored collection: each
     * micro-batch lands through the store's insert contract (≤ 10k-point
@@ -100,19 +105,23 @@ object EventsStream {
         // bounded collects (the contract caps memory at 10k rows per call)
         val spark = batch.sparkSession
         val schema = batch.schema
-        // replay tolerance: a restarted micro-batch may contain rows that
-        // already landed (crash between store commit and checkpoint
-        // commit) — drop them instead of letting the clash check wedge
-        // the stream forever; within one delivery this is a no-op
-        val fresh = batch.join(
-          store.load(name).df.select(graft.store.CollectionStore.IdCol),
-          Seq(graft.store.CollectionStore.IdCol), "left_anti")
-        val rows = fresh.collect()
-        rows.grouped(graft.store.CollectionStore.MaxInsertBatch).foreach { g =>
-          val df = spark.createDataFrame(
-            java.util.Arrays.asList(g: _*), schema)
-          store.insert(name, df)
-        }
+        // replay tolerance: drop rows already landed (crash between store
+        // commit and checkpoint commit) AND in-batch duplicate ids —
+        // either would make the insert contract reject the batch forever
+        // on every restart
+        val fresh = batch
+          .dropDuplicates(graft.store.CollectionStore.IdCol)
+          .join(
+            store.load(name).df.select(graft.store.CollectionStore.IdCol),
+            Seq(graft.store.CollectionStore.IdCol), "left_anti")
+        // stream partitions to the driver instead of collecting the whole
+        // micro-batch (a backlogged first trigger can hold millions of rows)
+        fresh.toLocalIterator().asScala
+          .grouped(graft.store.CollectionStore.MaxInsertBatch).foreach { g =>
+            val df = spark.createDataFrame(
+              java.util.Arrays.asList(g.toSeq: _*), schema)
+            store.insert(name, df)
+          }
       }
       .start()
 
