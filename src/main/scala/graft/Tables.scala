@@ -34,7 +34,11 @@ object Tables {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // pure NTZ arithmetic: casting an instant to NTZ renders it in the
+      // SESSION timezone, so a non-UTC consumer would shift every wall
+      // value — epoch-anchored timestampadd is timezone-independent
+      .withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -46,7 +46,10 @@ object Dedup {
     * every shingle-based operator.
     */
   private def tokenized(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("_pid"), tokens(text).as("_toks")).persist()
+    // no persist: since the shingler became a single UDF call, every
+    // consumer reads this exactly once (the multi-consumer frames —
+    // `base`, `sigs` — carry their own persists)
+    df.select(id.as("_pid"), tokens(text).as("_toks"))
 
   /** Primitive-loop shingler — same distinct word n-grams as
     * [[shinglesFromTokens]] (first-occurrence order), without the
@@ -86,7 +89,9 @@ object Dedup {
       .groupBy("_k").agg(count(lit(1)).as("_n"))
       .agg(
         sum(col("_n")).as("n_total"),
-        count(lit(1)).as("n_distinct"),
+        // count(col) skips the null-text group, matching SQL
+        // count(DISTINCT md5(text)) which ignores NULL keys
+        count(col("_k")).as("n_distinct"),
         sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
   /** Exact n-gram Jaccard similar pairs via PPJoin-style prefix filtering
@@ -122,7 +127,11 @@ object Dedup {
       .partitionBy("_pid").orderBy(col("_df").asc, col("_s").asc)
     val prefix = posts.join(dfTable, "_s")
       .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= col("_cnt") - ceil(lit(threshold) * col("_cnt")) + 1)
+      // exact prefix bound: the threshold multiplies as DECIMAL, not
+      // DOUBLE — an fp product one ulp above the true integer would
+      // shorten the prefix and silently drop qualifying pairs
+      .filter(col("_rank") <=
+        col("_cnt") - ceil(lit(threshold).cast("decimal(12,6)") * col("_cnt")) + 1)
       .select("_pid", "_s")
     val cand = prefix.select(col("_pid").as("id_a"), col("_s"))
       .join(prefix.select(col("_pid").as("id_b"), col("_s")), Seq("_s"))

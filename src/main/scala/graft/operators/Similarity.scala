@@ -160,7 +160,8 @@ object Similarity {
       }
       best
     }
-    corpus.withColumn("bucket", assign(vec))
+    // rows without a vector cannot be bucketed (and would NPE the UDF)
+    corpus.filter(vec.isNotNull).withColumn("bucket", assign(vec))
   }
 
   /** Multi-probe learned-IVF search: scan the `nprobe` buckets whose
@@ -192,13 +193,15 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       queryVec: Seq[Float], k: Int, metric: Metric,
       nBits: Int, probeNeighbors: Boolean = true): DataFrame = {
+    require(queryVec.length >= nBits,
+      s"query vector has ${queryVec.length} dims; bucket needs $nBits")
     val qBucket = (0 until nBits).map(i => if (queryVec(i) > 0f) 1 << i else 0).sum
     val probes = qBucket +: (if (probeNeighbors) (0 until nBits).map(i => qBucket ^ (1 << i)) else Nil)
-    signBuckets(corpus, cVec, nBits)
+    signBuckets(corpus.filter(cVec.isNotNull), cVec, nBits)
       .filter(col("bucket").isin(probes: _*))
       .select(cId.as("id"), col("bucket"),
         Distances.distanceToQuery(metric, cVec, queryVec).as("distance"))
-      .orderBy(col("distance").asc, col("id").asc)
+      .orderBy(col("distance").asc_nulls_last, col("id").asc)
       .limit(k)
   }
 }

