@@ -68,6 +68,12 @@ object RecallReport {
     }
     val model16 = ProductQuantizer.fit(emb, col("embedding"), m = 16, k = 64, dim = 64)
     val codes16 = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model16).persist()
+    val model16f = ProductQuantizer.fit(emb, col("embedding"), m = 16, k = 128, dim = 64)
+    val codes16f = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model16f).persist()
+    val pq16f = queryIds.map { q =>
+      ProductQuantizer.adcSearch(codes16f, vec(q), model16f, k)
+        .select("id").as[Long].collect().toSet
+    }
     val pq16 = queryIds.map { q =>
       ProductQuantizer.adcSearch(codes16, vec(q), model16, k)
         .select("id").as[Long].collect().toSet
@@ -150,6 +156,7 @@ object RecallReport {
          || binary quantizer + rescore | hamming top-$rescoreC → exact cosine re-rank | ${recallOf(bqR, exactCos)}%.3f |
          || product quantizer ADC | m=8, k=32, seeded Lloyd's | ${recallOf(pq8, exactCos)}%.3f |
          || product quantizer ADC | m=16, k=64 | ${recallOf(pq16, exactCos)}%.3f |
+         || product quantizer ADC | m=16, k=128 | ${recallOf(pq16f, exactCos)}%.3f |
          || product quantizer + rescore | m=16/k=64 top-$rescoreC → exact re-rank | ${recallOf(pq16R, exactCos)}%.3f |
          || sign-bit IVF | 6 bits, hamming-1 probes (7/64 buckets) | ${recallOf(ivf, exactCos)}%.3f |
          || learned IVF (k-means) | 32 centroids, nprobe=4 (⅛ of corpus) | ${recallOf(ivfKm, exactCos)}%.3f |
