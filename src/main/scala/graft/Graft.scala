@@ -68,55 +68,59 @@ final class Graft(spark: SparkSession, root: String,
   // from the corpus on the next search.
 
   def insert(name: String, points: DataFrame): Long =
-    writeThrough(name,
-      points.select(points(graft.store.CollectionStore.IdCol).cast("string"))
-        .collect().map(_.getString(0)).toSeq) {
-      store.insert(name, points)
-    }
+    writeThrough(name)(store.insertCommitted(name, points)).length.toLong
 
   def update(name: String, updates: DataFrame): Long =
-    writeThrough(name,
-      updates.select(updates(graft.store.CollectionStore.IdCol).cast("string"))
-        .collect().map(_.getString(0)).toSeq) {
-      store.update(name, updates)
-    }
+    writeThrough(name)(store.updateCommitted(name, updates)).length.toLong
 
   def delete(name: String, ids: Seq[String]): Long =
-    writeThrough(name, ids)(store.delete(name, ids))
+    writeThrough(name)(store.deleteCommitted(name, ids)).length.toLong
 
   /** Run a store write; on success, refresh the cached view and patch any
-    * built text indexes for the affected ids. A failed write leaves both
-    * the store and the cache untouched. Collections without a built index
-    * are simply evicted (next read reloads lazily).
+    * built text indexes for the ids the STORE reports committed — the
+    * store collected them from its checkpointed batch, so they are the
+    * ids actually written even for non-deterministic sources (uuid ids,
+    * samples), where re-evaluating the caller's DataFrame here would
+    * patch the wrong ids and silently serve stale postings. A failed
+    * write leaves both the store and the cache untouched. Collections
+    * without a built index are simply evicted (next read reloads lazily).
     */
-  private def writeThrough(name: String, affectedIds: => Seq[String])(op: => Long): Long = {
+  private def writeThrough(name: String)(op: => Seq[String]): Seq[String] = {
     val before = cache.get(name)
-    val result = op // throws on invalid batches — cache stays valid
+    val committed = op // throws on invalid batches — cache stays valid
+    // a zero-row commit changed nothing: the cached view stays valid
+    if (committed.isEmpty) return committed
     // once the store write has committed, the cached view is stale: any
     // failure while refreshing/patching must still evict it, or searches
-    // would keep serving pre-write data
+    // would keep serving pre-write data. The write itself SUCCEEDED, so a
+    // patch/refresh failure is not rethrown as a write failure — the next
+    // search reloads and rebuilds lazily.
     try {
       if (before != null && before.textIndexes.nonEmpty) {
-        val ids = affectedIds
         val fresh = store.load(name)
         val patchedIdx = before.textIndexes.map { case (prop, idx) =>
-          prop -> TextIndex.patched(idx, fresh.df, prop, ids)
+          prop -> TextIndex.patched(idx, fresh.df, prop, committed)
         }
         cache.put(name, fresh.copy(textIndexes = patchedIdx))
       } else evict(name)
-    } catch { case e: Throwable => evict(name); throw e }
-    result
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        evict(name)
+        System.err.println(
+          s"graft: post-write index patch for '$name' failed (${e.getMessage}); " +
+          "cache evicted, next search rebuilds")
+    }
+    committed
   }
 
-  /** Drop the cached collection AND release its text-index postings
+  /** Drop the cached collection AND release its text-index blocks
     * (persisted OR checkpointed — `unpersist` alone is a no-op for the
     * latter) — removing only the map entry would leak the blocks for the
     * session's lifetime.
     */
   private def evict(name: String): Unit =
     Option(cache.remove(name))
-      .foreach(_.textIndexes.values.foreach(i =>
-        org.apache.spark.sql.graft.Bridge.release(i.postings)))
+      .foreach(_.textIndexes.values.foreach(_.release()))
 
   // ---- search (the flagship path) -----------------------------------------
 
@@ -164,8 +168,7 @@ final class Graft(spark: SparkSession, root: String,
         if (!cache.replace(name, coll, withIdx)) {
           // lost the race against a write — release the just-built
           // postings; the next search rebuilds against the fresh view
-          wanted.foreach(p =>
-            org.apache.spark.sql.graft.Bridge.release(withIdx.textIndexes(p).postings))
+          wanted.foreach(p => withIdx.textIndexes(p).release())
         }
       }
     }

@@ -12,10 +12,36 @@ import Collection._
   * per-doc term-frequency maps maintained in bbolt buckets (reference
   * shard/index/text/text.go:151–258). Building is a batch job; queries
   * against a built index skip re-tokenizing the corpus.
+  *
+  * Token-less documents (non-null text that analyzes to zero terms) keep
+  * ONE null-`_term` row, so the postings frame itself carries the exact
+  * non-null document count — queries filter on term equality first, which
+  * a null term never matches, so these rows are inert at search time but
+  * make per-write `numDocs` bookkeeping exact and batch-scale.
+  *
+  * `patchDepth`/`blocks` track the incremental-patch state: `postings`
+  * at depth > 0 is a lazily COMPOSED view (base anti-join ∪ per-batch
+  * checkpoints); `blocks` holds every materialized frame backing it, to
+  * release on eviction or at the next compaction.
   */
-final case class TextIndex(postings: DataFrame, numDocs: Long)
+final case class TextIndex(
+    postings: DataFrame, numDocs: Long,
+    patchDepth: Int = 0, blocks: Seq[DataFrame] = Nil) {
+
+  /** Release every persisted/checkpointed block backing this index. */
+  def release(): Unit = {
+    org.apache.spark.sql.graft.Bridge.release(postings)
+    blocks.foreach(org.apache.spark.sql.graft.Bridge.release)
+  }
+}
 
 object TextIndex {
+
+  /** Fold the composed patch chain into one materialized frame once it
+    * reaches this depth — bounds per-query plan depth at ≤ CompactEvery
+    * broadcast anti-joins while keeping the per-write cost batch-scale.
+    */
+  private val CompactEvery = 8
 
   /** Tokenize + aggregate the postings frame (shared by both builds). */
   private[engine] def compute(df: DataFrame, prop: String): (DataFrame, Long) = {
@@ -25,8 +51,9 @@ object TextIndex {
     val toks = docs
       .select(col(IdCol), TextAnalyzer.analyze(col(prop)).as("_terms"))
       .withColumn("_doclen", size(col("_terms")))
+    // explode_outer: token-less docs keep one null-term row (see class doc)
     val postings = toks
-      .select(col(IdCol), col("_doclen"), explode(col("_terms")).as("_term"))
+      .select(col(IdCol), col("_doclen"), explode_outer(col("_terms")).as("_term"))
       .groupBy(IdCol, "_doclen", "_term")
       .agg(count(lit(1)).as("_freq"))
     (postings, docs.count())
@@ -35,31 +62,45 @@ object TextIndex {
   /** Build (and persist in memory) the index for `prop`. */
   def build(df: DataFrame, prop: String): TextIndex = {
     val (postings, n) = compute(df, prop)
-    TextIndex(postings.persist(), n)
+    val p = postings.persist()
+    TextIndex(p, n, 0, Seq(p))
   }
 
   /** Incrementally patch a built index after a write (the reference
     * updates its inverted postings per point, text.go:151–258): drop the
     * affected ids' postings, re-analyze JUST those ids from the new
-    * collection view, splice, and materialize. Cost scales with the batch,
-    * never the corpus. The superseded postings cache is released once the
-    * patched frame is materialized.
+    * collection view, and splice. Per-write cost is batch-scale — only
+    * the per-batch additions are materialized (the `_id IN (...)` slice
+    * pushes into the view's scan); the splice itself stays a lazy
+    * broadcast anti-join over the still-cached previous postings, folded
+    * into one frame every [[CompactEvery]] patches. `numDocs` is
+    * maintained by exact delta arithmetic (the null-term rows make every
+    * non-null doc visible in the postings), not a corpus recount.
     */
   def patched(idx: TextIndex, newView: DataFrame, prop: String, ids: Seq[String]): TextIndex = {
+    if (ids.isEmpty) return idx
     val spark = newView.sparkSession
     import spark.implicits._
     val idsDf = ids.toDF(IdCol)
-    val (add, _) = compute(
-      newView.join(broadcast(idsDf), Seq(IdCol), "left_semi"), prop)
-    val postings = idx.postings
+    val (addPost, addedN) = compute(newView.filter(col(IdCol).isin(ids: _*)), prop)
+    val add = addPost.localCheckpoint() // batch-scale materialization
+    // docs leaving the count: exact thanks to the null-term rows; scans
+    // the in-memory postings with a broadcast semi-join, no re-tokenize
+    val removedN = idx.postings
+      .join(broadcast(idsDf), Seq(IdCol), "left_semi")
+      .select(IdCol).distinct().count()
+    val composed = idx.postings
       .join(broadcast(idsDf), Seq(IdCol), "left_anti")
       .unionByName(add)
-      .localCheckpoint() // eager: lineage-free before the old cache drops
-    org.apache.spark.sql.graft.Bridge.release(idx.postings)
-    // numDocs recomputed from the new view, NOT by postings delta
-    // bookkeeping: a doc with non-null but token-less text has no
-    // postings rows, and delta arithmetic would drift upward per write
-    TextIndex(postings, newView.filter(col(prop).isNotNull).count())
+    val numDocs = idx.numDocs - removedN + addedN
+    if (idx.patchDepth + 1 >= CompactEvery) {
+      val compacted = composed.localCheckpoint() // eager: before blocks drop
+      idx.release()
+      org.apache.spark.sql.graft.Bridge.release(add)
+      TextIndex(compacted, numDocs, 0, Seq(compacted))
+    } else {
+      TextIndex(composed, numDocs, idx.patchDepth + 1, idx.blocks :+ add)
+    }
   }
 
   /** Build the index materialized to parquet under `cacheDir` (first call
@@ -81,6 +122,7 @@ object TextIndex {
       Files.writeString(donePath, "")
     }
     val numDocs = Files.readString(cacheDir.resolve("numdocs")).trim.toLong
-    TextIndex(spark.read.parquet(postingsPath).persist(), numDocs)
+    val p = spark.read.parquet(postingsPath).persist()
+    TextIndex(p, numDocs, 0, Seq(p))
   }
 }

@@ -18,7 +18,15 @@ object MsgPack {
 
   def decode(bytes: Array[Byte]): JValue = {
     val buf = ByteBuffer.wrap(bytes)
-    val v = read(buf)
+    // payload lengths are bounds-checked up front (checkedLen), but a
+    // buffer truncated at a tag or fixed-width-number boundary still
+    // underflows — translate it so every malformed payload fails with
+    // this codec's IllegalArgumentException contract
+    val v =
+      try read(buf)
+      catch { case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException("truncated msgpack payload")
+      }
     require(!buf.hasRemaining, s"${buf.remaining()} trailing byte(s) after msgpack value")
     v
   }
@@ -28,14 +36,14 @@ object MsgPack {
     tag match {
       case t if t <= 0x7f => JLong(t.toLong)                       // positive fixint
       case t if t >= 0xe0 => JLong((t - 256).toLong)               // negative fixint
-      case t if (t & 0xf0) == 0x80 => readMap(b, t & 0x0f)         // fixmap
-      case t if (t & 0xf0) == 0x90 => readArray(b, t & 0x0f)       // fixarray
-      case t if (t & 0xe0) == 0xa0 => JString(readStr(b, t & 0x1f)) // fixstr
+      case t if (t & 0xf0) == 0x80 => readMap(b, checkedLen(b, t & 0x0f))   // fixmap
+      case t if (t & 0xf0) == 0x90 => readArray(b, checkedLen(b, t & 0x0f)) // fixarray
+      case t if (t & 0xe0) == 0xa0 => JString(readStr(b, checkedLen(b, t & 0x1f))) // fixstr
       case 0xc0 => JNull
       case 0xc2 => JBool(false)
       case 0xc3 => JBool(true)
-      case 0xc4 => bin(b, b.get() & 0xff)
-      case 0xc5 => bin(b, b.getShort() & 0xffff)
+      case 0xc4 => bin(b, checkedLen(b, b.get() & 0xff))
+      case 0xc5 => bin(b, checkedLen(b, b.getShort() & 0xffff))
       case 0xc6 => bin(b, checkedLen(b, b.getInt()))
       case 0xca => JDouble(b.getFloat().toDouble)
       case 0xcb => JDouble(b.getDouble())
@@ -50,22 +58,28 @@ object MsgPack {
       case 0xd1 => JLong(b.getShort().toLong)
       case 0xd2 => JLong(b.getInt().toLong)
       case 0xd3 => JLong(b.getLong())
-      case 0xd9 => JString(readStr(b, b.get() & 0xff))
-      case 0xda => JString(readStr(b, b.getShort() & 0xffff))
+      case 0xd9 => JString(readStr(b, checkedLen(b, b.get() & 0xff)))
+      case 0xda => JString(readStr(b, checkedLen(b, b.getShort() & 0xffff)))
       case 0xdb => JString(readStr(b, checkedLen(b, b.getInt())))
-      case 0xdc => readArray(b, b.getShort() & 0xffff)
+      case 0xdc => readArray(b, checkedLen(b, b.getShort() & 0xffff))
       case 0xdd => readArray(b, checkedLen(b, b.getInt()))
-      case 0xde => readMap(b, b.getShort() & 0xffff)
+      case 0xde => readMap(b, checkedLen(b, b.getShort() & 0xffff))
       case 0xdf => readMap(b, checkedLen(b, b.getInt()))
       case other => throw new IllegalArgumentException(
         f"unsupported msgpack tag 0x$other%02x (ext types not accepted)")
     }
   }
 
-  /** 32-bit lengths arrive as SIGNED ints: a hostile payload can carry a
-    * negative count (List.fill silently yields Nil and the parser
-    * desyncs) or a 2 GB allocation request — bound by the bytes actually
-    * remaining instead.
+  /** Every length/element count is bounded by the bytes actually
+    * remaining before any allocation or read. 32-bit lengths arrive as
+    * SIGNED ints: a hostile payload can carry a negative count
+    * (List.fill silently yields Nil and the parser desyncs) or a 2 GB
+    * allocation request; 8/16-bit lengths (≤ 65535) can still exceed a
+    * truncated buffer and would otherwise surface as a raw
+    * BufferUnderflowException instead of this codec's
+    * IllegalArgumentException contract. For array/map tags the count is
+    * elements, not bytes — each element occupies ≥ 1 byte, so the bound
+    * still holds.
     */
   private def checkedLen(b: ByteBuffer, n: Int): Int = {
     require(n >= 0 && n <= b.remaining(),

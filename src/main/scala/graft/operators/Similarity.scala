@@ -147,14 +147,20 @@ object Similarity {
     * broadcast codebook — the IVF "index build").
     */
   def kmeansBuckets(corpus: DataFrame, vec: Column, centroids: Array[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid codebook")
+    val dim = centroids(0).length
+    require(centroids.forall(_.length == dim), "ragged centroid codebook")
     val assign = udf { (v: Seq[Float]) =>
       val arr = v.toArray
+      // a silent min-length truncation here would assign quietly wrong
+      // buckets for mismatched vectors (ivfSearch's validation parity)
+      require(arr.length == dim,
+        s"vector has ${arr.length} dims; centroids have $dim")
       var best = 0; var bd = Double.MaxValue; var j = 0
       while (j < centroids.length) {
         val c = centroids(j)
         var acc = 0.0; var t = 0
-        val n = math.min(arr.length, c.length)
-        while (t < n) { val x = arr(t).toDouble - c(t); acc += x * x; t += 1 }
+        while (t < dim) { val x = arr(t).toDouble - c(t); acc += x * x; t += 1 }
         if (acc < bd) { bd = acc; best = j }
         j += 1
       }
@@ -172,10 +178,12 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       queryVec: Seq[Float], k: Int, metric: Metric,
       centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "empty centroid codebook")
+    require(queryVec.length == centroids(0).length,
+      s"query vector has ${queryVec.length} dims; centroids have ${centroids(0).length}")
     val probes = centroids.zipWithIndex.map { case (c, j) =>
-      val n = math.min(queryVec.length, c.length)
       var acc = 0.0; var t = 0
-      while (t < n) { val x = queryVec(t).toDouble - c(t); acc += x * x; t += 1 }
+      while (t < c.length) { val x = queryVec(t).toDouble - c(t); acc += x * x; t += 1 }
       (acc, j)
     }.sorted.take(nprobe).map(_._2).toSeq
     kmeansBuckets(corpus, cVec, centroids)

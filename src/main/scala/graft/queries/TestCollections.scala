@@ -58,8 +58,10 @@ object TestCollections {
       if (java.nio.file.Files.exists(src))
         s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
       else "absent"
+    // v2: postings format changed (explode_outer null-term rows) — the
+    // version component invalidates caches written by older builds
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d#$stamp".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(s"$d#$stamp#v2".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_textidx_${key}_text")
   }

@@ -122,7 +122,15 @@ final class CollectionStore(
   }
 
   /** W1 — all-or-nothing batch insert. */
-  def insert(name: String, points: DataFrame): Long = {
+  def insert(name: String, points: DataFrame): Long =
+    insertCommitted(name, points).length.toLong
+
+  /** As [[insert]], returning the committed ids. The facade patches its
+    * text indexes from THIS list — re-collecting the caller's DataFrame
+    * after the commit would re-evaluate non-deterministic sources (uuid
+    * ids, samples) and patch the wrong ids.
+    */
+  private[graft] def insertCommitted(name: String, points: DataFrame): Seq[String] = {
     // pending ops must fold first: a pending tombstone on a re-inserted id
     // would otherwise outrank the new row at the next flush
     flush(name)
@@ -169,7 +177,7 @@ final class CollectionStore(
     if (vamProps.nonEmpty)
       patchVamanaIndexes(name, vamProps.map(_ -> batchIds).toMap, Nil)
     maybeFitQuantizers(name)
-    n
+    batchIds
   }
 
   /** Pre-write storage admission (quota is an estimate measured before
@@ -211,7 +219,11 @@ final class CollectionStore(
     * or at the pending threshold — the reference's per-batch ack semantics
     * at a fraction of the per-transaction cost.
     */
-  def update(name: String, updates: DataFrame): Long = {
+  def update(name: String, updates: DataFrame): Long =
+    updateCommitted(name, updates).length.toLong
+
+  /** As [[update]], returning the matched (committed) ids. */
+  private[graft] def updateCommitted(name: String, updates: DataFrame): Seq[String] = {
     val batchRows = updates.limit(MaxUpdateBatch + 1).collect()
     require(batchRows.length <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
     val uSchema = updates.schema
@@ -222,33 +234,37 @@ final class CollectionStore(
       r.get(idIdx).toString
     }.toSeq
     require(batchIds.distinct.length == batchIds.length, "duplicate _id within update batch")
-    if (batchIds.isEmpty) return 0L
+    if (batchIds.isEmpty) return Nil
     // update-side vector-length validation (reference CheckCompatibleMap,
     // httpapi/v2/handlers.go:345) — driver-side over the ≤100 rows in hand
     validatePatchVecLens(uSchema, batchRows, readSchema(name))
     requireStorageQuota(name)
     recoverPending(name)
     val live = liveIds(name, batchIds)
-    val matched = batchIds.count(live)
-    if (matched > 0) appendPending(name, PendingPatch(uSchema, batchRows.toSeq))
+    val matched = batchIds.filter(live)
+    if (matched.nonEmpty) appendPending(name, PendingPatch(uSchema, batchRows.toSeq))
     if (pendingOps.getOrDefault(name, Vector.empty).length >= CompactThreshold) flush(name)
-    matched.toLong
+    matched
   }
 
   /** W3 — delete by id; unknown ids are no-ops; returns rows removed.
     * Deletes append a tombstone op to the WAL; the fold at flush writes
     * `_tombstone` row versions — the base is untouched.
     */
-  def delete(name: String, ids: Seq[String]): Long = {
+  def delete(name: String, ids: Seq[String]): Long =
+    deleteCommitted(name, ids).length.toLong
+
+  /** As [[delete]], returning the removed (committed) ids. */
+  private[graft] def deleteCommitted(name: String, ids: Seq[String]): Seq[String] = {
     require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
-    if (ids.isEmpty) return 0L
+    if (ids.isEmpty) return Nil
     requireStorageQuota(name)
     recoverPending(name)
     val live = liveIds(name, ids)
     val removed = ids.distinct.filter(live)
     if (removed.nonEmpty) appendPending(name, PendingTombstone(removed))
     if (pendingOps.getOrDefault(name, Vector.empty).length >= CompactThreshold) flush(name)
-    removed.length.toLong
+    removed
   }
 
   // ---- group-commit write-ahead log ---------------------------------------
@@ -553,6 +569,11 @@ final class CollectionStore(
       case s: Short => JLong(s.toLong)
       case i: Int => JLong(i.toLong)
       case l: Long => JLong(l)
+      // non-finite floats render as bare NaN/Infinity tokens in compact
+      // JSON — unparseable at recovery, wedging the collection. Encode as
+      // string sentinels; jsonToValue maps them back for float fields.
+      case f: Float if f.isNaN || f.isInfinite => JString(nonFiniteName(f.toDouble))
+      case d: Double if d.isNaN || d.isInfinite => JString(nonFiniteName(d))
       case f: Float => JDouble(f.toDouble)
       case d: Double => JDouble(d)
       case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
@@ -565,10 +586,26 @@ final class CollectionStore(
     }
   }
 
+  private def nonFiniteName(d: Double): String =
+    if (d.isNaN) "NaN" else if (d > 0) "Infinity" else "-Infinity"
+
+  private def nonFiniteValue(s: String): Option[Double] = s match {
+    case "NaN" => Some(Double.NaN)
+    case "Infinity" => Some(Double.PositiveInfinity)
+    case "-Infinity" => Some(Double.NegativeInfinity)
+    case _ => None
+  }
+
   private def jsonToValue(j: org.json4s.JValue, dt: DataType): Any = {
     import org.json4s._
     (j, dt) match {
       case (JNull | JNothing, _) => null
+      // the write side's non-finite sentinels (only for float fields —
+      // a STRING field legitimately holding "NaN" is untouched)
+      case (JString(s), DoubleType) if nonFiniteValue(s).isDefined =>
+        nonFiniteValue(s).get
+      case (JString(s), FloatType) if nonFiniteValue(s).isDefined =>
+        nonFiniteValue(s).get.toFloat
       case (JString(s), _) => s
       case (JBool(b), _) => b
       // NOTE: json4s-jackson parses every integral as JInt and every

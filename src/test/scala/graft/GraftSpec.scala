@@ -94,4 +94,57 @@ class GraftSpec extends SparkSuite {
     assert(db.collection("docs").textIndexes("t").numDocs == 2)
     assert(db.search("docs", q("bird")).collect().map(_.getString(0)).toSeq == Seq("d"))
   }
+
+  test("numDocs stays exact across token-less docs and many patches (compaction)") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    db.createCollection("docs", IndexSchema("t" -> Text()), Seq(
+      ("a", "alpha bird"), ("b", ""), ("c", "gamma fish")  // b: non-null, zero tokens
+    ).toDF("_id", "t"))
+    def q(term: String) =
+      s"""{"query": {"property": "t",
+         |  "text": {"value": "$term", "operator": "containsAny", "limit": 20}},
+         | "limit": 20}""".stripMargin
+    db.search("docs", q("bird")).collect()
+    // token-less doc b still counts toward numDocs (it has non-null text)
+    assert(db.collection("docs").textIndexes("t").numDocs == 3)
+
+    // drive 10 single-row writes through the patch path — crosses the
+    // CompactEvery fold and keeps exercising token-less transitions
+    db.update("docs", Seq(("a", "")).toDF("_id", "t"))          // tokened → token-less
+    assert(db.collection("docs").textIndexes("t").numDocs == 3)
+    db.update("docs", Seq(("b", "beta bird")).toDF("_id", "t")) // token-less → tokened
+    assert(db.collection("docs").textIndexes("t").numDocs == 3)
+    (0 until 8).foreach { i =>
+      db.insert("docs", Seq((s"n$i", s"extra bird $i")).toDF("_id", "t"))
+    }
+    val idx = db.collection("docs").textIndexes("t")
+    assert(idx.numDocs == 11)
+    assert(db.search("docs", q("bird")).collect().length == 9) // b + n0..n7; not a/c
+    // the patched count matches a from-scratch rebuild exactly
+    val rebuilt = graft.engine.TextIndex.build(db.collection("docs").df, "t")
+    assert(idx.numDocs == rebuilt.numDocs)
+    rebuilt.release()
+  }
+
+  test("index patch targets the ids the store committed, not a re-evaluated source") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    db.createCollection("docs", IndexSchema("t" -> Text()),
+      Seq(("a", "alpha bird")).toDF("_id", "t"))
+    def q(term: String) =
+      s"""{"query": {"property": "t",
+         |  "text": {"value": "$term", "operator": "containsAny", "limit": 20}},
+         | "limit": 20}""".stripMargin
+    db.search("docs", q("bird")).collect() // build + materialize the index
+    // non-deterministic id: every evaluation rolls a different _id — the
+    // store checkpoints the batch, so exactly one id is committed; the
+    // patch must target THAT id, not a fresh roll
+    val nd = spark.range(1).select(
+      concat(lit("nd"), (rand() * 1000000000L).cast("long").cast("string")).as("_id"),
+      lit("wild bird").as("t"))
+    assert(db.insert("docs", nd) == 1)
+    val stored = db.collection("docs").df.filter(col("_id").startsWith("nd"))
+      .select("_id").head().getString(0)
+    val found = db.search("docs", q("wild")).collect().map(_.getString(0)).toSeq
+    assert(found == Seq(stored), s"patched id(s) $found != committed id $stored")
+  }
 }

@@ -50,6 +50,27 @@ class MsgPackSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException](MsgPack.decode(hex("c0 c0")))
   }
 
+  test("truncated 8/16-bit lengths fail with the codec's error, not BufferUnderflow") {
+    def hex(s: String): Array[Byte] =
+      s.split(" ").map(java.lang.Integer.parseInt(_, 16).toByte)
+    // str8 claiming 16 bytes with 2 present; str16; bin8; array16; map16;
+    // fixstr/fixarray claiming more than remains — every one must surface
+    // as IllegalArgumentException (the codec's contract), never a raw
+    // BufferUnderflowException from the allocation/read
+    val cases = Seq(
+      "d9 10 68 69",       // str8 len 16, 2 bytes remain
+      "da 00 40 68 69",    // str16 len 64, 2 bytes remain
+      "c4 08 01",          // bin8 len 8, 1 byte remains
+      "c5 00 20 01",       // bin16 len 32, 1 byte remains
+      "dc 00 09 01 02",    // array16 count 9, 2 bytes remain
+      "de 00 05 a1 6b 2a", // map16 count 5, one pair remains
+      "a5 68 69",          // fixstr len 5, 2 bytes remain
+      "93 01 02")          // fixarray count 3, 2 elements remain
+    cases.foreach { c =>
+      intercept[IllegalArgumentException](MsgPack.decode(hex(c)))
+    }
+  }
+
   test("vectors of doubles survive the float64 path") {
     val ast = JObject(List("vector" -> JArray(List(JDouble(0.25), JDouble(-1.5)))))
     val back = MsgPack.decode(MsgPack.encode(ast))

@@ -144,4 +144,22 @@ class QuantizerSpec extends SparkSuite {
       .agg(sum("count")).head().getLong(0)
     assert(scanned < emb.count())
   }
+
+  test("k-means IVF rejects dimension mismatches instead of truncating") {
+    import graft.operators.Similarity
+    val cents = Array(Array(1f, 2f, 3f), Array(4f, 5f, 6f))
+    // short query vector: must fail fast, not silently rank on a prefix
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansIvfSearch(emb, col("vec_id"), col("embedding"),
+        Seq(1f, 2f), k = 3, Metric.Cosine, cents, nprobe = 1)
+    }
+    // short corpus vector: the assignment UDF must fail, not mis-bucket
+    val bad = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.kmeansBuckets(bad, col("embedding"), cents).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("dims")), msgs.mkString(" | "))
+  }
 }

@@ -194,6 +194,26 @@ class StoreSpec extends SparkSuite {
     assert(st.update("vc", Seq(("a", Array(7f, 8f, 9f))).toDF("_id", "v")) == 1)
   }
 
+  test("non-finite floats survive the WAL round-trip (crash recovery)") {
+    val dir = Files.createTempDirectory("graft_test_").toString
+    val st = new CollectionStore(spark, dir)
+    val vschema = IndexSchema("price" -> IndexKind.Float,
+      "v" -> IndexKind.VectorFlat(2, IndexKind.Metric.Euclidean))
+    st.create("nf", vschema,
+      Seq(("a", 1.0, Array(1f, 2f)), ("b", 2.0, Array(3f, 4f))).toDF("_id", "price", "v"))
+    // NaN scalar + Infinity inside a vector: compact JSON would render
+    // bare NaN/Infinity tokens that recovery cannot parse, wedging the
+    // collection — the sentinel codec must round-trip them
+    st.update("nf", Seq(("a", Double.NaN)).toDF("_id", "price"))
+    st.update("nf", Seq(("b", Array(Float.PositiveInfinity, 5f))).toDF("_id", "v"))
+    // fresh instance = crash before the fold: recovery parses the WAL
+    val st2 = new CollectionStore(spark, dir)
+    val rows = st2.load("nf").df.orderBy("_id").collect()
+    assert(rows(0).getDouble(1).isNaN)
+    assert(rows(1).getSeq[Float](2).head.isPosInfinity)
+    assert(rows(1).getSeq[Float](2)(1) == 5f)
+  }
+
   test("list on a fresh root is empty; zero-match writes are no-ops on disk") {
     val dir = Files.createTempDirectory("graft_test_").toString
     val st = new CollectionStore(spark, dir)
