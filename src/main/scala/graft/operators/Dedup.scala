@@ -117,15 +117,19 @@ object Dedup {
       .withColumn("_cnt", size(col("_sh")))
       .persist()
     val posts = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
-    val dfTable0 = posts.groupBy("_s").agg(count(lit(1)).as("_df"))
-    val dfTable = maxShingleDf match {
-      case None => dfTable0
-      case Some(cap) => dfTable0.filter(col("_df") <= cap)
+    // global document frequency per shingle as a count-over-window on the
+    // postings themselves — one shuffle by _s instead of a groupBy shuffle
+    // plus a postings⨝df-table join
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("_s")
+    val withDf0 = posts.withColumn("_df", count(lit(1)).over(dfW))
+    val withDf = maxShingleDf match {
+      case None => withDf0
+      case Some(cap) => withDf0.filter(col("_df") <= cap)
     }
     // rank shingles per doc by (global df asc, shingle asc); keep the prefix
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(col("_df").asc, col("_s").asc)
-    val prefix = posts.join(dfTable, "_s")
+    val prefix = withDf
       .withColumn("_rank", row_number().over(w))
       // exact prefix bound: the threshold multiplies as DECIMAL, not
       // DOUBLE — an fp product one ulp above the true integer would

@@ -134,14 +134,15 @@ object VamanaBuild {
     // recall collapses as n grows (measured: 0.98 @500 nodes → 0.32 @2000
     // with ring-only init; random links restore global mixing).
     //
-    // Ranks are assigned with a range-partitioned sort + zipWithIndex
-    // (per-partition counts, cumulative offsets, one tiny driver reduce) —
-    // NOT a global Window.orderBy, which would pull every id into a single
-    // partition and wall at 10⁹ nodes.
+    // Ranks are assigned with RDD zipWithIndex (per-partition counts,
+    // cumulative offsets, one tiny driver reduce) — NOT a global
+    // Window.orderBy, which would pull every id into a single partition
+    // and wall at 10⁹ nodes. The ring only needs SOME deterministic
+    // cyclic order, not the sorted id order, so no sort shuffle either:
+    // partition order of the persisted source is stable.
     val ranked = {
       import spark.implicits._
       vecs.select(col("id")).as[Long].rdd
-        .sortBy(identity)
         .zipWithIndex()
         .toDF("id", "_r")
         .persist()
@@ -184,17 +185,8 @@ object VamanaBuild {
       val nn2 = sampled.as("e1")
         .join(sampled.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
-      val candW = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
-      val cands = undirected.union(nn2)
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+      edges = cappedCandidates(undirected.union(nn2), vecs, metric, params)
         .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
-        .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
-        .withColumn("_cr", row_number().over(candW))
-        .filter(col("_cr") <= params.maxCandidates)
-      edges = cands
         .groupBy("src")
         .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
         .select(col("src"), explode(col("_nbrs")).as("dst"))
@@ -204,12 +196,14 @@ object VamanaBuild {
       prevRound = Some(edges)
     }
 
-    // pruned graph ∪ ring backbone (connectivity by construction).
+    // pruned graph ∪ ring backbone (connectivity by construction); the
+    // dedup folds into the per-node aggregation (array_distinct over the
+    // sorted list) instead of paying a separate distinct shuffle.
     // Materialize eagerly (truncating the iteration lineage), then release
     // every intermediate cache — builds must not accumulate storage.
-    val result = edges.union(ring).distinct()
+    val result = edges.union(ring)
       .groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors"))
       .localCheckpoint()
     prevRound.foreach(_.unpersist(false))
     ranked.unpersist(false)
@@ -248,6 +242,40 @@ object VamanaBuild {
         .select("src", "dst")
         .filter(col("src") =!= col("dst")))
     }
+  }
+
+  /** Distance + per-node candidate cap over RAW (possibly duplicated)
+    * (src, dst) pairs — one window pass replaces a distinct shuffle plus a
+    * row_number window:
+    *
+    *   - distances join the vectors in (broadcast-able map-side work) and
+    *     the window shuffles NARROW (src, dst, _d) rows — the candidate
+    *     vector is re-attached by the caller after the cap, moving
+    *     sampleDegree²/maxCandidates (~5×) fewer wide rows;
+    *   - duplicates of a pair carry identical (_d, dst) sort keys, so
+    *     `dense_rank` counts DISTINCT candidates toward the cap and a
+    *     same-spec `lag` drops the adjacent duplicates — exactly
+    *     `.distinct()` + `row_number ≤ cap`, minus the extra shuffle.
+    *
+    * Output (src, dst, _d) is clustered by src (the window's partitioning),
+    * so a following broadcast vec-join + groupBy(src) adds no exchange.
+    */
+  private def cappedCandidates(
+      rawPairs: DataFrame, vecs: DataFrame,
+      metric: Metric, params: Params): DataFrame = {
+    val candW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
+    rawPairs
+      .filter(col("src") =!= col("dst"))
+      .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+      .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
+      .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
+      .select("src", "dst", "_d")
+      .withColumn("_dr", dense_rank().over(candW))
+      .withColumn("_prev", lag(col("dst"), 1).over(candW))
+      .filter(col("_dr") <= params.maxCandidates &&
+        (col("_prev").isNull || col("_prev") =!= col("dst")))
+      .drop("_dr", "_prev")
   }
 
   private def mkPruneUdf(metric: Metric, params: Params) =
@@ -305,16 +333,9 @@ object VamanaBuild {
         explode(col("neighbors").cast("array<long>")).as("dst"))
       .union(newEdges)
 
-    val candW = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
-    val repruned = baseAdj.join(affected, "src").union(backlinks)
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+    val repruned = cappedCandidates(
+        baseAdj.join(affected, "src").union(backlinks), vecs, metric, params)
       .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
-      .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
-      .withColumn("_cr", row_number().over(candW))
-      .filter(col("_cr") <= params.maxCandidates)
       .groupBy("src")
       .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
       .select(col("src"), explode(col("_nbrs")).as("dst"))
@@ -330,9 +351,8 @@ object VamanaBuild {
       .union(nids.select(col("id").as("src")))
       .distinct()
     val result = withReattached(edgesAll, requiredIds)
-      .distinct()
       .groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors"))
       .localCheckpoint()
     edgesAll.unpersist(false)
     newEdges.unpersist(false)
@@ -370,16 +390,9 @@ object VamanaBuild {
     val inherited = affectedIn.join(delOut, "_d").select("src", "dst")
     val affected = affectedIn.select("src").distinct()
 
-    val candW = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("_d").asc, col("dst").asc)
-    val repruned = keepEdges.join(affected, "src").union(inherited)
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .join(vecs.select(col("id").as("src"), col("vec").as("_sv")), "src")
+    val repruned = cappedCandidates(
+        keepEdges.join(affected, "src").union(inherited), vecs, metric, params)
       .join(vecs.select(col("id").as("dst"), col("vec").as("_dv")), "dst")
-      .withColumn("_d", Distances.distance(metric, col("_sv"), col("_dv")))
-      .withColumn("_cr", row_number().over(candW))
-      .filter(col("_cr") <= params.maxCandidates)
       .groupBy("src")
       .agg(pruneUdf(collect_list(struct(col("_d"), col("dst"), col("_dv")))).as("_nbrs"))
       .select(col("src"), explode(col("_nbrs")).as("dst"))
@@ -398,9 +411,8 @@ object VamanaBuild {
     val survivors = graph.select(col("id").cast("long").as("src"))
       .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
     val result = withReattached(edgesAll, survivors)
-      .distinct()
       .groupBy(col("src").as("id"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+      .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors"))
       .localCheckpoint()
     edgesAll.unpersist(false)
     del.unpersist(false)
