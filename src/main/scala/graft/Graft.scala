@@ -101,6 +101,9 @@ final class Graft(spark: SparkSession, root: String,
         val patchedIdx = before.textIndexes.map { case (prop, idx) =>
           prop -> TextIndex.patched(idx, fresh.df, prop, committed)
         }
+        // vector artifacts are dropped, not patched (rebuilt lazily on the
+        // next approx search) — release their persisted encoded frames
+        before.vectorIndexes.values.foreach(_.release())
         cache.put(name, fresh.copy(textIndexes = patchedIdx))
       } else evict(name)
     } catch {
@@ -119,8 +122,10 @@ final class Graft(spark: SparkSession, root: String,
     * session's lifetime.
     */
   private def evict(name: String): Unit =
-    Option(cache.remove(name))
-      .foreach(_.textIndexes.values.foreach(_.release()))
+    Option(cache.remove(name)).foreach { c =>
+      c.textIndexes.values.foreach(_.release())
+      c.vectorIndexes.values.foreach(_.release())
+    }
 
   // ---- search (the flagship path) -----------------------------------------
 
@@ -132,6 +137,7 @@ final class Graft(spark: SparkSession, root: String,
 
   def search(name: String, request: SearchRequest): DataFrame = {
     ensureTextIndexes(name, textProps(request.query))
+    ensureVectorIndexes(name, approxVecProps(request.query))
     Search.search(collection(name), request)
   }
 
@@ -146,6 +152,45 @@ final class Graft(spark: SparkSession, root: String,
     self ++ filters.flatMap(textProps) ++
       q.and.flatMap(textProps) ++ q.or.flatMap(textProps)
   }
+
+  /** Vector properties queried with `"approx": true` anywhere in the
+    * tree — only these pay an artifact attach (quantizer load + encode).
+    */
+  private def approxVecProps(q: graft.model.Query): Set[String] = {
+    val self =
+      if (q.vectorFlat.exists(_.approx) || q.vectorVamana.exists(_.approx))
+        Set(q.property)
+      else Set.empty[String]
+    val filters = Seq(
+      q.vectorFlat.flatMap(_.filter), q.vectorVamana.flatMap(_.filter),
+      q.text.flatMap(_.filter)).flatten
+    self ++ filters.flatMap(approxVecProps) ++
+      q.and.flatMap(approxVecProps) ++ q.or.flatMap(approxVecProps)
+  }
+
+  /** Attach quantizer artifacts for the approx-queried vector properties
+    * whose collection has a FITTED quantizer (store-side auto-fit at
+    * `triggerThreshold`). Same compare-and-swap install discipline as
+    * [[ensureTextIndexes]]; props without a fitted quantizer are simply
+    * served exactly.
+    */
+  private def ensureVectorIndexes(name: String, props: Set[String]): Unit =
+    if (props.nonEmpty) {
+      val coll = collection(name)
+      val wanted = props.filterNot(coll.vectorIndexes.contains)
+        .flatMap(p => store.loadQuantizer(name, p).map(p -> _)).toSeq
+      if (wanted.nonEmpty) {
+        val withIdx = wanted.foldLeft(coll) {
+          case (c, (p, graft.store.FittedBinary(th))) => c.withBinaryVectorIndex(p, th)
+          case (c, (p, graft.store.FittedProduct(model))) => c.withProductVectorIndex(p, model)
+        }
+        if (!cache.replace(name, coll, withIdx)) {
+          // lost the race against a write — release the just-built
+          // artifacts; the next search rebuilds against the fresh view
+          wanted.foreach { case (p, _) => withIdx.vectorIndexes(p).release() }
+        }
+      }
+    }
 
   /** msgpack request body → result DataFrame (same parser as JSON). */
   def searchMsgPack(name: String, requestBody: Array[Byte]): DataFrame =

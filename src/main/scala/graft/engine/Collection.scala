@@ -14,7 +14,8 @@ import graft.model.IndexSchema
 final case class Collection(
     df: DataFrame,
     schema: IndexSchema,
-    textIndexes: Map[String, TextIndex] = Map.empty) {
+    textIndexes: Map[String, TextIndex] = Map.empty,
+    vectorIndexes: Map[String, VectorIndex] = Map.empty) {
   require(df.columns.contains(Collection.IdCol), s"collection must have ${Collection.IdCol}")
 
   /** Return a copy with the text index for `prop` built and attached
@@ -32,6 +33,38 @@ final case class Collection(
     if (textIndexes.contains(prop)) this
     else copy(textIndexes =
       textIndexes + (prop -> TextIndex.buildDiskCached(df, prop, cacheDir)))
+
+  /** Attach a binary-quantizer artifact for `prop`: sign bits under the
+    * given per-dimension thresholds, packed 64-per-long and persisted —
+    * `"approx": true` vector queries then scan this 32×-narrower frame
+    * for candidates and re-rank only those rows exactly.
+    */
+  def withBinaryVectorIndex(prop: String, thresholds: Array[Double]): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val packed = df.filter(col(prop).isNotNull)
+        .select(col(Collection.IdCol),
+          graft.functions.PackedOps.packBits(col(prop), lit(thresholds)).as("_packed"))
+        .persist()
+      copy(vectorIndexes = vectorIndexes + (prop -> BinaryVectorIndex(thresholds, packed)))
+    }
+
+  /** Attach a product-quantizer artifact for `prop`: per-subspace centroid
+    * codes (byte-scale per subspace), persisted; approximate candidates
+    * rank by asymmetric distance against a per-query lookup table.
+    */
+  def withProductVectorIndex(prop: String, model: graft.operators.PQModel): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val codes = graft.operators.ProductQuantizer
+        .encode(df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), model)
+        .withColumnRenamed("id", Collection.IdCol)
+        .withColumnRenamed("codes", "_codes")
+        .persist()
+      copy(vectorIndexes = vectorIndexes + (prop -> ProductVectorIndex(model, codes)))
+    }
 }
 
 object Collection {

@@ -66,10 +66,14 @@ object QueryCompiler {
         Compiled(Pred(stringArrayPredicate(prop, q.stringArray.get, k.caseSensitive)), None)
       case (k: IndexKind.VectorFlat, _) if q.vectorFlat.isDefined =>
         val o = q.vectorFlat.get
-        near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight)
+        near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight,
+          approx = o.approx, budget = math.max(5 * o.limit, 50))
       case (k: IndexKind.VectorVamana, _) if q.vectorVamana.isDefined =>
         val o = q.vectorVamana.get
-        near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight)
+        // the rescore budget plays the role of the reference's beam
+        // (searchSize): how many quantized candidates see an exact re-rank
+        near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight,
+          approx = o.approx, budget = math.max(o.searchSize, 2 * o.limit))
       case (_: IndexKind.Text, _) if q.text.isDefined =>
         textSearch(col, prop, q.text.get)
       case _ => throw new IllegalArgumentException(
@@ -137,7 +141,12 @@ object QueryCompiler {
   private def near(
       col0: Collection, prop: String, metric: IndexKind.Metric,
       vector: Seq[Float], limit: Int, filter: Option[Query],
-      weight: Option[Float]): Compiled = {
+      weight: Option[Float], approx: Boolean = false, budget: Int = 0): Compiled = {
+    if (approx) col0.vectorIndexes.get(prop) match {
+      case Some(idx) =>
+        return approxNear(col0, prop, metric, vector, limit, filter, weight, idx, budget)
+      case None => () // no artifact attached — serve exact (strictly better)
+    }
     val w = weight.getOrElse(1.0f)
     val base = filter.map(f => applySet(col0, compile(col0, f).set)).getOrElse(col0.df)
     val d = Distances.distanceToQuery(metric, column(prop), vector).cast(FloatType)
@@ -145,6 +154,60 @@ object QueryCompiler {
       .filter(column(prop).isNotNull)
       .select(col(IdCol), d.as(DistanceCol))
       .orderBy(col(DistanceCol).asc, col(IdCol).asc) // id tie-break for determinism
+      .limit(limit)
+      .withColumn(ScoreCol, lit(null).cast(FloatType))
+      .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
+    Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
+  }
+
+  /** Two-stage approximate `near` against an attached quantizer artifact
+    * (reference shard/vectorstore/binary.go, product.go: the quantized
+    * store answers the scan, full vectors re-rank):
+    *
+    *   stage 1 — candidate ids by quantized distance over the NARROW
+    *   encoded frame (packed hamming / ADC lookups), partial top-`budget`
+    *   per partition (`TakeOrderedAndProject`, no full sort). A pre-filter
+    *   restricts the candidate scan itself, so filtered-out rows never
+    *   consume candidate budget (filter-first, models/search.go:9–15);
+    *
+    *   stage 2 — the true metric over JUST the candidate rows (broadcast
+    *   semi-join, ≤ `budget` rows): at 100 TB the wide vector column is
+    *   read only for candidates.
+    *
+    * Result schema and scoring match exact `near` bit-for-bit; only the
+    * candidate set is approximate.
+    */
+  private def approxNear(
+      col0: Collection, prop: String, metric: IndexKind.Metric,
+      vector: Seq[Float], limit: Int, filter: Option[Query],
+      weight: Option[Float], idx: VectorIndex, budget: Int): Compiled = {
+    val w = weight.getOrElse(1.0f)
+    val qd = idx match {
+      case BinaryVectorIndex(th, _) =>
+        require(vector.length == th.length,
+          s"query vector has ${vector.length} dims; binary index has ${th.length}")
+        graft.functions.PackedOps.packedHamming(col("_packed"),
+          lit(graft.operators.BinaryQuantizer.packWords(vector, th)))
+      case ProductVectorIndex(model, _) =>
+        require(vector.length == model.dim,
+          s"query vector has ${vector.length} dims; product index has ${model.dim}")
+        graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model)
+    }
+    val restricted = filter match {
+      case None => idx.encoded
+      case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
+    }
+    val candIds = restricted
+      .select(col(IdCol), qd.as("_qd"))
+      .orderBy(col("_qd").asc, col(IdCol).asc)
+      .limit(budget)
+      .select(IdCol)
+    val d = Distances.distanceToQuery(metric, column(prop), vector).cast(FloatType)
+    val ranked = col0.df
+      .join(broadcast(candIds), Seq(IdCol), "left_semi")
+      .filter(column(prop).isNotNull)
+      .select(col(IdCol), d.as(DistanceCol))
+      .orderBy(col(DistanceCol).asc, col(IdCol).asc)
       .limit(limit)
       .withColumn(ScoreCol, lit(null).cast(FloatType))
       .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))

@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** A fitted vector-quantizer artifact attached to a collection: a NARROW
+  * encoded frame (`_id` + code column, persisted in memory) that the
+  * approximate `near` path scans for candidates instead of the wide
+  * vector column — the engine-side face of the reference's per-shard
+  * quantized vector stores (reference shard/vectorstore/binary.go,
+  * product.go), where the quantized representation answers the candidate
+  * scan and the full vectors are only read to re-rank.
+  *
+  * Exact `near` stays the DEFAULT (recall 1.0, strictly better than the
+  * reference's graph search); a request opts into the artifact per vector
+  * operator with `"approx": true`. Falls back to exact when no artifact
+  * is attached.
+  */
+sealed trait VectorIndex {
+  /** `(_id, <code column>)` — persisted, 8–32× narrower than the vectors. */
+  def encoded: DataFrame
+  def release(): Unit = org.apache.spark.sql.graft.Bridge.release(encoded)
+}
+
+/** Sign bits under per-dimension thresholds, packed 64/long
+  * (`_packed array<long>`) — candidates rank by popcount hamming.
+  */
+final case class BinaryVectorIndex(
+    thresholds: Array[Double], encoded: DataFrame) extends VectorIndex
+
+/** Per-subspace centroid codes (`_codes array<int>`) — candidates rank by
+  * asymmetric distance (per-query lookup table).
+  */
+final case class ProductVectorIndex(
+    model: graft.operators.PQModel, encoded: DataFrame) extends VectorIndex

@@ -37,11 +37,13 @@ object Json {
       property = str(j \ "property"),
       vectorFlat = opt(j \ "vectorFlat")(v => VectorFlatOpts(
         floatSeq(v \ "vector"), str(v \ "operator"), int(v \ "limit", 10),
-        opt(v \ "filter")(query), optFloat(v \ "weight"))),
+        opt(v \ "filter")(query), optFloat(v \ "weight"),
+        approx = bool(v \ "approx"))),
       vectorVamana = opt(j \ "vectorVamana")(v => VectorVamanaOpts(
         floatSeq(v \ "vector"), str(v \ "operator"),
         int(v \ "searchSize", 75), int(v \ "limit", 10),
-        opt(v \ "filter")(query), optFloat(v \ "weight"))),
+        opt(v \ "filter")(query), optFloat(v \ "weight"),
+        approx = bool(v \ "approx"))),
       text = opt(j \ "text")(v => TextOpts(
         str(v \ "value"), str(v \ "operator"), int(v \ "limit", 10),
         opt(v \ "filter")(query), optFloat(v \ "weight"))),

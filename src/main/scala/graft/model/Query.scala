@@ -33,13 +33,20 @@ object Op {
     Set(Equals, NotEquals, GreaterThan, GreaterOrEq, LessThan, LessOrEq, InRange)
 }
 
+/** `approx` (an extension knob, default false): serve this operator from
+  * the collection's fitted quantizer artifact when one is attached —
+  * quantized candidate scan + exact re-rank. Exact search remains the
+  * default and the fallback when no artifact exists.
+  */
 final case class VectorFlatOpts(
     vector: Seq[Float], operator: String, limit: Int,
-    filter: Option[Query] = None, weight: Option[Float] = None)
+    filter: Option[Query] = None, weight: Option[Float] = None,
+    approx: Boolean = false)
 
 final case class VectorVamanaOpts(
     vector: Seq[Float], operator: String, searchSize: Int, limit: Int,
-    filter: Option[Query] = None, weight: Option[Float] = None)
+    filter: Option[Query] = None, weight: Option[Float] = None,
+    approx: Boolean = false)
 
 final case class TextOpts(
     value: String, operator: String, limit: Int,

@@ -222,12 +222,12 @@ object ProductQuantizer {
     df.select(id.as("id"), encodeUdf(vec).as("codes"))
   }
 
-  /** Asymmetric-distance top-k: the query is quantized against nothing —
-    * its exact distance to every centroid of every subspace is precomputed
-    * into an m×k table, broadcast as a literal, and each row scores as m
-    * array lookups.
+  /** The ADC scoring column for a codes column: the query is quantized
+    * against nothing — its exact distance to every centroid of every
+    * subspace is precomputed into an m×k table, broadcast as a literal,
+    * and each row scores as m array lookups.
     */
-  def adcSearch(codes: DataFrame, queryVec: Seq[Float], model: PQModel, k: Int): DataFrame = {
+  def adcDistance(codes: Column, queryVec: Seq[Float], model: PQModel): Column = {
     val table: Seq[Seq[Double]] = (0 until model.m).map { i =>
       val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
       (0 until model.k).map { j =>
@@ -236,16 +236,18 @@ object ProductQuantizer {
       }
     }
     val tableLit = typedLit(table)
-    val approx = aggregate(
+    aggregate(
       sequence(lit(0), lit(model.m - 1)),
       lit(0.0d),
       (acc, i) => acc +
-        element_at(element_at(tableLit, i + 1), element_at(col("codes"), i + 1) + 1))
+        element_at(element_at(tableLit, i + 1), element_at(codes, i + 1) + 1))
+  }
+
+  def adcSearch(codes: DataFrame, queryVec: Seq[Float], model: PQModel, k: Int): DataFrame =
     codes
-      .select(col("id"), approx.as("approx_distance"))
+      .select(col("id"), adcDistance(col("codes"), queryVec, model).as("approx_distance"))
       .orderBy(col("approx_distance").asc, col("id").asc)
       .limit(k)
-  }
 
   /** ADC candidates + exact re-rank: byte codes pick `rescore` candidates,
     * the true metric orders just those (same two-stage shape as

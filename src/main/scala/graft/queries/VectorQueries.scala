@@ -134,7 +134,52 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** Engine-level approx `near`: a binary-quantizer artifact (deterministic
+    * mean thresholds) attached to the docs collection serves the cosine
+    * query as packed-hamming candidates (budget 50 = max(5·limit, 50)) +
+    * exact re-rank — the full two-stage pipeline replayed in DuckDB.
+    */
+  val s2NearBqApprox = NamedQuery(
+    "s2_near_bq_approx",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |means AS (
+      |  SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY i),
+      |th AS (SELECT list(m ORDER BY i) AS t FROM means),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |hd AS (
+      |  SELECT c._id, c.embedding,
+      |    len(list_filter(range(1, 65),
+      |      i -> (CAST(c.embedding[i] AS DOUBLE) > th.t[i])
+      |           != (CAST(q.v[i] AS DOUBLE) > th.t[i]))) AS hdist
+      |  FROM corpus c CROSS JOIN q CROSS JOIN th),
+      |cand AS (SELECT _id, embedding FROM hd ORDER BY hdist ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT c._id, 1.0 - list_inner_product(c.embedding, q.v) AS dist
+      |  FROM cand c CROSS JOIN q),
+      |top AS (SELECT _id, dist FROM rr ORDER BY dist ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(-1.0 * dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val th = graft.operators.BinaryQuantizer.fit(base.df, col("embedding"), 64)
+    val coll = base.withBinaryVectorIndex("embedding", th)
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
-    s2NearHamming, s2NearJaccard, s2NearHaversine)
+    s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox)
 }

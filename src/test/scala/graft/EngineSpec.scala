@@ -135,6 +135,58 @@ class EngineSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("size")).toSeq == Seq(14L, 13L, 11L))
   }
 
+  test("approx near serves from an attached binary artifact; exact fallback without one") {
+    import graft.operators.BinaryQuantizer
+    // budget = max(5·limit, 50) = 50 < 100 rows: stage 1 really narrows.
+    // On this linear fixture sign-bit hamming preserves the ordering well
+    // enough that the exact re-rank restores the true top-k.
+    val th = BinaryQuantizer.fit(fixture.df, col("flat"), 2)
+    val withIdx = fixture.withBinaryVectorIndex("flat", th)
+    val req = SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(
+        Seq(5f, 6f), Op.Near, 10, approx = true))), limit = 100)
+    val exact = Search.search(fixture, SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(5f, 6f), Op.Near, 10))),
+      limit = 100)).collect()
+    val approx = Search.search(withIdx, req)
+    // the candidate stage is visible in the plan: quantized order key over
+    // the encoded frame, then the true-metric re-rank
+    assert(approx.queryExecution.executedPlan.toString.contains("_qd"))
+    assert(approx.collect().map(_.getString(0)).toSeq ==
+      exact.map(_.getString(0)).toSeq)
+    // approx=true without an artifact attached = exact semantics
+    val fallback = Search.search(fixture, req).collect()
+    assert(fallback.map(_.getString(0)).toSeq == exact.map(_.getString(0)).toSeq)
+  }
+
+  test("approx near with a pre-filter: filtered-out rows never consume budget") {
+    import graft.operators.BinaryQuantizer
+    val th = BinaryQuantizer.fit(fixture.df, col("flat"), 2)
+    val withIdx = fixture.withBinaryVectorIndex("flat", th)
+    val rows = Search.search(withIdx, SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(
+        Seq(0f, 1f), Op.Near, 5, approx = true,
+        filter = Some(Query("size", integer = Some(IntegerOpts(90, Op.GreaterOrEq))))))),
+      limit = 100)).collect()
+    // eligible rows are ids 90..99 — far from the query, but the filter
+    // restricts the candidate scan itself, so all 5 results come from them
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).forall(_.toInt >= 90))
+    assert(rows.map(_.getString(0)).toSeq == Seq("90", "91", "92", "93", "94"))
+  }
+
+  test("approx near via a product-quantizer artifact (ADC candidates)") {
+    import graft.operators.ProductQuantizer
+    val model = ProductQuantizer.fit(fixture.df, col("flat"), m = 2, k = 16, dim = 2)
+    val withIdx = fixture.withProductVectorIndex("flat", model)
+    val rows = Search.search(withIdx, SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(
+        Seq(42f, 43f), Op.Near, 5, approx = true))), limit = 100)).collect()
+    // exact re-rank of ADC candidates: nearest row (id 42) must lead
+    assert(rows.head.getString(0) == "42")
+    assert(rows.length == 5)
+  }
+
   test("validation bounds are enforced") {
     def bad(req: SearchRequest) =
       intercept[IllegalArgumentException](Search.search(fixture, req))

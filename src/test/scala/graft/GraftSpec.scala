@@ -126,6 +126,32 @@ class GraftSpec extends SparkSuite {
     rebuilt.release()
   }
 
+  test("approx JSON search serves from the store's auto-fitted quantizer") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema(
+      "vec" -> VectorFlat(2, Metric.Euclidean, Quantizer.Binary(triggerThreshold = 5)))
+    val seed = (0 until 40).map(i => (i.toString, Array(i.toFloat, (i + 1).toFloat)))
+      .toDF("_id", "vec")
+    db.createCollection("pts", schema, seed) // 40 ≥ trigger 5 → fitted on create
+    assert(db.quantizer("pts", "vec").isDefined)
+    def q(approx: Boolean) =
+      s"""{"query": {"property": "vec",
+         |  "vectorFlat": {"vector": [7, 8], "operator": "near", "limit": 5,
+         |                 "approx": $approx}},
+         | "limit": 10}""".stripMargin
+    val exact = db.search("pts", q(approx = false)).collect().map(_.getString(0)).toSeq
+    val approx = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+    // 40-row corpus ≤ budget 50: the quantized candidate stage covers the
+    // whole collection, so the exact re-rank reproduces exact results
+    assert(approx == exact, s"approx $approx != exact $exact")
+    assert(db.collection("pts").vectorIndexes.contains("vec")) // artifact attached
+    // a write drops the artifact (rebuilt lazily on the next approx search)
+    db.insert("pts", Seq(("n1", Array(100f, 101f))).toDF("_id", "vec"))
+    assert(!db.collection("pts").vectorIndexes.contains("vec"))
+    val after = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+    assert(after == exact) // n1 is far from the query; results unchanged
+  }
+
   test("index patch targets the ids the store committed, not a re-evaluated source") {
     val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
     db.createCollection("docs", IndexSchema("t" -> Text()),
