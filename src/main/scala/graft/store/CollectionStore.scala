@@ -98,6 +98,7 @@ final class CollectionStore(
     requireVecLens(initial, schema)
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
+    liveIdMirrors.remove(name)
     writeVersion(name, initial)
     maybeFitQuantizers(name)
   }
@@ -109,6 +110,7 @@ final class CollectionStore(
     clearDeltaCache(name)
     baseCache.remove(name)
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
+    liveIdMirrors.remove(name)
     pendingOps.remove(name)
     val dir = Paths.get(root, name)
     if (Files.exists(dir)) deleteTree(dir)
@@ -172,6 +174,7 @@ final class CollectionStore(
     // wrong-length vector would silently truncate every later distance
     requireVecLens(coerced, readSchema(name))
     writeDelta(name, coerced, tombstone = false)
+    mirrorAdd(name, batchIds)
     org.apache.spark.sql.graft.Bridge.release(batch)
     val vamProps = builtVamanaProps(name)
     if (vamProps.nonEmpty)
@@ -307,29 +310,73 @@ final class CollectionStore(
     }
   }
 
+  // Driver-side live-id mirror: the Spark analogue of the reference's
+  // per-shard bbolt id bucket (shard/shard.go) — the store instance that
+  // owns a shard holds that shard's ids locally, so a ≤100-row batch's
+  // liveness probe is |batch| hash lookups instead of a cluster job.
+  // Built once per store instance from (base ∪ deltas), then maintained
+  // in lockstep with every commit. None = the collection outgrew
+  // [[IdMirrorLimit]]; probes fall back to the Spark path below — at
+  // 100 TB each shard's store mirrors only its own shard's ids, which is
+  // exactly the reference's layout.
+  private val liveIdMirrors =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[java.util.Set[String]]]()
+
+  private def liveIdMirror(name: String): Option[java.util.Set[String]] =
+    liveIdMirrors.computeIfAbsent(name, _ => {
+      val all = liveIdsSpark(name, None, Some(IdMirrorLimit + 1))
+      if (all.size > IdMirrorLimit) None
+      else {
+        val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String](all.size * 2)
+        all.foreach(s.add)
+        Some(s)
+      }
+    })
+
+  private def mirrorAdd(name: String, ids: Seq[String]): Unit =
+    Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.add))
+
+  private def mirrorRemove(name: String, ids: Seq[String]): Unit =
+    Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.remove))
+
   /** Which of `ids` are live in (base ∪ deltas) minus pending tombstones —
-    * one tiny job over the cached id index + delta mirrors, no flush.
+    * answered from the driver mirror when the collection fits, else one
+    * tiny job over the cached id index + delta mirrors. No flush either way.
     */
   private def liveIds(name: String, ids: Seq[String]): Set[String] = {
+    val live = liveIdMirror(name) match {
+      case Some(mirror) => ids.filter(mirror.contains).toSet
+      case None => liveIdsSpark(name, Some(ids), None)
+    }
+    live -- pendingTombstoned(name)
+  }
+
+  /** The Spark live-id probe over (base ∪ deltas): restricted to `ids`
+    * when given, capped at `limit` rows when given (mirror bootstrap).
+    * Does NOT subtract pending tombstones — callers do.
+    */
+  private def liveIdsSpark(
+      name: String, ids: Option[Seq[String]], limit: Option[Int]): Set[String] = {
     val base = currentVersion(name)
-    val baseIds = baseIdFrame(name, base)
-      .filter(col(IdCol).isin(ids: _*))
+    def restrict(df: DataFrame): DataFrame =
+      ids.fold(df)(is => df.filter(col(IdCol).isin(is: _*)))
+    val baseIds = restrict(baseIdFrame(name, base))
       .withColumn(SeqCol, lit(-1L))
       .withColumn(TombstoneCol, lit(false))
     val frames = cachedDeltas(name, base)
     val all =
       if (frames.isEmpty) baseIds
       else baseIds.unionByName(
-        frames.map(_._2.select(col(IdCol), col(SeqCol), col(TombstoneCol)))
-          .reduce(_ unionByName _)
-          .filter(col(IdCol).isin(ids: _*)))
+        restrict(frames.map(_._2.select(col(IdCol), col(SeqCol), col(TombstoneCol)))
+          .reduce(_ unionByName _)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(IdCol).orderBy(col(SeqCol).desc)
-    val live = all.coalesce(1)
+    val dedup = (if (ids.isDefined) all.coalesce(1) else all)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col(TombstoneCol))
-      .select(IdCol).collect().map(_.getString(0)).toSet
-    live -- pendingTombstoned(name)
+      .select(IdCol)
+    limit.fold(dedup)(dedup.limit(_))
+      .collect().map(_.getString(0)).toSet
   }
 
   /** Append one op to the WAL (atomic file rename — durable before the
@@ -433,6 +480,10 @@ final class CollectionStore(
         val out = folded.select(
           storedSchema.fieldNames.map(col).toSeq :+ col(DeadCol).as(TombstoneCol): _*)
         writeDeltaFlagged(name, out)
+        mirrorRemove(name, ops.flatMap {
+          case (_, PendingTombstone(ids)) => ids
+          case _ => Nil
+        }.distinct)
         pendingOps.remove(name)
         val pd = pendingDir(name)
         if (Files.exists(pd))
@@ -1099,6 +1150,13 @@ object CollectionStore {
     * the read-side broadcast at CompactThreshold × max batch size rows.
     */
   val CompactThreshold = 16
+  /** Largest collection (live rows) mirrored as a driver-side id set for
+    * O(1) liveness probes — ~4M ids ≈ low hundreds of MB of strings. Above
+    * this, probes run the Spark path. A 100 TB deployment shards the store,
+    * so each shard's mirror stays under this bound (the reference's
+    * per-shard bbolt id bucket makes the same locality assumption).
+    */
+  val IdMirrorLimit = 4000000
 
   // minimal stable serialization of the index schema (property → kind+params)
   def schemaToJson(s: IndexSchema): String = {
