@@ -316,4 +316,69 @@ object Dedup {
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("_blk").as("block"), col("cosine_sim"))
   }
+
+  /** Connected components over an undirected edge list — duplicate PAIRS
+    * become duplicate CLUSTERS, the step that turns any of the pair
+    * operators above into an actual dedup policy ("keep the min-id doc of
+    * each cluster"). Alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * is two groupBy-join passes over the edge set, converges in O(log² n)
+    * rounds, and never asks any single machine to hold a whole component —
+    * the 100 TB-safe alternative to both driver-side union-find and
+    * diameter-bound label propagation.
+    *
+    * Returns `(node, component)` for every node incident to an edge, with
+    * `component` = the minimum node id in its component (any orderable id
+    * type). Isolated nodes never appear — callers union them back as their
+    * own singletons if needed.
+    */
+  def connectedComponents(
+      edges: DataFrame, src: Column, dst: Column, maxIter: Int = 30): DataFrame = {
+    val e0 = edges.select(src.as("_u"), dst.as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull && col("_u") =!= col("_v"))
+      .distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.unionByName(df.select(col("_v").as("_u"), col("_u").as("_v")))
+    // one star pass over m = min(Γ(u)∪{u}): large-star re-points each
+    // STRICTLY LARGER neighbor at m; small-star re-points each strictly
+    // smaller neighbor AND u ITSELF at m (dropping the (u,m) self-edges
+    // loses connectivity — a pure star {(2,1),(3,1)} would empty out)
+    def star(df: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(df)
+      val mins = s.groupBy(col("_u").as("_w")).agg(min(col("_v")).as("_nmin"))
+        .withColumn("_m", least(col("_nmin"), col("_w")))
+        .select("_w", "_m")
+      val repointed = s.join(mins, col("_u") === col("_w"))
+        .filter(if (large) col("_v") > col("_u") else col("_v") < col("_u"))
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+      val out =
+        if (large) repointed
+        else repointed.unionByName(mins.select(col("_w").as("_u"), col("_m").as("_v")))
+      out.filter(col("_u") =!= col("_v")).distinct()
+    }
+    // each round MUST truncate lineage (eager localCheckpoint): sym() and
+    // the star joins multiply the logical plan every iteration, so a
+    // persist-only loop OOMs the driver on plan growth alone
+    var e = e0.localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      // exact fixpoint test (two anti-joins); the paper guarantees
+      // convergence, so the cost is O(log² n) such checks
+      converged = next.exceptAll(e).unionByName(e.exceptAll(next)).isEmpty
+      org.apache.spark.sql.graft.Bridge.release(e) // comparison already ran
+      e = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents did not converge in $maxIter rounds")
+    // star state: every edge is (node, root); roots map to themselves
+    val out = e.select(col("_u").as("node"), col("_v").as("component"))
+      .unionByName(e.select(col("_v").as("node"), col("_v").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+      .localCheckpoint()
+    org.apache.spark.sql.graft.Bridge.release(e)
+    out
+  }
 }

@@ -54,6 +54,45 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate CLUSTERS: the ngram-jaccard pairs as an undirected graph,
+    * components via alternating large-star/small-star, labeled by the
+    * component's min doc id — the step that turns pair detection into a
+    * dedup policy (keep one doc per cluster). The oracle replays the same
+    * pair pipeline and closes it transitively with a recursive CTE.
+    */
+  val dedupClusters = NamedQuery(
+    "dedup_clusters",
+    s"""WITH RECURSIVE $shingleCte,
+       |posts AS (SELECT doc_id, len(sh3) AS cnt, unnest(sh3) AS s FROM sh WHERE len(sh3) > 0),
+       |prs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.cnt AS ca, b.cnt AS cb,
+       |         count(*) AS common
+       |  FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |good AS (
+       |  SELECT id_a, id_b FROM prs
+       |  WHERE CAST(common AS DOUBLE) / (ca + cb - common) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM good
+       |  UNION SELECT id_b, id_a FROM good),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+       |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+       |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+       |SELECT c.node AS doc_id, c.component, s.csize
+       |FROM comp c JOIN sizes s USING (component)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component"), col("csize"))
+      .orderBy("doc_id")
+  }
+
   /** The 2-universal minhash family: perm j of shingle s is
     * (h1 + j·h2) mod (2^31−1) with h1/h2 = 30-bit md5-prefix hashes.
     */
@@ -151,6 +190,6 @@ object DedupQueries {
   }
 
   val all: Seq[NamedQuery] = Seq(
-    dedupExact, dedupNgramJaccard, dedupMinhashSig, dedupMinhashLsh,
-    dedupSimhash, dedupEmbCosine)
+    dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
+    dedupMinhashLsh, dedupSimhash, dedupEmbCosine)
 }

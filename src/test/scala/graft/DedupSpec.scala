@@ -84,4 +84,35 @@ class DedupSpec extends SparkSuite {
     // planted pairs share rare shingles, so the guard keeps them
     assert(guarded.length == 25)
   }
+
+  test("connected components: chains, merges, and star stability") {
+    // chain 1-2-3-4 (transitivity beyond direct pairs), triangle {10,11,12},
+    // v-merge {20,21}+{20,22}, isolated edge {30,31}; ids deliberately NOT
+    // in discovery order
+    val edges = Seq(
+      (3L, 2L), (1L, 2L), (4L, 3L),
+      (11L, 10L), (12L, 11L), (10L, 12L),
+      (21L, 20L), (22L, 20L),
+      (31L, 30L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components over the planted pairs label by min doc id") {
+    val comp = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5),
+      col("id_a"), col("id_b")).as[(Long, Long)].collect().toMap
+    // every planted pair lands in one component labeled by its min id
+    exactPairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b))
+      assert(comp(a) <= math.min(a, b))
+    }
+    // components partition exactly the nodes incident to pairs
+    assert(comp.keySet == exactPairs.flatMap(p => Seq(p._1, p._2)))
+  }
 }
