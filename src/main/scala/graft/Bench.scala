@@ -14,7 +14,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names.contains(kv._1))
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names.contains(kv._1))
       case None => SparkEntry.queries
     }
     // Untimed warm-up: the baseline's published numbers are warm-cache QPS,

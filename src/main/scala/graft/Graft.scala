@@ -98,13 +98,36 @@ final class Graft(spark: SparkSession, root: String,
     try {
       if (before != null && before.textIndexes.nonEmpty) {
         val fresh = store.load(name)
-        val patchedIdx = before.textIndexes.map { case (prop, idx) =>
-          prop -> TextIndex.patched(idx, fresh.df, prop, committed)
-        }
+        // patch one index at a time, tracking completed ones: a failure on
+        // the Nth prop must release the blocks the first N−1 patches
+        // checkpointed (they are reachable from no cache entry — the catch
+        // below evicts the PRE-patch collection only)
+        val done = scala.collection.mutable.ListBuffer[(String, TextIndex)]()
+        val patchedIdx =
+          try before.textIndexes.map { case (prop, idx) =>
+            val p = TextIndex.patched(idx, fresh.df, prop, committed)
+            done += prop -> p
+            prop -> p
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              done.foreach { case (prop, p) =>
+                val oldBlocks = before.textIndexes(prop).blocks
+                p.blocks.filterNot(b => oldBlocks.exists(_ eq b))
+                  .foreach(org.apache.spark.sql.graft.Bridge.release)
+              }
+              throw e
+          }
         // vector artifacts are dropped, not patched (rebuilt lazily on the
         // next approx search) — release their persisted encoded frames
         before.vectorIndexes.values.foreach(_.release())
-        cache.put(name, fresh.copy(textIndexes = patchedIdx))
+        val prev = cache.put(name, fresh.copy(textIndexes = patchedIdx))
+        if (prev != null && !(prev eq before)) {
+          // a concurrent search CAS-installed extra artifacts between our
+          // read of `before` and this put — release what the new entry
+          // does not carry (re-releasing shared frames is a no-op)
+          (prev.textIndexes -- before.textIndexes.keySet).values.foreach(_.release())
+          prev.vectorIndexes.values.foreach(_.release())
+        }
       } else evict(name)
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -24,9 +24,15 @@ object BinaryQuantizer {
     * cross-engine determinism).
     */
   def fit(df: DataFrame, vec: Column, dim: Int): Array[Double] = {
+    // decimal-accumulated mean (the repo's davg convention): a plain
+    // avg(double) sums in partition order, so Spark and an oracle engine
+    // can disagree by ulps — and a corpus value sitting between the two
+    // means would flip its sign bit and shift candidate sets at the margin
     val sums = df.filter(vec.isNotNull)
       .select(posexplode(vec).as(Seq("_pos", "_v")))
-      .groupBy("_pos").agg(avg(col("_v").cast("double")).as("_m"))
+      .groupBy("_pos")
+      .agg(round(sum(col("_v").cast("decimal(28,6)")) / count(lit(1)), 9)
+        .cast("double").as("_m"))
       .collect().map(r => r.getAs[Int]("_pos") -> r.getAs[Double]("_m")).toMap
     (0 until dim).map(i => sums.getOrElse(i,
       throw new IllegalArgumentException(

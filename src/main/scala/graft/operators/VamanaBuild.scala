@@ -139,7 +139,12 @@ object VamanaBuild {
     // Window.orderBy, which would pull every id into a single partition
     // and wall at 10⁹ nodes. The ring only needs SOME deterministic
     // cyclic order, not the sorted id order, so no sort shuffle either:
-    // partition order of the persisted source is stable.
+    // partition order of the persisted source is stable. Trade-off,
+    // on purpose: the order follows the source's partition layout, so the
+    // same corpus built under a different split planning yields a
+    // DIFFERENT (equally valid) graph — recall operating points hold, but
+    // byte-identical artifact reproduction requires the same layout (the
+    // driver entry is rows-only for exactly this reason).
     val ranked = {
       import spark.implicits._
       vecs.select(col("id")).as[Long].rdd

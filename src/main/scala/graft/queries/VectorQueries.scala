@@ -146,7 +146,7 @@ object VectorQueries {
       |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
       |  FROM documents JOIN embeddings ON doc_id = vec_id),
       |means AS (
-      |  SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(*), 9) AS DOUBLE) AS m
       |  FROM corpus CROSS JOIN dims GROUP BY i),
       |th AS (SELECT list(m ORDER BY i) AS t FROM means),
       |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
@@ -179,7 +179,79 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** Engine-level approx `near` served from a PRODUCT-quantizer artifact:
+    * a closed-form codebook (subvectors of the first 8 embeddings — no
+    * k-means, so DuckDB can replay the fit) attached to the docs
+    * collection answers the cosine query by ADC candidates (budget 50) +
+    * exact re-rank. Completes the §2.4 story: both quantizer kinds now
+    * have the full engine pipeline under an oracle. The oracle sums the
+    * per-subspace table lookups in subspace order (list(... ORDER BY i)),
+    * matching the engine's sequential fold.
+    */
+  val s2NearPqApprox = NamedQuery(
+    "s2_near_pq_approx",
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |subs AS (SELECT unnest(range(4)) AS i),
+      |cents AS (SELECT unnest(range(8)) AS j),
+      |cb AS (
+      |  SELECT s.i, c.j, list_slice(e.embedding, s.i*16 + 1, s.i*16 + 16) AS cv
+      |  FROM embeddings e, subs s, cents c
+      |  WHERE e.vec_id = c.j),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |dists AS (
+      |  SELECT co._id, cb.i, cb.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> (CAST(co.embedding[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |         * (CAST(co.embedding[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM corpus co CROSS JOIN cb),
+      |codes AS (
+      |  SELECT _id, i, j AS code FROM (
+      |    SELECT _id, i, j,
+      |      row_number() OVER (PARTITION BY _id, i ORDER BY d2, j) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |qtab AS (
+      |  SELECT cb.i, cb.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |         * (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM cb CROSS JOIN q),
+      |scores AS (
+      |  SELECT c._id, list_sum(list(t.d2 ORDER BY t.i)) AS approx
+      |  FROM codes c JOIN qtab t ON c.i = t.i AND c.code = t.j
+      |  GROUP BY c._id),
+      |cand AS (SELECT _id FROM scores ORDER BY approx ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT co._id, 1.0 - list_inner_product(co.embedding, q.qv) AS dist
+      |  FROM cand JOIN corpus co USING (_id) CROSS JOIN q),
+      |top AS (SELECT _id, dist FROM rr ORDER BY dist ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(-1.0 * dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val seed = graft.Tables.embeddings(s, d).filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cents = (0 until 4).map { i =>
+      (0 until 8).map(j =>
+        java.util.Arrays.copyOfRange(seed(j), i * 16, (i + 1) * 16)).toArray
+    }.toArray
+    val model = graft.operators.PQModel(m = 4, k = 8, dim = 64, centroids = cents)
+    val coll = base.withProductVectorIndex("embedding", model)
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
-    s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox)
+    s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
+    s2NearPqApprox)
 }

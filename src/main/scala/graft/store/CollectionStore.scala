@@ -322,22 +322,41 @@ final class CollectionStore(
   private val liveIdMirrors =
     new java.util.concurrent.ConcurrentHashMap[String, Option[java.util.Set[String]]]()
 
+  // Bootstrap and maintenance both run under the collection's flush lock:
+  // a commit landing while computeIfAbsent's Spark collect runs would be
+  // invisible to BOTH the bootstrap snapshot and mirrorAdd/mirrorRemove
+  // (during the reservation, get() returns null), leaving the installed
+  // mirror permanently wrong. The lock is re-entrant, so callers already
+  // inside flush() maintain the mirror without deadlock.
+  private def withCollLock[A](name: String)(f: => A): A = {
+    val lock = flushLocks.computeIfAbsent(name,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try f finally lock.unlock()
+  }
+
   private def liveIdMirror(name: String): Option[java.util.Set[String]] =
-    liveIdMirrors.computeIfAbsent(name, _ => {
-      val all = liveIdsSpark(name, None, Some(IdMirrorLimit + 1))
-      if (all.size > IdMirrorLimit) None
-      else {
-        val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String](all.size * 2)
-        all.foreach(s.add)
-        Some(s)
-      }
-    })
+    withCollLock(name) {
+      liveIdMirrors.computeIfAbsent(name, _ => {
+        val all = liveIdsSpark(name, None, Some(IdMirrorLimit + 1))
+        if (all.size > IdMirrorLimit) None
+        else {
+          val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String](all.size * 2)
+          all.foreach(s.add)
+          Some(s)
+        }
+      })
+    }
 
   private def mirrorAdd(name: String, ids: Seq[String]): Unit =
-    Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.add))
+    withCollLock(name) {
+      Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.add))
+    }
 
   private def mirrorRemove(name: String, ids: Seq[String]): Unit =
-    Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.remove))
+    withCollLock(name) {
+      Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.remove))
+    }
 
   /** Which of `ids` are live in (base ∪ deltas) minus pending tombstones —
     * answered from the driver mirror when the collection fits, else one
