@@ -230,23 +230,29 @@ object ProductQuantizer {
 
   /** The ADC scoring column for a codes column: the query is quantized
     * against nothing — its exact distance to every centroid of every
-    * subspace is precomputed into an m×k table, broadcast as a literal,
-    * and each row scores as m array lookups.
+    * subspace is precomputed into an m×k table (closure-captured), and
+    * each row scores as m array lookups in a primitive loop. A UDF, not
+    * `aggregate(sequence…)`, deliberately: this runs once per corpus row
+    * in the candidate scan, and interpreted higher-order functions walk
+    * an expression tree per element (same measured trap as the encode
+    * UDF above). Summation order (subspace-ascending) matches the
+    * oracles' `list_sum(list(… ORDER BY i))` exactly.
     */
   def adcDistance(codes: Column, queryVec: Seq[Float], model: PQModel): Column = {
-    val table: Seq[Seq[Double]] = (0 until model.m).map { i =>
+    val table: Array[Array[Double]] = (0 until model.m).map { i =>
       val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
       (0 until model.k).map { j =>
         val c = model.centroids(i)(j)
         sub.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
-      }
+      }.toArray
+    }.toArray
+    val adcUdf = udf { (cs: Seq[Int]) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cs.length) { acc += table(i)(cs(i)); i += 1 }
+      acc
     }
-    val tableLit = typedLit(table)
-    aggregate(
-      sequence(lit(0), lit(model.m - 1)),
-      lit(0.0d),
-      (acc, i) => acc +
-        element_at(element_at(tableLit, i + 1), element_at(codes, i + 1) + 1))
+    adcUdf(codes)
   }
 
   def adcSearch(codes: DataFrame, queryVec: Seq[Float], model: PQModel, k: Int): DataFrame =

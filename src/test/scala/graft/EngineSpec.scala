@@ -150,8 +150,12 @@ class EngineSpec extends SparkSuite {
       limit = 100)).collect()
     val approx = Search.search(withIdx, req)
     // the candidate stage is visible in the plan: quantized order key over
-    // the encoded frame, then the true-metric re-rank
-    assert(approx.queryExecution.executedPlan.toString.contains("_qd"))
+    // the encoded frame ranked by a PARTIAL top-k (TakeOrderedAndProject —
+    // per-partition heads + driver merge, never a global sort shuffle)
+    val physical = approx.queryExecution.executedPlan.toString
+    assert(physical.contains("_qd"), physical)
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+    assert(!physical.contains("GlobalSort"), physical)
     assert(approx.collect().map(_.getString(0)).toSeq ==
       exact.map(_.getString(0)).toSeq)
     // approx=true without an artifact attached = exact semantics
