@@ -194,6 +194,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF index as a bucket-PARTITIONED parquet artifact:
+    * `(id, vec)` under `bucket=<b>/` directories. This is what turns the
+    * probe filter from "scan everything, keep matching rows" into real
+    * partition pruning — [[ivfSearchArtifact]]'s `bucket IN (probes)`
+    * lands in the scan's `PartitionFilters`, so only the probed
+    * directories are ever listed or read. At 100 TB the corpus is
+    * bucketed once; each query touches nprobe/2^nBits of it.
+    */
+  def writeIvfArtifact(
+      corpus: DataFrame, cId: Column, cVec: Column,
+      nBits: Int, dir: String): Unit =
+    signBuckets(corpus.filter(cVec.isNotNull), cVec, nBits)
+      .select(cId.as("id"), cVec.as("vec"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** [[ivfSearch]] semantics served from a [[writeIvfArtifact]] directory —
+    * identical results, but the probes prune partitions instead of
+    * filtering a full scan (asserted on the physical plan in PipelineSpec).
+    */
+  def ivfSearchArtifact(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryVec: Seq[Float], k: Int, metric: Metric,
+      nBits: Int, probeNeighbors: Boolean = true): DataFrame = {
+    require(queryVec.length >= nBits,
+      s"query vector has ${queryVec.length} dims; bucket needs $nBits")
+    val qBucket = (0 until nBits).map(i => if (queryVec(i) > 0f) 1 << i else 0).sum
+    val probes = qBucket +: (if (probeNeighbors) (0 until nBits).map(i => qBucket ^ (1 << i)) else Nil)
+    spark.read.parquet(dir)
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("id"), col("bucket"),
+        Distances.distanceToQuery(metric, col("vec"), queryVec).as("distance"))
+      .orderBy(col("distance").asc_nulls_last, col("id").asc)
+      .limit(k)
+  }
+
   /** ANN search: scan only the query's bucket and, when `probeNeighbors`,
     * its hamming-1 neighbor buckets.
     */

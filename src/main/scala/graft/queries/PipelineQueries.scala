@@ -139,6 +139,23 @@ object PipelineQueries {
       .select(col("id"), col("bucket"), dround(col("distance"), 4).as("dist_r"))
   }
 
+  /** Same sign-bit IVF semantics (identical oracle), but served from a
+    * bucket-PARTITIONED parquet artifact — the probe set prunes partition
+    * directories instead of filtering a full scan. This is the layout the
+    * 100 TB deployment uses; PipelineSpec asserts the `PartitionFilters`
+    * in the physical plan.
+    */
+  val annIvfPruned = NamedQuery(
+    "ann_ivf_pruned",
+    annIvfGrid.oracle.get) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val qv = TestCollections.queryVector(s, d, 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Similarity.writeIvfArtifact(emb, col("vec_id"), col("embedding"), nBits = 6, dir)
+    Similarity.ivfSearchArtifact(s, dir, qv, k = 5, metric = Metric.Cosine, nBits = 6)
+      .select(col("id"), col("bucket"), dround(col("distance"), 4).as("dist_r"))
+  }
+
   val q6Sessionize = NamedQuery(
     "q6_sessionize",
     """WITH e AS (
@@ -215,6 +232,6 @@ object PipelineQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textFingerprint,
-    annKnnJoin, annIvfGrid, q6Sessionize, q7StreamWindow,
+    annKnnJoin, annIvfGrid, annIvfPruned, q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFrames)
 }

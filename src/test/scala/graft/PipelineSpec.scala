@@ -90,20 +90,29 @@ class PipelineSpec extends SparkSuite {
     assert(got.toSeq == expect.toSeq)
   }
 
-  test("bucket-partitioned IVF storage turns probes into partition pruning") {
+  test("bucket-partitioned IVF artifact turns probes into partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-    Similarity.signBuckets(Tables.embeddings(spark, sf0001), col("embedding"), 6)
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvfArtifact(emb, col("vec_id"), col("embedding"), nBits = 6, dir)
     val qv = graft.queries.TestCollections.queryVector(spark, sf0001, 7)
-    val qBucket = (0 until 6).map(i => if (qv(i) > 0f) 1 << i else 0).sum
-    val probe = spark.read.parquet(dir).filter(col("bucket") === qBucket)
-    val plan = probe.queryExecution.executedPlan.toString
-    // the bucket predicate must land in PartitionFilters (scan prunes
-    // directories), not in a post-scan Filter
-    assert(plan.contains("PartitionFilters") && plan.contains(s"bucket"), plan)
-    assert(probe.count() > 0)
-    val allBuckets = spark.read.parquet(dir).count()
-    assert(probe.count() < allBuckets)
+    val served = Similarity.ivfSearchArtifact(
+      spark, dir, qv, k = 5, metric = Metric.Cosine, nBits = 6)
+    val plan = served.queryExecution.executedPlan.toString
+    // the probe predicate must land in PartitionFilters (scan prunes
+    // directories), not in a post-scan Filter over a full read
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"), plan)
+    // identical results to the scan-and-filter formulation
+    val direct = Similarity.ivfSearch(emb, col("vec_id"), col("embedding"), qv,
+      k = 5, metric = Metric.Cosine, nBits = 6)
+      .select("id", "bucket", "distance").collect().map(_.toSeq)
+    assert(served.select("id", "bucket", "distance").collect().map(_.toSeq).toSeq ==
+      direct.toSeq)
+    // and the probed directories hold a strict fraction of the corpus
+    val probedRows = spark.read.parquet(dir)
+      .filter(col("bucket").isin(
+        served.select("bucket").collect().map(_.getInt(0)).distinct.toSeq: _*))
+      .count()
+    assert(probedRows < emb.count())
   }
 
   test("ivf search trades recall for scan reduction but finds near hits") {
