@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import graft.model.IndexKind.Metric
 
@@ -81,6 +81,119 @@ object PipelineQueries {
        |FROM tok ORDER BY id""".stripMargin) { (s, d) =>
     TextAnalysis.fingerprint(Tables.documents(s, d), col("doc_id"), col("text"))
       .orderBy("id")
+  }
+
+  /** Flagship training-data curation pipeline, end-to-end in ONE oracled
+    * query: language filter (en) → quality filter (rounded score ≥ 0.5) →
+    * exact dedup (keep min id per identical text) → near-dup CLUSTER dedup
+    * (ngram-jaccard pairs → connected components → keep each component's
+    * min id) → per-source survivor counts + estimated subword tokens.
+    * Every stage is an operator this library ships; the oracle replays the
+    * whole composition, closing the cluster step with a recursive CTE.
+    * Filters compare on ROUNDED quality (both engines), so an ulp of float
+    * drift can't flip an admission decision.
+    */
+  val pipelineCuration = NamedQuery(
+    "pipeline_curation",
+    s"""WITH RECURSIVE tokl AS (
+       |  SELECT doc_id AS id, coalesce($rawToksSql, []) AS raw FROM documents),
+       |lc AS (
+       |  SELECT id,
+       |    len(list_filter(raw, t -> t IN ('the','a','is','and','of'))) AS c_en,
+       |    len(list_filter(raw, t -> t IN ('der','die','das','und','ist'))) AS c_de,
+       |    len(list_filter(raw, t -> t IN ('el','los','las','y','es'))) AS c_es,
+       |    len(list_filter(raw, t -> t IN ('le','les','une','et','est'))) AS c_fr
+       |  FROM tokl),
+       |pred AS (
+       |  SELECT id,
+       |    CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+       |         WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+       |         WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+       |         WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM lc),
+       |qtok AS (
+       |  SELECT doc_id AS id, length(text) AS n_chars, $rawToksSql AS raw, text
+       |  FROM documents),
+       |qm AS (
+       |  SELECT id,
+       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")}))) AS DOUBLE) / len(raw) AS stopword_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+       |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
+       |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score
+       |  FROM qtok WHERE len(raw) > 0),
+       |qr AS (
+       |  SELECT id,
+       |    CAST(round(CAST(0.25*len_score + 0.25*(1-stopword_ratio) + 0.25*(1-punct_ratio) + 0.25*uniq_ratio AS DECIMAL(28,6)), 4) AS DOUBLE) AS quality_r
+       |  FROM qm),
+       |kept1 AS (
+       |  SELECT d.doc_id, d.text, d.source
+       |  FROM documents d
+       |  JOIN pred ON d.doc_id = pred.id
+       |  JOIN qr ON d.doc_id = qr.id
+       |  WHERE pred.pred_lang = 'en' AND qr.quality_r >= 0.5),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5(text)),
+       |kept2 AS (SELECT k.* FROM kept1 k JOIN canon USING (doc_id)),
+       |tok2 AS (
+       |  SELECT doc_id, $rawToksSql AS raw FROM kept2),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(raw) >= 3
+       |      THEN list_transform(range(1, len(raw) - 1),
+       |           i -> raw[i] || ' ' || raw[i+1] || ' ' || raw[i+2])
+       |      ELSE [] END) AS sh3
+       |  FROM tok2),
+       |posts2 AS (SELECT doc_id, len(sh3) AS cnt, unnest(sh3) AS s FROM sh2 WHERE len(sh3) > 0),
+       |prs2 AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.cnt AS ca, b.cnt AS cb,
+       |         count(*) AS common
+       |  FROM posts2 a JOIN posts2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |good AS (
+       |  SELECT id_a, id_b FROM prs2
+       |  WHERE CAST(common AS DOUBLE) / (ca + cb - common) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM good
+       |  UNION SELECT id_b, id_a FROM good),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+       |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+       |kept3 AS (
+       |  SELECT k.* FROM kept2 k
+       |  WHERE k.doc_id NOT IN (SELECT node FROM comp WHERE node != component))
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS subword_tokens
+       |FROM kept3 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val lang = TextAnalysis.languageId(docs, col("doc_id"), col("text"))
+      .select(col("id").as("_lid"), col("pred_lang"))
+    val qual = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .select(col("id").as("_qid"), dround(col("quality"), 4).as("_q"))
+    // persisted: the admission frame feeds the exact-dedup groupBy, the
+    // semi-join, the shingle pipeline, and the final anti-join — without a
+    // barrier each consumer replays langid+quality over the corpus
+    val kept1 = docs
+      .join(lang, docs("doc_id") === col("_lid"))
+      .join(qual, docs("doc_id") === col("_qid"))
+      .filter(col("pred_lang") === "en" && col("_q") >= 0.5)
+      .select(col("doc_id"), col("text"), col("source"))
+      .persist()
+    val canon = kept1.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val kept2 = kept1.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(kept2, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5)
+    val dropIds = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    kept2.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(ceil(length(col("text")).cast("double") / 4.0).cast("long")).as("subword_tokens"))
+      .orderBy("source")
   }
 
   val annKnnJoin = NamedQuery(
@@ -232,6 +345,6 @@ object PipelineQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textFingerprint,
-    annKnnJoin, annIvfGrid, annIvfPruned, q6Sessionize, q7StreamWindow,
+    pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFrames)
 }
