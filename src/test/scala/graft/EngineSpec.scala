@@ -155,7 +155,6 @@ class EngineSpec extends SparkSuite {
     val physical = approx.queryExecution.executedPlan.toString
     assert(physical.contains("_qd"), physical)
     assert(physical.contains("TakeOrderedAndProject"), physical)
-    assert(!physical.contains("GlobalSort"), physical)
     assert(approx.collect().map(_.getString(0)).toSeq ==
       exact.map(_.getString(0)).toSeq)
     // approx=true without an artifact attached = exact semantics

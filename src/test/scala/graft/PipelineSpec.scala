@@ -98,9 +98,10 @@ class PipelineSpec extends SparkSuite {
     val served = Similarity.ivfSearchArtifact(
       spark, dir, qv, k = 5, metric = Metric.Cosine, nBits = 6)
     val plan = served.queryExecution.executedPlan.toString
-    // the probe predicate must land in PartitionFilters (scan prunes
-    // directories), not in a post-scan Filter over a full read
-    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"), plan)
+    // the probe predicate must land INSIDE PartitionFilters (scan prunes
+    // directories), not in a post-scan Filter over a full read — an empty
+    // "PartitionFilters: []" also renders, so match the content
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined, plan)
     // identical results to the scan-and-filter formulation
     val direct = Similarity.ivfSearch(emb, col("vec_id"), col("embedding"), qv,
       k = 5, metric = Metric.Cosine, nBits = 6)
