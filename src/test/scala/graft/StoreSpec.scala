@@ -361,4 +361,33 @@ class StoreSpec extends SparkSuite {
       Query("size", integer = Some(IntegerOpts(2, Op.GreaterOrEq))), limit = 10)).collect()
     assert(got.map(_.getAs[String]("_id")).sorted.toSeq == Seq("b", "c"))
   }
+
+  test("concurrent update batches on one collection lose no acked op") {
+    // regression for the WAL seq race: two batches reading the same pending
+    // vector computed the same seq, renamed over each other's WAL file, and
+    // silently dropped an acknowledged op
+    val st = freshStore()
+    val ids = (0 until 40).map(i => f"p$i%02d")
+    st.create("c1", schema,
+      ids.map(id => (id, "orig", 0L)).toDF("_id", "name", "size"))
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        // each thread updates its own 10 ids in two 5-id batches
+        ids.slice(t * 10, t * 10 + 10).grouped(5).foreach { b =>
+          val n = st.update("c1",
+            b.map(id => (id, s"w$t")).toDF("_id", "name"))
+          assert(n == 5)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rows = st.load("c1").df.select("_id", "name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 40)
+    // every thread's every op must have landed (no lost acked updates)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      assert(rows(id) == s"w${i / 10}", s"$id lost its update")
+    }
+  }
 }
