@@ -95,4 +95,21 @@ object TextAnalysis {
     df.select(
       id.as("id"),
       md5(concat_ws(" ", array_sort(array_distinct(Dedup.tokens(text))))).as("fingerprint"))
+
+  /** Corpus vocabulary: per-token total occurrences and document frequency
+    * — the tokenizer-training / vocab-pruning precursor (BPE corpus prep
+    * starts exactly here). One explode + one groupBy: the shuffle key is
+    * the token, counts combine map-side, and `minCount` prunes the long
+    * tail BEFORE any ordering. Deterministic order: (count desc, token
+    * asc).
+    */
+  def vocabulary(
+      df: DataFrame, id: Column, text: Column, minCount: Long = 1L): DataFrame =
+    df.select(id.as("_vid"), explode(Dedup.tokens(text)).as("token"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("_vid")).as("doc_freq"))
+      .filter(col("occurrences") >= minCount)
+      .orderBy(col("occurrences").desc, col("token").asc)
 }

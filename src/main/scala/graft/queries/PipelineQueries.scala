@@ -74,6 +74,22 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Top-of-vocabulary: the tokenizer-training precursor. LIMIT applies
+    * after the deterministic (count desc, token asc) order, so the slice
+    * is stable across engines.
+    */
+  val textVocab = NamedQuery(
+    "text_vocab",
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($rawToksSql) AS token FROM documents),
+       |v AS (
+       |  SELECT token, count(*) AS occurrences, count(DISTINCT id) AS doc_freq
+       |  FROM tok GROUP BY token HAVING count(*) >= 5)
+       |SELECT token, occurrences, doc_freq
+       |FROM v ORDER BY occurrences DESC, token ASC LIMIT 200""".stripMargin) { (s, d) =>
+    TextAnalysis.vocabulary(Tables.documents(s, d), col("doc_id"), col("text"), minCount = 5L)
+      .limit(200)
+  }
+
   val textFingerprint = NamedQuery(
     "text_fingerprint",
     s"""WITH tok AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents)
@@ -353,7 +369,7 @@ object PipelineQueries {
   }
 
   val all: Seq[NamedQuery] = Seq(
-    textLangId, textQuality, textTokens, textFingerprint,
+    textLangId, textQuality, textTokens, textVocab, textFingerprint,
     pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFrames)
 }

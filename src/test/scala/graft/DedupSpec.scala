@@ -103,6 +103,14 @@ class DedupSpec extends SparkSuite {
       30L -> 30L, 31L -> 30L))
   }
 
+  test("connected components work over string ids (lexicographic min)") {
+    val edges = Seq(("doc9", "doc10"), ("doc10", "doc2")).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, col("a"), col("b"))
+      .as[(String, String)].collect().toMap
+    // min is LEXICOGRAPHIC for strings: "doc10" < "doc2" < "doc9"
+    assert(comp == Map("doc9" -> "doc10", "doc10" -> "doc10", "doc2" -> "doc10"))
+  }
+
   test("connected components over the planted pairs label by min doc id") {
     val comp = Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 3, threshold = 0.5),
