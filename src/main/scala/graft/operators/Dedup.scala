@@ -333,10 +333,29 @@ object Dedup {
     * own singletons if needed.
     */
   def connectedComponents(
-      edges: DataFrame, src: Column, dst: Column, maxIter: Int = 30): DataFrame = {
+      edges: DataFrame, src: Column, dst: Column, maxIter: Int = 30,
+      driverLimit: Int = 1 << 20): DataFrame = {
     val e0 = edges.select(src.as("_u"), dst.as("_v"))
       .filter(col("_u").isNotNull && col("_v").isNotNull && col("_u") =!= col("_v"))
       .distinct()
+    // Small edge sets (the usual case: VERIFIED near-dup pairs are tiny
+    // relative to the corpus) collapse with a driver union-find — one
+    // collect instead of O(log² n) distributed rounds of job scheduling,
+    // the same size-adaptive pattern as the store's live-id mirror. The
+    // star rounds below remain the path for edge sets past `driverLimit`
+    // (pass 0 to force them). Labels are identical: min id per component
+    // under the column's natural order (long asc / string lexicographic).
+    val dt = e0.schema.head.dataType
+    val driverable = dt match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (driverLimit > 0 && driverable) {
+      val rows = e0.limit(driverLimit + 1).collect()
+      if (rows.length <= driverLimit)
+        return driverComponents(e0.sparkSession, rows, dt)
+    }
     def sym(df: DataFrame): DataFrame =
       df.unionByName(df.select(col("_v").as("_u"), col("_u").as("_v")))
     // one star pass over m = min(Γ(u)∪{u}): large-star re-points each
@@ -380,5 +399,56 @@ object Dedup {
       .localCheckpoint()
     org.apache.spark.sql.graft.Bridge.release(e)
     out
+  }
+
+  /** Driver union-find over a collected edge list (path compression +
+    * union by size), labels = min member per component under the natural
+    * order of `dt` — bit-identical to the distributed star rounds.
+    */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap[Any, Any]()
+    val size = mutable.HashMap[Any, Int]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def add(x: Any): Unit = if (!parent.contains(x)) { parent(x) = x; size(x) = 1 }
+    rows.foreach { r =>
+      val (u, v) = (r.get(0), r.get(1))
+      add(u); add(v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        val (big, small) = if (size(ru) >= size(rv)) (ru, rv) else (rv, ru)
+        parent(small) = big
+        size(big) += size(small)
+      }
+    }
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+      case _ => (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
+    val minOf = mutable.HashMap[Any, Any]()
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOf.get(r) match {
+        case Some(m) => if (lt(n, m)) minOf(r) = n
+        case None => minOf(r) = n
+      }
+    }
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(parent.keys.toSeq.map(n =>
+        org.apache.spark.sql.Row(n, minOf(find(n)))): _*)
+    spark.createDataFrame(outRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", dt),
+        org.apache.spark.sql.types.StructField("component", dt))))
   }
 }

@@ -68,8 +68,10 @@ object ScaleSmoke {
       Dedup.ngramJaccardPairs(canon, col("doc_id"), col("text"),
         n = 3, threshold = 0.5).persist())
     println(s"[scale] near-dup pairs: ${pairs.count()}")
-    time("connected components")(
-      Dedup.connectedComponents(pairs, col("id_a"), col("id_b")).count())
+    // driverLimit = 0: measure the DISTRIBUTED star rounds — the smoke
+    // exists to time the path that runs when edges outgrow the driver
+    time("connected components (distributed)")(
+      Dedup.connectedComponents(pairs, col("id_a"), col("id_b"), driverLimit = 0).count())
 
     docs.unpersist(); canon.unpersist(); pairs.unpersist()
     s.stop()

@@ -85,7 +85,7 @@ class DedupSpec extends SparkSuite {
     assert(guarded.length == 25)
   }
 
-  test("connected components: chains, merges, and star stability") {
+  test("connected components: chains, merges, and star stability (both paths)") {
     // chain 1-2-3-4 (transitivity beyond direct pairs), triangle {10,11,12},
     // v-merge {20,21}+{20,22}, isolated edge {30,31}; ids deliberately NOT
     // in discovery order
@@ -94,13 +94,19 @@ class DedupSpec extends SparkSuite {
       (11L, 10L), (12L, 11L), (10L, 12L),
       (21L, 20L), (22L, 20L),
       (31L, 30L)).toDF("a", "b")
-    val comp = Dedup.connectedComponents(edges, col("a"), col("b"))
-      .as[(Long, Long)].collect().toMap
-    assert(comp == Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L,
-      30L -> 30L, 31L -> 30L))
+      30L -> 30L, 31L -> 30L)
+    // driver union-find fast path
+    val fast = Dedup.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == expected)
+    // distributed large-star/small-star path (driverLimit = 0 forces it)
+    val dist = Dedup.connectedComponents(edges, col("a"), col("b"), driverLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("connected components work over string ids (lexicographic min)") {
