@@ -344,17 +344,29 @@ object Dedup {
     // the same size-adaptive pattern as the store's live-id mirror. The
     // star rounds below remain the path for edge sets past `driverLimit`
     // (pass 0 to force them). Labels are identical: min id per component
-    // under the column's natural order (long asc / string lexicographic).
+    // under the column's BINARY order (long asc / UTF-8 code points).
+    // Both columns must share one type — a mixed int/long edge list would
+    // split components on boxed equality, so it takes the distributed
+    // path (whose union coerces).
     val dt = e0.schema.head.dataType
-    val driverable = dt match {
+    val driverable = dt == e0.schema(1).dataType && (dt match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.StringType => true
       case _ => false
-    }
+    })
+    // checkpoint ONCE up front: the size probe and (on fallthrough) the
+    // star rounds both read it — without this the probe would execute the
+    // whole upstream pipeline and the rounds would re-execute it again
+    val e0ck = e0.localCheckpoint()
     if (driverLimit > 0 && driverable) {
-      val rows = e0.limit(driverLimit + 1).collect()
-      if (rows.length <= driverLimit)
-        return driverComponents(e0.sparkSession, rows, dt)
+      // count-guard before collecting: a too-big edge set costs one cheap
+      // count on the checkpointed frame, not a driver-OOM materialization
+      if (e0ck.limit(driverLimit + 1).count() <= driverLimit) {
+        val rows = e0ck.collect()
+        val out = driverComponents(e0ck.sparkSession, rows, dt)
+        org.apache.spark.sql.graft.Bridge.release(e0ck)
+        return out
+      }
     }
     def sym(df: DataFrame): DataFrame =
       df.unionByName(df.select(col("_v").as("_u"), col("_u").as("_v")))
@@ -378,7 +390,7 @@ object Dedup {
     // each round MUST truncate lineage (eager localCheckpoint): sym() and
     // the star joins multiply the logical plan every iteration, so a
     // persist-only loop OOMs the driver on plan growth alone
-    var e = e0.localCheckpoint()
+    var e = e0ck
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -430,9 +442,22 @@ object Dedup {
         size(big) += size(small)
       }
     }
+    // string order compares CODE POINTS (== UTF-8 byte order, what the
+    // distributed path's min() over UTF8String uses) — String.compareTo
+    // sorts UTF-16 surrogates below U+E000..U+FFFF and would label
+    // non-BMP ids differently on the two paths
+    def codePointLt(x: String, y: String): Boolean = {
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return cx < cy
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      x.length - i < y.length - j
+    }
     val lt: (Any, Any) => Boolean = dt match {
       case org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+        (a, b) => codePointLt(a.asInstanceOf[String], b.asInstanceOf[String])
       case _ => (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
     }
     val minOf = mutable.HashMap[Any, Any]()

@@ -210,9 +210,14 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     // nBits is part of the artifact's identity: a probe under a different
     // width would address wrong/nonexistent buckets and return a silently
-    // wrong top-k — persist it so the search side can fail fast
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_ivf_nbits"), nBits.toString)
+    // wrong top-k — persist it so the search side can fail fast. Hadoop
+    // FS API, same as the parquet writer: the artifact dir may be
+    // hdfs://... — a java.nio write there would throw after the data
+    // landed, and the read-side guard would silently never fire
+    val meta = new org.apache.hadoop.fs.Path(dir, "_ivf_nbits")
+    val fs = meta.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(nBits.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** [[ivfSearch]] semantics served from a [[writeIvfArtifact]] directory —
@@ -225,9 +230,17 @@ object Similarity {
       nBits: Int, probeNeighbors: Boolean = true): DataFrame = {
     require(queryVec.length >= nBits,
       s"query vector has ${queryVec.length} dims; bucket needs $nBits")
-    val metaPath = java.nio.file.Paths.get(dir, "_ivf_nbits")
-    if (java.nio.file.Files.exists(metaPath)) {
-      val stored = java.nio.file.Files.readString(metaPath).trim.toInt
+    val meta = new org.apache.hadoop.fs.Path(dir, "_ivf_nbits")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val stored = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray, "UTF-8").trim.toInt
+      } finally in.close()
       require(stored == nBits,
         s"artifact at $dir was written with nBits=$stored, probed with nBits=$nBits")
     }

@@ -274,20 +274,32 @@ object PipelineQueries {
     * 100 TB deployment uses; PipelineSpec asserts the `PartitionFilters`
     * in the physical plan.
     */
-  // one artifact per (session, sfDir): building is a separate batch job
-  // (like a collection's graph artifact), so the query measures the
-  // partition-pruned SERVE path, and repeated runs don't leak temp dirs
+  // one artifact per (app, sfDir): building is a separate batch job (like
+  // a collection's graph artifact), so the query measures the
+  // partition-pruned SERVE path, and repeated runs don't leak temp dirs.
+  // Keyed by applicationId, NOT the session object — a map key would pin
+  // every stopped SparkSession's whole object graph in a long-lived JVM.
+  // Temp dirs are removed by a shutdown hook.
   private val ivfArtifactCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+  }
 
   val annIvfPruned = NamedQuery(
     "ann_ivf_pruned",
     annIvfGrid.oracle.get) { (s, d) =>
-    val dir = ivfArtifactCache.computeIfAbsent((s, d), _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    val dir = ivfArtifactCache.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
       Similarity.writeIvfArtifact(
-        Tables.embeddings(s, d), col("vec_id"), col("embedding"), nBits = 6, tmp)
-      tmp
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"), nBits = 6, tmp.toString)
+      tmp.toString
     })
     val qv = TestCollections.queryVector(s, d, 7)
     Similarity.ivfSearchArtifact(s, dir, qv, k = 5, metric = Metric.Cosine, nBits = 6)

@@ -106,13 +106,15 @@ final class CollectionStore(
   def load(name: String): Collection =
     Collection(mergedView(name), readSchema(name))
 
-  def drop(name: String): Unit = {
+  def drop(name: String): Unit = withCollLock(name) {
+    // the WHOLE body under the collection lock: an in-flight mirror
+    // bootstrap cannot re-install the dropped ids, and an in-flight
+    // appendPending cannot recreate pending/ mid-deleteTree (which would
+    // wedge the name: list() shows it, create() rejects it, load() fails)
     clearDeltaCache(name)
     baseCache.remove(name)
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
-    // under the lock: an in-flight mirror bootstrap holds it, so this
-    // remove cannot be overtaken by a stale install of the dropped data
-    withCollLock(name)(liveIdMirrors.remove(name))
+    liveIdMirrors.remove(name)
     pendingOps.remove(name)
     val dir = Paths.get(root, name)
     if (Files.exists(dir)) deleteTree(dir)
@@ -434,8 +436,11 @@ final class CollectionStore(
   /** Load the WAL into memory if this store has not seen the collection
     * yet (crash recovery / second store instance). Memory is authoritative
     * once loaded — single-writer, like the reference's shard ownership.
+    * Under the collection lock: an unsynchronized check-then-put here
+    * could wipe an op a concurrent appendPending just added (and its WAL
+    * seq would then be reused, destroying the file too).
     */
-  private def recoverPending(name: String): Unit =
+  private def recoverPending(name: String): Unit = withCollLock(name) {
     if (!pendingOps.containsKey(name)) {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
@@ -470,6 +475,7 @@ final class CollectionStore(
           }
       pendingOps.put(name, ops)
     }
+  }
 
   /** Fold the whole pending log into ONE delta: apply every op in order to
     * the affected slice of the current view (patches guarded by a `_dead`

@@ -64,10 +64,12 @@ object ScaleSmoke {
         .select("doc_id"),
       Seq("doc_id"), "left_semi").persist()
     time("exact dedup -> canonical set")(canon.count())
-    val pairs = time("ngram-jaccard pairs on canon")(
-      Dedup.ngramJaccardPairs(canon, col("doc_id"), col("text"),
-        n = 3, threshold = 0.5).persist())
-    println(s"[scale] near-dup pairs: ${pairs.count()}")
+    // count INSIDE the timed block — plan construction and persist() are
+    // lazy; the join/verify work only runs at the action
+    val pairs = Dedup.ngramJaccardPairs(canon, col("doc_id"), col("text"),
+      n = 3, threshold = 0.5).persist()
+    val nPairs = time("ngram-jaccard pairs on canon")(pairs.count())
+    println(s"[scale] near-dup pairs: $nPairs")
     // driverLimit = 0: measure the DISTRIBUTED star rounds — the smoke
     // exists to time the path that runs when edges outgrow the driver
     time("connected components (distributed)")(

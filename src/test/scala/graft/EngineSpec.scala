@@ -155,6 +155,10 @@ class EngineSpec extends SparkSuite {
     val physical = approx.queryExecution.executedPlan.toString
     assert(physical.contains("_qd"), physical)
     assert(physical.contains("TakeOrderedAndProject"), physical)
+    // no SortExec anywhere: Spark renders one as "Sort [keys], global, ..."
+    // — both top-ks must stay TakeOrderedAndProject and both joins
+    // broadcast (a sort-merge join would also introduce Sort nodes)
+    assert(!physical.contains("+- Sort ") && !physical.contains("Sort ["), physical)
     assert(approx.collect().map(_.getString(0)).toSeq ==
       exact.map(_.getString(0)).toSeq)
     // approx=true without an artifact attached = exact semantics
