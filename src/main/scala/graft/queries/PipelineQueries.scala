@@ -286,8 +286,12 @@ object PipelineQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
+      // close the walk stream before deleting — it holds a directory fd
+      // (same discipline as CollectionStore.deleteTree)
+      val stream = java.nio.file.Files.walk(p)
+      val paths = try stream.iterator().asScala.toSeq finally stream.close()
+      paths.reverse.foreach(f =>
+        try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
     }
   }
 

@@ -411,6 +411,12 @@ final class CollectionStore(
   private def appendPending(name: String, op: Pending): Unit = withCollLock(name) {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    // a concurrent drop() may have deleted the collection between this
+    // op's validation and the lock acquisition — recreating pending/ under
+    // the dropped name would wedge it (list() shows it, create() rejects
+    // it, load() fails on schema.json)
+    require(Files.exists(Paths.get(root, name, "schema.json")),
+      s"collection $name does not exist (dropped concurrently?)")
     val cur = pendingOps.getOrDefault(name, Vector.empty)
     val seq = cur.lastOption.fold(0L)(_._1 + 1)
     val dir = pendingDir(name)
