@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.IndexKind.Metric
+
+/** Residual IVF-PQ: the compound scan-reduction index for web-scale ANN
+  * (the layout FAISS popularized as IVFADC; see Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011, §IV).
+  *
+  * Three stages compose:
+  *
+  *  1. a COARSE quantizer splits the corpus into cells; the artifact is
+  *     written `partitionBy(bucket)`, so probing `nprobe` cells is
+  *     partition pruning — only probed directories are listed or read;
+  *  2. each vector stores PQ byte codes of its RESIDUAL
+  *     (`vec − centroid(bucket)`); residuals concentrate near 0, so the
+  *     same codebook budget quantizes them much more tightly than raw
+  *     vectors — probed cells are scanned as `(id, codes)` only, m bytes
+  *     a row instead of the wide float column;
+  *  3. ADC scores candidates with per-cell lookup tables built from the
+  *     QUERY's residual against that cell, and the top `rescore`
+  *     candidates are re-ranked with the exact metric, reading the wide
+  *     vector column for candidate rows only.
+  *
+  * At 100 TB: stage 1 reads nprobe/K of the corpus directories, stage 2
+  * reads ~1/32 of the probed bytes (64-d float → 16 codes), stage 3 reads
+  * `rescore` full rows — the full-corpus float scan never happens.
+  *
+  * Two coarse schemes share the machinery:
+  *  - [[signCoarse]] — sign-bit cells with decimal-rounded per-cell mean
+  *    centroids: fully deterministic, so the DuckDB oracle can replay the
+  *    entire fit+encode+search pipeline (the driver's `ann_ivfpq_fixed`);
+  *  - [[kmeansCoarse]] — learned centroids (Lloyd's over a bounded
+  *    sample), the production-quality variant; recall tracked in
+  *    RecallReport.
+  *
+  * Reference anchor: the reference nests its quantizers inside each
+  * vector index the same way (vectorstore/product.go:20–27 —
+  * per-collection codebooks scoped under the index bucket); the coarse
+  * layer here replaces its shard fan-out with partition pruning.
+  */
+object IvfPq {
+
+  /** A coarse quantizer: cell assignment + per-cell centroids + probe
+    * order. `centroids` keys are exactly the populated cells.
+    */
+  final case class Coarse(
+      kind: String, // "sign" | "kmeans" — persisted, guards artifact reuse
+      param: Int, // nBits for sign, k for kmeans
+      centroids: Map[Int, Array[Double]]) {
+    require(centroids.nonEmpty, "coarse quantizer with no populated cells")
+    val dim: Int = centroids.head._2.length
+  }
+
+  /** Sign-bit cells (deterministic): bucket = sign bits of the first
+    * `nBits` dims; centroid = per-cell per-dim mean, decimal-accumulated
+    * and rounded to 9 places (the repo's cross-engine float convention,
+    * same as BinaryQuantizer.fit) so an oracle engine lands on identical
+    * residuals.
+    */
+  def signCoarse(corpus: DataFrame, vec: Column, nBits: Int): Coarse = {
+    val cells = Similarity.signBuckets(corpus.filter(vec.isNotNull), vec, nBits)
+      .select(col("bucket"), posexplode(vec).as(Seq("_pos", "_v")))
+      .groupBy("bucket", "_pos")
+      .agg(round(sum(col("_v").cast("decimal(28,6)")) / count(lit(1)), 9)
+        .cast("double").as("_m"))
+      .collect()
+      .groupBy(_.getAs[Int]("bucket"))
+      .map { case (b, rows) =>
+        val byPos = rows.map(r => r.getAs[Int]("_pos") -> r.getAs[Double]("_m")).toMap
+        val d = byPos.keys.max + 1
+        b -> Array.tabulate(d)(i => byPos.getOrElse(i,
+          throw new IllegalStateException(s"cell $b missing dimension $i")))
+      }
+    Coarse("sign", nBits, cells)
+  }
+
+  /** Learned coarse cells: Lloyd's centroids over a bounded sample
+    * (training is sample-scale by nature — see ProductQuantizer.fit);
+    * cell id = centroid index.
+    */
+  def kmeansCoarse(
+      corpus: DataFrame, vec: Column, k: Int,
+      seed: Long = 42L, sampleLimit: Int = 100000): Coarse = {
+    val cents = Similarity.kmeansCentroids(corpus, vec, k, seed, sampleLimit)
+    Coarse("kmeans", k, cents.zipWithIndex.map { case (c, j) =>
+      j -> c.map(_.toDouble)
+    }.toMap)
+  }
+
+  private def assignBuckets(corpus: DataFrame, vec: Column, coarse: Coarse): DataFrame =
+    coarse.kind match {
+      case "sign" => Similarity.signBuckets(corpus.filter(vec.isNotNull), vec, coarse.param)
+      case "kmeans" =>
+        val cents = (0 until coarse.param).map(j => coarse.centroids(j).map(_.toFloat)).toArray
+        Similarity.kmeansBuckets(corpus, vec, cents)
+      case other => throw new IllegalArgumentException(s"unknown coarse kind '$other'")
+    }
+
+  /** Probe order for a query: ALL populated cells ranked by squared L2
+    * centroid distance, ties by cell id. One rule for both schemes — sign
+    * cells carry mean centroids too, and centroid ranking probes strictly
+    * better than the hamming-neighbor ring (a cell one sign-bit away on a
+    * near-zero dimension is closer than one flip away on a large one).
+    * Deterministic (double arithmetic + id tie-break), so the oracle can
+    * replay the probe set in SQL.
+    */
+  def probes(coarse: Coarse, queryVec: Seq[Float], nprobe: Int): Seq[Int] =
+    coarse.centroids.toSeq.map { case (b, c) =>
+      require(queryVec.length == c.length,
+        s"query vector has ${queryVec.length} dims; centroids have ${c.length}")
+      var acc = 0.0; var t = 0
+      while (t < c.length) { val x = queryVec(t).toDouble - c(t); acc += x * x; t += 1 }
+      (acc, b)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** Fit the residual codebook: assign cells, subtract centroids, PQ-fit
+    * the residual sample. The residual frame is only sampled
+    * (`sampleLimit`), never materialized corpus-wide.
+    */
+  def fitResidualPq(
+      corpus: DataFrame, vec: Column, coarse: Coarse,
+      m: Int, k: Int, seed: Long = 42L, sampleLimit: Int = 100000): PQModel = {
+    val dim = coarse.dim
+    val res = residualFrame(assignBuckets(corpus, vec, coarse), vec, coarse)
+    ProductQuantizer.fit(res, col("_residual"), m, k, dim, seed, sampleLimit)
+  }
+
+  /** (bucket, vec) → residual column via a broadcast centroid map. */
+  private def residualFrame(assigned: DataFrame, vec: Column, coarse: Coarse): DataFrame = {
+    val cents = coarse.centroids
+    val resUdf = udf { (b: Int, v: Seq[Float]) =>
+      val c = cents.getOrElse(b,
+        throw new IllegalArgumentException(s"row assigned to unknown cell $b"))
+      require(v.length == c.length,
+        s"vector has ${v.length} dims; cell centroid has ${c.length}")
+      val out = new Array[Float](c.length)
+      var i = 0
+      while (i < c.length) { out(i) = (v(i).toDouble - c(i)).toFloat; i += 1 }
+      out
+    }
+    assigned.withColumn("_residual", resUdf(col("bucket"), vec))
+  }
+
+  /** Materialize the index: `(id, vec, codes)` under `bucket=<b>/`
+    * directories plus a meta file binding the artifact to its quantizer
+    * shape (probing with a different coarse scheme or codebook geometry
+    * would silently return wrong neighbors — fail fast instead).
+    */
+  def writeArtifact(
+      corpus: DataFrame, cId: Column, cVec: Column,
+      coarse: Coarse, pq: PQModel, dir: String): Unit = {
+    val assigned = assignBuckets(corpus, cVec, coarse)
+    val withRes = residualFrame(assigned, cVec, coarse)
+    val enc = encodeInPlace(withRes, pq)
+    enc.select(cId.as("id"), cVec.as("vec"), col("_codes").as("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    writeMeta(corpus.sparkSession, dir, s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim}")
+  }
+
+  /** PQ-encode `_residual` as an extra `_codes` column (keeps every other
+    * column, unlike ProductQuantizer.encode's projection).
+    */
+  private def encodeInPlace(withRes: DataFrame, pq: PQModel): DataFrame =
+    withRes.withColumn("_codes", ProductQuantizer.encodeUdf(pq)(col("_residual")))
+
+  private def writeMeta(spark: SparkSession, dir: String, payload: String): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(dir, "_ivfpq_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Option[String] = {
+    val meta = new org.apache.hadoop.fs.Path(dir, "_ivfpq_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Per-cell ADC lookup tables for a query: table(b)(i)(j) = squared L2
+    * between subvector i of the query's residual IN CELL b and centroid
+    * (i, j) of the codebook. Sub-sums run in fixed index order, matching
+    * the oracle's `list_sum(list_transform(range…))`.
+    */
+  def queryTables(
+      coarse: Coarse, pq: PQModel, queryVec: Seq[Float],
+      probeCells: Seq[Int]): Map[Int, Array[Array[Double]]] =
+    probeCells.map { b =>
+      val cent = coarse.centroids(b)
+      require(queryVec.length == cent.length,
+        s"query vector has ${queryVec.length} dims; cell centroid has ${cent.length}")
+      val qr = Array.tabulate(cent.length)(i => queryVec(i).toDouble - cent(i))
+      b -> (0 until pq.m).map { i =>
+        (0 until pq.k).map { j =>
+          val c = pq.centroids(i)(j)
+          var acc = 0.0; var t = 0
+          while (t < pq.subDim) {
+            val x = qr(i * pq.subDim + t) - c(t); acc += x * x; t += 1
+          }
+          acc
+        }.toArray
+      }.toArray
+    }.toMap
+
+  /** Search a [[writeArtifact]] directory: probe → per-cell ADC over the
+    * codes column (the scan reads `(id, bucket, codes)` only — column
+    * pruning keeps the wide `vec` out of stage 1) → top-`rescore`
+    * candidates → exact re-rank on the candidates' full vectors.
+    */
+  def searchArtifact(
+      spark: SparkSession, dir: String, queryVec: Seq[Float],
+      coarse: Coarse, pq: PQModel, k: Int, rescore: Int,
+      metric: Metric, nprobe: Int): DataFrame = {
+    readMeta(spark, dir).foreach { stored =>
+      val expect = s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim}"
+      require(stored == expect,
+        s"artifact at $dir was written as ($stored), probed as ($expect)")
+    }
+    val cells = probes(coarse, queryVec, nprobe)
+    require(cells.nonEmpty, "no populated cells to probe")
+    val tables = queryTables(coarse, pq, queryVec, cells)
+    val adcUdf = udf { (b: Int, cs: Seq[Int]) =>
+      val t = tables(b) // only probed cells reach the scan filter
+      var acc = 0.0
+      var i = 0
+      while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
+      acc
+    }
+    val art = spark.read.parquet(dir)
+    val cands = art
+      .filter(col("bucket").isin(cells: _*))
+      .select(col("id"), adcUdf(col("bucket"), col("codes")).as("approx_distance"))
+      .orderBy(col("approx_distance").asc, col("id").asc)
+      .limit(rescore)
+    art
+      .filter(col("bucket").isin(cells: _*)) // candidates live in probed cells
+      .join(broadcast(cands.select("id")), "id")
+      .select(col("id"), col("bucket"),
+        graft.functions.Distances.distanceToQuery(metric, col("vec"), queryVec)
+          .as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+  }
+}

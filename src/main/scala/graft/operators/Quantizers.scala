@@ -202,10 +202,16 @@ object ProductQuantizer {
     * slower (per-element expression-tree walks). Build-path operator: the
     * hot query path below touches only the byte-sized codes.
     */
-  def encode(df: DataFrame, id: Column, vec: Column, model: PQModel): DataFrame = {
+  def encode(df: DataFrame, id: Column, vec: Column, model: PQModel): DataFrame =
+    df.select(id.as("id"), encodeUdf(model)(vec).as("codes"))
+
+  /** The encode kernel as a reusable UDF (shared with the residual
+    * IVF-PQ build, which keeps its surrounding columns).
+    */
+  def encodeUdf(model: PQModel): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = model.m; val k = model.k; val subDim = model.subDim
     val cents = model.centroids // serialized once into the task closure
-    val encodeUdf = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val arr = v.toArray
       val codes = new Array[Int](m)
       var i = 0
@@ -225,7 +231,6 @@ object ProductQuantizer {
       }
       codes
     }
-    df.select(id.as("id"), encodeUdf(vec).as("codes"))
   }
 
   /** The ADC scoring column for a codes column: the query is quantized

@@ -310,6 +310,114 @@ object PipelineQueries {
       .select(col("id"), col("bucket"), dround(col("distance"), 4).as("dist_r"))
   }
 
+  /** Residual IVF-PQ, end-to-end under an oracle: sign-bit coarse cells
+    * (nBits=4) with decimal-rounded per-cell mean centroids, float32
+    * residuals, a CLOSED-FORM residual codebook (subvectors of the
+    * residuals of vec_ids 0–7 — no k-means, so DuckDB replays the fit),
+    * centroid-distance-ranked probes (nprobe=4), per-cell ADC candidate
+    * scoring (budget 50), exact cosine re-rank. The serving path is the
+    * bucket-partitioned artifact — probes are partition pruning
+    * (IvfPqSpec asserts PartitionFilters); learned-centroid operating
+    * points live in RECALL.md.
+    */
+  private val ivfPqArtifactCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String),
+      (String, graft.operators.IvfPq.Coarse, graft.operators.PQModel)]()
+
+  val annIvfPqFixed = NamedQuery(
+    "ann_ivfpq_fixed",
+    """WITH corpus AS (
+      |  SELECT vec_id AS id, embedding,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |cmeans AS (
+      |  SELECT bucket, i,
+      |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(*), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY bucket, i),
+      |cents AS (SELECT bucket, list(m ORDER BY i) AS c FROM cmeans GROUP BY bucket),
+      |resid AS (
+      |  SELECT co.id, co.bucket,
+      |    list_transform(range(1, 65),
+      |      i -> CAST(CAST(co.embedding[i] AS DOUBLE) - ct.c[i] AS REAL)) AS r
+      |  FROM corpus co JOIN cents ct USING (bucket)),
+      |subs AS (SELECT unnest(range(4)) AS si),
+      |cb AS (
+      |  SELECT s.si, r8.id AS cj, list_slice(r8.r, s.si*16 + 1, s.si*16 + 16) AS cv
+      |  FROM resid r8 CROSS JOIN subs s WHERE r8.id < 8),
+      |codes AS (
+      |  SELECT id, si, cj AS code FROM (
+      |    SELECT re.id, cb.si, cb.cj,
+      |      row_number() OVER (PARTITION BY re.id, cb.si ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          t -> (CAST(re.r[cb.si*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |             * (CAST(re.r[cb.si*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))),
+      |        cb.cj) AS rn
+      |    FROM resid re CROSS JOIN cb) WHERE rn = 1),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+      |probe AS (
+      |  SELECT ct.bucket, ct.c
+      |  FROM cents ct CROSS JOIN q
+      |  ORDER BY list_sum(list_transform(range(1, 65),
+      |      i -> (CAST(q.qv[i] AS DOUBLE) - ct.c[i]) * (CAST(q.qv[i] AS DOUBLE) - ct.c[i]))) ASC,
+      |    ct.bucket ASC
+      |  LIMIT 4),
+      |qtab AS (
+      |  SELECT p.bucket, cb.si, cb.cj,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> ((CAST(q.qv[cb.si*16 + t] AS DOUBLE) - p.c[cb.si*16 + t]) - CAST(cb.cv[t] AS DOUBLE))
+      |         * ((CAST(q.qv[cb.si*16 + t] AS DOUBLE) - p.c[cb.si*16 + t]) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM probe p CROSS JOIN cb CROSS JOIN q),
+      |scores AS (
+      |  SELECT co.id, list_sum(list(t.d2 ORDER BY t.si)) AS approx
+      |  FROM corpus co
+      |  JOIN codes cd ON cd.id = co.id
+      |  JOIN qtab t ON t.bucket = co.bucket AND t.si = cd.si AND t.cj = cd.code
+      |  GROUP BY co.id),
+      |cand AS (SELECT id FROM scores ORDER BY approx ASC, id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT co.id, co.bucket, 1.0 - list_inner_product(co.embedding, q.qv) AS dist
+      |  FROM cand JOIN corpus co USING (id) CROSS JOIN q),
+      |top AS (SELECT id, bucket, dist FROM rr ORDER BY dist ASC, id ASC LIMIT 10)
+      |SELECT id, bucket,
+      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM top ORDER BY dist_r, id""".stripMargin) { (s, d) =>
+    import graft.operators.{IvfPq, PQModel}
+    val (dir, coarse, pq) = ivfPqArtifactCache.computeIfAbsent(
+      (s.sparkContext.applicationId, d), _ => {
+        val emb = Tables.embeddings(s, d)
+        val co = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+        // closed-form residual codebook: the float32 residuals of
+        // vec_ids 0..7, sliced into 4 subvectors of 16 dims each
+        val seed = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select(col("vec_id"), col("embedding")).collect()
+          .map { r =>
+            val v = r.getSeq[Float](1)
+            val qb = (0 until 4).map(i => if (v(i) > 0f) 1 << i else 0).sum
+            val c = co.centroids(qb)
+            Array.tabulate(64)(i => (v(i).toDouble - c(i)).toFloat)
+          }
+        val cents = (0 until 4).map { si =>
+          (0 until 8).map(j =>
+            java.util.Arrays.copyOfRange(seed(j), si * 16, (si + 1) * 16)).toArray
+        }.toArray
+        val model = PQModel(m = 4, k = 8, dim = 64, centroids = cents)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
+        IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), co, model, tmp.toString)
+        (tmp.toString, co, model)
+      })
+    val qv = TestCollections.queryVector(s, d, 7)
+    IvfPq.searchArtifact(s, dir, qv, coarse, pq,
+        k = 10, rescore = 50, metric = Metric.Cosine, nprobe = 4)
+      .select(col("id"), col("bucket"), dround(col("distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("id"))
+  }
+
   val q6Sessionize = NamedQuery(
     "q6_sessionize",
     """WITH e AS (
@@ -386,6 +494,7 @@ object PipelineQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint,
-    pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, q6Sessionize, q7StreamWindow,
+    pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, annIvfPqFixed,
+    q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFrames)
 }

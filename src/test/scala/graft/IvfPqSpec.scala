@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Distances
+import graft.model.IndexKind.Metric
+import graft.operators.{IvfPq, ProductQuantizer}
+
+class IvfPqSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf001)
+
+  private def exactTopK(qv: Seq[Float], k: Int): Seq[Long] =
+    emb.select(col("vec_id"),
+        Distances.distanceToQuery(Metric.Cosine, col("embedding"), qv).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(k)
+      .select("vec_id").as[Long].collect().toSeq
+
+  test("sign coarse cells: every populated cell has a full-dim centroid") {
+    val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+    assert(coarse.centroids.nonEmpty)
+    assert(coarse.centroids.keys.forall(b => b >= 0 && b < 16))
+    assert(coarse.centroids.values.forall(_.length == 64))
+    // a cell centroid is the mean of members: its first-dim sign agrees
+    // with the cell's first sign bit (members share that sign strictly
+    // above/below zero)
+    coarse.centroids.foreach { case (b, c) =>
+      if ((b & 1) == 1) assert(c(0) > 0.0, s"cell $b centroid dim0 ${c(0)}")
+      else assert(c(0) <= 0.0, s"cell $b centroid dim0 ${c(0)}")
+    }
+  }
+
+  test("residual IVF-PQ artifact: partition-pruned probes, high recall with rescore") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+    val pq = IvfPq.fitResidualPq(emb, col("embedding"), coarse, m = 16, k = 16)
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, pq, dir)
+
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 7)
+    val served = IvfPq.searchArtifact(spark, dir, qv, coarse, pq,
+      k = 10, rescore = 100, metric = Metric.Cosine, nprobe = 8)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined, plan)
+
+    val got = served.select("id").as[Long].collect().toSeq
+    val exact = exactTopK(qv, 10)
+    // the query's own cell is probed, so the self-match must survive
+    assert(got.head == exact.head)
+    // rescored recall: most of the exact top-10 passes through the probes
+    assert(got.toSet.intersect(exact.toSet).size >= 7,
+      s"recall too low: got $got vs exact $exact")
+  }
+
+  test("meta guard: probing with a different geometry fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+    val pq = IvfPq.fitResidualPq(emb, col("embedding"), coarse, m = 8, k = 16)
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, pq, dir)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 0)
+    val otherPq = IvfPq.fitResidualPq(emb, col("embedding"), coarse, m = 16, k = 16)
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.searchArtifact(spark, dir, qv, coarse, otherPq,
+        k = 5, rescore = 50, metric = Metric.Cosine, nprobe = 3)
+    }
+    assert(e.getMessage.contains("probed as"))
+  }
+
+  test("kmeans coarse IVF-PQ reaches high recall at a quarter-corpus probe budget") {
+    val km = IvfPq.kmeansCoarse(emb, col("embedding"), k = 32)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 99)
+    val pq = IvfPq.fitResidualPq(emb, col("embedding"), km, m = 16, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp_").toString
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), km, pq, dir)
+    val got = IvfPq.searchArtifact(spark, dir, qv, km, pq,
+      k = 10, rescore = 60, metric = Metric.Cosine, nprobe = 8)
+      .select("id").as[Long].collect().toSet
+    val recall = got.intersect(exactTopK(qv, 10).toSet).size
+    assert(recall >= 7, s"kmeans ivf-pq recall too low: $recall/10")
+  }
+
+  test("residual codes quantize tighter than raw-vector codes (same budget)") {
+    // mean ADC error of residual PQ vs raw PQ against true euclidean² —
+    // the reason IVF-PQ encodes residuals at all
+    val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+    val resPq = IvfPq.fitResidualPq(emb, col("embedding"), coarse, m = 16, k = 16)
+    val rawPq = ProductQuantizer.fit(emb, col("embedding"), m = 16, k = 16, dim = 64)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 250)
+
+    val exact = emb.select(col("vec_id").as("id"),
+      Distances.distanceToQuery(Metric.Euclidean, col("embedding"), qv).as("true_d"))
+
+    // raw ADC approx
+    val rawCodes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), rawPq)
+    val rawErr = rawCodes
+      .select(col("id"), ProductQuantizer.adcDistance(col("codes"), qv, rawPq).as("a"))
+      .join(exact, "id")
+      .agg(avg(abs(col("a") - col("true_d")))).as[Double].head()
+
+    // residual ADC approx via the artifact search's scoring path
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_err_").toString
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, resPq, dir)
+    val art = spark.read.parquet(dir)
+    val cells = art.select("bucket").distinct().as[Int].collect().toSeq
+    val tables = IvfPq.queryTables(coarse, resPq, qv, cells)
+    val adc = udf { (b: Int, cs: Seq[Int]) =>
+      var acc = 0.0; var i = 0
+      val t = tables(b)
+      while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
+      acc
+    }
+    val resErr = art.select(col("id"), adc(col("bucket"), col("codes")).as("a"))
+      .join(exact, "id")
+      .agg(avg(abs(col("a") - col("true_d")))).as[Double].head()
+
+    assert(resErr < rawErr,
+      s"residual ADC error $resErr not below raw ADC error $rawErr")
+  }
+}
