@@ -157,6 +157,7 @@ object IvfPq {
     enc.select(cId.as("id"), cVec.as("vec"), col("_codes").as("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     writeMeta(corpus.sparkSession, dir, s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim}")
+    writeModel(corpus.sparkSession, dir, coarse, pq)
   }
 
   /** PQ-encode `_residual` as an extra `_codes` column (keeps every other
@@ -170,6 +171,65 @@ object IvfPq {
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(meta, true)
     try out.write(payload.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Persist the full model (geometry line + coarse centroids + codebook)
+    * so the artifact is SELF-CONTAINED: a fresh session [[loadModel]]s and
+    * serves without refitting — refitting k-means would yield different
+    * cells than the codes on disk and silently wrong neighbors. Format is
+    * line-oriented decimal text: floats round-trip exactly via
+    * `java.lang.Double/Float.toString` (shortest representation that
+    * parses back to the same bits).
+    */
+  def writeModel(spark: SparkSession, dir: String, coarse: Coarse, pq: PQModel): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim}\n")
+    coarse.centroids.toSeq.sortBy(_._1).foreach { case (b, c) =>
+      sb.append(s"C,$b,${c.mkString(",")}\n")
+    }
+    for (i <- 0 until pq.m; j <- 0 until pq.k)
+      sb.append(s"P,$i,$j,${pq.centroids(i)(j).mkString(",")}\n")
+    val path = new org.apache.hadoop.fs.Path(dir, "_ivfpq_model")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load the model persisted by [[writeModel]]. */
+  def loadModel(spark: SparkSession, dir: String): (Coarse, PQModel) = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_ivfpq_model")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no _ivfpq_model at $dir — artifact predates writeModel?")
+    val in = fs.open(path)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val head = lines.head.split(',')
+    require(head.length == 5, s"malformed _ivfpq_model header: ${lines.head}")
+    val (kind, param, m, k, dim) =
+      (head(0), head(1).toInt, head(2).toInt, head(3).toInt, head(4).toInt)
+    val cents = scala.collection.mutable.Map[Int, Array[Double]]()
+    val codebook = Array.ofDim[Array[Float]](m, k)
+    lines.tail.foreach { ln =>
+      val parts = ln.split(',')
+      parts(0) match {
+        case "C" =>
+          cents(parts(1).toInt) = parts.drop(2).map(_.toDouble)
+        case "P" =>
+          codebook(parts(1).toInt)(parts(2).toInt) = parts.drop(3).map(_.toFloat)
+        case other =>
+          throw new IllegalArgumentException(s"malformed _ivfpq_model line tag '$other'")
+      }
+    }
+    require(cents.nonEmpty, "model file holds no coarse centroids")
+    for (i <- 0 until m; j <- 0 until k)
+      require(codebook(i)(j) != null, s"model file missing codebook entry ($i,$j)")
+    (Coarse(kind, param, cents.toMap), PQModel(m, k, dim, codebook))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[String] = {
@@ -218,6 +278,16 @@ object IvfPq {
     * pruning keeps the wide `vec` out of stage 1) → top-`rescore`
     * candidates → exact re-rank on the candidates' full vectors.
     */
+  /** Serve straight from a self-contained artifact directory (model
+    * loaded from `_ivfpq_model` — no in-memory fit state needed).
+    */
+  def searchArtifact(
+      spark: SparkSession, dir: String, queryVec: Seq[Float],
+      k: Int, rescore: Int, metric: Metric, nprobe: Int): DataFrame = {
+    val (coarse, pq) = loadModel(spark, dir)
+    searchArtifact(spark, dir, queryVec, coarse, pq, k, rescore, metric, nprobe)
+  }
+
   def searchArtifact(
       spark: SparkSession, dir: String, queryVec: Seq[Float],
       coarse: Coarse, pq: PQModel, k: Int, rescore: Int,

@@ -51,6 +51,29 @@ class IvfPqSpec extends SparkSuite {
       s"recall too low: got $got vs exact $exact")
   }
 
+  test("artifact is self-contained: loaded model serves identically to the fit state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_self_").toString
+    val coarse = IvfPq.kmeansCoarse(emb, col("embedding"), k = 16)
+    val pq = IvfPq.fitResidualPq(emb, col("embedding"), coarse, m = 8, k = 16)
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, pq, dir)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 250)
+    val viaFit = IvfPq.searchArtifact(spark, dir, qv, coarse, pq,
+      k = 10, rescore = 50, metric = Metric.Cosine, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    // model round-trips bit-exactly (shortest-decimal text), so the
+    // model-free overload must return the identical frame
+    val (lc, lpq) = IvfPq.loadModel(spark, dir)
+    assert(lc.kind == coarse.kind && lc.param == coarse.param)
+    assert(lc.centroids.keySet == coarse.centroids.keySet)
+    lc.centroids.foreach { case (b, c) => assert(c.sameElements(coarse.centroids(b))) }
+    for (i <- 0 until pq.m; j <- 0 until pq.k)
+      assert(lpq.centroids(i)(j).sameElements(pq.centroids(i)(j)))
+    val viaLoad = IvfPq.searchArtifact(spark, dir, qv,
+      k = 10, rescore = 50, metric = Metric.Cosine, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(viaLoad == viaFit)
+  }
+
   test("meta guard: probing with a different geometry fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
     val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
