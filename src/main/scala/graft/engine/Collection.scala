@@ -65,6 +65,40 @@ final case class Collection(
         .persist()
       copy(vectorIndexes = vectorIndexes + (prop -> ProductVectorIndex(model, codes)))
     }
+
+  /** Attach a residual IVF-PQ artifact for `prop`, building it at `dir` if
+    * absent (an existing artifact is reused via its persisted model — NOT
+    * refitted, which would mismatch the codes on disk). The encoded frame
+    * reads the partitioned directory, so approximate probes prune
+    * partitions even through the engine path.
+    */
+  def withIvfPqVectorIndex(
+      prop: String, dir: String,
+      coarse: () => graft.operators.IvfPq.Coarse,
+      model: graft.operators.IvfPq.Coarse => graft.operators.PQModel,
+      nprobe: Int): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      import graft.operators.IvfPq
+      val spark = df.sparkSession
+      val modelPath = new org.apache.hadoop.fs.Path(dir, "_ivfpq_model")
+      val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (co, pq) =
+        if (fs.exists(modelPath)) IvfPq.loadModel(spark, dir)
+        else {
+          val c = coarse()
+          val m = model(c)
+          IvfPq.writeArtifact(
+            df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), c, m, dir)
+          (c, m)
+        }
+      val enc = spark.read.parquet(dir)
+        .select(col("id").as(Collection.IdCol),
+          col("bucket").as("_bucket"), col("codes").as("_codes"))
+      copy(vectorIndexes =
+        vectorIndexes + (prop -> IvfPqVectorIndex(co, pq, nprobe, enc)))
+    }
 }
 
 object Collection {

@@ -182,20 +182,35 @@ object QueryCompiler {
       vector: Seq[Float], limit: Int, filter: Option[Query],
       weight: Option[Float], idx: VectorIndex, budget: Int): Compiled = {
     val w = weight.getOrElse(1.0f)
-    val qd = idx match {
+    val restricted0 = filter match {
+      case None => idx.encoded
+      case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
+    }
+    val (restricted, qd) = idx match {
       case BinaryVectorIndex(th, _) =>
         require(vector.length == th.length,
           s"query vector has ${vector.length} dims; binary index has ${th.length}")
-        graft.functions.PackedOps.packedHamming(col("_packed"),
-          lit(graft.operators.BinaryQuantizer.packWords(vector, th)))
+        (restricted0, graft.functions.PackedOps.packedHamming(col("_packed"),
+          lit(graft.operators.BinaryQuantizer.packWords(vector, th))))
       case ProductVectorIndex(model, _) =>
         require(vector.length == model.dim,
           s"query vector has ${vector.length} dims; product index has ${model.dim}")
-        graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model)
-    }
-    val restricted = filter match {
-      case None => idx.encoded
-      case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
+        (restricted0, graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model))
+      case IvfPqVectorIndex(coarse, model, nprobe, _) =>
+        require(vector.length == coarse.dim,
+          s"query vector has ${vector.length} dims; IVF-PQ index has ${coarse.dim}")
+        // probe restriction FIRST: the artifact frame is bucket-partitioned,
+        // so this lands in PartitionFilters and unprobed cells are never read
+        val cells = graft.operators.IvfPq.probes(coarse, vector, nprobe)
+        val tables = graft.operators.IvfPq.queryTables(coarse, model, vector, cells)
+        val adc = udf { (b: Int, cs: Seq[Int]) =>
+          val t = tables(b)
+          var acc = 0.0; var i = 0
+          while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
+          acc
+        }
+        (restricted0.filter(col("_bucket").isin(cells: _*)),
+          adc(col("_bucket"), col("_codes")))
     }
     val candIds = restricted
       .select(col(IdCol), qd.as("_qd"))

@@ -32,3 +32,13 @@ final case class BinaryVectorIndex(
   */
 final case class ProductVectorIndex(
     model: graft.operators.PQModel, encoded: DataFrame) extends VectorIndex
+
+/** Residual IVF-PQ artifact (operators/IvfPq.scala): `encoded` reads the
+  * bucket-PARTITIONED artifact directory, so the probe restriction in the
+  * approximate path is partition pruning, not an in-memory filter — the
+  * candidate scan touches nprobe cells' `(_id, _bucket, _codes)` only.
+  * Candidates rank by per-cell ADC (query-residual lookup tables).
+  */
+final case class IvfPqVectorIndex(
+    coarse: graft.operators.IvfPq.Coarse, model: graft.operators.PQModel,
+    nprobe: Int, encoded: DataFrame) extends VectorIndex

@@ -101,6 +101,44 @@ class IvfPqSpec extends SparkSuite {
     assert(recall >= 7, s"kmeans ivf-pq recall too low: $recall/10")
   }
 
+  test("engine approx near serves from an attached IVF-PQ artifact with pruned probes") {
+    import graft.engine.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_engine_").toString
+    val base = graft.queries.TestCollections.docs(spark, sf001)
+    val coll = base.withIvfPqVectorIndex(
+      "embedding", dir,
+      () => IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+      c => IvfPq.fitResidualPq(base.df, col("embedding"), c, m = 16, k = 16),
+      nprobe = 8)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 7)
+    val req =
+      s"""{"query":{"property":"embedding","vectorFlat":{
+         |"vector":[${qv.mkString(",")}],"operator":"near","limit":10,
+         |"approx":true}},"limit":100}""".stripMargin
+    val res = Search.searchJson(coll, req)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined, plan)
+    val rows = res.select("_id", "_distance", "_hybridScore").collect()
+    assert(rows.head.getString(0) == "7") // self-match survives the probes
+    assert(rows.forall(r => math.abs(r.getFloat(2) + r.getFloat(1)) < 1e-6f))
+    // identical candidates to the standalone artifact search (same budget):
+    // engine budget = max(5*limit, 50) = 50, same nprobe and tie-breaks
+    val standalone = IvfPq.searchArtifact(spark, dir, qv,
+        k = 10, rescore = 50, metric = Metric.Cosine, nprobe = 8)
+      .select("id").as[String].collect().toSeq
+    assert(rows.map(_.getString(0)).toSeq == standalone)
+    // re-attaching over the same dir LOADS the persisted model (no refit)
+    // and serves identically
+    val coll2 = base.withIvfPqVectorIndex(
+      "embedding", dir,
+      () => sys.error("must not refit over an existing artifact"),
+      _ => sys.error("must not refit over an existing artifact"),
+      nprobe = 8)
+    val rows2 = Search.searchJson(coll2, req)
+      .select("_id", "_distance", "_hybridScore").collect()
+    assert(rows2.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("residual codes quantize tighter than raw-vector codes (same budget)") {
     // mean ADC error of residual PQ vs raw PQ against true euclidean² —
     // the reason IVF-PQ encodes residuals at all
