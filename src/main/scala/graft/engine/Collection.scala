@@ -81,11 +81,10 @@ final case class Collection(
     else {
       import org.apache.spark.sql.functions._
       import graft.operators.IvfPq
+      require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
       val spark = df.sparkSession
-      val modelPath = new org.apache.hadoop.fs.Path(dir, "_ivfpq_model")
-      val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val (co, pq) =
-        if (fs.exists(modelPath)) IvfPq.loadModel(spark, dir)
+        if (IvfPq.hasModel(spark, dir)) IvfPq.loadModel(spark, dir)
         else {
           val c = coarse()
           val m = model(c)

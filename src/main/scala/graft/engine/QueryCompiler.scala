@@ -202,15 +202,10 @@ object QueryCompiler {
         // probe restriction FIRST: the artifact frame is bucket-partitioned,
         // so this lands in PartitionFilters and unprobed cells are never read
         val cells = graft.operators.IvfPq.probes(coarse, vector, nprobe)
+        require(cells.nonEmpty, "no populated cells to probe") // isin() of nothing = 0 rows, silently
         val tables = graft.operators.IvfPq.queryTables(coarse, model, vector, cells)
-        val adc = udf { (b: Int, cs: Seq[Int]) =>
-          val t = tables(b)
-          var acc = 0.0; var i = 0
-          while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
-          acc
-        }
         (restricted0.filter(col("_bucket").isin(cells: _*)),
-          adc(col("_bucket"), col("_codes")))
+          graft.operators.IvfPq.adcUdf(tables)(col("_bucket"), col("_codes")))
     }
     val candIds = restricted
       .select(col(IdCol), qd.as("_qd"))

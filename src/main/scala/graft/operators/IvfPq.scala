@@ -173,6 +173,19 @@ object IvfPq {
     try out.write(payload.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Drain a (small) FS file fully — Hadoop `read` may return short. */
+  private def readFully(
+      fs: org.apache.hadoop.fs.FileSystem, path: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** Persist the full model (geometry line + coarse centroids + codebook)
     * so the artifact is SELF-CONTAINED: a fresh session [[loadModel]]s and
     * serves without refitting — refitting k-means would yield different
@@ -189,63 +202,69 @@ object IvfPq {
     }
     for (i <- 0 until pq.m; j <- 0 until pq.k)
       sb.append(s"P,$i,$j,${pq.centroids(i)(j).mkString(",")}\n")
-    val path = new org.apache.hadoop.fs.Path(dir, "_ivfpq_model")
+    val path = new org.apache.hadoop.fs.Path(dir, ModelFile)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    // write-then-rename: a crash mid-write must not leave a truncated
+    // model that hasModel() would mistake for a complete one
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$ModelFile.tmp")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    require(fs.rename(tmp, path), s"could not move $tmp into place at $path")
+  }
+
+  private val ModelFile = "_ivfpq_model"
+
+  /** Whether `dir` holds a persisted model — the build-vs-reuse question,
+    * kept here so the file layout stays this operator's private detail.
+    */
+  def hasModel(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir, ModelFile)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
   /** Load the model persisted by [[writeModel]]. */
   def loadModel(spark: SparkSession, dir: String): (Coarse, PQModel) = {
-    val path = new org.apache.hadoop.fs.Path(dir, "_ivfpq_model")
+    val path = new org.apache.hadoop.fs.Path(dir, ModelFile)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(path), s"no _ivfpq_model at $dir — artifact predates writeModel?")
-    val in = fs.open(path)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
-    val lines = text.split('\n').filter(_.nonEmpty)
+    require(fs.exists(path), s"no $ModelFile at $dir — artifact predates writeModel?")
+    def bad(why: String): Nothing =
+      throw new IllegalArgumentException(s"malformed $ModelFile at $dir: $why")
+    val lines = readFully(fs, path).split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty) bad("empty file")
     val head = lines.head.split(',')
-    require(head.length == 5, s"malformed _ivfpq_model header: ${lines.head}")
+    if (head.length != 5) bad(s"header '${lines.head}'")
     val (kind, param, m, k, dim) =
-      (head(0), head(1).toInt, head(2).toInt, head(3).toInt, head(4).toInt)
+      try (head(0), head(1).toInt, head(2).toInt, head(3).toInt, head(4).toInt)
+      catch { case _: NumberFormatException => bad(s"non-numeric header '${lines.head}'") }
     val cents = scala.collection.mutable.Map[Int, Array[Double]]()
     val codebook = Array.ofDim[Array[Float]](m, k)
     lines.tail.foreach { ln =>
       val parts = ln.split(',')
-      parts(0) match {
+      try parts(0) match {
         case "C" =>
           cents(parts(1).toInt) = parts.drop(2).map(_.toDouble)
         case "P" =>
-          codebook(parts(1).toInt)(parts(2).toInt) = parts.drop(3).map(_.toFloat)
-        case other =>
-          throw new IllegalArgumentException(s"malformed _ivfpq_model line tag '$other'")
+          val (i, j) = (parts(1).toInt, parts(2).toInt)
+          if (i < 0 || i >= m || j < 0 || j >= k)
+            bad(s"codebook entry ($i,$j) outside m=$m k=$k")
+          codebook(i)(j) = parts.drop(3).map(_.toFloat)
+        case other => bad(s"line tag '$other'")
+      } catch {
+        case _: NumberFormatException | _: ArrayIndexOutOfBoundsException =>
+          bad(s"unparseable line '${ln.take(80)}'")
       }
     }
-    require(cents.nonEmpty, "model file holds no coarse centroids")
+    if (cents.isEmpty) bad("no coarse centroids")
     for (i <- 0 until m; j <- 0 until k)
-      require(codebook(i)(j) != null, s"model file missing codebook entry ($i,$j)")
+      if (codebook(i)(j) == null) bad(s"missing codebook entry ($i,$j)")
     (Coarse(kind, param, cents.toMap), PQModel(m, k, dim, codebook))
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[String] = {
     val meta = new org.apache.hadoop.fs.Path(dir, "_ivfpq_meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(meta)) None
-    else {
-      val in = fs.open(meta)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](64)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray, "UTF-8").trim)
-      } finally in.close()
-    }
+    if (!fs.exists(meta)) None else Some(readFully(fs, meta).trim)
   }
 
   /** Per-cell ADC lookup tables for a query: table(b)(i)(j) = squared L2
@@ -273,13 +292,24 @@ object IvfPq {
       }.toArray
     }.toMap
 
-  /** Search a [[writeArtifact]] directory: probe → per-cell ADC over the
-    * codes column (the scan reads `(id, bucket, codes)` only — column
-    * pruning keeps the wide `vec` out of stage 1) → top-`rescore`
-    * candidates → exact re-rank on the candidates' full vectors.
+  /** The per-cell ADC scoring kernel as a UDF over `(bucket, codes)`:
+    * sums the cell's lookup table in subspace-ascending order (matching
+    * the oracle's `list_sum(list(… ORDER BY i))`). Shared by the
+    * standalone artifact search and the engine's approximate `near`.
+    * Callers must restrict the scan to `tables.keySet` first — only
+    * probed cells have tables.
     */
+  def adcUdf(tables: Map[Int, Array[Array[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (b: Int, cs: Seq[Int]) =>
+      val t = tables(b)
+      var acc = 0.0
+      var i = 0
+      while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
+      acc
+    }
+
   /** Serve straight from a self-contained artifact directory (model
-    * loaded from `_ivfpq_model` — no in-memory fit state needed).
+    * loaded via [[loadModel]] — no in-memory fit state needed).
     */
   def searchArtifact(
       spark: SparkSession, dir: String, queryVec: Seq[Float],
@@ -288,6 +318,11 @@ object IvfPq {
     searchArtifact(spark, dir, queryVec, coarse, pq, k, rescore, metric, nprobe)
   }
 
+  /** Search a [[writeArtifact]] directory: probe → per-cell ADC over the
+    * codes column (the scan reads `(id, bucket, codes)` only — column
+    * pruning keeps the wide `vec` out of stage 1) → top-`rescore`
+    * candidates → exact re-rank on the candidates' full vectors.
+    */
   def searchArtifact(
       spark: SparkSession, dir: String, queryVec: Seq[Float],
       coarse: Coarse, pq: PQModel, k: Int, rescore: Int,
@@ -300,17 +335,11 @@ object IvfPq {
     val cells = probes(coarse, queryVec, nprobe)
     require(cells.nonEmpty, "no populated cells to probe")
     val tables = queryTables(coarse, pq, queryVec, cells)
-    val adcUdf = udf { (b: Int, cs: Seq[Int]) =>
-      val t = tables(b) // only probed cells reach the scan filter
-      var acc = 0.0
-      var i = 0
-      while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
-      acc
-    }
+    val adc = adcUdf(tables)
     val art = spark.read.parquet(dir)
     val cands = art
       .filter(col("bucket").isin(cells: _*))
-      .select(col("id"), adcUdf(col("bucket"), col("codes")).as("approx_distance"))
+      .select(col("id"), adc(col("bucket"), col("codes")).as("approx_distance"))
       .orderBy(col("approx_distance").asc, col("id").asc)
       .limit(rescore)
     art
