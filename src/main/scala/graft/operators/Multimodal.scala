@@ -89,6 +89,50 @@ object Multimodal {
         md5(expr(s"substring(payload, CAST(offset AS INT) + 1, $stride)")).as("frame_sha"))
   }
 
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("feature", ArrayType(DoubleType, containsNull = false))))
+
+  /** Feature extraction: payload → `dim`-d L2-normalized feature vector,
+    * partition-batched like [[decode]] (extractor state initialized once
+    * per partition). The kernel here is a REAL, deterministic one — a
+    * code-point histogram mod `dim` over the payload text — standing
+    * where an image/audio embedder would plug in; its output feeds the
+    * similarity operators directly (kNN join, IVF/IVF-PQ artifacts,
+    * embedding near-dup), which is the point of the pipeline: bytes →
+    * features → ANN. Rows whose payload yields no code points (empty
+    * payload) are dropped — they have no direction to normalize.
+    */
+  def featureExtract(payloads: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive (got $dim)")
+    val spark = payloads.sparkSession
+    val rdd = payloads.select(col("id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        // real impl: val model = Embedder.load(); closed by completion
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val hist = new Array[Double](dim)
+          var n = 0L
+          if (payload != null) { // null payload: nothing to embed
+            val it = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+              .codePoints().iterator()
+            while (it.hasNext) { hist(it.nextInt() % dim) += 1.0; n += 1 }
+          }
+          if (n == 0) None
+          else {
+            var ss = 0.0
+            var i = 0
+            while (i < dim) { ss += hist(i) * hist(i); i += 1 }
+            val norm = math.sqrt(ss)
+            i = 0
+            while (i < dim) { hist(i) /= norm; i += 1 }
+            Some(Row(r.getLong(0), hist.toSeq))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, FeatureSchema)
+  }
+
   /** Resize stub: metadata-only transform (a real impl rewrites pixels);
     * keeps the contract that resize changes meta, not identity.
     */

@@ -477,6 +477,36 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Feature extraction over binary payloads: code-point histogram mod 32,
+    * L2-normalized (the kernel is real and deterministic — an image/audio
+    * embedder slots into the same partition-batched shape). Exploded to
+    * scalar (id, bin, feat_r) rows for the hash compare. Bin counts are
+    * integers, so the squared-sum under the norm is exact in double and
+    * order-independent — both engines land on identical normalized values.
+    */
+  val multimodalFeatures = NamedQuery(
+    "multimodal_features",
+    """WITH cps AS (
+      |  SELECT doc_id AS id, list_transform(string_split(text, ''), c -> unicode(c)) AS cp
+      |  FROM documents WHERE length(text) > 0),
+      |hist AS (
+      |  SELECT id, list_transform(range(0, 32),
+      |    b -> CAST(len(list_filter(cp, c -> c % 32 = b)) AS DOUBLE)) AS h
+      |  FROM cps),
+      |n AS (SELECT id, h, sqrt(list_sum(list_transform(h, x -> x*x))) AS nrm FROM hist)
+      |SELECT id, CAST(i AS INT) AS bin,
+      |  CAST(round(CAST(h[CAST(i AS INT) + 1] / nrm AS DECIMAL(28,6)), 4) AS DOUBLE) AS feat_r
+      |FROM n CROSS JOIN unnest(range(0, 32)) AS t(i)
+      |ORDER BY id, bin""".stripMargin) { (s, d) =>
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d), col("doc_id"), col("text"), "image/fake")
+    Multimodal.featureExtract(payloads, dim = 32)
+      .select(col("id"), posexplode(col("feature")))
+      .select(col("id"), col("pos").cast("int").as("bin"),
+        dround(col("col"), 4).as("feat_r"))
+      .orderBy("id", "bin")
+  }
+
   val multimodalFrames = NamedQuery(
     "multimodal_frames",
     """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
@@ -496,5 +526,5 @@ object PipelineQueries {
     textLangId, textQuality, textTokens, textVocab, textFingerprint,
     pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
-    multimodalDecode, multimodalFrames)
+    multimodalDecode, multimodalFeatures, multimodalFrames)
 }

@@ -148,6 +148,27 @@ class PipelineSpec extends SparkSuite {
     assert(resized.agg(max("width")).head().getInt(0) <= 64)
   }
 
+  test("feature extraction: unit norm, and the features feed kNN join directly") {
+    val payloads = Multimodal.withPayload(
+      Tables.documents(spark, sf0001), col("doc_id"), col("text"), "image/fake")
+    val feats = Multimodal.featureExtract(payloads, dim = 32)
+    assert(feats.count() == payloads.filter(length(col("payload")) > 0).count())
+    // L2-normalized: every surviving row has unit norm
+    val norms = feats.select(
+      aggregate(col("feature"), lit(0.0), (a, x) => a + x * x).as("ss"))
+    assert(norms.filter(abs(col("ss") - 1.0) > 1e-9).count() == 0)
+    // bytes → features → ANN: the extracted vectors drive the similarity
+    // operators with no adapter — each query's nearest neighbor is itself
+    val ff = feats.withColumn("feature", col("feature").cast("array<float>"))
+    val knn = Similarity.knnJoin(
+      ff.filter(col("id") < 3), col("id"), col("feature"),
+      ff, col("id"), col("feature"),
+      k = 3, metric = graft.model.IndexKind.Metric.Cosine)
+    val self = knn.filter(col("rank") === 1)
+      .select("query_id", "corpus_id").collect()
+    assert(self.nonEmpty && self.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("frame sampling covers the whole payload with stride-sized slices") {
     val payloads = Multimodal.withPayload(
       Tables.documents(spark, sf0001), col("doc_id"), col("text"), "video/fake")
