@@ -81,11 +81,20 @@ object TextAnalysis {
   /** Token counts: whitespace split, analyzer terms (stopword-free), and a
     * ~4-chars-per-token subword (BPE-ish) estimate.
     */
+  /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and
+    * non-alphanumeric runs each count as one pre-token (the unit a BPE
+    * vocabulary then splits further). ASCII classes only, deliberately —
+    * Java regex and RE2 (DuckDB) agree on them, so the count is
+    * oracle-replayable; `\\s` is the ASCII whitespace set in both.
+    */
+  val BpeLikePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
   def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(
       id.as("id"),
       size(filter(split(text, "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
       size(TextAnalyzer.analyze(text)).cast("long").as("analyzed_tokens"),
+      regexp_count(text, lit(BpeLikePattern)).cast("long").as("bpe_like_tokens"),
       ceil(length(text).cast("double") / 4.0).cast("long").as("est_subword_tokens"))
 
   /** Key-collision fingerprint: md5 of the space-joined sorted distinct

@@ -68,6 +68,7 @@ object PipelineQueries {
     s"""SELECT doc_id AS id,
        |  len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS ws_tokens,
        |  len(${graft.functions.TextAnalyzer.sqlAnalyze("text")}) AS analyzed_tokens,
+       |  len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpeLikePattern}')) AS bpe_like_tokens,
        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_subword_tokens
        |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
     TextAnalysis.tokenCounts(Tables.documents(s, d), col("doc_id"), col("text"))
