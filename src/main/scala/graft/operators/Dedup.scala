@@ -190,7 +190,7 @@ object Dedup {
     * [[hash60]]'s Column algebra (`conv(substring(md5(s),1,15),16,10)`):
     * the first 15 hex chars are bytes 0–6 plus the high nibble of byte 7.
     */
-  private def hash60Local(md: java.security.MessageDigest, s: String): Long = {
+  private[operators] def hash60Local(md: java.security.MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var acc = 0L

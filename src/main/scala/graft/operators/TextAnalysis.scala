@@ -105,6 +105,60 @@ object TextAnalysis {
       id.as("id"),
       md5(concat_ws(" ", array_sort(array_distinct(Dedup.tokens(text))))).as("fingerprint"))
 
+  /** Winnowing sketch (Schleimer, Wilkerson, Aiken — "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03): hash every token
+    * `n`-gram (md5-based 60-bit, the repo's cross-engine hash), slide a
+    * window of `w` consecutive hashes, keep the RIGHTMOST minimum of each
+    * window. The guarantee: any shared run of `w + n − 1` tokens between
+    * two documents yields at least one shared (pos-independent) sketch
+    * hash — the local rolling-hash fingerprint for plagiarism/near-dup
+    * detection, ~1/w the grams' size. Documents shorter than a window
+    * contribute their single rightmost-min gram. Output is exploded
+    * `(id, pos, hash)` rows (pos = 1-based gram position): narrow,
+    * shuffle-free, and the natural join key for sketch-overlap scoring.
+    */
+  def winnow(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    require(n > 0 && window > 0, s"n and window must be positive (got $n, $window)")
+    val sketchUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Array.empty[(Int, Long)]
+      else {
+        val m = toks.length - n + 1
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val sb = new StringBuilder(toks(i))
+          var t = 1
+          while (t < n) { sb.append(' ').append(toks(i + t)); t += 1 }
+          hs(i) = Dedup.hash60Local(md, sb.toString)
+          i += 1
+        }
+        val picked = scala.collection.mutable.LinkedHashSet[Int]()
+        if (m <= window) {
+          // sub-window document: single rightmost global min
+          var best = 0
+          var j = 1
+          while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
+          picked += best
+        } else {
+          var start = 0
+          while (start + window <= m) {
+            var best = start
+            var j = start + 1
+            while (j < start + window) { if (hs(j) <= hs(best)) best = j; j += 1 }
+            picked += best
+            start += 1
+          }
+        }
+        picked.toArray.map(p => (p + 1, hs(p))) // 1-based, matching SQL lists
+      }
+    }
+    df.select(id.as("id"), Dedup.tokens(text).as("_toks"))
+      .select(col("id"), explode(sketchUdf(col("_toks"))).as("_s"))
+      .select(col("id"), col("_s._1").as("pos"), col("_s._2").as("hash"))
+  }
+
   /** Corpus vocabulary: per-token total occurrences and document frequency
     * — the tokenizer-training / vocab-pruning precursor (BPE corpus prep
     * starts exactly here). One explode + one groupBy: the shuffle key is

@@ -148,6 +148,38 @@ class PipelineSpec extends SparkSuite {
     assert(resized.agg(max("width")).head().getInt(0) <= 64)
   }
 
+  test("winnowing sketch: window coverage and the shared-run guarantee") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val sketch = TextAnalysis.winnow(docs, col("doc_id"), col("text"), n = 3, window = 4)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    val gramCounts = docs.select(col("doc_id"),
+        (size(graft.operators.Dedup.tokens(col("text"))) - 2).cast("long").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // coverage: every window of 4 consecutive gram positions holds a pick
+    sketch.foreach { case (id, picks) =>
+      val m = gramCounts(id)
+      if (m > 4) {
+        val ps = picks.keySet
+        (1L to (m - 3)).foreach { ws =>
+          assert((ws until ws + 4).exists(j => ps.contains(j.toInt)),
+            s"doc $id window [$ws,${ws + 3}] has no pick")
+        }
+        // and the sketch is an actual reduction, not all grams
+        assert(picks.size < m, s"doc $id sketch did not shrink")
+      }
+    }
+    // guarantee: documents sharing a run of w+n-1=6 tokens share a hash
+    val a = "alpha beta gamma delta epsilon zeta UNIQUE1 marker1"
+    val b = "prefix2 other2 alpha beta gamma delta epsilon zeta trailer2"
+    val two = spark.createDataFrame(Seq((1L, a), (2L, b))).toDF("doc_id", "text")
+    val s2 = TextAnalysis.winnow(two, col("doc_id"), col("text"), n = 3, window = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(s2(1L).intersect(s2(2L)).nonEmpty,
+      s"6-token shared run produced disjoint sketches: $s2")
+  }
+
   test("feature extraction: unit norm, and the features feed kNN join directly") {
     val payloads = Multimodal.withPayload(
       Tables.documents(spark, sf0001), col("doc_id"), col("text"), "image/fake")
