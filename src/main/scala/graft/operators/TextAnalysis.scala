@@ -78,9 +78,6 @@ object TextAnalysis {
         "uniq_ratio", "quality")
   }
 
-  /** Token counts: whitespace split, analyzer terms (stopword-free), and a
-    * ~4-chars-per-token subword (BPE-ish) estimate.
-    */
   /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and
     * non-alphanumeric runs each count as one pre-token (the unit a BPE
     * vocabulary then splits further). ASCII classes only, deliberately —
@@ -112,7 +109,7 @@ object TextAnalysis {
     * window. The guarantee: any shared run of `w + n − 1` tokens between
     * two documents yields at least one shared (pos-independent) sketch
     * hash — the local rolling-hash fingerprint for plagiarism/near-dup
-    * detection, ~1/w the grams' size. Documents shorter than a window
+    * detection, with expected density 2/(w+1) of the grams. Documents shorter than a window
     * contribute their single rightmost-min gram. Output is exploded
     * `(id, pos, hash)` rows (pos = 1-based gram position): narrow,
     * shuffle-free, and the natural join key for sketch-overlap scoring.
@@ -157,6 +154,27 @@ object TextAnalysis {
     df.select(id.as("id"), Dedup.tokens(text).as("_toks"))
       .select(col("id"), explode(sketchUdf(col("_toks"))).as("_s"))
       .select(col("id"), col("_s._1").as("pos"), col("_s._2").as("hash"))
+  }
+
+  /** Near-dup candidate pairs from winnowing sketches: equi-join on the
+    * sketch hash, keep pairs sharing ≥ `minShared` distinct hashes. The
+    * scale story is the sketch size: the join input carries an expected
+    * 2/(window+1) of the gram postings a shingle join would shuffle — with
+    * the same guarantee
+    * (every shared `window+n−1`-token run surfaces). Same skew hazard as
+    * stop-shingles — a boilerplate run shared by a large corpus fraction
+    * fans out; cap with a df filter upstream if the corpus has one.
+    */
+  def winnowPairs(sketch: DataFrame, minShared: Long): DataFrame = {
+    require(minShared > 0, s"minShared must be positive (got $minShared)")
+    val d = sketch.select(col("id"), col("hash")).distinct()
+    val a = d.select(col("id").as("id_a"), col("hash"))
+    val b = d.select(col("id").as("id_b"), col("hash"))
+    a.join(b, Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** Corpus vocabulary: per-token total occurrences and document frequency

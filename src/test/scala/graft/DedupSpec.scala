@@ -43,6 +43,24 @@ class DedupSpec extends SparkSuite {
     assert(pairs == exactPairs)
   }
 
+  test("winnowing pairs recover nearly all planted near-dups from a reduced sketch") {
+    import graft.operators.TextAnalysis
+    val sketch = TextAnalysis.winnow(docs, col("doc_id"), col("text"), n = 3, window = 4)
+    val pairs = TextAnalysis.winnowPairs(sketch, minShared = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ≈0.98-jaccard pairs share almost all sketch hashes; a pair can drop
+    // only when its few edits straddle the sampled windows
+    assert(pairs.intersect(exactPairs).size >= 23,
+      s"winnow found ${pairs.intersect(exactPairs).size}/25 planted pairs")
+    // and the sketch join really is smaller than the gram postings —
+    // winnowing's expected density is 2/(w+1) = 40% of grams at w=4
+    val sketchRows = sketch.count()
+    val gramRows = docs.select(explode(Dedup.shinglesFromTokens(
+      Dedup.tokens(col("text")), 3))).count()
+    assert(sketchRows * 2 < gramRows,
+      s"sketch $sketchRows not a reduction of $gramRows grams")
+  }
+
   test("simhash of planted pairs is within small hamming distance") {
     val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
       .as[(Long, Long)].collect().toMap
