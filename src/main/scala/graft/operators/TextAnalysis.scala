@@ -82,9 +82,11 @@ object TextAnalysis {
     * non-alphanumeric runs each count as one pre-token (the unit a BPE
     * vocabulary then splits further). ASCII classes only, deliberately —
     * Java regex and RE2 (DuckDB) agree on them, so the count is
-    * oracle-replayable; `\\s` is the ASCII whitespace set in both.
+    * oracle-replayable. Whitespace is spelled as an EXPLICIT char class,
+    * not `\\s`: Java's `\\s` includes U+000B (vertical tab) while RE2's
+    * does not, so `\\s` would silently diverge on control characters.
     */
-  val BpeLikePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  val BpeLikePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
 
   def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

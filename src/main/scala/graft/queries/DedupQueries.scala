@@ -152,32 +152,14 @@ object DedupQueries {
     */
   val dedupWinnow = NamedQuery(
     "dedup_winnow",
-    """WITH tok AS (
-      |  SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-      |                                   t -> t != '') AS raw
-      |  FROM documents),
-      |gr AS (
-      |  SELECT id, CASE WHEN len(raw) >= 3
-      |    THEN list_transform(range(1, len(raw) - 1),
-      |         i -> raw[i] || ' ' || raw[i+1] || ' ' || raw[i+2])
-      |    ELSE [] END AS g
-      |  FROM tok),
-      |h AS (
-      |  SELECT id, list_transform(g, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
-      |  FROM gr WHERE len(g) > 0),
-      |wins AS (
-      |  SELECT id, hs, CAST(i AS BIGINT) AS ws,
-      |    CASE WHEN len(hs) <= 4 THEN CAST(len(hs) AS BIGINT) ELSE CAST(i AS BIGINT) + 3 END AS we
-      |  FROM h CROSS JOIN unnest(range(1, CASE WHEN len(hs) <= 4 THEN 2 ELSE len(hs) - 2 END)) AS t(i)),
-      |sel AS (
-      |  SELECT DISTINCT id, list_min(hs[ws:we]) AS mn
-      |  FROM wins),
-      |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-      |  FROM sel a JOIN sel b ON a.mn = b.mn AND a.id < b.id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, shared FROM pairs WHERE shared >= 5
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    s"""WITH $winnowSelCte,
+       |dsel AS (SELECT DISTINCT id, mn FROM sel),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM dsel a JOIN dsel b ON a.mn = b.mn AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared FROM pairs WHERE shared >= 5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val sketch = graft.operators.TextAnalysis.winnow(
       Tables.documents(s, d), col("doc_id"), col("text"), n = 3, window = 4)
     graft.operators.TextAnalysis.winnowPairs(sketch, minShared = 5)

@@ -98,25 +98,7 @@ object PipelineQueries {
     */
   val textWinnow = NamedQuery(
     "text_winnow",
-    s"""WITH tok AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents),
-       |gr AS (
-       |  SELECT id, CASE WHEN len(raw) >= 3
-       |    THEN list_transform(range(1, len(raw) - 1),
-       |         i -> raw[i] || ' ' || raw[i+1] || ' ' || raw[i+2])
-       |    ELSE [] END AS g
-       |  FROM tok),
-       |h AS (
-       |  SELECT id, list_transform(g, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
-       |  FROM gr WHERE len(g) > 0),
-       |wins AS (
-       |  SELECT id, hs, CAST(i AS BIGINT) AS ws,
-       |    CASE WHEN len(hs) <= 4 THEN CAST(len(hs) AS BIGINT) ELSE CAST(i AS BIGINT) + 3 END AS we
-       |  FROM h CROSS JOIN unnest(range(1, CASE WHEN len(hs) <= 4 THEN 2 ELSE len(hs) - 2 END)) AS t(i)),
-       |sel AS (
-       |  SELECT id,
-       |    list_max(list_filter(range(ws, we + 1), j -> hs[j] = list_min(hs[ws:we]))) AS pos,
-       |    list_min(hs[ws:we]) AS mn
-       |  FROM wins)
+    s"""WITH $winnowSelCte
        |SELECT DISTINCT id, CAST(pos AS INT) AS pos, mn AS hash
        |FROM sel ORDER BY id, pos""".stripMargin) { (s, d) =>
     TextAnalysis.winnow(Tables.documents(s, d), col("doc_id"), col("text"))

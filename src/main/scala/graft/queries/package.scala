@@ -23,6 +23,35 @@ package object queries {
       NamedQuery(name, build, None)
   }
 
+  /** Shared oracle CTE: winnowing sketch selection (n=3 token grams,
+    * window=4, rightmost-min ties via argmin-max) ending in a `sel` view
+    * of `(id, pos, mn)` — used verbatim by text_winnow and dedup_winnow so
+    * the two oracles can never drift apart on the algorithm.
+    */
+  val winnowSelCte: String =
+    """tok AS (
+      |  SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+      |                                   t -> t != '') AS raw
+      |  FROM documents),
+      |gr AS (
+      |  SELECT id, CASE WHEN len(raw) >= 3
+      |    THEN list_transform(range(1, len(raw) - 1),
+      |         i -> raw[i] || ' ' || raw[i+1] || ' ' || raw[i+2])
+      |    ELSE [] END AS g
+      |  FROM tok),
+      |h AS (
+      |  SELECT id, list_transform(g, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+      |  FROM gr WHERE len(g) > 0),
+      |wins AS (
+      |  SELECT id, hs, CAST(i AS BIGINT) AS ws,
+      |    CASE WHEN len(hs) <= 4 THEN CAST(len(hs) AS BIGINT) ELSE CAST(i AS BIGINT) + 3 END AS we
+      |  FROM h CROSS JOIN unnest(range(1, CASE WHEN len(hs) <= 4 THEN 2 ELSE len(hs) - 2 END)) AS t(i)),
+      |sel AS (
+      |  SELECT id,
+      |    list_max(list_filter(range(ws, we + 1), j -> hs[j] = list_min(hs[ws:we]))) AS pos,
+      |    list_min(hs[ws:we]) AS mn
+      |  FROM wins)""".stripMargin
+
   // ---- cross-engine determinism conventions -------------------------------
   //
   // Floating-point aggregation order differs between Spark and DuckDB, so
