@@ -55,6 +55,12 @@ object ScaleSmoke {
       TextAnalysis.quality(docs, col("doc_id"), col("text")).count())
     time("minhash signatures")(
       Dedup.minhashSigArrays(docs, col("doc_id"), col("text")).count())
+    time("winnow sketch (rolling hash)")(
+      TextAnalysis.winnow(docs, col("doc_id"), col("text")).count())
+    time("feature extract (payload histogram)")(
+      graft.operators.Multimodal.featureExtract(
+        graft.operators.Multimodal.withPayload(
+          docs, col("doc_id"), col("text"), "image/fake"), dim = 32).count())
 
     // curation shape: exact dedup FIRST (collapses the replicas), then the
     // pairing stages run over the canonical set — linear in the factor up
