@@ -87,6 +87,13 @@ final class CollectionStore(
       s"user plan allows at most ${plan.maxCollections} collections")
     IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
     val initial = normalize(data)
+    // user columns must not collide with the write path's internal names:
+    // the first delta write would silently clobber a user `_seq`, and the
+    // merge view would then drop it from one union side and throw — with
+    // the user's data already corrupted on disk. Reject at the door.
+    val clashes = ReservedCols.filter(initial.columns.contains)
+    require(clashes.isEmpty,
+      s"column name(s) reserved by the store: ${clashes.mkString(", ")}")
     // duplicate or null ids in the seed would silently corrupt the
     // merge-on-read view later (the window dedups deltas only, and null
     // keys never join) — reject up front, same as insert
@@ -112,6 +119,7 @@ final class CollectionStore(
     // appendPending cannot recreate pending/ mid-deleteTree (which would
     // wedge the name: list() shows it, create() rejects it, load() fails)
     clearDeltaCache(name)
+    reapRetired(name)
     baseCache.remove(name)
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
     liveIdMirrors.remove(name)
@@ -161,11 +169,7 @@ final class CollectionStore(
       require(current + n <= plan.maxPointsPerCollection,
         s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
     }
-    if (plan.maxStorageBytesPerCollection != Long.MaxValue) {
-      val bytes = treeBytes(Paths.get(root, name))
-      require(bytes <= plan.maxStorageBytesPerCollection,
-        s"collection exceeds the user plan's storage quota")
-    }
+    requireStorageQuota(name)
     // schema-coerce the batch onto the stored layout: missing properties
     // stay null (sparse rows), types cast, unknown columns dropped
     val storedSchema = baseFrame(name, currentVersion(name)).schema
@@ -264,6 +268,9 @@ final class CollectionStore(
   /** As [[delete]], returning the removed (committed) ids. */
   private[graft] def deleteCommitted(name: String, ids: Seq[String]): Seq[String] = {
     require(ids.length <= MaxDeleteBatch, s"delete batch exceeds $MaxDeleteBatch points")
+    // a null id would NPE the mirror probe but silently no-op the Spark
+    // fallback — reject uniformly, like insert/update do
+    require(!ids.contains(null), s"null $IdCol in delete batch")
     if (ids.isEmpty) return Nil
     requireStorageQuota(name)
     recoverPending(name)
@@ -354,7 +361,13 @@ final class CollectionStore(
 
   private def mirrorAdd(name: String, ids: Seq[String]): Unit =
     withCollLock(name) {
-      Option(liveIdMirrors.get(name)).flatten.foreach(s => ids.foreach(s.add))
+      Option(liveIdMirrors.get(name)).flatten.foreach { s =>
+        ids.foreach(s.add)
+        // the bound holds across the collection's LIFETIME, not just the
+        // bootstrap: a collection that grows past the limit demotes to
+        // the Spark probe path instead of pinning unbounded driver heap
+        if (s.size > IdMirrorLimit) liveIdMirrors.put(name, None)
+      }
     }
 
   private def mirrorRemove(name: String, ids: Seq[String]): Unit =
@@ -490,11 +503,17 @@ final class CollectionStore(
     * between the delta commit and the WAL delete is idempotent — patches
     * carry absolute values.
     */
-  private def flush(name: String): Unit = {
-    val lock = flushLocks.computeIfAbsent(name,
-      _ => new java.util.concurrent.locks.ReentrantLock())
-    if (lock.isHeldByCurrentThread) return // re-entrant compaction no-op
-    lock.lock()
+  // Re-entrancy guard for the fold itself (NOT the lock): compact() runs
+  // under the collection lock and must still execute a real fold, while a
+  // fold that recursively reaches flush again (threshold compaction inside
+  // writeDeltaFlagged, mergedView inside compact) must no-op. A lock-held
+  // check can't distinguish the two.
+  private val flushing = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
+  private def flush(name: String): Unit = withCollLock(name) {
+    if (!flushing.get().add(name)) return // already folding this collection
     try {
       recoverPending(name)
       val ops = pendingOps.getOrDefault(name, Vector.empty)
@@ -554,7 +573,7 @@ final class CollectionStore(
           patchVamanaIndexes(name, upserts, removed)
         }
       }
-    } finally lock.unlock()
+    } finally flushing.get().remove(name)
   }
 
   /** One patch op as a projection over the slice: id → non-null incoming
@@ -664,6 +683,19 @@ final class CollectionStore(
       case d: Double => JDouble(d)
       case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
       case d: BigDecimal => JDecimal(d)
+      // binary/temporal values carry a type prefix so jsonToValue can
+      // reverse them under the matching DataType branch (a STRING column
+      // legitimately holding "b64:..." never reaches those branches)
+      case b: Array[Byte] =>
+        JString("b64:" + java.util.Base64.getEncoder.encodeToString(b))
+      case t: java.sql.Timestamp => JString("ts:" + t.toInstant.toString)
+      case i: java.time.Instant => JString("ts:" + i.toString)
+      case d: java.sql.Date => JString("date:" + d.toString)
+      case d: java.time.LocalDate => JString("date:" + d.toString)
+      case m: scala.collection.Map[_, _] =>
+        JArray(m.toList.map { case (k, v) =>
+          JArray(List(valueToJson(k), valueToJson(v)))
+        })
       case seq: scala.collection.Seq[_] => JArray(seq.map(valueToJson).toList)
       case arr: Array[_] => JArray(arr.map(valueToJson).toList)
       case r: org.apache.spark.sql.Row => JArray(r.toSeq.map(valueToJson).toList)
@@ -692,6 +724,12 @@ final class CollectionStore(
         nonFiniteValue(s).get
       case (JString(s), FloatType) if nonFiniteValue(s).isDefined =>
         nonFiniteValue(s).get.toFloat
+      case (JString(s), BinaryType) if s.startsWith("b64:") =>
+        java.util.Base64.getDecoder.decode(s.substring(4))
+      case (JString(s), TimestampType) if s.startsWith("ts:") =>
+        java.sql.Timestamp.from(java.time.Instant.parse(s.substring(3)))
+      case (JString(s), DateType) if s.startsWith("date:") =>
+        java.sql.Date.valueOf(s.substring(5))
       case (JString(s), _) => s
       case (JBool(b), _) => b
       // NOTE: json4s-jackson parses every integral as JInt and every
@@ -718,6 +756,10 @@ final class CollectionStore(
       case (JDecimal(x), DoubleType) => x.toDouble
       case (JDecimal(x), FloatType) => x.toFloat
       case (JDecimal(x), _) => x
+      case (JArray(xs), MapType(kt, vt, _)) => xs.map {
+        case JArray(List(k, v)) => jsonToValue(k, kt) -> jsonToValue(v, vt)
+        case other => throw new IllegalStateException(s"bad WAL map entry $other")
+      }.toMap
       case (JArray(xs), ArrayType(et, _)) => xs.map(jsonToValue(_, et))
       case (JArray(xs), st: StructType) => org.apache.spark.sql.Row.fromSeq(
         xs.zipWithIndex.map { case (v, i) => jsonToValue(v, st.fields(i).dataType) })
@@ -1097,8 +1139,19 @@ final class CollectionStore(
 
   /** Variant for rows that already carry their own `_tombstone` flag
     * (the group-commit fold mixes patched and deleted rows in one delta).
+    *
+    * The WHOLE commit runs under the collection lock (single-writer per
+    * collection, like the reference's one bbolt write tx per shard):
+    * without it, two direct-store inserts read the same delta log and
+    * race for the same `d<base>_<seq>` name, and a concurrent compact()
+    * can commit a base that silently omits a just-ACKed delta. The lock
+    * also closes the drop() race — a drop either completes first (the
+    * existence guard below throws, nothing is written) or waits, so the
+    * Spark output committer can never resurrect a dropped directory.
     */
-  private def writeDeltaFlagged(name: String, rows: DataFrame): Long = {
+  private def writeDeltaFlagged(name: String, rows: DataFrame): Long = withCollLock(name) {
+    require(Files.exists(Paths.get(root, name, "schema.json")),
+      s"collection $name does not exist (dropped concurrently?)")
     val base = currentVersion(name)
     val seqs = deltaSeqs(name, base)
     val next = seqs.lastOption.fold(0L)(_ + 1)
@@ -1133,11 +1186,19 @@ final class CollectionStore(
       }.sum
   }
 
-  /** Fold the delta log into the next base snapshot and drop the deltas.
-    * Readers pin (latest base, its deltas), so a crash between the rename
-    * and the delta removal only leaves ignorable orphan directories.
+  /** Fold the delta log into the next base snapshot and RETIRE the deltas.
+    * Readers pin (latest base, its deltas), so destruction is deferred one
+    * compaction generation: an in-flight query still holds plans over the
+    * old checkpointed delta frames and directories, and destroying them
+    * mid-job fails that job with missing-block/missing-file errors. The
+    * PREVIOUS retired generation's frames are released now, and on-disk
+    * delta dirs two or more bases old are swept (which also reclaims
+    * orphans from crashed compactions that no in-memory map remembers).
+    * Atomic under the collection lock: without it a writer committing a
+    * delta between the fold and `writeVersion` would have its ACKed rows
+    * silently omitted from the new base and its delta orphaned.
     */
-  def compact(name: String): Unit = {
+  def compact(name: String): Unit = withCollLock(name) {
     // fold pending batches FIRST: flush may itself write a delta and, at
     // the threshold, recursively compact — list the log only afterwards
     // so this pass neither double-compacts nor deletes vanished dirs
@@ -1146,13 +1207,26 @@ final class CollectionStore(
     val seqs = deltaSeqs(name, base)
     if (seqs.nonEmpty) {
       writeVersion(name, mergedView(name))
-      seqs.foreach { s =>
-        val dir = Paths.get(deltaPath(name, base, s))
-        if (Files.exists(dir)) deleteTree(dir)
+      reapRetired(name)
+      Option(deltaCache.remove(name))
+        .foreach(cur => retiredDeltas.put(name, cur._2.map(_._2)))
+      val newBase = currentVersion(name)
+      listNames(Paths.get(root, name)).foreach { s =>
+        if (s.matches("d\\d+_\\d+") &&
+            s.drop(1).takeWhile(_ != '_').toLong <= newBase - 2)
+          deleteTree(Paths.get(root, name, s))
       }
-      clearDeltaCache(name)
     }
   }
+
+  // delta frames of the previous compaction generation, kept alive until
+  // the NEXT compaction (or drop) so pinned reader plans can finish
+  private val retiredDeltas =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[DataFrame]]()
+
+  private def reapRetired(name: String): Unit =
+    Option(retiredDeltas.remove(name))
+      .foreach(_.foreach(f => org.apache.spark.sql.graft.Bridge.release(f)))
 
   private def writeVersion(name: String, df: DataFrame): Unit = {
     val next = versions(name) match { case Nil => 0L; case vs => vs.last + 1 }
@@ -1178,6 +1252,8 @@ object CollectionStore {
   val TombstoneCol = "_tombstone"
   val DeadCol = "_dead" // flush-time fold marker, never persisted under this name
   val DeleteSentinel = "_delete" // reference shard/shard.go:41
+  /** Column names the write path owns — user data may not use them. */
+  val ReservedCols: Seq[String] = Seq(SeqCol, TombstoneCol, DeadCol, UnsetCol, "_rn")
   val MaxInsertBatch = 10000 // reference httpapi/v2/handlers.go:229–237
   val MaxUpdateBatch = 100
   val MaxDeleteBatch = 100
