@@ -28,20 +28,41 @@ final class Graft(spark: SparkSession, root: String,
 
   // ---- collection DDL (reference W4) --------------------------------------
 
-  def createCollection(name: String, schema: IndexSchema, data: DataFrame): Unit = {
-    store.create(name, schema, data)
-    evict(name)
-  }
+  def createCollection(name: String, schema: IndexSchema, data: DataFrame): Unit =
+    withWriteLock(name) {
+      store.create(name, schema, data)
+      evict(name)
+    }
 
   def listCollections(): Seq[String] = store.list()
 
+  /** Serialized with writes on the same name: an unserialized drop could
+    * interleave between a write's `store.load` and its `cache.put`,
+    * resurrecting a cache entry (and its pinned index blocks) for a
+    * collection that no longer exists. The dropped name's retired blocks
+    * and write lock are reclaimed here — nothing of the name outlives it.
+    */
   def dropCollection(name: String): Unit = {
-    store.drop(name)
-    evict(name)
+    withWriteLock(name) {
+      store.drop(name)
+      evict(name)
+      reapRetired(name)
+    }
+    writeLocks.remove(name)
   }
 
-  def collection(name: String): Collection =
-    cache.computeIfAbsent(name, store.load(_))
+  def collection(name: String): Collection = {
+    // NOT computeIfAbsent: store.load flushes the WAL (file I/O + Spark
+    // jobs), far too slow to run while holding a CHM bin lock — unrelated
+    // collections hashing to the same bin would stall behind it
+    val cur = cache.get(name)
+    if (cur != null) cur
+    else {
+      val loaded = store.load(name)
+      val prev = cache.putIfAbsent(name, loaded)
+      if (prev != null) prev else loaded // loser's view holds no blocks
+    }
+  }
 
   /** The trained quantizer for a vector property, once the collection has
     * crossed its declared `triggerThreshold` (fitted automatically on
@@ -95,14 +116,35 @@ final class Graft(spark: SparkSession, root: String,
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
-  private def writeThrough(name: String)(op: => Seq[String]): Seq[String] = {
+  private def withWriteLock[A](name: String)(f: => A): A = {
     val lock = writeLocks.computeIfAbsent(name,
       _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
-    try writeThroughLocked(name)(op) finally lock.unlock()
+    try f finally lock.unlock()
   }
 
+  // Blocks superseded by a write but possibly still under a concurrent
+  // search's running job (checkpointed frames have no lineage — releasing
+  // them mid-job FAILS the job, not slows it). Released one write
+  // generation later: by then any search that read the old cache entry
+  // has long finished. Same deferred-retirement pattern as the store's
+  // delta compaction.
+  private val retired =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[DataFrame]]()
+
+  private def retire(name: String, frames: Seq[DataFrame]): Unit =
+    if (frames.nonEmpty)
+      retired.merge(name, frames.toVector, (a, b) => a ++ b)
+
+  private def reapRetired(name: String): Unit =
+    Option(retired.remove(name))
+      .foreach(_.foreach(org.apache.spark.sql.graft.Bridge.release))
+
+  private def writeThrough(name: String)(op: => Seq[String]): Seq[String] =
+    withWriteLock(name)(writeThroughLocked(name)(op))
+
   private def writeThroughLocked(name: String)(op: => Seq[String]): Seq[String] = {
+    reapRetired(name) // previous write generation: its readers are done
     val before = cache.get(name)
     val committed = op // throws on invalid batches — cache stays valid
     // a zero-row commit changed nothing: the cached view stays valid
@@ -116,13 +158,14 @@ final class Graft(spark: SparkSession, root: String,
       if (before != null && before.textIndexes.nonEmpty) {
         val fresh = store.load(name)
         // patch one index at a time, tracking completed ones: a failure on
-        // the Nth prop must release the blocks the first N−1 patches
-        // checkpointed (they are reachable from no cache entry — the catch
-        // below evicts the PRE-patch collection only)
+        // the Nth prop must release the NEW blocks the first N−1 patches
+        // checkpointed (never published — no search can be over them),
+        // while superseded OLD blocks retire a full generation
         val done = scala.collection.mutable.ListBuffer[(String, TextIndex)]()
         val patchedIdx =
           try before.textIndexes.map { case (prop, idx) =>
-            val p = TextIndex.patched(idx, fresh.df, prop, committed)
+            val (p, superseded) = TextIndex.patched(idx, fresh.df, prop, committed)
+            retire(name, superseded)
             done += prop -> p
             prop -> p
           } catch {
@@ -135,15 +178,18 @@ final class Graft(spark: SparkSession, root: String,
               throw e
           }
         // vector artifacts are dropped, not patched (rebuilt lazily on the
-        // next approx search) — release their persisted encoded frames
-        before.vectorIndexes.values.foreach(_.release())
+        // next approx search); their encoded frames may be mid-scan in a
+        // concurrent approx search — retire, don't release
+        retire(name, before.vectorIndexes.values.map(_.encoded).toSeq)
         val prev = cache.put(name, fresh.copy(textIndexes = patchedIdx))
         if (prev != null && !(prev eq before)) {
           // a concurrent search CAS-installed extra artifacts between our
-          // read of `before` and this put — release what the new entry
-          // does not carry (re-releasing shared frames is a no-op)
-          (prev.textIndexes -- before.textIndexes.keySet).values.foreach(_.release())
-          prev.vectorIndexes.values.foreach(_.release())
+          // read of `before` and this put — retire what the new entry
+          // does not carry (re-retiring shared frames is a no-op release)
+          retire(name,
+            (prev.textIndexes -- before.textIndexes.keySet).values.flatMap(i =>
+              i.postings +: i.blocks).toSeq)
+          retire(name, prev.vectorIndexes.values.map(_.encoded).toSeq)
         }
       } else evict(name)
     } catch {
@@ -156,15 +202,16 @@ final class Graft(spark: SparkSession, root: String,
     committed
   }
 
-  /** Drop the cached collection AND release its text-index blocks
-    * (persisted OR checkpointed — `unpersist` alone is a no-op for the
-    * latter) — removing only the map entry would leak the blocks for the
-    * session's lifetime.
+  /** Drop the cached collection and RETIRE its index blocks (persisted OR
+    * checkpointed — `unpersist` alone is a no-op for the latter): a
+    * concurrent search may still be mid-job over them, so destruction
+    * waits one write generation (or the collection's drop). Removing only
+    * the map entry would leak the blocks for the session's lifetime.
     */
   private def evict(name: String): Unit =
     Option(cache.remove(name)).foreach { c =>
-      c.textIndexes.values.foreach(_.release())
-      c.vectorIndexes.values.foreach(_.release())
+      retire(name, c.textIndexes.values.flatMap(i => i.postings +: i.blocks).toSeq)
+      retire(name, c.vectorIndexes.values.map(_.encoded).toSeq)
     }
 
   // ---- search (the flagship path) -----------------------------------------
@@ -176,6 +223,12 @@ final class Graft(spark: SparkSession, root: String,
     search(name, graft.model.Json.parseSearchRequest(requestJson))
 
   def search(name: String, request: SearchRequest): DataFrame = {
+    // validate FIRST (cheap, driver-side): a malformed request must not
+    // pay a corpus tokenize/encode before being rejected
+    graft.model.Validation.validate(request)
+      .left.foreach(m => throw new IllegalArgumentException(m))
+    graft.model.Validation.validateSchema(request.query, collection(name).schema)
+      .left.foreach(m => throw new IllegalArgumentException(m))
     ensureTextIndexes(name, textProps(request.query))
     ensureVectorIndexes(name, approxVecProps(request.query))
     Search.search(collection(name), request)
@@ -220,14 +273,23 @@ final class Graft(spark: SparkSession, root: String,
       val wanted = props.filterNot(coll.vectorIndexes.contains)
         .flatMap(p => store.loadQuantizer(name, p).map(p -> _)).toSeq
       if (wanted.nonEmpty) {
-        val withIdx = wanted.foldLeft(coll) {
-          case (c, (p, graft.store.FittedBinary(th))) => c.withBinaryVectorIndex(p, th)
-          case (c, (p, graft.store.FittedProduct(model))) => c.withProductVectorIndex(p, model)
+        // build step-by-step so a failure on the Nth artifact can release
+        // the already-built (never-installed) earlier ones
+        var acc = coll
+        try wanted.foreach { case (p, q) =>
+          acc = q match {
+            case graft.store.FittedBinary(th) => acc.withBinaryVectorIndex(p, th)
+            case graft.store.FittedProduct(model) => acc.withProductVectorIndex(p, model)
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (acc.vectorIndexes -- coll.vectorIndexes.keySet).values.foreach(_.release())
+            throw e
         }
-        if (!cache.replace(name, coll, withIdx)) {
+        if (!cache.replace(name, coll, acc)) {
           // lost the race against a write — release the just-built
           // artifacts; the next search rebuilds against the fresh view
-          wanted.foreach { case (p, _) => withIdx.vectorIndexes(p).release() }
+          wanted.foreach { case (p, _) => acc.vectorIndexes(p).release() }
         }
       }
     }
@@ -249,11 +311,19 @@ final class Graft(spark: SparkSession, root: String,
         case (prop, _: graft.model.IndexKind.Text) if props.contains(prop) => prop
       }.filterNot(coll.textIndexes.contains)
       if (wanted.nonEmpty) {
-        val withIdx = wanted.foldLeft(coll)((c, prop) => c.withTextIndex(prop))
-        if (!cache.replace(name, coll, withIdx)) {
+        // step-by-step, so a failed Nth build releases the earlier
+        // never-installed postings instead of leaking them
+        var acc = coll
+        try wanted.foreach(prop => acc = acc.withTextIndex(prop))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            (acc.textIndexes -- coll.textIndexes.keySet).values.foreach(_.release())
+            throw e
+        }
+        if (!cache.replace(name, coll, acc)) {
           // lost the race against a write — release the just-built
           // postings; the next search rebuilds against the fresh view
-          wanted.foreach(p => withIdx.textIndexes(p).release())
+          wanted.foreach(p => acc.textIndexes(p).release())
         }
       }
     }

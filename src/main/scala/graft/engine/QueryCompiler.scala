@@ -256,13 +256,15 @@ object QueryCompiler {
     val terms = TextAnalyzer.analyzeString(o.value).distinct
     if (terms.isEmpty)
       throw new IllegalArgumentException("text query value has no terms after analysis")
-    // prebuilt (persisted) index when attached; otherwise an ad-hoc one,
-    // materialized once — the postings feed both the df table and the
-    // per-doc probe side, which would otherwise re-tokenize the corpus
-    // twice on top of the numDocs count
+    // prebuilt (persisted) index when attached; otherwise an ad-hoc LAZY
+    // one. Deliberately not checkpointed/persisted: this path serves only
+    // collections without an installed index (direct engine use, or the
+    // facade's CAS-race window), and a materialization here would have no
+    // owner to release it — the recompute (postings feed two sides of the
+    // plan) is the leak-free trade on a rare path.
     val index = col0.textIndexes.getOrElse(prop, {
       val (p, n) = TextIndex.compute(col0.df, prop)
-      TextIndex(p.localCheckpoint(), n)
+      TextIndex(p, n)
     })
     val post = index.postings
     val numDocs = index.numDocs // numDocs of the text index (text.go:371)

@@ -77,29 +77,45 @@ object TextIndex {
     * maintained by exact delta arithmetic (the null-term rows make every
     * non-null doc visible in the postings), not a corpus recount.
     */
-  def patched(idx: TextIndex, newView: DataFrame, prop: String, ids: Seq[String]): TextIndex = {
-    if (ids.isEmpty) return idx
+  /** Returns the patched index plus the blocks it SUPERSEDED (non-empty
+    * only when the patch chain compacted). The caller owns their release —
+    * and must NOT release them immediately: a concurrent search that read
+    * the pre-patch index from a cache may still be mid-job over those
+    * checkpointed blocks, which have no lineage to recompute. Defer (the
+    * facade retires them one write generation) or accept failed readers.
+    */
+  def patched(
+      idx: TextIndex, newView: DataFrame, prop: String,
+      ids: Seq[String]): (TextIndex, Seq[DataFrame]) = {
+    if (ids.isEmpty) return (idx, Nil)
     val spark = newView.sparkSession
     import spark.implicits._
     val idsDf = ids.toDF(IdCol)
     val (addPost, addedN) = compute(newView.filter(col(IdCol).isin(ids: _*)), prop)
     val add = addPost.localCheckpoint() // batch-scale materialization
-    // docs leaving the count: exact thanks to the null-term rows; scans
-    // the in-memory postings with a broadcast semi-join, no re-tokenize
-    val removedN = idx.postings
-      .join(broadcast(idsDf), Seq(IdCol), "left_semi")
-      .select(IdCol).distinct().count()
-    val composed = idx.postings
-      .join(broadcast(idsDf), Seq(IdCol), "left_anti")
-      .unionByName(add)
-    val numDocs = idx.numDocs - removedN + addedN
-    if (idx.patchDepth + 1 >= CompactEvery) {
-      val compacted = composed.localCheckpoint() // eager: before blocks drop
-      idx.release()
-      org.apache.spark.sql.graft.Bridge.release(add)
-      TextIndex(compacted, numDocs, 0, Seq(compacted))
-    } else {
-      TextIndex(composed, numDocs, idx.patchDepth + 1, idx.blocks :+ add)
+    try {
+      // docs leaving the count: exact thanks to the null-term rows; scans
+      // the in-memory postings with a broadcast semi-join, no re-tokenize
+      val removedN = idx.postings
+        .join(broadcast(idsDf), Seq(IdCol), "left_semi")
+        .select(IdCol).distinct().count()
+      val composed = idx.postings
+        .join(broadcast(idsDf), Seq(IdCol), "left_anti")
+        .unionByName(add)
+      val numDocs = idx.numDocs - removedN + addedN
+      if (idx.patchDepth + 1 >= CompactEvery) {
+        val compacted = composed.localCheckpoint() // eager: folds the chain
+        (TextIndex(compacted, numDocs, 0, Seq(compacted)),
+          (idx.postings +: idx.blocks :+ add).distinct)
+      } else {
+        (TextIndex(composed, numDocs, idx.patchDepth + 1, idx.blocks :+ add), Nil)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the add checkpoint was never published anywhere — releasing it
+        // immediately is safe and prevents a per-failure block leak
+        org.apache.spark.sql.graft.Bridge.release(add)
+        throw e
     }
   }
 
