@@ -42,6 +42,13 @@ object Bench {
       engine.Search.searchJson(docs,
         """{"query":{"property":"text","text":{"value":"the data",
           |"operator":"containsAny","limit":5}},"limit":5}""".stripMargin).count()
+      // shingle/codegen warm-up for the dedup family: whichever dedup
+      // query runs first otherwise pays several seconds of one-time JIT,
+      // making per-query numbers depend on map iteration order
+      import org.apache.spark.sql.functions.{col => c}
+      val few = spark.read.parquet(s"$sfDir/documents.parquet").filter(c("doc_id") < 50)
+      operators.Dedup.ngramJaccardPairs(few, c("doc_id"), c("text"), 3, 0.5).count()
+      operators.TextAnalysis.winnow(few, c("doc_id"), c("text")).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // IVF/IVF-PQ artifacts: building is a separate batch job by design
     // (the PipelineQueries doc) — build once here so the timed region
