@@ -135,6 +135,44 @@ case class VectorDistance(left: Expression, right: Expression, metric: Metric)
 }
 
 object VectorDistance {
+
+  /** The same six kernels over plain float arrays — for driver-side and
+    * UDF-side consumers (graph prune, beam search, recall evaluation)
+    * that must stay COMMENSURABLE with the codegen column kernel (a
+    * divergent copy would e.g. prune a haversine graph against meters
+    * with squared degrees). Three formulations of each kernel live in
+    * this file on purpose — interpreted eval, codegen string, scalar —
+    * so any semantic change is edited in one place.
+    */
+  def scalarDistance(metric: Metric, a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    metric match {
+      case Metric.Cosine | Metric.Dot =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i).toDouble * b(i); i += 1 }
+        if (metric == Metric.Dot) -acc else 1.0 - acc
+      case Metric.Hamming =>
+        var acc = 0.0; var i = 0
+        while (i < n) { if ((a(i) > 0.5f) != (b(i) > 0.5f)) acc += 1.0; i += 1 }
+        acc
+      case Metric.Jaccard =>
+        var inter = 0.0; var union = 0.0; var i = 0
+        while (i < n) {
+          val xa = a(i) > 0.5f; val ya = b(i) > 0.5f
+          if (xa && ya) inter += 1.0
+          if (xa || ya) union += 1.0
+          i += 1
+        }
+        if (union == 0.0) 0.0 else 1.0 - inter / union
+      case Metric.Haversine =>
+        haversineDegrees(a(0), a(1), b(0), b(1))
+      case _ => // euclidean (squared)
+        var acc = 0.0; var i = 0
+        while (i < n) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+        acc
+    }
+  }
+
   /** Called from generated code for the haversine kernel. */
   def haversineDegrees(lat1: Float, lon1: Float, lat2: Float, lon2: Float): Double = {
     val rLat1 = math.toRadians(lat1.toDouble)

@@ -83,43 +83,17 @@ object VamanaBuild {
     kept.toSeq
   }
 
-  /** Same kernel semantics as [[graft.functions.Distances]] for ALL six
-    * metrics — the prune compares this against candidate distances
-    * computed by the codegen kernel, so the two must be commensurable
-    * (a euclidean fallback for hamming/jaccard/haversine graphs would
-    * prune against meters with squared degrees).
+  /** The shared scalar kernel (co-located with the codegen kernel in
+    * VectorDistanceExpr.scala, so the formulations cannot drift apart) —
+    * the prune compares this against candidate distances computed by the
+    * codegen kernel, so the two must be commensurable.
     */
-  private def dist(metric: Metric, a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    metric match {
-      case Metric.Cosine | Metric.Dot =>
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += a(i).toDouble * b(i); i += 1 }
-        if (metric == Metric.Dot) -acc else 1.0 - acc
-      case Metric.Hamming =>
-        var acc = 0.0; var i = 0
-        while (i < n) { if ((a(i) > 0.5f) != (b(i) > 0.5f)) acc += 1.0; i += 1 }
-        acc
-      case Metric.Jaccard =>
-        var inter = 0.0; var union = 0.0; var i = 0
-        while (i < n) {
-          val xa = a(i) > 0.5f; val ya = b(i) > 0.5f
-          if (xa && ya) inter += 1.0
-          if (xa || ya) union += 1.0
-          i += 1
-        }
-        if (union == 0.0) 0.0 else 1.0 - inter / union
-      case Metric.Haversine =>
-        graft.functions.VectorDistance.haversineDegrees(a(0), a(1), b(0), b(1))
-      case _ => // euclidean (squared)
-        var acc = 0.0; var i = 0
-        while (i < n) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
-        acc
-    }
-  }
+  private def dist(metric: Metric, a: Array[Float], b: Array[Float]): Double =
+    graft.functions.VectorDistance.scalarDistance(metric, a, b)
 
   /** Build the graph. `df` must expose a LONG id and an array<float>
-    * vector; output is (id, neighbors array<long>, ring array<long>).
+    * vector; output is (id, neighbors array<long>) — one row for EVERY
+    * input node (a singleton corpus yields its node with [] neighbors).
     */
   def build(
       df: DataFrame, id: Column, vec: Column,
@@ -206,15 +180,27 @@ object VamanaBuild {
     // sorted list) instead of paying a separate distinct shuffle.
     // Materialize eagerly (truncating the iteration lineage), then release
     // every intermediate cache — builds must not accumulate storage.
-    val result = edges.union(ring)
-      .groupBy(col("src").as("id"))
-      .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors"))
+    val result = toAdjacency(edges.union(ring), vecs.select(col("id").as("src")))
       .localCheckpoint()
     prevRound.foreach(_.unpersist(false))
     ranked.unpersist(false)
     vecs.unpersist(false)
     result
   }
+
+  /** Fold an edge list into the artifact schema, keeping one row for
+    * EVERY node in `required` (col "src") — a node with no outgoing edges
+    * (singleton corpus, fully-pruned straggler) gets [] instead of
+    * silently vanishing from the graph.
+    */
+  private def toAdjacency(edges: DataFrame, required: DataFrame): DataFrame =
+    required
+      .join(
+        edges.groupBy(col("src"))
+          .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors")),
+        Seq("src"), "left")
+      .select(col("src").as("id"),
+        coalesce(col("neighbors"), array().cast("array<long>")).as("neighbors"))
 
   /** Ensure every node in `required` (col "src") appears as an edge
     * source: stragglers re-attach bidirectionally to the smallest node
@@ -355,9 +341,7 @@ object VamanaBuild {
     val requiredIds = graph.select(col("id").cast("long").as("src"))
       .union(nids.select(col("id").as("src")))
       .distinct()
-    val result = withReattached(edgesAll, requiredIds)
-      .groupBy(col("src").as("id"))
-      .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors"))
+    val result = toAdjacency(withReattached(edgesAll, requiredIds), requiredIds)
       .localCheckpoint()
     edgesAll.unpersist(false)
     newEdges.unpersist(false)
@@ -415,9 +399,7 @@ object VamanaBuild {
       .persist()
     val survivors = graph.select(col("id").cast("long").as("src"))
       .join(del.withColumnRenamed("_del", "src"), Seq("src"), "left_anti")
-    val result = withReattached(edgesAll, survivors)
-      .groupBy(col("src").as("id"))
-      .agg(array_distinct(sort_array(collect_list(col("dst")))).as("neighbors"))
+    val result = toAdjacency(withReattached(edgesAll, survivors), survivors)
       .localCheckpoint()
     edgesAll.unpersist(false)
     del.unpersist(false)

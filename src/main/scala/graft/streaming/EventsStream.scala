@@ -65,23 +65,29 @@ object EventsStream {
 
   /** Streaming sessionization via event-time session windows (watermarked
     * state, merges on gap ≤ 30 min) — the stateful-streaming counterpart
-    * of [[sessionizeBatch]].
+    * of [[sessionizeBatch]]. Boundaries come from min/max event time, NOT
+    * `session_window.start/end`: the window's end is last-event + gap,
+    * which would silently inflate every session by 30 minutes relative to
+    * the batch path sharing these column names.
     */
   def sessionizeStreaming(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), SessionGap))
-      .agg(count(lit(1)).as("n_events"))
-      .select(
-        col("user_id"),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n_events"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
 
-  /** Streaming exact dedup: first event per key wins, with state ACTUALLY
-    * bounded by the watermark — plain `dropDuplicates(keys)` only evicts
-    * state when the event-time column is among the keys, so it grows
-    * forever for key-only dedup.
+  /** Streaming dedup WITHIN THE WATERMARK HORIZON: the first event per
+    * key wins among events whose times fall inside the watermark delay; a
+    * key recurring after its state expired is re-admitted. That bound is
+    * the point — bounded state and unbounded exactness are mutually
+    * exclusive in a stream (plain `dropDuplicates(keys)` is exact but
+    * grows state forever unless the event-time column is a key); callers
+    * needing global exactness run the batch `dropDuplicates` over the
+    * landed data instead.
     */
   def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
     events
@@ -109,19 +115,27 @@ object EventsStream {
         // commit and checkpoint commit) AND in-batch duplicate ids —
         // either would make the insert contract reject the batch forever
         // on every restart
+        // checkpoint BEFORE draining: the anti-join pins the store's
+        // current delta frames, and the grouped inserts below advance the
+        // store — enough of them trigger compactions that eventually
+        // release those frames mid-iteration (lineage-free, unrecoverable).
+        // The eager checkpoint copies the result into its own blocks,
+        // independent of anything the store later retires.
         val fresh = batch
           .dropDuplicates(graft.store.CollectionStore.IdCol)
           .join(
             store.load(name).df.select(graft.store.CollectionStore.IdCol),
             Seq(graft.store.CollectionStore.IdCol), "left_anti")
+          .localCheckpoint()
         // stream partitions to the driver instead of collecting the whole
         // micro-batch (a backlogged first trigger can hold millions of rows)
-        fresh.toLocalIterator().asScala
+        try fresh.toLocalIterator().asScala
           .grouped(graft.store.CollectionStore.MaxInsertBatch).foreach { g =>
             val df = spark.createDataFrame(
               java.util.Arrays.asList(g.toSeq: _*), schema)
             store.insert(name, df)
           }
+        finally org.apache.spark.sql.graft.Bridge.release(fresh)
       }
       .start()
 
@@ -132,6 +146,11 @@ object EventsStream {
       spark: SparkSession, sfDir: String,
       transform: DataFrame => DataFrame,
       outputMode: String = "complete"): DataFrame = {
+    // the nanos→TIMESTAMP→NTZ round-trip below renders in the session
+    // zone; anything but UTC shifts every wall value (and DST transitions
+    // would warp gaps) relative to the zone-independent batch path
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "runAsStream requires spark.sql.session.timeZone=UTC for batch parity")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream
       .schema(StructType(Schema.fields.map {
@@ -150,11 +169,19 @@ object EventsStream {
       .format("memory").queryName(name).outputMode(outputMode).start()
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name)
-    // normalize timestamps back to NTZ so results compare 1:1 with batch
-    out.select(out.schema.fields.map { f =>
+    // normalize timestamps back to NTZ so results compare 1:1 with batch;
+    // materialize and DROP the memory sink's table — each sink caches its
+    // whole result in the driver and would otherwise accumulate across
+    // calls for the session's lifetime
+    val normalized = out.select(out.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.TimestampType)
         col(f.name).cast("timestamp_ntz").as(f.name)
       else col(f.name)
     }.toSeq: _*)
+    val rows = normalized.collect()
+    val result = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), normalized.schema)
+    spark.catalog.dropTempView(name)
+    result
   }
 }

@@ -148,6 +148,24 @@ class VamanaSpec extends SparkSuite {
     assert(out.exists { case (id, ns) => id != 0L && ns.contains(0L) }, out)
   }
 
+  test("degenerate corpora: singleton build and insert-into-singleton keep every node") {
+    val one = emb.filter(col("vec_id") === 0L)
+    val g1 = VamanaBuild.build(one, col("vec_id"), col("embedding"), Metric.Euclidean)
+    val rows1 = g1.as[(Long, Seq[Long])].collect().toMap
+    // the node must exist (with no neighbors), not silently vanish
+    assert(rows1 == Map(0L -> Seq.empty[Long]), rows1)
+    // greedy search over the singleton graph returns the node itself
+    assert(VamanaBuild.greedySearch(rows1, Map(0L -> vecs(0L)), vecs(0L),
+      k = 1, searchSize = 10, start = 0L, metric = Metric.Euclidean) == Seq(0L))
+    // inserting a second point into the singleton graph links both ways
+    val two = emb.filter(col("vec_id") < 2L)
+    val g2 = VamanaBuild.insertBatch(g1, two, col("vec_id"), col("embedding"),
+      Seq(1L).toDF("id"), Metric.Euclidean)
+    val rows2 = g2.as[(Long, Seq[Long])].collect().toMap
+    assert(rows2.keySet == Set(0L, 1L), rows2)
+    assert(rows2(1L).contains(0L) && rows2(0L).contains(1L), rows2)
+  }
+
   test("deterministic: rebuilding yields the identical edge list") {
     val again = VamanaBuild.build(
       emb, col("vec_id"), col("embedding"), Metric.Euclidean,
