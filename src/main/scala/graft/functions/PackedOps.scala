@@ -32,6 +32,10 @@ case class PackBits(left: Expression, right: Expression)
     val vec = v.asInstanceOf[ArrayData]
     val th = t.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    // a vector longer than the thresholds would otherwise read PAST the
+    // thresholds array: garbage doubles under UnsafeArrayData — silently
+    // wrong sign bits — and AIOOBE under GenericArrayData
+    PackBits.requireCovered(n, th.numElements())
     val words = new Array[Long]((n + 63) / 64)
     var i = 0
     while (i < n) {
@@ -46,7 +50,9 @@ case class PackBits(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val words = ctx.freshName("words")
+      val cls = PackBits.getClass.getName.stripSuffix("$") + "$"
       s"""int $n = $v.numElements();
+         |$cls.MODULE$$.requireCovered($n, $t.numElements());
          |long[] $words = new long[($n + 63) / 64];
          |for (int $i = 0; $i < $n; $i++) {
          |  if ((double) $v.getFloat($i) > $t.getDouble($i)) {
@@ -77,7 +83,10 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // a min-length truncation would UNDERESTIMATE the distance of a
+    // malformed (short) packed vector and let it falsely win top-k
+    PackBits.requireSameWords(x.numElements(), y.numElements())
+    val n = x.numElements()
     if (jaccard) {
       var inter = 0L; var union = 0L; var i = 0
       while (i < n) {
@@ -101,10 +110,13 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val cls = PackBits.getClass.getName.stripSuffix("$") + "$"
+      val guard = s"$cls.MODULE$$.requireSameWords($a.numElements(), $b.numElements());"
       if (jaccard) {
         val inter = ctx.freshName("inter")
         val union = ctx.freshName("union")
-        s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        s"""$guard
+           |int $n = $a.numElements();
            |long $inter = 0L; long $union = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  long xa = $a.getLong($i); long ya = $b.getLong($i);
@@ -115,7 +127,8 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
            |""".stripMargin
       } else {
         val acc = ctx.freshName("acc")
-        s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        s"""$guard
+           |int $n = $a.numElements();
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
@@ -124,6 +137,19 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
            |""".stripMargin
       }
     })
+}
+
+object PackBits {
+  /** Shared by interpreted eval and generated code. */
+  def requireCovered(vecLen: Int, thLen: Int): Unit =
+    if (vecLen > thLen)
+      throw new IllegalArgumentException(
+        s"vector has $vecLen dims; thresholds cover only $thLen")
+
+  def requireSameWords(a: Int, b: Int): Unit =
+    if (a != b)
+      throw new IllegalArgumentException(
+        s"packed vectors differ in word count ($a vs $b) — dimension mismatch")
 }
 
 object PackedOps {

@@ -118,10 +118,13 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
     // materialize the shingle arrays once: base feeds three consumers
-    // (postings, and both verification sides)
+    // (postings, and both verification sides). Eager checkpoint, not
+    // persist() — a CacheManager entry would outlive the call with no
+    // release handle, while checkpoint blocks are GC-reclaimed once the
+    // returned frame is unreferenced
     val base = shingled(df, id, text, n)
       .withColumn("_cnt", size(col("_sh")))
-      .persist()
+      .localCheckpoint()
     val posts = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
     // global document frequency per shingle as a count-over-window on the
     // postings themselves — one shuffle by _s instead of a groupBy shuffle
@@ -245,8 +248,17 @@ object Dedup {
   def minhashLshPairs(
       sigs: DataFrame, perms: Int = 16, bandRows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // a non-dividing bandRows silently leaves the tail permutations out
+    // of candidate generation (recall below the documented banding
+    // guarantee); bandRows > perms would generate a NEGATIVE band via
+    // sequence's descending default and key garbage slices
+    require(bandRows > 0 && perms % bandRows == 0,
+      s"bandRows ($bandRows) must divide perms ($perms)")
     val nBands = perms / bandRows
-    val sigsM = sigs.persist() // three consumers: banding + both verify sides
+    // eager checkpoint, not persist(): three consumers read it (banding +
+    // both verify sides), but CacheManager entries outlive the call —
+    // checkpoint blocks are GC-reclaimed once the result is unreferenced
+    val sigsM = sigs.localCheckpoint()
     val banded = sigsM
       .select(col("id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"),
         col("sig"))

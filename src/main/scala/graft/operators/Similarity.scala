@@ -41,6 +41,7 @@ object Similarity {
     * (distance asc, id asc), matching the exact-top-k tie-break contract.
     */
   final class TopKAgg(k: Int) extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+    require(k > 0, s"k must be positive (got $k)") // k=0 would AIOOBE in reduce()
     /** Exact-size top-`keep` of the first `used` entries. */
     private def compact(ds: Array[Double], ids: Array[Long], used: Int, keep: Int): TopKBuf = {
       val idx = Array.range(0, used).sortBy(i => (ds(i), ids(i)))
@@ -105,8 +106,14 @@ object Similarity {
     }
     requireNumericId(queries, qId, "query")
     requireNumericId(corpus, cId, "corpus")
-    val q = queries.select(qId.cast("long").as("query_id"), qVec.as("_qv"))
-    val c = corpus.select(cId.cast("long").as("corpus_id"), cVec.as("_cv"))
+    require(k > 0, s"k must be positive (got $k)")
+    // null vectors yield null distances, which crash the typed top-k
+    // aggregator's non-nullable input encoder; null ids would collapse
+    // into one bogus group — skip such rows like every sibling operator
+    val q = queries.filter(qVec.isNotNull && qId.isNotNull)
+      .select(qId.cast("long").as("query_id"), qVec.as("_qv"))
+    val c = corpus.filter(cVec.isNotNull && cId.isNotNull)
+      .select(cId.cast("long").as("corpus_id"), cVec.as("_cv"))
     val topk = udaf(new TopKAgg(k))
     c.crossJoin(broadcast(q))
       .withColumn("distance", Distances.distance(metric, col("_cv"), col("_qv")))
@@ -122,6 +129,26 @@ object Similarity {
     (0 until nBits).map { i =>
       when(element_at(vec, i + 1) > 0f, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Driver-side twin of [[signBucket]] — Spark SQL orders NaN above
+    * every value, so `NaN > 0` is TRUE there while Java says false; the
+    * explicit isNaN keeps a NaN-dimensioned query probing the same cell
+    * its stored copy was bucketed into.
+    */
+  private def signBucketLocal(queryVec: Seq[Float], nBits: Int): Int =
+    (0 until nBits).map(i =>
+      if (queryVec(i) > 0f || queryVec(i).isNaN) 1 << i else 0).sum
+
+  /** Query bucket + optional hamming-1 probe ring (shared by the scan and
+    * artifact search paths — one copy of the probe semantics).
+    */
+  private def queryProbes(
+      queryVec: Seq[Float], nBits: Int, probeNeighbors: Boolean): Seq[Int] = {
+    require(queryVec.length >= nBits,
+      s"query vector has ${queryVec.length} dims; bucket needs $nBits")
+    val qBucket = signBucketLocal(queryVec, nBits)
+    qBucket +: (if (probeNeighbors) (0 until nBits).map(i => qBucket ^ (1 << i)) else Nil)
+  }
 
   /** Assign every corpus row its bucket (the IVF "index build"). */
   def signBuckets(corpus: DataFrame, vec: Column, nBits: Int): DataFrame =
@@ -228,8 +255,6 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       queryVec: Seq[Float], k: Int, metric: Metric,
       nBits: Int, probeNeighbors: Boolean = true): DataFrame = {
-    require(queryVec.length >= nBits,
-      s"query vector has ${queryVec.length} dims; bucket needs $nBits")
     val meta = new org.apache.hadoop.fs.Path(dir, "_ivf_nbits")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(meta)) {
@@ -244,8 +269,7 @@ object Similarity {
       require(stored == nBits,
         s"artifact at $dir was written with nBits=$stored, probed with nBits=$nBits")
     }
-    val qBucket = (0 until nBits).map(i => if (queryVec(i) > 0f) 1 << i else 0).sum
-    val probes = qBucket +: (if (probeNeighbors) (0 until nBits).map(i => qBucket ^ (1 << i)) else Nil)
+    val probes = queryProbes(queryVec, nBits, probeNeighbors)
     spark.read.parquet(dir)
       .filter(col("bucket").isin(probes: _*))
       .select(col("id"), col("bucket"),
@@ -261,10 +285,7 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       queryVec: Seq[Float], k: Int, metric: Metric,
       nBits: Int, probeNeighbors: Boolean = true): DataFrame = {
-    require(queryVec.length >= nBits,
-      s"query vector has ${queryVec.length} dims; bucket needs $nBits")
-    val qBucket = (0 until nBits).map(i => if (queryVec(i) > 0f) 1 << i else 0).sum
-    val probes = qBucket +: (if (probeNeighbors) (0 until nBits).map(i => qBucket ^ (1 << i)) else Nil)
+    val probes = queryProbes(queryVec, nBits, probeNeighbors)
     signBuckets(corpus.filter(cVec.isNotNull), cVec, nBits)
       .filter(col("bucket").isin(probes: _*))
       .select(cId.as("id"), col("bucket"),
