@@ -190,11 +190,25 @@ object QueryCompiler {
       case BinaryVectorIndex(th, _) =>
         require(vector.length == th.length,
           s"query vector has ${vector.length} dims; binary index has ${th.length}")
-        (restricted0, graft.functions.PackedOps.packedHamming(col("_packed"),
-          lit(graft.operators.BinaryQuantizer.packWords(vector, th))))
+        // candidates rank in the quantized space of the DECLARED metric:
+        // jaccard-metric vectors rank by packed jaccard (hamming would
+        // bury a high-overlap dense vector below sparse far ones and the
+        // exact re-rank could never recover it); everything else ranks by
+        // hamming (for cosine/euclidean the bits are a scan-reduction
+        // proxy and the exact stage restores the true metric)
+        val qWords = lit(graft.operators.BinaryQuantizer.packWords(vector, th))
+        val cd =
+          if (metric == IndexKind.Metric.Jaccard)
+            graft.functions.PackedOps.packedJaccard(col("_packed"), qWords)
+          else graft.functions.PackedOps.packedHamming(col("_packed"), qWords)
+        (restricted0, cd)
       case ProductVectorIndex(model, _) =>
         require(vector.length == model.dim,
           s"query vector has ${vector.length} dims; product index has ${model.dim}")
+        // ADC tables are squared-L2 in the residual space: exact for
+        // euclidean, rank-equivalent for cosine/dot on NORMALIZED vectors
+        // (‖q−c‖² = 2−2·q·c); unnormalized dot re-ranks exactly but its
+        // candidate pool is L2-biased — documented operating limitation
         (restricted0, graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model))
       case IvfPqVectorIndex(coarse, model, nprobe, _) =>
         require(vector.length == coarse.dim,
@@ -231,18 +245,12 @@ object QueryCompiler {
     * derived "index DataFrame" — cache/persist it per collection rather
     * than recomputing per query (the reference maintains it incrementally
     * in bbolt buckets, text.go:151–258; batch recompute is the Spark-native
-    * equivalent).
+    * equivalent). Delegates to [[TextIndex.compute]] — a second postings
+    * formulation here had already drifted (explode vs explode_outer) from
+    * the null-term-row convention the index's numDocs bookkeeping needs.
     */
-  def postings(col0: Collection, prop: String): DataFrame = {
-    val tokens = col0.df
-      .filter(column(prop).isNotNull)
-      .select(col(IdCol), TextAnalyzer.analyze(column(prop)).as("_terms"))
-      .withColumn("_doclen", size(col("_terms")))
-    tokens
-      .select(col(IdCol), col("_doclen"), explode(col("_terms")).as("_term"))
-      .groupBy(IdCol, "_doclen", "_term")
-      .agg(count(lit(1)).as("_freq"))
-  }
+  def postings(col0: Collection, prop: String): DataFrame =
+    TextIndex.compute(col0.df, prop)._1
 
   /** tf-idf scored text search (reference text.go:305–396):
     * score(doc) = Σ_t∈queryTerms (freq_t/docLen) * log10(numDocs/(df_t+1)),
@@ -306,9 +314,21 @@ object QueryCompiler {
 
   // ---- combinators --------------------------------------------------------
 
-  private def merge(col0: Collection, children: Seq[Compiled], disjunction: Boolean): Compiled = {
-    require(children.nonEmpty, "combinator must have at least one subquery")
-    if (children.length == 1) return children.head // shortcut (search.go:243–246)
+  private def merge(col0: Collection, childrenRaw: Seq[Compiled], disjunction: Boolean): Compiled = {
+    require(childrenRaw.nonEmpty, "combinator must have at least one subquery")
+    if (childrenRaw.length == 1) return childrenRaw.head // shortcut (search.go:243–246)
+
+    // pin every ranked child's top-k result (≤ its limit rows, so this is
+    // a tiny eager materialization): the frame is referenced by the set
+    // materialization, the ranked union, AND the backfill restriction —
+    // three separate plan instances Spark would otherwise execute as
+    // three full corpus scans. Blocks are GC-reclaimed with the frame.
+    val children = childrenRaw.map {
+      case Compiled(set0, Some(r), sfr) =>
+        val ck = r.localCheckpoint()
+        Compiled(if (sfr) Ids(ck.select(IdCol)) else set0, Some(ck), sfr)
+      case c => c
+    }
 
     // set merge: stay in Column algebra when every child is a predicate —
     // the whole tree then collapses into one pushdown-able filter.

@@ -63,7 +63,9 @@ object IvfPq {
     val cells = Similarity.signBuckets(corpus.filter(vec.isNotNull), vec, nBits)
       .select(col("bucket"), posexplode(vec).as(Seq("_pos", "_v")))
       .groupBy("bucket", "_pos")
-      .agg(round(sum(col("_v").cast("decimal(28,6)")) / count(lit(1)), 9)
+      // non-null count to match the sum's null semantics (BinaryQuantizer
+      // convention — count(*) would bias means on null-element vectors)
+      .agg(round(sum(col("_v").cast("decimal(28,6)")) / count(col("_v")), 9)
         .cast("double").as("_m"))
       .collect()
       .groupBy(_.getAs[Int]("bucket"))

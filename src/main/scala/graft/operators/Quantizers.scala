@@ -31,7 +31,10 @@ object BinaryQuantizer {
     val sums = df.filter(vec.isNotNull)
       .select(posexplode(vec).as(Seq("_pos", "_v")))
       .groupBy("_pos")
-      .agg(round(sum(col("_v").cast("decimal(28,6)")) / count(lit(1)), 9)
+      // count the NON-NULL elements (count(_v)), matching the sum's null
+      // semantics — count(*) would bias the mean toward 0 whenever a
+      // vector carries a null element, flipping sign bits at the margin
+      .agg(round(sum(col("_v").cast("decimal(28,6)")) / count(col("_v")), 9)
         .cast("double").as("_m"))
       .collect().map(r => r.getAs[Int]("_pos") -> r.getAs[Double]("_m")).toMap
     (0 until dim).map(i => sums.getOrElse(i,
@@ -58,8 +61,14 @@ object BinaryQuantizer {
       .limit(k)
   }
 
-  /** Driver-side packing of a query vector (same bit layout). */
+  /** Driver-side packing of a query vector (same bit layout). The length
+    * must match the thresholds EXACTLY: longer would read past the
+    * thresholds (AIOOBE), shorter within the same 64-bit word would pack
+    * the missing dims as silent 0 bits and pass the word-count guard.
+    */
   def packWords(vec: Seq[Float], thresholds: Array[Double]): Array[Long] = {
+    require(vec.length == thresholds.length,
+      s"vector has ${vec.length} dims; thresholds have ${thresholds.length}")
     val words = new Array[Long]((vec.length + 63) / 64)
     vec.zipWithIndex.foreach { case (v, i) =>
       if (v.toDouble > thresholds(i)) words(i / 64) |= 1L << (i % 64)
@@ -127,6 +136,12 @@ object ProductQuantizer {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot fit a product quantizer on an empty corpus")
+    // copyOfRange would silently ZERO-PAD a short vector, training the
+    // tail subspaces toward 0 with no error (and encode would later die
+    // with a bare AIOOBE on the same rows) — fail fast like BinaryQuantizer
+    sample.find(_.length != dim).foreach(v =>
+      throw new IllegalArgumentException(
+        s"sample vector has ${v.length} dims; fit called with dim=$dim"))
     val centroids = (0 until m).map { i =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
       lloyds(subs, k, seed + i, maxIter = 25).map(_.map(_.toFloat))
@@ -244,6 +259,10 @@ object ProductQuantizer {
     * oracles' `list_sum(list(… ORDER BY i))` exactly.
     */
   def adcDistance(codes: Column, queryVec: Seq[Float], model: PQModel): Column = {
+    // slice+zip would silently truncate a short query to partial-dimension
+    // distances — reject like the engine path does
+    require(queryVec.length == model.dim,
+      s"query vector has ${queryVec.length} dims; model has ${model.dim}")
     val table: Array[Array[Double]] = (0 until model.m).map { i =>
       val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
       (0 until model.k).map { j =>

@@ -352,7 +352,7 @@ object PipelineQueries {
       |dims AS (SELECT unnest(range(1, 65)) AS i),
       |cmeans AS (
       |  SELECT bucket, i,
-      |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(*), 9) AS DOUBLE) AS m
+      |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
       |  FROM corpus CROSS JOIN dims GROUP BY bucket, i),
       |cents AS (SELECT bucket, list(m ORDER BY i) AS c FROM cmeans GROUP BY bucket),
       |resid AS (

@@ -146,7 +146,7 @@ object VectorQueries {
       |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
       |  FROM documents JOIN embeddings ON doc_id = vec_id),
       |means AS (
-      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(*), 9) AS DOUBLE) AS m
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
       |  FROM corpus CROSS JOIN dims GROUP BY i),
       |th AS (SELECT list(m ORDER BY i) AS t FROM means),
       |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
