@@ -34,9 +34,19 @@ object GraftExtensions {
       val name = s"vector_distance_${m.name}"
       name -> { (args: Seq[Expression]) =>
         require(args.length == 2, s"$name expects exactly 2 arguments")
-        VectorDistance(args.head, args(1), m)
+        VectorDistance(args.head, args(1), m): Expression
       }
-    }
+    } :+ ("geohash" -> { (args: Seq[Expression]) =>
+      // geohash(latlon_array, precision_int_literal) — the geo story's
+      // SQL face (store the hash as a string property, prefix-filter it)
+      require(args.length == 2, "geohash expects exactly 2 arguments")
+      val precision = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"geohash precision must be an integer literal (got $other)")
+      }
+      graft.functions.GeohashExpr(args.head, precision): Expression
+    })
 
   /** Register all engine functions as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

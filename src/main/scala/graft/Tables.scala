@@ -32,6 +32,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    // SESSION-WIDE side effect, deliberately not restored: the returned
+    // frame is lazy, so the conf must still be set whenever its scans
+    // actually run — there is no per-read knob for nanos handling. The
+    // visible consequence: other TIMESTAMP(NANOS) parquet in the same
+    // session also reads as bigint nanos after the first events() call.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       // pure NTZ arithmetic: casting an instant to NTZ renders it in the

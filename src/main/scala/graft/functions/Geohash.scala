@@ -17,6 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GeohashExpr(child: Expression, precision: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // fail at construction, not per-row inside execution: precision <= 0
+  // would throw NegativeArraySizeException from every task (negative) or
+  // hash every row to "" (zero — a startsWith("") pre-filter then matches
+  // the whole collection)
+  require(precision > 0 && precision <= 12,
+    s"geohash precision must be in 1..12 (got $precision)")
+
   // analyzer-side coercion: a double-array child would otherwise be read
   // with a 4-byte stride (same hazard VectorDistance guards against)
   override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(FloatType))

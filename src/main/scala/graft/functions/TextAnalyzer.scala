@@ -29,15 +29,12 @@ object TextAnalyzer {
     "what", "which", "who", "whom", "this", "that", "these", "those",
     "am", "is", "are", "was", "were", "be", "been", "being",
     "have", "has", "had", "having", "do", "does", "did", "doing",
-    "would", "should", "could", "ought",
-    "i'm", "you're", "he's", "she's", "it's", "we're", "they're",
-    "i've", "you've", "we've", "they've",
-    "i'd", "you'd", "he'd", "she'd", "we'd", "they'd",
-    "i'll", "you'll", "he'll", "she'll", "we'll", "they'll",
-    "isn't", "aren't", "wasn't", "weren't", "hasn't", "haven't", "hadn't",
-    "doesn't", "don't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
-    "can't", "cannot", "couldn't", "mustn't", "let's", "that's", "who's",
-    "what's", "here's", "there's", "when's", "where's", "why's", "how's",
+    "would", "should", "could", "ought", "cannot",
+    // bleve's list also carries contraction forms ("don't", "i'm", …) —
+    // unreachable here BY CONSTRUCTION: the tokenizer splits on
+    // apostrophes, so no token ever contains one (in Spark or in the
+    // DuckDB oracle, which replays the same regex). Keeping them would
+    // only bloat every isin list and generated SQL.
     "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
     "while", "of", "at", "by", "for", "with", "about", "against", "between",
     "into", "through", "during", "before", "after", "above", "below",
@@ -57,15 +54,22 @@ object TextAnalyzer {
       split(lower(c), TokenPattern),
       t => t =!= "" && !t.isin(StopWords: _*))
 
-  /** Driver-side analysis of a query string (same tokenizer + stopwords). */
+  /** Driver-side analysis of a query string (same tokenizer + stopwords).
+    * Locale.ROOT, deliberately: the default-locale `toLowerCase` maps
+    * 'I' → dotless 'ı' under tr-TR, silently missing every indexed term
+    * Spark's locale-independent `lower()` produced.
+    */
   def analyzeString(s: String): Seq[String] =
-    TokenPattern.r.split(s.toLowerCase)
+    TokenPattern.r.split(s.toLowerCase(java.util.Locale.ROOT))
       .filter(t => t.nonEmpty && !stopSet(t))
       .toSeq
 
+  /** The stopword list as a SQL IN-list — ONE source for every generated
+    * oracle (quality metrics, curation) so list and escaping can't drift.
+    */
+  val SqlStopList: String = StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")
+
   /** The same analysis as a DuckDB SQL expression over `expr`, for oracles. */
-  def sqlAnalyze(expr: String): String = {
-    val stops = StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
-    s"list_filter(string_split_regex(lower($expr), '[^\\p{L}\\p{N}]+'), t -> t != '' AND t NOT IN ($stops))"
-  }
+  def sqlAnalyze(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^\\p{L}\\p{N}]+'), t -> t != '' AND t NOT IN ($SqlStopList))"
 }

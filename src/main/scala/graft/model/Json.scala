@@ -55,8 +55,18 @@ object Json {
         double(v \ "value"), str(v \ "operator"), double(v \ "endValue", 0.0))),
       stringArray = opt(j \ "stringArray")(v => StringArrayOpts(
         strSeq(v \ "value"), str(v \ "operator"))),
-      and = (j \ "_and") match { case JArray(xs) => xs.map(query); case _ => Nil },
-      or = (j \ "_or") match { case JArray(xs) => xs.map(query); case _ => Nil })
+      and = subqueries(j \ "_and", "_and"),
+      or = subqueries(j \ "_or", "_or"))
+  }
+
+  // a non-array _and/_or (an object is the easy client mistake) must be a
+  // type error here, not the misleading downstream "must have at least one
+  // subquery" that silently-Nil parsing produced
+  private def subqueries(j: JValue, field: String): Seq[graft.model.Query] = j match {
+    case JArray(xs) => xs.map(query)
+    case JNothing | JNull => Nil
+    case other => throw new IllegalArgumentException(
+      s"expected $field array, got $other")
   }
 
   // ---- primitives ---------------------------------------------------------
@@ -83,6 +93,11 @@ object Json {
       require(n.isValidInt, s"integer out of range: $n"); n.toInt
     case JLong(n) =>
       require(n >= Int.MinValue && n <= Int.MaxValue, s"integer out of range: $n"); n.toInt
+    // msgpack/JS encoders commonly send whole numbers as float64 — long()
+    // accepts them, so int() must too or the same wire value is accepted
+    // in one field and rejected in the next
+    case JDouble(d) if d.isWhole =>
+      require(d >= Int.MinValue && d <= Int.MaxValue, s"integer out of range: $d"); d.toInt
     case JNothing | JNull => default
     case other => throw new IllegalArgumentException(s"expected int, got $other")
   }
@@ -115,6 +130,9 @@ object Json {
       case JDecimal(d) => d.toFloat
       case other => throw new IllegalArgumentException(s"expected number in vector, got $other")
     }
-    case _ => Nil
+    case JNothing | JNull => Nil
+    // a scalar/string "vector" must be a type error, not a silent Nil
+    // that surfaces as the misleading "vector length must be ≥ 1, got 0"
+    case other => throw new IllegalArgumentException(s"expected number array, got $other")
   }
 }

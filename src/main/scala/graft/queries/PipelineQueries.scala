@@ -43,7 +43,7 @@ object PipelineQueries {
        |  FROM documents),
        |m AS (
        |  SELECT id, n_chars, len(raw) AS n_tokens,
-       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")}))) AS DOUBLE) / len(raw) AS stopword_ratio,
+       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.SqlStopList}))) AS DOUBLE) / len(raw) AS stopword_ratio,
        |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
        |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
        |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score
@@ -148,7 +148,7 @@ object PipelineQueries {
        |  FROM documents),
        |qm AS (
        |  SELECT id,
-       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")}))) AS DOUBLE) / len(raw) AS stopword_ratio,
+       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.SqlStopList}))) AS DOUBLE) / len(raw) AS stopword_ratio,
        |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
        |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
        |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score

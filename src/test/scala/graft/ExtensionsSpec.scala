@@ -17,6 +17,21 @@ class ExtensionsSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("d") + 1.0) < 1e-5)
   }
 
+  test("geohash callable from plain SQL (the geo story's SQL face)") {
+    GraftExtensions.register(spark)
+    val g = spark.sql(
+      "SELECT geohash(array(CAST(57.64911 AS FLOAT), CAST(10.40744 AS FLOAT)), 9) AS g")
+      .head().getAs[String]("g")
+    // well-known vector, truncated to the 9 chars float32 input resolves
+    assert(g == "u4pruydqq")
+    // non-literal precision is a clear construction error, not task garbage
+    val e = intercept[Exception] {
+      spark.sql("SELECT geohash(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), vec_id) FROM emb_ext")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("geohash"))
+  }
+
   test("SQL double-array literals coerce to float arrays (no stride misread)") {
     GraftExtensions.register(spark)
     // array(3.0, 4.0) is array<double>; ImplicitCastInputTypes must insert
