@@ -16,6 +16,14 @@ import org.json4s._
   */
 object MsgPack {
 
+  /** Nesting cap: jackson bounds the JSON path at ~1000 levels; without a
+    * matching cap a hostile body of repeated fixarray-of-1 headers passes
+    * every length check (each level claims 1 element with ≥1 byte left)
+    * and recurses once per byte — a StackOverflowError that ESCAPES the
+    * codec's IllegalArgumentException contract.
+    */
+  private val MaxDepth = 128
+
   def decode(bytes: Array[Byte]): JValue = {
     val buf = ByteBuffer.wrap(bytes)
     // payload lengths are bounds-checked up front (checkedLen), but a
@@ -23,7 +31,7 @@ object MsgPack {
     // underflows — translate it so every malformed payload fails with
     // this codec's IllegalArgumentException contract
     val v =
-      try read(buf)
+      try read(buf, 0)
       catch { case _: java.nio.BufferUnderflowException =>
         throw new IllegalArgumentException("truncated msgpack payload")
       }
@@ -31,13 +39,14 @@ object MsgPack {
     v
   }
 
-  private def read(b: ByteBuffer): JValue = {
+  private def read(b: ByteBuffer, depth: Int): JValue = {
+    require(depth <= MaxDepth, s"msgpack nesting exceeds $MaxDepth levels")
     val tag = b.get() & 0xff
     tag match {
       case t if t <= 0x7f => JLong(t.toLong)                       // positive fixint
       case t if t >= 0xe0 => JLong((t - 256).toLong)               // negative fixint
-      case t if (t & 0xf0) == 0x80 => readMap(b, checkedLen(b, t & 0x0f))   // fixmap
-      case t if (t & 0xf0) == 0x90 => readArray(b, checkedLen(b, t & 0x0f)) // fixarray
+      case t if (t & 0xf0) == 0x80 => readMap(b, checkedLen(b, t & 0x0f), depth)   // fixmap
+      case t if (t & 0xf0) == 0x90 => readArray(b, checkedLen(b, t & 0x0f), depth) // fixarray
       case t if (t & 0xe0) == 0xa0 => JString(readStr(b, checkedLen(b, t & 0x1f))) // fixstr
       case 0xc0 => JNull
       case 0xc2 => JBool(false)
@@ -61,10 +70,10 @@ object MsgPack {
       case 0xd9 => JString(readStr(b, checkedLen(b, b.get() & 0xff)))
       case 0xda => JString(readStr(b, checkedLen(b, b.getShort() & 0xffff)))
       case 0xdb => JString(readStr(b, checkedLen(b, b.getInt())))
-      case 0xdc => readArray(b, checkedLen(b, b.getShort() & 0xffff))
-      case 0xdd => readArray(b, checkedLen(b, b.getInt()))
-      case 0xde => readMap(b, checkedLen(b, b.getShort() & 0xffff))
-      case 0xdf => readMap(b, checkedLen(b, b.getInt()))
+      case 0xdc => readArray(b, checkedLen(b, b.getShort() & 0xffff), depth)
+      case 0xdd => readArray(b, checkedLen(b, b.getInt()), depth)
+      case 0xde => readMap(b, checkedLen(b, b.getShort() & 0xffff), depth)
+      case 0xdf => readMap(b, checkedLen(b, b.getInt()), depth)
       case other => throw new IllegalArgumentException(
         f"unsupported msgpack tag 0x$other%02x (ext types not accepted)")
     }
@@ -87,8 +96,20 @@ object MsgPack {
     n
   }
 
+  /** REJECT invalid UTF-8 instead of the replacement-character default:
+    * the JSON wire errors on malformed input via jackson, and the two
+    * formats must share one accept/reject behavior — U+FFFD would flow
+    * corrupted bytes into property names and stored values silently.
+    */
   private def readStr(b: ByteBuffer, n: Int): String = {
-    val a = new Array[Byte](n); b.get(a); new String(a, StandardCharsets.UTF_8)
+    val a = new Array[Byte](n); b.get(a)
+    try StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      .decode(ByteBuffer.wrap(a)).toString
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      throw new IllegalArgumentException("invalid UTF-8 in msgpack string")
+    }
   }
 
   /** Binary payloads surface as base64 strings (JSON-side parity). */
@@ -97,13 +118,13 @@ object MsgPack {
     JString(java.util.Base64.getEncoder.encodeToString(a))
   }
 
-  private def readArray(b: ByteBuffer, n: Int): JValue =
-    JArray(List.fill(n)(read(b)))
+  private def readArray(b: ByteBuffer, n: Int, depth: Int): JValue =
+    JArray(List.fill(n)(read(b, depth + 1)))
 
-  private def readMap(b: ByteBuffer, n: Int): JValue =
+  private def readMap(b: ByteBuffer, n: Int, depth: Int): JValue =
     JObject(List.fill(n) {
-      read(b) match {
-        case JString(k) => k -> read(b)
+      read(b, depth + 1) match {
+        case JString(k) => k -> read(b, depth + 1)
         case other => throw new IllegalArgumentException(s"non-string map key: $other")
       }
     })
@@ -117,7 +138,11 @@ object MsgPack {
   private def write(o: ByteArrayOutputStream, v: JValue): Unit = v match {
     case JNull | JNothing => o.write(0xc0)
     case JBool(x) => o.write(if (x) 0xc3 else 0xc2)
-    case JInt(x) => writeLong(o, x.toLong)
+    case JInt(x) =>
+      // BigInt.toLong keeps the low 64 bits — 2^63 would silently encode
+      // as Long.MinValue (the decoder rejects out-of-range uint64 too)
+      require(x.isValidLong, s"integer out of msgpack long range: $x")
+      writeLong(o, x.toLong)
     case JLong(x) => writeLong(o, x)
     case JDouble(x) => o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(x).array())
     case JDecimal(x) => o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(x.toDouble).array())

@@ -77,13 +77,25 @@ object IndexSchema {
 
   /** Validation bounds from the reference (models/index.go:249–340). */
   val MaxVectorSize = 4096
+
+  /** Property names the query language owns: a schema declaring them
+    * would create an index the combinator/id dispatch intercepts before
+    * any schema lookup — declared but permanently unqueryable.
+    */
+  val ReservedProps: Set[String] = Set("_and", "_or", "_id")
+
   def validate(schema: IndexSchema): Either[String, Unit] = {
     schema.props.collectFirst {
+      case (p, _) if p.isEmpty || ReservedProps(p) =>
+        s"property name '$p' is reserved or empty"
       case (p, IndexKind.VectorFlat(n, m, q)) if badVec(n, m) || badQuant(n, q) =>
         s"property $p: invalid vector size $n / quantizer for metric ${m.name}"
       case (p, IndexKind.VectorVamana(n, m, ss, db, a, q))
           if badVec(n, m) || badQuant(n, q) ||
-            ss < 25 || ss > 75 || db < 32 || db > 64 || a < 1.1 || a > 1.5 =>
+            // bound checks written CLOSED so NaN fails them: `a < 1.1 ||
+            // a > 1.5` is false for NaN and would fail open into the
+            // graph pruner, where every alpha comparison silently misfires
+            ss < 25 || ss > 75 || db < 32 || db > 64 || !(a >= 1.1 && a <= 1.5) =>
         s"property $p: invalid vamana parameters"
       case (p, IndexKind.Text(a)) if a != "standard" =>
         s"property $p: unknown analyser $a"

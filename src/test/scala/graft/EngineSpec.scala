@@ -205,4 +205,16 @@ class EngineSpec extends SparkSuite {
     bad(SearchRequest(Query("missing", integer = Some(IntegerOpts(1, Op.Equals))), limit = 10))
     bad(SearchRequest(Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(1f, 2f, 3f), Op.Near, 10))), limit = 10))
   }
+
+  test("schema validation: reserved property names and NaN bounds fail closed") {
+    import graft.model.{IndexKind, IndexSchema}
+    assert(IndexSchema.validate(IndexSchema("_and" -> IndexKind.Integer)).isLeft)
+    assert(IndexSchema.validate(IndexSchema("_id" -> IndexKind.Str())).isLeft)
+    assert(IndexSchema.validate(IndexSchema("" -> IndexKind.Integer)).isLeft)
+    // NaN alpha must not pass the open-form range check into the pruner
+    assert(IndexSchema.validate(IndexSchema("v" ->
+      IndexKind.VectorVamana(4, IndexKind.Metric.Euclidean, alpha = Double.NaN))).isLeft)
+    assert(IndexSchema.validate(IndexSchema("v" ->
+      IndexKind.VectorVamana(4, IndexKind.Metric.Euclidean))).isRight)
+  }
 }

@@ -71,6 +71,23 @@ class MsgPackSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("hostile payloads fail with the codec's error: depth bomb, bad UTF-8, overflow") {
+    // 60k nested fixarray-of-1 headers pass every length check (1 element,
+    // ≥1 byte remains each level) — must hit the depth cap, not the stack
+    val bomb = Array.fill[Byte](60000)(0x91.toByte) :+ 0xc0.toByte
+    val e1 = intercept[IllegalArgumentException](MsgPack.decode(bomb))
+    assert(e1.getMessage.contains("nesting"))
+    // invalid UTF-8 in a fixstr: reject like the JSON wire does, never
+    // U+FFFD-substitute into property names
+    val bad = Array(0xa2, 0xff, 0xfe).map(_.toByte)
+    val e2 = intercept[IllegalArgumentException](MsgPack.decode(bad))
+    assert(e2.getMessage.contains("UTF-8"))
+    // 2^63 as JInt: encode must reject, not wrap to Long.MinValue
+    val e3 = intercept[IllegalArgumentException](
+      MsgPack.encode(JObject(List("x" -> JInt(BigInt("9223372036854775808"))))))
+    assert(e3.getMessage.contains("range"))
+  }
+
   test("vectors of doubles survive the float64 path") {
     val ast = JObject(List("vector" -> JArray(List(JDouble(0.25), JDouble(-1.5)))))
     val back = MsgPack.decode(MsgPack.encode(ast))
