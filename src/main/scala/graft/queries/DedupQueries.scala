@@ -192,15 +192,15 @@ object DedupQueries {
     "dedup_emb_cosine",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
       |  CAST(round(CAST(
-      |    list_inner_product(a.embedding, b.embedding) /
-      |      (sqrt(list_inner_product(a.embedding, a.embedding))
-      |       * sqrt(list_inner_product(b.embedding, b.embedding)))
+      |    list_sum(list_transform(range(1, 65), t -> CAST(a.embedding[t] AS DOUBLE) * CAST(b.embedding[t] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), t -> CAST(a.embedding[t] AS DOUBLE) * CAST(a.embedding[t] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, 65), t -> CAST(b.embedding[t] AS DOUBLE) * CAST(b.embedding[t] AS DOUBLE)))))
       |    AS DECIMAL(28,6)), 4) AS DOUBLE) AS sim_r
       |FROM embeddings a JOIN embeddings b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_inner_product(a.embedding, b.embedding) /
-      |      (sqrt(list_inner_product(a.embedding, a.embedding))
-      |       * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.3
+      |WHERE list_sum(list_transform(range(1, 65), t -> CAST(a.embedding[t] AS DOUBLE) * CAST(b.embedding[t] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), t -> CAST(a.embedding[t] AS DOUBLE) * CAST(a.embedding[t] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(range(1, 65), t -> CAST(b.embedding[t] AS DOUBLE) * CAST(b.embedding[t] AS DOUBLE))))) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.embeddingCosinePairs(Tables.embeddings(s, d),
         col("vec_id"), col("embedding"), col("label"), threshold = 0.3)

@@ -49,7 +49,7 @@ object HybridQueries {
     "q2_hybrid_and",
     s"""${prelude(Seq("spark", "filter", "merge"))},
        |vrank AS (
-       |  SELECT _id, 1.0 - list_inner_product(embedding, q.v) AS dist
+       |  SELECT _id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS dist
        |  FROM coll CROSS JOIN q ORDER BY dist ASC, _id ASC LIMIT 75),
        |vh AS (
        |  SELECT _id, CAST(dist AS REAL) AS dist32,
@@ -89,7 +89,7 @@ object HybridQueries {
     "q3_hybrid_or",
     s"""${prelude(Seq("spark", "filter", "merge"))},
        |vrank AS (
-       |  SELECT _id, 1.0 - list_inner_product(embedding, q.v) AS dist
+       |  SELECT _id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS dist
        |  FROM coll CROSS JOIN q ORDER BY dist ASC, _id ASC LIMIT 20),
        |vh AS (
        |  SELECT _id, CAST(dist AS REAL) AS dist32,

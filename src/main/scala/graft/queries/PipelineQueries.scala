@@ -232,9 +232,9 @@ object PipelineQueries {
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
       |d AS (
       |  SELECT q.query_id, e.vec_id AS corpus_id,
-      |         1.0 - list_inner_product(e.embedding, q.qv) AS dist,
+      |         1.0 - list_sum(list_transform(range(1, 65), t -> CAST(e.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS dist,
       |         row_number() OVER (PARTITION BY q.query_id
-      |                            ORDER BY 1.0 - list_inner_product(e.embedding, q.qv), e.vec_id) AS rank
+      |                            ORDER BY 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(e.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))), e.vec_id) AS rank
       |  FROM embeddings e CROSS JOIN q)
       |SELECT query_id, corpus_id, rank,
       |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
@@ -270,11 +270,11 @@ object PipelineQueries {
       |     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
       |  FROM embeddings)
       |SELECT b.id, b.bucket,
-      |  CAST(round(CAST(1.0 - list_inner_product(b.embedding, q.qv) AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |  CAST(round(CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(b.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
       |FROM bucketed b CROSS JOIN q
       |WHERE b.bucket = q.qb OR b.bucket IN
       |  (xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8), xor(q.qb, 16), xor(q.qb, 32))
-      |ORDER BY 1.0 - list_inner_product(b.embedding, q.qv) ASC, b.id ASC
+      |ORDER BY 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(b.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) ASC, b.id ASC
       |LIMIT 5""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val qv = TestCollections.queryVector(s, d, 7)
@@ -395,7 +395,7 @@ object PipelineQueries {
       |  GROUP BY co.id),
       |cand AS (SELECT id FROM scores ORDER BY approx ASC, id ASC LIMIT 50),
       |rr AS (
-      |  SELECT co.id, co.bucket, 1.0 - list_inner_product(co.embedding, q.qv) AS dist
+      |  SELECT co.id, co.bucket, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS dist
       |  FROM cand JOIN corpus co USING (id) CROSS JOIN q),
       |top AS (SELECT id, bucket, dist FROM rr ORDER BY dist ASC, id ASC LIMIT 10)
       |SELECT id, bucket,

@@ -56,7 +56,7 @@ object QuantizerQueries {
       |  FROM embeddings e CROSS JOIN q CROSS JOIN th),
       |cand AS (SELECT id, embedding FROM hd ORDER BY hdist ASC, id ASC LIMIT 50),
       |rr AS (
-      |  SELECT c.id, 1.0 - list_inner_product(c.embedding, q.v) AS dist
+      |  SELECT c.id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS dist
       |  FROM cand c CROSS JOIN q),
       |top AS (SELECT id, dist FROM rr ORDER BY dist ASC, id ASC LIMIT 10)
       |SELECT id, CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
@@ -118,7 +118,10 @@ object QuantizerQueries {
       |         * (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
       |  FROM cb CROSS JOIN q),
       |scores AS (
-      |  SELECT c.vec_id AS id, sum(t.d2) AS approx
+      |  -- subspace-ASCENDING summation, matching the engine UDF's fold
+      |  -- order exactly (a plain aggregate sum's order is unspecified,
+      |  -- and double addition is not associative)
+      |  SELECT c.vec_id AS id, list_sum(list(t.d2 ORDER BY t.i)) AS approx
       |  FROM codes c JOIN qtab t ON c.i = t.i AND c.code = t.j
       |  GROUP BY c.vec_id),
       |top AS (SELECT id, approx FROM scores ORDER BY approx, id LIMIT 10)
@@ -141,8 +144,7 @@ object QuantizerQueries {
   /** Rows-only: the batch-built Vamana graph artifact (deterministic edge
     * lists; recall/connectivity invariants live in VamanaSpec). Uses a
     * small parameterization so the per-round bench stays bounded.
-    */
-  /** Neighbor lists are emitted as a CSV string, not array&lt;long&gt; —
+    * Neighbor lists are emitted as a CSV string, not array&lt;long&gt; —
     * the driver's pandas harness sorts result columns and cannot hash
     * numpy arrays (round-1 `unhashable type` failure).
     */

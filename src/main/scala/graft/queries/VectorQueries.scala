@@ -45,7 +45,7 @@ object VectorQueries {
 
   val s2NearCosine = nearQuery(
     "s2_near_flat_cosine",
-    sqlNear("1.0 - list_inner_product(embedding, q.v)", 10))(
+    sqlNear("1.0 - list_sum(list_transform(range(1, 65), t -> CAST(embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE)))", 10))(
     (s, d) => SearchRequest(
       Query("embedding", vectorFlat = Some(VectorFlatOpts(
         TestCollections.queryVector(s, d, 0), Op.Near, 10))),
@@ -72,7 +72,7 @@ object VectorQueries {
 
   val s2NearDot = nearQuery(
     "s2_near_dot",
-    sqlNear("-list_inner_product(embedding, q.v)", 10))(
+    sqlNear("-list_sum(list_transform(range(1, 65), t -> CAST(embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE)))", 10))(
     (s, d) => SearchRequest(
       Query("emb_dot", vectorFlat = Some(VectorFlatOpts(
         TestCollections.queryVector(s, d, 0), Op.Near, 10))),
@@ -158,7 +158,7 @@ object VectorQueries {
       |  FROM corpus c CROSS JOIN q CROSS JOIN th),
       |cand AS (SELECT _id, embedding FROM hd ORDER BY hdist ASC, _id ASC LIMIT 50),
       |rr AS (
-      |  SELECT c._id, 1.0 - list_inner_product(c.embedding, q.v) AS dist
+      |  SELECT c._id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS dist
       |  FROM cand c CROSS JOIN q),
       |top AS (SELECT _id, dist FROM rr ORDER BY dist ASC, _id ASC LIMIT 10)
       |SELECT _id,
@@ -223,7 +223,7 @@ object VectorQueries {
       |  GROUP BY c._id),
       |cand AS (SELECT _id FROM scores ORDER BY approx ASC, _id ASC LIMIT 50),
       |rr AS (
-      |  SELECT co._id, 1.0 - list_inner_product(co.embedding, q.qv) AS dist
+      |  SELECT co._id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS dist
       |  FROM cand JOIN corpus co USING (_id) CROSS JOIN q),
       |top AS (SELECT _id, dist FROM rr ORDER BY dist ASC, _id ASC LIMIT 10)
       |SELECT _id,

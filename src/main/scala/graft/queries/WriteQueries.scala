@@ -15,6 +15,24 @@ import graft.store.CollectionStore
   */
 object WriteQueries {
 
+  /** Materialize the result OFF the scratch store (eager checkpoint) and
+    * delete its temp directory: the lazily-read frame would otherwise pin
+    * the on-disk collection — and its store's cached frames — for the
+    * session's lifetime, once per invocation.
+    */
+  private def detach(df: org.apache.spark.sql.DataFrame, dir: String): org.apache.spark.sql.DataFrame = {
+    val out = df.localCheckpoint()
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      val paths = try s.iterator().asScala.toSeq finally s.close()
+      paths.reverse.foreach(f =>
+        try Files.deleteIfExists(f) catch { case _: Exception => () })
+    }
+    out
+  }
+
   val w1WritePath = NamedQuery(
     "w1_write_path",
     """SELECT CAST(p_partkey AS VARCHAR) AS _id,
@@ -58,7 +76,7 @@ object WriteQueries {
       .select("_id").as[String].collect().toSeq
     doomed.grouped(CollectionStore.MaxDeleteBatch).foreach(b => store.delete("parts", b))
 
-    store.load("parts").df.orderBy("_id")
+    detach(store.load("parts").df.orderBy("_id"), dir)
   }
 
   /** W4 end-to-end through the façade: collection DDL onto disk, then a
@@ -86,13 +104,13 @@ object WriteQueries {
       "p_name" -> IndexKind.Str(),
       "p_size" -> IndexKind.Integer,
       "p_retailprice" -> IndexKind.Float), part)
-    db.search("parts",
+    detach(db.search("parts",
       """{"query": {"property": "_and", "_and": [
         |  {"property": "p_size", "integer": {"value": 10, "operator": "lessThanOrEquals"}},
         |  {"property": "p_name", "string": {"value": "red", "operator": "startsWith"}}]},
         | "select": ["p_name", "p_size"],
         | "sort": [{"property": "p_size", "descending": true}],
-        | "offset": 3, "limit": 12}""".stripMargin)
+        | "offset": 3, "limit": 12}""".stripMargin), dir)
   }
 
   val all: Seq[NamedQuery] = Seq(w1WritePath, w4FacadeSearch)

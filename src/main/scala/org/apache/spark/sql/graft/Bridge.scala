@@ -22,9 +22,18 @@ object Bridge {
   /** Release the storage behind a DataFrame whether it was `persist()`ed
     * (CacheManager) or `localCheckpoint()`ed — checkpoint blocks live in
     * the RDD layer, where `Dataset.unpersist` is a silent no-op.
+    *
+    * ROOT-ONLY on purpose: only the frame's own checkpoint (the analyzed
+    * plan IS the LogicalRDD) is unpersisted. Walking the whole plan would
+    * also destroy NESTED checkpoint frames the caller does not own — a
+    * postings view built over a store's merged view carries the store's
+    * live delta checkpoints in its lineage, and releasing those wedges
+    * every subsequent read of the collection until compaction. Owned
+    * nested blocks are always released by their own handles (e.g.
+    * TextIndex.blocks holds each add-batch frame individually).
     */
   def release(df: org.apache.spark.sql.Dataset[_]): Unit = {
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
