@@ -1,0 +1,146 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.IndexKind.Metric
+
+/** The property layer SURVEY §5 promises (the reference has none): laws
+  * over the pure kernels that unit fixtures can't sweep — bounded top-k
+  * algebra, prune invariants, codec round-trips, metric axioms, hash
+  * formulation parity. Driver-side only (no Spark jobs per case), so
+  * hundreds of cases cost milliseconds.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, cases: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- TopKAgg: reduce/merge in any order == global sorted take(k) -------
+
+  test("TopKAgg equals sorted.take(k) under arbitrary reduce/merge splits") {
+    val entries = Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L)))
+    val ks = Gen.chooseNum(1, 12)
+    check(Prop.forAll(entries, ks, Gen.chooseNum(0, 10)) { (xs, k, splitSeed) =>
+      val agg = new operators.Similarity.TopKAgg(k)
+      // split the input into chunks, reduce each, merge pairwise — the
+      // distributed execution shape (map-side partials + exchange merge)
+      val chunks =
+        if (xs.isEmpty) Seq(Seq.empty)
+        else xs.grouped(math.max(1, splitSeed + 1)).toSeq
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)((b, e) => agg.reduce(b, e)))
+      val merged = bufs.reduce(agg.merge)
+      val out = agg.finish(merged)
+      val expect = xs.sortBy(e => (e._1, e._2)).take(k)
+      out.ids.take(out.n).toSeq == expect.map(_._2) &&
+        out.ds.take(out.n).toSeq == expect.map(_._1)
+    })
+  }
+
+  // ---- robustPrune invariants -------------------------------------------
+
+  test("robustPrune: bounded degree, subset of candidates, closest kept") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0).map(_.toFloat)).map(_.toArray)
+    val candGen = Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0L, 500L), vecGen))
+    check(Prop.forAll(candGen, Gen.chooseNum(1, 8)) { (cands0, db) =>
+      // ids must be unique (the operator's candidate lists are deduped)
+      val cands = cands0.groupBy(_._2).map(_._2.head).toSeq
+      val kept = operators.VamanaBuild.robustPrune(cands, alpha = 1.2, db, Metric.Euclidean)
+      val candIds = cands.map(_._2).toSet
+      kept.length <= db &&
+        kept.forall(candIds.contains) &&
+        kept.distinct.length == kept.length &&
+        (cands.isEmpty || kept.headOption.contains(
+          cands.minBy(c => (c._1, c._2))._2)) // closest candidate always survives
+    })
+  }
+
+  // ---- msgpack round-trip -----------------------------------------------
+
+  private val jLeaf: Gen[org.json4s.JValue] = {
+    import org.json4s._
+    Gen.oneOf(
+      Gen.const(JNull),
+      Gen.oneOf(true, false).map(JBool(_)),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JLong(_)),
+      Gen.chooseNum(-1e12, 1e12).map(JDouble(_)),
+      Gen.asciiPrintableStr.map(JString(_)))
+  }
+  private def jTree(depth: Int): Gen[org.json4s.JValue] = {
+    import org.json4s._
+    if (depth <= 0) jLeaf
+    else Gen.oneOf(
+      jLeaf,
+      Gen.listOfN(3, jTree(depth - 1)).map(JArray(_)),
+      Gen.listOfN(3, Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), jTree(depth - 1)))
+        .map(kvs => JObject(kvs.map { case (k, v) => k -> v }.toMap.toList)))
+  }
+
+  test("msgpack encode/decode round-trips every request-shaped JSON tree") {
+    import org.json4s._
+    // decode normalizes ints to JLong; apply the same to the input
+    def norm(v: JValue): JValue = v match {
+      case JInt(x) => JLong(x.toLong)
+      case JArray(xs) => JArray(xs.map(norm))
+      case JObject(fs) => JObject(fs.map { case (k, x) => k -> norm(x) })
+      case other => other
+    }
+    check(Prop.forAll(jTree(3)) { v =>
+      model.MsgPack.decode(model.MsgPack.encode(v)) == norm(v)
+    }, cases = 300)
+  }
+
+  // ---- metric axioms over the shared scalar kernel -----------------------
+
+  private val pairGen = for {
+    n <- Gen.chooseNum(1, 16)
+    a <- Gen.listOfN(n, Gen.chooseNum(-5.0, 5.0).map(_.toFloat))
+    b <- Gen.listOfN(n, Gen.chooseNum(-5.0, 5.0).map(_.toFloat))
+  } yield (a.toArray, b.toArray)
+
+  test("scalar distance axioms: symmetry, self-zero, bounded jaccard") {
+    import graft.functions.VectorDistance.scalarDistance
+    check(Prop.forAll(pairGen) { case (a, b) =>
+      val symmetric = Seq(Metric.Euclidean, Metric.Dot, Metric.Cosine,
+        Metric.Hamming, Metric.Jaccard).forall(m =>
+        scalarDistance(m, a, b) == scalarDistance(m, b, a))
+      val selfZero = scalarDistance(Metric.Euclidean, a, a) == 0.0 &&
+        scalarDistance(Metric.Hamming, a, a) == 0.0 &&
+        scalarDistance(Metric.Jaccard, a, a) <= 0.0 + 1e-12
+      val jac = scalarDistance(Metric.Jaccard, a, b)
+      symmetric && selfZero && jac >= 0.0 && jac <= 1.0 &&
+        scalarDistance(Metric.Euclidean, a, b) >= 0.0 &&
+        scalarDistance(Metric.Hamming, a, b) >= 0.0
+    })
+  }
+
+  // ---- geohash prefix monotonicity ---------------------------------------
+
+  test("geohash: lower precision is always a prefix of higher precision") {
+    val coords = Gen.zip(Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0))
+    check(Prop.forAll(coords, Gen.chooseNum(1, 11)) { case ((lat, lon), p) =>
+      val long = functions.Geohash.encode(lat, lon, p + 1)
+      functions.Geohash.encode(lat, lon, p) == long.take(p)
+    })
+  }
+
+  // ---- packWords/packed-hamming vs elementwise definition ----------------
+
+  test("packed hamming equals the elementwise sign-bit definition") {
+    val dims = Gen.chooseNum(1, 130) // crosses the 64-bit word boundary twice
+    val gen = for {
+      n <- dims
+      v <- Gen.listOfN(n, Gen.chooseNum(-2.0, 2.0).map(_.toFloat))
+      w <- Gen.listOfN(n, Gen.chooseNum(-2.0, 2.0).map(_.toFloat))
+      th <- Gen.listOfN(n, Gen.chooseNum(-1.0, 1.0))
+    } yield (v.toArray, w.toArray, th.toArray)
+    check(Prop.forAll(gen) { case (v, w, th) =>
+      val a = operators.BinaryQuantizer.packWords(v, th)
+      val b = operators.BinaryQuantizer.packWords(w, th)
+      val packed = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      val elementwise = v.indices.count(i => (v(i) > th(i)) != (w(i) > th(i)))
+      packed == elementwise
+    })
+  }
+}
