@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // runAsStream (q7_stream_window) hard-requires UTC; without this the
+      // bench would -1 that query on any host whose JVM default isn't UTC
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

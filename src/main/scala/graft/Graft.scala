@@ -42,14 +42,19 @@ final class Graft(spark: SparkSession, root: String,
     * collection that no longer exists. The dropped name's retired blocks
     * and write lock are reclaimed here — nothing of the name outlives it.
     */
-  def dropCollection(name: String): Unit = {
+  def dropCollection(name: String): Unit =
     withWriteLock(name) {
       store.drop(name)
       evict(name)
       reapRetired(name)
+      // Removed while STILL HOLDING the lock: a writer queued on this lock
+      // object wakes, fails withWriteLock's identity re-check, and retries
+      // against the fresh entry — so two writers can never hold different
+      // lock objects for the same live name (which would let reapRetired
+      // release checkpointed blocks a generation early under an in-flight
+      // search).
+      writeLocks.remove(name)
     }
-    writeLocks.remove(name)
-  }
 
   def collection(name: String): Collection = {
     // NOT computeIfAbsent: store.load flushes the WAL (file I/O + Spark
@@ -117,10 +122,21 @@ final class Graft(spark: SparkSession, root: String,
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
   private def withWriteLock[A](name: String)(f: => A): A = {
-    val lock = writeLocks.computeIfAbsent(name,
-      _ => new java.util.concurrent.locks.ReentrantLock())
-    lock.lock()
-    try f finally lock.unlock()
+    var result: Option[A] = None
+    while (result.isEmpty) {
+      val lock = writeLocks.computeIfAbsent(name,
+        _ => new java.util.concurrent.locks.ReentrantLock())
+      lock.lock()
+      try {
+        // A drop may have removed this entry while we waited; if the map
+        // no longer holds OUR object the lock is dead — release and retry
+        // on the current entry, so all live writers for a name serialize
+        // on one object (two objects would race reapRetired's deferred
+        // block release under an in-flight search).
+        if (writeLocks.get(name) eq lock) result = Some(f)
+      } finally lock.unlock()
+    }
+    result.get
   }
 
   // Blocks superseded by a write but possibly still under a concurrent

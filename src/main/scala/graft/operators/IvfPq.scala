@@ -86,8 +86,14 @@ object IvfPq {
       corpus: DataFrame, vec: Column, k: Int,
       seed: Long = 42L, sampleLimit: Int = 100000): Coarse = {
     val cents = Similarity.kmeansCentroids(corpus, vec, k, seed, sampleLimit)
-    Coarse("kmeans", k, cents.zipWithIndex.map { case (c, j) =>
-      j -> c.map(_.toDouble)
+    // Lloyd's over a sample can leave cells no corpus row maps to; keep
+    // only POPULATED cells (Coarse's documented contract) so probes()
+    // never spends its nprobe budget ranking empty directories. Bounded
+    // collect: ≤ k distinct bucket ids.
+    val populated = Similarity.kmeansBuckets(corpus, vec, cents)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    Coarse("kmeans", k, cents.zipWithIndex.collect {
+      case (c, j) if populated(j) => j -> c.map(_.toDouble)
     }.toMap)
   }
 
@@ -95,8 +101,15 @@ object IvfPq {
     coarse.kind match {
       case "sign" => Similarity.signBuckets(corpus.filter(vec.isNotNull), vec, coarse.param)
       case "kmeans" =>
-        val cents = (0 until coarse.param).map(j => coarse.centroids(j).map(_.toFloat)).toArray
+        // only populated cells survive kmeansCoarse; assign against them in
+        // key order and remap the array index back to the ORIGINAL cell id,
+        // so bucket values stay stable across the artifact, probes() and
+        // the model file
+        val keys = coarse.centroids.keys.toArray.sorted
+        val cents = keys.map(b => coarse.centroids(b).map(_.toFloat))
         Similarity.kmeansBuckets(corpus, vec, cents)
+          .withColumn("bucket",
+            element_at(typedLit(keys.toSeq), col("bucket") + 1))
       case other => throw new IllegalArgumentException(s"unknown coarse kind '$other'")
     }
 
@@ -258,8 +271,18 @@ object IvfPq {
       }
     }
     if (cents.isEmpty) bad("no coarse centroids")
-    for (i <- 0 until m; j <- 0 until k)
+    // shape validation HERE, not at first query: a truncated 'C' or 'P'
+    // line must fail the load contract, not surface later as a confusing
+    // dimension mismatch inside probes/queryTables
+    if (m <= 0 || dim % m != 0) bad(s"dim=$dim not divisible by m=$m")
+    cents.foreach { case (b, c) =>
+      if (c.length != dim) bad(s"centroid $b has ${c.length} values; dim=$dim")
+    }
+    for (i <- 0 until m; j <- 0 until k) {
       if (codebook(i)(j) == null) bad(s"missing codebook entry ($i,$j)")
+      if (codebook(i)(j).length != dim / m)
+        bad(s"codebook entry ($i,$j) has ${codebook(i)(j).length} values; subDim=${dim / m}")
+    }
     (Coarse(kind, param, cents.toMap), PQModel(m, k, dim, codebook))
   }
 
@@ -301,14 +324,22 @@ object IvfPq {
     * Callers must restrict the scan to `tables.keySet` first — only
     * probed cells have tables.
     */
-  def adcUdf(tables: Map[Int, Array[Array[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def adcUdf(tables: Map[Int, Array[Array[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(tables.nonEmpty, "ADC scoring with no probed-cell tables")
+    val m = tables.head._2.length
     udf { (b: Int, cs: Seq[Int]) =>
+      // a truncated codes row would otherwise score a PARTIAL (smaller)
+      // sum and falsely win the rescore set; a longer one would throw a
+      // bare AIOOBE from the task — fail fast like the packed/PQ kernels
+      require(cs.length == m,
+        s"codes row has ${cs.length} codes; codebook has m=$m")
       val t = tables(b)
       var acc = 0.0
       var i = 0
       while (i < cs.length) { acc += t(i)(cs(i)); i += 1 }
       acc
     }
+  }
 
   /** Serve straight from a self-contained artifact directory (model
     * loaded via [[loadModel]] — no in-memory fit state needed).

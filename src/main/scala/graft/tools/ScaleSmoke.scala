@@ -36,6 +36,7 @@ object ScaleSmoke {
     val s = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("scale-smoke").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
