@@ -126,15 +126,21 @@ object Dedup {
       .withColumn("_cnt", size(col("_sh")))
       .localCheckpoint()
     val posts = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
-    // global document frequency per shingle as a count-over-window on the
-    // postings themselves — one shuffle by _s instead of a groupBy shuffle
-    // plus a postings⨝df-table join
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("_s")
-    val withDf0 = posts.withColumn("_df", count(lit(1)).over(dfW))
-    val withDf = maxShingleDf match {
-      case None => withDf0
-      case Some(cap) => withDf0.filter(col("_df") <= cap)
+    // global document frequency per shingle as groupBy + join-back, NOT a
+    // count-over-window: WindowExec has no map-side partial aggregation, so
+    // a stop-shingle appearing in 30% of a 100 TB corpus would funnel every
+    // one of its postings into ONE task — a wall, not a slowdown. The
+    // groupBy absorbs hot keys map-side (partial_count per partition), and
+    // the join back is AQE-skew-splittable where a window never is.
+    val dfTable = posts.groupBy("_s").agg(count(lit(1)).as("_df"))
+    // the cap prunes the df TABLE before the join, so stop-shingle postings
+    // are dropped by the inner join — before the per-doc ranking window ever
+    // sees them
+    val dfKept = maxShingleDf match {
+      case None => dfTable
+      case Some(cap) => dfTable.filter(col("_df") <= cap)
     }
+    val withDf = posts.join(dfKept, "_s")
     // rank shingles per doc by (global df asc, shingle asc); keep the prefix
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(col("_df").asc, col("_s").asc)
