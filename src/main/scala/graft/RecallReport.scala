@@ -117,6 +117,28 @@ object RecallReport {
     val ivfPq4R = ivfPqAt(nprobe = 4, rescore = rescoreC)
     val ivfPq8R = ivfPqAt(nprobe = 8, rescore = rescoreC)
 
+    // spill=2 (multi-assignment): each vector's residual codes live in its
+    // 2 nearest cells — coarse-cell coverage is the recall ceiling, and
+    // spilling converts boundary misses into hits at the same probe budget
+    val ivfPqDirS = java.nio.file.Files.createTempDirectory("graft_recall_ivfpq_s2_").toString
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), ivfPqCoarse, ivfPqModel,
+      ivfPqDirS, spill = 2)
+    def ivfPqSpillAt(nprobe: Int, rescore: Int): Seq[Set[Long]] = queryIds.map { q =>
+      IvfPq.searchArtifact(spark, ivfPqDirS, vec(q), ivfPqCoarse, ivfPqModel,
+          k, rescore = rescore, metric = Metric.Cosine, nprobe = nprobe)
+        .select("id").as[Long].collect().toSet
+    }
+    val ivfPqS4R = ivfPqSpillAt(nprobe = 4, rescore = rescoreC)
+    val ivfPqS8R = ivfPqSpillAt(nprobe = 8, rescore = rescoreC)
+    val ivfPqDirS3 = java.nio.file.Files.createTempDirectory("graft_recall_ivfpq_s3_").toString
+    IvfPq.writeArtifact(emb, col("vec_id"), col("embedding"), ivfPqCoarse, ivfPqModel,
+      ivfPqDirS3, spill = 3)
+    val ivfPqS38R = queryIds.map { q =>
+      IvfPq.searchArtifact(spark, ivfPqDirS3, vec(q), ivfPqCoarse, ivfPqModel,
+          k, rescore = rescoreC, metric = Metric.Cosine, nprobe = 8)
+        .select("id").as[Long].collect().toSet
+    }
+
     // batch Vamana + beam search (euclidean) at 3/2/1 NN-Descent rounds
     // (1 round is the bench build point)
     val vecs = emb.select(col("vec_id"), col("embedding"))
@@ -185,6 +207,9 @@ object RecallReport {
          || residual IVF-PQ ADC | 32 learned cells, m=16/k=16 residual codes, nprobe=4 | ${recallOf(ivfPq4, exactCos)}%.3f |
          || residual IVF-PQ + rescore | nprobe=4, ADC top-$rescoreC → exact re-rank | ${recallOf(ivfPq4R, exactCos)}%.3f |
          || residual IVF-PQ + rescore | nprobe=8, ADC top-$rescoreC → exact re-rank | ${recallOf(ivfPq8R, exactCos)}%.3f |
+         || residual IVF-PQ, spill=2 + rescore | nprobe=4 (⅛ of cells), 2× codes | ${recallOf(ivfPqS4R, exactCos)}%.3f |
+         || residual IVF-PQ, spill=2 + rescore | nprobe=8 (¼ of cells), 2× codes | ${recallOf(ivfPqS8R, exactCos)}%.3f |
+         || residual IVF-PQ, spill=3 + rescore | nprobe=8 (¼ of cells), 3× codes | ${recallOf(ivfPqS38R, exactCos)}%.3f |
          || batch Vamana + beam | degree 32, α 1.2, 3 rounds, searchSize 75 | ${recallOf(vam, exactL2)}%.3f |
          || batch Vamana + beam | degree 32, α 1.2, 2 rounds, searchSize 75 | ${recallOf(vam2, exactL2)}%.3f |
          || batch Vamana + beam | degree 32, α 1.2, 1 round, searchSize 75 (bench build point) | ${recallOf(vam1, exactL2)}%.3f |
@@ -211,6 +236,17 @@ object RecallReport {
          |the partition directories (pruned scan), rank m-byte residual codes
          |by per-cell ADC, re-rank only the candidates — and is oracle-checked
          |end-to-end with a closed-form codebook (ann_ivfpq_fixed).
+         |
+         |Round 4: coarse-CELL coverage, not code fidelity, is the recall
+         |ceiling (rescored IVF-PQ tracks plain learned-IVF at every nprobe),
+         |so the recall lever is multi-assignment: `writeArtifact(spill = 2)`
+         |stores each vector's residual codes in its 2 nearest cells and the
+         |search dedups by id. At the same ¼-of-cells probe budget this lifts
+         |recall ${recallOf(ivfPq8R, exactCos)}%.3f → ${recallOf(ivfPqS8R, exactCos)}%.3f for a 2× codes
+         |artifact (codes are m bytes/row — the spilled artifact is still
+         |~16× smaller than one wide float column). spill=3 adds little
+         |(${recallOf(ivfPqS38R, exactCos)}%.3f): past two assignments the residual-ADC candidate
+         |ranking, not cell membership, binds.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), report)
     println(report)

@@ -113,6 +113,48 @@ object IvfPq {
       case other => throw new IllegalArgumentException(s"unknown coarse kind '$other'")
     }
 
+  /** Multi-assignment ("cell spilling", the multiple-assignment trick from
+    * the IVF literature — Jégou et al. 2011 §V-B report it as the cheapest
+    * recall lever): each vector is stored in its `spill` nearest cells, so
+    * a true neighbor sitting just across a cell boundary is still found
+    * when EITHER of its cells is probed. Coarse-cell coverage — not code
+    * fidelity — is the recall ceiling of residual IVF-PQ, so at a fixed
+    * probe budget this converts cell-boundary misses into hits for a
+    * `spill`× larger (still m-bytes-a-row) codes artifact. Learned cells
+    * only: a sign cell IS the vector's bit pattern, there is no
+    * second-nearest assignment.
+    */
+  private def assignBucketsSpill(
+      corpus: DataFrame, vec: Column, coarse: Coarse, spill: Int): DataFrame =
+    if (spill <= 1) assignBuckets(corpus, vec, coarse)
+    else coarse.kind match {
+      case "kmeans" =>
+        val keys = coarse.centroids.keys.toArray.sorted
+        val cents = keys.map(b => coarse.centroids(b).map(_.toDouble))
+        val dim = coarse.dim
+        val a = math.min(spill, keys.length)
+        val assignTop = udf { (v: Seq[Float]) =>
+          require(v.length == dim,
+            s"vector has ${v.length} dims; centroids have $dim")
+          // top-`a` nearest cells, nearest first; ties by cell id (stable)
+          val scored = new Array[(Double, Int)](cents.length)
+          var j = 0
+          while (j < cents.length) {
+            val c = cents(j)
+            var acc = 0.0; var t = 0
+            while (t < dim) { val x = v(t).toDouble - c(t); acc += x * x; t += 1 }
+            scored(j) = (acc, keys(j))
+            j += 1
+          }
+          scored.sorted.take(a).map(_._2)
+        }
+        corpus.filter(vec.isNotNull)
+          .withColumn("bucket", explode(assignTop(vec)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"spill=$spill requires learned coarse cells, got '$other'")
+    }
+
   /** Probe order for a query: ALL populated cells ranked by squared L2
     * centroid distance, ties by cell id. One rule for both schemes — sign
     * cells carry mean centroids too, and centroid ranking probes strictly
@@ -165,8 +207,8 @@ object IvfPq {
     */
   def writeArtifact(
       corpus: DataFrame, cId: Column, cVec: Column,
-      coarse: Coarse, pq: PQModel, dir: String): Unit = {
-    val assigned = assignBuckets(corpus, cVec, coarse)
+      coarse: Coarse, pq: PQModel, dir: String, spill: Int = 1): Unit = {
+    val assigned = assignBucketsSpill(corpus, cVec, coarse, spill)
     val withRes = residualFrame(assigned, cVec, coarse)
     val enc = encodeInPlace(withRes, pq)
     enc.select(cId.as("id"), cVec.as("vec"), col("_codes").as("codes"), col("bucket"))
@@ -370,14 +412,22 @@ object IvfPq {
     val tables = queryTables(coarse, pq, queryVec, cells)
     val adc = adcUdf(tables)
     val art = spark.read.parquet(dir)
+    // a spilled artifact stores a vector in several cells, so an id may
+    // score in more than one probed cell: keep its best ADC score (for a
+    // spill=1 artifact the groupBy is a per-id singleton — same values)
     val cands = art
       .filter(col("bucket").isin(cells: _*))
       .select(col("id"), adc(col("bucket"), col("codes")).as("approx_distance"))
+      .groupBy("id").agg(min(col("approx_distance")).as("approx_distance"))
       .orderBy(col("approx_distance").asc, col("id").asc)
       .limit(rescore)
     art
       .filter(col("bucket").isin(cells: _*)) // candidates live in probed cells
       .join(broadcast(cands.select("id")), "id")
+      // spilled copies carry identical vectors; report the lowest cell id
+      // (deterministic, and the single cell when spill=1)
+      .groupBy(col("id"))
+      .agg(min(col("bucket")).as("bucket"), min_by(col("vec"), col("bucket")).as("vec"))
       .select(col("id"), col("bucket"),
         graft.functions.Distances.distanceToQuery(metric, col("vec"), queryVec)
           .as("distance"))
