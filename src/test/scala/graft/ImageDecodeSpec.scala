@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.IndexKind.Metric
+import graft.operators.{Multimodal, Similarity}
+import java.awt.image.BufferedImage
+
+/** Real image decode through `javax.imageio` (JDK-native — the PNG bytes
+  * here are ENCODED and DECODED by the same registry a production JVM
+  * ships): payload → decode → luminance-histogram feature → kNN join,
+  * the full multimodal path with no stub in it.
+  */
+class ImageDecodeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Deterministic PNG: `w`×`h`, the first `split` pixels (row-major) at
+    * gray level `loGray`, the rest at `hiGray`.
+    */
+  private def png(w: Int, h: Int, split: Int, loGray: Int, hiGray: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val g = if (i < split) loGray else hiGray
+      img.setRGB(i % w, i / w, (g << 16) | (g << 8) | g)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    bos.toByteArray
+  }
+
+  test("PNG bytes decode via ImageIO: raster size, bands, luminance histogram") {
+    val rows = Seq(
+      (1L, png(8, 6, 0, 0, 10)),    // all gray 10  → luminance bin 0
+      (2L, png(5, 5, 0, 0, 100)),   // all gray 100 → bin 3
+      (3L, png(3, 7, 0, 0, 250)),   // all gray 250 → bin 7
+      (4L, png(4, 4, 8, 10, 250)))  // half bin 0, half bin 7
+    val payloads = Multimodal.withPayload(
+      rows.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "image/png")
+    val decoded = Multimodal.decode(payloads).collect().sortBy(_.getLong(0))
+    assert(decoded.length == 4)
+    val r1 = decoded(0)
+    assert(r1.getInt(1) == 8 && r1.getInt(2) == 6, "decoded raster size")
+    assert(r1.getInt(3) == 3, "RGB PNG raster has 3 bands")
+    val f1 = r1.getSeq[Float](0 + 4)
+    assert(f1.length == 8 && f1(0) == 1f, s"uniform gray 10 is all bin 0: $f1")
+    assert(decoded(1).getSeq[Float](4)(3) == 1f)
+    assert(decoded(2).getSeq[Float](4)(7) == 1f)
+    val f4 = decoded(3).getSeq[Float](4)
+    assert(f4(0) == 0.5f && f4(7) == 0.5f, s"half/half split: $f4")
+    assert(decoded.forall(r => math.abs(r.getSeq[Float](4).sum - 1f) < 1e-5))
+  }
+
+  test("corrupt image payloads are shed, not failed; non-image mimes keep the stub") {
+    val mixed = Seq(
+      (1L, png(4, 4, 0, 0, 50)),
+      (2L, "definitely not a PNG".getBytes("UTF-8")))
+    val asImages = Multimodal.withPayload(
+      mixed.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "image/png")
+    assert(Multimodal.decode(asImages).select("id").as[Long].collect().toSeq == Seq(1L))
+    // the same corrupt bytes under a text mime run the deterministic stub
+    val asText = Multimodal.withPayload(
+      mixed.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "text/plain")
+    assert(Multimodal.decode(asText).count() == 2)
+  }
+
+  test("decoded image features feed knnJoin: nearest neighbor = nearest exposure") {
+    // 11 images along an exposure gradient: image i has i² of its 100
+    // pixels dark (bin 1) and the rest bright (bin 6). Quadratic spacing
+    // makes i's nearest non-self neighbor UNIQUE (|i²−(i+1)²| ≠ |i²−(i−1)²|)
+    val grad = (0 to 10).map(i => (i.toLong, png(10, 10, i * i, 40, 200)))
+    val payloads = Multimodal.withPayload(
+      grad.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "image/png")
+    val feats = Multimodal.decode(payloads)
+      .select(col("id"), col("feature"))
+    val nn = Similarity.knnJoin(
+      feats, col("id"), col("feature"),
+      feats, col("id"), col("feature"), k = 2, metric = Metric.Euclidean)
+      .filter(col("query_id") =!= col("corpus_id")) // drop the self-match
+      .select(col("query_id").as[Long], col("corpus_id").as[Long])
+      .collect().toMap
+    (0 to 10).foreach { i =>
+      val want = if (i == 0) 1L else i - 1L // i² sits closer to (i−1)² than (i+1)²
+      assert(nn(i.toLong) == want, s"image $i nearest ${nn(i.toLong)}, want $want")
+    }
+  }
+}
