@@ -24,27 +24,54 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "fr" -> Seq("le", "les", "une", "et", "est"))
 
-  /** Predicted language + per-language marker hits. Ties resolve by the
-    * fixed precedence en > de > es > fr (the Markers order).
+  /** The predicted-language EXPRESSION over a tokens column — shared by
+    * [[languageId]] and fused single-scan consumers (pipeline_curation
+    * computes language + quality in one projection over one corpus scan
+    * instead of two scans joined back). Ties resolve by the fixed
+    * precedence en > de > es > fr (the Markers order); null/empty token
+    * arrays classify as 'und'. Catalyst's common-subexpression
+    * elimination shares the repeated marker-count subtrees in codegen.
     */
+  def predLangExpr(toks: Column): Column = {
+    val counts = Markers.map { case (_, words) =>
+      size(filter(toks, t => t.isin(words: _*)))
+    }
+    val maxc = greatest(counts: _*)
+    val pred = Markers.zip(counts).foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, ((lang, _), c)) => acc.when(c === maxc, lit(lang))
+    }
+    when(maxc === 0, lit("und")).otherwise(pred)
+  }
+
+  /** Predicted language + per-language marker hits. */
   def languageId(df: DataFrame, id: Column, text: Column): DataFrame = {
     // null text classifies as 'und' (counts 0), not a null row — keeps the
     // engine and the SQL oracle on the same branch
     val toks = coalesce(Dedup.tokens(text), array().cast("array<string>"))
-    val withCounts = Markers.foldLeft(df.select(id.as("id"), toks.as("_toks"))) {
-      case (acc, (lang, words)) =>
-        acc.withColumn(s"c_$lang",
-          size(filter(col("_toks"), t => t.isin(words: _*))))
-    }
-    val maxc = greatest(Markers.map { case (l, _) => col(s"c_$l") }: _*)
-    val pred = Markers.foldLeft(when(lit(false), lit("")): Column) {
-      case (acc, (lang, _)) => acc.when(col(s"c_$lang") === maxc, lit(lang))
-    }
-    withCounts
-      .withColumn("pred_lang", when(maxc === 0, lit("und")).otherwise(pred))
-      .select(col("id") +: col("pred_lang") +:
-        Markers.map { case (l, _) => col(s"c_$l") }: _*)
+    df.select(
+      id.as("id") +: predLangExpr(toks).as("pred_lang") +:
+        Markers.map { case (l, words) =>
+          size(filter(toks, t => t.isin(words: _*))).as(s"c_$l")
+        }: _*)
   }
+
+  // the four quality components, factored so quality() (which outputs each
+  // of them) and qualityExpr() (the fused single-scan composite) stay one
+  // formula — a drift between the two would silently split the oracle
+  private def stopwordRatioExpr(toks: Column, nTokens: Column): Column =
+    size(filter(toks, t => t.isin(TextAnalyzer.StopWords: _*)))
+      .cast("double") / nTokens
+  private def punctRatioExpr(text: Column, nChars: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+      .cast("double") / nChars
+  private def uniqRatioExpr(toks: Column, nTokens: Column): Column =
+    size(array_distinct(toks)).cast("double") / nTokens
+  private def lenScoreExpr(nTokens: Column): Column =
+    least(nTokens.cast("double") / 100.0, lit(1.0))
+  private def compositeExpr(
+      lenScore: Column, stop: Column, punct: Column, uniq: Column): Column =
+    lit(0.25) * lenScore + lit(0.25) * (lit(1.0) - stop) +
+      lit(0.25) * (lit(1.0) - punct) + lit(0.25) * uniq
 
   /** Quality metrics + a composite score:
     * score = 0.25·len_score + 0.25·(1−stopword_ratio) + 0.25·(1−punct_ratio)
@@ -60,22 +87,30 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
       .filter(col("n_tokens") > 0)
     base
-      .withColumn("stopword_ratio",
-        size(filter(col("_toks"), t => t.isin(TextAnalyzer.StopWords: _*)))
-          .cast("double") / col("n_tokens"))
-      .withColumn("punct_ratio",
-        (length(col("_text")) -
-          length(regexp_replace(col("_text"), "[^\\p{L}\\p{N}\\s]", "")))
-          .cast("double") / col("n_chars"))
-      .withColumn("uniq_ratio",
-        size(array_distinct(col("_toks"))).cast("double") / col("n_tokens"))
-      .withColumn("len_score",
-        least(col("n_tokens").cast("double") / 100.0, lit(1.0)))
+      .withColumn("stopword_ratio", stopwordRatioExpr(col("_toks"), col("n_tokens")))
+      .withColumn("punct_ratio", punctRatioExpr(col("_text"), col("n_chars")))
+      .withColumn("uniq_ratio", uniqRatioExpr(col("_toks"), col("n_tokens")))
+      .withColumn("len_score", lenScoreExpr(col("n_tokens")))
       .withColumn("quality",
-        lit(0.25) * col("len_score") + lit(0.25) * (lit(1.0) - col("stopword_ratio")) +
-          lit(0.25) * (lit(1.0) - col("punct_ratio")) + lit(0.25) * col("uniq_ratio"))
+        compositeExpr(col("len_score"), col("stopword_ratio"),
+          col("punct_ratio"), col("uniq_ratio")))
       .select("id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio",
         "uniq_ratio", "quality")
+  }
+
+  /** The composite-quality EXPRESSION over (text, tokens) — [[quality]]'s
+    * formula as a single Column for fused single-scan consumers. NULL when
+    * the text has no tokens (quality() drops those rows; a fused admission
+    * filter's `>= threshold` rejects the null the same way).
+    */
+  def qualityExpr(text: Column, toks: Column): Column = {
+    val nTokens = size(toks).cast("long")
+    when(nTokens > 0,
+      compositeExpr(
+        lenScoreExpr(nTokens),
+        stopwordRatioExpr(toks, nTokens),
+        punctRatioExpr(text, length(text).cast("long")),
+        uniqRatioExpr(toks, nTokens)))
   }
 
   /** BPE-style pre-tokenizer pattern: letter runs, digit runs, and

@@ -198,17 +198,19 @@ object PipelineQueries {
        |  CAST(sum(CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)) AS BIGINT) AS subword_tokens
        |FROM kept3 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val lang = TextAnalysis.languageId(docs, col("doc_id"), col("text"))
-      .select(col("id").as("_lid"), col("pred_lang"))
-    val qual = TextAnalysis.quality(docs, col("doc_id"), col("text"))
-      .select(col("id").as("_qid"), dround(col("quality"), 4).as("_q"))
+    // language + quality are pure per-row Column algebra over the same
+    // tokenization, so admission is ONE projection over ONE corpus scan —
+    // no per-operator scans joined back by doc_id (the round-3 shape ran
+    // the tokenizer twice and paid two extra shuffles)
+    val langExpr = TextAnalysis.predLangExpr(
+      coalesce(Dedup.tokens(col("text")), array().cast("array<string>")))
+    val qualExpr = dround(
+      TextAnalysis.qualityExpr(col("text"), Dedup.tokens(col("text"))), 4)
     // persisted: the admission frame feeds the exact-dedup groupBy, the
     // semi-join, the shingle pipeline, and the final anti-join — without a
     // barrier each consumer replays langid+quality over the corpus
     val kept1 = docs
-      .join(lang, docs("doc_id") === col("_lid"))
-      .join(qual, docs("doc_id") === col("_qid"))
-      .filter(col("pred_lang") === "en" && col("_q") >= 0.5)
+      .filter(langExpr === "en" && qualExpr >= 0.5)
       .select(col("doc_id"), col("text"), col("source"))
       .persist()
     val canon = kept1.groupBy(md5(col("text")).as("_k"))
