@@ -108,20 +108,22 @@ object VamanaBuild {
     // recall collapses as n grows (measured: 0.98 @500 nodes → 0.32 @2000
     // with ring-only init; random links restore global mixing).
     //
-    // Ranks are assigned with RDD zipWithIndex (per-partition counts,
-    // cumulative offsets, one tiny driver reduce) — NOT a global
-    // Window.orderBy, which would pull every id into a single partition
-    // and wall at 10⁹ nodes. The ring only needs SOME deterministic
-    // cyclic order, not the sorted id order, so no sort shuffle either:
-    // partition order of the persisted source is stable. Trade-off,
-    // on purpose: the order follows the source's partition layout, so the
-    // same corpus built under a different split planning yields a
-    // DIFFERENT (equally valid) graph — recall operating points hold, but
-    // byte-identical artifact reproduction requires the same layout (the
-    // driver entry is rows-only for exactly this reason).
+    // Ranks are assigned with RDD sortBy(id) + zipWithIndex (range
+    // partitioning, per-partition counts, one tiny driver reduce) — NOT a
+    // global Window.orderBy, which would pull every id into a single
+    // partition and wall at 10⁹ nodes. The sort makes the rank order — and
+    // therefore the ring, the md5-derived long links, and the whole built
+    // artifact — a pure function of the CORPUS, independent of partition
+    // layout: the same ids built under any split planning yield the
+    // byte-identical graph (every downstream stage is already
+    // order-insensitive: cappedCandidates ranks by (distance, dst),
+    // robustPrune sorts its candidate list, toAdjacency sorts neighbor
+    // arrays). One build-time sort shuffle buys a deterministic,
+    // goldenable artifact — the driver entry hash-compares it.
     val ranked = {
       import spark.implicits._
       vecs.select(col("id")).as[Long].rdd
+        .sortBy(identity)
         .zipWithIndex()
         .toDF("id", "_r")
         .persist()

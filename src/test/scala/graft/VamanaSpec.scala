@@ -173,4 +173,20 @@ class VamanaSpec extends SparkSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(again == adj)
   }
+
+  test("layout-independent: a different partition split builds the identical graph") {
+    // the rank init sorts by id before zipWithIndex, so the artifact is a
+    // pure function of the corpus — the driver hash-compares vamana_graph
+    // against a pinned golden on exactly this guarantee
+    val skewed = VamanaBuild.build(
+      emb.repartition(7), col("vec_id"), col("embedding"), Metric.Euclidean,
+      VamanaBuild.Params(degreeBound = 32, alpha = 1.2, iterations = 3, ringDegree = 4))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(skewed == adj)
+    val single = VamanaBuild.build(
+      emb.coalesce(1), col("vec_id"), col("embedding"), Metric.Euclidean,
+      VamanaBuild.Params(degreeBound = 32, alpha = 1.2, iterations = 3, ringDegree = 4))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(single == adj)
+  }
 }
