@@ -191,6 +191,67 @@ final class CollectionStore(
     batchIds
   }
 
+  /** Streaming/bulk ingest — W1's semantics with every check DISTRIBUTED:
+    * null-id, in-batch-duplicate and already-exists rejection, schema
+    * coercion, vector-length validation and quotas all run as Spark jobs
+    * instead of bounded driver collects, and the batch lands as ONE delta
+    * whose files are written per task (the driver's only serial work is
+    * folding the commit — a single atomic rename). No MaxInsertBatch cap:
+    * the cap bounds insert()'s driver-side id collect, and nothing here
+    * touches the driver. All-or-nothing like insert().
+    *
+    * Built Vamana graphs are NOT patched on this path (patching keys off
+    * a driver-side id list): collections with a built graph ingest via
+    * insert() batches, or rebuild the graph after the bulk load.
+    */
+  def ingestBatch(name: String, points: DataFrame): Long = {
+    flush(name)
+    require(builtVamanaProps(name).isEmpty,
+      "bulk ingest does not patch built Vamana graphs — use insert() " +
+        "batches or rebuild the graph after the load")
+    // materialize once: the checks and the delta write must see the same
+    // rows even for non-deterministic sources (uuid ids, streams)
+    val batch = normalize(points).localCheckpoint()
+    try {
+      // ONE aggregate job answers size + null ids + in-batch duplicates
+      val stats = batch.agg(
+        count(lit(1)).as("_n"),
+        count(col(IdCol)).as("_nonnull"),
+        countDistinct(col(IdCol)).as("_distinct")).head()
+      val n = stats.getLong(0)
+      if (n == 0L) return 0L
+      require(stats.getLong(1) == n,
+        s"${n - stats.getLong(1)} null $IdCol in ingest batch")
+      require(stats.getLong(2) == n,
+        s"${n - stats.getLong(2)} duplicate _id within ingest batch")
+      // the clash probe as a distributed semi-join (insert()'s liveIds
+      // check without the bounded id list)
+      val clashes = batch.select(col(IdCol))
+        .join(mergedView(name).select(col(IdCol)), Seq(IdCol), "left_semi")
+        .count()
+      require(clashes == 0L, s"$clashes point(s) already exist")
+      if (plan.maxPointsPerCollection != Long.MaxValue) {
+        val current = mergedView(name).count()
+        require(current + n <= plan.maxPointsPerCollection,
+          s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
+      }
+      requireStorageQuota(name)
+      val storedSchema = baseFrame(name, currentVersion(name)).schema
+      val aligned = storedSchema.fields.map { f =>
+        (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+          .cast(f.dataType).as(f.name)
+      }
+      val coerced = batch.select(aligned.toSeq: _*)
+      requireVecLens(coerced, readSchema(name))
+      val written = writeDelta(name, coerced, tombstone = false, singleFile = false)
+      // the driver mirror cannot absorb an unbounded id list — drop it and
+      // let the next liveIds probe rebootstrap (or demote) lazily
+      withCollLock(name)(liveIdMirrors.remove(name))
+      maybeFitQuantizers(name)
+      written
+    } finally org.apache.spark.sql.graft.Bridge.release(batch)
+  }
+
   /** Pre-write storage admission (quota is an estimate measured before
     * the write, like the reference's checks; compaction eventually
     * reclaims superseded row versions). No-op for unlimited plans.
@@ -1134,8 +1195,10 @@ final class CollectionStore(
     * driver-side, and an empty result removes the directory again (the
     * zero-match no-op). Returns the number of rows written.
     */
-  private def writeDelta(name: String, rows: DataFrame, tombstone: Boolean): Long =
-    writeDeltaFlagged(name, rows.withColumn(TombstoneCol, lit(tombstone)))
+  private def writeDelta(
+      name: String, rows: DataFrame, tombstone: Boolean,
+      singleFile: Boolean = true): Long =
+    writeDeltaFlagged(name, rows.withColumn(TombstoneCol, lit(tombstone)), singleFile)
 
   /** Variant for rows that already carry their own `_tombstone` flag
     * (the group-commit fold mixes patched and deleted rows in one delta).
@@ -1149,7 +1212,8 @@ final class CollectionStore(
     * existence guard below throws, nothing is written) or waits, so the
     * Spark output committer can never resurrect a dropped directory.
     */
-  private def writeDeltaFlagged(name: String, rows: DataFrame): Long = withCollLock(name) {
+  private def writeDeltaFlagged(
+      name: String, rows: DataFrame, singleFile: Boolean = true): Long = withCollLock(name) {
     require(Files.exists(Paths.get(root, name, "schema.json")),
       s"collection $name does not exist (dropped concurrently?)")
     val base = currentVersion(name)
@@ -1157,7 +1221,10 @@ final class CollectionStore(
     val next = seqs.lastOption.fold(0L)(_ + 1)
     val out = rows.withColumn(SeqCol, lit(next))
     val tmp = Paths.get(root, name, s".tmp_d${base}_$next").toString
-    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // contract-sized batches fold to one tiny file; bulk ingest keeps its
+    // partitioning so every task writes its own file in parallel and only
+    // the commit (the rename below) runs on the driver
+    (if (singleFile) out.coalesce(1) else out).write.mode("overwrite").parquet(tmp)
     val written = parquetRowCount(Paths.get(tmp))
     if (written == 0) {
       deleteTree(Paths.get(tmp))

@@ -139,6 +139,38 @@ object EventsStream {
       }
       .start()
 
+  /** As [[ingestInto]], but EXECUTOR-SIDE: each micro-batch validates and
+    * lands through `store.ingestBatch` — every check a distributed job,
+    * the delta written one file per task, and the driver's only serial
+    * work the commit rename. No `toLocalIterator`, no per-10k driver
+    * round-trips: the path a 1000-executor ingest actually takes, while
+    * [[ingestInto]] remains the strict reference-contract face (≤10k
+    * insert batches). Same replay tolerance: rows already landed (crash
+    * between store commit and checkpoint commit) anti-join away, in-batch
+    * duplicate ids keep first arrival.
+    */
+  def ingestIntoDistributed(
+      stream: DataFrame, store: graft.store.CollectionStore, name: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // checkpoint BEFORE landing, for the same lifecycle reason as
+        // ingestInto: the anti-join pins the store's current delta frames,
+        // and the ingest below can trigger a compaction that retires them
+        val fresh = batch
+          .dropDuplicates(graft.store.CollectionStore.IdCol)
+          .join(
+            store.load(name).df.select(graft.store.CollectionStore.IdCol),
+            Seq(graft.store.CollectionStore.IdCol), "left_anti")
+          .localCheckpoint()
+        try store.ingestBatch(name, fresh)
+        finally org.apache.spark.sql.graft.Bridge.release(fresh)
+        () // foreachBatch wants Unit, ingestBatch returns the landed count
+      }
+      .start()
+
   /** Run any events transform as a real stream over the parquet file and
     * collect the complete result via a memory sink (test/demo harness).
     */
