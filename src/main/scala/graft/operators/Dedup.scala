@@ -117,6 +117,31 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    val (base, cand) = ngramJaccardStages(df, id, text, n, threshold, maxShingleDf)
+    // exact verification on the full shingle sets. array_intersect (not a
+    // UDF) on purpose: it consumes the array data as raw UTF8Strings inside
+    // codegen, where a Scala UDF would first materialize 2×|A| java Strings
+    // per candidate pair — measured 2× slower than the intersect
+    val setsA = base.select(col("_pid").as("id_a"), col("_sh").as("_sha"), col("_cnt").as("ca"))
+    val setsB = base.select(col("_pid").as("id_b"), col("_sh").as("_shb"), col("_cnt").as("cb"))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("common", size(array_intersect(col("_sha"), col("_shb"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("ca") + col("cb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The PPJoin stages BEFORE exact verification: (shingled base frame,
+    * candidate id pairs). Exposed `private[graft]` for scale diagnostics —
+    * ScaleSmoke measures how candidates grow with corpus size, which is
+    * the claim ("candidates ≈ near-dups, not co-occurrences") that makes
+    * this operator survive a 1000× corpus.
+    */
+  private[graft] def ngramJaccardStages(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
     // materialize the shingle arrays once: base feeds three consumers
     // (postings, and both verification sides). Eager checkpoint, not
     // persist() — a CacheManager entry would outlive the call with no
@@ -172,18 +197,7 @@ object Dedup {
         (lit(1) + tauD) >= tauD * (col("_ca") + col("_cb")))
       .select("id_a", "id_b")
       .distinct()
-    // exact verification on the full shingle sets. array_intersect (not a
-    // UDF) on purpose: it consumes the array data as raw UTF8Strings inside
-    // codegen, where a Scala UDF would first materialize 2×|A| java Strings
-    // per candidate pair — measured 2× slower than the intersect
-    val setsA = base.select(col("_pid").as("id_a"), col("_sh").as("_sha"), col("_cnt").as("ca"))
-    val setsB = base.select(col("_pid").as("id_b"), col("_sh").as("_shb"), col("_cnt").as("cb"))
-    cand.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("common", size(array_intersect(col("_sha"), col("_shb"))))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("ca") + col("cb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    (base, cand)
   }
 
   /** MinHash base hashes: two independent 30-bit hashes per shingle
@@ -352,7 +366,8 @@ object Dedup {
     */
   def connectedComponents(
       edges: DataFrame, src: Column, dst: Column, maxIter: Int = 30,
-      driverLimit: Int = 1 << 20): DataFrame = {
+      driverLimit: Int = 1 << 20,
+      onRounds: Int => Unit = _ => ()): DataFrame = {
     val e0 = edges.select(src.as("_u"), dst.as("_v"))
       .filter(col("_u").isNotNull && col("_v").isNotNull && col("_u") =!= col("_v"))
       .distinct()
@@ -383,6 +398,7 @@ object Dedup {
         val rows = e0ck.collect()
         val out = driverComponents(e0ck.sparkSession, rows, dt)
         org.apache.spark.sql.graft.Bridge.release(e0ck)
+        onRounds(0) // driver union-find: no distributed rounds ran
         return out
       }
     }
@@ -422,6 +438,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(s"connectedComponents did not converge in $maxIter rounds")
+    onRounds(it) // scale diagnostic: the star-round count (O(log² n) bound)
     // star state: every edge is (node, root); roots map to themselves
     val out = e.select(col("_u").as("node"), col("_v").as("component"))
       .unionByName(e.select(col("_v").as("node"), col("_v").as("component")))

@@ -28,6 +28,26 @@ object ScaleSmoke {
       .withColumn("doc_id", col("doc_id") + col("_rep") * idStep)
       .drop("_rep")
 
+  /** Replicas with DISJOINT shingle spaces: every token gets a per-replica
+    * suffix, so each replica reproduces the base corpus's near-dup
+    * structure and NO pairs form across replicas. A factor-f corpus
+    * therefore has exactly f× the true pairs of the base — the harness
+    * that turns "PPJoin candidates grow linearly, not quadratically" into
+    * a measured exponent.
+    */
+  def replicateDocsDisjoint(docs: DataFrame, factor: Int, idStep: Long): DataFrame =
+    docs.crossJoin(
+        spark(docs).range(factor).select(col("id").as("_rep")))
+      .withColumn("doc_id", col("doc_id") + col("_rep") * idStep)
+      // alphanumeric suffix ("x3"), NOT "_3": the dedup tokenizer splits on
+      // non-alphanumerics, so an underscore would shear every token in two
+      // and flood the corpus with a shared filler token — "tokenx3" stays
+      // ONE token and maps 1:1 onto the original shingle structure
+      .withColumn("text",
+        regexp_replace(col("text"), lit("([^ \\t\\n\\x0B\\f\\r]+)"),
+          concat(lit("$1x"), col("_rep"))))
+      .drop("_rep")
+
   private def spark(df: DataFrame): SparkSession = df.sparkSession
 
   def main(args: Array[String]): Unit = {
@@ -83,6 +103,43 @@ object ScaleSmoke {
       Dedup.connectedComponents(pairs, col("id_a"), col("id_b"), driverLimit = 0).count())
 
     docs.unpersist(); canon.unpersist(); pairs.unpersist()
+
+    // ---- dedup-family growth exponents --------------------------------
+    // Disjoint-shingle replication: the corpus grows f×, the TRUE pair
+    // count grows exactly f×, so a PPJoin whose candidates track near-dups
+    // (not co-occurrences) measures exponent ≈ 1.0 — a naive
+    // inverted-index join would trend toward 2.0. CC star rounds should
+    // stay FLAT (component diameters don't grow with replication), inside
+    // the O(log² n) bound.
+    println("[scale] dedup family at disjoint-replica factors 1/4/8:")
+    val factors = Seq(1, 4, 8)
+    val measured = factors.map { f =>
+      val corpus = replicateDocsDisjoint(base, f, idStep).persist()
+      corpus.count()
+      val (bse, cand) = graft.operators.Dedup.ngramJaccardStages(
+        corpus, col("doc_id"), col("text"), n = 3, threshold = 0.5,
+        maxShingleDf = None)
+      val nCand = time(s"  f=$f ppjoin candidates")(cand.count())
+      val prs = graft.operators.Dedup.ngramJaccardPairs(
+        corpus, col("doc_id"), col("text"), n = 3, threshold = 0.5).persist()
+      val nPrs = time(s"  f=$f verified pairs")(prs.count())
+      var rounds = -1
+      time(s"  f=$f cc (distributed)")(
+        graft.operators.Dedup.connectedComponents(prs, col("id_a"), col("id_b"),
+          driverLimit = 0, onRounds = rounds = _).count())
+      corpus.unpersist(); prs.unpersist()
+      org.apache.spark.sql.graft.Bridge.release(bse)
+      println(s"[scale]   f=$f: candidates=$nCand pairs=$nPrs ccRounds=$rounds")
+      (f, nCand, nPrs, rounds)
+    }
+    def exponent(a: (Int, Long), b: (Int, Long)): Double =
+      math.log(b._2.toDouble / a._2) / math.log(b._1.toDouble / a._1)
+    val (f1, c1, p1, _) = measured.head
+    val (f8, c8, p8, _) = measured.last
+    println(f"[scale] growth exponent 1x->8x: candidates ${exponent((f1, c1), (f8, c8))}%.2f" +
+      f" pairs ${exponent((f1, p1), (f8, p8))}%.2f (1.0 = linear; naive join -> 2.0)")
+    println(s"[scale] cc rounds by factor: ${measured.map(m => s"f=${m._1}:${m._4}").mkString(" ")}")
+
     s.stop()
   }
 }
