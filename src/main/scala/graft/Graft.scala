@@ -134,6 +134,14 @@ final class Graft(spark: SparkSession, root: String,
         // on one object (two objects would race reapRetired's deferred
         // block release under an in-flight search).
         if (writeLocks.get(name) eq lock) result = Some(f)
+      } catch {
+        case e: Throwable =>
+          // a writer that raced a drop (or targeted a name that never
+          // existed) must not leave a fresh lock entry behind — drop's
+          // contract is that nothing of the name outlives it. Removal is
+          // safe mid-queue: waiters re-check identity and retry.
+          if (!store.list().contains(name)) writeLocks.remove(name, lock)
+          throw e
       } finally lock.unlock()
     }
     result.get

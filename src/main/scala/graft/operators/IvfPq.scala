@@ -85,13 +85,37 @@ object IvfPq {
   def kmeansCoarse(
       corpus: DataFrame, vec: Column, k: Int,
       seed: Long = 42L, sampleLimit: Int = 100000): Coarse = {
-    val cents = Similarity.kmeansCentroids(corpus, vec, k, seed, sampleLimit)
-    // Lloyd's over a sample can leave cells no corpus row maps to; keep
-    // only POPULATED cells (Coarse's documented contract) so probes()
-    // never spends its nprobe budget ranking empty directories. Bounded
-    // collect: ≤ k distinct bucket ids.
-    val populated = Similarity.kmeansBuckets(corpus, vec, cents)
-      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    // fit is sample-scale by nature (same sampling as
+    // Similarity.kmeansCentroids) — collected once here so the
+    // populated-cells probe below reuses it instead of paying a
+    // corpus-wide assignment job at fit time
+    val sample = corpus.filter(vec.isNotNull)
+      .select(vec.cast("array<double>").as("_v"))
+      .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot learn IVF centroids on an empty corpus")
+    val cents = ProductQuantizer.lloyds(sample, k, seed, maxIter = 25)
+      .map(_.map(_.toFloat))
+    // Lloyd's can leave cells no row maps to; keep only POPULATED cells
+    // (Coarse's documented contract) so probes() never spends its nprobe
+    // budget ranking empty directories. Populated = has a SAMPLE member —
+    // driver-side over the rows already in hand, no Spark job; a cell
+    // empty in the sample but populated in the corpus just means those
+    // rows assign to their next-nearest kept cell at write time,
+    // consistently for codes and probes. Assignment mirrors
+    // Similarity.kmeansBuckets exactly: double arithmetic against float
+    // centroids, first strict minimum wins.
+    val dim = cents(0).length
+    val populated = sample.map { v =>
+      require(v.length == dim, s"vector has ${v.length} dims; centroids have $dim")
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < cents.length) {
+        val c = cents(j); var acc = 0.0; var t = 0
+        while (t < dim) { val x = v(t) - c(t); acc += x * x; t += 1 }
+        if (acc < bd) { bd = acc; best = j }
+        j += 1
+      }
+      best
+    }.toSet
     Coarse("kmeans", k, cents.zipWithIndex.collect {
       case (c, j) if populated(j) => j -> c.map(_.toDouble)
     }.toMap)

@@ -47,40 +47,66 @@ object Multimodal {
         length(bytes.cast(BinaryType)).cast("long").as("n_bytes"),
         md5(bytes.cast(BinaryType)).as("sha")).as("meta"))
 
+  /** Pixel budget for a single decoded image (64 Mpx ≈ a 256 MB ARGB
+    * raster): a decompression bomb declaring 60000×60000 would otherwise
+    * OOM the task as an uncatchable Error BEFORE any exception guard —
+    * dimensions are read from the codec HEADER and checked against this
+    * budget before any raster memory is allocated.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Real image decode (JDK-native, no external dependency): ImageIO
     * resolves a reader from the byte signature, so mislabeled mimes still
-    * decode; bytes NO reader accepts return None — a 100 TB crawl always
-    * contains corrupt files, and the pipeline semantic is to shed them,
-    * not fail the task. Feature = normalized 8-bin luminance histogram
-    * (Rec. 601 integer weights — deterministic across JVMs), the
-    * pixel-space analogue of the stub's byte histogram.
+    * decode; bytes NO reader accepts — or declaring a raster past
+    * [[MaxDecodePixels]] — return None: a 100 TB crawl always contains
+    * corrupt and hostile files, and the pipeline semantic is to shed
+    * them, not fail the task. Feature = normalized 8-bin luminance
+    * histogram (Rec. 601 integer weights — deterministic across JVMs),
+    * the pixel-space analogue of the stub's byte histogram. Pixels read
+    * one ROW per getRGB call (bulk color-model conversion), not one call
+    * per pixel.
     */
-  private def decodeImage(id: Long, payload: Array[Byte]): Option[Row] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException | _: RuntimeException => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val channels = img.getRaster.getNumBands
-      val hist = new Array[Float](8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y) // sRGB regardless of the stored model
-          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-            (rgb & 0xFF) * 114) / 1000
-          hist(lum >> 5) += 1f
-          x += 1
+  private def decodeImage(id: Long, payload: Array[Byte]): Option[Row] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // header-only dimension probe — no raster allocation yet
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+          else {
+            val img = reader.read(0)
+            val channels = img.getRaster.getNumBands
+            val hist = new Array[Float](8)
+            val rowBuf = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w) // sRGB, whole row at once
+              var x = 0
+              while (x < w) {
+                val rgb = rowBuf(x)
+                val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                  (rgb & 0xFF) * 114) / 1000
+                hist(lum >> 5) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val total = (w.toLong * h.toLong).toFloat
+            Some(Row(id, w, h, channels, hist.map(_ / total).toSeq))
+          }
+        } finally {
+          reader.dispose()
+          iis.close()
         }
-        y += 1
       }
-      val total = (w.toLong * h.toLong).toFloat
-      Some(Row(id, w, h, channels, hist.map(_ / total).toSeq))
-    }
-  }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
 
   /** STUB decode for the payload kinds this container has no codec for
     * (audio/video — a real implementation opens ffmpeg via JNI per

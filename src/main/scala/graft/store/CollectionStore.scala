@@ -162,25 +162,7 @@ final class CollectionStore(
     require(batchIds.distinct.length == batchIds.length, "duplicate _id within insert batch")
     val clash = liveIds(name, batchIds)
     require(clash.isEmpty, s"${clash.size} point(s) already exist")
-    // quota checks (reference cluster/actions.go:181–265): point count
-    // from the live view, storage from the directory footprint
-    if (plan.maxPointsPerCollection != Long.MaxValue) {
-      val current = mergedView(name).count()
-      require(current + n <= plan.maxPointsPerCollection,
-        s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
-    }
-    requireStorageQuota(name)
-    // schema-coerce the batch onto the stored layout: missing properties
-    // stay null (sparse rows), types cast, unknown columns dropped
-    val storedSchema = baseFrame(name, currentVersion(name)).schema
-    val aligned = storedSchema.fields.map { f =>
-      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
-        .cast(f.dataType).as(f.name)
-    }
-    val coerced = batch.select(aligned.toSeq: _*)
-    // vector-size validation (reference CheckCompatibleMap parity): a
-    // wrong-length vector would silently truncate every later distance
-    requireVecLens(coerced, readSchema(name))
+    val coerced = admitAndCoerce(name, batch, n)
     writeDelta(name, coerced, tombstone = false)
     mirrorAdd(name, batchIds)
     org.apache.spark.sql.graft.Bridge.release(batch)
@@ -230,26 +212,46 @@ final class CollectionStore(
         .join(mergedView(name).select(col(IdCol)), Seq(IdCol), "left_semi")
         .count()
       require(clashes == 0L, s"$clashes point(s) already exist")
-      if (plan.maxPointsPerCollection != Long.MaxValue) {
-        val current = mergedView(name).count()
-        require(current + n <= plan.maxPointsPerCollection,
-          s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
+      val coerced = admitAndCoerce(name, batch, n)
+      // commit and mirror-drop under ONE lock acquisition: a concurrent
+      // insert reading the stale mirror between the delta landing and the
+      // drop would pass its clash check against pre-ingest ids and commit
+      // a duplicate. The mirror cannot absorb an unbounded id list, so it
+      // drops and rebootstraps (or demotes) lazily on the next probe.
+      val written = withCollLock(name) {
+        val w = writeDelta(name, coerced, tombstone = false, singleFile = false)
+        liveIdMirrors.remove(name)
+        w
       }
-      requireStorageQuota(name)
-      val storedSchema = baseFrame(name, currentVersion(name)).schema
-      val aligned = storedSchema.fields.map { f =>
-        (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
-          .cast(f.dataType).as(f.name)
-      }
-      val coerced = batch.select(aligned.toSeq: _*)
-      requireVecLens(coerced, readSchema(name))
-      val written = writeDelta(name, coerced, tombstone = false, singleFile = false)
-      // the driver mirror cannot absorb an unbounded id list — drop it and
-      // let the next liveIds probe rebootstrap (or demote) lazily
-      withCollLock(name)(liveIdMirrors.remove(name))
       maybeFitQuantizers(name)
       written
     } finally org.apache.spark.sql.graft.Bridge.release(batch)
+  }
+
+  /** Shared insert/ingest admission — point + storage quotas (reference
+    * cluster/actions.go:181–265: point count from the live view, storage
+    * from the directory footprint), schema coercion onto the stored layout
+    * (missing properties stay null, types cast, unknown columns dropped),
+    * and vector-length validation (reference CheckCompatibleMap parity: a
+    * wrong-length vector would silently truncate every later distance).
+    * ONE implementation so the contract-sized and bulk ingestion faces
+    * cannot drift.
+    */
+  private def admitAndCoerce(name: String, batch: DataFrame, n: Long): DataFrame = {
+    if (plan.maxPointsPerCollection != Long.MaxValue) {
+      val current = mergedView(name).count()
+      require(current + n <= plan.maxPointsPerCollection,
+        s"user plan allows at most ${plan.maxPointsPerCollection} points per collection")
+    }
+    requireStorageQuota(name)
+    val storedSchema = baseFrame(name, currentVersion(name)).schema
+    val aligned = storedSchema.fields.map { f =>
+      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }
+    val coerced = batch.select(aligned.toSeq: _*)
+    requireVecLens(coerced, readSchema(name))
+    coerced
   }
 
   /** Pre-write storage admission (quota is an estimate measured before
@@ -1156,8 +1158,17 @@ final class CollectionStore(
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1 && !col(TombstoneCol))
         .drop("_rn", SeqCol, TombstoneCol)
+      // broadcast the delta id set only while it is broadcast-SIZED.
+      // Contract-sized insert/update deltas always are; a bulk ingestBatch
+      // delta can carry millions of rows, where a forced broadcast is a
+      // driver OOM — exactly the scale the bulk path exists for. Row
+      // counts come from the parquet footers (driver-side, no job).
+      val deltaRows = deltaSeqs(name, base)
+        .map(s => parquetRowCount(Paths.get(deltaPath(name, base, s)))).sum
+      val idFrame = dAll.select(IdCol).distinct()
+      val hinted = if (deltaRows <= IdMirrorLimit) broadcast(idFrame) else idFrame
       baseDf
-        .join(broadcast(dAll.select(IdCol).distinct()), Seq(IdCol), "left_anti")
+        .join(hinted, Seq(IdCol), "left_anti")
         .unionByName(latest)
     }
   }

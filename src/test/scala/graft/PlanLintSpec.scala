@@ -36,6 +36,15 @@ class PlanLintSpec extends SparkSuite {
     Set("_pid", "id_a", "doc_id", "user_id", "l_orderkey", "c_custkey",
       "o_custkey", "bucket", "src")
 
+  /** Queries allowed to plan a GLOBAL window (empty partitionSpec — the
+    * everything-into-one-task shape). Each entry must name why its input
+    * is bounded by CONTRACT before the window runs: the store's
+    * update/delete point-merges window over `coalesce(1)` frames that are
+    * ≤ batch-size × delta-log rows by construction (viewRowsFor /
+    * WAL-fold), never corpus-sized.
+    */
+  private val globalWindowAllowed: Set[String] = Set("w1_write_path")
+
   // one planning pass shared by both lints (write-path queries mutate their
   // scratch stores on build — their own suites exercise that; building them
   // twice here would double that cost)
@@ -75,8 +84,12 @@ class PlanLintSpec extends SparkSuite {
       windows.flatMap { keys =>
         // a window is safe if ANY of its partition keys is bounded: the
         // partition is the INTERSECTION of its keys' groups, so one
-        // bounded key bounds the whole partition
-        if (keys.nonEmpty && !keys.exists(boundedWindowKeys))
+        // bounded key bounds the whole partition. An EMPTY partitionSpec
+        // is the single-task worst case — allowed only by explicit
+        // per-query exemption with a documented input bound.
+        if (keys.isEmpty && !globalWindowAllowed.contains(name))
+          Some(s"$name: GLOBAL Window (empty partitionSpec)")
+        else if (keys.nonEmpty && !keys.exists(boundedWindowKeys))
           Some(s"$name: Window partitioned by [${keys.mkString(", ")}]")
         else None
       }
