@@ -155,14 +155,23 @@ object VamanaBuild {
     for (_ <- 1 to params.iterations) {
       val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       // deterministic ρK sample of each node's adjacency for the n-of-n
-      // expansion — full degree² fan-out is the round's dominant shuffle
-      val sampleW = org.apache.spark.sql.expressions.Window
-        .partitionBy("src")
-        .orderBy(md5(concat_ws("#", col("src"), col("dst"))), col("dst"))
+      // expansion — full degree² fan-out is the round's dominant shuffle.
+      // Bounded-buffer partial top-k (knnJoin's Aggregator), NOT a
+      // row_number window: the sample runs on the UNDIRECTED edge set,
+      // where an in-degree hub — a popular point that attracts backlinks
+      // every round — holds a partition far past degreeBound, and a
+      // window would funnel all of it into one task. The partial
+      // aggregate reduces every input partition to ≤ sampleDegree rows
+      // per src BEFORE the exchange. Sample order = (60-bit md5 hash,
+      // dst): same pseudo-random family as before, deterministic, and
+      // layout-independent.
+      val sampleAgg = udaf(new Similarity.TopKAgg(params.sampleDegree))
       val sampled = undirected
-        .withColumn("_sr", row_number().over(sampleW))
-        .filter(col("_sr") <= params.sampleDegree)
-        .drop("_sr")
+        .withColumn("_h",
+          Dedup.hash60(concat_ws("#", col("src"), col("dst"))).cast("double"))
+        .groupBy("src")
+        .agg(sampleAgg(col("_h"), col("dst")).as("_top"))
+        .select(col("src"), explode(col("_top.ids")).as("dst"))
       val nn2 = sampled.as("e1")
         .join(sampled.as("e2"), col("e1.dst") === col("e2.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("dst"))
