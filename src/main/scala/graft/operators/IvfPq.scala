@@ -85,13 +85,11 @@ object IvfPq {
   def kmeansCoarse(
       corpus: DataFrame, vec: Column, k: Int,
       seed: Long = 42L, sampleLimit: Int = 100000): Coarse = {
-    // fit is sample-scale by nature (same sampling as
-    // Similarity.kmeansCentroids) — collected once here so the
-    // populated-cells probe below reuses it instead of paying a
-    // corpus-wide assignment job at fit time
-    val sample = corpus.filter(vec.isNotNull)
-      .select(vec.cast("array<double>").as("_v"))
-      .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+    // fit is sample-scale by nature — the sample is collected once (via
+    // the same shared helper kmeansCentroids uses) so the populated-cells
+    // probe below reuses it instead of paying a corpus-wide assignment
+    // job at fit time
+    val sample = Similarity.vectorSample(corpus, vec, sampleLimit)
     require(sample.nonEmpty, "cannot learn IVF centroids on an empty corpus")
     val cents = ProductQuantizer.lloyds(sample, k, seed, maxIter = 25)
       .map(_.map(_.toFloat))
@@ -101,21 +99,9 @@ object IvfPq {
     // driver-side over the rows already in hand, no Spark job; a cell
     // empty in the sample but populated in the corpus just means those
     // rows assign to their next-nearest kept cell at write time,
-    // consistently for codes and probes. Assignment mirrors
-    // Similarity.kmeansBuckets exactly: double arithmetic against float
-    // centroids, first strict minimum wins.
-    val dim = cents(0).length
-    val populated = sample.map { v =>
-      require(v.length == dim, s"vector has ${v.length} dims; centroids have $dim")
-      var best = 0; var bd = Double.MaxValue; var j = 0
-      while (j < cents.length) {
-        val c = cents(j); var acc = 0.0; var t = 0
-        while (t < dim) { val x = v(t) - c(t); acc += x * x; t += 1 }
-        if (acc < bd) { bd = acc; best = j }
-        j += 1
-      }
-      best
-    }.toSet
+    // consistently for codes and probes. nearestCellD is kmeansBuckets'
+    // own argmin, so driver and distributed assignments cannot drift.
+    val populated = sample.map(Similarity.nearestCellD(cents, _)).toSet
     Coarse("kmeans", k, cents.zipWithIndex.collect {
       case (c, j) if populated(j) => j -> c.map(_.toDouble)
     }.toMap)
@@ -318,6 +304,14 @@ object IvfPq {
     val (kind, param, m, k, dim) =
       try (head(0), head(1).toInt, head(2).toInt, head(3).toInt, head(4).toInt)
       catch { case _: NumberFormatException => bad(s"non-numeric header '${lines.head}'") }
+    // bounds BEFORE any allocation sized by the header: a corrupt/hostile
+    // header must fail the documented bad(...) contract, not throw
+    // NegativeArraySizeException or OOM the driver on a 10^10-cell
+    // Array.ofDim (the fail-closed convention of the msgpack codec)
+    if (m <= 0 || m > 4096) bad(s"m=$m outside (0, 4096]")
+    if (k <= 0 || k > 65536) bad(s"k=$k outside (0, 65536]")
+    if (dim <= 0 || dim > (1 << 20)) bad(s"dim=$dim outside (0, 2^20]")
+    if (dim % m != 0) bad(s"dim=$dim not divisible by m=$m")
     val cents = scala.collection.mutable.Map[Int, Array[Double]]()
     val codebook = Array.ofDim[Array[Float]](m, k)
     lines.tail.foreach { ln =>
@@ -340,7 +334,6 @@ object IvfPq {
     // shape validation HERE, not at first query: a truncated 'C' or 'P'
     // line must fail the load contract, not surface later as a confusing
     // dimension mismatch inside probes/queryTables
-    if (m <= 0 || dim % m != 0) bad(s"dim=$dim not divisible by m=$m")
     cents.foreach { case (b, c) =>
       if (c.length != dim) bad(s"centroid $b has ${c.length} values; dim=$dim")
     }

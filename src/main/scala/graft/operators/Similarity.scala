@@ -133,9 +133,12 @@ object Similarity {
   /** Driver-side twin of [[signBucket]] — Spark SQL orders NaN above
     * every value, so `NaN > 0` is TRUE there while Java says false; the
     * explicit isNaN keeps a NaN-dimensioned query probing the same cell
-    * its stored copy was bucketed into.
+    * its stored copy was bucketed into. `private[graft]`: every
+    * driver-side sign-bucket computation must go through this one
+    * function, or a NaN dimension silently buckets differently than the
+    * stored copy.
     */
-  private def signBucketLocal(queryVec: Seq[Float], nBits: Int): Int =
+  private[graft] def signBucketLocal(queryVec: Seq[Float], nBits: Int): Int =
     (0 until nBits).map(i =>
       if (queryVec(i) > 0f || queryVec(i).isNaN) 1 << i else 0).sum
 
@@ -159,15 +162,43 @@ object Similarity {
     * distributed). Swaps in for the sign-bit bucket expression — same
     * partition-pruning story, much tighter cells.
     */
+  /** The bounded training sample every k-means fit draws (ONE definition,
+    * so kmeansCentroids and IvfPq.kmeansCoarse cannot drift on
+    * filter/cast/limit semantics).
+    */
+  private[operators] def vectorSample(
+      corpus: DataFrame, vec: Column, sampleLimit: Int): Array[Array[Double]] =
+    corpus.filter(vec.isNotNull)
+      .select(vec.cast("array<double>").as("_v"))
+      .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+
   def kmeansCentroids(
       corpus: DataFrame, vec: Column, kClusters: Int,
       seed: Long = 42L, sampleLimit: Int = 100000): Array[Array[Float]] = {
-    val sample = corpus.filter(vec.isNotNull)
-      .select(vec.cast("array<double>").as("_v"))
-      .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+    val sample = vectorSample(corpus, vec, sampleLimit)
     require(sample.nonEmpty, "cannot learn IVF centroids on an empty corpus")
     ProductQuantizer.lloyds(sample, kClusters, seed, maxIter = 25)
       .map(_.map(_.toFloat))
+  }
+
+  /** Nearest-centroid argmin over a double vector — the driver-side twin
+    * of [[kmeansBuckets]]'s per-row UDF loop (same arithmetic: double
+    * accumulate against float centroids, first strict minimum wins). Any
+    * driver-side cell assignment must go through this, or its tie-breaks
+    * drift from the distributed assignment.
+    */
+  private[operators] def nearestCellD(
+      centroids: Array[Array[Float]], v: Array[Double]): Int = {
+    val dim = centroids(0).length
+    require(v.length == dim, s"vector has ${v.length} dims; centroids have $dim")
+    var best = 0; var bd = Double.MaxValue; var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j); var acc = 0.0; var t = 0
+      while (t < dim) { val x = v(t) - c(t); acc += x * x; t += 1 }
+      if (acc < bd) { bd = acc; best = j }
+      j += 1
+    }
+    best
   }
 
   /** Nearest-centroid bucket assignment (primitive-loop UDF over the

@@ -61,8 +61,16 @@ object TextAnalysis {
   private def stopwordRatioExpr(toks: Column, nTokens: Column): Column =
     size(filter(toks, t => t.isin(TextAnalyzer.StopWords: _*)))
       .cast("double") / nTokens
+  /** Whitespace spelled as an EXPLICIT char class (same set as Java `\s`),
+    * never `\s` itself: Java's includes U+000B where RE2's (DuckDB) does
+    * not — the same cross-engine rule [[BpeLikePattern]] documents. The
+    * oracles use the identical class, so a vertical tab cannot flip a
+    * punct_ratio or a ws_tokens count between engines.
+    */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+
   private def punctRatioExpr(text: Column, nChars: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
+    (length(text) - length(regexp_replace(text, s"[^\\p{L}\\p{N}$WsClass]", "")))
       .cast("double") / nChars
   private def uniqRatioExpr(toks: Column, nTokens: Column): Column =
     size(array_distinct(toks)).cast("double") / nTokens
@@ -126,8 +134,14 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(
       id.as("id"),
-      size(filter(split(text, "\\s+"), t => t =!= "")).cast("long").as("ws_tokens"),
-      size(TextAnalyzer.analyze(text)).cast("long").as("analyzed_tokens"),
+      // null text counts NULL, not -1: Spark's legacy size(null) = -1
+      // where the oracle's len(NULL) is NULL — the guard keeps a null-text
+      // row from splitting the hash compare
+      when(text.isNotNull,
+        size(filter(split(text, s"[$WsClass]+"), t => t =!= "")))
+        .cast("long").as("ws_tokens"),
+      when(text.isNotNull, size(TextAnalyzer.analyze(text)))
+        .cast("long").as("analyzed_tokens"),
       regexp_count(text, lit(BpeLikePattern)).cast("long").as("bpe_like_tokens"),
       ceil(length(text).cast("double") / 4.0).cast("long").as("est_subword_tokens"))
 
@@ -137,7 +151,11 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(
       id.as("id"),
-      md5(concat_ws(" ", array_sort(array_distinct(Dedup.tokens(text))))).as("fingerprint"))
+      // concat_ws SKIPS a null array (→ md5("")), where the oracle's
+      // md5(NULL) is NULL — null text fingerprints as NULL in both engines
+      when(text.isNotNull,
+        md5(concat_ws(" ", array_sort(array_distinct(Dedup.tokens(text))))))
+        .as("fingerprint"))
 
   /** Winnowing sketch (Schleimer, Wilkerson, Aiken — "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD'03): hash every token

@@ -44,7 +44,7 @@ object PipelineQueries {
        |m AS (
        |  SELECT id, n_chars, len(raw) AS n_tokens,
        |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.SqlStopList}))) AS DOUBLE) / len(raw) AS stopword_ratio,
-       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}${graft.operators.TextAnalysis.WsClass}]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
        |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
        |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score
        |  FROM tok WHERE len(raw) > 0)
@@ -66,7 +66,7 @@ object PipelineQueries {
   val textTokens = NamedQuery(
     "text_tokens",
     s"""SELECT doc_id AS id,
-       |  len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS ws_tokens,
+       |  len(list_filter(string_split_regex(text, '[${graft.operators.TextAnalysis.WsClass}]+'), t -> t != '')) AS ws_tokens,
        |  len(${graft.functions.TextAnalyzer.sqlAnalyze("text")}) AS analyzed_tokens,
        |  len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpeLikePattern}')) AS bpe_like_tokens,
        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_subword_tokens
@@ -149,7 +149,7 @@ object PipelineQueries {
        |qm AS (
        |  SELECT id,
        |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.SqlStopList}))) AS DOUBLE) / len(raw) AS stopword_ratio,
-       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}${graft.operators.TextAnalysis.WsClass}]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
        |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
        |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score
        |  FROM qtok WHERE len(raw) > 0),
@@ -206,13 +206,17 @@ object PipelineQueries {
       coalesce(Dedup.tokens(col("text")), array().cast("array<string>")))
     val qualExpr = dround(
       TextAnalysis.qualityExpr(col("text"), Dedup.tokens(col("text"))), 4)
-    // persisted: the admission frame feeds the exact-dedup groupBy, the
+    // materialized: the admission frame feeds the exact-dedup groupBy, the
     // semi-join, the shingle pipeline, and the final anti-join — without a
-    // barrier each consumer replays langid+quality over the corpus
+    // barrier each consumer replays langid+quality over the corpus.
+    // localCheckpoint, NOT persist(): a CacheManager entry has no release
+    // handle here and would accumulate across bench/driver rounds, while
+    // checkpoint blocks are GC-reclaimed once the returned frame drops
+    // (the same rule Dedup.ngramJaccardStages documents)
     val kept1 = docs
       .filter(langExpr === "en" && qualExpr >= 0.5)
       .select(col("doc_id"), col("text"), col("source"))
-      .persist()
+      .localCheckpoint()
     val canon = kept1.groupBy(md5(col("text")).as("_k"))
       .agg(min(col("doc_id")).as("doc_id"))
     val kept2 = kept1.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -414,7 +418,10 @@ object PipelineQueries {
           .select(col("vec_id"), col("embedding")).collect()
           .map { r =>
             val v = r.getSeq[Float](1)
-            val qb = (0 until 4).map(i => if (v(i) > 0f) 1 << i else 0).sum
+            // the shared driver-side twin of signBucket — a hand-rolled
+            // `v(i) > 0f` here would bucket a NaN dimension differently
+            // than the stored copy (Spark SQL orders NaN above every value)
+            val qb = Similarity.signBucketLocal(v, nBits = 4)
             val c = co.centroids(qb)
             Array.tabulate(64)(i => (v(i).toDouble - c(i)).toFloat)
           }

@@ -16,7 +16,7 @@ object QuantizerQueries {
     "bq_hamming_packed",
     """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
       |means AS (
-      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(*), 9) AS DOUBLE) AS m
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
       |  FROM embeddings CROSS JOIN dims GROUP BY i),
       |th AS (SELECT list(m ORDER BY i) AS t FROM means),
       |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
@@ -44,7 +44,7 @@ object QuantizerQueries {
     "bq_rescored_topk",
     """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
       |means AS (
-      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(*), 9) AS DOUBLE) AS m
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
       |  FROM embeddings CROSS JOIN dims GROUP BY i),
       |th AS (SELECT list(m ORDER BY i) AS t FROM means),
       |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
