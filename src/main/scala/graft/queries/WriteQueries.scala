@@ -113,5 +113,40 @@ object WriteQueries {
         | "offset": 3, "limit": 12}""".stripMargin), dir)
   }
 
-  val all: Seq[NamedQuery] = Seq(w1WritePath, w4FacadeSearch)
+  /** The streaming/bulk face of W1 (store.ingestBatch) oracled end-to-end:
+    * create a collection from a tenth of orders, bulk-ingest the other
+    * ~13.5k rows in ONE distributed call — past insert()'s 10k contract
+    * cap, every check a Spark job, the delta landed as per-task files —
+    * and read the merged state back. The oracle is the closed-form final
+    * state: orders aggregated per status. A lost, duplicated, or
+    * value-mangled row anywhere in the ingest path moves a count or a
+    * decimal sum and fails the hash compare. (lineitem is unsuitable: the
+    * synthetic table has duplicate (orderkey, linenumber) pairs.)
+    */
+  val w5BulkIngest = NamedQuery(
+    "w5_bulk_ingest",
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val dir = Files.createTempDirectory("graft_store_").toString
+    val store = new CollectionStore(s, dir)
+    val ord = Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("_id"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+    val schema = IndexSchema(
+      "o_orderstatus" -> IndexKind.Str(),
+      "o_totalprice" -> IndexKind.Float)
+    store.create("ord", schema, ord.filter(col("o_orderkey") % 10 === 0))
+    store.ingestBatch("ord", ord.filter(col("o_orderkey") % 10 =!= 0))
+    detach(
+      store.load("ord").df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus"),
+      dir)
+  }
+
+  val all: Seq[NamedQuery] = Seq(w1WritePath, w4FacadeSearch, w5BulkIngest)
 }
