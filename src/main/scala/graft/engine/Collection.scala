@@ -76,7 +76,7 @@ final case class Collection(
       prop: String, dir: String,
       coarse: () => graft.operators.IvfPq.Coarse,
       model: graft.operators.IvfPq.Coarse => graft.operators.PQModel,
-      nprobe: Int): Collection =
+      nprobe: Int, spill: Int = 1): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
@@ -88,8 +88,12 @@ final case class Collection(
         else {
           val c = coarse()
           val m = model(c)
+          // spill = multi-assignment (learned cells only): the serving
+          // path dedups ids, so a spilled artifact raises cell recall at
+          // the same probe budget — RECALL.md's 0.8 operating point
           IvfPq.writeArtifact(
-            df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), c, m, dir)
+            df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), c, m, dir,
+            spill = spill)
           (c, m)
         }
       val enc = spark.read.parquet(dir)

@@ -221,8 +221,15 @@ object QueryCompiler {
         (restricted0.filter(col("_bucket").isin(cells: _*)),
           graft.operators.IvfPq.adcUdf(tables)(col("_bucket"), col("_codes")))
     }
-    val candIds = restricted
-      .select(col(IdCol), qd.as("_qd"))
+    val scored = restricted.select(col(IdCol), qd.as("_qd"))
+    // a spilled IVF-PQ artifact stores an id in several cells, so two
+    // probed copies may both score: keep the best per id, or duplicates
+    // burn budget slots (BQ/PQ frames are id-unique — skip the aggregate)
+    val deduped = idx match {
+      case _: IvfPqVectorIndex => scored.groupBy(IdCol).agg(min(col("_qd")).as("_qd"))
+      case _ => scored
+    }
+    val candIds = deduped
       .orderBy(col("_qd").asc, col(IdCol).asc)
       .limit(budget)
       .select(IdCol)

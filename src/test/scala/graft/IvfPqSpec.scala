@@ -169,6 +169,27 @@ class IvfPqSpec extends SparkSuite {
     assert(rows2.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("engine approx near over a SPILLED artifact: unique ids, exact self-match") {
+    import graft.engine.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_spill_eng_").toString
+    val base = graft.queries.TestCollections.docs(spark, sf001)
+    val coll = base.withIvfPqVectorIndex(
+      "embedding", dir,
+      () => IvfPq.kmeansCoarse(base.df, col("embedding"), k = 16),
+      c => IvfPq.fitResidualPq(base.df, col("embedding"), c, m = 16, k = 16),
+      nprobe = 4, spill = 2)
+    val qv = graft.queries.TestCollections.queryVector(spark, sf001, 99)
+    val req =
+      s"""{"query":{"property":"embedding","vectorFlat":{
+         |"vector":[${qv.mkString(",")}],"operator":"near","limit":10,
+         |"approx":true}},"limit":100}""".stripMargin
+    val rows = Search.searchJson(coll, req).select("_id").as[String].collect().toSeq
+    // a vector stored in two probed cells must still surface exactly once
+    assert(rows.distinct.size == rows.size, s"duplicate ids in $rows")
+    assert(rows.head == "99", "self-match survives the probes")
+    assert(rows.size == 10)
+  }
+
   test("residual codes quantize tighter than raw-vector codes (same budget)") {
     // mean ADC error of residual PQ vs raw PQ against true euclidean² —
     // the reason IVF-PQ encodes residuals at all
