@@ -28,8 +28,13 @@ object RecallReport {
     val queryIds = Seq(0L, 7L, 99L, 250L, 444L).filter(_ < n)
     val k = 10
 
-    def vec(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
-      .select("embedding").head().getSeq[Float](0)
+    // fetch each query vector ONCE — vec() is called inside every method's
+    // per-query loop (~80 uses), and a filter+head Spark job per call would
+    // dominate the report's wall-clock
+    val queryVecs: Map[Long, Seq[Float]] = queryIds.map(id =>
+      id -> emb.filter(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0)).toMap
+    def vec(id: Long): Seq[Float] = queryVecs(id)
     def exactTop(qv: Seq[Float], metric: Metric): Set[Long] =
       emb.select(col("vec_id"),
           Distances.distanceToQuery(metric, col("embedding"), qv).as("d"))
@@ -43,7 +48,8 @@ object RecallReport {
     val exactL2 = queryIds.map(q => exactTop(vec(q), Metric.Euclidean))
 
     // BQ: hamming over mean-threshold sign bits vs true cosine — pure and
-    // rescored (top-100 hamming candidates re-ranked by exact cosine)
+    // rescored (top-`rescoreC` = 20·k hamming candidates re-ranked by
+    // exact cosine)
     val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
     val encoded = BinaryQuantizer.encode(
       emb.select(col("vec_id"), col("embedding")), col("embedding"), th).persist()
@@ -143,18 +149,18 @@ object RecallReport {
     // (1 round is the bench build point)
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().map { case (i, v) => i -> v.toArray }.toMap
-    def vamAt(rounds: Int): (Seq[Set[Long]], org.apache.spark.sql.DataFrame) = {
+    def vamAt(rounds: Int): Seq[Set[Long]] = {
       val graph = VamanaBuild.build(emb, col("vec_id"), col("embedding"),
         Metric.Euclidean, VamanaBuild.Params(degreeBound = 32, iterations = rounds))
       val adj = graph.as[(Long, Seq[Long])].collect().toMap
-      (queryIds.map { q =>
+      queryIds.map { q =>
         VamanaBuild.greedySearch(adj, vecs, vecs(q), k, searchSize = 75,
           start = adj.keys.min, metric = Metric.Euclidean).toSet
-      }, graph)
+      }
     }
-    val (vam, _) = vamAt(3)
-    val (vam2, _) = vamAt(2)
-    val (vam1, _) = vamAt(1)
+    val vam = vamAt(3)
+    val vam2 = vamAt(2)
+    val vam1 = vamAt(1)
 
     // incrementally maintained Vamana: build on 90% of the corpus, patch
     // in the remaining 10% (insertBatch), then delete 5% (deleteBatch) —

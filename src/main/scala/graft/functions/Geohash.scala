@@ -36,6 +36,11 @@ case class GeohashExpr(child: Expression, precision: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     require(arr.numElements() >= 2, "geohash requires a [lat, lon] vector")
+    // ArrayData.getFloat reads a null element as 0.0f — silently hashing
+    // a bad row onto the equator/meridian, where every prefix pre-filter
+    // then mis-sorts it; fail loud like the short-array case
+    require(!arr.isNullAt(0) && !arr.isNullAt(1),
+      "geohash requires non-null lat/lon elements")
     UTF8String.fromString(Geohash.encode(arr.getFloat(0), arr.getFloat(1), precision))
   }
 
@@ -43,6 +48,9 @@ case class GeohashExpr(child: Expression, precision: Int)
     nullSafeCodeGen(ctx, ev, a =>
       s"""if ($a.numElements() < 2) {
          |  throw new IllegalArgumentException("geohash requires a [lat, lon] vector");
+         |}
+         |if ($a.isNullAt(0) || $a.isNullAt(1)) {
+         |  throw new IllegalArgumentException("geohash requires non-null lat/lon elements");
          |}
          |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
          |  graft.functions.Geohash.encode($a.getFloat(0), $a.getFloat(1), $precision));

@@ -482,14 +482,19 @@ object PipelineQueries {
       .orderBy("hour", "event_type")
   }
 
-  // windowedAgg already summed; re-round the double deterministically
+  // windowedAgg already summed (exactly, via DECIMAL accumulation — its
+  // double output is order-independent); re-round it to the hash scale
   private def dsum0(c: org.apache.spark.sql.Column) = dround(c, 2)
 
+  // octet_length(encode(..)): the engine's payload is the utf-8 BYTES of
+  // the text (withPayload casts to BINARY), so the stub's width/height are
+  // functions of the byte count — a char-based length(text) would diverge
+  // on the first non-ASCII document
   val multimodalDecode = NamedQuery(
     "multimodal_decode",
     """SELECT doc_id AS id,
-      |  (length(text) % 640) + 1 AS width,
-      |  ((length(text) * 7) % 480) + 1 AS height,
+      |  (octet_length(encode(text)) % 640) + 1 AS width,
+      |  ((octet_length(encode(text)) * 7) % 480) + 1 AS height,
       |  3 AS channels
       |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
     val payloads = Multimodal.withPayload(
@@ -531,17 +536,28 @@ object PipelineQueries {
       .orderBy("id", "bin")
   }
 
+  // frameSample slices the BINARY payload at byte offsets and hashes raw
+  // bytes; DuckDB's md5 is VARCHAR-only and blobs can't be sliced, so a
+  // byte-faithful replay is only expressible where bytes == chars. Both
+  // engines therefore restrict to ASCII-clean documents (today that is
+  // every driver document; the filter keeps the compare honest if a
+  // regen introduces multi-byte text — non-ASCII payloads are covered
+  // byte-for-byte by ImageDecodeSpec/PipelineSpec instead). The frame
+  // range is correlated per document — no silent frame-count cap.
   val multimodalFrames = NamedQuery(
     "multimodal_frames",
     """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
       |  CAST(i * 100 AS BIGINT) AS "offset",
       |  md5(substr(text, CAST(i * 100 AS INT) + 1, 100)) AS frame_sha
       |FROM documents
-      |CROSS JOIN unnest(range(0, 2000)) AS t(i)
-      |WHERE i <= (length(text) - 1) // 100
+      |CROSS JOIN unnest(range(0, (length(text) - 1) // 100 + 1)) AS t(i)
+      |-- length > 0 matches frameSample's empty-payload drop (DuckDB's //
+      |-- truncates toward zero, so empty text would yield one bogus frame)
+      |WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
       |ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
     val payloads = Multimodal.withPayload(
-      Tables.documents(s, d), col("doc_id"), col("text"), "video/fake")
+      Tables.documents(s, d).filter(col("text").rlike("^[\\x00-\\x7F]*$")),
+      col("doc_id"), col("text"), "video/fake")
     Multimodal.frameSample(payloads, stride = 100)
       .orderBy("id", "frame_idx")
   }

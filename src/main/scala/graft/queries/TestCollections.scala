@@ -32,19 +32,27 @@ object TestCollections {
       "p_size" -> Integer,
       "p_retailprice" -> Float))
 
-  // one built collection per (session, sfDir): the text index (persisted
+  // one built collection per (app, sfDir): the text index (persisted
   // postings + numDocs) is shared across every query in the session, like
-  // the reference's cached per-shard index structures
+  // the reference's cached per-shard index structures. Keyed by
+  // applicationId, NOT the session object (the PipelineQueries cache
+  // convention) — a session key would pin every stopped SparkSession's
+  // whole object graph (plans, cached frames) in a long-lived JVM.
   private val docsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Collection]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Collection]()
 
   /** documents ⋈ embeddings (doc_id = vec_id) as a hybrid text+vector
     * collection — text index on `text`, flat cosine on `embedding`, a
     * vamana-declared euclidean view of the same vectors on `vec_l2`.
     */
-  def docs(s: SparkSession, d: String): Collection =
-    docsCache.computeIfAbsent((s, d), _ =>
+  def docs(s: SparkSession, d: String): Collection = {
+    val app = s.sparkContext.applicationId
+    // entries from a previous (stopped) application hold DataFrames bound
+    // to its dead context — unusable and heap-pinning; drop them
+    docsCache.keySet.removeIf(k => k._1 != app)
+    docsCache.computeIfAbsent((app, d), _ =>
       docsUncached(s, d).withTextIndexCached("text", textIdxCacheDir(d)))
+  }
 
   /** Per-sfDir parquet location for the docs text index: survives
     * `clearCache()` (the bench isolation step) and even JVM restarts —

@@ -31,16 +31,21 @@ object VectorQueries {
         .orderBy(col("dist_r"), col("_id"))
     }
 
+  // dist goes through REAL before ranking/rounding: the engine casts
+  // `_distance` to float32 (QueryCompiler.near), so the oracle must round
+  // the same 32-bit value — the double and its float32 rounding can
+  // straddle a scale-4 boundary (the CAST(.. AS REAL) convention
+  // HybridQueries documents). hybrid replays the engine's float multiply.
   private def sqlNear(distExpr: String, k: Int, where: String = "TRUE", weight: Double = 1.0): String =
     s"""WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
        |ranked AS (
-       |  SELECT CAST(doc_id AS VARCHAR) AS _id, ($distExpr) AS dist
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id, CAST(($distExpr) AS REAL) AS dist32
        |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
        |  WHERE $where
-       |  ORDER BY dist ASC, _id ASC LIMIT $k)
+       |  ORDER BY dist32 ASC, _id ASC LIMIT $k)
        |SELECT _id,
-       |  CAST(round(CAST(dist AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
-       |  CAST(round(CAST(-($weight) * dist AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(CAST(CAST(-($weight) AS REAL) * dist32 AS REAL) AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
        |FROM ranked ORDER BY dist_r, _id""".stripMargin
 
   val s2NearCosine = nearQuery(
@@ -115,15 +120,18 @@ object VectorQueries {
        |         CAST(embedding[2] * 120 AS REAL) AS lon
        |  FROM documents JOIN embeddings ON doc_id = vec_id),
        |ranked AS (
+       |  -- REAL before ranking/rounding: the engine's _distance is float32,
+       |  -- and at meter scale a float32 ulp is comparable to the scale-1
+       |  -- rounding boundary half-width
        |  SELECT _id,
-       |    2.0 * 6371000.0 * asin(sqrt(
+       |    CAST(2.0 * 6371000.0 * asin(sqrt(
        |      pow(sin(radians(CAST(lat AS DOUBLE) - CAST(qlat AS DOUBLE)) / 2), 2)
        |      + cos(radians(CAST(qlat AS DOUBLE))) * cos(radians(CAST(lat AS DOUBLE)))
-       |        * pow(sin(radians(CAST(lon AS DOUBLE) - CAST(qlon AS DOUBLE)) / 2), 2))) AS dist
+       |        * pow(sin(radians(CAST(lon AS DOUBLE) - CAST(qlon AS DOUBLE)) / 2), 2))) AS REAL) AS dist32
        |  FROM geo CROSS JOIN q
-       |  ORDER BY dist ASC, _id ASC LIMIT 10)
+       |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
        |SELECT _id,
-       |  CAST(round(CAST(dist AS DECIMAL(28,6)), 1) AS DOUBLE) AS dist_r
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 1) AS DOUBLE) AS dist_r
        |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
     val qv = TestCollections.queryVector(s, d, 0)
     val geoQ = Seq(qv(0) * 60.0f, qv(1) * 120.0f)
@@ -158,12 +166,13 @@ object VectorQueries {
       |  FROM corpus c CROSS JOIN q CROSS JOIN th),
       |cand AS (SELECT _id, embedding FROM hd ORDER BY hdist ASC, _id ASC LIMIT 50),
       |rr AS (
-      |  SELECT c._id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS dist
+      |  -- REAL: the engine's stage-2 re-rank distance is float32
+      |  SELECT c._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
       |  FROM cand c CROSS JOIN q),
-      |top AS (SELECT _id, dist FROM rr ORDER BY dist ASC, _id ASC LIMIT 10)
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
       |SELECT _id,
-      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
-      |  CAST(round(CAST(-1.0 * dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
       |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
     val base = TestCollections.docs(s, d)
     val th = graft.operators.BinaryQuantizer.fit(base.df, col("embedding"), 64)
@@ -223,12 +232,13 @@ object VectorQueries {
       |  GROUP BY c._id),
       |cand AS (SELECT _id FROM scores ORDER BY approx ASC, _id ASC LIMIT 50),
       |rr AS (
-      |  SELECT co._id, 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS dist
+      |  -- REAL: the engine's stage-2 re-rank distance is float32
+      |  SELECT co._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS REAL) AS dist32
       |  FROM cand JOIN corpus co USING (_id) CROSS JOIN q),
-      |top AS (SELECT _id, dist FROM rr ORDER BY dist ASC, _id ASC LIMIT 10)
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
       |SELECT _id,
-      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
-      |  CAST(round(CAST(-1.0 * dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
       |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
     val base = TestCollections.docs(s, d)
     val seed = graft.Tables.embeddings(s, d).filter(col("vec_id") < 8).orderBy("vec_id")

@@ -27,12 +27,22 @@ object EventsStream {
 
   val SessionGap = "30 minutes"
 
-  /** Tumbling 1-hour windows per event type: count + sum(value). */
+  /** Tumbling 1-hour windows per event type: count + sum(value).
+    *
+    * The sum accumulates in DECIMAL and is cast back to double once: a
+    * plain double sum depends on accumulation order (partition count /
+    * merge order), so batch and stream — or two runs at different
+    * parallelism — could disagree in the last ulps. Exact accumulation
+    * makes the operator deterministic (and lets q7_stream_window
+    * hash-compare against DuckDB's exact DECIMAL sum).
+    */
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("sum_value"))
       .select(
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
