@@ -19,38 +19,42 @@ import graft.model.IndexKind.Metric
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    GraftExtensions.builders.foreach { case (name, builder) =>
+    GraftExtensions.builders.foreach { case (name, implClass, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[VectorDistance].getName, name),
+        // the entry's OWN expression class — DESCRIBE FUNCTION geohash
+        // must not report VectorDistance as the implementation
+        new ExpressionInfo(implClass, name),
         builder))
     }
 }
 
 object GraftExtensions {
 
-  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+  /** (name, implementing expression class, builder) per SQL function. */
+  private[graft] val builders: Seq[(String, String, Seq[Expression] => Expression)] =
     Metric.all.map { m =>
       val name = s"vector_distance_${m.name}"
-      name -> { (args: Seq[Expression]) =>
+      (name, classOf[VectorDistance].getName, { (args: Seq[Expression]) =>
         require(args.length == 2, s"$name expects exactly 2 arguments")
         VectorDistance(args.head, args(1), m): Expression
-      }
-    } :+ ("geohash" -> { (args: Seq[Expression]) =>
-      // geohash(latlon_array, precision_int_literal) — the geo story's
-      // SQL face (store the hash as a string property, prefix-filter it)
-      require(args.length == 2, "geohash expects exactly 2 arguments")
-      val precision = args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"geohash precision must be an integer literal (got $other)")
-      }
-      graft.functions.GeohashExpr(args.head, precision): Expression
-    })
+      })
+    } :+ (("geohash", classOf[graft.functions.GeohashExpr].getName,
+      { (args: Seq[Expression]) =>
+        // geohash(latlon_array, precision_int_literal) — the geo story's
+        // SQL face (store the hash as a string property, prefix-filter it)
+        require(args.length == 2, "geohash expects exactly 2 arguments")
+        val precision = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"geohash precision must be an integer literal (got $other)")
+        }
+        graft.functions.GeohashExpr(args.head, precision): Expression
+      }))
 
   /** Register all engine functions as temp functions on a live session. */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }

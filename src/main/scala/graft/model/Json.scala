@@ -105,7 +105,12 @@ object Json {
     case JInt(n) =>
       require(n.isValidLong, s"integer out of range: $n"); n.toLong
     case JLong(n) => n
-    case JDouble(d) if d.isWhole => d.toLong
+    // same no-wrap rule int() enforces: a whole float64 past ±2^63 must
+    // error, not saturate to Long.MaxValue. Long.MaxValue.toDouble rounds
+    // UP to 2^63 exactly, so the upper bound is strict.
+    case JDouble(d) if d.isWhole =>
+      require(d >= Long.MinValue.toDouble && d < Long.MaxValue.toDouble,
+        s"integer out of range: $d"); d.toLong
     case JNothing | JNull if default != null => default
     case other => throw new IllegalArgumentException(s"expected integer, got $other")
   }

@@ -68,7 +68,11 @@ object Multimodal {
     */
   private def decodeImage(id: Long, payload: Array[Byte]): Option[Row] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCache, not ImageIO.createImageInputStream: the default
+      // (useCache=true) backs an ALREADY in-memory byte array with a
+      // File.createTempFile per row — pure disk churn in the hot path,
+      // and the temp file leaks until GC if anything throws before close
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) { iis.close(); None }
@@ -83,7 +87,11 @@ object Multimodal {
           else {
             val img = reader.read(0)
             val channels = img.getRaster.getNumBands
-            val hist = new Array[Float](8)
+            // Long counters: a float counter saturates at 2^24 (x+1f == x),
+            // and MaxDecodePixels admits 2^26 pixels — a uniform-color
+            // 8192×8192 image would silently yield a histogram summing to
+            // 0.25 instead of 1.0
+            val hist = new Array[Long](8)
             val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
@@ -93,13 +101,13 @@ object Multimodal {
                 val rgb = rowBuf(x)
                 val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
                   (rgb & 0xFF) * 114) / 1000
-                hist(lum >> 5) += 1f
+                hist(lum >> 5) += 1L
                 x += 1
               }
               y += 1
             }
-            val total = (w.toLong * h.toLong).toFloat
-            Some(Row(id, w, h, channels, hist.map(_ / total).toSeq))
+            val total = (w.toLong * h.toLong).toDouble
+            Some(Row(id, w, h, channels, hist.map(c => (c / total).toFloat).toSeq))
           }
         } finally {
           reader.dispose()
@@ -119,11 +127,13 @@ object Multimodal {
     val n = payload.length
     val width = (n % 640) + 1
     val height = ((n.toLong * 7) % 480).toInt + 1 // Int math overflows past ~306 MB
-    // fake "feature": normalized byte histogram over 8 buckets
-    val hist = new Array[Float](8)
-    payload.foreach(b => hist(((b & 0xFF) >> 5)) += 1f)
-    val total = math.max(n, 1).toFloat
-    Row(id, width, height, 3, hist.map(_ / total).toSeq)
+    // fake "feature": normalized byte histogram over 8 buckets. Long
+    // counters + double normalize, same rationale as decodeImage — a
+    // float counter silently saturates at 2^24 bytes in one bucket
+    val hist = new Array[Long](8)
+    payload.foreach(b => hist(((b & 0xFF) >> 5)) += 1L)
+    val total = math.max(n, 1).toDouble
+    Row(id, width, height, 3, hist.map(c => (c / total).toFloat).toSeq)
   }
 
   /** Partition-batched decode: one decoder per partition, rows streamed
@@ -144,7 +154,11 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val mime = r.getString(2)
-          if (mime != null && mime.startsWith("image/")) decodeImage(id, payload)
+          // a null payload has nothing to decode — shed it like corrupt
+          // bytes (featureExtract applies the same guard); the stub would
+          // otherwise NPE and fail the job
+          if (payload == null) None
+          else if (mime != null && mime.startsWith("image/")) decodeImage(id, payload)
           else Some(decodeStub(id, payload))
         }
       }

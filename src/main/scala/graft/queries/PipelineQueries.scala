@@ -496,7 +496,10 @@ object PipelineQueries {
       |  (octet_length(encode(text)) % 640) + 1 AS width,
       |  ((octet_length(encode(text)) * 7) % 480) + 1 AS height,
       |  3 AS channels
-      |FROM documents ORDER BY id""".stripMargin) { (s, d) =>
+      |FROM documents
+      |-- decode() sheds null payloads (nothing to decode)
+      |WHERE text IS NOT NULL
+      |ORDER BY id""".stripMargin) { (s, d) =>
     val payloads = Multimodal.withPayload(
       Tables.documents(s, d), col("doc_id"), col("text"), "text/plain")
     Multimodal.decode(payloads)
