@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for LLM training shards — the "concat-and-chunk"
+  * layout: documents are laid end-to-end in a global deterministic order
+  * (the id), and the token stream is cut into fixed-capacity chunks. Each
+  * document's placement is fully described by its global token START
+  * OFFSET; the chunks it spans follow by integer division.
+  *
+  * The start offset is a GLOBAL prefix sum, which Spark's Window would
+  * compute in a single task (`Window.orderBy` with no partition key — the
+  * unbounded-window shape PlanLintSpec forbids). Instead this is the
+  * textbook distributed prefix sum, all stages partition-parallel:
+  *
+  *   1. range-repartition by id + sort within partitions (each partition
+  *      holds a contiguous, sorted id range);
+  *   2. one tiny job sums each partition's weights (P rows to the driver);
+  *   3. the cumulative per-partition offsets broadcast back (P longs);
+  *   4. a partition-local scan emits each row's offset.
+  *
+  * The result depends only on the id order and the weights — NOT on the
+  * partition count or layout (each partition's base offset is computed
+  * from whatever rows actually landed in it), which PackingSpec asserts
+  * by building at different partition counts.
+  *
+  * Scale: the only materialized state is the narrow (id, weight)
+  * projection (16 bytes/row — persisted because passes 2 and 4 both read
+  * it; callers running many queries clear caches between them, as
+  * Verify/Bench do) and the P-long offset array on the driver. At 100 TB
+  * with 1e11 docs and 100k partitions that array is 800 KB — nothing.
+  */
+object Packing {
+
+  /** (id, w, start): each row's weight and its global start offset under
+    * id order. Null weights count as 0; negative weights are rejected
+    * (an offset stream must be monotone).
+    */
+  def withStartOffsets(df: DataFrame, id: Column, weight: Column,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val prepared = df
+      .select(id.cast(LongType).as("id"),
+        coalesce(weight.cast(LongType), lit(0L)).as("w"))
+      .repartitionByRange(p, col("id"))
+      .sortWithinPartitions("id")
+      .persist()
+    val rdd = prepared.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach { r =>
+          val w = r.getLong(1)
+          if (w < 0) throw new IllegalArgumentException(
+            s"negative weight $w for id ${r.getLong(0)}")
+          s += w
+        }
+        Iterator.single((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // offsets(i) = total weight in partitions before i
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val w = r.getLong(1)
+        val row = Row(r.getLong(0), w, acc)
+        acc += w
+        row
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("start", LongType, nullable = false))))
+  }
+
+  /** [[withStartOffsets]] plus the chunk span at a fixed `capacity`:
+    * `chunk_first = start div capacity`,
+    * `chunk_last = (start + max(w,1) - 1) div capacity` (a zero-weight
+    * document "sits" at its offset without occupying tokens), and the
+    * spanned-chunk count. Integer `div` throughout — no double rounding
+    * at large offsets.
+    */
+  def packChunks(df: DataFrame, id: Column, weight: Column, capacity: Long,
+      partitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    withStartOffsets(df, id, weight, partitions)
+      .withColumn("chunk_first", expr(s"start DIV ${capacity}L"))
+      .withColumn("chunk_last",
+        expr(s"(start + greatest(w, 1L) - 1) DIV ${capacity}L"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
+  }
+}

@@ -232,6 +232,82 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Contiguous word n-grams WITH multiplicity from a MATERIALIZED token
+    * column — [[Dedup.shinglesFromTokens]] minus the distinct (repetition
+    * measurement needs the duplicates). Same O(L²) trap as the shingler:
+    * tokenize into a column first, never pass `tokens(text)` directly.
+    */
+  private def gramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition quality filters (the Gopher/MassiveText family): how much
+    * of a document is the document repeating itself. Per doc:
+    *
+    *   - `n_lines`, `dup_line_frac`: non-blank lines, and the fraction of
+    *     them that are repeats of another line (1 − distinct/total);
+    *   - `dup_2gram_frac` / `dup_3gram_frac`: fraction of word-n-gram
+    *     occurrences that are repeats (1 − distinct/total);
+    *   - `top_2gram_frac`: fraction of 2-gram occurrences taken by the
+    *     single most frequent 2-gram (boilerplate detector).
+    *
+    * Documents too short to have grams score 0.0 (not-repetitive — the
+    * Gopher convention), so a downstream `frac <= threshold` admission
+    * keeps them. Null text is dropped (no content to measure).
+    *
+    * Scale: line stats are per-row array algebra (no shuffle). Gram stats
+    * explode to (id, gram) and aggregate — both shuffle keys include the
+    * id, so a stop-gram cannot concentrate (the per-key row count is
+    * bounded by ONE document's grams), partial aggregation combines
+    * map-side, and the join back to the line frame is id-keyed. The
+    * per-element HOF gram build is interpreted, so gram cost is O(n·L)
+    * per doc on the materialized token array — linear, not the O(L²)
+    * re-tokenize trap.
+    */
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df
+      .filter(text.isNotNull)
+      .select(id.as("id"), text.as("_text"), Dedup.tokens(text).as("_toks"))
+    val lines = filter(split(col("_text"), "\n"), l => trim(l) =!= "")
+    // three consumers (two gram aggregations + the final join) — persist
+    // the tokenized projection like Dedup's shared frames; callers clear
+    // caches between queries (Verify/Bench do)
+    val lineStats = base.select(
+      col("id"), col("_toks"),
+      size(lines).cast("long").as("n_lines"),
+      size(array_distinct(lines)).cast("long").as("_nl_dis"))
+      .persist()
+
+    def gramStats(n: Int, prefix: String): DataFrame =
+      lineStats
+        .select(col("id"), explode(gramsFromTokens(col("_toks"), n)).as("_g"))
+        .groupBy("id", "_g").agg(count(lit(1)).as("_c"))
+        .groupBy("id").agg(
+          sum("_c").as(s"${prefix}_total"),
+          count(lit(1)).as(s"${prefix}_distinct"),
+          max("_c").as(s"${prefix}_top"))
+
+    def dupFrac(dis: Column, total: Column): Column =
+      coalesce(
+        lit(1.0) - dis.cast("double") / total.cast("double"), lit(0.0))
+
+    lineStats
+      .join(gramStats(2, "g2"), Seq("id"), "left")
+      .join(gramStats(3, "g3"), Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_lines"),
+        when(col("n_lines") > 0,
+          lit(1.0) - col("_nl_dis").cast("double") / col("n_lines"))
+          .otherwise(lit(0.0)).as("dup_line_frac"),
+        dupFrac(col("g2_distinct"), col("g2_total")).as("dup_2gram_frac"),
+        coalesce(col("g2_top").cast("double") / col("g2_total"), lit(0.0))
+          .as("top_2gram_frac"),
+        dupFrac(col("g3_distinct"), col("g3_total")).as("dup_3gram_frac"))
+  }
+
   /** Corpus vocabulary: per-token total occurrences and document frequency
     * — the tokenizer-training / vocab-pruning precursor (BPE corpus prep
     * starts exactly here). One explode + one groupBy: the shuffle key is

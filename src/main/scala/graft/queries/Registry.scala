@@ -5,5 +5,6 @@ object Registry {
   def all: Seq[NamedQuery] =
     Relational.all ++ SemaOps.all ++ VectorQueries.all ++ TextQueries.all ++
       HybridQueries.all ++ WriteQueries.all ++ DedupQueries.all ++
-      PipelineQueries.all ++ QuantizerQueries.all ++ ExtraQueries.all
+      PipelineQueries.all ++ QuantizerQueries.all ++ ExtraQueries.all ++
+      TrainingQueries.all
 }

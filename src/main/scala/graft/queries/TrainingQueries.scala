@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** Training-data curation queries: repetition quality filters, the
+  * deterministic stratified sampler, and concat-and-chunk sequence
+  * packing — the last pipeline steps between a curated corpus and
+  * training shards. All three oracled end-to-end.
+  */
+object TrainingQueries {
+
+  /** Gopher-style repetition metrics per document. Fractions are exact
+    * rationals computed by one IEEE double division in both engines, then
+    * rounded through DECIMAL at scale 6 by convention.
+    */
+  val textRepetition = NamedQuery(
+    "text_repetition",
+    s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> t != '') AS raw,
+       |    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+       |  FROM d),
+       |g2 AS (
+       |  SELECT id, unnest(CASE WHEN len(raw) >= 2
+       |    THEN list_transform(range(1, len(raw)), i -> raw[i] || ' ' || raw[i+1]) ELSE [] END) AS g
+       |  FROM tok),
+       |p2 AS (SELECT id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+       |s2 AS (SELECT id, CAST(sum(c) AS DOUBLE) AS total, count(*) AS dis, max(c) AS top FROM p2 GROUP BY id),
+       |g3 AS (
+       |  SELECT id, unnest(CASE WHEN len(raw) >= 3
+       |    THEN list_transform(range(1, len(raw) - 1), i -> raw[i] || ' ' || raw[i+1] || ' ' || raw[i+2]) ELSE [] END) AS g
+       |  FROM tok),
+       |p3 AS (SELECT id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+       |s3 AS (SELECT id, CAST(sum(c) AS DOUBLE) AS total, count(*) AS dis, max(c) AS top FROM p3 GROUP BY id)
+       |SELECT t.id,
+       |  CAST(len(ls) AS BIGINT) AS n_lines,
+       |  ${sqlDround("CASE WHEN len(ls) > 0 THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) ELSE 0.0 END", 6)} AS dup_line_frac,
+       |  ${sqlDround("coalesce(1.0 - s2.dis / s2.total, 0.0)", 6)} AS dup_2gram_frac,
+       |  ${sqlDround("coalesce(s2.top / s2.total, 0.0)", 6)} AS top_2gram_frac,
+       |  ${sqlDround("coalesce(1.0 - s3.dis / s3.total, 0.0)", 6)} AS dup_3gram_frac
+       |FROM tok t LEFT JOIN s2 USING (id) LEFT JOIN s3 USING (id)
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.repetition(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(
+        col("id"), col("n_lines"),
+        dround(col("dup_line_frac"), 6).as("dup_line_frac"),
+        dround(col("dup_2gram_frac"), 6).as("dup_2gram_frac"),
+        dround(col("top_2gram_frac"), 6).as("top_2gram_frac"),
+        dround(col("dup_3gram_frac"), 6).as("dup_3gram_frac"))
+      .orderBy("id")
+  }
+
+  /** Deterministic stratified sample of `documents` at per-language rates
+    * — the md5-threshold decision is a pure row property, so DuckDB
+    * replays the exact selected set (not just its size).
+    */
+  val sampleStratified = NamedQuery(
+    "sample_stratified",
+    """SELECT doc_id AS id, lang FROM documents
+      |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+      |  < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.3 ELSE 0.15 END)
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    Sampling.stratified(
+      Tables.documents(s, d).select(col("doc_id").as("id"), col("lang")),
+      col("id"), col("lang"),
+      rates = Map("en" -> 0.5, "de" -> 0.3), defaultRate = 0.15)
+      .orderBy("id")
+  }
+
+  /** Concat-and-chunk packing of `documents` into 256-token shards. The
+    * engine computes start offsets with the distributed prefix sum (no
+    * global window — PlanLint-clean); the oracle replays it with DuckDB's
+    * window cumsum, which is allowed to be single-threaded THERE.
+    */
+  val packSequences = NamedQuery(
+    "pack_sequences",
+    """WITH tok AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t != '')) AS BIGINT) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT id, w,
+      |    CAST(coalesce(sum(w) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM tok)
+      |SELECT id, w, start,
+      |  start // 256 AS chunk_first,
+      |  (start + greatest(w, 1) - 1) // 256 AS chunk_last,
+      |  (start + greatest(w, 1) - 1) // 256 - start // 256 + 1 AS n_chunks
+      |FROM c ORDER BY id""".stripMargin) { (s, d) =>
+    val weights = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("w"))
+    Packing.packChunks(weights, col("id"), col("w"), capacity = 256)
+      .orderBy("id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(textRepetition, sampleStratified, packSequences)
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, Sampling, TextAnalysis}
+
+/** Specs for the training-shard operators: sequence packing (distributed
+  * prefix sum), deterministic sampling, and repetition filters.
+  */
+class TrainingSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- Packing ------------------------------------------------------------
+
+  test("packing: offsets are the prefix sum, independent of partition count") {
+    val docs = (1L to 97L).map(i => (i, (i * 7 % 13) + (if (i % 5 == 0) 0L else 1L)))
+    val df = docs.toDF("id", "w")
+    def run(p: Int): Seq[(Long, Long, Long)] =
+      Packing.withStartOffsets(df, col("id"), col("w"), partitions = p)
+        .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val at2 = run(2)
+    val at7 = run(7)
+    val at32 = run(32) // more partitions than natural input splits
+    assert(at2 == at7 && at7 == at32)
+    // ground truth: sequential cumsum
+    var acc = 0L
+    val expected = docs.sortBy(_._1).map { case (i, w) =>
+      val r = (i, w, acc); acc += w; r
+    }
+    assert(at2 == expected)
+  }
+
+  test("packing: chunk spans cover the weights at the declared capacity") {
+    val df = Seq((1L, 10L), (2L, 250L), (3L, 0L), (4L, 600L), (5L, 1L))
+      .toDF("id", "w")
+    val rows = Packing.packChunks(df, col("id"), col("w"), capacity = 256)
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      val (w, start, first, last, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(first == start / 256)
+      assert(last == (start + math.max(w, 1) - 1) / 256)
+      assert(n == last - first + 1)
+    }
+    // doc 4 (600 tokens) must span at least 3 chunks
+    assert(rows.find(_.getLong(0) == 4L).get.getLong(5) >= 3)
+  }
+
+  test("packing: negative weights are rejected") {
+    val df = Seq((1L, 5L), (2L, -1L)).toDF("id", "w")
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.withStartOffsets(df, col("id"), col("w")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  // ---- Sampling -----------------------------------------------------------
+
+  test("sampling: decisions are a pure row property (stable across runs and layouts)") {
+    val df = (0L until 2000L).toDF("id")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.bernoulli(d, col("id"), 0.3).as[Long].collect().toSet
+    val a = ids(df)
+    val b = ids(df.repartition(13))
+    assert(a == b)
+    // roughly the declared rate (2000 draws, tolerance generous)
+    assert(a.size > 450 && a.size < 750)
+  }
+
+  test("sampling: lower rates select subsets of higher rates; salt changes the draw") {
+    val df = (0L until 2000L).toDF("id")
+    val lo = Sampling.bernoulli(df, col("id"), 0.2).as[Long].collect().toSet
+    val hi = Sampling.bernoulli(df, col("id"), 0.6).as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    val other = Sampling.bernoulli(df, col("id"), 0.2, salt = "other")
+      .as[Long].collect().toSet
+    assert(lo != other)
+  }
+
+  test("sampling: stratified applies each stratum's rate (null stratum takes default)") {
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else null))
+      .toDF("id", "lang")
+    val out = Sampling.stratified(df, col("id"), col("lang"),
+      rates = Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // rate 1.0 keeps all but ~1/2^32; rate 0.0 keeps none
+    assert(byLang(Some("en")) == 1000L)
+    assert(!byLang.contains(Some("de")))
+    val nullKept = byLang.getOrElse(None, 0L)
+    assert(nullKept > 350 && nullKept < 650)
+  }
+
+  // ---- Repetition ---------------------------------------------------------
+
+  test("repetition: duplicate grams, top-gram share, and line repeats") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // 2-grams: ab ba ab ba ab; 3-grams: aba bab aba bab
+      (2L, "x\nx\n \ny"),           // lines: x, x, y (blank dropped)
+      (3L, "one"),                  // too short for grams
+      (4L, "w1 w2 w3 w4")           // all distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+
+    val d1 = out(0)
+    assert(math.abs(d1.getDouble(3) - 0.6) < 1e-9)  // dup_2gram_frac: 1 - 2/5
+    assert(math.abs(d1.getDouble(4) - 0.6) < 1e-9)  // top_2gram_frac: 3/5 ("a b")
+    assert(math.abs(d1.getDouble(5) - 0.5) < 1e-9)  // dup_3gram_frac: 1 - 2/4
+
+    val d2 = out(1)
+    assert(d2.getLong(1) == 3L)                      // n_lines
+    assert(math.abs(d2.getDouble(2) - (1.0 - 2.0 / 3.0)) < 1e-9)
+
+    val d3 = out(2)                                  // no grams → 0.0, not null
+    assert(d3.getDouble(3) == 0.0 && d3.getDouble(4) == 0.0 && d3.getDouble(5) == 0.0)
+
+    val d4 = out(3)                                  // distinct grams → 0 dup, top = 1/3
+    assert(d4.getDouble(3) == 0.0)
+    assert(math.abs(d4.getDouble(4) - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("repetition: null text is dropped; single row schema is stable") {
+    val df = Seq((1L, "a a a"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, col("doc_id"), col("text")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+}
