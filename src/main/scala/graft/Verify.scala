@@ -18,22 +18,12 @@ object Verify {
     // drop any prior run's parquet for a query that fails THIS run — a
     // reused outDir must not let stale results masquerade as current in
     // the driver's compare (Bench's -1 sentinel, same honesty rule)
-    def deleteTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        val paths = try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq
-        } finally walk.close()
-        paths.reverse.foreach(f =>
-          try Files.deleteIfExists(f) catch { case _: Exception => () })
-      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        deleteTree(Paths.get(outDir, name))
+        Fs.deleteTree(Paths.get(outDir, name))
       }
       // operators persist derived index frames; drop them so a 50+-query
       // run doesn't accumulate unbounded cached storage

@@ -36,11 +36,18 @@ object Dedup {
     * least a separate projection) and shingle from the reference.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-        .otherwise(array().cast("array<string>")))
+    array_distinct(gramsFromTokens(toks, n))
+
+  /** Contiguous word n-grams WITH multiplicity (the distinct-free builder
+    * [[shinglesFromTokens]] wraps; repetition measurement needs the
+    * duplicates). Same O(L²) trap as above: `toks` must be a materialized
+    * column, never `tokens(text)` inline.
+    */
+  def gramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** Tokenized view of (id, tokens), persisted — the shared first stage of
     * every shingle-based operator.

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * The result depends only on the id order and the weights — NOT on the
   * partition count or layout (each partition's base offset is computed
-  * from whatever rows actually landed in it), which PackingSpec asserts
+  * from whatever rows actually landed in it), which TrainingSpec asserts
   * by building at different partition counts.
   *
   * Scale: the only materialized state is the narrow (id, weight)
@@ -36,7 +36,10 @@ object Packing {
 
   /** (id, w, start): each row's weight and its global start offset under
     * id order. Null weights count as 0; negative weights are rejected
-    * (an offset stream must be monotone).
+    * (an offset stream must be monotone); a null id — including a
+    * non-numeric id the Long cast nulls out — fails fast with a named
+    * error rather than an opaque executor NPE (the output schema promises
+    * non-null ids).
     */
   def withStartOffsets(df: DataFrame, id: Column, weight: Column,
       partitions: Int = 0): DataFrame = {
@@ -44,8 +47,12 @@ object Packing {
     val p =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    val idL = id.cast(LongType)
     val prepared = df
-      .select(id.cast(LongType).as("id"),
+      .select(
+        when(idL.isNull, raise_error(lit(
+          "packing requires a non-null numeric id for every row")))
+          .otherwise(idL).as("id"),
         coalesce(weight.cast(LongType), lit(0L)).as("w"))
       .repartitionByRange(p, col("id"))
       .sortWithinPartitions("id")

@@ -32,10 +32,10 @@ object Sampling {
   }
 
   /** Stratified sample: a rate per stratum value, `defaultRate` for
-    * unlisted strata (a null stratum takes the default). Rates are
-    * compared strictly, so rate 0 drops the stratum entirely and rate 1
-    * keeps all but ~1/2^32 of it (document the epsilon rather than
-    * special-case it).
+    * unlisted strata (a null stratum takes the default). The comparison
+    * is strict, and hashUniform is strictly below 1.0 (max (2^32−1)/2^32),
+    * so rate 0 drops the stratum entirely and rate 1 keeps EVERY row —
+    * both endpoints are exact.
     */
   def stratified(df: DataFrame, key: Column, stratum: Column,
       rates: Map[String, Double], defaultRate: Double,

@@ -232,17 +232,6 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
-  /** Contiguous word n-grams WITH multiplicity from a MATERIALIZED token
-    * column — [[Dedup.shinglesFromTokens]] minus the distinct (repetition
-    * measurement needs the duplicates). Same O(L²) trap as the shingler:
-    * tokenize into a column first, never pass `tokens(text)` directly.
-    */
-  private def gramsFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
-
   /** Repetition quality filters (the Gopher/MassiveText family): how much
     * of a document is the document repeating itself. Per doc:
     *
@@ -282,7 +271,7 @@ object TextAnalysis {
 
     def gramStats(n: Int, prefix: String): DataFrame =
       lineStats
-        .select(col("id"), explode(gramsFromTokens(col("_toks"), n)).as("_g"))
+        .select(col("id"), explode(Dedup.gramsFromTokens(col("_toks"), n)).as("_g"))
         .groupBy("id", "_g").agg(count(lit(1)).as("_c"))
         .groupBy("id").agg(
           sum("_c").as(s"${prefix}_total"),

@@ -304,17 +304,8 @@ object PipelineQueries {
   private val ivfArtifactCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      // close the walk stream before deleting — it holds a directory fd
-      // (same discipline as CollectionStore.deleteTree)
-      val stream = java.nio.file.Files.walk(p)
-      val paths = try stream.iterator().asScala.toSeq finally stream.close()
-      paths.reverse.foreach(f =>
-        try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => () })
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.Fs.deleteTree(p)
 
   val annIvfPruned = NamedQuery(
     "ann_ivf_pruned",

@@ -70,10 +70,8 @@ final class CollectionStore(
     val s = Files.list(dir)
     try s.iterator().asScala.toSeq finally s.close()
   }
-  private def deleteTree(dir: java.nio.file.Path): Unit = {
-    val s = Files.walk(dir)
-    try s.iterator().asScala.toSeq.reverse.foreach(Files.delete) finally s.close()
-  }
+  private def deleteTree(dir: java.nio.file.Path): Unit =
+    graft.Fs.deleteTree(dir, strict = true)
   private def treeBytes(dir: java.nio.file.Path): Long = {
     val s = Files.walk(dir)
     try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum

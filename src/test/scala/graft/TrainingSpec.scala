@@ -46,6 +46,16 @@ class TrainingSpec extends SparkSuite {
     assert(rows.find(_.getLong(0) == 4L).get.getLong(5) >= 3)
   }
 
+  test("packing: null ids fail fast with a named error") {
+    val df = Seq((Option(1L), 5L), (Option.empty[Long], 3L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Packing.withStartOffsets(df, col("id"), col("w")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-null numeric id")))
+  }
+
   test("packing: negative weights are rejected") {
     val df = Seq((1L, 5L), (2L, -1L)).toDF("id", "w")
     val e = intercept[org.apache.spark.SparkException] {
