@@ -39,6 +39,9 @@ case class PackBits(left: Expression, right: Expression)
     val words = new Array[Long]((n + 63) / 64)
     var i = 0
     while (i < n) {
+      // getFloat/getDouble read a null element as 0.0 — a silently wrong
+      // sign bit; fail loud like the length guards
+      if (vec.isNullAt(i) || th.isNullAt(i)) PackBits.nullElement(prettyName)
       if (vec.getFloat(i).toDouble > th.getDouble(i)) words(i / 64) |= 1L << (i % 64)
       i += 1
     }
@@ -55,6 +58,9 @@ case class PackBits(left: Expression, right: Expression)
          |$cls.MODULE$$.requireCovered($n, $t.numElements());
          |long[] $words = new long[($n + 63) / 64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i) || $t.isNullAt($i)) {
+         |    $cls.MODULE$$.nullElement("pack_bits");
+         |  }
          |  if ((double) $v.getFloat($i) > $t.getDouble($i)) {
          |    $words[$i / 64] |= 1L << ($i % 64);
          |  }
@@ -90,6 +96,9 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
     if (jaccard) {
       var inter = 0L; var union = 0L; var i = 0
       while (i < n) {
+        // a null word reads as 0L — an underestimated distance that can
+        // falsely win top-k; fail loud like the word-count guard
+        if (x.isNullAt(i) || y.isNullAt(i)) PackBits.nullElement(prettyName)
         val xa = x.getLong(i); val ya = y.getLong(i)
         inter += java.lang.Long.bitCount(xa & ya)
         union += java.lang.Long.bitCount(xa | ya)
@@ -99,6 +108,7 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
     } else {
       var acc = 0L; var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) PackBits.nullElement(prettyName)
         acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
         i += 1
       }
@@ -112,6 +122,10 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
       val n = ctx.freshName("n")
       val cls = PackBits.getClass.getName.stripSuffix("$") + "$"
       val guard = s"$cls.MODULE$$.requireSameWords($a.numElements(), $b.numElements());"
+      val nullGuard =
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    $cls.MODULE$$.nullElement("$prettyName");
+           |  }""".stripMargin
       if (jaccard) {
         val inter = ctx.freshName("inter")
         val union = ctx.freshName("union")
@@ -119,6 +133,7 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
            |int $n = $a.numElements();
            |long $inter = 0L; long $union = 0L;
            |for (int $i = 0; $i < $n; $i++) {
+           |  $nullGuard
            |  long xa = $a.getLong($i); long ya = $b.getLong($i);
            |  $inter += java.lang.Long.bitCount(xa & ya);
            |  $union += java.lang.Long.bitCount(xa | ya);
@@ -131,6 +146,7 @@ case class PackedBitDistance(left: Expression, right: Expression, jaccard: Boole
            |int $n = $a.numElements();
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
+           |  $nullGuard
            |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
            |}
            |${ev.value} = (double) $acc;
@@ -150,6 +166,10 @@ object PackBits {
     if (a != b)
       throw new IllegalArgumentException(
         s"packed vectors differ in word count ($a vs $b) — dimension mismatch")
+
+  def nullElement(op: String): Unit =
+    throw new IllegalArgumentException(
+      s"$op: null array element (a null packs/reads as 0 — silently wrong bits)")
 }
 
 object PackedOps {

@@ -56,8 +56,17 @@ object TextAnalyzer {
 
   /** Driver-side analysis of a query string (same tokenizer + stopwords).
     * Locale.ROOT, deliberately: the default-locale `toLowerCase` maps
-    * 'I' → dotless 'ı' under tr-TR, silently missing every indexed term
-    * Spark's locale-independent `lower()` produced.
+    * 'I' → dotless 'ı' under tr-TR, which would miss indexed terms.
+    *
+    * DEPLOYMENT CONSTRAINT: Spark's `lower()` is locale-independent only
+    * for pure-ASCII strings — `UTF8String.toLowerCase` routes any string
+    * containing a non-ASCII byte through `String.toLowerCase()` under the
+    * executor JVM's DEFAULT locale. A cluster whose executors run tr-TR/
+    * az/lt locales will index 'İSTANBUL FAIR' as 'faır' while this method
+    * (and the DuckDB oracle) produce 'fair'. Pin the JVM locale on every
+    * executor (`spark.executor.extraJavaOptions=-Duser.language=en`), the
+    * same class of environment pin as the UTC session-timezone
+    * requirement in EventsStream.
     */
   def analyzeString(s: String): Seq[String] =
     TokenPattern.r.split(s.toLowerCase(java.util.Locale.ROOT))

@@ -145,7 +145,13 @@ object MsgPack {
       writeLong(o, x.toLong)
     case JLong(x) => writeLong(o, x)
     case JDouble(x) => o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(x).array())
-    case JDecimal(x) => o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(x.toDouble).array())
+    case JDecimal(x) =>
+      val d = x.toDouble
+      // a decimal past double range would silently encode ±Infinity —
+      // fail fast like the JInt uint64 guard (precision rounding within
+      // range is inherent to the float64 wire format)
+      require(!d.isInfinity, s"decimal out of msgpack float64 range: $x")
+      o.write(0xcb); writeBytes(o, ByteBuffer.allocate(8).putDouble(d).array())
     case JString(s) =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       if (b.length < 32) o.write(0xa0 | b.length)

@@ -147,9 +147,29 @@ object Validation {
       _ <- if (o.value.isEmpty) err("string query value cannot be empty") else ok
       _ <- if (o.operator == Op.StartsWith || Op.comparisons(o.operator))
              ok else err(s"invalid operator ${o.operator} for string query")
-      _ <- if (o.operator == Op.InRange && o.endValue <= o.value)
+      _ <- if (o.operator == Op.InRange && utf8Compare(o.endValue, o.value) <= 0)
              err("endValue must be greater than value for string range query") else ok
     } yield ()
+
+  /** UTF-8 byte order — the order the ENGINE actually filters with
+    * (Spark's UTF8String), the oracle's binary collation, and the
+    * reference's []byte keys. Java String.compareTo (UTF-16 code units)
+    * disagrees for [U+E000, U+FFFF] vs supplementary-plane characters, so
+    * validating with it would accept/reject ranges the engine orders the
+    * other way.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   private def validateCmp(op: String, rangeOk: => Boolean, kind: String): Either[String, Unit] =
     if (!Op.comparisons(op)) err(s"invalid operator $op for $kind query")

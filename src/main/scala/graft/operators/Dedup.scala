@@ -22,7 +22,10 @@ import graft.functions.Distances
   */
 object Dedup {
 
-  val TokenPattern = "[^\\p{L}\\p{N}]+"
+  // ONE definition with the analyzer (functions.TextAnalyzer): both are
+  // inlined verbatim into generated DuckDB oracles, so an edit to one
+  // copy would silently desynchronize dedup vs analyzed tokenization
+  val TokenPattern: String = graft.functions.TextAnalyzer.TokenPattern
 
   /** Raw lowercase tokens (stopwords kept — dedup wants verbatim shape). */
   def tokens(text: Column): Column =
@@ -125,10 +128,19 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Option[Int] = None): DataFrame = {
     val (base, cand) = ngramJaccardStages(df, id, text, n, threshold, maxShingleDf)
-    // exact verification on the full shingle sets. array_intersect (not a
-    // UDF) on purpose: it consumes the array data as raw UTF8Strings inside
-    // codegen, where a Scala UDF would first materialize 2×|A| java Strings
-    // per candidate pair — measured 2× slower than the intersect
+    ngramJaccardVerify(base, cand, threshold)
+  }
+
+  /** Exact verification over already-built PPJoin stages — shared with
+    * ScaleSmoke, which must time candidates and verification from the
+    * SAME stages (re-deriving them would double the measured work).
+    * array_intersect (not a UDF) on purpose: it consumes the array data
+    * as raw UTF8Strings inside codegen, where a Scala UDF would first
+    * materialize 2×|A| java Strings per candidate pair — measured 2×
+    * slower than the intersect.
+    */
+  private[graft] def ngramJaccardVerify(
+      base: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val setsA = base.select(col("_pid").as("id_a"), col("_sh").as("_sha"), col("_cnt").as("ca"))
     val setsB = base.select(col("_pid").as("id_b"), col("_sh").as("_shb"), col("_cnt").as("cb"))
     cand.join(setsA, "id_a").join(setsB, "id_b")

@@ -39,12 +39,15 @@ object ScaleSmoke {
     docs.crossJoin(
         spark(docs).range(factor).select(col("id").as("_rep")))
       .withColumn("doc_id", col("doc_id") + col("_rep") * idStep)
-      // alphanumeric suffix ("x3"), NOT "_3": the dedup tokenizer splits on
-      // non-alphanumerics, so an underscore would shear every token in two
-      // and flood the corpus with a shared filler token — "tokenx3" stays
-      // ONE token and maps 1:1 onto the original shingle structure
+      // suffix every ALPHANUMERIC RUN (the tokenizer's own token unit),
+      // not whitespace runs: a whitespace-run suffix lands after trailing
+      // punctuation ("art." → "art.x3"), which the [^\p{L}\p{N}]+ split
+      // shears into the UNsuffixed base token plus a shared "x3" filler —
+      // cross-replica shingles that break the exactly-f×-pairs invariant.
+      // Appending to each \p{L}\p{N} run keeps tokens 1:1 with the
+      // original shingle structure ("tokenx3") and replicas fully disjoint
       .withColumn("text",
-        regexp_replace(col("text"), lit("([^ \\t\\n\\x0B\\f\\r]+)"),
+        regexp_replace(col("text"), lit("([\\p{L}\\p{N}]+)"),
           concat(lit("$1x"), col("_rep"))))
       .drop("_rep")
 
@@ -120,8 +123,10 @@ object ScaleSmoke {
         corpus, col("doc_id"), col("text"), n = 3, threshold = 0.5,
         maxShingleDf = None)
       val nCand = time(s"  f=$f ppjoin candidates")(cand.count())
-      val prs = graft.operators.Dedup.ngramJaccardPairs(
-        corpus, col("doc_id"), col("text"), n = 3, threshold = 0.5).persist()
+      // verify from the SAME stages — re-deriving them (as ngramJaccardPairs
+      // would) re-runs candidate generation and contaminates this timing
+      val prs = graft.operators.Dedup.ngramJaccardVerify(bse, cand, threshold = 0.5)
+        .persist()
       val nPrs = time(s"  f=$f verified pairs")(prs.count())
       var rounds = -1
       time(s"  f=$f cc (distributed)")(

@@ -46,6 +46,32 @@ class TrainingSpec extends SparkSuite {
     assert(rows.find(_.getLong(0) == 4L).get.getLong(5) >= 3)
   }
 
+  test("packing: random weight sweeps match sequential cumsum at any partition count") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic sweep
+    for (_ <- 1 to 3) {
+      val n = 40 + rnd.nextInt(80)
+      // mix of zeros, small, and large weights; non-contiguous ids
+      val docs = (1 to n).map { i =>
+        val w = rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => rnd.nextInt(5).toLong
+          case _ => rnd.nextInt(100000).toLong
+        }
+        (i.toLong * 3 + rnd.nextInt(2), w)
+      }.distinctBy(_._1)
+      val df = docs.toDF("id", "w")
+      var acc = 0L
+      val expected = docs.sortBy(_._1).map { case (i, w) =>
+        val r = (i, w, acc); acc += w; r
+      }
+      for (p <- Seq(1, 5, 16)) {
+        val got = Packing.withStartOffsets(df, col("id"), col("w"), partitions = p)
+          .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+        assert(got == expected, s"partitions=$p")
+      }
+    }
+  }
+
   test("packing: null ids fail fast with a named error") {
     val df = Seq((Option(1L), 5L), (Option.empty[Long], 3L)).toDF("id", "w")
     val e = intercept[Exception] {
