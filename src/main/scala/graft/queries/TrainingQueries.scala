@@ -98,5 +98,40 @@ object TrainingQueries {
       .orderBy("id")
   }
 
-  val all: Seq[NamedQuery] = Seq(textRepetition, sampleStratified, packSequences)
+  /** Benchmark decontamination: flag TRAINING documents whose winnowing
+    * sketches share ≥ 2 distinct hashes with any held-out EVAL document
+    * (source 'src0' stands in for the benchmark set). Pure composition of
+    * shipped operators — winnow sketch + hash equi-join — with the scale
+    * shape decontamination needs: the eval hash set is benchmark-sized
+    * (tiny), so it broadcasts, and the training side stays a narrow
+    * sketch scan; per-id aggregation is bounded by one document's sketch.
+    * The oracle reuses the shared winnow CTE verbatim.
+    */
+  val pipelineDecontaminate = NamedQuery(
+    "pipeline_decontaminate",
+    s"""WITH $winnowSelCte,
+       |sk AS (SELECT DISTINCT id, mn AS hash FROM sel),
+       |ev AS (SELECT DISTINCT sk.hash FROM sk JOIN documents d ON sk.id = d.doc_id WHERE d.source = 'src0'),
+       |hits AS (
+       |  SELECT sk.id, count(DISTINCT sk.hash) AS n_eval_hits
+       |  FROM sk JOIN documents d ON sk.id = d.doc_id JOIN ev ON sk.hash = ev.hash
+       |  WHERE d.source <> 'src0'
+       |  GROUP BY sk.id)
+       |SELECT id, n_eval_hits FROM hits WHERE n_eval_hits >= 2 ORDER BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // one sketch pass feeds both the eval hash set and the train scan
+    val sk = TextAnalysis.winnow(docs, col("doc_id"), col("text"))
+      .select(col("id"), col("hash")).distinct().persist()
+    val evalIds = docs.filter(col("source") === "src0").select(col("doc_id").as("id"))
+    val evalHashes = sk.join(evalIds, "id").select("hash").distinct()
+    val trainIds = docs.filter(col("source") =!= "src0").select(col("doc_id").as("id"))
+    sk.join(trainIds, "id")
+      .join(broadcast(evalHashes), "hash")
+      .groupBy("id").agg(countDistinct(col("hash")).as("n_eval_hits"))
+      .filter(col("n_eval_hits") >= 2)
+      .orderBy("id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    textRepetition, sampleStratified, packSequences, pipelineDecontaminate)
 }
