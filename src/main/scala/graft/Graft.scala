@@ -80,8 +80,11 @@ final class Graft(spark: SparkSession, root: String,
     * built, every write patches it incrementally (insert/delete/vector
     * update) instead of invalidating it.
     */
+  // under the write lock: an unserialized build racing a write's
+  // patchVamanaIndexes would publish from a mid-write view (the store
+  // additionally serializes the artifact publish itself per collection)
   def buildVamanaIndex(name: String, prop: String): Unit =
-    store.buildVamanaIndex(name, prop)
+    withWriteLock(name)(store.buildVamanaIndex(name, prop))
 
   /** The maintained graph artifact: (graph(nid, neighbors), idmap(_id, nid)). */
   def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] =
@@ -170,7 +173,14 @@ final class Graft(spark: SparkSession, root: String,
   private def writeThroughLocked(name: String)(op: => Seq[String]): Seq[String] = {
     reapRetired(name) // previous write generation: its readers are done
     val before = cache.get(name)
-    val committed = op // throws on invalid batches — cache stays valid
+    // an op failure does NOT prove nothing committed: insertCommitted can
+    // throw AFTER its delta landed (a Vamana patch / quantizer-fit Spark
+    // job failing), and a cache kept "valid" then serves the pre-write
+    // view indefinitely. Evict conservatively — a rejected batch costs a
+    // lazy reload; a stale cache costs silent wrong answers.
+    val committed =
+      try op
+      catch { case e: Throwable => evict(name); throw e }
     // a zero-row commit changed nothing: the cached view stays valid
     if (committed.isEmpty) return committed
     // once the store write has committed, the cached view is stale: any

@@ -84,27 +84,34 @@ final class CollectionStore(
     require(list().size < plan.maxCollections,
       s"user plan allows at most ${plan.maxCollections} collections")
     IndexSchema.validate(schema).left.foreach(m => throw new IllegalArgumentException(m))
-    val initial = normalize(data)
-    // user columns must not collide with the write path's internal names:
-    // the first delta write would silently clobber a user `_seq`, and the
-    // merge view would then drop it from one union side and throw — with
-    // the user's data already corrupted on disk. Reject at the door.
-    val clashes = ReservedCols.filter(initial.columns.contains)
-    require(clashes.isEmpty,
-      s"column name(s) reserved by the store: ${clashes.mkString(", ")}")
-    // duplicate or null ids in the seed would silently corrupt the
-    // merge-on-read view later (the window dedups deltas only, and null
-    // keys never join) — reject up front, same as insert
-    val idStats = initial.agg(
-      count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d"),
-      sum(when(col(IdCol).isNull, 1L).otherwise(0L)).as("nulls")).head()
-    require(idStats.getLong(2) == 0L, s"null $IdCol in initial data")
-    require(idStats.getLong(1) == idStats.getLong(0), s"duplicate $IdCol in initial data")
-    requireVecLens(initial, schema)
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
-    withCollLock(name)(liveIdMirrors.remove(name))
-    writeVersion(name, initial)
+    // materialize the seed ONCE: the id/vector-length validation aggs and
+    // writeVersion below must all see the same rows even for
+    // non-deterministic sources (uuid ids, samples) — the same rule
+    // insertCommitted/ingestBatch follow
+    val initial = normalize(data).localCheckpoint()
+    try {
+      // user columns must not collide with the write path's internal names:
+      // the first delta write would silently clobber a user `_seq`, and the
+      // merge view would then drop it from one union side and throw — with
+      // the user's data already corrupted on disk. Reject at the door.
+      val clashes = ReservedCols.filter(initial.columns.contains)
+      require(clashes.isEmpty,
+        s"column name(s) reserved by the store: ${clashes.mkString(", ")}")
+      // duplicate or null ids in the seed would silently corrupt the
+      // merge-on-read view later (the window dedups deltas only, and null
+      // keys never join) — reject up front, same as insert. coalesce: the
+      // sum over an EMPTY seed is NULL, and getLong would NPE
+      val idStats = initial.agg(
+        count(lit(1)).as("n"), countDistinct(col(IdCol)).as("d"),
+        coalesce(sum(when(col(IdCol).isNull, 1L).otherwise(0L)), lit(0L)).as("nulls")).head()
+      require(idStats.getLong(2) == 0L, s"null $IdCol in initial data")
+      require(idStats.getLong(1) == idStats.getLong(0), s"duplicate $IdCol in initial data")
+      requireVecLens(initial, schema)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("schema.json"), schemaToJson(schema))
+      withCollLock(name)(liveIdMirrors.remove(name))
+      writeVersion(name, initial)
+    } finally org.apache.spark.sql.graft.Bridge.release(initial)
     maybeFitQuantizers(name)
   }
 
@@ -150,20 +157,31 @@ final class CollectionStore(
     // and the delta write below must all see the same rows even for
     // non-deterministic sources (uuid ids, samples, changing inputs)
     val batch = normalize(points).localCheckpoint()
-    // one bounded id collect covers the size check, the in-batch duplicate
-    // check, and the clash probe (no aggregate job, no broadcast build)
-    val batchIds = batch.select(col(IdCol))
-      .limit(MaxInsertBatch + 1).collect().map(_.getString(0)).toSeq
-    val n = batchIds.length.toLong
-    require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
-    require(!batchIds.contains(null), s"null $IdCol in insert batch")
-    require(batchIds.distinct.length == batchIds.length, "duplicate _id within insert batch")
-    val clash = liveIds(name, batchIds)
-    require(clash.isEmpty, s"${clash.size} point(s) already exist")
-    val coerced = admitAndCoerce(name, batch, n)
-    writeDelta(name, coerced, tombstone = false)
-    mirrorAdd(name, batchIds)
-    org.apache.spark.sql.graft.Bridge.release(batch)
+    // try/finally like ingestBatch: a REJECTED batch (size/null/dup/clash/
+    // quota) must not pin its checkpoint blocks forever
+    val batchIds = try {
+      // one bounded id collect covers the size check, the in-batch duplicate
+      // check, and the clash probe (no aggregate job, no broadcast build)
+      val ids = batch.select(col(IdCol))
+        .limit(MaxInsertBatch + 1).collect().map(_.getString(0)).toSeq
+      val n = ids.length.toLong
+      require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
+      require(!ids.contains(null), s"null $IdCol in insert batch")
+      require(ids.distinct.length == ids.length, "duplicate _id within insert batch")
+      // clash probe + commit under ONE lock acquisition (the ReentrantLock
+      // nests through writeDelta's own acquisition): two concurrent direct-
+      // store writers could otherwise BOTH pass the probe before either's
+      // delta lands, and the duplicate would silently resolve
+      // last-writer-wins instead of the contract's rejection
+      withCollLock(name) {
+        val clash = liveIds(name, ids)
+        require(clash.isEmpty, s"${clash.size} point(s) already exist")
+        val coerced = admitAndCoerce(name, batch, n)
+        writeDelta(name, coerced, tombstone = false)
+        mirrorAdd(name, ids)
+      }
+      ids
+    } finally org.apache.spark.sql.graft.Bridge.release(batch)
     val vamProps = builtVamanaProps(name)
     if (vamProps.nonEmpty)
       patchVamanaIndexes(name, vamProps.map(_ -> batchIds).toMap, Nil)
@@ -185,25 +203,49 @@ final class CollectionStore(
     * insert() batches, or rebuild the graph after the bulk load.
     */
   def ingestBatch(name: String, points: DataFrame): Long = {
+    // materialize once: the checks and the delta write must see the same
+    // rows even for non-deterministic sources (uuid ids, streams)
+    val batch = normalize(points).localCheckpoint()
+    try ingestCheckpointed(name, batch)
+    finally org.apache.spark.sql.graft.Bridge.release(batch)
+  }
+
+  /** [[ingestBatch]] over an ALREADY-materialized batch — the caller owns
+    * the checkpoint lifecycle. The streaming path checkpoints its
+    * anti-joined micro-batch before landing (its plan pins delta frames a
+    * compaction here may retire), and a second full copy would double
+    * peak block storage for exactly the large-batch case this path
+    * exists for.
+    */
+  private[graft] def ingestCheckpointed(name: String, stable: DataFrame): Long = {
     flush(name)
     require(builtVamanaProps(name).isEmpty,
       "bulk ingest does not patch built Vamana graphs — use insert() " +
         "batches or rebuild the graph after the load")
-    // materialize once: the checks and the delta write must see the same
-    // rows even for non-deterministic sources (uuid ids, streams)
-    val batch = normalize(points).localCheckpoint()
-    try {
-      // ONE aggregate job answers size + null ids + in-batch duplicates
-      val stats = batch.agg(
-        count(lit(1)).as("_n"),
-        count(col(IdCol)).as("_nonnull"),
-        countDistinct(col(IdCol)).as("_distinct")).head()
-      val n = stats.getLong(0)
-      if (n == 0L) return 0L
-      require(stats.getLong(1) == n,
-        s"${n - stats.getLong(1)} null $IdCol in ingest batch")
-      require(stats.getLong(2) == n,
-        s"${n - stats.getLong(2)} duplicate _id within ingest batch")
+    // cheap projection over the stable source
+    val batch = normalize(stable)
+    // ONE aggregate job answers size + null ids + in-batch duplicates
+    val stats = batch.agg(
+      count(lit(1)).as("_n"),
+      count(col(IdCol)).as("_nonnull"),
+      countDistinct(col(IdCol)).as("_distinct")).head()
+    val n = stats.getLong(0)
+    if (n == 0L) return 0L
+    require(stats.getLong(1) == n,
+      s"${n - stats.getLong(1)} null $IdCol in ingest batch")
+    require(stats.getLong(2) == n,
+      s"${n - stats.getLong(2)} duplicate _id within ingest batch")
+    // clash probe + commit + mirror-drop under ONE lock acquisition:
+    // (a) a probe OUTSIDE the lock would let two concurrent ingests both
+    // pass "already exist" before either's delta lands — the duplicate
+    // then resolves last-writer-wins instead of the contract's
+    // rejection; (b) a concurrent insert reading the stale mirror
+    // between the delta landing and the drop would pass its clash check
+    // against pre-ingest ids. Ingest to the SAME collection serializes
+    // (the single-writer invariant); other collections are unaffected.
+    // The mirror cannot absorb an unbounded id list, so it drops and
+    // rebootstraps (or demotes) lazily on the next probe.
+    val written = withCollLock(name) {
       // the clash probe as a distributed semi-join (insert()'s liveIds
       // check without the bounded id list)
       val clashes = batch.select(col(IdCol))
@@ -211,19 +253,12 @@ final class CollectionStore(
         .count()
       require(clashes == 0L, s"$clashes point(s) already exist")
       val coerced = admitAndCoerce(name, batch, n)
-      // commit and mirror-drop under ONE lock acquisition: a concurrent
-      // insert reading the stale mirror between the delta landing and the
-      // drop would pass its clash check against pre-ingest ids and commit
-      // a duplicate. The mirror cannot absorb an unbounded id list, so it
-      // drops and rebootstraps (or demotes) lazily on the next probe.
-      val written = withCollLock(name) {
-        val w = writeDelta(name, coerced, tombstone = false, singleFile = false)
-        liveIdMirrors.remove(name)
-        w
-      }
-      maybeFitQuantizers(name)
-      written
-    } finally org.apache.spark.sql.graft.Bridge.release(batch)
+      val w = writeDelta(name, coerced, tombstone = false, singleFile = false)
+      liveIdMirrors.remove(name)
+      w
+    }
+    maybeFitQuantizers(name)
+    written
   }
 
   /** Shared insert/ingest admission — point + storage quotas (reference
@@ -268,8 +303,12 @@ final class CollectionStore(
       case (prop, k: IndexKind.VectorVamana) if df.columns.contains(prop) => (prop, k.vectorSize)
     }
     if (checks.nonEmpty) {
+      // coalesce: sum over an EMPTY frame is NULL (getLong would NPE) —
+      // zero rows trivially satisfy the length contract
       val aggs = checks.map { case (prop, len) =>
-        sum(when(col(prop).isNotNull && size(col(prop)) =!= len, 1L).otherwise(0L)).as(prop)
+        coalesce(
+          sum(when(col(prop).isNotNull && size(col(prop)) =!= len, 1L).otherwise(0L)),
+          lit(0L)).as(prop)
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       checks.zipWithIndex.foreach { case ((prop, len), i) =>
@@ -857,22 +896,48 @@ final class CollectionStore(
   }
 
   /** The graph artifact, if built: (graph(nid, neighbors), idmap(_id, nid)). */
-  def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] = {
-    val dir = vamanaDir(name, prop)
-    if (!Files.exists(dir.resolve("graph"))) None
-    else Some((
-      spark.read.parquet(dir.resolve("graph").toString),
-      spark.read.parquet(dir.resolve("idmap").toString)))
-  }
+  def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] =
+    vamanaGens(name, prop).lastOption.map { case (_, dir) =>
+      (spark.read.parquet(dir.resolve("graph").toString),
+        spark.read.parquet(dir.resolve("idmap").toString)) }
 
-  private def vamanaDir(name: String, prop: String) = {
-    val dst = Paths.get(root, name, s"vamana_$prop")
-    // crash recovery: a swap interrupted between its two renames leaves
-    // only the .prev copy — restore it as current
-    val prev = Paths.get(root, name, s".prev_vamana_$prop")
-    if (!Files.exists(dst) && Files.exists(prev))
-      Files.move(prev, dst, StandardCopyOption.ATOMIC_MOVE)
-    dst
+  /** Published artifact generations for a property, oldest → newest.
+    *
+    * Generation-ADDRESSED dirs (`vamana_<prop>_g<N>`), not a fixed path:
+    * the old rename-chain swap moved the live dir out from under
+    * in-flight scans (a task re-opens its part files by path), so a
+    * search racing a patch died with FileNotFoundException. A publish now
+    * creates a FRESH dir and retires only generations older than the
+    * immediately-previous one — a reader that resolved the previous
+    * generation before the swap keeps scanning files that still exist
+    * (the facade's one-generation retired-block deferral, applied to the
+    * graph). Legacy fixed-path dirs from older builds read as generation
+    * 0, including the old chain's `.prev` crash-recovery copy.
+    */
+  private def vamanaGens(name: String, prop: String): Seq[(Long, java.nio.file.Path)] = {
+    val base = Paths.get(root, name)
+    if (!Files.exists(base)) return Nil
+    val prefix = s"vamana_${prop}_g"
+    val listed = Files.list(base)
+    val entries = try listed.iterator().asScala.toSeq finally listed.close()
+    val gens = entries.flatMap { p =>
+      val fn = p.getFileName.toString
+      val digits = fn.drop(prefix.length)
+      if (fn.startsWith(prefix) && digits.nonEmpty && digits.forall(_.isDigit) &&
+        Files.exists(p.resolve("graph")))
+        Some(digits.toLong -> p)
+      else None
+    }
+    // legacy fixed path (and the old chain's .prev, if a crash left only
+    // that) participates as generation 0 until the next publish retires it
+    val legacy = base.resolve(s"vamana_$prop")
+    val legacyPrev = base.resolve(s".prev_vamana_$prop")
+    if (gens.isEmpty && !Files.exists(legacy.resolve("graph")) &&
+      Files.exists(legacyPrev.resolve("graph")))
+      Files.move(legacyPrev, legacy, StandardCopyOption.ATOMIC_MOVE)
+    val all =
+      if (Files.exists(legacy.resolve("graph"))) (0L -> legacy) +: gens else gens
+    all.sortBy(_._1)
   }
 
   private def vamanaConfig(name: String, prop: String) = {
@@ -888,29 +953,30 @@ final class CollectionStore(
   }
 
   private def writeVamanaArtifact(
-      name: String, prop: String, graph: DataFrame, idmap: DataFrame): Unit = {
-    val tmp = Paths.get(root, name, s".tmp_vamana_$prop")
-    graph.write.mode("overwrite").parquet(tmp.resolve("graph").toString)
-    idmap.write.mode("overwrite").parquet(tmp.resolve("idmap").toString)
-    val dst = vamanaDir(name, prop)
-    // rename-chain swap: old → .prev, tmp → current, drop .prev. A crash
-    // between the two renames leaves .prev for vamanaDir's recovery, so
-    // the artifact can never silently vanish mid-replace.
-    val prev = Paths.get(root, name, s".prev_vamana_$prop")
-    if (Files.exists(prev)) deleteTree(prev)
-    if (Files.exists(dst)) Files.move(dst, prev, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(prev)) deleteTree(prev)
-    // the artifact path is reused across patches — drop Spark's cached
-    // file listing or later reads resolve to the replaced part files
-    spark.catalog.refreshByPath(dst.toString)
-  }
+      name: String, prop: String, graph: DataFrame, idmap: DataFrame): Unit =
+    // serialized per collection: two unserialized publishers would race on
+    // the shared tmp dir and could retire each other's fresh generation
+    withCollLock(name) {
+      val tmp = Paths.get(root, name, s".tmp_vamana_$prop")
+      if (Files.exists(tmp)) deleteTree(tmp) // stale crash leftover
+      graph.write.mode("overwrite").parquet(tmp.resolve("graph").toString)
+      idmap.write.mode("overwrite").parquet(tmp.resolve("idmap").toString)
+      val gens = vamanaGens(name, prop)
+      val next = gens.lastOption.map(_._1 + 1).getOrElse(1L)
+      val dst = Paths.get(root, name, s"vamana_${prop}_g$next")
+      // atomic publish into a FRESH generation dir (a crash before this
+      // leaves only .tmp, cleaned on the next publish; a crash after it
+      // leaves an extra generation, retired on the next publish)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      // retire all but the immediately-previous generation — in-flight
+      // readers of THAT generation keep their files for one more swap
+      gens.dropRight(1).foreach { case (_, p) => deleteTree(p) }
+    }
 
   /** Vamana-declared properties with a built artifact. */
   private def builtVamanaProps(name: String): Seq[String] =
     readSchema(name).props.toSeq.sortBy(_._1).collect {
-      case (p, _: IndexKind.VectorVamana)
-          if Files.exists(vamanaDir(name, p).resolve("graph")) => p
+      case (p, _: IndexKind.VectorVamana) if vamanaGens(name, p).nonEmpty => p
     }
 
   /** Patch every built artifact after a write: `removedIds` leave the
@@ -1120,7 +1186,13 @@ final class CollectionStore(
   private def clearDeltaCache(name: String): Unit = {
     val cur = deltaCache.remove(name)
     if (cur != null) cur._2.foreach(f => org.apache.spark.sql.graft.Bridge.release(f._2))
+    deltaRowCounts.keySet.removeIf(_._1 == name)
   }
+
+  // footer row counts of committed (immutable) deltas, keyed
+  // (name, base, seq) — evicted with the delta cache
+  private val deltaRowCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
 
   // Reuse the analyzed base relation per (name, version): re-creating it
   // per call re-lists the directory and re-reads footers for schema.
@@ -1160,9 +1232,12 @@ final class CollectionStore(
       // Contract-sized insert/update deltas always are; a bulk ingestBatch
       // delta can carry millions of rows, where a forced broadcast is a
       // driver OOM — exactly the scale the bulk path exists for. Row
-      // counts come from the parquet footers (driver-side, no job).
+      // counts come from the parquet footers (driver-side, no job),
+      // memoized per delta: a committed delta is immutable, so re-opening
+      // its footers on every read would be pure rework
       val deltaRows = deltaSeqs(name, base)
-        .map(s => parquetRowCount(Paths.get(deltaPath(name, base, s)))).sum
+        .map(s => deltaRowCounts.computeIfAbsent((name, base, s),
+          _ => parquetRowCount(Paths.get(deltaPath(name, base, s))))).sum
       val idFrame = dAll.select(IdCol).distinct()
       val hinted = if (deltaRows <= IdMirrorLimit) broadcast(idFrame) else idFrame
       baseDf

@@ -175,7 +175,10 @@ object EventsStream {
             store.load(name).df.select(graft.store.CollectionStore.IdCol),
             Seq(graft.store.CollectionStore.IdCol), "left_anti")
           .localCheckpoint()
-        try store.ingestBatch(name, fresh)
+        // ingestCheckpointed, not ingestBatch: THIS checkpoint is the
+        // batch's one materialization — the public face would copy it all
+        // over again
+        try store.ingestCheckpointed(name, fresh)
         finally org.apache.spark.sql.graft.Bridge.release(fresh)
         () // foreachBatch wants Unit, ingestBatch returns the landed count
       }
@@ -193,37 +196,46 @@ object EventsStream {
     // would warp gaps) relative to the zone-independent batch path
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "runAsStream requires spark.sql.session.timeZone=UTC for batch parity")
+    // session-global and restored in the finally below: leaking it would
+    // silently turn every LATER batch read of nanos parquet in this
+    // session into LongType columns (test-order-dependent behavior)
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(StructType(Schema.fields.map {
-        case f if f.name == "ts" => StructField("ts", LongType) // nanos
-        case f => f
-      }))
-      // the file source wants a directory; pick just the events table out
-      // of the scale-factor dir
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    // streaming watermarks require TIMESTAMP (not NTZ); with the session
-    // in UTC the wall values match the batch NTZ path exactly
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = s"graft_stream_${System.nanoTime()}"
-    val q = transform(events).writeStream
-      .format("memory").queryName(name).outputMode(outputMode).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = spark.table(name)
-    // normalize timestamps back to NTZ so results compare 1:1 with batch;
-    // materialize and DROP the memory sink's table — each sink caches its
-    // whole result in the driver and would otherwise accumulate across
-    // calls for the session's lifetime
-    val normalized = out.select(out.schema.fields.map { f =>
-      if (f.dataType == org.apache.spark.sql.types.TimestampType)
-        col(f.name).cast("timestamp_ntz").as(f.name)
-      else col(f.name)
-    }.toSeq: _*)
-    val rows = normalized.collect()
-    val result = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), normalized.schema)
-    spark.catalog.dropTempView(name)
-    result
+    try {
+      val raw = spark.readStream
+        .schema(StructType(Schema.fields.map {
+          case f if f.name == "ts" => StructField("ts", LongType) // nanos
+          case f => f
+        }))
+        // the file source wants a directory; pick just the events table out
+        // of the scale-factor dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+      // streaming watermarks require TIMESTAMP (not NTZ); with the session
+      // in UTC the wall values match the batch NTZ path exactly
+      val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = s"graft_stream_${System.nanoTime()}"
+      val q = transform(events).writeStream
+        .format("memory").queryName(name).outputMode(outputMode).start()
+      try q.processAllAvailable() finally q.stop()
+      // normalize timestamps back to NTZ so results compare 1:1 with batch;
+      // materialize and DROP the memory sink's table (in the finally, so a
+      // failed collect can't leak it) — each sink caches its whole result
+      // in the driver and would otherwise accumulate across calls
+      try {
+        val out = spark.table(name)
+        val normalized = out.select(out.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            col(f.name).cast("timestamp_ntz").as(f.name)
+          else col(f.name)
+        }.toSeq: _*)
+        val rows = normalized.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), normalized.schema)
+      } finally spark.catalog.dropTempView(name)
+    } finally prevNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 }
