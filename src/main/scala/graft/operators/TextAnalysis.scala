@@ -297,6 +297,139 @@ object TextAnalysis {
         dupFrac(col("g3_distinct"), col("g3_total")).as("dup_3gram_frac"))
   }
 
+  // deterministic-aggregation convention (see graft.queries: dsum/davg):
+  // any double SUM/AVG that can feed a hash compare accumulates in
+  // DECIMAL(28,6) — order-independent, so the result does not depend on
+  // partition/merge order — and is rounded half-up before returning to
+  // double. Inlined here (operators don't depend on the queries layer).
+  private val Dec = org.apache.spark.sql.types.DecimalType(28, 6)
+  private def decSum(c: Column, scale: Int): Column =
+    round(sum(c.cast(Dec)), scale).cast("double")
+  private def decMean(c: Column, scale: Int): Column =
+    round(sum(c.cast(Dec)) / count(lit(1)), scale).cast("double")
+  private def decRound(c: Column, scale: Int): Column =
+    round(c.cast(Dec), scale).cast("double")
+
+  /** Unigram language-model scoring (add-one smoothing): fit token
+    * unigram counts over the corpus, then score each document by its
+    * per-token cross-entropy under that model,
+    *
+    *   ce(d) = −(1/|d|) · Σ_t ln (c(t)+1)/(N+V),   ppl(d) = exp(ce(d)),
+    *
+    * the classic LM-based quality signal (high cross-entropy = tokens the
+    * corpus finds surprising — gibberish, boilerplate codes, wrong-corpus
+    * text). Fitting and scoring the same corpus means no OOV branch; a
+    * reusable model would add one (score-time tokens absent from the fit
+    * vocabulary take ln 1/(N+V)).
+    *
+    * Scale: the fit is explode → groupBy(token) (map-side partial agg
+    * absorbs stop-token heat); scoring joins occurrences to the vocabulary
+    * on the token key — an equi-join Spark shuffles on, never a driver
+    * structure (AQE broadcasts the vocab side when it is small enough);
+    * the per-document aggregation is keyed by id, bounded by one document.
+    * Only the two fit constants (N, V) land on the driver. Cross-entropy
+    * accumulates through DECIMAL so the sum is partition-order-free;
+    * documents with no tokens have no occurrences and are absent from the
+    * output by construction.
+    */
+  def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val occ = df.filter(text.isNotNull)
+      .select(id.as("id"), explode(Dedup.tokens(text)).as("token"))
+      .persist() // two consumers: vocabulary fit + scoring join
+    val vocab = occ.groupBy("token").agg(count(lit(1)).as("c")).persist()
+    val fit = vocab.agg(
+      sum(col("c")).cast("double"), count(lit(1)).cast("double")).head()
+    val denom = fit.getDouble(0) + fit.getDouble(1) // N + V, exact in double
+    occ.join(vocab, "token")
+      .select(col("id"),
+        (-log((col("c") + 1L).cast("double") / lit(denom))).as("_nlp"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        decMean(col("_nlp"), 6).as("cross_entropy"))
+      .withColumn("perplexity", decRound(exp(col("cross_entropy")), 2))
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): features are
+    * word unigrams + bigrams hashed into `buckets` buckets; fit two
+    * add-one-smoothed bag-of-hashed-ngrams distributions — `p` over the
+    * TARGET slice (`isTarget`), `q` over the rest ("raw") — and score each
+    * raw document by its log importance weight
+    *
+    *   log w(d) = Σ_g  ln p(bucket(g)) − ln q(bucket(g)),
+    *
+    * the raw-corpus reweighting signal for target-matched sampling (feed
+    * `log_weight` to [[Sampling]] with Gumbel/threshold selection).
+    *
+    * Scale: feature build is per-row array algebra + explode (narrow); the
+    * bucket table is ≤ `buckets` rows — broadcast to the scoring join, so
+    * scoring never shuffles anything but the per-doc aggregation, which is
+    * id-keyed and bounded by one document's features. Only the two fit
+    * totals land on the driver. Documents with no tokens produce no
+    * features and are absent (no evidence to weigh).
+    */
+  def dsirWeights(df: DataFrame, id: Column, text: Column, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("id"), isTarget.as("_t"), Dedup.tokens(text).as("_toks"))
+    val feats = base
+      .select(col("id"), col("_t"),
+        explode(concat(col("_toks"), Dedup.gramsFromTokens(col("_toks"), 2)))
+          .as("_g"))
+      .select(col("id"), col("_t"),
+        (Dedup.hash60(col("_g")) % buckets).as("b"))
+      .persist() // two consumers: bucket fit + raw-doc scoring
+    val tab = feats.groupBy("b").agg(
+        sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+      .persist() // two consumers: totals + log-ratio table
+    val tot = tab.agg(
+      sum(col("ct")).cast("double"), sum(col("cr")).cast("double")).head()
+    val (nt, nr, bd) = (tot.getDouble(0), tot.getDouble(1), buckets.toDouble)
+    val ratios = tab.select(col("b"),
+      (log((col("ct") + 1L).cast("double") / lit(nt + bd)) -
+        log((col("cr") + 1L).cast("double") / lit(nr + bd))).as("_lr"))
+    feats.filter(!col("_t"))
+      .join(broadcast(ratios), "b")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        decSum(col("_lr"), 6).as("log_weight"))
+  }
+
+  /** PII patterns — deliberately ASCII-only so Java regex (Spark) and RE2
+    * (DuckDB oracles) agree byte-for-byte: emails, dotted-quad IPv4, and
+    * phone-shaped digit runs. Pattern-level detection: `999.999.999.999`
+    * matches the IPv4 SHAPE — a redaction pass wants recall over dotted
+    * quads, not RFC validity.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9(). -]{6,}[0-9]"
+
+  /** PII scan + redaction: per document, the match counts and the text
+    * with PII replaced by `<EMAIL>`/`<IP>`/`<PHONE>` placeholders. The
+    * three passes run SEQUENTIALLY (emails, then IPv4 over the
+    * email-redacted text, then phones) so the broader phone pattern can
+    * never swallow a dotted quad and each count is over the text the
+    * corresponding replace actually saw — the oracle replays the same
+    * order. Placeholders carry no digits, so a later pass cannot match
+    * inside an earlier redaction. Pure per-row Column algebra: narrow,
+    * codegen-friendly, no shuffle, trivially 100 TB-safe.
+    */
+  def piiScan(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
+    df.filter(text.isNotNull).select(
+      id.as("id"),
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_replace(afterIp, PhonePattern, "<PHONE>").as("redacted"))
+  }
+
   /** Corpus vocabulary: per-token total occurrences and document frequency
     * — the tokenizer-training / vocab-pruning precursor (BPE corpus prep
     * starts exactly here). One explode + one groupBy: the shuffle key is

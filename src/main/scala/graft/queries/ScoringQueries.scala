@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Corpus-scoring queries for training-data selection: unigram LM
+  * cross-entropy/perplexity, DSIR importance weights against a target
+  * slice, and PII scan/redaction. All three oracled end-to-end.
+  *
+  * Determinism notes shared by the first two: per-token `ln` values are
+  * computed from EXACT inputs (integer counts cast to double, divided by
+  * an exactly-representable denominator), so Spark's Math.log and
+  * DuckDB's ln see identical arguments; both engines then round each
+  * value through DECIMAL(28,6) before the order-independent sum, which
+  * absorbs sub-ulp library differences.
+  */
+object ScoringQueries {
+
+  private val tokCte =
+    s"""tok AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> t != '') AS raw
+       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  /** Unigram add-one LM: fit on the whole corpus, score every document. */
+  val textLmScore = NamedQuery(
+    "text_lm_score",
+    s"""WITH $tokCte,
+       |occ AS (SELECT id, unnest(raw) AS token FROM tok),
+       |voc AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM voc),
+       |lp AS (
+       |  SELECT occ.id, -ln(CAST(voc.c + 1 AS DOUBLE) / (tot.n + tot.v)) AS nlp
+       |  FROM occ JOIN voc USING (token) CROSS JOIN tot),
+       |ce AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    ${sqlDavg("nlp", 6)} AS cross_entropy
+       |  FROM lp GROUP BY id)
+       |SELECT id, n_tokens, cross_entropy,
+       |  ${sqlDround("exp(cross_entropy)", 2)} AS perplexity
+       |FROM ce ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.lmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  /** DSIR importance weights: target = the 'src0' slice, score the rest. */
+  val textDsirWeight = NamedQuery(
+    "text_dsir_weight",
+    s"""WITH d AS (
+       |  SELECT doc_id AS id, source = 'src0' AS t,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> t != '') AS raw
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT id, t, unnest(list_concat(raw,
+       |    CASE WHEN len(raw) >= 2
+       |      THEN list_transform(range(1, len(raw)), i -> raw[i] || ' ' || raw[i+1])
+       |      ELSE [] END)) AS g
+       |  FROM d),
+       |fb AS (
+       |  SELECT id, t, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+       |  FROM f),
+       |tab AS (
+       |  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+       |         sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+       |  FROM fb GROUP BY b),
+       |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr FROM tab),
+       |lr AS (
+       |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / (tot.nt + 1024.0))
+       |          - ln(CAST(cr + 1 AS DOUBLE) / (tot.nr + 1024.0)) AS lr
+       |  FROM tab CROSS JOIN tot)
+       |SELECT fb.id, CAST(count(*) AS BIGINT) AS n_feats, ${sqlDsum("lr", 6)} AS log_weight
+       |FROM fb JOIN lr USING (b) WHERE NOT fb.t
+       |GROUP BY fb.id ORDER BY fb.id""".stripMargin) { (s, d) =>
+    TextAnalysis.dsirWeights(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      isTarget = col("source") === "src0", buckets = 1024)
+      .orderBy("id")
+  }
+
+  /** PII scan + redaction fingerprint. The synthetic corpus carries no
+    * PII, so this asserts cross-engine parity of the formula (all-zero
+    * counts, redacted = original); PiiSpec exercises the positive cases
+    * on crafted strings.
+    */
+  val textPii = NamedQuery(
+    "text_pii",
+    """WITH d AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
+      |r1 AS (SELECT id, text,
+      |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM d),
+      |r2 AS (SELECT id, text, t1,
+      |  regexp_replace(t1, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS t2
+      |  FROM r1)
+      |SELECT id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+      |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9(). -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(t2, '\+?[0-9][0-9(). -]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+      |FROM r2 ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.piiScan(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(textLmScore, textDsirWeight, textPii)
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Specs for the corpus-scoring operators: unigram LM cross-entropy,
+  * DSIR importance weights, and PII scan/redaction.
+  */
+class ScoringSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- lmScore ------------------------------------------------------------
+
+  test("lmScore: matches the hand-computed add-one unigram model") {
+    // corpus: "a a b" + "b c" → N=5, V=3, denom=8
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val out = TextAnalysis.lmScore(df, col("id"), col("text"))
+      .orderBy("id").collect()
+    val denom = 5.0 + 3.0
+    def nlp(c: Long): Double = {
+      val raw = -math.log((c + 1).toDouble / denom)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 1: tokens a(c=2) a b(c=2) → mean of [nlp2, nlp2, nlp2]
+    val ce1 = BigDecimal((nlp(2) + nlp(2) + nlp(2)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: b(2), c(1)
+    val ce2 = BigDecimal((nlp(2) + nlp(1)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(math.abs(out(0).getDouble(2) - ce1) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - ce2) < 1e-9)
+    // perplexity = exp(ce) rounded at scale 2
+    assert(math.abs(out(0).getDouble(3) - math.exp(out(0).getDouble(2))) < 0.01)
+  }
+
+  test("lmScore: rare-token documents score higher cross-entropy") {
+    val common = (1L to 20L).map(i => (i, "the quick brown fox"))
+    val rare = Seq((99L, "zyzzyva qwertyuiop"))
+    val df = (common ++ rare).toDF("id", "text")
+    val out = TextAnalysis.lmScore(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(99L) > out(1L))
+    // null/empty text: absent, not null rows
+    val withEmpty = df.union(Seq((100L, null: String), (101L, "  ")).toDF("id", "text"))
+    val ids = TextAnalysis.lmScore(withEmpty, col("id"), col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && !ids.contains(101L))
+  }
+
+  // ---- dsirWeights --------------------------------------------------------
+
+  test("dsirWeights: target-like raw documents get larger log weights") {
+    // target slice speaks "alpha beta", one raw doc mimics it, one doesn't
+    val docs = (1L to 30L).map(i => (i, "alpha beta alpha beta", true)) ++
+      Seq((101L, "alpha beta alpha", false), (102L, "gamma delta epsilon", false))
+    val df = docs.toDF("id", "text", "is_t")
+    val out = TextAnalysis.dsirWeights(df, col("id"), col("text"), col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(101L, 102L), "only raw docs are scored")
+    assert(out(101L) > out(102L))
+  }
+
+  test("dsirWeights: partition-count independent") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3}", i % 4 == 0))
+    def run(p: Int): Seq[(Long, Long, Double)] = {
+      val df = spark.createDataFrame(docs).toDF("id", "text", "is_t")
+        .repartition(p)
+      TextAnalysis.dsirWeights(df, col("id"), col("text"), col("is_t"))
+        .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    }
+    assert(run(2) == run(13))
+  }
+
+  // ---- piiScan ------------------------------------------------------------
+
+  test("piiScan: detects and redacts emails, IPv4, phones") {
+    val text = "Contact jo.doe+x@example.co.uk or admin@host.io, " +
+      "server at 10.0.255.3, call +1 (555) 123-4567 today"
+    val out = TextAnalysis.piiScan(Seq((1L, text)).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    assert(out.getLong(1) == 2, "emails")
+    assert(out.getLong(2) == 1, "ipv4")
+    assert(out.getLong(3) == 1, "phones")
+    val red = out.getString(4)
+    assert(red == "Contact <EMAIL> or <EMAIL>, server at <IP>, call <PHONE> today")
+  }
+
+  test("piiScan: sequential passes keep dotted quads out of the phone count") {
+    // a dotted quad is also phone-shaped ([0-9(). -] runs) — the IP pass
+    // must claim it first
+    val out = TextAnalysis.piiScan(
+      Seq((1L, "ping 192.168.001.255 now")).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    assert(out.getLong(2) == 1 && out.getLong(3) == 0)
+    assert(out.getString(4) == "ping <IP> now")
+  }
+
+  test("piiScan: clean text passes through untouched; null text is dropped") {
+    val df = Seq((1L, "no pii here at all"), (2L, null: String)).toDF("id", "text")
+    val rows = TextAnalysis.piiScan(df, col("id"), col("text")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(4) == "no pii here at all")
+    assert(rows.head.getLong(1) == 0 && rows.head.getLong(2) == 0 && rows.head.getLong(3) == 0)
+  }
+}
