@@ -339,7 +339,12 @@ object TextAnalysis {
     val vocab = occ.groupBy("token").agg(count(lit(1)).as("c")).persist()
     val fit = vocab.agg(
       sum(col("c")).cast("double"), count(lit(1)).cast("double")).head()
-    val denom = fit.getDouble(0) + fit.getDouble(1) // N + V, exact in double
+    // sum() over an empty vocab is null — a token-free corpus must yield
+    // an empty result (the oracle's shape), not a driver NPE; denom is
+    // never evaluated in that case (the join below has no rows)
+    val denom =
+      (if (fit.isNullAt(0)) 0.0 else fit.getDouble(0)) +
+        fit.getDouble(1) // N + V, exact in double (count() is never null)
     occ.join(vocab, "token")
       .select(col("id"),
         (-log((col("c") + 1L).cast("double") / lit(denom))).as("_nlp"))
@@ -387,7 +392,10 @@ object TextAnalysis {
       .persist() // two consumers: totals + log-ratio table
     val tot = tab.agg(
       sum(col("ct")).cast("double"), sum(col("cr")).cast("double")).head()
-    val (nt, nr, bd) = (tot.getDouble(0), tot.getDouble(1), buckets.toDouble)
+    // empty corpus → null sums; 0.0 keeps the (row-less) plan valid and
+    // the output empty instead of NPE-ing the driver
+    def orZero(i: Int): Double = if (tot.isNullAt(i)) 0.0 else tot.getDouble(i)
+    val (nt, nr, bd) = (orZero(0), orZero(1), buckets.toDouble)
     val ratios = tab.select(col("b"),
       (log((col("ct") + 1L).cast("double") / lit(nt + bd)) -
         log((col("cr") + 1L).cast("double") / lit(nr + bd))).as("_lr"))

@@ -13,9 +13,8 @@ object DedupQueries {
 
   /** Shared SQL: tokens and distinct 3-gram shingles per doc. */
   private val shingleCte =
-    """tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-      |                             t -> t != '') AS raw
+    s"""tok AS (
+      |  SELECT doc_id, $sqlRawToks AS raw
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -168,9 +167,8 @@ object DedupQueries {
 
   val dedupSimhash = NamedQuery(
     "dedup_simhash",
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-      |                                    t -> t != '')) AS t
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest($sqlRawToks) AS t
       |  FROM documents),
       |posts AS (
       |  SELECT doc_id, t, count(*) AS freq,

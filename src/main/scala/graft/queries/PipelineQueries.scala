@@ -11,8 +11,7 @@ import graft.model.IndexKind.Metric
   */
 object PipelineQueries {
 
-  private val rawToksSql =
-    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t != '')"""
+  private val rawToksSql = sqlRawToks // the one shared tokenizer snippet
 
   val textLangId = NamedQuery(
     "text_langid",

@@ -19,9 +19,13 @@ object ScoringQueries {
 
   private val tokCte =
     s"""tok AS (
-       |  SELECT doc_id AS id,
-       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> t != '') AS raw
+       |  SELECT doc_id AS id, $sqlRawToks AS raw
        |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  /** DSIR hash-bucket count — interpolated into BOTH the Spark builder and
+    * the oracle SQL so the two can never drift.
+    */
+  private val DsirBuckets = 1024
 
   /** Unigram add-one LM: fit on the whole corpus, score every document. */
   val textLmScore = NamedQuery(
@@ -48,8 +52,7 @@ object ScoringQueries {
   val textDsirWeight = NamedQuery(
     "text_dsir_weight",
     s"""WITH d AS (
-       |  SELECT doc_id AS id, source = 'src0' AS t,
-       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> t != '') AS raw
+       |  SELECT doc_id AS id, source = 'src0' AS t, $sqlRawToks AS raw
        |  FROM documents WHERE text IS NOT NULL),
        |f AS (
        |  SELECT id, t, unnest(list_concat(raw,
@@ -58,7 +61,7 @@ object ScoringQueries {
        |      ELSE [] END)) AS g
        |  FROM d),
        |fb AS (
-       |  SELECT id, t, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+       |  SELECT id, t, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % $DsirBuckets AS b
        |  FROM f),
        |tab AS (
        |  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
@@ -66,15 +69,15 @@ object ScoringQueries {
        |  FROM fb GROUP BY b),
        |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr FROM tab),
        |lr AS (
-       |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / (tot.nt + 1024.0))
-       |          - ln(CAST(cr + 1 AS DOUBLE) / (tot.nr + 1024.0)) AS lr
+       |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / (tot.nt + ${DsirBuckets}.0))
+       |          - ln(CAST(cr + 1 AS DOUBLE) / (tot.nr + ${DsirBuckets}.0)) AS lr
        |  FROM tab CROSS JOIN tot)
        |SELECT fb.id, CAST(count(*) AS BIGINT) AS n_feats, ${sqlDsum("lr", 6)} AS log_weight
        |FROM fb JOIN lr USING (b) WHERE NOT fb.t
        |GROUP BY fb.id ORDER BY fb.id""".stripMargin) { (s, d) =>
     TextAnalysis.dsirWeights(
       Tables.documents(s, d), col("doc_id"), col("text"),
-      isTarget = col("source") === "src0", buckets = 1024)
+      isTarget = col("source") === "src0", buckets = DsirBuckets)
       .orderBy("id")
   }
 

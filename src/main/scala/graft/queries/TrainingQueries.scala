@@ -20,7 +20,7 @@ object TrainingQueries {
     s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
        |tok AS (
        |  SELECT id,
-       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), t -> t != '') AS raw,
+       |    $sqlRawToks AS raw,
        |    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
        |  FROM d),
        |g2 AS (
@@ -77,9 +77,9 @@ object TrainingQueries {
     */
   val packSequences = NamedQuery(
     "pack_sequences",
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id AS id,
-      |    CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t != '')) AS BIGINT) AS w
+      |    CAST(len($sqlRawToks) AS BIGINT) AS w
       |  FROM documents WHERE text IS NOT NULL),
       |c AS (
       |  SELECT id, w,

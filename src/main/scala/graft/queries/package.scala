@@ -23,15 +23,23 @@ package object queries {
       NamedQuery(name, build, None)
   }
 
+  /** DuckDB-side raw tokenizer over a `text` column — the SQL mirror of
+    * Dedup.tokens/TextAnalyzer.TokenPattern, ONE source for every
+    * generated oracle (the Scala side centralizes TokenPattern for the
+    * same reason: a drifted copy would silently split tokenization
+    * between query families).
+    */
+  val sqlRawToks: String =
+    """list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t != '')"""
+
   /** Shared oracle CTE: winnowing sketch selection (n=3 token grams,
     * window=4, rightmost-min ties via argmin-max) ending in a `sel` view
     * of `(id, pos, mn)` — used verbatim by text_winnow and dedup_winnow so
     * the two oracles can never drift apart on the algorithm.
     */
   val winnowSelCte: String =
-    """tok AS (
-      |  SELECT doc_id AS id, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
-      |                                   t -> t != '') AS raw
+    s"""tok AS (
+      |  SELECT doc_id AS id, $sqlRawToks AS raw
       |  FROM documents),
       |gr AS (
       |  SELECT id, CASE WHEN len(raw) >= 3

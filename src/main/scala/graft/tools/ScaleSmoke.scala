@@ -75,7 +75,7 @@ object ScaleSmoke {
         .limit(200).count())
     time("exact-dup stats (hash groupBy)")(
       Dedup.exactStats(docs, col("text")).count())
-    time("langid + quality (one pass)")(
+    time("quality metrics (one pass)")(
       TextAnalysis.quality(docs, col("doc_id"), col("text")).count())
     time("minhash signatures")(
       Dedup.minhashSigArrays(docs, col("doc_id"), col("text")).count())
@@ -141,8 +141,14 @@ object ScaleSmoke {
       math.log(b._2.toDouble / a._2) / math.log(b._1.toDouble / a._1)
     val (f1, c1, p1, _) = measured.head
     val (f8, c8, p8, _) = measured.last
-    println(f"[scale] growth exponent 1x->8x: candidates ${exponent((f1, c1), (f8, c8))}%.2f" +
-      f" pairs ${exponent((f1, p1), (f8, p8))}%.2f (1.0 = linear; naive join -> 2.0)")
+    if (c1 == 0 || p1 == 0)
+      // log(x/0) would print NaN/Infinity as the headline metric — say
+      // outright that the base corpus carries no signal at this threshold
+      println(s"[scale] growth exponent 1x->8x: NOT MEASURABLE — base corpus has " +
+        s"$c1 candidates / $p1 pairs at f=1; use a larger sf or lower threshold")
+    else
+      println(f"[scale] growth exponent 1x->8x: candidates ${exponent((f1, c1), (f8, c8))}%.2f" +
+        f" pairs ${exponent((f1, p1), (f8, p8))}%.2f (1.0 = linear; naive join -> 2.0)")
     println(s"[scale] cc rounds by factor: ${measured.map(m => s"f=${m._1}:${m._4}").mkString(" ")}")
 
     s.stop()

@@ -48,6 +48,12 @@ class ScoringSpec extends SparkSuite {
     assert(!ids.contains(100L) && !ids.contains(101L))
   }
 
+  test("lmScore and dsirWeights: token-free corpus yields empty output, not NPE") {
+    val df = Seq((1L, null: String), (2L, "  .,;  ")).toDF("id", "text")
+    assert(TextAnalysis.lmScore(df, col("id"), col("text")).count() == 0)
+    assert(TextAnalysis.dsirWeights(df, col("id"), col("text"), lit(false)).count() == 0)
+  }
+
   // ---- dsirWeights --------------------------------------------------------
 
   test("dsirWeights: target-like raw documents get larger log weights") {

@@ -18,10 +18,13 @@ import sys
 import duckdb
 import pandas as pd
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-FLAGS = set(a for a in sys.argv[3:] if a.startswith("--"))
-ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+# position-independent flag parse: `check_oracle.py --no-verify` must not
+# consume the flag as sfDir and launch a full Verify run against it
+FLAGS = set(a for a in sys.argv[1:] if a.startswith("--"))
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT_DIR = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
+ONLY = _pos[2:]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
