@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The raw 32-bit hash integer behind [[hashUniform]], as an exact
+    * double in [0, 2^32).
+    */
+  private def hash32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double")
+
   /** Uniform in [0,1) from the row key: the first 8 hex digits of
     * md5(key || salt) read as a 32-bit integer over 2^32. 2^32 < 2^53,
     * so the double is exact; the same trick the winnowing oracle uses.
     */
   def hashUniform(key: Column, salt: String): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    hash32(key, salt) / lit(4294967296.0)
 
   /** Bernoulli sample at `rate` — keep iff hashUniform < rate. */
   def bernoulli(df: DataFrame, key: Column, rate: Double,
@@ -46,5 +52,32 @@ object Sampling {
       when(stratum === value, lit(r)).otherwise(acc)
     }
     df.filter(hashUniform(key, salt) < rate)
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement of size `k` — the
+    * Gumbel-top-k trick (equivalently Efraimidis–Spirakis reservoir
+    * keys): each row draws a deterministic Gumbel perturbation
+    * g = −ln(−ln u) from its hash uniform, and the k largest
+    * (logWeight + g) win — distributed exactly as sequential
+    * without-replacement draws with probability ∝ exp(logWeight). The
+    * natural consumer of DSIR log importance weights
+    * ([[TextAnalysis.dsirWeights]]): weight, then sample, all replayable.
+    *
+    * u is offset to (h + 0.5)/2^32 ∈ (0,1), so the perturbation is
+    * always finite. Output carries the original columns plus
+    * `gumbel_key`, ordered by the key descending (ties broken by `key`
+    * ascending — total order, so the selected SET is deterministic).
+    *
+    * Scale: the perturbed key is a narrow per-row projection and top-k
+    * is orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    * bounded top-k, then a k-sized merge), never a global sort shuffle.
+    */
+  def gumbelTopK(df: DataFrame, key: Column, logWeight: Column, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val u = (hash32(key, salt) + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("gumbel_key", logWeight + (-log(-log(u))))
+      .orderBy(col("gumbel_key").desc, key.asc)
+      .limit(k)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{Sampling, TextAnalysis}
 
 /** Corpus-scoring queries for training-data selection: unigram LM
   * cross-entropy/perplexity, DSIR importance weights against a target
@@ -48,10 +48,12 @@ object ScoringQueries {
       .orderBy("id")
   }
 
-  /** DSIR importance weights: target = the 'src0' slice, score the rest. */
-  val textDsirWeight = NamedQuery(
-    "text_dsir_weight",
-    s"""WITH d AS (
+  /** The DSIR pipeline's CTE chain ending in `w(id, n_feats, log_weight)`
+    * over the raw (non-target) documents — shared by text_dsir_weight and
+    * sample_dsir_topk so the two oracles replay the identical model.
+    */
+  private val dsirWeightCtes =
+    s"""d AS (
        |  SELECT doc_id AS id, source = 'src0' AS t, $sqlRawToks AS raw
        |  FROM documents WHERE text IS NOT NULL),
        |f AS (
@@ -71,13 +73,48 @@ object ScoringQueries {
        |lr AS (
        |  SELECT b, ln(CAST(ct + 1 AS DOUBLE) / (tot.nt + ${DsirBuckets}.0))
        |          - ln(CAST(cr + 1 AS DOUBLE) / (tot.nr + ${DsirBuckets}.0)) AS lr
-       |  FROM tab CROSS JOIN tot)
-       |SELECT fb.id, CAST(count(*) AS BIGINT) AS n_feats, ${sqlDsum("lr", 6)} AS log_weight
-       |FROM fb JOIN lr USING (b) WHERE NOT fb.t
-       |GROUP BY fb.id ORDER BY fb.id""".stripMargin) { (s, d) =>
+       |  FROM tab CROSS JOIN tot),
+       |w AS (
+       |  SELECT fb.id, CAST(count(*) AS BIGINT) AS n_feats, ${sqlDsum("lr", 6)} AS log_weight
+       |  FROM fb JOIN lr USING (b) WHERE NOT fb.t
+       |  GROUP BY fb.id)""".stripMargin
+
+  /** The Spark side of the same pipeline. */
+  private def dsirFrame(s: org.apache.spark.sql.SparkSession, d: String) =
     TextAnalysis.dsirWeights(
       Tables.documents(s, d), col("doc_id"), col("text"),
       isTarget = col("source") === "src0", buckets = DsirBuckets)
+
+  /** DSIR importance weights: target = the 'src0' slice, score the rest. */
+  val textDsirWeight = NamedQuery(
+    "text_dsir_weight",
+    s"""WITH $dsirWeightCtes
+       |SELECT id, n_feats, log_weight FROM w ORDER BY id""".stripMargin) { (s, d) =>
+    dsirFrame(s, d).orderBy("id")
+  }
+
+  /** Deterministic Gumbel-top-k weighted sample over the DSIR weights —
+    * the selection step of importance resampling, fully replayed by the
+    * oracle (the perturbation is a pure row property). The gumbel_key
+    * ordering compares unrounded doubles cross-engine; md5-derived keys
+    * make a sub-ulp near-tie vanishingly unlikely (same accepted class
+    * as the davg note in the package object).
+    */
+  val sampleDsirTopk = NamedQuery(
+    "sample_dsir_topk",
+    s"""WITH $dsirWeightCtes,
+       |g AS (
+       |  SELECT id, n_feats, log_weight,
+       |    log_weight + (-ln(-ln(
+       |      (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) + 0.5)
+       |        / 4294967296.0))) AS gk
+       |  FROM w),
+       |s AS (SELECT * FROM g ORDER BY gk DESC, id LIMIT 50)
+       |SELECT id, n_feats, log_weight, ${sqlDround("gk", 4)} AS gumbel_key
+       |FROM s ORDER BY id""".stripMargin) { (s, d) =>
+    Sampling.gumbelTopK(dsirFrame(s, d), col("id"), col("log_weight"), k = 50)
+      .select(col("id"), col("n_feats"), col("log_weight"),
+        dround(col("gumbel_key"), 4).as("gumbel_key"))
       .orderBy("id")
   }
 
@@ -107,5 +144,6 @@ object ScoringQueries {
       .orderBy("id")
   }
 
-  val all: Seq[NamedQuery] = Seq(textLmScore, textDsirWeight, textPii)
+  val all: Seq[NamedQuery] =
+    Seq(textLmScore, textDsirWeight, sampleDsirTopk, textPii)
 }

@@ -79,6 +79,30 @@ class ScoringSpec extends SparkSuite {
     assert(run(2) == run(13))
   }
 
+  // ---- gumbelTopK ---------------------------------------------------------
+
+  test("gumbelTopK: heavy weights dominate the sample; selection is deterministic") {
+    import graft.operators.Sampling
+    // 200 light rows (log w = 0) vs 20 heavy rows (log w = ln 1000): the
+    // heavy block should take (nearly) all of a k=20 sample
+    val df = ((1L to 200L).map(i => (i, 0.0)) ++
+      (1001L to 1020L).map(i => (i, math.log(1000.0)))).toDF("id", "lw")
+    val picked = Sampling.gumbelTopK(df, col("id"), col("lw"), k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(picked.size == 20)
+    assert(picked.count(_ >= 1001L) >= 18, s"heavy rows should dominate: $picked")
+    // partition-layout independence
+    val again = Sampling.gumbelTopK(df.repartition(13), col("id"), col("lw"), k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(again == picked)
+  }
+
+  test("gumbelTopK: k >= n returns every row") {
+    import graft.operators.Sampling
+    val df = Seq((1L, 0.0), (2L, -5.0), (3L, 2.0)).toDF("id", "lw")
+    assert(Sampling.gumbelTopK(df, col("id"), col("lw"), k = 10).count() == 3)
+  }
+
   // ---- piiScan ------------------------------------------------------------
 
   test("piiScan: detects and redacts emails, IPv4, phones") {
