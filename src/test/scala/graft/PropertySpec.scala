@@ -125,6 +125,34 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- PII redaction: idempotent, no residual matches --------------------
+
+  test("PII redaction is idempotent and leaves no residual matches") {
+    import operators.TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
+    // the same sequential chain piiScan's Column algebra applies —
+    // java.util.regex on both sides, so the law transfers
+    def redact(s: String): String =
+      s.replaceAll(EmailPattern, "<EMAIL>")
+        .replaceAll(Ipv4Pattern, "<IP>")
+        .replaceAll(PhonePattern, "<PHONE>")
+    // adversarial corpus: PII fragments glued with and without separators,
+    // placeholder look-alikes, orphan @s, digit runs straddling boundaries
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("jo.doe+x@example.co.uk", "a@b.co", "10.0.255.3",
+        "1.2.3.4.5.6.7.8", "+1 (555) 123-4567", "12345678901234567",
+        "<EMAIL>", "<IP>", "<PHONE>", "@", "@z.com", "...", "()",
+        " ", "", ".", "-"))
+    val textGen = Gen.listOf(frag).map(_.mkString(""))
+    check(Prop.forAll(textGen) { s =>
+      val once = redact(s)
+      redact(once) == once &&
+        !EmailPattern.r.findFirstIn(once).isDefined &&
+        !Ipv4Pattern.r.findFirstIn(once).isDefined &&
+        !PhonePattern.r.findFirstIn(once).isDefined
+    })
+  }
+
   // ---- packWords/packed-hamming vs elementwise definition ----------------
 
   test("packed hamming equals the elementwise sign-bit definition") {
