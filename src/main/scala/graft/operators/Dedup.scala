@@ -110,6 +110,49 @@ object Dedup {
         count(col("_k")).as("n_distinct"),
         sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
+  /** Cross-corpus line-level deduplication (the Dolma/C4 paragraph-dedup
+    * family, made deterministic): drop every non-blank line whose TOTAL
+    * occurrence count across the corpus exceeds `maxDf` — recurring
+    * boilerplate (nav bars, license headers, cookie banners) vanishes
+    * from every document at once — and reassemble each document from its
+    * surviving lines in original order. Unlike Dolma's first-seen bloom
+    * filter, the decision is a pure function of the corpus (no scan-order
+    * dependence), so the result is reproducible and oracle-replayable.
+    *
+    * Output: (id, n_lines, n_kept, kept_text), kept_text NULL when every
+    * line was dropped (n_lines counts non-blank lines only).
+    *
+    * Scale: line counts are a groupBy on the line (map-side partial agg
+    * absorbs hot boilerplate); the drop set — only lines with df > maxDf,
+    * a tiny fraction of any real corpus — feeds a LEFT ANTI equi-join
+    * (broadcastable when small, AQE-skew-splittable when not), so the
+    * full per-line df is never shuffled back onto the postings. Document
+    * reassembly groups by id, bounded by one document's lines.
+    */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      maxDf: Long = 1L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("id"),
+        filter(split(text, "\n"), l => trim(l) =!= "").as("_ls"))
+      .persist() // two consumers: exploded lines + per-doc totals
+    val lines = base.select(col("id"), posexplode(col("_ls")).as(Seq("_p", "line")))
+    val hot = lines.groupBy("line").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("line")
+    val agg = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_p"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("kept_text"))
+    base.select(col("id"), size(col("_ls")).cast("long").as("n_lines"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_text"))
+  }
+
   /** Exact n-gram Jaccard similar pairs via PPJoin-style prefix filtering
     * (Xiao et al.): order each document's shingles by global document
     * frequency (rarest first), keep only the prefix of length

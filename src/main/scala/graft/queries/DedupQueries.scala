@@ -207,7 +207,39 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-corpus line dedup at maxDf=1: only globally-unique non-blank
+    * lines survive. On this corpus every document is one line, so the
+    * members of the single exact-duplicate group lose their line
+    * (n_kept=0, NULL text) — the whole-doc degenerate case; DedupSpec
+    * carries the multi-line semantics.
+    */
+  val dedupLines = NamedQuery(
+    "dedup_lines",
+    """WITH d AS (
+      |  SELECT doc_id AS id,
+      |    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+      |  FROM documents WHERE text IS NOT NULL),
+      |l AS (
+      |  SELECT id, i AS pos, ls[i] AS line
+      |  FROM d CROSS JOIN unnest(range(1, len(ls) + 1)) AS r(i)),
+      |hot AS (
+      |  SELECT line FROM (SELECT line, count(*) AS c FROM l GROUP BY line)
+      |  WHERE c > 1),
+      |k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+      |agg AS (
+      |  SELECT id, count(*) AS n_kept,
+      |    md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5
+      |  FROM k GROUP BY id)
+      |SELECT d.id, CAST(len(d.ls) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.kept_md5
+      |FROM d LEFT JOIN agg a USING (id) ORDER BY id""".stripMargin) { (s, d) =>
+    Dedup.lineDedup(Tables.documents(s, d), col("doc_id"), col("text"), maxDf = 1L)
+      .select(col("id"), col("n_lines"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
-    dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow)
+    dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines)
 }

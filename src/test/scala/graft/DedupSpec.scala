@@ -147,4 +147,29 @@ class DedupSpec extends SparkSuite {
     // components partition exactly the nodes incident to pairs
     assert(comp.keySet == exactPairs.flatMap(p => Seq(p._1, p._2)))
   }
+
+  test("lineDedup: recurring boilerplate lines vanish, unique lines keep order") {
+    val boiler = "accept all cookies to continue"
+    val df = Seq(
+      (1L, s"alpha one\n$boiler\nalpha two"),
+      (2L, s"$boiler\nbeta solo\n\n  \nbeta tail"),
+      (3L, boiler), // boilerplate-only doc: everything dropped
+      (4L, "gamma a\ngamma a\ngamma b")) // in-doc repeat counts toward df
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, col("doc_id"), col("text"), maxDf = 1L)
+      .orderBy("id").collect()
+    // doc 1: boilerplate (df=3) dropped, order preserved
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 2)
+    assert(out(0).getString(3) == "alpha one\nalpha two")
+    // doc 2: blank lines never counted (n_lines = 3 non-blank)
+    assert(out(1).getLong(1) == 3 && out(1).getString(3) == "beta solo\nbeta tail")
+    // doc 3: all lines dropped -> n_kept 0, NULL text
+    assert(out(2).getLong(2) == 0 && out(2).isNullAt(3))
+    // doc 4: "gamma a" occurs twice globally (both in doc 4) -> df 2 > maxDf
+    assert(out(3).getLong(2) == 1 && out(3).getString(3) == "gamma b")
+    // maxDf=3 re-admits the boilerplate everywhere
+    val loose = Dedup.lineDedup(df, col("doc_id"), col("text"), maxDf = 3L)
+      .orderBy("id").collect()
+    assert(loose(2).getString(3) == boiler)
+  }
 }
