@@ -297,6 +297,43 @@ object TextAnalysis {
         dupFrac(col("g3_distinct"), col("g3_total")).as("dup_3gram_frac"))
   }
 
+  /** Fused per-document profile — language ID, quality metrics, token
+    * counts, and the key-collision fingerprint in ONE corpus scan. At
+    * 100 TB the scan IS the cost: running languageId + quality +
+    * tokenCounts + fingerprint separately reads the corpus four times;
+    * this emits all twelve signals from one projection over one
+    * tokenization (CollapseProject keeps the materialized `_toks` column
+    * shared because the tokenize chain is not cheap to duplicate —
+    * the same single-scan shape pipeline_curation's admission stage uses).
+    *
+    * Semantics match the standalone operators, except documents with no
+    * tokens: quality() DROPS them, while profile keeps every non-null-text
+    * document and reports NULL ratios/quality (a profile exists to look
+    * at exactly such rows). Null-text documents are dropped (nothing to
+    * profile).
+    */
+  def profile(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.filter(text.isNotNull)
+      .select(id.as("id"), text.as("_text"), Dedup.tokens(text).as("_toks"))
+    val toks = col("_toks")
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col("_text")).cast("long")
+    base.select(
+      col("id"),
+      predLangExpr(toks).as("pred_lang"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      when(nTokens > 0, stopwordRatioExpr(toks, nTokens)).as("stopword_ratio"),
+      when(nTokens > 0, punctRatioExpr(col("_text"), nChars)).as("punct_ratio"),
+      when(nTokens > 0, uniqRatioExpr(toks, nTokens)).as("uniq_ratio"),
+      qualityExpr(col("_text"), toks).as("quality"),
+      size(filter(split(col("_text"), s"[$WsClass]+"), t => t =!= ""))
+        .cast("long").as("ws_tokens"),
+      regexp_count(col("_text"), lit(BpeLikePattern)).cast("long").as("bpe_like_tokens"),
+      ceil(nChars.cast("double") / 4.0).cast("long").as("est_subword_tokens"),
+      md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fingerprint"))
+  }
+
   // deterministic-aggregation convention (see graft.queries: dsum/davg):
   // any double SUM/AVG that can feed a hash compare accumulates in
   // DECIMAL(28,6) — order-independent, so the result does not depend on
@@ -379,12 +416,29 @@ object TextAnalysis {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
     val base = df.filter(text.isNotNull)
       .select(id.as("id"), isTarget.as("_t"), Dedup.tokens(text).as("_toks"))
+    // one primitive loop per document: hash every unigram and bigram with
+    // a single reused MessageDigest — the interpreted-HOF gram build plus
+    // a per-gram Column md5 costs ~3× this at scale (the same
+    // primitive-loop fix that collapsed the minhash signature stage).
+    // Same bytes hashed (token, "a b" bigram), so buckets are unchanged.
+    val featUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = toks.length
+        val out = new Array[Long](2 * n - 1)
+        var i = 0
+        while (i < n) { out(i) = Dedup.hash60Local(md, toks(i)) % buckets; i += 1 }
+        var j = 0
+        while (j < n - 1) {
+          out(n + j) = Dedup.hash60Local(md, toks(j) + " " + toks(j + 1)) % buckets
+          j += 1
+        }
+        out
+      }
+    }
     val feats = base
-      .select(col("id"), col("_t"),
-        explode(concat(col("_toks"), Dedup.gramsFromTokens(col("_toks"), 2)))
-          .as("_g"))
-      .select(col("id"), col("_t"),
-        (Dedup.hash60(col("_g")) % buckets).as("b"))
+      .select(col("id"), col("_t"), explode(featUdf(col("_toks"))).as("b"))
       .persist() // two consumers: bucket fit + raw-doc scoring
     val tab = feats.groupBy("b").agg(
         sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),

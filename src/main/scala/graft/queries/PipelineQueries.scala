@@ -113,6 +113,57 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** The fused single-scan document profile: every langid/quality/token
+    * signal from one pass over the corpus (the four standalone queries
+    * above read it once each). Oracle = the union of their formulas over
+    * one tokenized CTE.
+    */
+  val textProfile = NamedQuery(
+    "text_profile",
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, text, length(text) AS n_chars, $rawToksSql AS raw
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT id, text, n_chars, len(raw) AS n_tokens,
+       |    len(list_filter(raw, t -> t IN ('the','a','is','and','of'))) AS c_en,
+       |    len(list_filter(raw, t -> t IN ('der','die','das','und','ist'))) AS c_de,
+       |    len(list_filter(raw, t -> t IN ('el','los','las','y','es'))) AS c_es,
+       |    len(list_filter(raw, t -> t IN ('le','les','une','et','est'))) AS c_fr,
+       |    CASE WHEN len(raw) > 0 THEN CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.SqlStopList}))) AS DOUBLE) / len(raw) END AS stopword_ratio,
+       |    CASE WHEN len(raw) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}${graft.operators.TextAnalysis.WsClass}]', '', 'g')) AS DOUBLE) / n_chars END AS punct_ratio,
+       |    CASE WHEN len(raw) > 0 THEN CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) END AS uniq_ratio,
+       |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score,
+       |    len(list_filter(string_split_regex(text, '[${graft.operators.TextAnalysis.WsClass}]+'), t -> t != '')) AS ws_tokens,
+       |    len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpeLikePattern}')) AS bpe_like_tokens,
+       |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_subword_tokens,
+       |    md5(array_to_string(list_sort(list_distinct(raw)), ' ')) AS fingerprint
+       |  FROM tok)
+       |SELECT id,
+       |  CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+       |       WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+       |       WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+       |       WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+       |       ELSE 'fr' END AS pred_lang,
+       |  n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  ${sqlDround("stopword_ratio", 4)} AS stopword_r,
+       |  ${sqlDround("punct_ratio", 4)} AS punct_r,
+       |  ${sqlDround("uniq_ratio", 4)} AS uniq_r,
+       |  CASE WHEN n_tokens > 0 THEN ${sqlDround("0.25*len_score + 0.25*(1-stopword_ratio) + 0.25*(1-punct_ratio) + 0.25*uniq_ratio", 4)} END AS quality_r,
+       |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       |  CAST(bpe_like_tokens AS BIGINT) AS bpe_like_tokens,
+       |  est_subword_tokens, fingerprint
+       |FROM m ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.profile(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("id"), col("pred_lang"), col("n_chars"), col("n_tokens"),
+        dround(col("stopword_ratio"), 4).as("stopword_r"),
+        dround(col("punct_ratio"), 4).as("punct_r"),
+        dround(col("uniq_ratio"), 4).as("uniq_r"),
+        dround(col("quality"), 4).as("quality_r"),
+        col("ws_tokens"), col("bpe_like_tokens"),
+        col("est_subword_tokens"), col("fingerprint"))
+      .orderBy("id")
+  }
+
   /** Flagship training-data curation pipeline, end-to-end in ONE oracled
     * query: language filter (en) → quality filter (rounded score ≥ 0.5) →
     * exact dedup (keep min id per identical text) → near-dup CLUSTER dedup
@@ -557,6 +608,7 @@ object PipelineQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
+    textProfile,
     pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames)

@@ -85,6 +85,21 @@ object ScaleSmoke {
       graft.operators.Multimodal.featureExtract(
         graft.operators.Multimodal.withPayload(
           docs, col("doc_id"), col("text"), "image/fake"), dim = 32).count())
+    time("unigram LM score (fit + score)")(
+      TextAnalysis.lmScore(docs, col("doc_id"), col("text")).count())
+    time("dsir weights (target = src0)")(
+      TextAnalysis.dsirWeights(docs, col("doc_id"), col("text"),
+        col("source") === "src0").count())
+    time("line dedup (maxDf 1)")(
+      Dedup.lineDedup(docs, col("doc_id"), col("text")).count())
+    time("pii scan + redact")(
+      TextAnalysis.piiScan(docs, col("doc_id"), col("text")).count())
+    // the scorers persist their shared fit frames internally; drop them
+    // before the curation stages so the timings don't compete for cache
+    s.catalog.clearCache()
+    // clearCache dropped the replicated corpus too — re-pin it for the
+    // stages below (lazy persist: the next count re-materializes)
+    docs.persist()
 
     // curation shape: exact dedup FIRST (collapses the replicas), then the
     // pairing stages run over the canonical set — linear in the factor up

@@ -79,6 +79,33 @@ class ScoringSpec extends SparkSuite {
     assert(run(2) == run(13))
   }
 
+  // ---- profile ------------------------------------------------------------
+
+  test("profile matches the standalone operators column-for-column") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def empty(df: org.apache.spark.sql.DataFrame) = assert(df.count() == 0, df.columns.mkString(","))
+    val p = TextAnalysis.profile(docs, col("doc_id"), col("text")).persist()
+    val li = TextAnalysis.languageId(docs, col("doc_id"), col("text"))
+      .select("id", "pred_lang")
+    empty(p.select("id", "pred_lang").exceptAll(li))
+    empty(li.exceptAll(p.select("id", "pred_lang")))
+    // quality() drops token-free docs; profile keeps them with NULL metrics
+    val q = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .select("id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio",
+        "uniq_ratio", "quality")
+    val pq = p.filter(col("n_tokens") > 0)
+      .select("id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio",
+        "uniq_ratio", "quality")
+    empty(pq.exceptAll(q)); empty(q.exceptAll(pq))
+    val tc = TextAnalysis.tokenCounts(docs, col("doc_id"), col("text"))
+      .select("id", "ws_tokens", "bpe_like_tokens", "est_subword_tokens")
+    val pt = p.select("id", "ws_tokens", "bpe_like_tokens", "est_subword_tokens")
+    empty(pt.exceptAll(tc)); empty(tc.exceptAll(pt))
+    val fp = TextAnalysis.fingerprint(docs, col("doc_id"), col("text"))
+    empty(p.select("id", "fingerprint").exceptAll(fp))
+    p.unpersist()
+  }
+
   // ---- gumbelTopK ---------------------------------------------------------
 
   test("gumbelTopK: heavy weights dominate the sample; selection is deterministic") {
