@@ -130,6 +130,39 @@ class ScoringSpec extends SparkSuite {
     assert(Sampling.gumbelTopK(df, col("id"), col("lw"), k = 10).count() == 3)
   }
 
+  // ---- streaming face -----------------------------------------------------
+
+  test("profile and piiScan run unchanged over a structured stream") {
+    // stateless per-row curation scoring is streaming-safe by
+    // construction: the SAME DataFrame functions compile against a
+    // readStream source — batch/stream parity without a second code path
+    // the file stream source wants a DIRECTORY to watch — stage the
+    // single-file table into a temp dir
+    val src = java.nio.file.Paths.get(s"$sf0001/documents.parquet")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(src, dirPath.resolve("part-0.parquet"))
+    val dir = dirPath.toString
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val prof = TextAnalysis.profile(stream, col("doc_id"), col("text"))
+    val pii = TextAnalysis.piiScan(stream, col("doc_id"), col("text"))
+    assert(prof.isStreaming && pii.isStreaming)
+    val q1 = prof.writeStream.format("memory").queryName("prof_stream")
+      .outputMode("append").start()
+    val q2 = pii.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+    val batchProf = TextAnalysis.profile(
+      spark.read.parquet(dir), col("doc_id"), col("text"))
+    assert(spark.table("prof_stream").exceptAll(batchProf).count() == 0)
+    assert(batchProf.exceptAll(spark.table("prof_stream")).count() == 0)
+    val batchPii = TextAnalysis.piiScan(
+      spark.read.parquet(dir), col("doc_id"), col("text"))
+    assert(spark.table("pii_stream").exceptAll(batchPii).count() == 0)
+    graft.Fs.deleteTree(dirPath)
+  }
+
   // ---- piiScan ------------------------------------------------------------
 
   test("piiScan: detects and redacts emails, IPv4, phones") {
