@@ -492,6 +492,123 @@ object TextAnalysis {
       regexp_replace(afterIp, PhonePattern, "<PHONE>").as("redacted"))
   }
 
+  /** Gopher stopwords (Rae et al. 2021 §A.1.1: "the, be, to, of, and,
+    * that, have, with") — distinct from the quality-score stopword list
+    * on purpose; the rule family is the published one.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality filter (Rae et al. 2021, "Scaling Language
+    * Models", Appendix A1.1) — the published repetition-free document
+    * rules, each emitted as a signal so downstream policy can re-threshold
+    * without rescanning:
+    *
+    *  - `n_words` in [minWords, maxWords]           (paper: 50..100 000)
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` (# or ... per word) ≤ 0.1
+    *  - `bullet_ratio` (lines starting •/-/*) ≤ 0.9
+    *  - `ellipsis_ratio` (lines ending ...) ≤ 0.3
+    *  - `alpha_ratio` (words with ≥1 letter) ≥ 0.8
+    *  - `stop_hits` (Gopher stopword occurrences) ≥ 2
+    *
+    * "Words" are WHITESPACE tokens (the paper's unit), not analyzer
+    * tokens; `mean_word_len` = non-whitespace chars / words, which equals
+    * the mean over maximal non-ws runs without materializing per-word
+    * lengths. Pure per-row Column algebra — narrow, codegen-friendly, no
+    * shuffle, trivially 100 TB-safe. Ratios round through DECIMAL for the
+    * cross-engine hash compare (see the convention note below).
+    */
+  def gopherFilter(
+      df: DataFrame, id: Column, text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val base = df.filter(text.isNotNull).select(
+      id.as("id"), text.as("_text"),
+      filter(split(text, s"[$WsClass]+"), w => w =!= "").as("_ws"))
+    val nWords = size(col("_ws")).cast("long")
+    val lines = filter(transform(split(col("_text"), "\n"), l => trim(l)),
+      l => l =!= "")
+    val nLines = size(lines)
+    // '#' count + non-overlapping '...' count (replace removes left-to-
+    // right non-overlapping occurrences in BOTH engines, so the /3 is a
+    // whole number by construction)
+    val symbols =
+      (length(col("_text")) - length(regexp_replace(col("_text"), "#", ""))) +
+        (length(col("_text")) - length(regexp_replace(col("_text"), "\\.\\.\\.", ""))) / 3
+    val alphaWords = size(filter(col("_ws"), w => w.rlike("\\p{L}")))
+    val bulletLines = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "-", "*")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val meanWordLen =
+      length(regexp_replace(col("_text"), s"[$WsClass]", "")).cast("double") / nWords
+    val symbolRatio = symbols.cast("double") / nWords
+    val bulletRatio = bulletLines.cast("double") / nLines
+    val ellipsisRatio = ellipsisLines.cast("double") / nLines
+    val alphaRatio = alphaWords.cast("double") / nWords
+    val stopHits = size(filter(col("_ws"),
+      w => lower(w).isin(GopherStops: _*))).cast("long")
+    base.filter(nWords > 0).select(
+      col("id"),
+      nWords.as("n_words"),
+      decRound(meanWordLen, 4).as("mean_word_len"),
+      decRound(symbolRatio, 4).as("symbol_ratio"),
+      decRound(bulletRatio, 4).as("bullet_ratio"),
+      decRound(ellipsisRatio, 4).as("ellipsis_ratio"),
+      decRound(alphaRatio, 4).as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanWordLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        stopHits >= 2L).as("pass"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2) — per page:
+    * keep only lines that end in terminal punctuation (`.` `!` `?` `"`),
+    * contain ≥ `minWordsPerLine` whitespace words (paper: 5), and do not
+    * mention "javascript" (case-insensitive); drop the whole page if it
+    * contains "lorem ipsum" (case-insensitive) or a curly brace `{`.
+    *
+    * Emits the per-rule drop counts plus `clean_text` (kept lines
+    * re-joined with \n; NULL when the page is dropped or no line
+    * survives) so the operator doubles as an audit. Line rules apply in
+    * the order short → punct → javascript: each counter counts lines the
+    * EARLIER rules already passed, so the three counters + n_kept sum to
+    * n_lines and the oracle replays one branch per line. Pure per-row
+    * Column algebra — narrow, no shuffle, 100 TB-safe.
+    */
+  def c4Clean(
+      df: DataFrame, id: Column, text: Column,
+      minWordsPerLine: Int = 5): DataFrame = {
+    val base = df.filter(text.isNotNull).select(
+      id.as("id"), text.as("_text"),
+      filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+        .as("_lines"))
+    def lineWords(l: Column): Column =
+      size(filter(split(l, s"[$WsClass]+"), w => w =!= ""))
+    def shortL(l: Column): Column = lineWords(l) < minWordsPerLine
+    def punctL(l: Column): Column =
+      !substring(l, -1, 1).isin(".", "!", "?", "\"")
+    def jsL(l: Column): Column = lower(l).contains("javascript")
+    val kept = filter(col("_lines"), l => !shortL(l) && !punctL(l) && !jsL(l))
+    val pageOk = !lower(col("_text")).contains("lorem ipsum") &&
+      !col("_text").contains("{")
+    base.select(
+      col("id"),
+      size(col("_lines")).cast("long").as("n_lines"),
+      size(filter(col("_lines"), l => shortL(l))).cast("long")
+        .as("n_short"),
+      size(filter(col("_lines"), l => !shortL(l) && punctL(l))).cast("long")
+        .as("n_nopunct"),
+      size(filter(col("_lines"), l => !shortL(l) && !punctL(l) && jsL(l)))
+        .cast("long").as("n_js"),
+      size(kept).cast("long").as("n_kept"),
+      pageOk.as("page_ok"),
+      when(pageOk && size(kept) > 0, array_join(kept, "\n")).as("clean_text"))
+  }
+
   /** Corpus vocabulary: per-token total occurrences and document frequency
     * — the tokenizer-training / vocab-pruning precursor (BPE corpus prep
     * starts exactly here). One explode + one groupBy: the shuffle key is
