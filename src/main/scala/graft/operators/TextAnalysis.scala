@@ -507,7 +507,7 @@ object TextAnalysis {
     *  - `n_words` in [minWords, maxWords]           (paper: 50..100 000)
     *  - `mean_word_len` in [3, 10]
     *  - `symbol_ratio` (# or ... per word) ≤ 0.1
-    *  - `bullet_ratio` (lines starting •/-/*) ≤ 0.9
+    *  - `bullet_ratio` (lines starting with a bullet, dash, or star) ≤ 0.9
     *  - `ellipsis_ratio` (lines ending ...) ≤ 0.3
     *  - `alpha_ratio` (words with ≥1 letter) ≥ 0.8
     *  - `stop_hits` (Gopher stopword occurrences) ≥ 2
