@@ -27,10 +27,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * by building at different partition counts.
   *
   * Scale: the only materialized state is the narrow (id, weight)
-  * projection (16 bytes/row — persisted because passes 2 and 4 both read
-  * it; callers running many queries clear caches between them, as
-  * Verify/Bench do) and the P-long offset array on the driver. At 100 TB
-  * with 1e11 docs and 100k partitions that array is 800 KB — nothing.
+  * projection (16 bytes/row — an eager localCheckpoint, so passes 2 and 4
+  * read the SAME rows and no CacheManager entry accumulates) and the
+  * P-long offset array on the driver. At 100 TB with 1e11 docs and 100k
+  * partitions that array is 800 KB — nothing.
   */
 object Packing {
 
@@ -56,7 +56,14 @@ object Packing {
         coalesce(weight.cast(LongType), lit(0L)).as("w"))
       .repartitionByRange(p, col("id"))
       .sortWithinPartitions("id")
-      .persist()
+      // EAGER localCheckpoint, not persist: passes 2 and 4 must see the
+      // SAME rows. A persist()ed block that is evicted/lost recomputes from
+      // source, and a non-deterministic source would then emit offsets that
+      // no longer match the partition sums — silently overlapping shards.
+      // Checkpointed blocks either survive or fail the job loudly (the
+      // CollectionStore/Dedup convention), and leave no CacheManager entry
+      // for callers to clear.
+      .localCheckpoint()
     val rdd = prepared.rdd
     val partSums = rdd
       .mapPartitionsWithIndex { (i, it) =>

@@ -144,6 +144,102 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  // ---- published-rule document filters ------------------------------------
+
+  /** SQL list literal of [[TextAnalysis.GopherStops]] — interpolated so the
+    * oracle can never drift from the Scala stopword list.
+    */
+  private val sqlGopherStops: String =
+    TextAnalysis.GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Whitespace-word count of a line expression — the SQL mirror of
+    * gopherFilter/c4Clean's "words are whitespace tokens" unit, shared by
+    * both oracles below.
+    */
+  private def sqlWsWords(expr: String): String =
+    s"len(list_filter(string_split_regex($expr, '[${TextAnalysis.WsClass}]+'), w -> w != ''))"
+
+  /** Non-empty trimmed lines of `text` — shared line-splitting mirror. */
+  private val sqlLines: String =
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '')"
+
+  /** Gopher-rule quality filter (Rae et al. A1.1). The synthetic corpus
+    * has no newlines, so bullet/ellipsis line ratios are degenerate here
+    * (1 line per doc) — ScoringSpec carries the multi-line semantics; this
+    * query asserts cross-engine parity of every emitted signal and the
+    * combined pass verdict. `replace` removes left-to-right non-overlapping
+    * occurrences in both engines, so the '...' count /3 is exact, and both
+    * engines divide integers in DOUBLE.
+    */
+  val textGopher = NamedQuery(
+    "text_gopher",
+    s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT id, text,
+       |    list_filter(string_split_regex(text, '[${TextAnalysis.WsClass}]+'), w -> w != '') AS ws,
+       |    $sqlLines AS ls
+       |  FROM d),
+       |r AS (
+       |  SELECT id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(text, '[${TextAnalysis.WsClass}]', '', 'g')) AS DOUBLE) / len(ws) AS mean_word_len,
+       |    ((length(text) - length(replace(text, '#', ''))) +
+       |     (length(text) - length(replace(text, '...', ''))) / 3) / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+       |    CAST(len(list_filter(ls, l -> substr(l, 1, 1) IN ('•', '-', '*'))) AS DOUBLE) / len(ls) AS bullet_ratio,
+       |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls) AS ellipsis_ratio,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE) / len(ws) AS alpha_ratio,
+       |    CAST(len(list_filter(ws, w -> list_contains($sqlGopherStops, lower(w)))) AS BIGINT) AS stop_hits
+       |  FROM m WHERE len(ws) > 0)
+       |SELECT id, n_words,
+       |  ${sqlDround("mean_word_len", 4)} AS mean_word_len,
+       |  ${sqlDround("symbol_ratio", 4)} AS symbol_ratio,
+       |  ${sqlDround("bullet_ratio", 4)} AS bullet_ratio,
+       |  ${sqlDround("ellipsis_ratio", 4)} AS ellipsis_ratio,
+       |  ${sqlDround("alpha_ratio", 4)} AS alpha_ratio,
+       |  stop_hits,
+       |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+       |   AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS pass
+       |FROM r ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.gopherFilter(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  /** Terminal-punctuation set for C4's line rule, as a SQL IN list. */
+  private val sqlC4Punct = """('.', '!', '?', '"')"""
+
+  /** C4-style line cleaning (Raffel et al. §2.2). Same degenerate-corpus
+    * caveat as text_gopher (one line per synthetic doc; ScoringSpec owns
+    * the multi-line fixtures); the oracle replays the order-dependent
+    * counters (short → punct → javascript) branch-for-branch.
+    */
+  val textC4Clean = NamedQuery(
+    "text_c4_clean",
+    s"""WITH d AS (SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL),
+       |m AS (SELECT id, text, $sqlLines AS ls FROM d),
+       |c AS (
+       |  SELECT id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> ${sqlWsWords("l")} < 5)) AS BIGINT) AS n_short,
+       |    CAST(len(list_filter(ls, l -> ${sqlWsWords("l")} >= 5
+       |      AND NOT substr(l, -1, 1) IN $sqlC4Punct)) AS BIGINT) AS n_nopunct,
+       |    CAST(len(list_filter(ls, l -> ${sqlWsWords("l")} >= 5
+       |      AND substr(l, -1, 1) IN $sqlC4Punct
+       |      AND contains(lower(l), 'javascript'))) AS BIGINT) AS n_js,
+       |    list_filter(ls, l -> ${sqlWsWords("l")} >= 5
+       |      AND substr(l, -1, 1) IN $sqlC4Punct
+       |      AND NOT contains(lower(l), 'javascript')) AS kept,
+       |    (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS page_ok
+       |  FROM m)
+       |SELECT id, n_lines, n_short, n_nopunct, n_js,
+       |  CAST(len(kept) AS BIGINT) AS n_kept, page_ok,
+       |  CASE WHEN page_ok AND len(kept) > 0 THEN array_to_string(kept, chr(10)) END AS clean_text
+       |FROM c ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.c4Clean(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] =
-    Seq(textLmScore, textDsirWeight, sampleDsirTopk, textPii)
+    Seq(textLmScore, textDsirWeight, sampleDsirTopk, textPii,
+      textGopher, textC4Clean)
 }

@@ -163,6 +163,85 @@ class ScoringSpec extends SparkSuite {
     graft.Fs.deleteTree(dirPath)
   }
 
+  // ---- gopherFilter -------------------------------------------------------
+
+  test("gopherFilter: hand-computed signals on a crafted multi-line doc") {
+    // 8 ws-words, 3 lines (1 bullet, 1 ellipsis-terminated), one '...'
+    // symbol, one letterless word, stop hits {the, with}
+    val text = "the cat sat\n• bullet\nends with dots..."
+    val out = TextAnalysis.gopherFilter(
+      Seq((1L, text)).toDF("id", "text"), col("id"), col("text"),
+      minWords = 5L).collect().head
+    assert(out.getLong(1) == 8L, "n_words")
+    assert(out.getDouble(2) == 3.875, "mean_word_len = 31 non-ws chars / 8")
+    assert(out.getDouble(3) == 0.125, "symbol_ratio = one '...' / 8 words")
+    assert(out.getDouble(4) == 0.3333, "bullet_ratio = 1/3 rounded")
+    assert(out.getDouble(5) == 0.3333, "ellipsis_ratio = 1/3 rounded")
+    assert(out.getDouble(6) == 0.875, "alpha_ratio = 7 lettered words / 8")
+    assert(out.getLong(7) == 2L, "stop_hits = the + with")
+    assert(!out.getBoolean(8), "symbol_ratio 0.125 > 0.1 fails the rule")
+  }
+
+  test("gopherFilter: clean prose passes; word-count bounds gate") {
+    val good = "the good cat sat on the soft mat and that have be to of " +
+      "with more words here today."
+    val df = Seq((1L, good), (2L, "tiny."), (3L, null: String))
+      .toDF("id", "text")
+    val rows = TextAnalysis.gopherFilter(df, col("id"), col("text"),
+      minWords = 5L).orderBy("id").collect()
+    assert(rows.length == 2, "null text dropped")
+    assert(rows(0).getBoolean(8), "doc 1 passes every Gopher rule")
+    assert(!rows(1).getBoolean(8), "1 word < minWords")
+    // default paper bounds: 19 words < 50 → fails on count alone
+    val strict = TextAnalysis.gopherFilter(
+      Seq((1L, good)).toDF("id", "text"), col("id"), col("text"))
+      .collect().head
+    assert(!strict.getBoolean(8))
+  }
+
+  // ---- c4Clean ------------------------------------------------------------
+
+  test("c4Clean: per-line rules fire in order and counters sum to n_lines") {
+    val text = Seq(
+      "Short line.",                                  // < 5 words
+      "This line has five words",                     // no terminal punct
+      "Enable javascript in your browser please.",    // javascript
+      "This is a good sentence that stays.",          // kept
+      "Another good sentence stays right here!"       // kept
+    ).mkString("\n")
+    val out = TextAnalysis.c4Clean(Seq((1L, text)).toDF("id", "text"),
+      col("id"), col("text")).collect().head
+    assert(out.getLong(1) == 5L, "n_lines")
+    assert(out.getLong(2) == 1L, "n_short")
+    assert(out.getLong(3) == 1L, "n_nopunct")
+    assert(out.getLong(4) == 1L, "n_js")
+    assert(out.getLong(5) == 2L, "n_kept")
+    assert(out.getLong(2) + out.getLong(3) + out.getLong(4) + out.getLong(5)
+      == out.getLong(1), "ordered counters partition the lines")
+    assert(out.getBoolean(6), "page_ok")
+    assert(out.getString(7) ==
+      "This is a good sentence that stays.\nAnother good sentence stays right here!")
+  }
+
+  test("c4Clean: lorem ipsum and curly braces drop the whole page") {
+    val keepable = "This is a good sentence that stays."
+    val df = Seq(
+      (1L, s"Lorem Ipsum dolor sit amet.\n$keepable"),
+      (2L, s"var x = { a: 1 };\n$keepable"),
+      (3L, "Only short lines\nhere now"),
+      (4L, null: String)).toDF("id", "text")
+    val rows = TextAnalysis.c4Clean(df, col("id"), col("text"))
+      .orderBy("id").collect()
+    assert(rows.length == 3, "null text dropped")
+    assert(!rows(0).getBoolean(6) && rows(0).isNullAt(7),
+      "lorem ipsum (case-insensitive) drops the page")
+    assert(!rows(1).getBoolean(6) && rows(1).isNullAt(7),
+      "curly brace drops the page")
+    assert(rows(2).getBoolean(6) && rows(2).isNullAt(7),
+      "page ok but zero kept lines → NULL clean_text")
+    assert(rows(2).getLong(5) == 0L)
+  }
+
   // ---- piiScan ------------------------------------------------------------
 
   test("piiScan: detects and redacts emails, IPv4, phones") {
