@@ -248,10 +248,15 @@ object RecallReport {
          |so the recall lever is multi-assignment: `writeArtifact(spill = 2)`
          |stores each vector's residual codes in its 2 nearest cells and the
          |search dedups by id. At the same ¼-of-cells probe budget this lifts
-         |recall ${recallOf(ivfPq8R, exactCos)}%.3f → ${recallOf(ivfPqS8R, exactCos)}%.3f for a 2× codes
-         |artifact (codes are m bytes/row — the spilled artifact is still
-         |~16× smaller than one wide float column). spill=3 adds little
-         |(${recallOf(ivfPqS38R, exactCos)}%.3f): past two assignments the residual-ADC candidate
+         |recall ${recallOf(ivfPq8R, exactCos)}%.3f → ${recallOf(ivfPqS8R, exactCos)}%.3f for a ~2× artifact: each
+         |spilled copy carries the full row — codes (m bytes) AND the wide
+         |float vec, which dominates — a deliberate trade, because the
+         |rescore stage reads vecs ONLY from probed cells (partition
+         |pruning); a shared single-copy vec table would shrink storage
+         |spill-fold but turn every query's re-rank into an unpruned
+         |corpus-wide vec scan. The ADC stage itself stays narrow either
+         |way (column pruning reads id/bucket/codes only). spill=3 adds
+         |little (${recallOf(ivfPqS38R, exactCos)}%.3f): past two assignments the residual-ADC candidate
          |ranking, not cell membership, binds.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), report)

@@ -84,8 +84,16 @@ final case class Collection(
       require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
       val spark = df.sparkSession
       val (co, pq) =
-        if (IvfPq.hasModel(spark, dir)) IvfPq.loadModel(spark, dir)
-        else {
+        if (IvfPq.hasModel(spark, dir)) {
+          // reusing an artifact built at a DIFFERENT spill would silently
+          // serve a different recall operating point than the caller asked
+          // for — fail fast (pre-round-5 artifacts record no spill and are
+          // accepted as-is, documented legacy)
+          IvfPq.artifactSpill(spark, dir).foreach(s => require(s == spill,
+            s"artifact at $dir was built with spill=$s but spill=$spill was " +
+              s"requested — rebuild the artifact or request spill=$s"))
+          IvfPq.loadModel(spark, dir)
+        } else {
           val c = coarse()
           val m = model(c)
           // spill = multi-assignment (learned cells only): the serving

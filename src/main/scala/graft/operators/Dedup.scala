@@ -135,7 +135,9 @@ object Dedup {
     val base = df.filter(text.isNotNull)
       .select(id.as("id"),
         filter(split(text, "\n"), l => trim(l) =!= "").as("_ls"))
-      .persist() // two consumers: exploded lines + per-doc totals
+      // two consumers (exploded lines + per-doc totals) — eager
+      // localCheckpoint, not persist(): no unreleased CacheManager entry
+      .localCheckpoint()
     val lines = base.select(col("id"), posexplode(col("_ls")).as(Seq("_p", "line")))
     val hot = lines.groupBy("line").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select("line")

@@ -224,7 +224,7 @@ object IvfPq {
     enc.select(cId.as("id"), cVec.as("vec"), col("_codes").as("codes"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     writeMeta(corpus.sparkSession, dir, s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim}")
-    writeModel(corpus.sparkSession, dir, coarse, pq)
+    writeModel(corpus.sparkSession, dir, coarse, pq, spill)
   }
 
   /** PQ-encode `_residual` as an extra `_codes` column (keeps every other
@@ -261,9 +261,10 @@ object IvfPq {
     * `java.lang.Double/Float.toString` (shortest representation that
     * parses back to the same bits).
     */
-  def writeModel(spark: SparkSession, dir: String, coarse: Coarse, pq: PQModel): Unit = {
+  def writeModel(spark: SparkSession, dir: String, coarse: Coarse, pq: PQModel,
+      spill: Int = 1): Unit = {
     val sb = new StringBuilder
-    sb.append(s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim}\n")
+    sb.append(s"${coarse.kind},${coarse.param},${pq.m},${pq.k},${pq.dim},$spill\n")
     coarse.centroids.toSeq.sortBy(_._1).foreach { case (b, c) =>
       sb.append(s"C,$b,${c.mkString(",")}\n")
     }
@@ -300,10 +301,12 @@ object IvfPq {
     val lines = readFully(fs, path).split('\n').filter(_.nonEmpty)
     if (lines.isEmpty) bad("empty file")
     val head = lines.head.split(',')
-    if (head.length != 5) bad(s"header '${lines.head}'")
+    // 5 fields = pre-round-5 artifact (no recorded spill); 6 adds spill
+    if (head.length != 5 && head.length != 6) bad(s"header '${lines.head}'")
     val (kind, param, m, k, dim) =
       try (head(0), head(1).toInt, head(2).toInt, head(3).toInt, head(4).toInt)
       catch { case _: NumberFormatException => bad(s"non-numeric header '${lines.head}'") }
+    if (head.length == 6 && !head(5).forall(_.isDigit)) bad(s"spill '${head(5)}'")
     // bounds BEFORE any allocation sized by the header: a corrupt/hostile
     // header must fail the documented bad(...) contract, not throw
     // NegativeArraySizeException or OOM the driver on a 10^10-cell
@@ -343,6 +346,23 @@ object IvfPq {
         bad(s"codebook entry ($i,$j) has ${codebook(i)(j).length} values; subDim=${dim / m}")
     }
     (Coarse(kind, param, cents.toMap), PQModel(m, k, dim, codebook))
+  }
+
+  /** The spill factor a persisted artifact was BUILT at — `None` for a
+    * pre-round-5 model file that predates spill recording. Callers asking
+    * to reuse an artifact at a different spill must check this (a spill=1
+    * artifact served under a spill=2 request would silently deliver the
+    * lower-recall operating point).
+    */
+  def artifactSpill(spark: SparkSession, dir: String): Option[Int] = {
+    val path = new org.apache.hadoop.fs.Path(dir, ModelFile)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val head = readFully(fs, path).takeWhile(_ != '\n').split(',')
+      if (head.length == 6 && head(5).forall(_.isDigit)) Some(head(5).toInt)
+      else None
+    }
   }
 
   private def readMeta(spark: SparkSession, dir: String): Option[String] = {

@@ -129,12 +129,12 @@ object ProductQuantizer {
       seed: Long = 42L, sampleLimit: Int = 100000): PQModel = {
     require(dim % m == 0, s"dim $dim not divisible by numSubVectors $m")
     val subDim = dim / m
-    val sample: Array[Array[Double]] = df
-      .filter(vec.isNotNull)
-      .select(vec.cast("array<double>").as("_v"))
-      .limit(sampleLimit)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    // the SHARED sample helper (canonically sorted there): every learned
+    // fit — PQ codebooks, IVF coarse cells, IVF centroids — trains on the
+    // same deterministic sample order, making the models pure functions of
+    // the sampled set (and of the corpus whenever it fits sampleLimit —
+    // the driver gate's case, which pins pq_adc_topk to a golden)
+    val sample = Similarity.vectorSample(df, vec, sampleLimit)
     require(sample.nonEmpty, "cannot fit a product quantizer on an empty corpus")
     // copyOfRange would silently ZERO-PAD a short vector, training the
     // tail subspaces toward 0 with no error (and encode would later die

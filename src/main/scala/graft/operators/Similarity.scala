@@ -163,14 +163,39 @@ object Similarity {
     * partition-pruning story, much tighter cells.
     */
   /** The bounded training sample every k-means fit draws (ONE definition,
-    * so kmeansCentroids and IvfPq.kmeansCoarse cannot drift on
-    * filter/cast/limit semantics).
+    * so ProductQuantizer.fit, kmeansCentroids and IvfPq.kmeansCoarse
+    * cannot drift on filter/cast/limit semantics).
+    *
+    * The collected rows are sorted lexicographically before returning:
+    * kmeans++ draws by sample POSITION, so canonical order makes every
+    * learned model a pure function of the sampled SET, independent of
+    * scan/partition order — and of the whole corpus whenever it fits
+    * sampleLimit (how pq_adc_topk's pinned golden stays stable). Above
+    * sampleLimit the set itself still follows limit()'s arbitrary row
+    * choice; a deterministic subsample at that scale would need a
+    * full-corpus hash-rank pass, deliberately not paid (training is
+    * sample-scale — any sample trains an equally valid model).
     */
   private[operators] def vectorSample(
-      corpus: DataFrame, vec: Column, sampleLimit: Int): Array[Array[Double]] =
-    corpus.filter(vec.isNotNull)
+      corpus: DataFrame, vec: Column, sampleLimit: Int): Array[Array[Double]] = {
+    val sample = corpus.filter(vec.isNotNull)
       .select(vec.cast("array<double>").as("_v"))
       .limit(sampleLimit).collect().map(_.getSeq[Double](0).toArray)
+    java.util.Arrays.sort(sample, lexDouble)
+    sample
+  }
+
+  /** Lexicographic element-wise order on double arrays (ties by length) —
+    * the canonical sample order every learned fit trains in.
+    */
+  private val lexDouble: java.util.Comparator[Array[Double]] =
+    (a: Array[Double], b: Array[Double]) => {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var r = 0
+      while (i < n && r == 0) { r = java.lang.Double.compare(a(i), b(i)); i += 1 }
+      if (r != 0) r else Integer.compare(a.length, b.length)
+    }
 
   def kmeansCentroids(
       corpus: DataFrame, vec: Column, kClusters: Int,

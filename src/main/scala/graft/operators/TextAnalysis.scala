@@ -260,14 +260,15 @@ object TextAnalysis {
       .filter(text.isNotNull)
       .select(id.as("id"), text.as("_text"), Dedup.tokens(text).as("_toks"))
     val lines = filter(split(col("_text"), "\n"), l => trim(l) =!= "")
-    // three consumers (two gram aggregations + the final join) — persist
-    // the tokenized projection like Dedup's shared frames; callers clear
-    // caches between queries (Verify/Bench do)
+    // three consumers (two gram aggregations + the final join) — eager
+    // localCheckpoint, not persist(): a CacheManager entry here has no
+    // release handle and would accumulate across a long-lived session's
+    // queries (the pipelineCuration convention)
     val lineStats = base.select(
       col("id"), col("_toks"),
       size(lines).cast("long").as("n_lines"),
       size(array_distinct(lines)).cast("long").as("_nl_dis"))
-      .persist()
+      .localCheckpoint()
 
     def gramStats(n: Int, prefix: String): DataFrame =
       lineStats
@@ -370,10 +371,13 @@ object TextAnalysis {
     * output by construction.
     */
   def lmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // two consumers each (occ: vocabulary fit + scoring join; vocab:
+    // fit constants + scoring join) — eager localCheckpoint, not
+    // persist(), so no unreleased CacheManager entry outlives the call
     val occ = df.filter(text.isNotNull)
       .select(id.as("id"), explode(Dedup.tokens(text)).as("token"))
-      .persist() // two consumers: vocabulary fit + scoring join
-    val vocab = occ.groupBy("token").agg(count(lit(1)).as("c")).persist()
+      .localCheckpoint()
+    val vocab = occ.groupBy("token").agg(count(lit(1)).as("c")).localCheckpoint()
     val fit = vocab.agg(
       sum(col("c")).cast("double"), count(lit(1)).cast("double")).head()
     // sum() over an empty vocab is null — a token-free corpus must yield
@@ -437,13 +441,16 @@ object TextAnalysis {
         out
       }
     }
+    // two consumers each (feats: bucket fit + raw-doc scoring; tab:
+    // totals + log-ratio table) — eager localCheckpoint, not persist(),
+    // so no unreleased CacheManager entry outlives the call
     val feats = base
       .select(col("id"), col("_t"), explode(featUdf(col("_toks"))).as("b"))
-      .persist() // two consumers: bucket fit + raw-doc scoring
+      .localCheckpoint()
     val tab = feats.groupBy("b").agg(
         sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
-      .persist() // two consumers: totals + log-ratio table
+      .localCheckpoint()
     val tot = tab.agg(
       sum(col("ct")).cast("double"), sum(col("cr")).cast("double")).head()
     // empty corpus → null sums; 0.0 keeps the (row-less) plan valid and

@@ -7,8 +7,10 @@ import graft.operators.{BinaryQuantizer, ProductQuantizer}
 /** §2.4 quantizer queries. Packed-bit hamming is fully oracle-checked:
   * DuckDB computes the same per-dimension mean thresholds and compares
   * bits elementwise — popcount over packed words must equal the
-  * elementwise count. PQ/ADC has no closed-form oracle (k-means); it ships
-  * as a rows-only query backed by recall specs.
+  * elementwise count. PQ/ADC under a learned codebook has no closed-form
+  * replay (k-means), so pq_adc_topk pins a golden of the deterministic
+  * fit (canonically-sorted training sample); pq_adc_fixed replays the
+  * full ADC arithmetic under a closed-form codebook.
   */
 object QuantizerQueries {
 
@@ -72,15 +74,31 @@ object QuantizerQueries {
       .orderBy(col("dist_r"), col("id"))
   }
 
-  /** Rows-only (k-means has no cross-engine closed form): ADC top-10 for
-    * the vec_id-7 query under an m=8, k=32 codebook.
+  /** ADC top-10 for the vec_id-7 query under a LEARNED m=8, k=32 codebook,
+    * hash-compared against a PINNED GOLDEN (the vamana_graph convention):
+    * DuckDB cannot replay seeded Lloyd's, but since round 5 the training
+    * sample is canonically sorted (Similarity.vectorSample), so the
+    * codebook — and this result — is a pure function of the corpus,
+    * byte-stable across sessions, partition layouts, and machines
+    * (QuantizerSpec's determinism test is the guarantee). Any drift in
+    * sampling, kmeans++ init, Lloyd's arithmetic, encoding, or ADC lookup
+    * flips the pinned rows. After an INTENTIONAL fit change, regenerate
+    * via `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
+    * pq_adc_topk` and pin the printed spark-side rows.
     */
-  val pqAdcTopk = NamedQuery.unoracled("pq_adc_topk") { (s, d) =>
+  val pqAdcTopk = NamedQuery(
+    "pq_adc_topk",
+    """SELECT CAST(id AS BIGINT) AS id, CAST(approx_r AS DOUBLE) AS approx_r
+      |FROM (VALUES (7, 0.4338), (425, 0.8990), (445, 0.9210), (340, 0.9219),
+      |  (17, 0.9690), (334, 0.9694), (423, 1.0042), (49, 1.0575),
+      |  (9, 1.0648), (59, 1.0684)) t(id, approx_r)
+      |ORDER BY approx_r, id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val model = ProductQuantizer.fit(emb, col("embedding"), m = 8, k = 32, dim = 64)
     val codes = ProductQuantizer.encode(emb, col("vec_id"), col("embedding"), model)
     ProductQuantizer.adcSearch(codes, TestCollections.queryVector(s, d, 7), model, k = 10)
       .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
   }
 
   /** The same encode + ADC arithmetic under a CLOSED-FORM codebook —

@@ -119,9 +119,11 @@ object TrainingQueries {
        |  GROUP BY sk.id)
        |SELECT id, n_eval_hits FROM hits WHERE n_eval_hits >= 2 ORDER BY id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // one sketch pass feeds both the eval hash set and the train scan
+    // one sketch pass feeds both the eval hash set and the train scan —
+    // eager localCheckpoint, not persist(): no unreleased CacheManager
+    // entry outlives the query
     val sk = TextAnalysis.winnow(docs, col("doc_id"), col("text"))
-      .select(col("id"), col("hash")).distinct().persist()
+      .select(col("id"), col("hash")).distinct().localCheckpoint()
     val evalIds = docs.filter(col("source") === "src0").select(col("doc_id").as("id"))
     val evalHashes = sk.join(evalIds, "id").select("hash").distinct()
     val trainIds = docs.filter(col("source") =!= "src0").select(col("doc_id").as("id"))

@@ -156,8 +156,13 @@ object EventsStream {
     * round-trips: the path a 1000-executor ingest actually takes, while
     * [[ingestInto]] remains the strict reference-contract face (≤10k
     * insert batches). Same replay tolerance: rows already landed (crash
-    * between store commit and checkpoint commit) anti-join away, in-batch
-    * duplicate ids keep first arrival.
+    * between store commit and checkpoint commit) anti-join away.
+    * In-batch duplicate ids collapse to ONE row, but WHICH payload
+    * survives is arbitrary (dropDuplicates keeps whichever row each
+    * partition layout delivers first — there is no arrival order inside a
+    * distributed micro-batch); a producer that needs a specific survivor
+    * must dedupe upstream of the sink. Cross-batch, the anti-join makes
+    * the FIRST batch to land an id the durable winner either way.
     */
   def ingestIntoDistributed(
       stream: DataFrame, store: graft.store.CollectionStore, name: String,

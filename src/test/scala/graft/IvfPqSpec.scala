@@ -129,6 +129,18 @@ class IvfPqSpec extends SparkSuite {
     // converts boundary misses into hits at the SAME probe budget
     assert(hits2 >= hits1, s"spill=2 recall $hits2/40 below spill=1 $hits1/40")
     assert(hits2 >= 32, s"spill=2 recall $hits2/40 below the 0.8 operating point")
+    // the built spill is recorded in the model header...
+    assert(IvfPq.artifactSpill(spark, dir1).contains(1))
+    assert(IvfPq.artifactSpill(spark, dir2).contains(2))
+    // ...and the facade refuses to serve an artifact at a different spill
+    // than requested (a silent spill=1 reuse would deliver the lower-recall
+    // operating point with no signal)
+    val base = graft.queries.TestCollections.docs(spark, sf001)
+    val e = intercept[IllegalArgumentException] {
+      base.withIvfPqVectorIndex(
+        "embedding", dir1, () => km, _ => pq, nprobe = 8, spill = 2)
+    }
+    assert(e.getMessage.contains("spill"))
   }
 
   test("engine approx near serves from an attached IVF-PQ artifact with pruned probes") {
