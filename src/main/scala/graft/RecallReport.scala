@@ -191,7 +191,7 @@ object RecallReport {
     val vamMaintRecall = vamMaint.sum / vamMaint.length
 
     val report =
-      f"""# RECALL — approximate search vs exact top-$k (graft rounds 2–3)
+      f"""# RECALL — approximate search vs exact top-$k (graft rounds 2–5)
          |
          |Dataset: `$sfDir/embeddings.parquet` ($n vectors, 64-d, L2-normalized).
          |Queries: vec_ids ${queryIds.mkString(", ")}. Exact baseline = brute-force
@@ -258,6 +258,16 @@ object RecallReport {
          |way (column pruning reads id/bucket/codes only). spill=3 adds
          |little (${recallOf(ivfPqS38R, exactCos)}%.3f): past two assignments the residual-ADC candidate
          |ranking, not cell membership, binds.
+         |
+         |Round 5: every learned fit now trains on a canonically SORTED
+         |sample (Similarity.vectorSample), so codebooks/centroids are pure
+         |functions of the corpus — which let pq_adc_topk pin a value golden
+         |in the driver gate (no more rows-only entries). Artifacts record
+         |their build spill in the model header and the facade refuses a
+         |mismatched reuse. This table is regenerated at sf0.1 each round
+         |(`sbt "runMain graft.RecallReport /root/testdata/sf0.1"`); the
+         |asserted regression guards live in IvfPqSpec (spill=2 ≥ 0.8 at
+         |quarter-cells, kmeans IVF-PQ ≥ 0.7) and VamanaSpec.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), report)
     println(report)

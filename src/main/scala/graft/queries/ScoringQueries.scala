@@ -239,7 +239,47 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  // ---- streaming face ------------------------------------------------------
+
+  /** The quality scorer running UNCHANGED over a real Structured Stream of
+    * the events table (append mode — stateless per-row scoring needs no
+    * state store), hash-compared against the BATCH formula in DuckDB:
+    * streaming execution must be a pure deployment choice, never a
+    * semantics change (the round-4 parity contract, commit 6b220df, now
+    * exercised by the driver gate itself). The scored column is the
+    * event's `props` payload; the transform is the same
+    * [[TextAnalysis.quality]] every batch query uses — one code path,
+    * two runtimes.
+    */
+  val q8StreamScore = NamedQuery(
+    "q8_stream_score",
+    s"""WITH e AS (SELECT event_id AS id, props AS text FROM events WHERE props IS NOT NULL),
+       |tok AS (SELECT id, length(text) AS n_chars, $sqlRawToks AS raw, text FROM e),
+       |m AS (
+       |  SELECT id, n_chars, len(raw) AS n_tokens,
+       |    CAST(len(list_filter(raw, t -> t IN (${graft.functions.TextAnalyzer.SqlStopList}))) AS DOUBLE) / len(raw) AS stopword_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}${TextAnalysis.WsClass}]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+       |    CAST(len(list_distinct(raw)) AS DOUBLE) / len(raw) AS uniq_ratio,
+       |    least(CAST(len(raw) AS DOUBLE) / 100.0, 1.0) AS len_score
+       |  FROM tok WHERE len(raw) > 0)
+       |SELECT id, n_chars, n_tokens,
+       |  ${sqlDround("stopword_ratio", 4)} AS stopword_r,
+       |  ${sqlDround("punct_ratio", 4)} AS punct_r,
+       |  ${sqlDround("uniq_ratio", 4)} AS uniq_r,
+       |  ${sqlDround("0.25*len_score + 0.25*(1-stopword_ratio) + 0.25*(1-punct_ratio) + 0.25*uniq_ratio", 4)} AS quality_r
+       |FROM m ORDER BY id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStream.runAsStream(s, d, ev =>
+        TextAnalysis.quality(ev, col("event_id"), col("props")),
+        outputMode = "append")
+      .select(col("id"), col("n_chars"), col("n_tokens"),
+        dround(col("stopword_ratio"), 4).as("stopword_r"),
+        dround(col("punct_ratio"), 4).as("punct_r"),
+        dround(col("uniq_ratio"), 4).as("uniq_r"),
+        dround(col("quality"), 4).as("quality_r"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] =
     Seq(textLmScore, textDsirWeight, sampleDsirTopk, textPii,
-      textGopher, textC4Clean)
+      textGopher, textC4Clean, q8StreamScore)
 }
