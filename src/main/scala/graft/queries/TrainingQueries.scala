@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Packing, Sampling, TextAnalysis}
 
 /** Training-data curation queries: repetition quality filters, the
   * deterministic stratified sampler, and concat-and-chunk sequence
@@ -134,6 +134,61 @@ object TrainingQueries {
       .orderBy("id")
   }
 
+  // ---- BPE tokenizer training ---------------------------------------------
+
+  /** One merge table per (session, sfDir): both BPE queries — and any
+    * bench repetition — train once (the ivfArtifactCache convention).
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, String)]]()
+  private val BpeMergeCount = 16
+  private def learnedMerges(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, String)] =
+    bpeCache.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
+      Bpe.learnMerges(Tables.documents(s, d), col("text"), BpeMergeCount))
+
+  /** The learned merge table, hash-compared against a PINNED GOLDEN (the
+    * vamana_graph / pq_adc_topk convention — DuckDB cannot replay an
+    * iterative distributed argmax, but the training is a pure function of
+    * the corpus: exact long pair counts, total (count desc, pair asc)
+    * tiebreak, BpeSpec's layout-independence test). After an INTENTIONAL
+    * algorithm change, regenerate via `python3 tools/check_oracle.py
+    * /root/testdata/sf0.01 /tmp/v bpe_merges bpe_encode` and pin the
+    * printed spark-side rows.
+    */
+  val bpeMerges = NamedQuery(
+    "bpe_merges",
+    """SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym
+      |FROM (VALUES
+      |  (0,'e','r'),(1,'e','</w>'),(2,'n','</w>'),(3,'er','</w>'),
+      |  (4,'o','w'),(5,'ow','</w>'),(6,'o','r'),(7,'s','t'),
+      |  (8,'h','</w>'),(9,'a','t'),(10,'l','u'),(11,'i','n'),
+      |  (12,'a','</w>'),(13,'g','</w>'),(14,'y','</w>'),(15,'a','r')
+      |) t(rank, left_sym, right_sym)
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    Bpe.mergesFrame(s, learnedMerges(s, d))
+      .select(col("rank"), col("left").as("left_sym"), col("right").as("right_sym"))
+      .orderBy("rank")
+  }
+
+  /** Corpus-wide encoding under the learned table, as a digest golden:
+    * doc count, total BPE token count, and an order-free md5 over the
+    * per-document counts — any drift in training OR the encode loop flips
+    * it.
+    */
+  val bpeEncode = NamedQuery(
+    "bpe_encode",
+    """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(109708 AS BIGINT) AS total_bpe_tokens,
+      |'590cc317b69ae32f5c92d8d64f62e909' AS digest""".stripMargin) { (s, d) =>
+    Bpe.encode(Tables.documents(s, d), col("doc_id"), col("text"), learnedMerges(s, d))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+        md5(concat_ws("|", sort_array(collect_list(
+          concat_ws(":", col("id"), col("n_bpe_tokens")))))).as("digest"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    textRepetition, sampleStratified, packSequences, pipelineDecontaminate)
+    textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
+    bpeMerges, bpeEncode)
 }

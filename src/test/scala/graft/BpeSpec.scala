@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** Specs for distributed BPE tokenizer training: hand-computed merges on
+  * the classic word-frequency example, partition invariance (determinism),
+  * and the encode loop.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // the standard BPE walkthrough dict: hug×10 pug×5 pun×12 bun×4 hugs×5
+  private def corpus = {
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+  }
+
+  // hand-computed: (u,g)=20 wins round 1; round 2 ties (u,n)=(n,</w>)=16
+  // and the pair-string tiebreak picks (n,</w>); then (u,n</w>)=16; then
+  // the 15-tie (h,ug) vs (ug,</w>) resolves to (h,ug)
+  private val expected = Seq(
+    ("u", "g"), ("n", Bpe.EndMark), ("u", "n" + Bpe.EndMark), ("h", "ug"))
+
+  test("learnMerges matches the hand-computed example, ties broken deterministically") {
+    val got = Bpe.learnMerges(corpus, col("text"), numMerges = 4, minPairCount = 1L)
+    assert(got == expected, s"got $got")
+  }
+
+  test("learnMerges is partition-layout independent") {
+    val a = Bpe.learnMerges(corpus.repartition(7), col("text"), 6, minPairCount = 1L)
+    val b = Bpe.learnMerges(corpus.coalesce(1), col("text"), 6, minPairCount = 1L)
+    assert(a == b)
+  }
+
+  test("learnMerges stops at the support floor and on empty corpora") {
+    // every pair in a singleton-word corpus has count 1 < minPairCount=2
+    val tiny = Seq((1L, "zyx")).toDF("id", "text")
+    assert(Bpe.learnMerges(tiny, col("text"), 10).isEmpty)
+    val empty = Seq((1L, null: String)).toDF("id", "text")
+    assert(Bpe.learnMerges(empty, col("text"), 10).isEmpty)
+  }
+
+  test("encodeWord applies merges lowest-rank-first; encode counts per doc") {
+    val ranks = expected.zipWithIndex.map { case (p, r) => p -> r }.toMap
+    // hug: (u,g) then (h,ug) → [hug, </w>]
+    assert(Bpe.encodeWord("hug", ranks) == Seq("hug", Bpe.EndMark))
+    // bug: only (u,g) applies → [b, ug, </w>]
+    assert(Bpe.encodeWord("bug", ranks) == Seq("b", "ug", Bpe.EndMark))
+    // pun: (n,</w>) before (u,n</w>) → [p, un</w>]
+    assert(Bpe.encodeWord("pun", ranks) == Seq("p", "un" + Bpe.EndMark))
+    // unseen word falls back to chars + terminal
+    assert(Bpe.encodeWord("xy", ranks) == Seq("x", "y", Bpe.EndMark))
+    val doc = Seq((7L, "hug bug pun")).toDF("id", "text")
+    val row = Bpe.encode(doc, col("id"), col("text"), expected).collect().head
+    assert(row.getLong(1) == 3L, "n_words")
+    assert(row.getLong(2) == 2L + 3L + 2L, "n_bpe_tokens")
+  }
+
+  test("more merges never increase the encoded token count") {
+    val docs = corpus
+    val m2 = Bpe.learnMerges(docs, col("text"), 2, minPairCount = 1L)
+    val m6 = Bpe.learnMerges(docs, col("text"), 6, minPairCount = 1L)
+    def total(ms: Seq[(String, String)]): Long =
+      Bpe.encode(docs, col("id"), col("text"), ms)
+        .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(m2 == m6.take(2), "merge tables are prefixes of each other")
+    assert(total(m6) <= total(m2))
+  }
+}
