@@ -129,24 +129,30 @@ object VamanaBuild {
         .persist()
     }
     val n = ranked.count()
-    val ring = ranked.select(col("id").as("src"), col("_r"),
-        explode(sequence(lit(1), lit(params.ringDegree))).as("_k"))
-      .withColumn("_tr", (col("_r") + col("_k")) % n)
+    // Ring and long-range links share one explode + ONE rank join: `ranked`
+    // is corpus-sized (a row per node), so a second n·degree join against it
+    // is a second corpus-sized shuffle for no information — _k ≤ ringDegree
+    // rows step by _k (the ring), the rest by the md5-derived offset (keyed
+    // on _k − ringDegree, so the edge set — and the pinned golden — is
+    // byte-identical to the former two-join form). n ≤ ringDegree+1 keeps
+    // ring edges only (every random offset would self-loop or duplicate).
+    val initDegree =
+      if (n <= params.ringDegree + 1) params.ringDegree
+      else params.ringDegree + params.randomDegree
+    val initAll = ranked.select(col("id").as("src"), col("_r"),
+        explode(sequence(lit(1), lit(initDegree))).as("_k"))
+      .withColumn("_step",
+        when(col("_k") <= params.ringDegree, col("_k").cast("long"))
+          .otherwise(
+            conv(substring(md5(concat(col("_r"), lit("#"),
+                col("_k") - params.ringDegree)), 1, 15), 16, 10)
+              .cast("long") % (n - 1) + 1))
+      .withColumn("_tr", (col("_r") + col("_step")) % n)
       .join(ranked.select(col("id").as("dst"), col("_r").as("_tr")), "_tr")
-      .select("src", "dst")
+      .select("src", "dst", "_k")
       .filter(col("src") =!= col("dst")) // n <= ringDegree would self-loop
-    val longLinks =
-      if (n <= params.ringDegree + 1) ring.limit(0)
-      else ranked.select(col("id").as("src"), col("_r"),
-          explode(sequence(lit(1), lit(params.randomDegree))).as("_k"))
-        .withColumn("_off",
-          conv(substring(md5(concat(col("_r"), lit("#"), col("_k"))), 1, 15), 16, 10)
-            .cast("long") % (n - 1) + 1)
-        .withColumn("_tr", (col("_r") + col("_off")) % n)
-        .join(ranked.select(col("id").as("dst"), col("_r").as("_tr")), "_tr")
-        .select("src", "dst")
-        .filter(col("src") =!= col("dst"))
-    val init = ring.union(longLinks).distinct()
+    val ring = initAll.filter(col("_k") <= params.ringDegree).select("src", "dst")
+    val init = initAll.select("src", "dst").distinct()
 
     val pruneUdf = mkPruneUdf(metric, params)
 
