@@ -575,4 +575,42 @@ object Dedup {
         org.apache.spark.sql.types.StructField("node", dt),
         org.apache.spark.sql.types.StructField("component", dt))))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): drop documents whose
+    * EMBEDDING nearly duplicates another document's, even when the text
+    * differs — the semantic complement of the lexical operators above.
+    *
+    * Shape follows the paper: cluster the embedding space (`cell` — any
+    * deterministic assignment: [[Similarity.signBucket]], a learned
+    * k-means cell, a label), compare pairs ONLY within a cell
+    * ([[embeddingCosinePairs]] — the cell is the shuffle key, never a
+    * cross join), and keep one representative per duplicate
+    * neighborhood.
+    *
+    * Keep policy — "dominated by any earlier id": doc b is dropped iff
+    * some doc a < b in the same cell has cosine ≥ `tau`. One self-join +
+    * one aggregation, no sequential scan — unlike the paper's in-order
+    * greedy (which compares each doc only against previously KEPT docs),
+    * every comparison here is independent, so the policy parallelizes
+    * and stays a pure function of the corpus. On chains (a~b, b~c,
+    * a≁c) it drops at most as many extra docs as the chain length;
+    * FineWeb-family pipelines accept either convention.
+    *
+    * Returns every input doc: (id, cell, kept, drop_sim) with `drop_sim`
+    * the max dominating similarity (null when kept) — callers filter
+    * `kept` for the surviving corpus, or audit `drop_sim` against `tau`.
+    */
+  def semDedup(
+      df: DataFrame, id: Column, vec: Column, cell: Column,
+      tau: Double): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("_v"), cell.as("cell"))
+    val dominated = embeddingCosinePairs(
+        base, col("id"), col("_v"), col("cell"), tau)
+      .groupBy(col("id_b").as("id"))
+      .agg(max(col("cosine_sim")).as("drop_sim"))
+    base.join(dominated, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        col("drop_sim").isNull.as("kept"), col("drop_sim"))
+  }
 }

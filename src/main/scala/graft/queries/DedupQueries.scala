@@ -239,7 +239,46 @@ object DedupQueries {
       .orderBy("id")
   }
 
+  /** SemDeDup over the embeddings table: 6-bit sign cells as the
+    * deterministic stand-in for the paper's k-means clustering (the
+    * ann_ivf_grid convention — DuckDB replays the cell expression
+    * exactly), true-cosine ≥ 0.3 within a cell, dominated-by-earlier-id
+    * drop. Both engines compute the dot/norms in the same exact-double
+    * order, so the threshold compare cannot straddle engines.
+    */
+  val dedupSemantic = {
+    val sqlCell =
+      (0 until 6).map(i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+    val sqlDot =
+      "list_sum(list_transform(range(1, 65), t -> CAST(a.embedding[t] AS DOUBLE) * CAST(b.embedding[t] AS DOUBLE)))"
+    def sqlNorm(side: String) =
+      s"sqrt(list_sum(list_transform(range(1, 65), t -> CAST($side.embedding[t] AS DOUBLE) * CAST($side.embedding[t] AS DOUBLE))))"
+    NamedQuery(
+      "dedup_semantic",
+      s"""WITH c AS (
+        |  SELECT vec_id AS id, embedding, ($sqlCell) AS cell
+        |  FROM embeddings),
+        |dom AS (
+        |  SELECT b.id, max($sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")})) AS drop_sim
+        |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE $sqlDot / (${sqlNorm("a")} * ${sqlNorm("b")}) >= 0.3
+        |  GROUP BY b.id)
+        |SELECT c.id, CAST(c.cell AS BIGINT) AS cell,
+        |  dom.drop_sim IS NULL AS kept,
+        |  CAST(round(CAST(dom.drop_sim AS DECIMAL(28,6)), 4) AS DOUBLE) AS drop_sim_r
+        |FROM c LEFT JOIN dom USING (id) ORDER BY c.id""".stripMargin) { (s, d) =>
+      Dedup.semDedup(Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+          graft.operators.Similarity.signBucket(col("embedding"), 6), tau = 0.3)
+        .select(col("id"), col("cell").cast("long").as("cell"), col("kept"),
+          dround(col("drop_sim"), 4).as("drop_sim_r"))
+        .orderBy("id")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
-    dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines)
+    dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines,
+    dedupSemantic)
 }

@@ -172,4 +172,49 @@ class DedupSpec extends SparkSuite {
       .orderBy("id").collect()
     assert(loose(2).getString(3) == boiler)
   }
+
+  test("semDedup: dominated-by-earlier-id policy, cells never compared across") {
+    // planar vectors 2° apart: cos(2°)=0.99939 ≥ τ=0.999 > cos(4°)=0.99756,
+    // so 1~2 and 2~3 pair but 1~3 does not — a chain; 4 orthogonal to all;
+    // 5 duplicates 1 but sits in another cell
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val df = Seq(
+      (1L, v(0), 0),
+      (2L, v(2), 0),
+      (3L, v(4), 0),
+      (4L, Array(0f, 0f, 1f, 0f), 0),
+      (5L, v(0.01), 1)).toDF("id", "vec", "cell")
+    val out = Dedup.semDedup(df, col("id"), col("vec"), col("cell"), tau = 0.999)
+      .orderBy("id").collect()
+    assert(out.length == 5) // every input doc comes back
+    val kept = out.filter(_.getAs[Boolean]("kept")).map(_.getLong(0)).toSet
+    // 1 is the min-id representative; 2 dominated by 1; 3 dominated by 2
+    // even though cos(1,3) < tau — the documented chain behavior of
+    // dominated-by-ANY-earlier (a sequential greedy would keep 3)
+    assert(kept == Set(1L, 4L, 5L))
+    // drop_sim is the max dominating similarity, null on kept rows
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Double]("drop_sim") > 0.999)
+    assert(out.filter(_.getAs[Boolean]("kept")).forall(_.isNullAt(3)))
+  }
+
+  test("semDedup over sf0.01 embeddings: sign-cells, every doc accounted for") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = Dedup.semDedup(emb, col("vec_id"), col("embedding"),
+      graft.operators.Similarity.signBucket(col("embedding"), 6), tau = 0.3)
+    val n = emb.count()
+    assert(out.count() == n)
+    val dropped = out.filter(!col("kept")).count()
+    assert(dropped > 0, "tau=0.3 must drop some same-cell neighbors on this corpus")
+    assert(dropped < n, "must keep at least the per-cell representatives")
+    // layout independence: a different split yields the identical verdict set
+    val out7 = Dedup.semDedup(emb.repartition(7), col("vec_id"), col("embedding"),
+      graft.operators.Similarity.signBucket(col("embedding"), 6), tau = 0.3)
+    val a = out.select("id", "kept").orderBy("id").collect().toSeq
+    val b = out7.select("id", "kept").orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
