@@ -396,6 +396,44 @@ object TextAnalysis {
       .withColumn("perplexity", decRound(exp(col("cross_entropy")), 2))
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. LREC'20, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data",
+    * §4.3): score every document with the corpus LM ([[lmScore]]) and
+    * split the corpus into head / middle / tail terciles by perplexity —
+    * the standard quality-tiering step before mixing or filtering.
+    *
+    * `cutoffs` — the two tercile boundaries — default to EXACT percentiles
+    * of the scored corpus (deterministic: the interpolation runs over the
+    * DECIMAL-rounded perplexities both engines agree on). Exact percentile
+    * aggregates every value into one buffer, which is fine per-language at
+    * CCNet's own scale but not at 10¹¹ docs — there, pass cutoffs fitted
+    * on a deterministic sample (the paper itself fits them on one Common
+    * Crawl segment) and the whole operator is a single per-row CASE over
+    * broadcast literals.
+    *
+    * Output: lmScore's columns plus `ppl_bucket` ∈ head|middle|tail.
+    */
+  def ccnetBuckets(
+      df: DataFrame, id: Column, text: Column,
+      cutoffs: Option[(Double, Double)] = None): DataFrame = {
+    val scored = cutoffs match {
+      case Some(_) => lmScore(df, id, text)
+      // two consumers (percentile agg + bucketing) — eager localCheckpoint,
+      // the lmScore/Packing row-stability convention
+      case None => lmScore(df, id, text).localCheckpoint()
+    }
+    val (c1, c2) = cutoffs.getOrElse {
+      val r = scored
+        .agg(expr("percentile(perplexity, array(1.0D/3, 2.0D/3))")).head()
+      if (r.isNullAt(0)) (Double.NaN, Double.NaN) // token-free corpus: no rows
+      else { val q = r.getSeq[Double](0); (q(0), q(1)) }
+    }
+    scored.withColumn("ppl_bucket",
+      when(col("perplexity") <= c1, "head")
+        .when(col("perplexity") <= c2, "middle")
+        .otherwise("tail"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS'23): features are
     * word unigrams + bigrams hashed into `buckets` buckets; fit two

@@ -277,8 +277,33 @@ object DedupQueries {
     }
   }
 
+  /** Exact content dedup ON INGEST — the streaming face of dedup_exact,
+    * over a real Structured Stream of the events table (the q8_stream_score
+    * parity contract: streaming must be a deployment choice, not a
+    * semantics change). A stateful groupBy on the content hash emits one
+    * row per DISTINCT payload with its duplicate count and min-id keeper —
+    * deterministic regardless of arrival order inside micro-batches, which
+    * a raw dropDuplicates("content") is not (the surviving ROW there is
+    * whichever arrives first). DuckDB replays the identical aggregation
+    * over the batch table. The synthetic corpus makes this meaningful:
+    * 10k events share 100 distinct payloads.
+    */
+  val q9StreamDedup = NamedQuery(
+    "q9_stream_dedup",
+    """SELECT md5(props) AS content_md5, count(*) AS n_dups,
+      |  min(event_id) AS keeper_id
+      |FROM events WHERE props IS NOT NULL
+      |GROUP BY 1 ORDER BY content_md5""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStream.runAsStream(s, d, ev =>
+        ev.filter(col("props").isNotNull)
+          .groupBy(md5(col("props")).as("content_md5"))
+          .agg(count(lit(1)).as("n_dups"), min(col("event_id")).as("keeper_id")),
+        outputMode = "complete")
+      .orderBy("content_md5")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
     dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines,
-    dedupSemantic)
+    dedupSemantic, q9StreamDedup)
 }

@@ -28,9 +28,12 @@ object ScoringQueries {
   private val DsirBuckets = 1024
 
   /** Unigram add-one LM: fit on the whole corpus, score every document. */
-  val textLmScore = NamedQuery(
-    "text_lm_score",
-    s"""WITH $tokCte,
+  /** The lmScore CTE chain ending in `lm(id, n_tokens, cross_entropy,
+    * perplexity)` — shared by text_lm_score and text_ccnet_bucket so the
+    * two oracles replay the identical model.
+    */
+  private val lmCtes =
+    s"""$tokCte,
        |occ AS (SELECT id, unnest(raw) AS token FROM tok),
        |voc AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM voc),
@@ -40,11 +43,38 @@ object ScoringQueries {
        |ce AS (
        |  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
        |    ${sqlDavg("nlp", 6)} AS cross_entropy
-       |  FROM lp GROUP BY id)
-       |SELECT id, n_tokens, cross_entropy,
-       |  ${sqlDround("exp(cross_entropy)", 2)} AS perplexity
-       |FROM ce ORDER BY id""".stripMargin) { (s, d) =>
+       |  FROM lp GROUP BY id),
+       |lm AS (
+       |  SELECT id, n_tokens, cross_entropy,
+       |    ${sqlDround("exp(cross_entropy)", 2)} AS perplexity
+       |  FROM ce)""".stripMargin
+
+  val textLmScore = NamedQuery(
+    "text_lm_score",
+    s"""WITH $lmCtes
+       |SELECT id, n_tokens, cross_entropy, perplexity
+       |FROM lm ORDER BY id""".stripMargin) { (s, d) =>
     TextAnalysis.lmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  /** CCNet head/middle/tail tercile partitioning over the LM score.
+    * DuckDB's quantile_cont and Spark's exact `percentile` share the
+    * type-7 linear interpolation, and both run over the DECIMAL-rounded
+    * perplexities, so the cutoffs — and every boundary compare — agree
+    * across engines.
+    */
+  val textCcnetBucket = NamedQuery(
+    "text_ccnet_bucket",
+    s"""WITH $lmCtes,
+       |cut AS (SELECT quantile_cont(perplexity, [1.0/3, 2.0/3]) AS q FROM lm)
+       |SELECT lm.id, lm.perplexity,
+       |  CASE WHEN lm.perplexity <= q[1] THEN 'head'
+       |       WHEN lm.perplexity <= q[2] THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM lm CROSS JOIN cut ORDER BY lm.id""".stripMargin) { (s, d) =>
+    TextAnalysis.ccnetBuckets(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("id"), col("perplexity"), col("ppl_bucket"))
       .orderBy("id")
   }
 
@@ -280,6 +310,6 @@ object ScoringQueries {
   }
 
   val all: Seq[NamedQuery] =
-    Seq(textLmScore, textDsirWeight, sampleDsirTopk, textPii,
+    Seq(textLmScore, textCcnetBucket, textDsirWeight, sampleDsirTopk, textPii,
       textGopher, textC4Clean, q8StreamScore)
 }

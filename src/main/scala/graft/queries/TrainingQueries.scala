@@ -188,7 +188,31 @@ object TrainingQueries {
           concat_ws(":", col("id"), col("n_bpe_tokens")))))).as("digest"))
   }
 
+  /** End-to-end tokenize-and-pack: BPE token counts (learned merges, the
+    * shared per-session table) feed sequence packing as the weight column —
+    * the exact composition a training-data prep runs (tokenize → concat →
+    * chunk). DuckDB cannot replay the iterative BPE training, so this pins
+    * a digest golden (the bpe_encode convention): total chunk count, last
+    * chunk index, and an order-free md5 over (id, start, n_chunks). Any
+    * drift in training, encoding, OR the distributed prefix sum flips it.
+    */
+  val bpePack = NamedQuery(
+    "bpe_pack",
+    """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(428 AS BIGINT) AS n_chunks_last,
+      |'bf92918fd327040fefa4bdb1b2345e2b' AS digest""".stripMargin) { (s, d) =>
+    val enc = Bpe.encode(
+      Tables.documents(s, d), col("doc_id"), col("text"), learnedMerges(s, d))
+    Packing.packChunks(
+        enc.select(col("id"), col("n_bpe_tokens").as("w")),
+        col("id"), col("w"), capacity = 256)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("chunk_last")).as("n_chunks_last"),
+        md5(concat_ws("|", sort_array(collect_list(concat_ws(":",
+          col("id"), col("start"), col("n_chunks")))))).as("digest"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
-    bpeMerges, bpeEncode)
+    bpeMerges, bpeEncode, bpePack)
 }
