@@ -80,4 +80,51 @@ object Sampling {
       .orderBy(col("gumbel_key").desc, key.asc)
       .limit(k)
   }
+
+  /** Deterministic source mixing — training-mix construction (the Pile /
+    * Dolma pattern): given target mix `shares` per source value and a
+    * total weight `budget`, sample each source down to its share of the
+    * budget:
+    *
+    *   rate_s = min(1, budget · share_s / available_s)
+    *
+    * with `available_s` the source's total weight (one small aggregation;
+    * only S rows land on the driver). Shares are used as given — the
+    * caller normalizes; a source absent from `shares` (or a null source)
+    * gets rate 0 and drops out of the mix. An over-budgeted source caps
+    * at rate 1 (you cannot mint data), exactly like the paper pipelines'
+    * upsampling floor — callers wanting epoch-style repetition handle it
+    * upstream.
+    *
+    * Selection reuses the row-pure md5 threshold ([[bernoulli]]): the kept
+    * set is a deterministic function of (corpus, shares, budget, salt) —
+    * auditable, layout-independent, replayable by any engine with md5.
+    * Output: the kept rows with their `mix_rate` appended.
+    *
+    * Scale: the rate table is S broadcast literals in one CASE column;
+    * the filter is a narrow per-row predicate — no shuffle beyond the
+    * one availability aggregation.
+    */
+  def mixSources(
+      df: DataFrame, key: Column, source: Column, weight: Column,
+      shares: Map[String, Double], budget: Double,
+      salt: String = "graft"): DataFrame = {
+    require(budget > 0.0, s"budget must be positive (got $budget)")
+    shares.values.foreach(s =>
+      require(s >= 0.0, s"shares must be non-negative (got $s)"))
+    val avail = df.groupBy(source.as("_src")).agg(sum(weight).as("_a"))
+      .collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+      .toMap
+    val rates: Map[String, Double] = avail.flatMap { case (s, a) =>
+      val share = shares.getOrElse(s, 0.0)
+      if (share <= 0.0 || a <= 0L) None
+      else Some(s -> math.min(1.0, budget * share / a.toDouble))
+    }
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (v, r)) =>
+      when(source === v, lit(r)).otherwise(acc)
+    }
+    df.withColumn("mix_rate", rateCol)
+      .filter(hashUniform(key, salt) < col("mix_rate"))
+  }
 }

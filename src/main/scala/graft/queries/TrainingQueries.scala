@@ -212,7 +212,49 @@ object TrainingQueries {
           col("id"), col("start"), col("n_chunks")))))).as("digest"))
   }
 
+  /** Training-mix construction: sample sources down to target shares of a
+    * token budget (src0/src1/src2 at 50/30/20% of 5000 tokens; budget
+    * 5000 puts src0 over the cap — rate 1.0 — while src1/src2 subsample,
+    * exercising both branches). Rates are computed from the corpus in BOTH
+    * engines — (budget·share)/available with identical double-op order —
+    * so this is a full oracle, not a pinned golden.
+    */
+  val sampleMixSources = {
+    val sqlShare =
+      "CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.0 END"
+    val sqlU =
+      "CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0"
+    NamedQuery(
+      "sample_mix_sources",
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, source, CAST(len($sqlRawToks) AS BIGINT) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT source, CAST(sum(w) AS DOUBLE) AS aw FROM t GROUP BY source),
+        |r AS (SELECT source, least(1.0, (5000.0 * $sqlShare) / aw) AS rate
+        |      FROM a WHERE $sqlShare > 0),
+        |k AS (
+        |  SELECT t.id, t.source, t.w, r.rate
+        |  FROM t JOIN r USING (source)
+        |  WHERE $sqlU < r.rate)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(w) AS BIGINT) AS w_kept,
+        |  ${sqlDround("rate", 6)} AS rate_r
+        |FROM k GROUP BY source, rate ORDER BY source""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"), col("source"),
+          size(Dedup.tokens(col("text"))).cast("long").as("w"))
+      Sampling.mixSources(t, col("id"), col("source"), col("w"),
+          shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budget = 5000.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("w")).as("w_kept"),
+          dround(max(col("mix_rate")), 6).as("rate_r"))
+        .orderBy("source")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
-    bpeMerges, bpeEncode, bpePack)
+    bpeMerges, bpeEncode, bpePack, sampleMixSources)
 }

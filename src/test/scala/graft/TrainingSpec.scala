@@ -128,6 +128,34 @@ class TrainingSpec extends SparkSuite {
     assert(nullKept > 350 && nullKept < 650)
   }
 
+  test("sampling: mixSources hits target shares, caps over-budgeted sources") {
+    // three sources, 1000 rows of weight 10 each (available = 10000/source)
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}", 10L))
+      .toDF("id", "src", "w")
+    // budget 12000 at shares 50/25/25 -> s0 wants 6000 of 10000 (rate .6),
+    // s1/s2 want 3000 (rate .3); unlisted sources would get rate 0
+    val out = Sampling.mixSources(df, col("id"), col("src"), col("w"),
+      shares = Map("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.25), budget = 12000.0)
+    val kept = out.groupBy("src")
+      .agg(sum("w").as("kw"), max("mix_rate").as("r"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(kept("s0")._2 == 0.6 && kept("s1")._2 == 0.3)
+    // kept weight tracks budget*share (binomial tolerance, n=1000)
+    assert(math.abs(kept("s0")._1 - 6000L) < 900)
+    assert(math.abs(kept("s1")._1 - 3000L) < 900)
+    // over-budget: s0 asked for 3x its availability -> capped at 1.0, all kept
+    val capped = Sampling.mixSources(df, col("id"), col("src"), col("w"),
+      shares = Map("s0" -> 1.0), budget = 30000.0)
+    val s0 = capped.agg(sum("w"), max("mix_rate")).head()
+    assert(s0.getLong(0) == 10000L && s0.getDouble(1) == 1.0)
+    // layout independence: the kept id set is a pure row property
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.mixSources(df.repartition(11), col("id"), col("src"),
+        col("w"), Map("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.25), 12000.0)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   // ---- Repetition ---------------------------------------------------------
 
   test("repetition: duplicate grams, top-gram share, and line repeats") {
