@@ -160,6 +160,47 @@ object Bpe {
       .toDF("rank", "left", "right")
   }
 
+  /** Persist the learned merge table as a parquet artifact (rank, left,
+    * right) — the tokenizer a serving layer ships. Driver-sized by
+    * construction (one row per merge).
+    */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], dir: String): Unit =
+    mergesFrame(spark, merges).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Load a [[saveMerges]] artifact, rank order restored. */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy("rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Tokenize: the actual per-document subword sequence (what a training
+    * pipeline feeds the model), not just counts. Same shape as [[encode]]:
+    * the merge loop runs ONCE per distinct word; a token-keyed equi-join
+    * fans each word's subword array back onto its positioned occurrences,
+    * and the per-document reassembly is an id-bounded aggregation ordered
+    * by word position (array_sort over (pos, subs) structs — never a
+    * global window).
+    */
+  def tokenize(
+      df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.map { case ((a, b), r) => (a, b) -> r }.toMap
+    val subUdf = udf { (w: String) => encodeWord(w, ranks) }
+    val occ = df.filter(text.isNotNull)
+      .select(id.as("id"), posexplode(Dedup.tokens(text)).as(Seq("pos", "w")))
+    val wsub = occ.select("w").distinct()
+      .withColumn("_subs", subUdf(col("w")))
+    occ.join(wsub, "w")
+      .groupBy("id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("_subs")))),
+        s => s.getField("_subs"))).as("bpe_tokens"))
+  }
+
   /** Per-document BPE token counts under a learned merge table. The
     * encode loop runs ONCE per distinct word (groupBy first), then a
     * token-keyed equi-join fans the subword counts back onto the

@@ -58,6 +58,35 @@ class BpeSpec extends SparkSuite {
     assert(row.getLong(2) == 2L + 3L + 2L, "n_bpe_tokens")
   }
 
+  test("tokenize emits the positioned subword stream consistent with encode") {
+    val doc = Seq((7L, "hug bug pun"), (8L, "pun hug")).toDF("id", "text")
+    val rows = Bpe.tokenize(doc, col("id"), col("text"), expected)
+      .orderBy("id").collect()
+    // word order is preserved through the positioned reassembly
+    assert(rows(0).getSeq[String](1) ==
+      Seq("hug", Bpe.EndMark, "b", "ug", Bpe.EndMark, "p", "un" + Bpe.EndMark))
+    assert(rows(1).getSeq[String](1) ==
+      Seq("p", "un" + Bpe.EndMark, "hug", Bpe.EndMark))
+    // consistency law vs encode: token-stream length == n_bpe_tokens
+    val enc = Bpe.encode(doc, col("id"), col("text"), expected)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(r.getSeq[String](1).length.toLong == enc(r.getLong(0))))
+  }
+
+  test("merge-table artifact round-trips and serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    try {
+      val learned = Bpe.learnMerges(corpus, col("text"), 6, minPairCount = 1L)
+      Bpe.saveMerges(spark, learned, dir)
+      val loaded = Bpe.loadMerges(spark, dir)
+      assert(loaded == learned)
+      val doc = Seq((1L, "hug bug pun")).toDF("id", "text")
+      val a = Bpe.tokenize(doc, col("id"), col("text"), learned).collect().head
+      val b = Bpe.tokenize(doc, col("id"), col("text"), loaded).collect().head
+      assert(a.getSeq[String](1) == b.getSeq[String](1))
+    } finally graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("more merges never increase the encoded token count") {
     val docs = corpus
     val m2 = Bpe.learnMerges(docs, col("text"), 2, minPairCount = 1L)
