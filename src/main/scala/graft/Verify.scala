@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — the optional name filter is a
+    // dev-loop convenience (tools/check_oracle.py name...); the driver
+    // always passes exactly two args and gets every query
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +22,9 @@ object Verify {
     // drop any prior run's parquet for a query that fails THIS run — a
     // reused outDir must not let stale results masquerade as current in
     // the driver's compare (Bench's -1 sentinel, same honesty rule)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

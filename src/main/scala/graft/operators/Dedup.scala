@@ -613,4 +613,76 @@ object Dedup {
       .select(col("id"), col("cell"),
         col("drop_sim").isNull.as("kept"), col("drop_sim"))
   }
+
+  /** Exact substring-duplication statistics — the ExactSubstr family of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed for Spark. The paper asks "which spans of ≥N
+    * tokens appear more than once anywhere in the corpus?" and answers it
+    * with a single-machine suffix array; the distributed equivalent needs
+    * no suffix structure at all: every length-`n` token window is keyed
+    * by hash, a corpus-wide groupBy finds the hashes occurring more than
+    * once (across documents or repeated inside one), and a token is
+    * COVERED when any duplicated window contains it.
+    *
+    * Per document: `n_toks`, `n_windows` (= max(n_toks-n+1, 0)),
+    * `n_dup_windows`, `covered_toks` (size of the union of the duplicated
+    * windows' [start, start+n-1] intervals — an interval-union over the
+    * doc's sorted duplicated starts, never a per-token explode), and
+    * `dup_frac_r` = covered/n_toks rounded (null when the doc has no
+    * tokens). Callers drop or trim docs above a coverage threshold.
+    *
+    * Scale: the postings frame is one row per window (O(total tokens),
+    * the same footprint as every shingle operator here); window TEXT
+    * exists only inside the explode projection — what shuffles is the
+    * 60-bit hash. The duplicated-hash set is the output of a map-side-
+    * combined groupBy and is tiny for any real corpus (duplication is
+    * the exception), so the join back onto postings is AQE-broadcastable;
+    * per-doc interval math is bounded by one document's length.
+    */
+  def substringDupStats(
+      df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    // one corpus tokenize, shared by the totals and the postings
+    val toks = df.select(id.as("id"), tokens(text).as("_toks"))
+      .select(col("id"),
+        coalesce(size(col("_toks")), lit(0)).cast("long").as("n_toks"),
+        col("_toks"))
+      .localCheckpoint()
+    val base = toks.select(col("id"), col("n_toks"),
+      greatest(col("n_toks") - (n - 1), lit(0)).cast("long").as("n_windows"))
+    // (id, pos, window-hash): 1-based start positions; the window string
+    // is hashed in the same projection it is born in, so it never moves
+    val posts = toks
+      .filter(col("n_toks") >= n)
+      .select(col("id"),
+        posexplode(gramsFromTokens(col("_toks"), n)).as(Seq("_p0", "_g")))
+      .select(col("id"), (col("_p0") + 1).cast("long").as("pos"),
+        hash60(col("_g")).as("_wh"))
+    val dupW = posts.groupBy("_wh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_wh")
+    val nL = lit(n.toLong)
+    val starts = sort_array(collect_list(col("pos")))
+    val docDup = posts.join(dupW, Seq("_wh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_windows"), starts.as("_s"))
+      // union of [s, s+n-1]: n for the first interval, then each next
+      // start adds min(n, gap) — the guard matters because Spark's
+      // sequence(1, 0) counts DOWN, it is not empty like SQL range(1, 1)
+      .withColumn("covered_toks",
+        when(size(col("_s")) > 1,
+          nL + aggregate(
+            transform(sequence(lit(1), size(col("_s")) - 1),
+              i => least(nL, element_at(col("_s"), i + 1) - element_at(col("_s"), i))),
+            lit(0L), (acc, x) => acc + x))
+          .otherwise(nL))
+      .select(col("id"), col("n_dup_windows"), col("covered_toks"))
+    base.join(docDup, Seq("id"), "left")
+      .select(col("id"), col("n_toks"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_toks"), lit(0L)).as("covered_toks"),
+        when(col("n_toks") > 0,
+          graft.queries.dround(
+            coalesce(col("covered_toks"), lit(0L)).cast("double") / col("n_toks"), 4))
+          .as("dup_frac_r"))
+  }
 }

@@ -302,8 +302,46 @@ object DedupQueries {
       .orderBy("content_md5")
   }
 
+  /** Exact substring duplication (Lee et al. 2022 ExactSubstr family,
+    * n=15 token windows): per-doc duplicated-window counts and the
+    * token-coverage fraction of the duplicated spans. The oracle replays
+    * the identical pipeline — same md5-prefix window hash, same
+    * interval-union coverage formula over sorted duplicated starts.
+    */
+  val dedupSubstring = NamedQuery(
+    "dedup_substring",
+    s"""WITH tok AS (SELECT doc_id AS id, $sqlRawToks AS raw FROM documents),
+       |base AS (
+       |  SELECT id, CAST(COALESCE(len(raw), 0) AS BIGINT) AS n_toks,
+       |    CAST(greatest(COALESCE(len(raw), 0) - 14, 0) AS BIGINT) AS n_windows
+       |  FROM tok),
+       |posts AS (
+       |  SELECT id, CAST(i AS BIGINT) AS pos,
+       |    CAST(('0x' || substr(md5(array_to_string(raw[i:i+14], ' ')), 1, 15)) AS BIGINT) AS wh
+       |  FROM tok CROSS JOIN unnest(range(1, len(raw) - 13)) AS t(i)
+       |  WHERE len(raw) >= 15),
+       |dup AS (SELECT wh FROM posts GROUP BY wh HAVING count(*) > 1),
+       |docdup AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+       |    list_sort(list(pos)) AS s
+       |  FROM posts JOIN dup USING (wh) GROUP BY id),
+       |cov AS (
+       |  SELECT id, n_dup_windows,
+       |    CAST(15 + COALESCE(list_sum(list_transform(range(1, len(s)),
+       |      i -> least(15, s[i+1] - s[i]))), 0) AS BIGINT) AS covered_toks
+       |  FROM docdup)
+       |SELECT b.id, b.n_toks, b.n_windows,
+       |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+       |  COALESCE(c.covered_toks, 0) AS covered_toks,
+       |  CASE WHEN b.n_toks > 0 THEN ${sqlDround("COALESCE(c.covered_toks, 0) / b.n_toks")} END AS dup_frac_r
+       |FROM base b LEFT JOIN cov c USING (id)
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    Dedup.substringDupStats(Tables.documents(s, d), col("doc_id"), col("text"), n = 15)
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
     dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines,
-    dedupSemantic, q9StreamDedup)
+    dedupSemantic, q9StreamDedup, dedupSubstring)
 }

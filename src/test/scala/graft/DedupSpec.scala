@@ -217,4 +217,60 @@ class DedupSpec extends SparkSuite {
     val b = out7.select("id", "kept").orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("substringDupStats: coverage is the interval union of duplicated windows") {
+    // n=3 windows; hand-computed fixture:
+    //  - docs 1 and 2 share the 5-token run "a b c d e" → windows at
+    //    starts 1..3 are duplicated in both; coverage = union of
+    //    [1,3][2,4][3,5] = 5 tokens
+    //  - doc 3 repeats "x y z" twice (intra-doc dup, non-adjacent):
+    //    "x y z p q x y z" → "x y z" at starts 1 and 6 duplicate;
+    //    coverage = [1,3] ∪ [6,8] = 6 of 8 tokens (disjoint intervals)
+    //  - doc 4 is all-unique → zero dup windows
+    //  - doc 5 is too short for any window (2 tokens)
+    val docs = Seq(
+      (1L, "a b c d e u1 u2"),
+      (2L, "v1 a b c d e v2"),
+      (3L, "x y z p q x y z"),
+      (4L, "m n o p2 q2 r s"),
+      (5L, "t u")).toDF("id", "text")
+    val out = Dedup.substringDupStats(docs, col("id"), col("text"), n = 3)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_windows") == 5)
+    assert(byId(1L).getAs[Long]("n_dup_windows") == 3)
+    assert(byId(1L).getAs[Long]("covered_toks") == 5)
+    assert(byId(2L).getAs[Long]("covered_toks") == 5)
+    assert(byId(3L).getAs[Long]("n_dup_windows") == 2)
+    assert(byId(3L).getAs[Long]("covered_toks") == 6)
+    assert(byId(3L).getAs[Double]("dup_frac_r") == 0.75)
+    assert(byId(4L).getAs[Long]("n_dup_windows") == 0)
+    assert(byId(4L).getAs[Long]("covered_toks") == 0)
+    assert(byId(5L).getAs[Long]("n_windows") == 0)
+    // overlapping intra-doc windows merge: "w w w w" has windows at 1,2
+    // both duplicated (same text) → union [1,3] ∪ [2,4] = 4 tokens
+    val rep = Seq((9L, "w w w w")).toDF("id", "text")
+    val r9 = Dedup.substringDupStats(rep, col("id"), col("text"), n = 3)
+      .collect().head
+    assert(r9.getAs[Long]("n_dup_windows") == 2)
+    assert(r9.getAs[Long]("covered_toks") == 4)
+    assert(r9.getAs[Double]("dup_frac_r") == 1.0)
+  }
+
+  test("substringDupStats on sf0.01: planted near-dup docs carry duplicated spans") {
+    val out = Dedup.substringDupStats(docs, col("doc_id"), col("text"), n = 15)
+    assert(out.count() == docs.count())
+    val hit = out.filter(col("n_dup_windows") > 0)
+      .select("id").as[Long].collect().toSet
+    assert(hit.nonEmpty)
+    // planted near-dup pair members overwhelmingly share ≥15-token runs
+    // with their twin (not all: a short doc with dense scattered edits can
+    // be 0.98-jaccard-similar without any 15-token verbatim run)
+    val planted = exactPairs.flatMap(p => Seq(p._1, p._2))
+    assert(planted.intersect(hit).size >= (planted.size * 8) / 10)
+    // layout independence
+    val out7 = Dedup.substringDupStats(
+      docs.repartition(7), col("doc_id"), col("text"), n = 15)
+    assert(out7.orderBy("id").collect().toSeq == out.orderBy("id").collect().toSeq)
+  }
 }

@@ -31,7 +31,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    names = " ".join(ONLY)
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR} {names}'.rstrip()]
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, cwd="/root/repo", env=env,
                        capture_output=True, text=True, timeout=1800)
