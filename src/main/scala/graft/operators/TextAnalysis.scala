@@ -670,4 +670,61 @@ object TextAnalysis {
         countDistinct(col("_vid")).as("doc_freq"))
       .filter(col("occurrences") >= minCount)
       .orderBy(col("occurrences").desc, col("token").asc)
+
+  /** BM25 ranking (Robertson et al., Okapi; idf in the non-negative
+    * `ln(1 + (N-df+0.5)/(df+0.5))` form) — the standard successor to the
+    * reference's tf-idf text scoring (reference shard/index/text/
+    * text.go:367–371 computes `(f/len)·log10(N/(df+1))`; same analyzed
+    * postings, different weighting). Query text goes through the SAME
+    * analyzer as the corpus ([[graft.functions.TextAnalyzer]]), so
+    * stopwords and case fold identically on both sides of the match.
+    *
+    * Returns the top-`k` docs by `(score32 desc, id asc)` as
+    * (id, score32): the double-summed score is collapsed to float32
+    * before ranking — per-term addition order across partitions is not
+    * deterministic in the last double ulp, and the float cast (like the
+    * engine's float32 `_score` surface) makes the ranking and the
+    * DuckDB replay agree bit-for-bit.
+    *
+    * Scale: one corpus tokenize+explode feeds a (id, term) groupBy with
+    * map-side combine; corpus stats (N, avgdl) are a one-row broadcast;
+    * the per-query-term df table is broadcast-sized by construction;
+    * the final top-k is TakeOrderedAndProject (partial per partition,
+    * merge on the driver) — no global sort.
+    */
+  def bm25(
+      df: DataFrame, id: Column, text: Column, queryText: String,
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    val terms = graft.functions.TextAnalyzer.analyzeString(queryText).distinct
+    require(terms.nonEmpty, s"query analyzes to zero terms: '$queryText'")
+    // explode_outer: zero-term docs keep one null-term row so corpus
+    // stats (N, avgdl) count every non-null document (the engine's
+    // TextIndex uses the same convention); a null term never joins a
+    // query term, so these rows are inert in scoring
+    val grouped = df.filter(text.isNotNull)
+      .select(id.as("id"), graft.functions.TextAnalyzer.analyze(text).as("_terms"))
+      .select(col("id"), size(col("_terms")).as("_dl"),
+        explode_outer(col("_terms")).as("_term"))
+      .groupBy("id", "_dl", "_term").agg(count(lit(1)).as("_tf"))
+      // three consumers (stats, dfreq, scoring) — eager localCheckpoint
+      // per the shared-frame rule, and the corpus pays ONE tokenize pass
+      .localCheckpoint()
+    val stats = grouped.select("id", "_dl").distinct()
+      .agg(count(lit(1)).as("_n"),
+        (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl"))
+    val dfreq = grouped.filter(col("_term").isin(terms: _*))
+      .groupBy("_term").agg(count(lit(1)).as("_df"))
+    val tfD = col("_tf").cast("double")
+    val contrib =
+      log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)) *
+        (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    grouped.filter(col("_term").isin(terms: _*))
+      .join(broadcast(dfreq), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("id")
+      .agg(sum(contrib).cast("float").as("score32"))
+      .orderBy(col("score32").desc, col("id").asc)
+      .limit(k)
+  }
 }

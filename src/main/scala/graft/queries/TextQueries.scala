@@ -79,5 +79,46 @@ object TextQueries {
         filter = Some(Query("lang", string = Some(StringOpts("de", Op.Equals))))))),
       limit = 100))
 
-  val all: Seq[NamedQuery] = Seq(s3ContainsAny, s3ContainsAll, s3Filtered)
+  /** BM25 top-20 over `documents` for an analyzed 3-term query — the
+    * Okapi successor to the reference's tf-idf weighting, same analyzed
+    * postings. Both engines collapse the double score sum to float32
+    * BEFORE ranking and rounding (see TextAnalysis.bm25), which is what
+    * makes the cross-engine hash exact despite per-term addition order.
+    */
+  val textBm25 = NamedQuery(
+    "text_bm25",
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, ${TextAnalyzer.sqlAnalyze("text")} AS terms
+       |  FROM documents WHERE text IS NOT NULL),
+       |grouped AS (
+       |  SELECT id, len(terms) AS dl, term, count(*) AS tf
+       |  FROM (SELECT id, terms, unnest(terms) AS term FROM tok)
+       |  GROUP BY id, dl, term),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(len(terms)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM tok),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ('spark', 'filter', 'merge') GROUP BY term),
+       |ranked AS (
+       |  SELECT g.id,
+       |    CAST(sum(
+       |      ln(1 + (n - df + 0.5) / (df + 0.5))
+       |        * (CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       |    ) AS REAL) AS score32
+       |  FROM grouped g JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY g.id
+       |  ORDER BY score32 DESC, g.id ASC LIMIT 20)
+       |SELECT id,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r
+       |FROM ranked ORDER BY score_r DESC, id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.bm25(
+        graft.Tables.documents(s, d), col("doc_id"), col("text"),
+        queryText = "the spark AND filter, merge!", k = 20)
+      .select(col("id"), dround(col("score32"), 4).as("score_r"))
+      .orderBy(col("score_r").desc, col("id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(s3ContainsAny, s3ContainsAll, s3Filtered, textBm25)
 }

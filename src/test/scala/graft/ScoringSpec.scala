@@ -301,4 +301,42 @@ class ScoringSpec extends SparkSuite {
     val b = explicitOut.select("id", "ppl_bucket").orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("bm25: hand-computed Okapi scores, idf ordering, analyzer parity") {
+    // N=3 docs, all dl=3 after analysis (no stopwords in the fixture), so
+    // avgdl=3 and every length norm is 1. Query "spark filter":
+    //   df(spark)=2 → idf = ln(1 + 1.5/2.5)   = ln(1.6)
+    //   df(filter)=1 → idf = ln(1 + 2.5/1.5)  = ln(8/3)
+    // doc 1 (tf spark=2, filter=1): ln(1.6)·(2·2.2)/(2+1.2) + ln(8/3)·1
+    //                             = 0.6462550 + 0.9808293 = 1.6270842
+    // doc 2 (tf spark=1):           ln(1.6)·1 = 0.4700036
+    // doc 3 matches nothing → absent.
+    val docs = Seq(
+      (1L, "spark spark filter"),
+      (2L, "spark banana cherry"),
+      (3L, "zebra yak xylophone")).toDF("id", "text")
+    // "The spark, FILTER!" must analyze to [spark, filter] — the query
+    // side goes through the same stopword/casefold analyzer as the corpus
+    val out = TextAnalysis.bm25(docs, col("id"), col("text"),
+        queryText = "The spark, FILTER!")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Float]("score32")).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L) - 1.6270842f) < 5e-4)
+    assert(math.abs(out(2L) - 0.4700036f) < 5e-4)
+  }
+
+  test("bm25: tf saturates and longer docs are penalized") {
+    val docs = Seq(
+      (1L, "topic topic topic topic topic topic topic topic"),
+      (2L, "topic topic filler filler filler filler filler filler"),
+      (3L, "topic word2"),
+      (4L, "unrelated entirely")).toDF("id", "text")
+    val out = TextAnalysis.bm25(docs, col("id"), col("text"), queryText = "topic")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Float]("score32")).toMap
+    // saturation: 8 occurrences beat 2, but nowhere near 4× the score
+    assert(out(1L) > out(2L) && out(1L) < 2.5f * out(2L))
+    // length norm: a short doc with one hit beats a long doc with two
+    assert(out(3L) > out(2L))
+    assert(!out.contains(4L))
+  }
 }
