@@ -124,6 +124,49 @@ object Similarity {
         col("col.ds").as("distance"), (col("pos") + 1).as("rank"))
   }
 
+  /** Matryoshka-style prefix funnel (Kusupati et al. 2022, MRL): stage 1
+    * ranks by `metric` over the first `dPrefix` dimensions only and keeps
+    * `budget` candidates per query; stage 2 re-ranks JUST those
+    * candidates with the full-dimension metric and returns the top `k`.
+    * MRL-trained embeddings make every prefix a valid embedding, so
+    * stage 1 recall@budget is high while reading dPrefix/d of the bytes.
+    *
+    * Scale: the corpus-wide scan happens on the short prefix (store the
+    * prefix as its own column — column pruning then keeps the wide
+    * vector out of stage 1's scan entirely); full vectors are read for
+    * |queries|·budget rows via a broadcast candidate equi-join, and both
+    * top-k stages are bounded-buffer partial aggregates, never a window
+    * over the cross product.
+    *
+    * Output: (query_id, corpus_id, distance, rank ≤ k) — exact
+    * full-dimension metric on the final ranking, ties broken by id.
+    */
+  def matryoshkaSearch(
+      queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      dPrefix: Int, budget: Int, k: Int,
+      metric: Metric = Metric.Cosine): DataFrame = {
+    require(dPrefix > 0, s"dPrefix must be positive (got $dPrefix)")
+    require(budget >= k, s"budget $budget must cover k=$k")
+    val cand = knnJoin(
+        queries, qId, slice(qVec, 1, dPrefix),
+        corpus, cId, slice(cVec, 1, dPrefix), budget, metric)
+      .select(col("query_id"), col("corpus_id"))
+    val qv = queries.filter(qVec.isNotNull && qId.isNotNull)
+      .select(qId.cast("long").as("query_id"), qVec.as("_qv"))
+    val cv = corpus.filter(cVec.isNotNull && cId.isNotNull)
+      .select(cId.cast("long").as("corpus_id"), cVec.as("_cv"))
+    val topk = udaf(new TopKAgg(k))
+    cv.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("distance", Distances.distance(metric, col("_cv"), col("_qv")))
+      .groupBy("query_id")
+      .agg(topk(col("distance"), col("corpus_id")).as("_top"))
+      .select(col("query_id"), posexplode(arrays_zip(col("_top.ds"), col("_top.ids"))))
+      .select(col("query_id"), col("col.ids").as("corpus_id"),
+        col("col.ds").as("distance"), (col("pos") + 1).as("rank"))
+  }
+
   /** Sign-bit coarse bucket of the first `nBits` vector dimensions. */
   def signBucket(vec: Column, nBits: Int): Column =
     (0 until nBits).map { i =>

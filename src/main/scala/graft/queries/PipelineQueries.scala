@@ -305,6 +305,39 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Matryoshka prefix funnel: stage 1 ranks by 1−dot over the FIRST 16
+    * dims and keeps 50 candidates per query, stage 2 re-ranks those with
+    * the full 64-dim metric. The oracle replays both stages — including
+    * the stage-1 (prefix-distance, id) candidate cut, so the funnel
+    * boundary itself is hash-checked, not just the final ranking.
+    */
+  val annMatryoshka = NamedQuery(
+    "ann_matryoshka_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+      |s1 AS (
+      |  SELECT q.query_id, e.vec_id AS corpus_id, e.embedding, q.qv,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |           ORDER BY 1.0 - list_sum(list_transform(range(1, 17), t -> CAST(e.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))), e.vec_id) AS r1
+      |  FROM embeddings e CROSS JOIN q),
+      |s2 AS (
+      |  SELECT query_id, corpus_id,
+      |         1.0 - list_sum(list_transform(range(1, 65), t -> CAST(embedding[t] AS DOUBLE) * CAST(qv[t] AS DOUBLE))) AS dist,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY 1.0 - list_sum(list_transform(range(1, 65), t -> CAST(embedding[t] AS DOUBLE) * CAST(qv[t] AS DOUBLE))), corpus_id) AS rank
+      |  FROM s1 WHERE r1 <= 50)
+      |SELECT query_id, corpus_id, rank,
+      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM s2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.matryoshkaSearch(
+        emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"),
+        dPrefix = 16, budget = 50, k = 10, metric = Metric.Cosine)
+      .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"),
+        dround(col("distance"), 4).as("dist_r"))
+      .orderBy("query_id", "rank")
+  }
+
   val annIvfGrid = NamedQuery(
     "ann_ivf_grid",
     """WITH q AS (
@@ -609,7 +642,8 @@ object PipelineQueries {
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
-    pipelineCuration, annKnnJoin, annIvfGrid, annIvfPruned, annIvfPqFixed,
+    pipelineCuration, annKnnJoin, annMatryoshka, annIvfGrid, annIvfPruned,
+    annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames)
 }
