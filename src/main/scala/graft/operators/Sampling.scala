@@ -127,4 +127,28 @@ object Sampling {
     df.withColumn("mix_rate", rateCol)
       .filter(hashUniform(key, salt) < col("mix_rate"))
   }
+
+  /** Deterministic shuffle-sharding for training output: every row gets
+    * a shard in [0, numShards) and a 60-bit `sort_key`, both pure
+    * md5-functions of (key, salt) — the distributed equivalent of
+    * "globally shuffle the corpus, then split into S files". Writing
+    * each shard ordered by `sort_key` yields a reproducible global
+    * shuffle; a different `salt` is a fresh, independent epoch order.
+    *
+    * Hash-mod sharding balances shards only multinomially (±O(√n)
+    * rows) — the standard training-shard contract (WebDataset et al.);
+    * exact token-balanced splitting is [[Packing]]'s prefix-sum job.
+    *
+    * Scale: two narrow per-row columns — no shuffle at all until the
+    * caller's `repartition(shard)`/`sortWithinPartitions(sort_key)`
+    * write, which is the intended one.
+    */
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int,
+      salt: String = "graft"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("sort_key", h)
+      .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)).cast("int"))
+  }
 }

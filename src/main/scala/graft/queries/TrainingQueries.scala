@@ -254,7 +254,30 @@ object TrainingQueries {
     }
   }
 
+  /** Deterministic shuffle-sharding audit: documents hashed into 8
+    * training shards with a 60-bit epoch sort key, summarized per shard.
+    * Both the assignment and the sort-key extremes are pure md5 row
+    * properties, so DuckDB replays every number exactly.
+    */
+  val shardAssign = NamedQuery(
+    "shard_assign",
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15)) AS BIGINT) AS sort_key
+      |  FROM documents)
+      |SELECT CAST(sort_key % 8 AS INT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(sort_key) AS min_key, max(sort_key) AS max_key
+      |FROM h GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+    Sampling.shuffleShards(Tables.documents(s, d), col("doc_id"), numShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        min(col("sort_key")).as("min_key"), max(col("sort_key")).as("max_key"))
+      .orderBy("shard")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
-    bpeMerges, bpeEncode, bpePack, sampleMixSources)
+    bpeMerges, bpeEncode, bpePack, sampleMixSources, shardAssign)
 }

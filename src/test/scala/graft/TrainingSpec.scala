@@ -190,4 +190,25 @@ class TrainingSpec extends SparkSuite {
     val out = TextAnalysis.repetition(df, col("doc_id"), col("text")).collect()
     assert(out.map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("shuffleShards: every row assigned, layout-independent, salts are epochs") {
+    val docs = Tables.documents(spark, sf001)
+    val n = docs.count()
+    val out = Sampling.shuffleShards(docs, col("doc_id"), numShards = 8)
+    assert(out.count() == n)
+    assert(out.groupBy("shard").count().count() == 8)
+    // multinomial balance: every shard within 3x of fair share on 500 docs
+    val sizes = out.groupBy("shard").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(sizes.min > n / 24 && sizes.max < n / 2)
+    // pure row property: a different partition layout assigns identically
+    val out5 = Sampling.shuffleShards(docs.repartition(5), col("doc_id"), numShards = 8)
+    assert(out5.select("doc_id", "shard", "sort_key").orderBy("doc_id").collect().toSeq ==
+      out.select("doc_id", "shard", "sort_key").orderBy("doc_id").collect().toSeq)
+    // a new salt is an independent epoch: same rows, different order
+    val e2 = Sampling.shuffleShards(docs, col("doc_id"), numShards = 8, salt = "epoch2")
+    val k1 = out.orderBy("sort_key").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val k2 = e2.orderBy("sort_key").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(k1.toSet == k2.toSet && k1 != k2)
+  }
 }
