@@ -24,26 +24,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and surface a
-    * microsecond-precision `ts` TIMESTAMP_NTZ column — all downstream
+  /** `events.ts` normalization: the stored parquet logical type has
+    * varied across testdata generations — TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader only serves as raw longs under a legacy conf) and
+    * plain TIMESTAMP(MICROS). Surface a microsecond-precision
+    * TIMESTAMP_NTZ column regardless of the stored shape — all downstream
     * operators (windowing, date_trunc) are at second granularity or
     * coarser, so the ns→µs truncation is semantics-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // SESSION-WIDE side effect, deliberately not restored: the returned
     // frame is lazy, so the conf must still be set whenever its scans
     // actually run — there is no per-read knob for nanos handling. The
     // visible consequence: other TIMESTAMP(NANOS) parquet in the same
     // session also reads as bigint nanos after the first events() call.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      // pure NTZ arithmetic: casting an instant to NTZ renders it in the
-      // SESSION timezone, so a non-UTC consumer would shift every wall
-      // value — epoch-anchored timestampadd is timezone-independent
-      .withColumn("ts",
-        expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: pure NTZ arithmetic — casting an
+        // instant to NTZ renders in the SESSION timezone, so a non-UTC
+        // consumer would shift every wall value; epoch-anchored
+        // timestampadd is timezone-independent
+        raw.withColumn("ts",
+          expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case TimestampNTZType => raw // micros, no zone: already the target shape
+      case TimestampType => // micros instant: wall rendering is zone-
+        // dependent, so this leg (unlike the other two) needs the UTC
+        // session the driver/bench already pin
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case other =>
+        throw new IllegalArgumentException(s"events.ts: unsupported stored type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw events schema as stored (ts arrives as TIMESTAMP_NTZ after the
-    * Tables.events nanos normalization; streaming reads use this schema).
+  /** Events schema as transforms see it (ts arrives as TIMESTAMP_NTZ
+    * after the Tables.events normalization; streaming reads substitute
+    * the stored ts type — see runAsStream).
     */
   val Schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -207,9 +208,16 @@ object EventsStream {
     val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
+      // the stored logical type of `ts` varies across testdata
+      // generations (TIMESTAMP(NANOS) → long under the legacy conf, or
+      // plain TIMESTAMP(MICROS)); a streaming source needs an explicit
+      // schema, so peek at the footer with a batch read first
+      val storedTs = spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .schema("ts").dataType
       val raw = spark.readStream
         .schema(StructType(Schema.fields.map {
-          case f if f.name == "ts" => StructField("ts", LongType) // nanos
+          case f if f.name == "ts" => StructField("ts", storedTs)
           case f => f
         }))
         // the file source wants a directory; pick just the events table out
@@ -218,7 +226,15 @@ object EventsStream {
         .parquet(sfDir)
       // streaming watermarks require TIMESTAMP (not NTZ); with the session
       // in UTC the wall values match the batch NTZ path exactly
-      val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val events = storedTs match {
+        case LongType => // nanos as long
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp")) // UTC: identity walls
+        case org.apache.spark.sql.types.TimestampType => raw
+        case other =>
+          throw new IllegalArgumentException(s"events.ts: unsupported stored type $other")
+      }
       val name = s"graft_stream_${System.nanoTime()}"
       val q = transform(events).writeStream
         .format("memory").queryName(name).outputMode(outputMode).start()
