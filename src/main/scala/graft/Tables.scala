@@ -33,7 +33,7 @@ object Tables {
     * coarser, so the ns→µs truncation is semantics-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // SESSION-WIDE side effect, deliberately not restored: the returned
     // frame is lazy, so the conf must still be set whenever its scans
@@ -50,10 +50,11 @@ object Tables {
         raw.withColumn("ts",
           expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
       case TimestampNTZType => raw // micros, no zone: already the target shape
-      case TimestampType => // micros instant: wall rendering is zone-
-        // dependent, so this leg (unlike the other two) needs the UTC
-        // session the driver/bench already pin
-        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case TimestampType => // micros instant: a plain NTZ cast renders
+        // walls in the SESSION timezone — epoch-anchored arithmetic (like
+        // the nanos leg) yields UTC walls under any session zone
+        raw.withColumn("ts",
+          expr("timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
       case other =>
         throw new IllegalArgumentException(s"events.ts: unsupported stored type $other")
     }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StructType}
 
 /** Temporal join operators over event streams.
   *
@@ -32,9 +33,15 @@ object Temporal {
     * left.ts` and equal `key` (inclusive match — the DuckDB/kdb
     * convention), or nulls when no right row precedes it.
     *
-    * `tiebreak` orders right rows sharing an exact timestamp (the max
-    * tiebreak value wins), making the result deterministic under any
-    * partition layout.
+    * `tiebreak` (an integral right column) orders right rows sharing an
+    * exact timestamp (the max tiebreak value wins), making the result
+    * deterministic under any partition layout.
+    *
+    * Left rows ride through the union as a NATIVE struct of their own
+    * columns, mirroring the `_r` payload struct — lossless for every
+    * Spark type (microsecond/nanosecond timestamps, binary, maps; a JSON
+    * round-trip here would silently truncate sub-millisecond precision,
+    * Spark's default JSON timestamp format being millisecond-scale).
     *
     * The key and ts column NAMES are preserved through the internal union
     * so the plan's window partition key remains the caller's key column
@@ -45,7 +52,19 @@ object Temporal {
       key: String, ts: String, tiebreak: String,
       payload: Seq[String], prefix: String = "asof_"): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    // payload carrying ts would emit two identically-named prefix+ts
+    // output columns (one from _rts, one from the payload mapping)
+    require(!payload.contains(ts),
+      s"payload must not contain the ts column '$ts' — it is always " +
+        s"emitted as $prefix$ts")
+    // a non-numeric tiebreak would cast to null → constant MinValue for
+    // every row, silently voiding the determinism contract; the long cast
+    // below is lossless for integral types only
+    require(right.schema(tiebreak).dataType.isInstanceOf[NumericType],
+      s"tiebreak column '$tiebreak' must be numeric (got " +
+        s"${right.schema(tiebreak).dataType.simpleString})")
     val leftCols = left.columns.toSeq
+    val leftStructType = StructType(leftCols.map(c => left.schema(c)))
     // the carried right payload: its event time plus the requested columns
     val rStructCols = col(ts).as("_rts") +: payload.map(col)
     val rightTagged = right.select(
@@ -53,31 +72,26 @@ object Temporal {
       lit(0).as("_side"),
       coalesce(col(tiebreak).cast("long"), lit(Long.MinValue)).as("_tb"),
       struct(rStructCols: _*).as("_r"),
-      lit(null).cast("string").as("_l"))
-    // left rows ride along as a JSON-free struct of their own columns;
+      lit(null).cast(leftStructType).as("_l"))
+    // left rows ride along as a native struct of their own columns;
     // unioning by NAME keeps the schemas honest if either side evolves
     val leftTagged = left.select(
       col(key), col(ts),
       lit(1).as("_side"),
       lit(Long.MaxValue).as("_tb"), // left sorts after right at equal ts
       lit(null).cast(rightTagged.schema("_r").dataType).as("_r"),
-      to_json(struct(leftCols.map(col): _*)).as("_l"))
+      struct(leftCols.map(col): _*).as("_l"))
     // at equal ts: right (_side 0) sorts first, so the match is inclusive;
     // among right ties the greatest tiebreak lands nearest the left row
     // and `last` picks it
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val leftSchema = org.apache.spark.sql.types.StructType(
-      leftCols.map(c => left.schema(c)))
     rightTagged.unionByName(leftTagged)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(
-        from_json(col("_l"), leftSchema).as("_lrow"),
-        col("_m"))
-      .select(
-        leftCols.map(c => col(s"_lrow.$c").as(c)) ++
+        leftCols.map(c => col(s"_l.$c").as(c)) ++
           (col("_m._rts").as(s"$prefix$ts") +:
             payload.map(p => col(s"_m.$p").as(s"$prefix$p"))): _*)
   }

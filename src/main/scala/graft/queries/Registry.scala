@@ -6,5 +6,5 @@ object Registry {
     Relational.all ++ SemaOps.all ++ VectorQueries.all ++ TextQueries.all ++
       HybridQueries.all ++ WriteQueries.all ++ DedupQueries.all ++
       PipelineQueries.all ++ QuantizerQueries.all ++ ExtraQueries.all ++
-      TrainingQueries.all ++ ScoringQueries.all
+      TrainingQueries.all ++ ScoringQueries.all ++ TemporalQueries.all
 }
