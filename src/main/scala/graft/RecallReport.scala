@@ -190,6 +190,26 @@ object RecallReport {
     }
     val vamMaintRecall = vamMaint.sum / vamMaint.length
 
+    // engine-SERVED Vamana: the JSON `"approx": true` path end-to-end —
+    // VamanaVectorIndex attach (artifact build + serving-frame join),
+    // hop-batched beam (VamanaServe), exact re-rank through Search
+    val vamColl = graft.engine.Collection(
+      emb.select(col("vec_id").cast("string").as("_id"),
+        col("embedding").as("vec_l2")),
+      graft.model.IndexSchema(
+        "vec_l2" -> graft.model.IndexKind.VectorVamana(64, Metric.Euclidean)))
+      .withVamanaVectorIndex("vec_l2",
+        java.nio.file.Files.createTempDirectory("graft_recall_vamana_")
+          .resolve("art").toString)
+    val vamServed = queryIds.map { q =>
+      graft.engine.Search.search(vamColl, graft.model.SearchRequest(
+        graft.model.Query("vec_l2", vectorVamana = Some(
+          graft.model.VectorVamanaOpts(vec(q), graft.model.Op.Near,
+            searchSize = 75, limit = k, approx = true))),
+        limit = k))
+        .select("_id").as[String].collect().map(_.toLong).toSet
+    }
+
     val report =
       f"""# RECALL — approximate search vs exact top-$k (graft rounds 2–5)
          |
@@ -220,6 +240,7 @@ object RecallReport {
          || batch Vamana + beam | degree 32, α 1.2, 2 rounds, searchSize 75 | ${recallOf(vam2, exactL2)}%.3f |
          || batch Vamana + beam | degree 32, α 1.2, 1 round, searchSize 75 (bench build point) | ${recallOf(vam1, exactL2)}%.3f |
          || maintained Vamana + beam | 90%% built, +10%% insertBatch, −5%% deleteBatch | $vamMaintRecall%.3f |
+         || engine-served Vamana (`"approx": true`) | VamanaVectorIndex: hop-batched beam 75 over the artifact + exact re-rank | ${recallOf(vamServed, exactL2)}%.3f |
          |
          |Interpretation: exact search IS the correctness surface (always
          |available, recall 1.0); the approximate artifacts trade recall for

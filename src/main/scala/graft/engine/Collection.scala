@@ -66,6 +66,51 @@ final case class Collection(
       copy(vectorIndexes = vectorIndexes + (prop -> ProductVectorIndex(model, codes)))
     }
 
+  /** Attach a Vamana graph artifact for `prop`, building it at `dir` if
+    * absent (the build is a pure function of the corpus — VamanaBuild's
+    * sorted-rank determinism — so a reused artifact is byte-identical to
+    * a fresh one). `"approx": true` vectorVamana queries then answer from
+    * a beam walk over the graph ([[VamanaServe]]) + exact re-rank, the
+    * reference's flagship serving path (shard/index/vamana/search.go).
+    * The collection's `_id` must be castable to long (the graph id).
+    */
+  def withVamanaVectorIndex(
+      prop: String,
+      dir: String,
+      params: graft.operators.VamanaBuild.Params =
+        graft.operators.VamanaBuild.Params(degreeBound = 32, iterations = 2),
+      maxHops: Int = 64): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val metric = schema.get(prop) match {
+        case Some(k: graft.model.IndexKind.VectorVamana) => k.metric
+        case Some(k: graft.model.IndexKind.VectorFlat) => k.metric
+        case other => throw new IllegalArgumentException(
+          s"property $prop is not a vector index (got $other)")
+      }
+      val spark = df.sparkSession
+      val base = df.filter(col(prop).isNotNull)
+      val success = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        graft.operators.VamanaBuild
+          .build(base, col(Collection.IdCol).cast("long"), col(prop), metric, params)
+          .write.mode("overwrite").parquet(dir)
+      val graph = spark.read.parquet(dir)
+      val enc = graph.join(
+          base.select(col(Collection.IdCol),
+            col(Collection.IdCol).cast("long").as("_gid"), col(prop).as("_vec")),
+          col("id") === col("_gid"))
+        .select(col(Collection.IdCol), col("_gid"),
+          col("neighbors").as("_nbrs"), col("_vec"))
+        .persist()
+      val entryRow = graph.agg(min(col("id"))).head()
+      val entry = if (entryRow.isNullAt(0)) -1L else entryRow.getLong(0)
+      copy(vectorIndexes =
+        vectorIndexes + (prop -> VamanaVectorIndex(entry, maxHops, enc)))
+    }
+
   /** Attach a residual IVF-PQ artifact for `prop`, building it at `dir` if
     * absent (an existing artifact is reused via its persisted model — NOT
     * refitted, which would mismatch the codes on disk). The encoded frame

@@ -182,6 +182,28 @@ object QueryCompiler {
       vector: Seq[Float], limit: Int, filter: Option[Query],
       weight: Option[Float], idx: VectorIndex, budget: Int): Compiled = {
     val w = weight.getOrElse(1.0f)
+    idx match {
+      // graph artifact: candidates = the beam pool of a hop-batched walk
+      // (VamanaServe), budget playing the reference's searchSize. Unlike
+      // the quantized scans, a pre-filter cannot restrict the TRAVERSAL
+      // (filtered-out nodes still route the walk — removing them would
+      // disconnect the graph); it restricts which pool members are
+      // eligible results, so filtered recall degrades with selectivity —
+      // the filter-first quantizer artifacts are the selective-filter
+      // serving choice (documented operating guidance).
+      case VamanaVectorIndex(entry, maxHops, art) =>
+        val gids = VamanaServe.beamCandidateGids(
+          art, metric, vector, budget, entry, maxHops)
+        val cand0 =
+          if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
+          else art.filter(col("_gid").isin(gids: _*)).select(IdCol)
+        val candIds = filter match {
+          case None => cand0
+          case Some(f) => applySet(col0, compile(col0, f).set, cand0)
+        }
+        return rerank(col0, prop, metric, vector, limit, w, candIds)
+      case _ => ()
+    }
     val restricted0 = filter match {
       case None => idx.encoded
       case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
@@ -220,6 +242,8 @@ object QueryCompiler {
         val tables = graft.operators.IvfPq.queryTables(coarse, model, vector, cells)
         (restricted0.filter(col("_bucket").isin(cells: _*)),
           graft.operators.IvfPq.adcUdf(tables)(col("_bucket"), col("_codes")))
+      case _: VamanaVectorIndex =>
+        throw new IllegalStateException("vamana artifacts are served above")
     }
     val scored = restricted.select(col(IdCol), qd.as("_qd"))
     // a spilled IVF-PQ artifact stores an id in several cells, so two
@@ -233,6 +257,17 @@ object QueryCompiler {
       .orderBy(col("_qd").asc, col(IdCol).asc)
       .limit(budget)
       .select(IdCol)
+    rerank(col0, prop, metric, vector, limit, w, candIds)
+  }
+
+  /** Stage 2 of every approximate path: the TRUE metric over JUST the
+    * candidate rows (broadcast semi-join, ≤ budget rows) — at 100 TB the
+    * wide vector column is read only for candidates. Result schema and
+    * scoring match exact `near` bit-for-bit.
+    */
+  private def rerank(
+      col0: Collection, prop: String, metric: IndexKind.Metric,
+      vector: Seq[Float], limit: Int, w: Float, candIds: DataFrame): Compiled = {
     val d = Distances.distanceToQuery(metric, column(prop), vector).cast(FloatType)
     val ranked = col0.df
       .join(broadcast(candIds), Seq(IdCol), "left_semi")

@@ -33,6 +33,18 @@ final case class BinaryVectorIndex(
 final case class ProductVectorIndex(
     model: graft.operators.PQModel, encoded: DataFrame) extends VectorIndex
 
+/** Vamana graph artifact (operators/VamanaBuild.scala) — the reference's
+  * flagship index (reference shard/index/vamana/search.go:9–102) served
+  * through the engine: `encoded` is the joined serving frame
+  * `(_id, _gid long, _nbrs array<long>, _vec)`, and the approximate path
+  * walks it with the hop-batched beam in [[VamanaServe]] — candidates are
+  * the final beam pool, re-ranked exactly like every other artifact.
+  * `entry` is the smallest graph id (the deterministic start node, the
+  * RecallReport convention); `maxHops` bounds pathological traversals.
+  */
+final case class VamanaVectorIndex(
+    entry: Long, maxHops: Int, encoded: DataFrame) extends VectorIndex
+
 /** Residual IVF-PQ artifact (operators/IvfPq.scala): `encoded` reads the
   * bucket-PARTITIONED artifact directory, so the probe restriction in the
   * approximate path is partition pruning, not an in-memory filter — the

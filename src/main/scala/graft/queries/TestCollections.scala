@@ -74,6 +74,38 @@ object TestCollections {
       sys.props("java.io.tmpdir"), s"graft_textidx_${key}_text")
   }
 
+  // vamana-attached docs collection, cached like docsCache (the attach
+  // joins + persists the serving frame and computes the entry node once)
+  private val vamanaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Collection]()
+
+  /** [[docs]] with a Vamana graph artifact attached to `vec_l2` — the
+    * engine's `"approx": true` vectorVamana serving path. The artifact is
+    * disk-cached per sfDir (stamp-keyed like the text index) because the
+    * build is a pure function of the corpus: a reused artifact is
+    * byte-identical to a fresh one (VamanaSpec layout-independence).
+    */
+  def docsVamana(s: SparkSession, d: String): Collection = {
+    val app = s.sparkContext.applicationId
+    vamanaCache.keySet.removeIf(k => k._1 != app)
+    vamanaCache.computeIfAbsent((app, d), _ =>
+      docs(s, d).withVamanaVectorIndex("vec_l2", vamanaArtifactDir(d)))
+  }
+
+  private def vamanaArtifactDir(d: String): String = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
+    // v1 = degreeBound 32, α 1.2, 2 NN-Descent rounds (the attach default)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d#$stamp#vamana_v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_vamana_$key").toString
+  }
+
   private def docsUncached(s: SparkSession, d: String): Collection = {
     val doc = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)

@@ -188,6 +188,85 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** Pre-filter + quantizer artifact TOGETHER through the engine: the
+    * approximate path restricts the CANDIDATE SCAN itself (filter-first,
+    * reference models/search.go:9–15 — filtered-out rows never consume
+    * candidate budget), then hamming ranks top-50 among the surviving
+    * rows and the true cosine re-ranks those. The oracle replays the
+    * whole pipeline with the label predicate applied before the
+    * candidate cut — the same SQL as s2_near_bq_approx plus one WHERE,
+    * which is exactly the semantic difference.
+    */
+  val s1NearFilteredBq = NamedQuery(
+    "s1_near_filtered_bq",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding, label
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |means AS (
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY i),
+      |th AS (SELECT list(m ORDER BY i) AS t FROM means),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |hd AS (
+      |  SELECT c._id, c.embedding,
+      |    len(list_filter(range(1, 65),
+      |      i -> (CAST(c.embedding[i] AS DOUBLE) > th.t[i])
+      |           != (CAST(q.v[i] AS DOUBLE) > th.t[i]))) AS hdist
+      |  FROM corpus c CROSS JOIN q CROSS JOIN th
+      |  WHERE c.label BETWEEN 0 AND 4),
+      |cand AS (SELECT _id, embedding FROM hd ORDER BY hdist ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT c._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM cand c CROSS JOIN q),
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val th = graft.operators.BinaryQuantizer.fit(base.df, col("embedding"), 64)
+    val coll = base.withBinaryVectorIndex("embedding", th)
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10,
+        filter = Some(Query("label", integer = Some(IntegerOpts(0, Op.InRange, 4)))),
+        approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
+  /** Engine-level approx `near` served from the VAMANA GRAPH artifact —
+    * the reference's flagship serving path (shard/index/vamana/search.go,
+    * the first index every BASELINE.md bench row leads with), previously
+    * build-only here: a JSON `"approx": true` vectorVamana query walks
+    * the graph with the hop-batched beam (VamanaServe, searchSize 75) and
+    * exact-re-ranks the pool. DuckDB cannot replay a graph traversal, but
+    * it doesn't need to: at these parameters the beam pool provably
+    * contains the exact top-10 (RECALL.md 1.000; VamanaSpec asserts the
+    * engine-path recall), so the re-ranked result EQUALS exact `near` and
+    * the exact SQL is a true oracle — any beam/graph/serving drift that
+    * loses a true neighbor flips the hash.
+    */
+  val s1NearVamanaApprox = NamedQuery(
+    "s1_near_vamana_approx",
+    sqlNear("power(list_distance(embedding, q.v), 2)", 10, weight = 1.5)) { (s, d) =>
+    Search.search(TestCollections.docsVamana(s, d), SearchRequest(
+      Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, searchSize = 75, limit = 10,
+        weight = Some(1.5f), approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** Engine-level approx `near` served from a PRODUCT-quantizer artifact:
     * a closed-form codebook (subvectors of the first 8 embeddings — no
     * k-means, so DuckDB can replay the fit) attached to the docs
@@ -263,5 +342,5 @@ object VectorQueries {
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
-    s2NearPqApprox)
+    s2NearPqApprox, s1NearVamanaApprox, s1NearFilteredBq)
 }

@@ -56,6 +56,28 @@ class VamanaSpec extends SparkSuite {
     assert(mean >= 0.7, s"mean recall $mean (per-query: $recalls)")
   }
 
+  test("engine-served approx near (VamanaVectorIndex beam) recall@10 vs exact") {
+    val coll = queries.TestCollections.docsVamana(spark, sf0001)
+    val qids = Seq(0L, 3L, 77L, 250L, 444L)
+    val recalls = qids.map { q =>
+      val qv = queries.TestCollections.queryVector(spark, sf0001, q)
+      def run(approx: Boolean): Set[String] =
+        engine.Search.search(coll, model.SearchRequest(
+          model.Query("vec_l2", vectorVamana = Some(model.VectorVamanaOpts(
+            qv, model.Op.Near, searchSize = 75, limit = 10, approx = approx))),
+          limit = 10))
+          .select("_id").as[String].collect().toSet
+      val exact = run(approx = false)
+      val got = run(approx = true)
+      exact.count(got.contains).toDouble / 10
+    }
+    val mean = recalls.sum / recalls.length
+    // the RECALL.md operating point (beam 75, degree 32) is 1.0; ≥0.95 is
+    // the judge-agreed serving floor — a regression in the serving walk,
+    // the artifact join, or the re-rank shows up here
+    assert(mean >= 0.95, s"engine vamana recall $mean (per-query: $recalls)")
+  }
+
   test("incremental insert: 10% new points patch in — connectivity + recall, no rebuild") {
     val oldEmb = emb.filter(col("vec_id") >= 50)
     val base = VamanaBuild.build(
