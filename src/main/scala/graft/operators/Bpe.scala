@@ -111,10 +111,24 @@ object Bpe {
     * driver-side (it IS driver-sized: one (left, right) pair per merge —
     * a 50k-merge vocabulary is 50k tiny rows; the DICT the rounds iterate
     * over stays distributed throughout).
+    *
+    * Round latency: one Spark job per merge round is the honest
+    * distributed shape, but a production 32k–50k-merge vocabulary would
+    * make it a multi-hour driver-coordinated loop. After `minWordCount`
+    * pruning the dict is usually driver-sized (one row per DISTINCT
+    * word — ~10⁷ at 100 TB where the corpus is ~10¹¹), so when it fits
+    * `driverDictBudget` rows the merge loop finishes IN ONE PASS
+    * driver-side over the collected dict — same exact long counts, same
+    * (count desc, pair-bytes asc) tiebreak (UTF-8 byte order, matching
+    * Spark's UTF8String comparison), bit-identical merge table (BpeSpec
+    * law). The corpus still pays only the one distributed word-count
+    * pass; set the budget to 0 to force the per-round distributed loop
+    * (a dict too large to collect).
     */
   def learnMerges(
       df: DataFrame, text: Column, numMerges: Int,
-      minPairCount: Long = 2L, minWordCount: Long = 1L): Seq[(String, String)] = {
+      minPairCount: Long = 2L, minWordCount: Long = 1L,
+      driverDictBudget: Long = 2000000L): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0 (got $numMerges)")
     val symUdf = udf { (w: String) => symbolsOf(w) }
     val pairUdf = udf { (syms: Seq[String]) =>
@@ -125,6 +139,11 @@ object Bpe {
       .filter(col("cnt") >= minWordCount)
       .select(symUdf(col("w")).as("syms"), col("cnt"))
       .localCheckpoint()
+    if (numMerges > 0 && driverDictBudget > 0 && dict.count() <= driverDictBudget) {
+      val rows = dict.collect()
+        .map(r => (r.getSeq[String](0), r.getLong(1)))
+      return learnMergesDriver(rows, numMerges, minPairCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = numMerges > 0
     while (continue && merges.length < numMerges) {
@@ -143,6 +162,56 @@ object Bpe {
         val next = dict.select(applyUdf(col("syms")).as("syms"), col("cnt"))
           .localCheckpoint()
         dict = next
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The driver-side merge loop over a collected word-frequency dict —
+    * semantics IDENTICAL to the distributed per-round loop: exact long
+    * pair counts, argmax by (count desc, pair-key bytes asc). The key
+    * comparison is over UTF-8 BYTES (unsigned), not Java chars: Spark's
+    * `orderBy(col("p").asc)` compares UTF8String binary, and the two
+    * orders diverge for non-ASCII symbols — a char-wise compare here
+    * would silently break the BpeSpec driver≡distributed law on
+    * non-Latin corpora.
+    */
+  private[operators] def learnMergesDriver(
+      dict0: Seq[(Seq[String], Long)], numMerges: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    var words = dict0.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = syms(i) + Sep + syms(i + 1)
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      var bestKey: String = null
+      var bestBytes: Array[Byte] = null
+      var bestCount = Long.MinValue
+      counts.foreach { case (k, c) =>
+        if (c > bestCount) {
+          bestKey = k; bestBytes = null; bestCount = c
+        } else if (c == bestCount) {
+          if (bestBytes == null) bestBytes = bestKey.getBytes("UTF-8")
+          val kb = k.getBytes("UTF-8")
+          if (java.util.Arrays.compareUnsigned(kb, bestBytes) < 0) {
+            bestKey = k; bestBytes = kb
+          }
+        }
+      }
+      if (bestKey == null || bestCount < minPairCount) continue = false
+      else {
+        val cut = bestKey.indexOf(Sep.toInt)
+        val (a, b) = (bestKey.substring(0, cut), bestKey.substring(cut + 1))
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (applyMerge(syms, a, b), c) }
       }
     }
     merges.toSeq

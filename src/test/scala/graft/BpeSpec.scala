@@ -34,6 +34,23 @@ class BpeSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("driver-finished merge loop equals the distributed per-round table") {
+    // budget 0 forces the per-round Spark loop; the default finishes the
+    // loop driver-side after the one word-count pass — bit-identical law
+    val dist = Bpe.learnMerges(corpus, col("text"), 6, minPairCount = 1L,
+      driverDictBudget = 0L)
+    val drv = Bpe.learnMerges(corpus, col("text"), 6, minPairCount = 1L)
+    assert(drv == dist, s"driver $drv vs distributed $dist")
+    // multibyte symbols: the driver argmax must break count ties in UTF-8
+    // BYTE order (Spark's UTF8String comparison), not Java char order
+    val uni = (Seq.fill(3)("héé") ++ Seq.fill(3)("zéé"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val a = Bpe.learnMerges(uni, col("text"), 4, minPairCount = 1L,
+      driverDictBudget = 0L)
+    val b = Bpe.learnMerges(uni, col("text"), 4, minPairCount = 1L)
+    assert(a == b, s"driver $b vs distributed $a")
+  }
+
   test("learnMerges stops at the support floor and on empty corpora") {
     // every pair in a singleton-word corpus has count 1 < minPairCount=2
     val tiny = Seq((1L, "zyx")).toDF("id", "text")
