@@ -78,6 +78,41 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  /** The CCNet at-scale mode through the INJECTABLE-CUTOFFS face: exact
+    * percentiles over every value cannot run at 10¹¹ docs, so the paper
+    * fits cutoffs on one Common Crawl segment and buckets the rest with
+    * them. Replayed here end-to-end: cutoffs = terciles of a
+    * deterministic 20% md5-Bernoulli sample's perplexities (two driver
+    * doubles), injected into `ccnetBuckets(cutoffs = Some(...))` — the
+    * whole corpus pass is then one per-row CASE over broadcast literals,
+    * no percentile aggregation in the scoring plan. The oracle replays
+    * the sample, the sample terciles, and the CASE.
+    */
+  val textCcnetServed = NamedQuery(
+    "text_ccnet_served",
+    s"""WITH $lmCtes,
+       |samp AS (
+       |  SELECT perplexity FROM lm
+       |  WHERE CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.2),
+       |cut AS (SELECT quantile_cont(perplexity, [1.0/3, 2.0/3]) AS q FROM samp)
+       |SELECT lm.id, lm.perplexity,
+       |  CASE WHEN lm.perplexity <= q[1] THEN 'head'
+       |       WHEN lm.perplexity <= q[2] THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM lm CROSS JOIN cut ORDER BY lm.id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // fit: terciles of the sample slice's perplexities under the
+    // full-corpus LM (the model itself is corpus-fit in both modes)
+    val cutRow = TextAnalysis.lmScore(docs, col("doc_id"), col("text"))
+      .filter(Sampling.hashUniform(col("id"), "graft") < 0.2)
+      .agg(expr("percentile(perplexity, array(1.0D/3, 2.0D/3))")).head()
+    val q = cutRow.getSeq[Double](0)
+    TextAnalysis.ccnetBuckets(docs, col("doc_id"), col("text"),
+        cutoffs = Some((q(0), q(1))))
+      .select(col("id"), col("perplexity"), col("ppl_bucket"))
+      .orderBy("id")
+  }
+
   /** The DSIR pipeline's CTE chain ending in `w(id, n_feats, log_weight)`
     * over the raw (non-target) documents — shared by text_dsir_weight and
     * sample_dsir_topk so the two oracles replay the identical model.
@@ -310,6 +345,6 @@ object ScoringQueries {
   }
 
   val all: Seq[NamedQuery] =
-    Seq(textLmScore, textCcnetBucket, textDsirWeight, sampleDsirTopk, textPii,
-      textGopher, textC4Clean, q8StreamScore)
+    Seq(textLmScore, textCcnetBucket, textCcnetServed, textDsirWeight,
+      sampleDsirTopk, textPii, textGopher, textC4Clean, q8StreamScore)
 }

@@ -212,6 +212,53 @@ object TrainingQueries {
           col("id"), col("start"), col("n_chunks")))))).as("digest"))
   }
 
+  /** The full training-shard composition — tokenize (learned BPE) → pack
+    * (distributed prefix sum, 256-token chunks) → shuffle-shard (8-way
+    * md5 permutation) — one pipeline whose output IS the training-shard
+    * layout a writer would emit: per shard, the document stream in
+    * sort_key order with each doc's (start, n_chunks, token count), as a
+    * per-shard digest + totals. The real write is
+    * `repartition(shard).sortWithinPartitions(sort_key)`; the digest
+    * replays that order exactly (struct array_sort by (sort_key, id),
+    * bounded per shard at audit scale). DuckDB cannot replay iterative
+    * BPE training, so this pins a golden (the bpe_pack convention):
+    * any drift in training, the encode loop, the positioned reassembly,
+    * the prefix sum, OR the shard permutation flips a digest. Regenerate
+    * after an intentional change via `python3 tools/check_oracle.py
+    * /root/testdata/sf0.01 /tmp/v pipeline_train_shards`.
+    */
+  val pipelineTrainShards = NamedQuery(
+    "pipeline_train_shards",
+    """SELECT CAST(shard AS INT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, digest
+      |FROM (VALUES
+      |  (0, 55, 12270, 'b54b470c46edb709a5f89d1390a16e57'),
+      |  (1, 52, 13335, '8c54e1da50596f4e408901908342afcd'),
+      |  (2, 72, 15240, '15cdf1f7fac6dc1bd467103a8e201715'),
+      |  (3, 69, 15211, 'bbd062fcce1dd386283b6f280c165836'),
+      |  (4, 56, 12328, 'd5adb8ac73cd5d97f70ce8a5560e5ffd'),
+      |  (5, 60, 12715, 'b873df3748ad351d8decaf3ba5c1a9a1'),
+      |  (6, 66, 13674, '93423a043cca3087e95589b14942a61a'),
+      |  (7, 70, 14935, '773c4366be5836df921751154f9d87d6')
+      |) t(shard, n_docs, n_tokens, digest)
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    val toks = Bpe.tokenize(
+        Tables.documents(s, d), col("doc_id"), col("text"), learnedMerges(s, d))
+      .select(col("id"), size(col("bpe_tokens")).cast("long").as("w"))
+    val packed = Packing.packChunks(toks, col("id"), col("w"), capacity = 256)
+    Sampling.shuffleShards(packed, col("id"), numShards = 8)
+      .withColumn("_row",
+        concat_ws(":", col("id"), col("start"), col("n_chunks"), col("w")))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_tokens"),
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("sort_key"), col("id"), col("_row")))),
+          x => x.getField("_row")))).as("digest"))
+      .orderBy("shard")
+  }
+
   /** Training-mix construction: sample sources down to target shares of a
     * token budget (src0/src1/src2 at 50/30/20% of 5000 tokens; budget
     * 5000 puts src0 over the cap — rate 1.0 — while src1/src2 subsample,
@@ -279,5 +326,6 @@ object TrainingQueries {
 
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
-    bpeMerges, bpeEncode, bpePack, sampleMixSources, shardAssign)
+    bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
+    shardAssign)
 }
