@@ -75,7 +75,14 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup ${q.name}: $e") }
       }
     spark.catalog.clearCache()
-    val results = selected.map { case (name, fn) =>
+    // two timed passes, REPORT THE WARM ONE: the per-round record runs 90+
+    // queries in one JVM, and pass-1 numbers carry one-time JIT + page-cache
+    // noise that fabricated ~5× "regressions" in earlier rounds (the
+    // baseline's published numbers are warm-cache QPS, so warm is also the
+    // apples-to-apples measurement). SPARK_GRAFT_PASSES=1 restores the
+    // single-pass mode for quick local iteration.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def runPass(): Seq[(String, Double)] = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast success: record a
       // -1 sentinel in the JSON and shout on stderr
@@ -92,12 +99,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val allPasses = (1 to passes).map(_ => runPass())
+    val cold = allPasses.head.toMap
+    val results = allPasses.last
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val coldTotal = cold.values.filter(_ >= 0).sum
+    // the driver records the LAST 2000 chars of this output — the vital
+    // summary fields (failed list, query count, totals) ride at the END of
+    // the line so truncation can only cost leading per-query entries, and
+    // per-query times are 3-decimal (ms resolution) to keep the line short
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"cold_total":${r3(coldTotal)},"nqueries":${results.length},"failed":$failed,"total":${r3(total)}}""")
     spark.stop()
   }
 }

@@ -113,6 +113,44 @@ class QuantizerSpec extends SparkSuite {
     assert(recall >= 0.8, s"rescored PQ recall@10 = $recall")
   }
 
+  test("RECALL.md operating points hold: BQ+rescore ≥0.76, PQ+rescore ≥0.98") {
+    // the EXACT published configuration (RECALL.md, regenerated per
+    // round): 5 pinned query ids, rescore = 20·k = 200, mean recall@10 —
+    // the regression guard that keeps the table's operating points honest
+    // as the quantizer code evolves (the IvfPqSpec spill-assertion
+    // convention). Deterministic by construction: canonically-sorted
+    // training samples (Similarity.vectorSample), exact threshold fit.
+    val d = sf001
+    val emb01 = Tables.embeddings(spark, d)
+    val qids = Seq(0L, 7L, 99L, 250L, 444L)
+    val k = 10
+    def exactCos(qv: Seq[Float]): Set[Long] =
+      emb01.select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Cosine, col("embedding"), qv).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    val th = BinaryQuantizer.fit(emb01, col("embedding"), 64)
+    val encoded = BinaryQuantizer.encode(
+      emb01.select(col("vec_id"), col("embedding")), col("embedding"), th)
+    val model = ProductQuantizer.fit(emb01, col("embedding"), m = 16, k = 64, dim = 64)
+    val codes = ProductQuantizer.encode(emb01, col("vec_id"), col("embedding"), model)
+    val (bqHits, pqHits) = qids.map { q =>
+      val qv = graft.queries.TestCollections.queryVector(spark, d, q)
+      val exact = exactCos(qv)
+      val bq = BinaryQuantizer.searchRescored(encoded, col("vec_id"),
+          col("embedding"), qv, th, k, rescore = 20 * k, Metric.Cosine)
+        .select("id").as[Long].collect().toSet
+      val pq = ProductQuantizer.adcSearchRescored(codes, emb01, col("vec_id"),
+          col("embedding"), qv, model, k, rescore = 20 * k, Metric.Cosine)
+        .select("id").as[Long].collect().toSet
+      (exact.count(bq.contains), exact.count(pq.contains))
+    }.unzip
+    val bqRecall = bqHits.sum.toDouble / (qids.length * k)
+    val pqRecall = pqHits.sum.toDouble / (qids.length * k)
+    assert(bqRecall >= 0.76, s"BQ+rescore recall $bqRecall below operating point")
+    assert(pqRecall >= 0.98, s"PQ+rescore recall $pqRecall below operating point")
+  }
+
   test("rescored search plan: partial top-k candidate cut + broadcast re-rank join") {
     val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
     val encoded = BinaryQuantizer.encode(
