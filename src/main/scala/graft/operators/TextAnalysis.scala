@@ -396,6 +396,90 @@ object TextAnalysis {
       .withColumn("perplexity", decRound(exp(col("cross_entropy")), 2))
   }
 
+  /** Interpolated BIGRAM language-model scoring — the next modeling step
+    * past [[lmScore]]'s unigram (CCNet's quality signal is a 5-gram LM;
+    * the bigram captures the first-order word-order evidence a unigram is
+    * blind to: scrambled text scores like fluent text under unigrams but
+    * not here). Per token position,
+    *
+    *   p(w₁)        = (c(w₁)+1)/(N+V)                      (add-one unigram)
+    *   p(wᵢ|wᵢ₋₁)   = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + (1−λ)·(c(wᵢ)+1)/(N+V)
+    *
+    * (Jelinek–Mercer interpolation — the MLE bigram backed off to the
+    * smoothed unigram, so an unseen-in-context pair never hits −ln 0),
+    * and ce(d) = mean −ln p, ppl = exp(ce). The conditional denominator
+    * is the token's TOTAL unigram count (doc-final occurrences absorb
+    * their successor mass — a deterministic, documented convention both
+    * engines replay).
+    *
+    * Scale: fit = one explode+groupBy per order (token-keyed and
+    * pair-keyed — map-side partial agg absorbs stop-pair heat); scoring
+    * joins occurrences to the two tables on their keys (equi-joins, AQE
+    * broadcasts small vocabularies) and aggregates per id. Only (N, V)
+    * land on the driver. Determinism: exact long counts, IEEE-identical
+    * probability arithmetic (the same op order both engines), DECIMAL
+    * accumulation for the per-doc mean.
+    */
+  def bigramLmScore(
+      df: DataFrame, id: Column, text: Column,
+      lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1) (got $lambda)")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("id"), Dedup.tokens(text).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .localCheckpoint() // feeds occ, firsts, and the bigram stream
+    val occ = base
+      .select(col("id"), explode(col("_toks")).as("w"))
+      .localCheckpoint() // vocabulary fit + first-token scoring join
+    val vocab = occ.groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val fit = vocab.agg(
+      sum(col("c1")).cast("double"), count(lit(1)).cast("double")).head()
+    val denom = fit.getDouble(0) + fit.getDouble(1) // N + V, exact in double
+    // adjacent pairs per document, from the token array (per-row algebra —
+    // no self-join): slice to n−1 prefixes, pair each with its successor
+    val pairCol = transform(
+      slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+      (x, i) => struct(x.as("prev"),
+        element_at(col("_toks"), i + lit(2)).as("cur")))
+    val bg = base
+      .filter(size(col("_toks")) >= 2)
+      .select(col("id"), explode(pairCol).as("pc"))
+      .select(col("id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+      .localCheckpoint() // pair fit + bigram scoring join
+    val bigTable = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val firstNlp = base
+      .select(col("id"), element_at(col("_toks"), 1).as("w"))
+      .join(vocab, "w")
+      .select(col("id"),
+        (-log((col("c1") + 1L).cast("double") / lit(denom))).as("_nlp"))
+    val bigNlp = bg
+      .join(bigTable, Seq("prev", "cur"))
+      .join(vocab.select(col("w").as("prev"), col("c1").as("_c1p")), "prev")
+      .join(vocab.select(col("w").as("cur"), col("c1").as("_c1c")), "cur")
+      .select(col("id"),
+        (-log(
+          lit(lambda) * (col("cb").cast("double") / col("_c1p").cast("double")) +
+            (lit(1.0) - lit(lambda)) *
+              ((col("_c1c") + 1L).cast("double") / lit(denom)))).as("_nlp"))
+    // per-token values are DECIMAL-rounded PER ROW (the repo-wide dround
+    // convention both engines agree on), then aggregated exactly: the
+    // hash-compared signal is the EXACT per-doc sum (+count), not a
+    // rounded mean — a mean can land on a half-ulp rounding boundary at
+    // the target scale, where Spark (rounds the double's shortest decimal
+    // repr) and DuckDB (rounds the scaled binary) flip the last digit
+    // (observed on one 48-token doc in 500). cross_entropy stays in the
+    // output for consumers; oracled queries compare nlp_sum.
+    val sumDec = sum(decRound(col("_nlp"), 6).cast(Dec))
+    firstNlp.unionByName(bigNlp)
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sumDec.cast("double").as("nlp_sum"),
+        round((sumDec.cast("double") / count(lit(1))).cast(Dec), 6)
+          .cast("double").as("cross_entropy"),
+        decRound(exp(sumDec.cast("double") / count(lit(1))), 2).as("perplexity"))
+  }
+
   /** CCNet-style perplexity partitioning (Wenzek et al. LREC'20, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data",
     * §4.3): score every document with the corpus LM ([[lmScore]]) and

@@ -78,6 +78,49 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  /** Interpolated bigram LM (λ=0.9 Jelinek–Mercer over add-one unigrams):
+    * the word-order-aware quality signal (CCNet's own scorer is an n-gram
+    * LM). Full DuckDB replay: both engines build the same two count
+    * tables, evaluate the interpolation with the IDENTICAL operation
+    * order (incl. the (1 − 0.9) literal EXPRESSION, so both compute the
+    * same 0.09999… double), and DECIMAL-average the per-token −ln values.
+    */
+  val textBigramLm = NamedQuery(
+    "text_bigram_lm",
+    s"""WITH $tokCte,
+       |t AS (SELECT id, raw FROM tok WHERE len(raw) > 0),
+       |occ AS (SELECT id, unnest(raw) AS w FROM t),
+       |voc AS (SELECT w, count(*) AS c1 FROM occ GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM voc),
+       |f1 AS (
+       |  SELECT t.id, -ln(CAST(voc.c1 + 1 AS DOUBLE) / (tot.n + tot.v)) AS nlp
+       |  FROM t JOIN voc ON t.raw[1] = voc.w CROSS JOIN tot),
+       |bo AS (SELECT id, unnest(range(1, len(raw))) AS i, raw FROM t WHERE len(raw) >= 2),
+       |bg AS (SELECT id, raw[i] AS prev, raw[i+1] AS cur FROM bo),
+       |bt AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |f2 AS (
+       |  SELECT bg.id,
+       |    -ln(0.9 * (CAST(bt.cb AS DOUBLE) / CAST(vp.c1 AS DOUBLE))
+       |        + (1.0 - 0.9) * (CAST(vc.c1 + 1 AS DOUBLE) / (tot.n + tot.v))) AS nlp
+       |  FROM bg
+       |  JOIN bt ON bg.prev = bt.prev AND bg.cur = bt.cur
+       |  JOIN voc vp ON bg.prev = vp.w
+       |  JOIN voc vc ON bg.cur = vc.w
+       |  CROSS JOIN tot),
+       |u AS (SELECT id, ${sqlDround("nlp", 6)} AS nlp6 FROM f1
+       |      UNION ALL SELECT id, ${sqlDround("nlp", 6)} AS nlp6 FROM f2)
+       |-- the compared signal is the EXACT sum of per-row-rounded values
+       |-- (+count); a rounded MEAN can land on a half-ulp boundary where
+       |-- the two engines' double→decimal roundings disagree
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(nlp6 AS DECIMAL(28,6))) AS DOUBLE) AS nlp_sum,
+       |  ${sqlDround("exp(CAST(sum(CAST(nlp6 AS DECIMAL(28,6))) AS DOUBLE) / count(*))", 2)} AS perplexity
+       |FROM u GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.bigramLmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select("id", "n_tokens", "nlp_sum", "perplexity")
+      .orderBy("id")
+  }
+
   /** The CCNet at-scale mode through the INJECTABLE-CUTOFFS face: exact
     * percentiles over every value cannot run at 10¹¹ docs, so the paper
     * fits cutoffs on one Common Crawl segment and buckets the rest with
@@ -345,6 +388,7 @@ object ScoringQueries {
   }
 
   val all: Seq[NamedQuery] =
-    Seq(textLmScore, textCcnetBucket, textCcnetServed, textDsirWeight,
-      sampleDsirTopk, textPii, textGopher, textC4Clean, q8StreamScore)
+    Seq(textLmScore, textBigramLm, textCcnetBucket, textCcnetServed,
+      textDsirWeight, sampleDsirTopk, textPii, textGopher, textC4Clean,
+      q8StreamScore)
 }

@@ -34,6 +34,48 @@ class ScoringSpec extends SparkSuite {
     assert(math.abs(out(0).getDouble(3) - math.exp(out(0).getDouble(2))) < 0.01)
   }
 
+  test("bigramLmScore: matches the hand-computed interpolated model") {
+    // corpus: "a b" ×2, "a c" → occ a×3 b×2 c×1, N=6 V=3 denom=9;
+    // bigrams (a,b)×2 (a,c)×1, context c1(a)=3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    val out = TextAnalysis.bigramLmScore(df, col("id"), col("text"))
+      .orderBy("id").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val denom = 9.0
+    val first = r6(-math.log(4.0 / denom)) // a: c1=3 → (3+1)/9
+    // (a,b): 0.9·(2/3) + 0.1·((2+1)/9); (a,c): 0.9·(1/3) + 0.1·((1+1)/9)
+    val bAfterA = r6(-math.log(0.9 * (2.0 / 3.0) + (1.0 - 0.9) * (3.0 / denom)))
+    val cAfterA = r6(-math.log(0.9 * (1.0 / 3.0) + (1.0 - 0.9) * (2.0 / denom)))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L))
+    assert(math.abs(out(0).getDouble(2) - (first + bAfterA)) < 1e-9, "doc1 nlp_sum")
+    assert(math.abs(out(2).getDouble(2) - (first + cAfterA)) < 1e-9, "doc3 nlp_sum")
+    // the frequent continuation (a→b seen twice) is less surprising
+    assert(out(0).getDouble(2) < out(2).getDouble(2))
+  }
+
+  test("bigramLmScore: word order matters — scrambled text scores worse") {
+    // under a UNIGRAM model these two docs are indistinguishable; the
+    // bigram model must prefer the order the corpus actually uses
+    val fluent = (1L to 10L).map(i => (i, "the quick brown fox jumps"))
+    val scrambled = Seq((99L, "fox the jumps quick brown"))
+    val df = (fluent ++ scrambled).toDF("id", "text")
+    val out = TextAnalysis.bigramLmScore(df, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(99L) > out(1L),
+      s"scrambled ppl ${out(99L)} should exceed fluent ${out(1L)}")
+  }
+
+  test("bigramLmScore: partition-layout independent") {
+    val df = Tables.documents(spark, sf0001).limit(60)
+      .select(col("doc_id").as("id"), col("text"))
+    val a = TextAnalysis.bigramLmScore(df.repartition(7), col("id"), col("text"))
+      .orderBy("id").collect().toSeq
+    val b = TextAnalysis.bigramLmScore(df.coalesce(1), col("id"), col("text"))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("lmScore: rare-token documents score higher cross-entropy") {
     val common = (1L to 20L).map(i => (i, "the quick brown fox"))
     val rare = Seq((99L, "zyzzyva qwertyuiop"))
