@@ -295,27 +295,35 @@ final class Graft(spark: SparkSession, root: String,
       q.and.flatMap(approxVecProps) ++ q.or.flatMap(approxVecProps)
   }
 
-  /** Attach quantizer artifacts for the approx-queried vector properties
-    * whose collection has a FITTED quantizer (store-side auto-fit at
-    * `triggerThreshold`). Same compare-and-swap install discipline as
-    * [[ensureTextIndexes]]; props without a fitted quantizer are simply
-    * served exactly.
+  /** Attach serving artifacts for the approx-queried vector properties:
+    * a FITTED quantizer when the store has one (auto-fit at
+    * `triggerThreshold`), else the store-MAINTAINED Vamana graph artifact
+    * when one is built (CollectionStore.vamanaIndex — the reference's
+    * flagship serving path, patched on every write). Same
+    * compare-and-swap install discipline as [[ensureTextIndexes]]; props
+    * with neither artifact are simply served exactly.
     */
   private def ensureVectorIndexes(name: String, props: Set[String]): Unit =
     if (props.nonEmpty) {
       val coll = collection(name)
-      val wanted = props.filterNot(coll.vectorIndexes.contains)
-        .flatMap(p => store.loadQuantizer(name, p).map(p -> _)).toSeq
+      val wanted: Seq[(String, Collection => Collection)] =
+        props.filterNot(coll.vectorIndexes.contains).toSeq.sorted.flatMap { p =>
+          store.loadQuantizer(name, p) match {
+            case Some(graft.store.FittedBinary(th)) =>
+              Some(p -> ((c: Collection) => c.withBinaryVectorIndex(p, th)))
+            case Some(graft.store.FittedProduct(model)) =>
+              Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
+            case None => store.vamanaIndex(name, p).map { case (graph, idmap) =>
+              p -> ((c: Collection) => c.withVamanaVectorIndexFrames(p, graph, idmap))
+            }
+          }
+        }
       if (wanted.nonEmpty) {
         // build step-by-step so a failure on the Nth artifact can release
         // the already-built (never-installed) earlier ones
         var acc = coll
-        try wanted.foreach { case (p, q) =>
-          acc = q match {
-            case graft.store.FittedBinary(th) => acc.withBinaryVectorIndex(p, th)
-            case graft.store.FittedProduct(model) => acc.withProductVectorIndex(p, model)
-          }
-        } catch {
+        try wanted.foreach { case (_, attach) => acc = attach(acc) }
+        catch {
           case scala.util.control.NonFatal(e) =>
             (acc.vectorIndexes -- coll.vectorIndexes.keySet).values.foreach(_.release())
             throw e

@@ -97,13 +97,32 @@ final case class Collection(
         graft.operators.VamanaBuild
           .build(base, col(Collection.IdCol).cast("long"), col(prop), metric, params)
           .write.mode("overwrite").parquet(dir)
-      val graph = spark.read.parquet(dir)
-      val enc = graph.join(
-          base.select(col(Collection.IdCol),
-            col(Collection.IdCol).cast("long").as("_gid"), col(prop).as("_vec")),
-          col("id") === col("_gid"))
+      // graph node ids ARE the long-cast _ids here — identity idmap
+      withVamanaVectorIndexFrames(prop, spark.read.parquet(dir),
+        base.select(col(Collection.IdCol),
+          col(Collection.IdCol).cast("long").as("nid")),
+        maxHops)
+    }
+
+  /** Attach a Vamana serving artifact from EXPLICIT frames — the face the
+    * store-maintained lifecycle plugs into (CollectionStore.vamanaIndex:
+    * generation-addressed `graph(id, neighbors)` + `idmap(_id, nid)`,
+    * incrementally patched on every write). The serving frame joins graph
+    * → idmap → this collection's vectors once and persists narrow.
+    */
+  def withVamanaVectorIndexFrames(
+      prop: String, graph: DataFrame, idmap: DataFrame,
+      maxHops: Int = 64): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val enc = graph
+        .select(col("id").as("_gid"), col("neighbors").as("_nbrs"))
+        .join(idmap.select(col(Collection.IdCol), col("nid").as("_gid")), "_gid")
+        .join(df.filter(col(prop).isNotNull)
+          .select(col(Collection.IdCol), col(prop).as("_vec")), Collection.IdCol)
         .select(col(Collection.IdCol), col("_gid"),
-          col("neighbors").as("_nbrs"), col("_vec"))
+          col("_nbrs"), col("_vec"))
         .persist()
       val entryRow = graph.agg(min(col("id"))).head()
       val entry = if (entryRow.isNullAt(0)) -1L else entryRow.getLong(0)

@@ -148,5 +148,57 @@ object WriteQueries {
       dir)
   }
 
-  val all: Seq[NamedQuery] = Seq(w1WritePath, w4FacadeSearch, w5BulkIngest)
+  /** One store-served vamana facade per (app, sfDir): the graph build is
+    * the expensive step, the serving loop is what the query gates — both
+    * bench passes and repeated local runs reuse the built artifact (the
+    * bpeCache convention). The dir is NOT detached: the cached facade
+    * serves it for the session's lifetime.
+    */
+  private val vamanaDbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.Graft]()
+  private def vamanaDb(s: org.apache.spark.sql.SparkSession, d: String): graft.Graft = {
+    val app = s.sparkContext.applicationId
+    vamanaDbCache.keySet.removeIf(k => k._1 != app)
+    vamanaDbCache.computeIfAbsent((app, d), _ => {
+      val db = graft.Graft(s, Files.createTempDirectory("graft_vamana_store_").toString)
+      db.createCollection("emb",
+        IndexSchema("vec" -> IndexKind.VectorVamana(64, IndexKind.Metric.Euclidean)),
+        Tables.embeddings(s, d).select(
+          col("vec_id").cast("string").as("_id"), col("embedding").as("vec")))
+      db.buildVamanaIndex("emb", "vec")
+      db
+    })
+  }
+
+  /** The store-MAINTAINED Vamana graph serving a JSON `"approx": true`
+    * query through the facade — the full reference loop (build artifact →
+    * persist generations → attach on search → beam + exact re-rank) under
+    * the oracle: at beam 75 the pool contains the exact top-10, so exact
+    * SQL replays the result, and any drift in the artifact lifecycle, the
+    * idmap join, the beam, or the re-rank loses a true neighbor and flips
+    * the hash (the s1_near_vamana_approx argument, through the STORE).
+    */
+  val w6VamanaStoreServe = NamedQuery(
+    "w6_vamana_store_serve",
+    """WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |ranked AS (
+      |  SELECT CAST(vec_id AS VARCHAR) AS _id,
+      |    CAST(power(list_distance(embedding, q.v), 2) AS REAL) AS dist32
+      |  FROM embeddings CROSS JOIN q
+      |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val qv = TestCollections.queryVector(s, d, 0)
+    vamanaDb(s, d).search("emb",
+      s"""{"query": {"property": "vec",
+         |  "vectorVamana": {"vector": [${qv.mkString(",")}], "operator": "near",
+         |                   "limit": 10, "searchSize": 75, "approx": true}},
+         | "select": ["_id"], "limit": 100}""".stripMargin)
+      .select(col("_id"), dround(col("_distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
+  val all: Seq[NamedQuery] =
+    Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe)
 }

@@ -152,6 +152,35 @@ class GraftSpec extends SparkSuite {
     assert(after == exact) // n1 is far from the query; results unchanged
   }
 
+  test("approx JSON search serves from the store-MAINTAINED vamana graph") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema("vec" -> VectorVamana(2, Metric.Euclidean,
+      searchSize = 40, degreeBound = 32))
+    val seed = (0 until 60).map(i => (i.toString, Array(i.toFloat, (i * 2).toFloat)))
+      .toDF("_id", "vec")
+    db.createCollection("pts", schema, seed)
+    db.buildVamanaIndex("pts", "vec")
+    def q(approx: Boolean, v: (Float, Float) = (17f, 33f)) =
+      s"""{"query": {"property": "vec",
+         |  "vectorVamana": {"vector": [${v._1}, ${v._2}], "operator": "near",
+         |                   "limit": 5, "searchSize": 40, "approx": $approx}},
+         | "limit": 10}""".stripMargin
+    val exact = db.search("pts", q(approx = false)).collect().map(_.getString(0)).toSeq
+    val approx = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+    // beam 40 over a 60-node graph: the pool contains the exact top-5
+    assert(approx == exact, s"approx $approx != exact $exact")
+    // the attached artifact is the graph, not a quantizer
+    assert(db.collection("pts").vectorIndexes("vec")
+      .isInstanceOf[graft.engine.VamanaVectorIndex])
+    // a write PATCHES the graph artifact (store lifecycle) and drops the
+    // attached serving frame; the next approx search re-attaches the new
+    // generation and must find the just-inserted point
+    db.insert("pts", Seq(("n1", Array(17.2f, 33.2f))).toDF("_id", "vec"))
+    assert(!db.collection("pts").vectorIndexes.contains("vec"))
+    val after = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+    assert(after.head == "n1", s"patched graph must serve the new nearest point: $after")
+  }
+
   test("index patch targets the ids the store committed, not a re-evaluated source") {
     val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
     db.createCollection("docs", IndexSchema("t" -> Text()),
