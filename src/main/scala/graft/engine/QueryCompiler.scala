@@ -184,23 +184,26 @@ object QueryCompiler {
     val w = weight.getOrElse(1.0f)
     idx match {
       // graph artifact: candidates = the beam pool of a hop-batched walk
-      // (VamanaServe), budget playing the reference's searchSize. Unlike
-      // the quantized scans, a pre-filter cannot restrict the TRAVERSAL
-      // (filtered-out nodes still route the walk — removing them would
-      // disconnect the graph); it restricts which pool members are
-      // eligible results, so filtered recall degrades with selectivity —
-      // the filter-first quantizer artifacts are the selective-filter
-      // serving choice (documented operating guidance).
+      // (VamanaServe), budget playing the reference's searchSize. A
+      // pre-filter cannot restrict the TRAVERSAL (filtered-out nodes
+      // still route the walk — removing them would disconnect the graph);
+      // instead the reference's OPTIMISTIC filtered search applies
+      // (vamana/search.go:27–51): seed with the first `budget` in-filter
+      // ids, navigate unfiltered, collect in-filter expanded nodes — so a
+      // filter matching ≤ budget points is served EXACTLY, and recall
+      // degrades gracefully (not cliff-like) past that.
       case VamanaVectorIndex(entry, maxHops, art) =>
-        val gids = VamanaServe.beamCandidateGids(
-          art, metric, vector, budget, entry, maxHops)
-        val cand0 =
+        val gids = filter match {
+          case None => VamanaServe.beamCandidateGids(
+            art, metric, vector, budget, entry, maxHops)
+          case Some(f) =>
+            val matchArt = applySet(col0, compile(col0, f).set, art)
+            VamanaServe.beamCandidateGidsFiltered(
+              art, matchArt, metric, vector, budget, entry, maxHops)
+        }
+        val candIds =
           if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
           else art.filter(col("_gid").isin(gids: _*)).select(IdCol)
-        val candIds = filter match {
-          case None => cand0
-          case Some(f) => applySet(col0, compile(col0, f).set, cand0)
-        }
         return rerank(col0, prop, metric, vector, limit, w, candIds)
       case _ => ()
     }

@@ -188,6 +188,32 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** Pre-filter + VAMANA GRAPH artifact through the engine — the
+    * reference's OPTIMISTIC filtered graph search
+    * (vamana/search.go:27–51): seed with the in-filter points, navigate
+    * unfiltered, collect in-filter expanded nodes. The label=3 filter
+    * matches 59 ≤ searchSize 75 rows, the reference's too-selective
+    * extreme case, where every filtered point is seeded and the result
+    * is EXACT by construction — so the exact filtered SQL is a true
+    * oracle of the whole seeded-walk + membership-probe + re-rank path.
+    */
+  val s1NearVamanaFilteredApprox = NamedQuery(
+    "s1_near_vamana_filtered_approx",
+    sqlNear("power(list_distance(embedding, q.v), 2)", 10,
+      where = "label = 3")) { (s, d) =>
+    Search.search(TestCollections.docsVamana(s, d), SearchRequest(
+      Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, searchSize = 75, limit = 10,
+        filter = Some(Query("label", integer = Some(IntegerOpts(3, Op.Equals)))),
+        approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** Pre-filter + quantizer artifact TOGETHER through the engine: the
     * approximate path restricts the CANDIDATE SCAN itself (filter-first,
     * reference models/search.go:9–15 — filtered-out rows never consume
@@ -342,5 +368,6 @@ object VectorQueries {
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
-    s2NearPqApprox, s1NearVamanaApprox, s1NearFilteredBq)
+    s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
+    s1NearFilteredBq)
 }

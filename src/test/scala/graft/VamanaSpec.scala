@@ -78,6 +78,32 @@ class VamanaSpec extends SparkSuite {
     assert(mean >= 0.95, s"engine vamana recall $mean (per-query: $recalls)")
   }
 
+  test("engine-served FILTERED approx near: optimistic seeded walk") {
+    val coll = queries.TestCollections.docsVamana(spark, sf0001)
+    val qv = queries.TestCollections.queryVector(spark, sf0001, 0)
+    def run(filter: Option[model.Query], approx: Boolean): Seq[String] =
+      engine.Search.search(coll, model.SearchRequest(
+        model.Query("vec_l2", vectorVamana = Some(model.VectorVamanaOpts(
+          qv, model.Op.Near, searchSize = 75, limit = 10,
+          filter = filter, approx = approx))),
+        limit = 10))
+        .select("_id").as[String].collect().toSeq
+    // |label=3| ≤ searchSize: every filtered point seeds the walk, so the
+    // filtered result is EXACT by construction (the reference's
+    // too-selective extreme case, vamana/search.go:36-44)
+    val narrow = Some(model.Query("label",
+      integer = Some(model.IntegerOpts(3, model.Op.Equals))))
+    assert(run(narrow, approx = true) == run(narrow, approx = false))
+    // broad filter (half the corpus > searchSize): optimistic collection
+    // must still recover most of the filtered top-10
+    val broad = Some(model.Query("label",
+      integer = Some(model.IntegerOpts(0, model.Op.InRange, 4))))
+    val exact = run(broad, approx = false).toSet
+    val got = run(broad, approx = true).toSet
+    val recall = exact.count(got.contains).toDouble / 10
+    assert(recall >= 0.8, s"broad-filter recall $recall (got $got vs $exact)")
+  }
+
   test("incremental insert: 10% new points patch in — connectivity + recall, no rebuild") {
     val oldEmb = emb.filter(col("vec_id") >= 50)
     val base = VamanaBuild.build(
