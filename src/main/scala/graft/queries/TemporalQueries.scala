@@ -44,5 +44,28 @@ object TemporalQueries {
       .orderBy("id")
   }
 
-  val all: Seq[NamedQuery] = Seq(q10AsofJoin)
+  /** The stream-stream interval join over a REAL Structured Stream of
+    * the events table (EventsStream.enrichJoin): each view paired with
+    * the same user's clicks from the preceding 24 h, emitted in append
+    * mode and hash-compared against DuckDB's batch replay of the same
+    * predicate — batch/stream parity enforced by the driver gate itself
+    * (the q8_stream_score convention, for the join face the other five
+    * streaming faces don't cover).
+    */
+  val q11StreamJoin = NamedQuery(
+    "q11_stream_join",
+    """WITH v AS (SELECT event_id AS view_id, ts AS vts, user_id, value FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, ts AS cts, user_id, value AS click_value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT v.view_id, v.user_id, v.vts, c.click_id, c.cts, c.click_value
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND c.cts <= v.vts AND c.cts >= v.vts - INTERVAL 24 HOURS
+      |ORDER BY view_id, click_id""".stripMargin) { (s, d) =>
+    graft.streaming.EventsStream.runAsStream(s, d,
+        ev => graft.streaming.EventsStream.enrichJoin(ev),
+        outputMode = "append")
+      .orderBy("view_id", "click_id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(q10AsofJoin, q11StreamJoin)
 }

@@ -105,6 +105,36 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream time-interval ENRICHMENT join — the sixth streaming
+    * face, and the one the others don't cover: every `view` event pairs
+    * with the same user's `click` events from the preceding `interval`
+    * (inclusive of the view instant). Both sides are watermarked, so this
+    * is Spark's native stream-stream interval join: each side's state is
+    * bounded by watermark delay + interval (old rows age out), and the
+    * emitted pair set in append mode equals the batch join of the same
+    * predicate — which is what lets the driver gate replay it in DuckDB.
+    * An AS-OF reduction (keep only the latest click per view) would chain
+    * a second stateful operator; batch [[graft.operators.Temporal]] owns
+    * that reduction over the landed pairs (the lambda split the ingest
+    * faces document).
+    */
+  def enrichJoin(events: DataFrame, interval: String = "24 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id"), col("value").as("view_value"))
+      .withWatermark("vts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"),
+        col("user_id").as("_cuser"), col("value").as("click_value"))
+      .withWatermark("cts", "2 hours")
+    views.join(clicks,
+        col("user_id") === col("_cuser") &&
+          col("cts") <= col("vts") &&
+          col("cts") >= col("vts") - expr(s"INTERVAL $interval"))
+      .select(col("view_id"), col("user_id"), col("vts"),
+        col("click_id"), col("cts"), col("click_value"))
+  }
+
   /** Continuously ingest a stream into a stored collection: each
     * micro-batch lands through the store's insert contract (≤ 10k-point
     * sub-batches, duplicate/clash checks, delta log) via `foreachBatch` —

@@ -94,6 +94,36 @@ object ScaleSmoke {
       Dedup.lineDedup(docs, col("doc_id"), col("text")).count())
     time("pii scan + redact")(
       TextAnalysis.piiScan(docs, col("doc_id"), col("text")).count())
+    time("bigram LM score (2 fits + joins)")(
+      TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text")).count())
+    time("substring dup stats (window hash)")(
+      Dedup.substringDupStats(docs, col("doc_id"), col("text"), n = 20).count())
+    // the corpus pays ONE word-count pass; the merge loop then runs over
+    // the (factor-INDEPENDENT) distinct-word dict driver-side — this
+    // timing should grow with the corpus pass only
+    time("bpe learnMerges 16 (corpus pass + driver loop)")(
+      graft.operators.Bpe.learnMerges(docs, col("text"), numMerges = 16).length)
+
+    // as-of join over a factor-replicated events stream (disjoint users
+    // per replica): one shuffle on the key, per-key ordered scan — linear
+    val ev0 = graft.Tables.events(s, sfDir)
+    val uStep = ev0.agg(max("user_id")).head().getLong(0) + 1
+    val eStep = ev0.agg(max("event_id")).head().getLong(0) + 1
+    val ev = ev0.crossJoin(s.range(factor).select(col("id").as("_rep")))
+      .withColumn("user_id", col("user_id") + col("_rep") * uStep)
+      .withColumn("event_id", col("event_id") + col("_rep") * eStep)
+      .drop("_rep").persist()
+    ev.count()
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("click_id"),
+        expr("max_by(value, event_id)").as("click_value"))
+    time("asof join (per-key window)")(
+      graft.operators.Temporal.asofJoin(views, clicks, "user_id", "ts",
+        "click_id", Seq("click_id", "click_value")).count())
+    ev.unpersist()
     // the scorers persist their shared fit frames internally; drop them
     // before the curation stages so the timings don't compete for cache
     s.catalog.clearCache()
