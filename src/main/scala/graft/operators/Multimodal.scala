@@ -13,9 +13,14 @@ import org.apache.spark.sql.types._
   * width/height/band-count from the decoded raster plus an 8-bin
   * luminance-histogram feature, with undecodable bytes dropped the way a
   * production pipeline sheds corrupt files (never failing the job).
-  * Audio/video codec calls remain STUBBED — this container ships no
-  * codec libraries — behind `decodeStub`, a deterministic function of the
-  * payload bytes. Everything around the codecs is real and tested: the
+  * AUDIO payloads (an `audio/` mime) decode for REAL via
+  * `javax.sound.sampled` for the JDK-native container formats
+  * (WAV/AIFF/AU carrying 8/16-bit PCM): sample rate / frame count /
+  * channels from the header plus an 8-bin amplitude-histogram feature.
+  * Compressed audio (mp3/aac/ogg) and video remain STUBBED — this
+  * container ships no codec libraries — behind `decodeStub`, a
+  * deterministic function of the payload bytes. Everything around the
+  * codecs is real and tested: the
   * schema contract, the mapPartitions batching shape (decoder state
   * initialized once per partition, rows streamed through it), and the
   * partitioning story (payloads hash-partition by id; decoded features
@@ -116,12 +121,105 @@ object Multimodal {
       }
     } catch { case _: java.io.IOException | _: RuntimeException => None }
 
+  /** Sample budget for a single decoded audio payload — the audio
+    * analogue of [[MaxDecodePixels]], checked against the HEADER's frame
+    * length × channels before any sample is read.
+    */
+  val MaxDecodeSamples: Long = 64L * 1024 * 1024
+
+  /** Real audio decode for the container formats the JDK ships codecs
+    * for — WAV/AIFF/AU carrying 8/16-bit PCM via `javax.sound.sampled`,
+    * no external library. Mapping onto [[DecodedSchema]]: width = sample
+    * rate (Hz), height = frame count, channels = channels, feature =
+    * normalized 8-bin |amplitude| histogram over every sample (16-bit
+    * magnitude scale; 8-bit samples lift by ×256) — the audio analogue of
+    * decodeImage's luminance histogram, deterministic integer arithmetic
+    * across JVMs. Compressed audio (mp3/aac/ogg) has no JDK codec and
+    * sheds like corrupt bytes; samples stream through a bounded buffer,
+    * never a whole-file array.
+    */
+  private def decodeAudio(id: Long, payload: Array[Byte]): Option[Row] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val frames = ais.getFrameLength
+        val channels = fmt.getChannels
+        val ok = (enc == Encoding.PCM_SIGNED || enc == Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16) && channels > 0 && fmt.getSampleRate > 0 &&
+          frames >= 0 && frames * channels <= MaxDecodeSamples
+        if (!ok) None
+        else {
+          val bytesPerSample = bits / 8
+          val hist = new Array[Long](8)
+          val buf = new Array[Byte](math.max(fmt.getFrameSize, 1) * 1024)
+          var total = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + bytesPerSample <= read) {
+              val amp =
+                if (bits == 16) {
+                  val s =
+                    if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+                    else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+                  math.abs(s.toInt)
+                } else {
+                  val s = if (enc == Encoding.PCM_UNSIGNED) (buf(i) & 0xFF) - 128
+                          else buf(i).toInt
+                  math.abs(s) << 8
+                }
+              hist(math.min(7, amp >> 12)) += 1L
+              total += 1L
+              i += bytesPerSample
+            }
+            read = ais.read(buf)
+          }
+          if (total == 0L) None
+          else Some(Row(id, math.round(fmt.getSampleRate), frames.toInt, channels,
+            hist.map(c => (c / total.toDouble).toFloat).toSeq))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Deterministic mono 16-bit little-endian PCM WAV synthesizer (440 Hz
+    * sine at `amp`): the audio analogue of the driver testdata's
+    * synthetic documents — real RIFF/WAVE bytes for exercising the REAL
+    * decode path end-to-end (driver golden + specs) in a container with
+    * no audio files. Pure integer/double arithmetic — byte-identical on
+    * any JVM.
+    */
+  def synthWav(nFrames: Int, rate: Float, amp: Int): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp).toInt.toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** STUB decode for the payload kinds this container has no codec for
-    * (audio/video — a real implementation opens ffmpeg via JNI per
-    * partition) and for text payloads, where the driver's oracle replays
-    * this exact formula. The stub derives (width, height, channels, 8-dim
-    * feature) deterministically from the bytes so the pipeline is testable
-    * end-to-end.
+    * (compressed audio and video — a real implementation opens ffmpeg via
+    * JNI per partition) and for text payloads, where the driver's oracle
+    * replays this exact formula. The stub derives (width, height,
+    * channels, 8-dim feature) deterministically from the bytes so the
+    * pipeline is testable end-to-end.
     */
   private def decodeStub(id: Long, payload: Array[Byte]): Row = {
     val n = payload.length
@@ -159,6 +257,7 @@ object Multimodal {
           // otherwise NPE and fail the job
           if (payload == null) None
           else if (mime != null && mime.startsWith("image/")) decodeImage(id, payload)
+          else if (mime != null && mime.startsWith("audio/")) decodeAudio(id, payload)
           else Some(decodeStub(id, payload))
         }
       }

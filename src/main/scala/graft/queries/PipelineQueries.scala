@@ -639,11 +639,46 @@ object PipelineQueries {
       .orderBy("id", "frame_idx")
   }
 
+  /** The REAL audio decode path (javax.sound.sampled, WAV/PCM) through
+    * the driver gate: one deterministic synthesized WAV per document
+    * (frame count and amplitude derived from doc_id), decoded
+    * distributed, summarized as totals + an integer-quantized feature
+    * digest. DuckDB cannot parse RIFF containers, so this pins a golden
+    * (the vamana_graph convention): the synth is pure arithmetic and the
+    * decoder is header-driven integer math, so the digest is
+    * byte-stable across JVMs — any drift in the RIFF writer, the
+    * sample parser, or the histogram flips it. Regenerate after an
+    * intentional change via `python3 tools/check_oracle.py
+    * /root/testdata/sf0.01 /tmp/v multimodal_audio`.
+    */
+  val multimodalAudio = NamedQuery(
+    "multimodal_audio",
+    """SELECT CAST(500 AS BIGINT) AS n_rows, CAST(497500 AS BIGINT) AS total_frames,
+      |'486e51998e3d986a5cb58c2b9a00848e' AS digest""".stripMargin) { (s, d) =>
+    val synth = udf { (id: Long) =>
+      Multimodal.synthWav(
+        nFrames = 500 + (id % 100).toInt * 10, rate = 8000f,
+        amp = 2000 + (id % 8).toInt * 4000)
+    }
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"), synth(col("doc_id")), "audio/wav")
+    Multimodal.decode(payloads)
+      .select(col("id"), col("height"),
+        concat_ws(":", col("id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("feature"),
+            f => round(f * 1000000f).cast("long")))).as("_row"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("height")).cast("long").as("total_frames"),
+        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
     pipelineCuration, annKnnJoin, annMatryoshka, annIvfGrid, annIvfPruned,
     annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
-    multimodalDecode, multimodalFeatures, multimodalFrames)
+    multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio)
 }

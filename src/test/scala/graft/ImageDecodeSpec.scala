@@ -51,6 +51,56 @@ class ImageDecodeSpec extends SparkSuite {
     assert(decoded.forall(r => math.abs(r.getSeq[Float](4).sum - 1f) < 1e-5))
   }
 
+  /** Deterministic WAV: `n` mono 16-bit little-endian PCM frames at
+    * `rate` Hz, sample i = amp·sin(2π·440·i/rate).
+    */
+  private def wav(n: Int, rate: Float, amp: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp).toInt.toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV bytes decode via javax.sound.sampled: rate, frames, amplitude histogram") {
+    val rows = Seq(
+      (1L, wav(8000, 8000f, 16000)), // 1 s @ 8 kHz; |amp| ≤ 16000 → bins 0..3
+      (2L, wav(400, 16000f, 0)))     // silence → all mass in bin 0
+    val payloads = Multimodal.withPayload(
+      rows.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "audio/wav")
+    val decoded = Multimodal.decode(payloads).collect().sortBy(_.getLong(0))
+    assert(decoded.length == 2)
+    val r1 = decoded(0)
+    assert(r1.getInt(1) == 8000, "width = sample rate")
+    assert(r1.getInt(2) == 8000, "height = frame count")
+    assert(r1.getInt(3) == 1, "mono")
+    val f1 = r1.getSeq[Float](4)
+    assert(f1.length == 8 && math.abs(f1.sum - 1f) < 1e-5)
+    assert(f1.drop(4).forall(_ == 0f), s"16000-amp sine stays in bins 0..3: $f1")
+    assert(f1(3) > 0f, s"sine peaks reach bin 3: $f1")
+    val f2 = decoded(1).getSeq[Float](4)
+    assert(f2(0) == 1f, s"silence is all bin 0: $f2")
+  }
+
+  test("non-PCM / corrupt audio payloads are shed like corrupt images") {
+    val mixed = Seq(
+      (1L, wav(100, 8000f, 1000)),
+      (2L, "definitely not a WAV".getBytes("UTF-8")))
+    val asAudio = Multimodal.withPayload(
+      mixed.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "audio/wav")
+    assert(Multimodal.decode(asAudio).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("corrupt image payloads are shed, not failed; non-image mimes keep the stub") {
     val mixed = Seq(
       (1L, png(4, 4, 0, 0, 50)),
