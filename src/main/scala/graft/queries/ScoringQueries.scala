@@ -156,6 +156,50 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  /** The TRAINED quality classifier (fastText-style logistic regression
+    * over hashed n-grams, operators/Classifier.scala) through the driver
+    * gate: 50 full-batch gradient steps against a PLANTED frequency
+    * signal — y = (the token 'spark' occurs ≥ 2 times), 233/500 positive.
+    * The synthetic corpus shares one word pool across its lang/source
+    * columns (neither is content-separable), so the gate instead requires
+    * the model to RECOVER a known vocabulary-frequency signal from the
+    * hashed TF features — which is precisely the evidence a real quality
+    * classifier consumes. Every document is then scored by the learned
+    * weights. DuckDB cannot
+    * replay iterative gradient descent, so this pins a golden (the
+    * bpe_merges convention) — legitimate because training is a pure
+    * function of the corpus: ordered-fold dot products, per-row DECIMAL
+    * rounding before the order-free gradient sum, driver-side updates
+    * (ClassifierSpec's bit-equality law). Any drift in hashing, the fold,
+    * the gradient arithmetic, or the update flips the digest. Regenerate
+    * via `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
+    * text_classifier`.
+    */
+  val textClassifier = NamedQuery(
+    "text_classifier",
+    """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(233 AS BIGINT) AS n_label_pos,
+      |CAST(206 AS BIGINT) AS n_pred_pos, CAST(417 AS BIGINT) AS n_correct,
+      |'35df80abc7c581b463f4159a7222ceb7' AS digest""".stripMargin) { (s, d) =>
+    val buckets = 1024
+    val feats = graft.operators.Classifier.hashedFeatures(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        size(filter(graft.operators.Dedup.tokens(col("text")),
+          t => t === "spark")) >= 2, buckets)
+      .localCheckpoint()
+    val w = graft.operators.Classifier.trainLogReg(feats, buckets, iters = 50, lr = 400.0)
+    graft.operators.Classifier.scoreLogReg(feats, w)
+      .select(col("id"), col("y"), col("score"),
+        (col("score") >= 0.5).cast("long").as("pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_label_pos"),
+        sum(col("pred")).cast("long").as("n_pred_pos"),
+        sum(when(col("pred") === col("y").cast("long"), 1L).otherwise(0L))
+          .as("n_correct"),
+        md5(concat_ws("|", sort_array(collect_list(concat_ws(":",
+          col("id"), round(col("score") * 1000000d).cast("long")))))).as("digest"))
+  }
+
   /** The DSIR pipeline's CTE chain ending in `w(id, n_feats, log_weight)`
     * over the raw (non-target) documents — shared by text_dsir_weight and
     * sample_dsir_topk so the two oracles replay the identical model.
@@ -390,5 +434,5 @@ object ScoringQueries {
   val all: Seq[NamedQuery] =
     Seq(textLmScore, textBigramLm, textCcnetBucket, textCcnetServed,
       textDsirWeight, sampleDsirTopk, textPii, textGopher, textC4Clean,
-      q8StreamScore)
+      textClassifier, q8StreamScore)
 }
