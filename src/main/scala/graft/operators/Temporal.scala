@@ -35,7 +35,10 @@ object Temporal {
     *
     * `tiebreak` (an integral right column) orders right rows sharing an
     * exact timestamp (the max tiebreak value wins), making the result
-    * deterministic under any partition layout.
+    * deterministic under any partition layout. The determinism contract
+    * assumes (key, ts, tiebreak) identifies a right row — tiebreak is
+    * normally a unique event id; two FULLY identical sort keys with
+    * different payloads would leave the window's pick arbitrary.
     *
     * Left rows ride through the union as a NATIVE struct of their own
     * columns, mirroring the `_r` payload struct — lossless for every

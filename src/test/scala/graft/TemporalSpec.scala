@@ -73,6 +73,29 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("asofJoin equals the brute-force reference on randomized event sets") {
+    val rnd = new scala.util.Random(42)
+    def t(): Timestamp = new Timestamp(
+      1700000000000L + rnd.nextInt(100000).toLong * 1000L + rnd.nextInt(1000))
+    for (round <- 1 to 5) {
+      // rid is unique per right row — the realistic tiebreak (an event id),
+      // which is also the operator's determinism contract at equal ts
+      val rights = (0 until 60).map(i => (rnd.nextInt(4).toLong, t(), i.toLong, rnd.nextDouble()))
+      val lefts = (0 until 80).map(i => (1000L + i, rnd.nextInt(4).toLong, t()))
+      val out = Temporal.asofJoin(
+          lefts.toDF("lid", "user", "ts"), rights.toDF("user", "ts", "rid", "rv"),
+          "user", "ts", "rid", Seq("rid", "rv"))
+        .select("lid", "asof_rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expect = lefts.map { case (lid, u, lts) =>
+        val cands = rights.filter(r => r._1 == u && !r._2.after(lts))
+        lid -> (if (cands.isEmpty) -1L
+                else cands.maxBy(r => (r._2.getTime, r._3))._3)
+      }.toMap
+      assert(out == expect, s"randomized round $round diverged from brute force")
+    }
+  }
+
   test("asofJoin result is partition-layout independent") {
     val a = Temporal.asofJoin(left.repartition(7), right.repartition(5),
         "user", "ts", "rid", Seq("rid", "rv"))
