@@ -375,4 +375,26 @@ object Graft {
   def apply(spark: SparkSession, root: String): Graft = new Graft(spark, root)
   def apply(spark: SparkSession, root: String, plan: graft.store.UserPlan): Graft =
     new Graft(spark, root, plan)
+
+  /** Multi-tenancy (reference docs/concepts/multi-tenancy.md): tenants
+    * share one storage root but every collection is namespaced under the
+    * tenant's user id — "the collection name is prefixed with the User
+    * ID", which is EXACTLY the reference's own isolation mechanism (it
+    * stores nothing about the user beyond the id on each request). Two
+    * tenants can hold same-named collections without interference, and
+    * each tenant's [[graft.store.UserPlan]] quotas are enforced
+    * independently — the per-request `X-User-Plan` header's programmatic
+    * equivalent. The id is path-validated (it becomes a directory
+    * segment): a hostile "../other" cannot escape into another tenant's
+    * namespace.
+    */
+  def forTenant(
+      spark: SparkSession, root: String, userId: String,
+      plan: graft.store.UserPlan = graft.store.UserPlan()): Graft = {
+    require(userId.nonEmpty && userId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"user id must be [A-Za-z0-9_-]+ (got '$userId') — it becomes a " +
+        "storage directory segment")
+    new Graft(spark, s"$root/$userId", plan)
+  }
 }

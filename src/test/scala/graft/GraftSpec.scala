@@ -181,6 +181,33 @@ class GraftSpec extends SparkSuite {
     assert(after.head == "n1", s"patched graph must serve the new nearest point: $after")
   }
 
+  test("multi-tenancy: same-named collections isolated per tenant, quotas independent") {
+    val root = Files.createTempDirectory("graft_mt_").toString
+    val a = Graft.forTenant(spark, root, "tenant-a")
+    val b = Graft.forTenant(spark, root, "tenant-b",
+      graft.store.UserPlan(maxCollections = 1))
+    val schema = IndexSchema("v" -> Integer)
+    a.createCollection("c", schema, Seq(("1", 10L)).toDF("_id", "v"))
+    b.createCollection("c", schema, Seq(("1", 99L)).toDF("_id", "v"))
+    // same name, fully isolated data
+    def q = """{"query": {"property": "v",
+              |  "integer": {"operator": "greaterThanOrEquals", "value": 0}},
+              | "select": ["v"], "limit": 10}""".stripMargin
+    assert(a.search("c", q).select("v").as[Long].collect().toSeq == Seq(10L))
+    assert(b.search("c", q).select("v").as[Long].collect().toSeq == Seq(99L))
+    assert(a.listCollections() == Seq("c") && b.listCollections() == Seq("c"))
+    // tenant-b's 1-collection plan binds b only; a is unaffected
+    intercept[IllegalArgumentException] {
+      b.createCollection("c2", schema, Seq(("1", 1L)).toDF("_id", "v"))
+    }
+    a.createCollection("c2", schema, Seq(("1", 1L)).toDF("_id", "v"))
+    assert(a.listCollections().sorted == Seq("c", "c2"))
+    // a hostile id cannot escape into another tenant's directory
+    intercept[IllegalArgumentException] {
+      Graft.forTenant(spark, root, "../tenant-a")
+    }
+  }
+
   test("index patch targets the ids the store committed, not a re-evaluated source") {
     val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
     db.createCollection("docs", IndexSchema("t" -> Text()),
