@@ -56,6 +56,25 @@ final class Graft(spark: SparkSession, root: String,
       writeLocks.remove(name)
     }
 
+  /** Snapshot a collection (reference shard Backup semantics: frequency-
+    * gated, newest-`keep` retention). Safe against concurrent writes —
+    * the store takes the snapshot under the collection write lock.
+    */
+  def backup(name: String, keep: Int = 2, minIntervalSeconds: Long = 0L): Option[Long] =
+    store.backup(name, keep, minIntervalSeconds)
+
+  /** Snapshot ids for `name`, oldest → newest. */
+  def backups(name: String): Seq[Long] = store.backups(name)
+
+  /** Roll a collection back to snapshot `seq`; the cached view (and its
+    * index blocks) retire like any other write.
+    */
+  def restore(name: String, seq: Long): Unit =
+    withWriteLock(name) {
+      store.restore(name, seq)
+      evict(name)
+    }
+
   def collection(name: String): Collection = {
     // NOT computeIfAbsent: store.load flushes the WAL (file I/O + Spark
     // jobs), far too slow to run while holding a CHM bin lock — unrelated

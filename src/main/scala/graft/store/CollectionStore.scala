@@ -137,7 +137,100 @@ final class CollectionStore(
     val r = Paths.get(root)
     if (!Files.exists(r)) Nil
     else listPaths(r).filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).sorted
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")) // .backups (and future dot-dirs) are not collections
+      .sorted
+  }
+
+  // ---- backup / restore (reference shard.go Backup → utils/backup.go) -----
+  //
+  // The reference snapshots each shard's bbolt file as timestamped
+  // `.backup` siblings, frequency-gated, keeping the newest N. The
+  // directory-store equivalent: a consistent recursive copy of the
+  // collection dir (base + delta log + WAL pending + schema + index
+  // artifacts) under `<root>/.backups/<name>/<seq>/`, taken under the
+  // collection's write lock — pending WAL files copy as-is and replay on
+  // restore exactly like crash recovery. Copies are driver-side file I/O
+  // (the artifact is parquet already; no Spark job) — at cluster scale the
+  // same sequence runs against the object store's copy API.
+
+  /** Snapshot `name` if the newest backup is older than
+    * `minIntervalSeconds` (0 = always). Keeps the newest `keep`
+    * snapshots. Returns the new snapshot's sequence id, or None when
+    * frequency-gated. `nowSeconds` is injectable so tests (and
+    * deterministic pipelines) control the clock.
+    */
+  def backup(
+      name: String, keep: Int = 2, minIntervalSeconds: Long = 0L,
+      nowSeconds: () => Long = () => System.currentTimeMillis() / 1000L): Option[Long] = {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
+    withCollLock(name) {
+      val src = Paths.get(root, name)
+      require(Files.exists(src), s"collection $name does not exist")
+      val bdir = Paths.get(root, ".backups", name)
+      Files.createDirectories(bdir)
+      val existing = listPaths(bdir).filter(Files.isDirectory(_))
+        .map(_.getFileName.toString.toLong).sorted
+      val now = nowSeconds()
+      if (existing.nonEmpty && now - existing.last < minIntervalSeconds) None
+      else {
+        // monotone sequence even under a clock that stands still
+        val seq = math.max(now, existing.lastOption.map(_ + 1).getOrElse(Long.MinValue))
+        val tmp = bdir.resolve(s".tmp_$seq")
+        if (Files.exists(tmp)) deleteTree(tmp)
+        copyTree(src, tmp)
+        Files.move(tmp, bdir.resolve(seq.toString),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // retention AFTER the publish: a failed copy never costs a backup
+        val all = existing :+ seq
+        all.dropRight(keep).foreach(s => deleteTree(bdir.resolve(s.toString)))
+        Some(seq)
+      }
+    }
+  }
+
+  /** Snapshot sequence ids for `name`, oldest → newest. */
+  def backups(name: String): Seq[Long] = {
+    val bdir = Paths.get(root, ".backups", name)
+    if (!Files.exists(bdir)) Nil
+    else listPaths(bdir).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).filterNot(_.startsWith("."))
+      .map(_.toLong).sorted
+  }
+
+  /** Replace `name`'s live state with snapshot `seq` — the crash-recovery
+    * path run deliberately: the snapshot's WAL pending files replay on
+    * the next read exactly as after a crash. The snapshot itself is kept
+    * (a restore is not a consume).
+    */
+  def restore(name: String, seq: Long): Unit = withCollLock(name) {
+    val snap = Paths.get(root, ".backups", name, seq.toString)
+    require(Files.exists(snap), s"no backup $seq for collection $name")
+    // same cache teardown as drop(): nothing of the pre-restore state may
+    // keep serving
+    clearDeltaCache(name)
+    reapRetired(name)
+    baseCache.remove(name)
+    Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
+    liveIdMirrors.remove(name)
+    pendingOps.remove(name)
+    val dir = Paths.get(root, name)
+    if (Files.exists(dir)) deleteTree(dir)
+    copyTree(snap, dir)
+  }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = Files.walk(src)
+    val paths = try s.iterator().asScala.toSeq finally s.close()
+    paths.foreach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else {
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
   }
 
   /** W1 — all-or-nothing batch insert. */
