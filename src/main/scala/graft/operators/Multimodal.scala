@@ -17,8 +17,15 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` for the JDK-native container formats
   * (WAV/AIFF/AU carrying 8/16-bit PCM): sample rate / frame count /
   * channels from the header plus an 8-bin amplitude-histogram feature.
-  * Compressed audio (mp3/aac/ogg) and video remain STUBBED — this
-  * container ships no codec libraries — behind `decodeStub`, a
+  * VIDEO payloads (a `video/` mime) decode for REAL for the one
+  * multi-frame format the JDK ships a codec for — animated GIF via the
+  * same `javax.imageio` registry (`getNumImages`/`read(i)`): frame
+  * count, per-frame rasters, and a luminance histogram aggregated
+  * across every frame; [[frameExtract]] emits one row per sampled
+  * DECODED frame (true keyframe-style sampling, not byte offsets).
+  * Compressed audio (mp3/aac/ogg) and compressed video (h264/vp9)
+  * remain STUBBED — this container ships no external codec
+  * libraries — behind `decodeStub`, a
   * deterministic function of the payload bytes. Everything around the
   * codecs is real and tested: the
   * schema contract, the mapPartitions batching shape (decoder state
@@ -214,6 +221,236 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Accumulate the Rec. 601 luminance histogram of one decoded frame
+    * into `hist` (row-bulk getRGB, same integer weights as decodeImage);
+    * returns the frame's pixel count.
+    */
+  private def accumLuminance(img: java.awt.image.BufferedImage, hist: Array[Long]): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        hist(lum >> 5) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    w.toLong * h
+  }
+
+  /** Real multi-frame video decode for the one container the JDK has a
+    * codec for (animated GIF — the `javax.imageio` GIF reader exposes
+    * every frame through `getNumImages(true)` / `read(i)`). Mapping onto
+    * [[DecodedSchema]]: width/height from frame 0, channels = frame
+    * COUNT (the video analogue of audio's height = frame count; raster
+    * band count is fixed by the format), feature = normalized 8-bin
+    * luminance histogram aggregated over EVERY frame's pixels. The
+    * hostile-file budget sums per-frame header dimensions across frames
+    * BEFORE any raster is allocated — a decompression bomb declaring
+    * 10k frames of 4k×4k sheds like corrupt bytes.
+    */
+  private def decodeVideo(id: Long, payload: Array[Byte]): Option[Row] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false) // seekable: getNumImages needs to scan
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            // header-only budget pass — no raster memory yet
+            var totalPx = 0L
+            var i = 0
+            var ok = true
+            while (ok && i < n) {
+              val w = reader.getWidth(i)
+              val h = reader.getHeight(i)
+              if (w <= 0 || h <= 0) ok = false
+              else { totalPx += w.toLong * h; i += 1 }
+            }
+            if (!ok || totalPx == 0L || totalPx > MaxDecodePixels) None
+            else {
+              val hist = new Array[Long](8)
+              var pixels = 0L
+              i = 0
+              while (i < n) { pixels += accumLuminance(reader.read(i), hist); i += 1 }
+              Some(Row(id, reader.getWidth(0), reader.getHeight(0), n,
+                hist.map(c => (c / pixels.toDouble).toFloat).toSeq))
+            }
+          }
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Deterministic animated-GIF synthesizer (the video analogue of
+    * [[synthWav]]): `nFrames` gray frames of `w`×`h`, frame f pixel
+    * (x,y) = gray `(x*7 + y*13 + f*phase) % 256`, written through the
+    * JDK's own GIF sequence writer (`prepareWriteSequence` /
+    * `writeToSequence`) — real multi-frame GIF bytes, pure integer
+    * arithmetic, byte-stable on a fixed JDK.
+    */
+  def synthGif(nFrames: Int, w: Int, h: Int, phase: Int): Array[Byte] = {
+    require(nFrames > 0 && w > 0 && h > 0, s"bad gif dims ($nFrames, $w, $h)")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = (x * 7 + y * 13 + f * phase) % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic two-tone PNG synthesizer (the image analogue of
+    * [[synthWav]]/[[synthGif]]): `w`×`h`, the first `split` pixels
+    * (row-major) at gray `loGray`, the rest at `hiGray`, through the
+    * JDK's own PNG writer — real IHDR/IDAT bytes, pure integer
+    * arithmetic.
+    */
+  def synthPng(w: Int, h: Int, split: Int, loGray: Int, hiGray: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad png dims ($w, $h)")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val g = if (i < split) loGray else hiGray
+      img.setRGB(i % w, i / w, (g << 16) | (g << 8) | g)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame_sha", StringType)))
+
+  /** REAL frame extraction: every `stride`-th DECODED frame of each
+    * multi-frame payload (animated GIF via ImageIO) becomes one output
+    * row with its raster dims and an md5 over the frame's Rec. 601
+    * luminance bytes (row-major — codec-independent pixel identity,
+    * where hashing the compressed bytes would tie the digest to LZW
+    * details). Payloads no reader accepts, or past the pixel budget,
+    * shed exactly like [[decode]]'s corrupt files. Partition-batched:
+    * the codec registry is consulted per payload, rasters are decoded
+    * and released one frame at a time — memory is one frame, not one
+    * video. [[frameSample]] remains the byte-stride STUB for formats
+    * with no JDK codec.
+    */
+  def frameExtract(payloads: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive (got $stride)")
+    val spark = payloads.sparkSession
+    val rdd = payloads.select(col("id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Iterator.empty
+          else {
+            try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) { iis.close(); Iterator.empty }
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis, false)
+                  val n = reader.getNumImages(true)
+                  var totalPx = 0L
+                  var i = 0
+                  var ok = n > 0
+                  while (ok && i < n) {
+                    val w = reader.getWidth(i)
+                    val h = reader.getHeight(i)
+                    if (w <= 0 || h <= 0) ok = false
+                    else { totalPx += w.toLong * h; i += 1 }
+                  }
+                  if (!ok || totalPx > MaxDecodePixels) Iterator.empty
+                  else {
+                    val out = Seq.newBuilder[Row]
+                    var f = 0
+                    var idx = 0
+                    while (f < n) {
+                      val img = reader.read(f)
+                      val w = img.getWidth
+                      val h = img.getHeight
+                      val lum = new Array[Byte](w * h)
+                      val rowBuf = new Array[Int](w)
+                      var y = 0
+                      while (y < h) {
+                        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                        var x = 0
+                        while (x < w) {
+                          val rgb = rowBuf(x)
+                          lum(y * w + x) = ((((rgb >> 16) & 0xFF) * 299 +
+                            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      md.reset()
+                      val sha = md.digest(lum).map(b => f"$b%02x").mkString
+                      out += Row(id, idx, w, h, sha)
+                      idx += 1
+                      f += stride
+                    }
+                    out.result().iterator
+                  }
+                } finally {
+                  reader.dispose()
+                  iis.close()
+                }
+              }
+            } catch {
+              case _: java.io.IOException | _: RuntimeException => Iterator.empty
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, FrameSchema)
+  }
+
   /** STUB decode for the payload kinds this container has no codec for
     * (compressed audio and video — a real implementation opens ffmpeg via
     * JNI per partition) and for text payloads, where the driver's oracle
@@ -236,8 +473,10 @@ object Multimodal {
 
   /** Partition-batched decode: one decoder per partition, rows streamed
     * through it (no per-row init, no driver collect). Routes on the meta
-    * mime: an `image/` mime decodes for real through ImageIO (undecodable rows
-    * dropped); other mimes run the deterministic stub. ImageIO's reader
+    * mime: `image/` decodes for real through ImageIO, `audio/` through
+    * javax.sound.sampled, `video/` through the multi-frame ImageIO path
+    * (undecodable rows dropped); other mimes run the deterministic
+    * stub. ImageIO's reader
     * registry is per-JVM — the per-partition "open" is the registry
     * lookup each payload's signature performs.
     */
@@ -258,6 +497,7 @@ object Multimodal {
           if (payload == null) None
           else if (mime != null && mime.startsWith("image/")) decodeImage(id, payload)
           else if (mime != null && mime.startsWith("audio/")) decodeAudio(id, payload)
+          else if (mime != null && mime.startsWith("video/")) decodeVideo(id, payload)
           else Some(decodeStub(id, payload))
         }
       }
@@ -325,7 +565,110 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
-  /** Resize stub: metadata-only transform (a real impl rewrites pixels);
+  /** REAL pixel resize for image payloads: decode via ImageIO, box-filter
+    * downscale so `max(width, height) <= maxDim` (aspect preserved,
+    * ceil'd like [[resizeStub]]), re-encode PNG, refresh the meta struct
+    * from the new bytes. The filter is explicit integer accumulation —
+    * each input pixel bins into output cell `(x*tw/w, y*th/h)` and cells
+    * average their bins per channel — NOT Graphics2D rendering, so the
+    * output bytes are a pure function of the input raster (goldens stay
+    * byte-stable; a uniform image resizes to exactly itself). Images
+    * already inside the cap pass through BYTE-IDENTICAL (no decode+
+    * re-encode churn — at 100 TB most of a crawl is already small), and
+    * payloads no reader accepts shed like [[decode]]'s corrupt files.
+    * Partition-batched with one-frame memory, same as the decoders.
+    */
+  def resizeImage(payloads: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive (got $maxDim)")
+    val spark = payloads.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val rdd = payloads.select(col("id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def meta(bytes: Array[Byte]): Row = {
+          md.reset()
+          Row("image/png", bytes.length.toLong,
+            md.digest(bytes).map(b => f"$b%02x").mkString)
+        }
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) None
+          else try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); None }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val w = reader.getWidth(0)
+                val h = reader.getHeight(0)
+                if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+                else if (w <= maxDim && h <= maxDim)
+                  Some(Row(id, payload, meta(payload))) // pass-through, no re-encode
+                else {
+                  val img = reader.read(0)
+                  val scale = math.min(maxDim.toDouble / w, maxDim.toDouble / h)
+                  // ceil + clamp: the resizeStub contract, double rounding
+                  // can put w*scale one ulp above maxDim
+                  val tw = math.min(math.ceil(w * scale).toInt, maxDim)
+                  val th = math.min(math.ceil(h * scale).toInt, maxDim)
+                  val sumR = new Array[Long](tw * th)
+                  val sumG = new Array[Long](tw * th)
+                  val sumB = new Array[Long](tw * th)
+                  val cnt = new Array[Long](tw * th)
+                  val rowBuf = new Array[Int](w)
+                  var y = 0
+                  while (y < h) {
+                    img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                    // oy/ox via long multiply: x*tw overflows Int only past
+                    // 2^31/tw pixels wide, but the long form is free here
+                    val oy = (y.toLong * th / h).toInt
+                    var x = 0
+                    while (x < w) {
+                      val cell = oy * tw + (x.toLong * tw / w).toInt
+                      val rgb = rowBuf(x)
+                      sumR(cell) += (rgb >> 16) & 0xFF
+                      sumG(cell) += (rgb >> 8) & 0xFF
+                      sumB(cell) += rgb & 0xFF
+                      cnt(cell) += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val out = new java.awt.image.BufferedImage(
+                    tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var cell = 0
+                  while (cell < tw * th) {
+                    val n = math.max(cnt(cell), 1L)
+                    out.setRGB(cell % tw, cell / tw,
+                      (((sumR(cell) / n).toInt) << 16) |
+                        (((sumG(cell) / n).toInt) << 8) | (sumB(cell) / n).toInt)
+                    cell += 1
+                  }
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(out, "png", bos)
+                  val bytes = bos.toByteArray
+                  Some(Row(id, bytes, meta(bytes)))
+                }
+              } finally {
+                reader.dispose()
+                iis.close()
+              }
+            }
+          } catch { case _: java.io.IOException | _: RuntimeException => None }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize stub: metadata-only transform over already-DECODED frames
+    * ([[resizeImage]] is the real pixel path over payloads);
     * keeps the contract that resize changes meta, not identity.
     */
   def resizeStub(decoded: DataFrame, maxDim: Int): DataFrame = {

@@ -674,11 +674,80 @@ object PipelineQueries {
         md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
   }
 
+  /** The REAL video decode path (multi-frame animated GIF via ImageIO)
+    * through the driver gate: one deterministic synthesized GIF per
+    * document (frame count / dims / phase derived from doc_id), frames
+    * extracted DECODED (stride 2 exercises sampling), summarized as
+    * totals + an order-free digest over (id, frame_idx, dims,
+    * luminance-sha) rows. DuckDB cannot parse GIF/LZW, so this pins a
+    * golden (the multimodal_audio convention): the synthesizer is pure
+    * integer arithmetic through the JDK's own GIF sequence writer and
+    * the digest hashes DECODED luminance bytes, so any drift in the
+    * writer, the LZW round-trip, or the frame sampler flips it.
+    * Regenerate after an intentional change via
+    * `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v multimodal_video`.
+    */
+  val multimodalVideo = NamedQuery(
+    "multimodal_video",
+    """SELECT CAST(500 AS BIGINT) AS n_payloads, CAST(1400 AS BIGINT) AS total_frames,
+      |'de21ac88bf0e5cf4ae534723e687483e' AS digest""".stripMargin) { (s, d) =>
+    val synth = udf { (id: Long) =>
+      Multimodal.synthGif(
+        nFrames = 3 + (id % 5).toInt, w = 16 + (id % 8).toInt, h = 12,
+        phase = 17 + (id % 3).toInt * 31)
+    }
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"), synth(col("doc_id")), "video/gif")
+    Multimodal.frameExtract(payloads, stride = 2)
+      .select(concat_ws(":", col("id"), col("frame_idx"), col("width"),
+        col("height"), col("frame_sha")).as("_row"), col("id"))
+      .agg(
+        countDistinct(col("id")).as("n_payloads"),
+        count(lit(1)).as("total_frames"),
+        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+  }
+
+  /** The REAL pixel-resize path through the driver gate: one
+    * deterministic two-tone PNG per document (dims/split from doc_id,
+    * every width past the 32 cap), box-filter downscaled by
+    * Multimodal.resizeImage, then DECODED AGAIN — the digest hashes the
+    * round-tripped rasters (dims + quantized luminance histogram), so
+    * any drift in the PNG writer, the box filter, or the decoder flips
+    * it. Pinned golden (the multimodal_audio/video convention — DuckDB
+    * cannot parse PNG). Regenerate after an intentional change via
+    * `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v multimodal_resize`.
+    */
+  val multimodalResize = NamedQuery(
+    "multimodal_resize",
+    """SELECT CAST(500 AS BIGINT) AS n_rows, CAST(303840 AS BIGINT) AS total_px,
+      |'3f1d08f9100550ade8044dfed59a9268' AS digest""".stripMargin) { (s, d) =>
+    val synth = udf { (id: Long) =>
+      val w = 40 + (id % 32).toInt
+      val h = 24 + (id % 16).toInt
+      Multimodal.synthPng(w, h, split = (id % 7).toInt * w * h / 7,
+        loGray = 30, hiGray = 220)
+    }
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"), synth(col("doc_id")), "image/png")
+    Multimodal.decode(Multimodal.resizeImage(payloads, maxDim = 32))
+      .select(col("id"), (col("width") * col("height")).cast("long").as("px"),
+        concat_ws(":", col("id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("feature"),
+            f => round(f * 1000000f).cast("long")))).as("_row"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("px")).as("total_px"),
+        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
     pipelineCuration, annKnnJoin, annMatryoshka, annIvfGrid, annIvfPruned,
     annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
-    multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio)
+    multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
+    multimodalVideo, multimodalResize)
 }

@@ -85,6 +85,19 @@ object ScaleSmoke {
       graft.operators.Multimodal.featureExtract(
         graft.operators.Multimodal.withPayload(
           docs, col("doc_id"), col("text"), "image/fake"), dim = 32).count())
+    // video frame extraction: synth + multi-frame decode are per-row work
+    // (no shuffle at all) — linear by construction, this row watches the
+    // per-payload codec cost stay flat as the corpus grows
+    val synthGif = udf { (id: Long) =>
+      graft.operators.Multimodal.synthGif(
+        nFrames = 3 + (id % 5).toInt, w = 16 + (id % 8).toInt, h = 12,
+        phase = 17 + (id % 3).toInt * 31)
+    }
+    time("video frame extract (gif decode)")(
+      graft.operators.Multimodal.frameExtract(
+        graft.operators.Multimodal.withPayload(
+          docs.select(col("doc_id")), col("doc_id"), synthGif(col("doc_id")),
+          "video/gif"), stride = 2).count())
     time("unigram LM score (fit + score)")(
       TextAnalysis.lmScore(docs, col("doc_id"), col("text")).count())
     time("dsir weights (target = src0)")(

@@ -114,6 +114,103 @@ class ImageDecodeSpec extends SparkSuite {
     assert(Multimodal.decode(asText).count() == 2)
   }
 
+  test("animated GIF frames extract DECODED via ImageIO: count, dims, distinct digests") {
+    val rows = Seq(
+      (1L, Multimodal.synthGif(nFrames = 5, w = 16, h = 12, phase = 17)),
+      (2L, Multimodal.synthGif(nFrames = 1, w = 8, h = 8, phase = 0)))
+    val payloads = Multimodal.withPayload(
+      rows.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "video/gif")
+    val frames = Multimodal.frameExtract(payloads, stride = 1).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => (k, v.sortBy(_.getInt(1))) }
+    assert(frames(1L).length == 5, "every frame of the 5-frame gif extracts")
+    assert(frames(2L).length == 1)
+    assert(frames(1L).forall(r => r.getInt(2) == 16 && r.getInt(3) == 12), "raster dims")
+    assert(frames(1L).map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3, 4), "contiguous frame_idx")
+    // phase 17 moves the gradient each frame → every frame's pixel content differs
+    assert(frames(1L).map(_.getString(4)).distinct.length == 5, "per-frame digests differ")
+    // phase 0: a single frame hashes deterministically across calls
+    val again = Multimodal.frameExtract(payloads, stride = 1).collect()
+      .filter(_.getLong(0) == 2L).head.getString(4)
+    assert(again == frames(2L).head.getString(4), "digest is deterministic")
+  }
+
+  test("frameExtract stride samples every stride-th decoded frame") {
+    val payloads = Multimodal.withPayload(
+      Seq((7L, Multimodal.synthGif(nFrames = 6, w = 10, h = 10, phase = 31)))
+        .toDF("doc_id", "bytes"),
+      col("doc_id"), col("bytes"), "video/gif")
+    val all = Multimodal.frameExtract(payloads, stride = 1).collect().sortBy(_.getInt(1))
+    val sampled = Multimodal.frameExtract(payloads, stride = 2).collect().sortBy(_.getInt(1))
+    assert(sampled.length == 3, "6 frames at stride 2 → frames 0,2,4")
+    // sampled frame k is source frame 2k — digests must line up exactly
+    assert(sampled.map(_.getString(4)).toSeq ==
+      Seq(all(0), all(2), all(4)).map(_.getString(4)))
+  }
+
+  test("corrupt video payloads shed; video mime through decode() aggregates all frames") {
+    val rows = Seq(
+      (1L, Multimodal.synthGif(nFrames = 4, w = 6, h = 6, phase = 13)),
+      (2L, "definitely not a GIF".getBytes("UTF-8")))
+    val payloads = Multimodal.withPayload(
+      rows.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "video/gif")
+    assert(Multimodal.frameExtract(payloads, 1).select("id").distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    val decoded = Multimodal.decode(payloads).collect()
+    assert(decoded.length == 1, "corrupt video sheds through decode too")
+    val r = decoded.head
+    assert(r.getInt(1) == 6 && r.getInt(2) == 6, "dims from frame 0")
+    assert(r.getInt(3) == 4, "channels = frame count for video")
+    val f = r.getSeq[Float](4)
+    assert(f.length == 8 && math.abs(f.sum - 1f) < 1e-5, s"histogram normalizes: $f")
+  }
+
+  test("resizeImage: box-filter downscale caps dims, preserves aspect and uniform color") {
+    val rows = Seq(
+      (1L, png(80, 60, 0, 0, 100)),   // 80×60 uniform gray 100 → 32×24
+      (2L, png(10, 10, 0, 0, 200)))   // already inside the cap → byte-identical
+    val payloads = Multimodal.withPayload(
+      rows.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "image/png")
+    val resized = Multimodal.resizeImage(payloads, maxDim = 32).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val decoded = Multimodal.decode(
+      Multimodal.resizeImage(payloads, maxDim = 32)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(decoded(1L).getInt(1) == 32 && decoded(1L).getInt(2) == 24,
+      "80×60 at cap 32 → 32×24 (aspect preserved)")
+    // box average of a uniform raster is exactly the same gray → bin 3 only
+    val f1 = decoded(1L).getSeq[Float](4)
+    assert(f1(3) == 1f, s"uniform gray 100 survives resize exactly: $f1")
+    assert(java.util.Arrays.equals(
+      resized(2L).getAs[Array[Byte]](1), rows(1)._2),
+      "image already inside the cap passes through byte-identical")
+    // meta struct refreshed from the ACTUAL output bytes
+    resized.values.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      val meta = r.getStruct(2)
+      assert(meta.getLong(1) == bytes.length.toLong, "meta.n_bytes matches payload")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(meta.getString(2) == md.digest(bytes).map(b => f"$b%02x").mkString,
+        "meta.sha matches payload")
+    }
+    // corrupt bytes shed, not failed
+    val corrupt = Multimodal.withPayload(
+      Seq((9L, "not a PNG".getBytes("UTF-8"))).toDF("doc_id", "bytes"),
+      col("doc_id"), col("bytes"), "image/png")
+    assert(Multimodal.resizeImage(corrupt, 32).count() == 0)
+  }
+
+  test("resizeImage halving a two-tone split keeps the tone boundary proportions") {
+    // top half gray 40, bottom half gray 240: after a 2× downscale every
+    // output pixel still comes from ONE tone (box cells never straddle the
+    // boundary at even dims) → histogram stays exactly 50/50
+    val payloads = Multimodal.withPayload(
+      Seq((1L, png(64, 64, 64 * 32, 40, 240))).toDF("doc_id", "bytes"),
+      col("doc_id"), col("bytes"), "image/png")
+    val f = Multimodal.decode(Multimodal.resizeImage(payloads, maxDim = 32))
+      .collect().head.getSeq[Float](4)
+    assert(f(1) == 0.5f && f(7) == 0.5f, s"two-tone proportions survive: $f")
+  }
+
   test("decoded image features feed knnJoin: nearest neighbor = nearest exposure") {
     // 11 images along an exposure gradient: image i has i² of its 100
     // pixels dark (bin 1) and the rest bright (bin 6). Quadratic spacing
