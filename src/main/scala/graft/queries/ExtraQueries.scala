@@ -54,5 +54,44 @@ object ExtraQueries {
     Search.searchJson(TestCollections.parts(s, d), json)
   }
 
-  val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest)
+  /** The co-located bucketed-join path end-to-end through the driver
+    * gate: documents and embeddings are each written ONCE as bucketed
+    * external tables hashed on their id (graft.operators.Bucketing),
+    * then joined and aggregated through the catalog — the join itself
+    * is exchange-free (BucketingSpec machine-asserts zero
+    * ShuffleExchange on this exact shape; the driver gate proves the
+    * answer matches a plain DuckDB join, i.e. co-location changed the
+    * plan, not the semantics). Table names are unique per run so
+    * concurrent Verify/Bench invocations sharing a session can't
+    * collide; the temp data dir is deleted by the OS tempdir policy.
+    */
+  val q12BucketedJoin = NamedQuery(
+    "q12_bucketed_join",
+    """SELECT d.source, e.label, count(*) AS n, sum(d.n_chars) AS chars
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.source, e.label
+      |ORDER BY d.source, e.label""".stripMargin) { (s, d) =>
+    import graft.operators.Bucketing
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+    val docsT = s"graft_docs_$tag"
+    val embT = s"graft_emb_$tag"
+    Bucketing.writeBucketed(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      docsT, s"$base/docs", key = "doc_id", numBuckets = 8)
+    Bucketing.writeBucketed(
+      Tables.embeddings(s, d).select("vec_id", "label"),
+      embT, s"$base/emb", key = "vec_id", numBuckets = 8)
+    val out = s.table(docsT)
+      .join(s.table(embT), col("doc_id") === col("vec_id"))
+      .groupBy("source", "label")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("source", "label")
+      // materialize BEFORE dropping the catalog entries the plan reads
+      .localCheckpoint(true)
+    Bucketing.drop(s, docsT, embT)
+    out
+  }
+
+  val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin)
 }
