@@ -93,5 +93,32 @@ object ExtraQueries {
     out
   }
 
-  val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin)
+  /** The skew-salted join end-to-end through the driver gate, on a
+    * GENUINELY skewed key: `documents.source` has a handful of distinct
+    * values over the whole corpus, so the unsalted join shuffles every
+    * document of a source to one reducer. SkewJoin.salted spreads each
+    * source across 8 salt sub-keys (right side replicated 8×), and the
+    * oracle replays the PLAIN join in DuckDB — salting must change the
+    * distribution, never the answer.
+    */
+  val q13SaltedJoin = NamedQuery(
+    "q13_salted_join",
+    """SELECT d.doc_id, d.source, s.n_docs, d.n_chars
+      |FROM documents d
+      |JOIN (SELECT source, count(*) AS n_docs FROM documents GROUP BY source) s
+      |  ON d.source = s.source
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.SkewJoin
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy(col("source").as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    SkewJoin.salted(
+      docs.select("doc_id", "source", "n_chars"), stats,
+      leftKey = "source", rightKey = "src", salts = 8)
+      .select("doc_id", "source", "n_docs", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
+    q13SaltedJoin)
 }
