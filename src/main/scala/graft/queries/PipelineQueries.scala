@@ -742,6 +742,57 @@ object PipelineQueries {
         md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
   }
 
+  /** The REAL image-decode path under a TRUE cross-engine oracle (no
+    * pinned golden): each document synthesizes a two-tone gray PNG whose
+    * decoded luminance histogram is CLOSED-FORM — PNG is lossless and
+    * Rec. 601 luminance of gray g is exactly g ((299+587+114)/1000·g),
+    * so bin(lo) holds exactly `split` of the w·h pixels and bin(hi) the
+    * rest — arithmetic DuckDB replays from doc_id alone. The compare is
+    * on INTEGER per-bin pixel counts recovered from the normalized
+    * float histogram (`round(frac·w·h)`: float error ≤ n·2⁻²⁴ ≪ ½, so
+    * recovery is exact — fraction-level compare would double-round
+    * through the decimal(28,6) step and flip a last digit). Any defect
+    * in the PNG writer, the ImageIO reader, the header budget, or the
+    * histogram shifts a count and the hash breaks — the analytic
+    * complement to multimodal_audio/video's digest goldens.
+    */
+  val multimodalDecodePng = NamedQuery(
+    "multimodal_decode_png",
+    """WITH dims AS (
+      |  SELECT doc_id AS id,
+      |    8 + doc_id % 16 AS w, 6 + doc_id % 8 AS h,
+      |    (doc_id * 37) % ((8 + doc_id % 16) * (6 + doc_id % 8)) AS split
+      |  FROM documents)
+      |SELECT id, w AS width, h AS height, 3 AS channels, bin, px
+      |FROM (
+      |  SELECT id, w, h, 0 AS bin, split AS px FROM dims
+      |  UNION ALL
+      |  SELECT id, w, h, 6 AS bin, w * h - split AS px FROM dims)
+      |-- decode drops nothing here (every payload is a valid PNG), but a
+      |-- zero-mass bin has no row in the exploded Spark output either
+      |WHERE px > 0
+      |ORDER BY id, bin""".stripMargin) { (s, d) =>
+    val synth = udf { (id: Long) =>
+      val w = 8 + (id % 16).toInt
+      val h = 6 + (id % 8).toInt
+      Multimodal.synthPng(w, h, split = ((id * 37) % (w * h)).toInt,
+        loGray = 10, hiGray = 200) // bins 0 and 6 (g >> 5)
+    }
+    val payloads = Multimodal.withPayload(
+      Tables.documents(s, d).select(col("doc_id")),
+      col("doc_id"), synth(col("doc_id")), "image/png")
+    Multimodal.decode(payloads)
+      .select(col("id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        posexplode(col("feature")))
+      .filter(col("col") > 0f)
+      .select(col("id"), col("width"), col("height"), col("channels"),
+        col("pos").cast("int").as("bin"),
+        round(col("col") * col("width") * col("height")).cast("long").as("px"))
+      .orderBy("id", "bin")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
@@ -749,5 +800,5 @@ object PipelineQueries {
     annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
-    multimodalVideo, multimodalResize)
+    multimodalVideo, multimodalResize, multimodalDecodePng)
 }
