@@ -793,6 +793,30 @@ object PipelineQueries {
       .orderBy("id", "bin")
   }
 
+  /** One-pass heavy hitters by count–min sketch under a TRUE exact
+    * oracle: at width 2²⁰ over this corpus's vocabulary the head
+    * estimates are collision-free in at least one of the 4 hash rows,
+    * so the sketch's top-10 EQUALS the exact top-10 DuckDB computes —
+    * and because the sketch hashes are fixed-seed xxhash64 (pure
+    * function of the corpus multiset), the equality is deterministic:
+    * verified once, it holds every run. What the gate proves at sf0.01
+    * is the ALGORITHM (bucketing, min-over-rows, tie-break); what holds
+    * it at 100 TB is the shape — the sketch pass shuffles ≤ depth×width
+    * cells regardless of corpus size, where exact counting shuffles the
+    * vocabulary.
+    */
+  val sketchHeavyHitters = NamedQuery(
+    "sketch_heavy_hitters",
+    s"""WITH tok AS (SELECT unnest($rawToksSql) AS item FROM documents)
+       |SELECT item, count(*) AS est
+       |FROM tok GROUP BY item
+       |ORDER BY est DESC, item ASC LIMIT 10""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("item"))
+    graft.operators.Sketches.heavyHitters(
+      toks, col("item"), width = 1 << 20, depth = 4, k = 10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
@@ -800,5 +824,5 @@ object PipelineQueries {
     annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
-    multimodalVideo, multimodalResize, multimodalDecodePng)
+    multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters)
 }
