@@ -71,6 +71,27 @@ class SketchSpec extends SparkSuite {
     assert(a == b, "sketch must be a pure function of the corpus multiset")
   }
 
+  test("randomized: one-sided law and per-row mass hold on arbitrary corpora") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val items = (0 until n).map(_ => s"w${rnd.nextInt(30 + rnd.nextInt(40))}")
+      val df = items.toDF("it")
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val (w, dep) = (8 + rnd.nextInt(56), 1 + rnd.nextInt(4))
+      val sketch = Sketches.countMinSketch(df, col("it"), w, dep)
+      val est = Sketches.cmsEstimate(sketch, df, col("it"), w, dep)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.keySet == exact.keySet, s"seed=$seed candidates")
+      exact.foreach { case (k, v) =>
+        assert(est(k) >= v, s"seed=$seed: under-count at $k (${est(k)} < $v)")
+      }
+      val mass = sketch.groupBy("d").agg(sum("cnt")).collect()
+        .map(_.getLong(1)).distinct.toSeq
+      assert(mass == Seq(n.toLong), s"seed=$seed mass $mass != $n")
+    }
+  }
+
   test("composes with the shared tokenizer over real documents") {
     val docs = Tables.documents(spark, sf0001)
     val toks = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))

@@ -51,6 +51,26 @@ class SkewJoinSpec extends SparkSuite {
       s"salt distribution too lopsided: $perSalt")
   }
 
+  test("randomized: salted equals plain join on arbitrary key distributions") {
+    // the asofJoin convention: brute-force equality on seeded random data,
+    // a few Spark jobs, not per-case generation
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val keys = (0 until 40).map(i => s"k${rnd.nextInt(12)}") :+ null
+      val l = (0 until 300).map(i => (keys(rnd.nextInt(keys.length)), rnd.nextLong()))
+        .toDF("k", "v")
+      val r = (0 until 60).map(i => (keys(rnd.nextInt(keys.length)), rnd.nextDouble()))
+        .toDF("rk", "w")
+      for (how <- Seq("inner", "left_outer")) {
+        val plain = l.join(r.withColumnRenamed("rk", "k"), Seq("k"), how)
+          .select("k", "v", "w").collect().map(_.toString).sorted
+        val salted = SkewJoin.salted(l, r, "k", "rk", salts = 5, how = how)
+          .select("k", "v", "w").collect().map(_.toString).sorted
+        assert(salted.sameElements(plain), s"seed=$seed how=$how diverged")
+      }
+    }
+  }
+
   test("salts=1 degenerates to the plain join; guards reject bad shapes") {
     val one = SkewJoin.salted(left, right, "k", "rk", salts = 1)
       .select("k", "v", "w").collect().map(_.toString).sorted
