@@ -63,4 +63,21 @@ object Bucketing {
     */
   def drop(spark: SparkSession, tables: String*): Unit =
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+
+  /** Directory-partitioned parquet layout — the complement to hash
+    * bucketing for LOW-cardinality predicate columns (day, event type,
+    * tenant): `partitionBy` encodes the column into the directory tree,
+    * so a filter on it prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan — zero files of the excluded
+    * partitions are opened, vs row-group min/max skipping which still
+    * reads footers). At 100 TB this is the difference between scanning
+    * one day and listing a year. Keep partition columns at directory
+    * cardinality (≤ thousands): a high-cardinality partition column
+    * shatters the table into millions of small files — that's what
+    * bucketing is for.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -119,6 +119,31 @@ object ExtraQueries {
       .orderBy("doc_id")
   }
 
+  /** Directory-partitioned layout end-to-end through the driver gate:
+    * events are rewritten partitioned by event_type
+    * (Bucketing.writePartitioned), re-read with a partition filter —
+    * which prunes to ONE directory at planning time (BucketingSpec
+    * asserts the plan) — and aggregated; the oracle replays the same
+    * filter+aggregate over the ORIGINAL unpartitioned parquet in
+    * DuckDB, proving the layout round-trip changed the file tree, not
+    * the data.
+    */
+  val q14PartitionPruned = NamedQuery(
+    "q14_partition_pruned",
+    s"""SELECT user_id % 16 AS ub, count(*) AS n, ${sqlDsum("value")} AS sum_v
+       |FROM events WHERE event_type = 'click'
+       |GROUP BY user_id % 16
+       |ORDER BY ub""".stripMargin) { (s, d) =>
+    import graft.operators.Bucketing
+    val base = java.nio.file.Files.createTempDirectory("graft_partitioned_").toString
+    Bucketing.writePartitioned(Tables.events(s, d), s"$base/events", "event_type")
+    s.read.parquet(s"$base/events")
+      .filter(col("event_type") === "click")
+      .groupBy((col("user_id") % 16).as("ub"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .orderBy("ub")
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
-    q13SaltedJoin)
+    q13SaltedJoin, q14PartitionPruned)
 }

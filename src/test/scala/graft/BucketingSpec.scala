@@ -98,6 +98,29 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("directory-partitioned write prunes partitions at planning time") {
+    val base = tmp()
+    val df = (0 until 600).map(i => (i.toLong, s"t${i % 3}", i * 1.5))
+      .toDF("id", "kind", "v")
+    Bucketing.writePartitioned(df, s"$base/events", "kind")
+    val back = spark.read.parquet(s"$base/events")
+    val q = back.filter(col("kind") === "t1")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("kind#"),
+      s"kind filter must reach PartitionFilters:\n$scan")
+    // the pruned scan reads only t1's directory: of the 3 kind=…
+    // partitions on disk, exactly 1 survives planning
+    val counts = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(counts == Seq(1), s"pruned scan must keep 1 of 3 partitions: $counts")
+    assert(q.count() == 200)
+    // a non-partition filter does NOT prune (it data-filters instead)
+    val unpruned = back.filter(col("v") > 100)
+    assert(unpruned.count() == df.filter(col("v") > 100).count())
+  }
+
   test("groupBy on the bucket key aggregates without a shuffle") {
     val base = tmp()
     val df = (0L until 500L).map(i => (i % 50, i)).toDF("k", "v")
