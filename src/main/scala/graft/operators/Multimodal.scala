@@ -588,9 +588,9 @@ object Multimodal {
     val rdd = payloads.select(col("id").cast("long"), col("payload")).rdd
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def meta(bytes: Array[Byte]): Row = {
+        def meta(bytes: Array[Byte], mime: String): Row = {
           md.reset()
-          Row("image/png", bytes.length.toLong,
+          Row(mime, bytes.length.toLong,
             md.digest(bytes).map(b => f"$b%02x").mkString)
         }
         rows.flatMap { r =>
@@ -610,7 +610,10 @@ object Multimodal {
                 val h = reader.getHeight(0)
                 if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
                 else if (w <= maxDim && h <= maxDim)
-                  Some(Row(id, payload, meta(payload))) // pass-through, no re-encode
+                  // pass-through keeps the ORIGINAL bytes — report their
+                  // actual container, not the re-encode target
+                  Some(Row(id, payload, meta(payload,
+                    "image/" + reader.getFormatName.toLowerCase(java.util.Locale.ROOT))))
                 else {
                   val img = reader.read(0)
                   val scale = math.min(maxDim.toDouble / w, maxDim.toDouble / h)
@@ -654,7 +657,7 @@ object Multimodal {
                   val bos = new java.io.ByteArrayOutputStream()
                   javax.imageio.ImageIO.write(out, "png", bos)
                   val bytes = bos.toByteArray
-                  Some(Row(id, bytes, meta(bytes)))
+                  Some(Row(id, bytes, meta(bytes, "image/png")))
                 }
               } finally {
                 reader.dispose()

@@ -187,6 +187,8 @@ class ImageDecodeSpec extends SparkSuite {
     resized.values.foreach { r =>
       val bytes = r.getAs[Array[Byte]](1)
       val meta = r.getStruct(2)
+      assert(meta.getString(0) == "image/png",
+        "both branches report the real container (PNG in, PNG out)")
       assert(meta.getLong(1) == bytes.length.toLong, "meta.n_bytes matches payload")
       val md = java.security.MessageDigest.getInstance("MD5")
       assert(meta.getString(2) == md.digest(bytes).map(b => f"$b%02x").mkString,
