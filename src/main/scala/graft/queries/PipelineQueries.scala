@@ -817,6 +817,59 @@ object PipelineQueries {
       toks, col("item"), width = 1 << 20, depth = 4, k = 10)
   }
 
+  /** HLL cardinality profiling under a TOLERANCE contract oracle: Spark
+    * computes both the exact distinct count and the HyperLogLog++
+    * estimate (`approx_count_distinct`, rsd 2%) and emits exact + a
+    * within-5% flag; DuckDB replays the exact count and asserts the
+    * flag is true. The estimate itself never crosses engines (HLL
+    * internals are implementation-specific) — what's gated is the
+    * CONTRACT: if Spark's sketch ever drifts past the tolerance, the
+    * flag flips and the hash breaks. At 100 TB the estimate is the only
+    * affordable side (fixed ~kB of state per group vs a distinct
+    * shuffle); the exact column exists here because the gate needs a
+    * cross-engine ground truth.
+    */
+  val sketchCardinality = NamedQuery(
+    "sketch_cardinality",
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("_est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("_est") - col("n_exact")) <= col("n_exact") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  /** Quantile-sketch profiling: cross-engine EXACT interpolated medians
+    * (Spark `percentile` vs DuckDB `quantile_cont` — the same
+    * (1−g)·a + g·b formula over the same doubles) plus a rank-band
+    * contract on the sketch (`percentile_approx`, accuracy 100): the
+    * estimate must land between the exact p±5% quantiles. The sketch is
+    * the at-scale side — bounded state per group, one pass — and the
+    * band flag breaks the gate if its rank error ever exceeds spec.
+    */
+  val sketchQuantiles = NamedQuery(
+    "sketch_quantiles",
+    """SELECT event_type,
+      |  CAST(round(CAST(quantile_cont(value, 0.5) AS DECIMAL(28,6)), 4) AS DOUBLE) AS p50_r,
+      |  CAST(round(CAST(quantile_cont(value, 0.9) AS DECIMAL(28,6)), 4) AS DOUBLE) AS p90_r,
+      |  true AS ok50, true AS ok90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))").as("_ex"),
+        expr("percentile_approx(value, array(0.5, 0.9), 100)").as("_ap"))
+      .select(col("event_type"),
+        dround(col("_ex")(1), 4).as("p50_r"),
+        dround(col("_ex")(4), 4).as("p90_r"),
+        (col("_ap")(0) >= col("_ex")(0) && col("_ap")(0) <= col("_ex")(2)).as("ok50"),
+        (col("_ap")(1) >= col("_ex")(3) && col("_ap")(1) <= col("_ex")(5)).as("ok90"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
@@ -824,5 +877,6 @@ object PipelineQueries {
     annIvfPqFixed,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
-    multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters)
+    multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
+    sketchCardinality, sketchQuantiles)
 }
