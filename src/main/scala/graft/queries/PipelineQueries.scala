@@ -870,6 +870,34 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** The STREAMING sketch face (seventh streaming surface): the exact
+    * same `countMinSketch` aggregation runs over a real Structured
+    * Stream of the events table in complete mode — a (d, bucket) count
+    * is precisely the bounded state a stream can maintain forever,
+    * which is the operational point of sketches — then the landed
+    * sketch serves batch-side top-10 estimation. Same TRUE oracle as
+    * sketch_heavy_hitters: at width 2²⁰ the head estimates are
+    * collision-free, so DuckDB's exact per-user counts replay the
+    * stream+sketch pipeline end-to-end. SketchSpec separately asserts
+    * the streamed sketch is cell-identical to the batch sketch.
+    */
+  val q15StreamSketch = NamedQuery(
+    "q15_stream_sketch",
+    """WITH it AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events)
+      |SELECT item, count(*) AS est FROM it GROUP BY item
+      |ORDER BY est DESC, item ASC LIMIT 10""".stripMargin) { (s, d) =>
+    import graft.operators.Sketches
+    val sketch = graft.streaming.EventsStream.runAsStream(s, d,
+      ev => Sketches.countMinSketch(
+        ev.select(col("user_id").cast("string").as("item")),
+        col("item"), width = 1 << 20, depth = 4),
+      outputMode = "complete")
+    val candidates = Tables.events(s, d).select(col("user_id").cast("string").as("item"))
+    Sketches.cmsEstimate(sketch, candidates, col("item"), width = 1 << 20, depth = 4)
+      .orderBy(col("est").desc, col("item"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
@@ -878,5 +906,5 @@ object PipelineQueries {
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
-    sketchCardinality, sketchQuantiles)
+    sketchCardinality, sketchQuantiles, q15StreamSketch)
 }

@@ -92,6 +92,20 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("sketch aggregation runs unchanged under Structured Streaming") {
+    def items(ev: org.apache.spark.sql.DataFrame) =
+      ev.select(col("user_id").cast("string").as("item"))
+    val batch = Sketches.countMinSketch(
+      items(Tables.events(spark, sf0001)), col("item"), 1024, 4)
+      .orderBy("d", "bucket").collect().toSeq
+    val streamed = graft.streaming.EventsStream.runAsStream(spark, sf0001,
+      ev => Sketches.countMinSketch(items(ev), col("item"), 1024, 4),
+      outputMode = "complete")
+      .orderBy("d", "bucket").collect().toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed sketch must be cell-identical to batch (${streamed.length} vs ${batch.length} cells)")
+  }
+
   test("composes with the shared tokenizer over real documents") {
     val docs = Tables.documents(spark, sf0001)
     val toks = docs.select(explode(Dedup.tokens(col("text"))).as("tok"))
