@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
   * count, per-frame rasters, and a luminance histogram aggregated
   * across every frame; [[frameExtract]] emits one row per sampled
   * DECODED frame (true keyframe-style sampling, not byte offsets).
-  * Compressed audio (mp3/aac/ogg) and compressed video (h264/vp9)
-  * remain STUBBED — this container ships no external codec
-  * libraries — behind `decodeStub`, a
-  * deterministic function of the payload bytes. Everything around the
-  * codecs is real and tested: the
+  * Media mimes (`image/`, `audio/`, `video/`) always route to the real
+  * decoders, and payloads their JDK codec can't parse — corrupt bytes
+  * AND compressed formats with no JDK codec (mp3/aac/h264/vp9; this
+  * container ships no external codec libraries) — are SHED, the way a
+  * production pipeline drops undecodable files. Non-media mimes run
+  * `decodeStub`, a deterministic function of the payload bytes that
+  * keeps the downstream plumbing testable end-to-end. Everything
+  * around the codecs is real and tested: the
   * schema contract, the mapPartitions batching shape (decoder state
   * initialized once per partition, rows streamed through it), and the
   * partitioning story (payloads hash-partition by id; decoded features
@@ -245,18 +248,18 @@ object Multimodal {
     w.toLong * h
   }
 
-  /** Real multi-frame video decode for the one container the JDK has a
-    * codec for (animated GIF — the `javax.imageio` GIF reader exposes
-    * every frame through `getNumImages(true)` / `read(i)`). Mapping onto
-    * [[DecodedSchema]]: width/height from frame 0, channels = frame
-    * COUNT (the video analogue of audio's height = frame count; raster
-    * band count is fixed by the format), feature = normalized 8-bin
-    * luminance histogram aggregated over EVERY frame's pixels. The
-    * hostile-file budget sums per-frame header dimensions across frames
-    * BEFORE any raster is allocated — a decompression bomb declaring
-    * 10k frames of 4k×4k sheds like corrupt bytes.
+  /** Shared multi-frame reader plumbing for [[decodeVideo]] and
+    * [[frameExtract]]: resolve a reader from the byte signature, count
+    * frames, run the header-only budget pass (per-frame dims summed
+    * across frames BEFORE any raster is allocated — a decompression
+    * bomb declaring 10k frames of 4k×4k sheds like corrupt bytes), then
+    * hand `(reader, frameCount)` to `f`. Returns None for bytes no
+    * reader accepts, a zero-frame/degenerate header, or a busted
+    * budget; always disposes the reader. Keeping this in ONE place is
+    * what keeps decode() and frameExtract shedding the same payloads.
     */
-  private def decodeVideo(id: Long, payload: Array[Byte]): Option[Row] =
+  private def withFrameReader[A](payload: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int) => A): Option[A] =
     try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -269,7 +272,6 @@ object Multimodal {
           val n = reader.getNumImages(true)
           if (n <= 0) None
           else {
-            // header-only budget pass — no raster memory yet
             var totalPx = 0L
             var i = 0
             var ok = true
@@ -280,14 +282,7 @@ object Multimodal {
               else { totalPx += w.toLong * h; i += 1 }
             }
             if (!ok || totalPx == 0L || totalPx > MaxDecodePixels) None
-            else {
-              val hist = new Array[Long](8)
-              var pixels = 0L
-              i = 0
-              while (i < n) { pixels += accumLuminance(reader.read(i), hist); i += 1 }
-              Some(Row(id, reader.getWidth(0), reader.getHeight(0), n,
-                hist.map(c => (c / pixels.toDouble).toFloat).toSeq))
-            }
+            else Some(f(reader, n))
           }
         } finally {
           reader.dispose()
@@ -295,6 +290,29 @@ object Multimodal {
         }
       }
     } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Real multi-frame video decode for the one container the JDK has a
+    * codec for (animated GIF — the `javax.imageio` GIF reader exposes
+    * every frame through `getNumImages(true)` / `read(i)`). Mapping onto
+    * [[DecodedSchema]]: width/height from frame 0, channels = frame
+    * COUNT (the video analogue of audio's height = frame count; raster
+    * band count is fixed by the format), feature = normalized 8-bin
+    * luminance histogram aggregated over EVERY frame's pixels.
+    * Frames are the STORED rasters: an encoder-optimized GIF stores
+    * inter-frame patches (smaller rects + disposal), and those patches
+    * are what's histogrammed — compositing the display surface is a
+    * renderer concern this pipeline deliberately skips (the synthetic
+    * corpus and most crawl GIFs store full frames).
+    */
+  private def decodeVideo(id: Long, payload: Array[Byte]): Option[Row] =
+    withFrameReader(payload) { (reader, n) =>
+      val hist = new Array[Long](8)
+      var pixels = 0L
+      var i = 0
+      while (i < n) { pixels += accumLuminance(reader.read(i), hist); i += 1 }
+      Row(id, reader.getWidth(0), reader.getHeight(0), n,
+        hist.map(c => (c / pixels.toDouble).toFloat).toSeq)
+    }
 
   /** Deterministic animated-GIF synthesizer (the video analogue of
     * [[synthWav]]): `nFrames` gray frames of `w`×`h`, frame f pixel
@@ -367,14 +385,16 @@ object Multimodal {
   /** REAL frame extraction: every `stride`-th DECODED frame of each
     * multi-frame payload (animated GIF via ImageIO) becomes one output
     * row with its raster dims and an md5 over the frame's Rec. 601
-    * luminance bytes (row-major — codec-independent pixel identity,
-    * where hashing the compressed bytes would tie the digest to LZW
-    * details). Payloads no reader accepts, or past the pixel budget,
-    * shed exactly like [[decode]]'s corrupt files. Partition-batched:
-    * the codec registry is consulted per payload, rasters are decoded
-    * and released one frame at a time — memory is one frame, not one
-    * video. [[frameSample]] remains the byte-stride STUB for formats
-    * with no JDK codec.
+    * luminance bytes (row-major — pixel identity independent of the
+    * LZW/palette encoding details, where hashing the compressed bytes
+    * would not be; frames are the STORED rasters, so an
+    * encoder-optimized GIF's inter-frame patches hash as patches — see
+    * decodeVideo's caveat). Payloads no reader accepts, or past the
+    * pixel budget, shed exactly like [[decode]]'s corrupt files (the
+    * shared [[withFrameReader]] guarantees the two shed identically).
+    * Partition-batched: rasters are decoded and released one frame at
+    * a time — memory is one frame, not one video. [[frameSample]]
+    * remains the byte-stride STUB for formats with no JDK codec.
     */
   def frameExtract(payloads: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, s"stride must be positive (got $stride)")
@@ -386,77 +406,47 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           if (payload == null) Iterator.empty
-          else {
-            try {
-              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) { iis.close(); Iterator.empty }
-              else {
-                val reader = readers.next()
-                try {
-                  reader.setInput(iis, false)
-                  val n = reader.getNumImages(true)
-                  var totalPx = 0L
-                  var i = 0
-                  var ok = n > 0
-                  while (ok && i < n) {
-                    val w = reader.getWidth(i)
-                    val h = reader.getHeight(i)
-                    if (w <= 0 || h <= 0) ok = false
-                    else { totalPx += w.toLong * h; i += 1 }
-                  }
-                  if (!ok || totalPx > MaxDecodePixels) Iterator.empty
-                  else {
-                    val out = Seq.newBuilder[Row]
-                    var f = 0
-                    var idx = 0
-                    while (f < n) {
-                      val img = reader.read(f)
-                      val w = img.getWidth
-                      val h = img.getHeight
-                      val lum = new Array[Byte](w * h)
-                      val rowBuf = new Array[Int](w)
-                      var y = 0
-                      while (y < h) {
-                        img.getRGB(0, y, w, 1, rowBuf, 0, w)
-                        var x = 0
-                        while (x < w) {
-                          val rgb = rowBuf(x)
-                          lum(y * w + x) = ((((rgb >> 16) & 0xFF) * 299 +
-                            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
-                          x += 1
-                        }
-                        y += 1
-                      }
-                      md.reset()
-                      val sha = md.digest(lum).map(b => f"$b%02x").mkString
-                      out += Row(id, idx, w, h, sha)
-                      idx += 1
-                      f += stride
-                    }
-                    out.result().iterator
-                  }
-                } finally {
-                  reader.dispose()
-                  iis.close()
+          else withFrameReader(payload) { (reader, n) =>
+            val out = Seq.newBuilder[Row]
+            var f = 0
+            var idx = 0
+            while (f < n) {
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              val lum = new Array[Byte](w * h)
+              val rowBuf = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = rowBuf(x)
+                  lum(y * w + x) = ((((rgb >> 16) & 0xFF) * 299 +
+                    ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000).toByte
+                  x += 1
                 }
+                y += 1
               }
-            } catch {
-              case _: java.io.IOException | _: RuntimeException => Iterator.empty
+              md.reset()
+              out += Row(id, idx, w, h, md.digest(lum).map(b => f"$b%02x").mkString)
+              idx += 1
+              f += stride
             }
-          }
+            out.result()
+          }.getOrElse(Seq.empty).iterator
         }
       }
     spark.createDataFrame(rdd, FrameSchema)
   }
 
-  /** STUB decode for the payload kinds this container has no codec for
-    * (compressed audio and video — a real implementation opens ffmpeg via
-    * JNI per partition) and for text payloads, where the driver's oracle
-    * replays this exact formula. The stub derives (width, height,
-    * channels, 8-dim feature) deterministically from the bytes so the
-    * pipeline is testable end-to-end.
+  /** STUB decode for NON-media mimes (text/application payloads, where
+    * the driver's oracle replays this exact formula): derives (width,
+    * height, channels, 8-dim feature) deterministically from the bytes
+    * so the pipeline is testable end-to-end. Media mimes never reach
+    * it — `decode` routes them to the real codecs, and undecodable
+    * payloads (including compressed formats a real deployment would
+    * open via an ffmpeg JNI bridge per partition) shed there instead.
     */
   private def decodeStub(id: Long, payload: Array[Byte]): Row = {
     val n = payload.length

@@ -48,7 +48,13 @@ object Sketches {
     */
   def cmsEstimate(sketch: DataFrame, candidates: DataFrame, item: Column,
       width: Int, depth: Int): DataFrame = {
-    val cand = candidates.select(item.cast("string").as("item")).distinct()
+    val cand = candidates.select(item.cast("string").as("item"))
+      // the sketch never counted nulls (countMinSketch filters them), and
+      // xxhash64(null, d) degenerates to a hash of the seed alone — an
+      // unfiltered null candidate would collide into a REAL cell and
+      // report a spurious nonzero estimate
+      .filter(col("item").isNotNull)
+      .distinct()
       .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
       .select(col("item"), col("d"),
         pmod(xxhash64(col("item"), col("d")), lit(width.toLong)).cast("int").as("bucket"))

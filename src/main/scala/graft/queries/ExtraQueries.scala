@@ -67,7 +67,13 @@ object ExtraQueries {
     */
   val q12BucketedJoin = NamedQuery(
     "q12_bucketed_join",
-    """SELECT d.source, e.label, count(*) AS n, sum(d.n_chars) AS chars
+    // CAST to BIGINT: DuckDB types a bare sum(BIGINT) as HUGEINT, which
+    // pandas renders as float64 and the checker then %.9g-truncates —
+    // fine until a group's sum reaches 10 significant digits, then a
+    // spurious hash break (the Relational q1 DECIMAL convention, exact
+    // here because char counts are integral)
+    """SELECT d.source, e.label, count(*) AS n,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS chars
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY d.source, e.label
       |ORDER BY d.source, e.label""".stripMargin) { (s, d) =>
@@ -76,21 +82,27 @@ object ExtraQueries {
     val base = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
     val docsT = s"graft_docs_$tag"
     val embT = s"graft_emb_$tag"
-    Bucketing.writeBucketed(
-      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
-      docsT, s"$base/docs", key = "doc_id", numBuckets = 8)
-    Bucketing.writeBucketed(
-      Tables.embeddings(s, d).select("vec_id", "label"),
-      embT, s"$base/emb", key = "vec_id", numBuckets = 8)
-    val out = s.table(docsT)
-      .join(s.table(embT), col("doc_id") === col("vec_id"))
-      .groupBy("source", "label")
-      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
-      .orderBy("source", "label")
-      // materialize BEFORE dropping the catalog entries the plan reads
-      .localCheckpoint(true)
-    Bucketing.drop(s, docsT, embT)
-    out
+    // finally-cleanup: a failure anywhere must not strand catalog entries
+    // in the shared session or table copies on disk (long-lived container
+    // — "OS tempdir policy" never runs)
+    try {
+      Bucketing.writeBucketed(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        docsT, s"$base/docs", key = "doc_id", numBuckets = 8)
+      Bucketing.writeBucketed(
+        Tables.embeddings(s, d).select("vec_id", "label"),
+        embT, s"$base/emb", key = "vec_id", numBuckets = 8)
+      s.table(docsT)
+        .join(s.table(embT), col("doc_id") === col("vec_id"))
+        .groupBy("source", "label")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("source", "label")
+        // materialize BEFORE the finally drops the tables the plan reads
+        .localCheckpoint(true)
+    } finally {
+      Bucketing.drop(s, docsT, embT)
+      rmTree(base)
+    }
   }
 
   /** The skew-salted join end-to-end through the driver gate, on a
@@ -136,12 +148,31 @@ object ExtraQueries {
        |ORDER BY ub""".stripMargin) { (s, d) =>
     import graft.operators.Bucketing
     val base = java.nio.file.Files.createTempDirectory("graft_partitioned_").toString
-    Bucketing.writePartitioned(Tables.events(s, d), s"$base/events", "event_type")
-    s.read.parquet(s"$base/events")
-      .filter(col("event_type") === "click")
-      .groupBy((col("user_id") % 16).as("ub"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
-      .orderBy("ub")
+    try {
+      Bucketing.writePartitioned(Tables.events(s, d), s"$base/events", "event_type")
+      s.read.parquet(s"$base/events")
+        .filter(col("event_type") === "click")
+        .groupBy((col("user_id") % 16).as("ub"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .orderBy("ub")
+        // materialize (16 rows) before the finally deletes the layout the
+        // lazy plan would otherwise scan after the caller collects
+        .localCheckpoint(true)
+    } finally rmTree(base)
+  }
+
+  /** Recursive delete for the per-run temp layouts above — the
+    * long-lived container never cleans /tmp, so every gate/bench run
+    * would otherwise leak a full table copy.
+    */
+  private def rmTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
   }
 
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,

@@ -687,15 +687,21 @@ object PipelineQueries {
     * Regenerate after an intentional change via
     * `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v multimodal_video`.
     */
+  /** The gate's per-document GIF synthesis — ONE definition shared with
+    * ScaleSmoke so the smoke benchmark measures exactly the gated
+    * workload (drifting copies would silently make its "codec cost
+    * stays flat" numbers incomparable).
+    */
+  val videoSynthGif: Long => Array[Byte] = id =>
+    Multimodal.synthGif(
+      nFrames = 3 + (id % 5).toInt, w = 16 + (id % 8).toInt, h = 12,
+      phase = 17 + (id % 3).toInt * 31)
+
   val multimodalVideo = NamedQuery(
     "multimodal_video",
     """SELECT CAST(500 AS BIGINT) AS n_payloads, CAST(1400 AS BIGINT) AS total_frames,
       |'de21ac88bf0e5cf4ae534723e687483e' AS digest""".stripMargin) { (s, d) =>
-    val synth = udf { (id: Long) =>
-      Multimodal.synthGif(
-        nFrames = 3 + (id % 5).toInt, w = 16 + (id % 8).toInt, h = 12,
-        phase = 17 + (id % 3).toInt * 31)
-    }
+    val synth = udf(videoSynthGif)
     val payloads = Multimodal.withPayload(
       Tables.documents(s, d).select(col("doc_id")),
       col("doc_id"), synth(col("doc_id")), "video/gif")

@@ -87,12 +87,9 @@ object ScaleSmoke {
           docs, col("doc_id"), col("text"), "image/fake"), dim = 32).count())
     // video frame extraction: synth + multi-frame decode are per-row work
     // (no shuffle at all) — linear by construction, this row watches the
-    // per-payload codec cost stay flat as the corpus grows
-    val synthGif = udf { (id: Long) =>
-      graft.operators.Multimodal.synthGif(
-        nFrames = 3 + (id % 5).toInt, w = 16 + (id % 8).toInt, h = 12,
-        phase = 17 + (id % 3).toInt * 31)
-    }
+    // per-payload codec cost stay flat as the corpus grows; the synth is
+    // the gate query's own definition, so this measures that workload
+    val synthGif = udf(graft.queries.PipelineQueries.videoSynthGif)
     time("video frame extract (gif decode)")(
       graft.operators.Multimodal.frameExtract(
         graft.operators.Multimodal.withPayload(

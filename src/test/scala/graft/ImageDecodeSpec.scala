@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.model.IndexKind.Metric
 import graft.operators.{Multimodal, Similarity}
-import java.awt.image.BufferedImage
 
 /** Real image decode through `javax.imageio` (JDK-native — the PNG bytes
   * here are ENCODED and DECODED by the same registry a production JVM
@@ -13,21 +12,13 @@ import java.awt.image.BufferedImage
 class ImageDecodeSpec extends SparkSuite {
   import spark.implicits._
 
-  /** Deterministic PNG: `w`×`h`, the first `split` pixels (row-major) at
-    * gray level `loGray`, the rest at `hiGray`.
+  /** Deterministic two-tone PNG — delegates to the ONE synthesizer the
+    * analytic gate oracle also assumes (multimodal_decode_png), so the
+    * spec's expectations and the gate can never drift apart on pixel
+    * layout.
     */
-  private def png(w: Int, h: Int, split: Int, loGray: Int, hiGray: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var i = 0
-    while (i < w * h) {
-      val g = if (i < split) loGray else hiGray
-      img.setRGB(i % w, i / w, (g << 16) | (g << 8) | g)
-      i += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
-    bos.toByteArray
-  }
+  private def png(w: Int, h: Int, split: Int, loGray: Int, hiGray: Int): Array[Byte] =
+    Multimodal.synthPng(w, h, split, loGray, hiGray)
 
   test("PNG bytes decode via ImageIO: raster size, bands, luminance histogram") {
     val rows = Seq(

@@ -48,6 +48,16 @@ class SketchSpec extends SparkSuite {
       "16 buckets for 103 items must collide somewhere")
   }
 
+  test("null candidates are excluded — no spurious estimate from a seed-only hash") {
+    val withNulls = (Seq.fill(100)("a") ++ Seq[String](null, null)).toDF("it")
+    // tiny width forces collisions: an unfiltered null would land in a
+    // real cell and report its count
+    val top = Sketches.heavyHitters(withNulls, col("it"), width = 4, depth = 2, k = 5)
+      .collect().map(r => Option(r.getString(0)))
+    assert(top.flatten.length == top.length && top.flatten.toSeq == Seq("a"),
+      s"null must never appear as a heavy hitter: ${top.toSeq}")
+  }
+
   test("sketch size is bounded by depth x width regardless of corpus size") {
     val sketch = Sketches.countMinSketch(corpus, col("it"), width = 16, depth = 4)
     assert(sketch.count() <= 16L * 4)
