@@ -340,8 +340,47 @@ object DedupQueries {
       .orderBy("id")
   }
 
+  /** Incremental-ingest novelty via the sharded Bloom filter: corpus =
+    * docs with doc_id % 3 <> 0, incoming batch = even doc_ids, key = the
+    * document text. The one-sided-error contract is what the oracle
+    * replays: `exact_dup` (the ground truth, an EXISTS both engines
+    * compute) and `no_false_neg` — a Bloom miss on a true duplicate is
+    * impossible by construction, so the column is identically TRUE and a
+    * filter bug flips the hash. The Bloom flag itself is fpp-probabilistic
+    * and stays out of the hash (BloomSpec pins its FP band and layout
+    * independence). Plan: corpus pays one 20-byte-per-row shuffle into
+    * bucket-sharded bit arrays; the probe is a bucket cogroup — no
+    * corpus-vs-batch key shuffle, the at-scale point of the operator.
+    */
+  val dedupBloomNovelty = NamedQuery(
+    "dedup_bloom_novelty",
+    """SELECT i.doc_id AS id,
+      |  EXISTS (SELECT 1 FROM documents c
+      |          WHERE c.doc_id % 3 <> 0 AND md5(c.text) = md5(i.text)) AS exact_dup,
+      |  TRUE AS no_false_neg
+      |FROM documents i WHERE i.doc_id % 2 = 0
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 0)
+    // expectedItems is a sizing UPPER bound (overestimating only lowers
+    // the realized fpp) — a literal here keeps query build action-free
+    val flags = graft.operators.BloomDedup.noveltyAgainst(
+      corpus, col("text"), incoming, col("doc_id"), col("text"),
+      expectedItems = 100000L, fpp = 0.001, buckets = 32)
+    val truth = incoming.alias("i")
+      .join(corpus.select(md5(col("text")).as("_k")).distinct().alias("c"),
+        md5(col("i.text")) === col("c._k"), "left")
+      .select(col("i.doc_id").as("id"), col("c._k").isNotNull.as("exact_dup"))
+    truth.join(flags, Seq("id"), "left")
+      .select(col("id"), col("exact_dup"),
+        // one-sided error law: seen covers every true duplicate
+        (col("probably_seen") || !col("exact_dup")).as("no_false_neg"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
     dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines,
-    dedupSemantic, q9StreamDedup, dedupSubstring)
+    dedupSemantic, q9StreamDedup, dedupSubstring, dedupBloomNovelty)
 }

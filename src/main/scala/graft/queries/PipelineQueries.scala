@@ -904,6 +904,29 @@ object PipelineQueries {
       .limit(10)
   }
 
+  /** RAG chunking over the whole corpus: size=64, stride=48 overlapping
+    * token windows. Chunk identity and text are pure row properties of
+    * the shared tokenizer, so DuckDB replays the FULL chunk set — ids,
+    * offsets, and reassembled chunk text. Plan: one narrow per-row
+    * explode, zero shuffles before the gate's orderBy.
+    */
+  val pipelineChunks = NamedQuery(
+    "pipeline_chunks",
+    s"""WITH tok AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT id, raw, len(raw) AS n FROM tok WHERE len(raw) > 0),
+       |x AS (SELECT id, raw, n,
+       |  CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM c),
+       |e AS (SELECT id, raw, n, unnest(range(0, nc)) AS ci FROM x)
+       |SELECT id, CAST(ci AS INT) AS chunk_id,
+       |  CAST(ci * 48 AS BIGINT) AS tok_start,
+       |  CAST(least(64, n - ci * 48) AS BIGINT) AS n_tokens,
+       |  array_to_string(raw[ci * 48 + 1 : least(ci * 48 + 64, n)], ' ') AS chunk_text
+       |FROM e ORDER BY id, chunk_id""".stripMargin) { (s, d) =>
+    graft.operators.Chunking.chunk(
+        Tables.documents(s, d), col("doc_id"), col("text"), size = 64, stride = 48)
+      .orderBy("id", "chunk_id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
@@ -912,5 +935,5 @@ object PipelineQueries {
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
-    sketchCardinality, sketchQuantiles, q15StreamSketch)
+    sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks)
 }

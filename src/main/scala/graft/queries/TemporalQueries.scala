@@ -67,5 +67,39 @@ object TemporalQueries {
       .orderBy("view_id", "click_id")
   }
 
-  val all: Seq[NamedQuery] = Seq(q10AsofJoin, q11StreamJoin)
+  /** Purchase-attribution RANGE join: every click in the 10 minutes up to
+    * each purchase, across ALL users — no equality key anywhere, the
+    * shape Spark alone would plan as a BroadcastNestedLoopJoin. Served by
+    * the bucketized equi-join (width = the 600 s window, so each interval
+    * explodes to ≤ 2 buckets); DuckDB replays the plain BETWEEN join.
+    * Timestamps compare as unix_micros longs in both engines.
+    */
+  val q16RangeJoin = NamedQuery(
+    "q16_range_join",
+    """WITH c AS (SELECT event_id, epoch_us(ts) AS v FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, epoch_us(ts) - 600000000 AS lo, epoch_us(ts) AS hi
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS point_id, p.event_id AS interval_id,
+      |  c.v AS v, p.lo AS lo, p.hi AS hi
+      |FROM c JOIN p ON c.v >= p.lo AND c.v <= p.hi
+      |ORDER BY point_id, interval_id""".stripMargin) { (s, d) =>
+    // NTZ walls are UTC by Tables.events contract; timestampdiff from the
+    // NTZ epoch is micros-since-epoch under ANY session timezone (an
+    // unix_micros(cast) round-trip would read the session zone)
+    val tus = expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), tus.as("v"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        (tus - 600000000L).as("lo"), tus.as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, col("event_id"), col("v"),
+        purchases, col("event_id"), col("lo"), col("hi"),
+        bucketWidth = 600000000L)
+      .orderBy("point_id", "interval_id")
+  }
+
+  val all: Seq[NamedQuery] = Seq(q10AsofJoin, q11StreamJoin, q16RangeJoin)
 }

@@ -324,8 +324,30 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** Best-10 documents per source by length — the per-domain quality cap,
+    * served by the bounded top-k aggregator (map-side partials of ≤ k rows
+    * per group; NO per-group row_number window, which would shuffle the
+    * whole corpus into |sources| skewed partitions). The score is the
+    * integer-exact n_chars, so DuckDB's row_number replay is bit-for-bit;
+    * CurationSpec proves window-equivalence on doubles separately.
+    */
+  val sampleTopkPerSource = NamedQuery(
+    "sample_topk_per_source",
+    """SELECT source, id, score, rank FROM (
+      |  SELECT source, doc_id AS id, CAST(n_chars AS DOUBLE) AS score,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+      |  FROM documents)
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, d) =>
+    graft.operators.Curation.topKPerGroup(
+        Tables.documents(s, d), col("source"), col("doc_id"),
+        col("n_chars").cast("double"), k = 10)
+      .select(col("group").as("source"), col("id"), col("score"), col("rank"))
+      .orderBy("source", "rank")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
-    shardAssign)
+    shardAssign, sampleTopkPerSource)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Chunking
+
+/** Hand-computed windows, the coverage/overlap laws, edge docs, input
+  * guards, and layout independence for the RAG chunker.
+  */
+class ChunkingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e f g h i j"), // 10 tokens
+    (2L, "x y z"),               // n < size -> single chunk
+    (3L, ""),                    // zero tokens -> no chunks
+    (4L, null.asInstanceOf[String]))
+    .toDF("doc_id", "text")
+
+  test("hand fixture: size=4 stride=3 over 10 tokens -> 3 chunks") {
+    val out = Chunking.chunk(docs, col("doc_id"), col("text"), 4, 3)
+      .filter($"id" === 1L).orderBy("chunk_id")
+      .select("chunk_id", "tok_start", "n_tokens", "chunk_text")
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0, 0L, 4L, "a b c d"),
+      (1, 3L, 4L, "d e f g"),
+      (2, 6L, 4L, "g h i j")))
+  }
+
+  test("short doc emits exactly one whole-doc chunk; empty/null emit none") {
+    val out = Chunking.chunk(docs, col("doc_id"), col("text"), 4, 3)
+    val short = out.filter($"id" === 2L)
+      .select("chunk_id", "tok_start", "n_tokens", "chunk_text")
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(short === Seq((0, 0L, 3L, "x y z")))
+    assert(out.filter($"id" > 2L).count() === 0)
+  }
+
+  test("coverage law: every token position is inside some chunk; overlap = size - stride") {
+    val text = (1 to 137).map(i => s"t$i").mkString(" ")
+    val one = Seq((9L, text)).toDF("doc_id", "text")
+    val out = Chunking.chunk(one, col("doc_id"), col("text"), 16, 11)
+      .orderBy("chunk_id")
+      .select("tok_start", "n_tokens").as[(Long, Long)].collect().toSeq
+    // intervals must tile [0, 137) with no gap and the last must end at 137
+    assert(out.head._1 === 0L)
+    assert(out.last._1 + out.last._2 === 137L)
+    out.sliding(2).foreach {
+      case Seq((s0, n0), (s1, _)) =>
+        assert(s1 === s0 + 11, "starts advance by stride")
+        assert(s1 < s0 + n0, "consecutive chunks overlap")
+      case _ =>
+    }
+    // no chunk is fully contained in the previous (no redundant tail)
+    assert(out.map(_._1).distinct.size === out.size)
+  }
+
+  test("exact boundary: n a multiple of stride reaching size exactly") {
+    // n = 20, size = 8, stride = 6 -> nc = ceil(12/6)+1 = 3; last covers [12,20)
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val out = Chunking.chunk(Seq((5L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 8, 6)
+      .select("chunk_id", "tok_start", "n_tokens").as[(Int, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out === Seq((0, 0L, 8L), (1, 6L, 8L), (2, 12L, 8L)))
+  }
+
+  test("guards: non-positive size, stride out of (0, size]") {
+    intercept[IllegalArgumentException](
+      Chunking.chunk(docs, col("doc_id"), col("text"), 0, 1))
+    intercept[IllegalArgumentException](
+      Chunking.chunk(docs, col("doc_id"), col("text"), 4, 0))
+    intercept[IllegalArgumentException](
+      Chunking.chunk(docs, col("doc_id"), col("text"), 4, 5))
+  }
+
+  test("layout independence: chunk set identical under repartition") {
+    val d = Tables.documents(spark, sf0001)
+    val a = Chunking.chunk(d, col("doc_id"), col("text"), 32, 24)
+    val b = Chunking.chunk(d.repartition(7, col("lang")), col("doc_id"), col("text"), 32, 24)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.count() > 0)
+  }
+}
