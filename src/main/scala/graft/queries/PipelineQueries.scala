@@ -927,6 +927,60 @@ object PipelineQueries {
       .orderBy("id", "chunk_id")
   }
 
+  /** Chunk-level BM25 retrieval — the composed RAG face: chunk the corpus
+    * (the pipeline_chunks operator), give every chunk a derivable id, and
+    * Okapi-rank CHUNKS for the query, which is what a retrieval pipeline
+    * actually serves (a long document's one relevant passage shouldn't be
+    * drowned by its length). Pure composition of two gated operators —
+    * the chunker feeds bm25 unchanged; both engines re-analyze the
+    * space-joined chunk text (an identity re-tokenization, since tokens
+    * contain no separators) and collapse scores to float32 before
+    * ranking, same as text_bm25.
+    */
+  val pipelineChunkBm25 = NamedQuery(
+    "pipeline_chunk_bm25",
+    s"""WITH tok0 AS (SELECT doc_id AS id, $rawToksSql AS raw FROM documents WHERE text IS NOT NULL),
+       |c0 AS (SELECT id, raw, len(raw) AS n FROM tok0 WHERE len(raw) > 0),
+       |x AS (SELECT id, raw, n,
+       |  CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM c0),
+       |e AS (SELECT id, raw, n, unnest(range(0, nc)) AS ci FROM x),
+       |chunks AS (
+       |  SELECT id * 100000 + ci AS cid,
+       |    array_to_string(raw[ci * 48 + 1 : least(ci * 48 + 64, n)], ' ') AS chunk_text
+       |  FROM e),
+       |tok AS (SELECT cid AS id, ${graft.functions.TextAnalyzer.sqlAnalyze("chunk_text")} AS terms FROM chunks),
+       |grouped AS (
+       |  SELECT id, len(terms) AS dl, term, count(*) AS tf
+       |  FROM (SELECT id, terms, unnest(terms) AS term FROM tok)
+       |  GROUP BY id, dl, term),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(len(terms)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM tok),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ('spark', 'filter', 'merge') GROUP BY term),
+       |ranked AS (
+       |  SELECT g.id,
+       |    CAST(sum(
+       |      ln(1 + (n - df + 0.5) / (df + 0.5))
+       |        * (CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       |    ) AS REAL) AS score32
+       |  FROM grouped g JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY g.id
+       |  ORDER BY score32 DESC, g.id ASC LIMIT 20)
+       |SELECT id,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r
+       |FROM ranked ORDER BY score_r DESC, id""".stripMargin) { (s, d) =>
+    val chunks = graft.operators.Chunking.chunk(
+        Tables.documents(s, d), col("doc_id"), col("text"), size = 64, stride = 48)
+      .select((col("id") * 100000L + col("chunk_id")).as("cid"), col("chunk_text"))
+    TextAnalysis.bm25(chunks, col("cid"), col("chunk_text"),
+        queryText = "the spark AND filter, merge!", k = 20)
+      .select(col("id"), dround(col("score32"), 4).as("score_r"))
+      .orderBy(col("score_r").desc, col("id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
@@ -935,5 +989,6 @@ object PipelineQueries {
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
-    sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks)
+    sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
+    pipelineChunkBm25)
 }

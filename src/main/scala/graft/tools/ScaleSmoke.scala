@@ -113,6 +113,21 @@ object ScaleSmoke {
     // timing should grow with the corpus pass only
     time("bpe learnMerges 16 (corpus pass + driver loop)")(
       graft.operators.Bpe.learnMerges(docs, col("text"), numMerges = 16).length)
+    // per-row explode, no shuffle — linear by construction
+    time("rag chunking (64/48 windows)")(
+      graft.operators.Chunking.chunk(docs, col("doc_id"), col("text"),
+        size = 64, stride = 48).count())
+    // build = one 20-byte-per-row shuffle into 64 shard buffers; probe =
+    // bucket cogroup — both sides linear, filter memory constant
+    time("bloom build + self-probe (sharded)")(
+      graft.operators.BloomDedup.noveltyAgainst(docs, col("text"),
+        docs, col("doc_id"), col("text"),
+        expectedItems = math.max(1L, n * 2), fpp = 0.001, buckets = 64).count())
+    // the output stays ≤ k × |sources| however big the corpus gets — the
+    // timing watches the map-side-partial scan, the ONLY part that grows
+    time("top-k per source (bounded agg)")(
+      graft.operators.Curation.topKPerGroup(docs, col("source"), col("doc_id"),
+        col("n_chars").cast("double"), k = 10).count())
 
     // as-of join over a factor-replicated events stream (disjoint users
     // per replica): one shuffle on the key, per-key ordered scan — linear
@@ -122,6 +137,11 @@ object ScaleSmoke {
     val ev = ev0.crossJoin(s.range(factor).select(col("id").as("_rep")))
       .withColumn("user_id", col("user_id") + col("_rep") * uStep)
       .withColumn("event_id", col("event_id") + col("_rep") * eStep)
+      // shift each replica into its own 40-day lane (base span ≈ 30 days):
+      // time-window operators then see constant DENSITY as the corpus
+      // grows — the keyless range join's pair count is exactly f× linear,
+      // where same-lane replication would grow it f² by densifying time
+      .withColumn("ts", expr("timestampadd(DAY, CAST(_rep * 40 AS INT), ts)"))
       .drop("_rep").persist()
     ev.count()
     val views = ev.filter(col("event_type") === "view")
@@ -133,6 +153,19 @@ object ScaleSmoke {
     time("asof join (per-key window)")(
       graft.operators.Temporal.asofJoin(views, clicks, "user_id", "ts",
         "click_id", Seq("click_id", "click_value")).count())
+    // keyless BETWEEN pairing via the bucketized equi-join — per-bucket
+    // load is time-density × width, constant under lane-shifted replicas
+    val tus = expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    val rjClicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), tus.as("v"))
+    val rjPurch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (tus - 600000000L).as("lo"), tus.as("hi"))
+    time("range join (bucketized, 10 min)")(
+      graft.operators.RangeJoin.pointInInterval(
+        rjClicks, col("event_id"), col("v"),
+        rjPurch, col("event_id"), col("lo"), col("hi"),
+        bucketWidth = 600000000L).count())
     ev.unpersist()
     // the scorers persist their shared fit frames internally; drop them
     // before the curation stages so the timings don't compete for cache
