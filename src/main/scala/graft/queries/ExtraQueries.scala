@@ -175,6 +175,46 @@ object ExtraQueries {
     }
   }
 
+  /** Z-order (Morton) clustering codes over (user_id, value) at 12 bits
+    * per dimension — the multi-dimension layout key a clustered write
+    * sorts by so min/max chunk stats prune on EVERY z-ordered column.
+    * The interleave SQL is GENERATED from the same (bit, column) loop
+    * the Spark expression uses, so the two engines cannot drift; the
+    * affine quantizer is a fixed-shape IEEE-double formula replayable
+    * from the global (min, max) pair (one bounded scalar agg, the only
+    * pre-pass).
+    */
+  val q17Zorder = {
+    val bits = 12
+    val top = (1 << bits) - 1 // 4095
+    // lockstep with Layout.zvalue: column i contributes bit b at z-bit b·n+i
+    val interleave = (for {
+      b <- 0 until bits
+      (q, i) <- Seq("q1", "q2").zipWithIndex
+    } yield s"((($q >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+    def sqlQuant(v: String, lo: String, hi: String): String =
+      s"CAST(least(greatest(coalesce(floor((CAST($v AS DOUBLE) - $lo) * $top.0 / ($hi - $lo)), 0.0), 0.0), $top.0) AS BIGINT)"
+    NamedQuery(
+      "q17_zorder",
+      s"""WITH mm AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS lo1, max(CAST(user_id AS DOUBLE)) AS hi1,
+         |         min(CAST(value AS DOUBLE)) AS lo2, max(CAST(value AS DOUBLE)) AS hi2
+         |  FROM events),
+         |q AS (
+         |  SELECT event_id,
+         |    ${sqlQuant("user_id", "lo1", "hi1")} AS q1,
+         |    ${sqlQuant("value", "lo2", "hi2")} AS q2
+         |  FROM events, mm)
+         |SELECT event_id AS id, $interleave AS z
+         |FROM q ORDER BY z, id""".stripMargin) { (s, d) =>
+      graft.operators.Layout.zorder(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          Seq(col("user_id"), col("value")), bits = bits)
+        .select(col("event_id").as("id"), col("z"))
+        .orderBy("z", "id")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
-    q13SaltedJoin, q14PartitionPruned)
+    q13SaltedJoin, q14PartitionPruned, q17Zorder)
 }
