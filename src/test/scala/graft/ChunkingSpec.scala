@@ -74,6 +74,36 @@ class ChunkingSpec extends SparkSuite {
       Chunking.chunk(docs, col("doc_id"), col("text"), 4, 5))
   }
 
+  test("randomized: matches a scalar reference chunker across (size, stride)") {
+    def refChunks(toks: Seq[String], size: Int, stride: Int): Seq[(Int, Long, Long, String)] = {
+      if (toks.isEmpty) Nil
+      else {
+        val n = toks.length
+        val nc = if (n <= size) 1 else (n - size + stride - 1) / stride + 1
+        (0 until nc).map { ci =>
+          val start = ci * stride
+          val slice = toks.slice(start, start + size)
+          (ci, start.toLong, slice.length.toLong, slice.mkString(" "))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(200)).map(j => s"w${rnd.nextInt(50)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((1, 1), (5, 2), (16, 16), (64, 48), (200, 1))) {
+      val got = Chunking.chunk(df, col("doc_id"), col("text"), size, stride)
+        .as[(Long, Int, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5)).toSeq.sortBy(_._1))
+      val want = docs.map { case (id, text) =>
+        id -> refChunks(text.split(" ").filter(_.nonEmpty).toSeq, size, stride)
+      }.filter(_._2.nonEmpty).toMap
+      assert(got.toMap.view.mapValues(_.toList).toMap ===
+        want.view.mapValues(_.toList).toMap, s"size=$size stride=$stride")
+    }
+  }
+
   test("layout independence: chunk set identical under repartition") {
     val d = Tables.documents(spark, sf0001)
     val a = Chunking.chunk(d, col("doc_id"), col("text"), 32, 24)

@@ -85,6 +85,35 @@ class LayoutSpec extends SparkSuite {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("writeZOrdered: per-file min/max spans are tight on BOTH dims") {
+    // uniform 2-D data; a single-column sort gives tight x-spans but
+    // full-range y-spans per file — the z layout must shrink y
+    // dramatically while keeping x reasonable. Measured from the files
+    // themselves (input_file_name groups = footer-stat granularity).
+    val pts = (0 until 4096).map { i => (i.toLong, (i * 2654435761L) % 4096L) }
+    val df = pts.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZOrdered(df, s"$dir/z", Seq($"x", $"y"), numFiles = 16, bits = 12)
+    df.orderBy("x").repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/flat")
+    def meanSpans(p: String): (Double, Double) = {
+      val rows = spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+        .select("sx", "sy").as[(Long, Long)].collect()
+      (rows.map(_._1).sum.toDouble / rows.length,
+        rows.map(_._2).sum.toDouble / rows.length)
+    }
+    val (zx, zy) = meanSpans(s"$dir/z")
+    val (fx, fy) = meanSpans(s"$dir/flat")
+    // x-sorted: perfect x, useless y
+    assert(fx <= 300 && fy >= 3500, s"flat spans ($fx, $fy)")
+    // z-ordered: BOTH dims well under half the domain — every file's
+    // footer stats can prune range filters on either column
+    assert(zx <= 2048 && zy <= 2048, s"z spans ($zx, $zy)")
+    Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("guards: bit budget, empty cols, non-numeric column") {
     val df = Seq((1L, "s")).toDF("a", "s")
     intercept[IllegalArgumentException](Layout.zorder(df, Seq($"a"), bits = 64))
