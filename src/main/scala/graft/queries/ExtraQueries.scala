@@ -215,6 +215,36 @@ object ExtraQueries {
     }
   }
 
+  /** Point lookups through the per-file Bloom skipping index: documents
+    * land as 16 range-partitioned files in a scratch dir, the index is
+    * built from one scan, and three id probes read ONLY the may-contain
+    * files. The row set is provably identical to the full-scan filter (a
+    * Bloom miss is definitive; the exact predicate still applies), which
+    * is exactly what the oracle replays; `skipped_some` asserts the probe
+    * touched fewer files than the table has — deterministic because the
+    * filters are pure functions of the fixed corpus. SkippingSpec
+    * measures the skipping itself (≤2 of 16 files per probe).
+    */
+  val q18BloomSkip = NamedQuery(
+    "q18_bloom_skip",
+    """SELECT doc_id AS id, lang, source, n_chars, TRUE AS skipped_some
+      |FROM documents WHERE doc_id IN (42, 123, 444)
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_skip_").toString
+    Tables.documents(s, d)
+      .repartitionByRange(16, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val idx = graft.operators.Skipping.buildIndex(
+      s, s"$dir/docs", "doc_id", expectedPerFile = 1000, fpp = 0.001)
+    val total = idx.count()
+    Seq(42L, 123L, 444L).map { id =>
+      val may = graft.operators.Skipping.filesFor(idx, lit(id))
+      graft.operators.Skipping.readPoint(s, s"$dir/docs", idx, "doc_id", id)
+        .select(col("doc_id").as("id"), col("lang"), col("source"), col("n_chars"),
+          lit(may.size < total).as("skipped_some"))
+    }.reduce(_ unionAll _).orderBy("id")
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
-    q13SaltedJoin, q14PartitionPruned, q17Zorder)
+    q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip)
 }
