@@ -84,4 +84,49 @@ object Skipping {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*).filter(col(keyName) === probe)
   }
+
+  // ---- zone maps: the RANGE complement to the Bloom point index ---------
+
+  /** Per-file (min, max) of each listed column — the zone map every
+    * columnar engine keeps per chunk, materialized as a queryable frame.
+    * One scan, one bounded row per file. Pairs with [[Layout.zorder]]:
+    * a z-clustered write makes these ranges tight on EVERY clustered
+    * dimension, so range probes on any of them skip most files.
+    */
+  def buildZoneMap(spark: SparkSession, dataPath: String,
+      keyNames: Seq[String]): DataFrame = {
+    require(keyNames.nonEmpty, "need at least one zone-map column")
+    val data = spark.read.parquet(dataPath)
+    keyNames.foreach(kn =>
+      require(data.columns.contains(kn), s"no column '$kn' in $dataPath"))
+    val aggs = keyNames.flatMap(kn =>
+      Seq(min(col(kn)).as(s"min_$kn"), max(col(kn)).as(s"max_$kn")))
+    data.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] on `keyName` intersects [lo, hi]. A file
+    * whose zone excludes the range provably holds no match.
+    */
+  def filesForRange(zoneMap: DataFrame, keyName: String,
+      lo: Column, hi: Column): Seq[String] = {
+    val spark = zoneMap.sparkSession
+    import spark.implicits._
+    zoneMap
+      .filter(col(s"max_$keyName") >= lo && col(s"min_$keyName") <= hi)
+      .select("file").as[String].collect().toSeq
+  }
+
+  /** Range scan through the zone map: open only intersecting files, with
+    * the exact BETWEEN still applied — byte-identical to the full scan.
+    */
+  def readRange(spark: SparkSession, dataPath: String, zoneMap: DataFrame,
+      keyName: String, lo: Any, hi: Any): DataFrame = {
+    val schema = spark.read.parquet(dataPath).schema
+    val t = schema(keyName).dataType
+    val (l, h) = (lit(lo).cast(t), lit(hi).cast(t))
+    val files = filesForRange(zoneMap, keyName, l, h)
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+      .filter(col(keyName) >= l && col(keyName) <= h)
+  }
 }

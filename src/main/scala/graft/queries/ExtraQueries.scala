@@ -245,6 +245,33 @@ object ExtraQueries {
     }.reduce(_ unionAll _).orderBy("id")
   }
 
+  /** Range scan through a zone map over a Z-ORDERED write: events land
+    * z-clustered on (user_id, value), the per-file (min,max) frame is
+    * built from one scan, and a user_id range probe opens only
+    * intersecting files — byte-identical to the full scan (the oracle's
+    * plain BETWEEN), with `skipped_some` proving files were pruned even
+    * though user_id is not the leading sort key (z-clustering keeps BOTH
+    * dimensions' zones tight; SkippingSpec measures the spans).
+    */
+  val q19ZonemapRange = NamedQuery(
+    "q19_zonemap_range",
+    """SELECT event_id AS id, user_id, event_type, TRUE AS skipped_some
+      |FROM events WHERE user_id >= 100 AND user_id <= 120
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_zone_").toString
+    graft.operators.Layout.writeZOrdered(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value")),
+      s"$dir/ev", Seq(col("user_id"), col("value")), numFiles = 16, bits = 12)
+    val zm = graft.operators.Skipping.buildZoneMap(s, s"$dir/ev", Seq("user_id"))
+    val total = zm.count()
+    val may = graft.operators.Skipping.filesForRange(zm, "user_id", lit(100L), lit(120L))
+    graft.operators.Skipping.readRange(s, s"$dir/ev", zm, "user_id", 100L, 120L)
+      .select(col("event_id").as("id"), col("user_id"), col("event_type"),
+        lit(may.size < total).as("skipped_some"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
-    q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip)
+    q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip, q19ZonemapRange)
 }

@@ -53,5 +53,45 @@ class SkippingSpec extends SparkSuite {
   test("guard: unknown key column is rejected") {
     intercept[IllegalArgumentException](
       Skipping.buildIndex(spark, s"$dir/docs", "nope", 1000, 0.001))
+    intercept[IllegalArgumentException](
+      Skipping.buildZoneMap(spark, s"$dir/docs", Seq("nope")))
+    intercept[IllegalArgumentException](
+      Skipping.buildZoneMap(spark, s"$dir/docs", Seq.empty))
+  }
+
+  test("zone map: range scan equals full scan; sorted layout prunes files") {
+    val zm = Skipping.buildZoneMap(spark, s"$dir/docs", Seq("doc_id"))
+    assert(zm.count() === 16L)
+    val full = spark.read.parquet(s"$dir/docs")
+    for ((lo, hi) <- Seq((100L, 150L), (0L, 499L), (600L, 700L))) {
+      val got = Skipping.readRange(spark, s"$dir/docs", zm, "doc_id", lo, hi)
+      val want = full.filter($"doc_id" >= lo && $"doc_id" <= hi)
+      assert(got.exceptAll(want).count() === 0, s"[$lo,$hi] extra")
+      assert(want.exceptAll(got).count() === 0, s"[$lo,$hi] missing")
+    }
+    // range-partitioned on doc_id -> a 50-wide range hits ~2 of 16 files
+    assert(Skipping.filesForRange(zm, "doc_id", lit(100L), lit(150L)).size <= 3)
+    assert(Skipping.filesForRange(zm, "doc_id", lit(600L), lit(700L)).isEmpty)
+  }
+
+  test("zone map over a z-ordered write is tight on BOTH dimensions") {
+    val d = java.nio.file.Files.createTempDirectory("zskip").toString
+    val ev = Tables.events(spark, sf001).select($"event_id", $"user_id", $"value")
+    graft.operators.Layout.writeZOrdered(ev, s"$d/z",
+      Seq($"user_id", $"value"), numFiles = 16, bits = 12)
+    val zm = Skipping.buildZoneMap(spark, s"$d/z", Seq("user_id", "value"))
+    // every zone's user_id span must be far under the full domain — the
+    // single-column-sort counterfactual leaves the SECOND column at full
+    // range in every file (see LayoutSpec's span measurement)
+    val dom = ev.agg((max($"user_id") - min($"user_id")).cast("double")).as[Double].head()
+    val spans = zm.select(($"max_user_id" - $"min_user_id").cast("double")).as[Double].collect()
+    assert(spans.length === 16)
+    assert(spans.count(_ <= dom / 3) >= 12,
+      s"z zones should be tight on user_id: spans ${spans.sorted.mkString(",")} vs domain $dom")
+    // and a narrow user_id range probe skips most files
+    val mid = ev.agg(min($"user_id")).as[Long].head() + (dom / 2).toLong
+    val may = Skipping.filesForRange(zm, "user_id", lit(mid), lit(mid + (dom / 16).toLong))
+    assert(may.size <= 8, s"touched ${may.size} of 16")
+    Fs.deleteTree(java.nio.file.Paths.get(d))
   }
 }
