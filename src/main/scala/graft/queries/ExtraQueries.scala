@@ -272,6 +272,44 @@ object ExtraQueries {
       .orderBy("id")
   }
 
+  /** Snapshot diff over a deterministic corpus refresh BOTH engines
+    * construct: drop multiples of 7, edit multiples of 5, add a shifted
+    * tail — then classify every id as added/removed/changed/unchanged
+    * from one full outer join of md5 digests (16 bytes per row on the
+    * wire, never content). The per-row statuses hash-compare exactly;
+    * q20's rollup is the governance report a refresh audit reads.
+    */
+  val q20SnapshotDiff = NamedQuery(
+    "q20_snapshot_diff",
+    """WITH old AS (SELECT doc_id AS id, text FROM documents),
+      |new AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 11 = 0),
+      |d AS (
+      |  SELECT coalesce(o.id, n.id) AS id,
+      |    CASE WHEN o.id IS NULL THEN 'added'
+      |         WHEN n.id IS NULL THEN 'removed'
+      |         WHEN coalesce(md5(o.text), '<null>') = coalesce(md5(n.text), '<null>')
+      |           THEN 'unchanged' ELSE 'changed' END AS status
+      |  FROM old o FULL OUTER JOIN new n ON o.id = n.id)
+      |SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.Audit.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
-    q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip, q19ZonemapRange)
+    q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip, q19ZonemapRange,
+    q20SnapshotDiff)
 }
