@@ -904,6 +904,44 @@ object PipelineQueries {
       .limit(10)
   }
 
+  /** Johnson–Lindenstrauss sparse-sign projection of the embeddings
+    * table, 64 → 8 dims. The ±1 matrix entries are the md5 PARITY of
+    * "i,j,salt" — DuckDB derives the identical matrix from its own md5
+    * in a 512-row CTE and replays the full projected vectors; the
+    * per-dim sums accumulate in DECIMAL (exact, order-free) in both
+    * engines, with the irrational 1/√k factor applied once in double
+    * from the same injected literal. EmbeddingsSpec carries the JL
+    * distance-preservation and norm laws at k=32.
+    */
+  val annJlProject = {
+    val scale = 1.0 / math.sqrt(8.0)
+    // the oracle replays the operator's EXACT left-fold chain: one
+    // explicit 64-term sum per output dim with the operator's own ±1
+    // literals (whose md5 derivation the EmbeddingsSpec parity test
+    // verifies through SQL md5 separately) — SQL `+` is left-associative,
+    // so the IEEE result is bit-identical and the dround can't straddle
+    val dims = (0 until 8).map { j =>
+      val chain = (0 until 64).map { i =>
+        val s = graft.operators.Embeddings.signAt(i, j, "graft-jl")
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * $s"
+      }.mkString(" + ")
+      s"${sqlDround(s"($chain) * $scale", 6)} AS p$j"
+    }.mkString(",\n  |  ")
+    NamedQuery(
+      "ann_jl_project",
+      s"""SELECT vec_id AS id,
+         |  $dims
+         |FROM embeddings
+         |WHERE embedding IS NOT NULL AND len(embedding) >= 64
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      val proj = graft.operators.Embeddings.jlProject(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"), dIn = 64, dOut = 8)
+      proj.select((col("id") +:
+          (0 until 8).map(j => dround(col(s"p$j"), 6).as(s"p$j"))): _*)
+        .orderBy("id")
+    }
+  }
+
   /** RAG chunking over the whole corpus: size=64, stride=48 overlapping
     * token windows. Chunk identity and text are pure row properties of
     * the shared tokenizer, so DuckDB replays the FULL chunk set — ids,
@@ -990,5 +1028,5 @@ object PipelineQueries {
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
-    pipelineChunkBm25)
+    pipelineChunkBm25, annJlProject)
 }
