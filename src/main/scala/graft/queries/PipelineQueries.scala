@@ -942,6 +942,35 @@ object PipelineQueries {
     }
   }
 
+  /** The fitted PCA spectrum over `embeddings` — top-8 eigenvalues and
+    * explained-variance ratios, hash-compared against a PINNED GOLDEN
+    * (the vamana_graph convention — DuckDB cannot eigendecompose, but
+    * the fit is bit-identical under any layout by construction: DECIMAL
+    * covariance sums + a fixed-order driver Jacobi, PcaSpec's
+    * bit-equality law). Any drift in the explode/join pass, decimal
+    * accumulation, Jacobi rotations, or ordering flips the pinned rows.
+    * Regenerate after an INTENTIONAL fit change via
+    * `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
+    * ann_pca_spectrum` and pin the printed spark rows.
+    */
+  val annPcaSpectrum = NamedQuery(
+    "ann_pca_spectrum",
+    """SELECT CAST(c AS INT) AS c, CAST(eig_r AS DOUBLE) AS eig_r,
+      |  CAST(evr_r AS DOUBLE) AS evr_r
+      |FROM (VALUES (0, 0.0275, 0.0276), (1, 0.0272, 0.0272), (2, 0.0266, 0.0267),
+      |  (3, 0.0256, 0.0257), (4, 0.0254, 0.0254), (5, 0.0251, 0.0251),
+      |  (6, 0.0239, 0.0240), (7, 0.0232, 0.0232)) t(c, eig_r, evr_r)
+      |ORDER BY c""".stripMargin) { (s, d) =>
+    val m = graft.operators.Embeddings.fitPca(
+      Tables.embeddings(s, d), col("embedding"), dIn = 64)
+    val evr = m.explainedVariance
+    import s.implicits._
+    (0 until 8).map(c => (c, m.eigenvalues(c), evr(c)))
+      .toDF("c", "eig", "evr")
+      .select(col("c"), dround(col("eig"), 4).as("eig_r"), dround(col("evr"), 4).as("evr_r"))
+      .orderBy("c")
+  }
+
   /** RAG chunking over the whole corpus: size=64, stride=48 overlapping
     * token windows. Chunk identity and text are pure row properties of
     * the shared tokenizer, so DuckDB replays the FULL chunk set — ids,
@@ -1028,5 +1057,5 @@ object PipelineQueries {
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
-    pipelineChunkBm25, annJlProject)
+    pipelineChunkBm25, annJlProject, annPcaSpectrum)
 }

@@ -128,6 +128,21 @@ object ScaleSmoke {
     time("top-k per source (bounded agg)")(
       graft.operators.Curation.topKPerGroup(docs, col("source"), col("doc_id"),
         col("n_chars").cast("double"), k = 10).count())
+    // digest-only outer join: 16 bytes per row shuffled, linear
+    time("snapshot diff (digest join)")(
+      graft.operators.Audit.diff(docs,
+        docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text")).count())
+
+    // JL projection over factor-replicated embeddings: per-row
+    // multiply-add inside codegen, no shuffle — linear by construction
+    val emb0 = graft.Tables.embeddings(s, sfDir)
+    val vStep = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    val emb = emb0.crossJoin(s.range(factor).select(col("id").as("_rep")))
+      .withColumn("vec_id", col("vec_id") + col("_rep") * vStep)
+      .drop("_rep")
+    time("jl projection 64->16 (per-row)")(
+      graft.operators.Embeddings.jlProject(emb, col("vec_id"), col("embedding"),
+        dIn = 64, dOut = 16).count())
 
     // as-of join over a factor-replicated events stream (disjoint users
     // per replica): one shuffle on the key, per-key ordered scan — linear
@@ -166,6 +181,11 @@ object ScaleSmoke {
         rjClicks, col("event_id"), col("v"),
         rjPurch, col("event_id"), col("lo"), col("hi"),
         bucketWidth = 600000000L).count())
+    // z codes: one bounded min/max agg + a per-row interleave — linear
+    time("z-order codes (user_id, value)")(
+      graft.operators.Layout.zorder(
+        ev.select(col("event_id"), col("user_id"), col("value")),
+        Seq(col("user_id"), col("value")), bits = 12).count())
     ev.unpersist()
     // the scorers persist their shared fit frames internally; drop them
     // before the curation stages so the timings don't compete for cache
