@@ -85,6 +85,42 @@ object Skipping {
     else spark.read.schema(schema).parquet(files: _*).filter(col(keyName) === probe)
   }
 
+  /** Incremental maintenance: index only the files `existing` doesn't
+    * cover (an append-only table grows by whole files, so a refresh
+    * scans JUST the new data — the existing rows are carried over
+    * verbatim, never recomputed). Result equals a full [[buildIndex]]
+    * rebuild; deleted files' rows are dropped so the index never points
+    * at vanished paths. Size the new filters with the SAME
+    * (expectedPerFile, fpp) as the original build — mixed sizings would
+    * make per-file fpp uneven.
+    */
+  def updateIndex(spark: SparkSession, dataPath: String, existing: DataFrame,
+      keyName: String, expectedPerFile: Long, fpp: Double): DataFrame = {
+    import spark.implicits._
+    val current = spark.read.parquet(dataPath)
+      .select(input_file_name().as("file")).distinct()
+    val newFiles = current.join(existing.select("file"), Seq("file"), "left_anti")
+      .as[String].collect()
+    val kept = existing.join(current, Seq("file"), "left_semi")
+    if (newFiles.isEmpty) kept
+    else {
+      val (words, k) = BloomDedup.sizing(expectedPerFile, fpp, buckets = 1)
+      val fresh = spark.read.parquet(newFiles: _*)
+        .filter(col(keyName).isNotNull)
+        .select(
+          input_file_name().as("file"),
+          xxhash64(col(keyName), lit("graft-bloom-h1")).as("h1"),
+          xxhash64(col(keyName), lit("graft-bloom-h2")).as("h2"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => KeyedHashes(0, r._2, r._3))
+        .agg(new BloomAgg(words, k).toColumn.name("bloom"))
+        .toDF("file", "bloom")
+        .select(col("file"), col("bloom.words").as("words"), lit(k).as("bits_k"))
+      kept.unionByName(fresh)
+    }
+  }
+
   // ---- zone maps: the RANGE complement to the Bloom point index ---------
 
   /** Per-file (min, max) of each listed column — the zone map every

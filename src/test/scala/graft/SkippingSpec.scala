@@ -74,6 +74,32 @@ class SkippingSpec extends SparkSuite {
     assert(Skipping.filesForRange(zm, "doc_id", lit(600L), lit(700L)).isEmpty)
   }
 
+  test("incremental update equals a full rebuild; stale rows dropped") {
+    val d = java.nio.file.Files.createTempDirectory("skipinc").toString
+    val docs = Tables.documents(spark, sf001)
+    docs.filter($"doc_id" < 300)
+      .repartitionByRange(4, $"doc_id").write.mode("overwrite").parquet(s"$d/t")
+    val idx0 = Skipping.buildIndex(spark, s"$d/t", "doc_id", 1000, 0.001)
+      .localCheckpoint()
+    // append new files (mode append adds files, never rewrites)
+    docs.filter($"doc_id" >= 300)
+      .repartitionByRange(3, $"doc_id").write.mode("append").parquet(s"$d/t")
+    val updated = Skipping.updateIndex(spark, s"$d/t", idx0, "doc_id", 1000, 0.001)
+    val rebuilt = Skipping.buildIndex(spark, s"$d/t", "doc_id", 1000, 0.001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"file", $"words", $"bits_k").as[(String, Seq[Long], Int)]
+        .collect().map { case (f, w, k) => (f, w.hashCode, k) }.toSet
+    assert(canon(updated) === canon(rebuilt))
+    assert(updated.count() === 7)
+    // a probe through the updated index still answers exactly
+    val got = Skipping.readPoint(spark, s"$d/t", updated, "doc_id", 450L)
+    assert(got.count() === docs.filter($"doc_id" === 450L).count())
+    // no-op refresh returns the index unchanged
+    assert(canon(Skipping.updateIndex(spark, s"$d/t", updated, "doc_id", 1000, 0.001))
+      === canon(updated))
+    Fs.deleteTree(java.nio.file.Paths.get(d))
+  }
+
   test("zone map over a z-ordered write is tight on BOTH dimensions") {
     val d = java.nio.file.Files.createTempDirectory("zskip").toString
     val ev = Tables.events(spark, sf001).select($"event_id", $"user_id", $"value")
