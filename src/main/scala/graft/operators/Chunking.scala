@@ -62,4 +62,62 @@ object Chunking {
         array_join(slice(col("_toks"), col("chunk_id") * stride + 1, lit(size)), " ")
           .as("chunk_text"))
   }
+
+  /** Sentence regex shared with the SQL oracle: a run up to (and
+    * including) terminal punctuation, or the unterminated tail. Uses
+    * `\z` (absolute end), which Java regex and RE2 agree on — `$` does
+    * NOT (Java lets it float before a final newline).
+    */
+  val SentencePattern: String = "[^.!?]*[.!?]+|[^.!?]+\\z"
+
+  /** Sentence-aware chunking: segment on terminal punctuation, then pack
+    * WHOLE sentences greedily into `maxTokens` budgets — the boundary
+    * contract retrieval actually wants (a window chunker slices
+    * mid-sentence). Greedy contract: scan sentences in order; start a
+    * new chunk when adding the next sentence would exceed the budget and
+    * the current chunk is non-empty (an oversized single sentence gets
+    * its own chunk). Sentence token counts use the shared tokenizer.
+    *
+    * Scale: segmentation and token counts are per-row Column algebra;
+    * the greedy fold is ONE deterministic pass over each document's own
+    * bounded sentence list (a scalar UDF — the sequential carry has no
+    * declarative form, and per-doc state is the textbook case for one).
+    * Replayable: DuckDB reproduces the identical packing with a
+    * recursive CTE over the same regex and counts (see the gate query).
+    *
+    * @return (id, chunk_id, n_sentences, n_tokens, chunk_text) — chunk
+    *         text joins its sentences with single spaces, trimmed.
+    */
+  def chunkBySentences(docs: DataFrame, id: Column, text: Column,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive (got $maxTokens)")
+    val greedy = udf { (sents: Seq[String], ntoks: Seq[Int]) =>
+      val out = Seq.newBuilder[(Int, Int, Int, String)]
+      var chunk = 0; var cum = 0; var nSent = 0
+      val sb = new StringBuilder
+      def flush(): Unit = if (nSent > 0) {
+        out += ((chunk, nSent, cum, sb.toString))
+        chunk += 1; cum = 0; nSent = 0; sb.clear()
+      }
+      sents.indices.foreach { i =>
+        if (nSent > 0 && cum + ntoks(i) > maxTokens) flush()
+        if (nSent > 0) sb.append(' ')
+        sb.append(sents(i)); cum += ntoks(i); nSent += 1
+      }
+      flush()
+      out.result()
+    }
+    val sentsCol = filter(
+      transform(regexp_extract_all(text, lit(SentencePattern), lit(0)), s => trim(s)),
+      s => s =!= "")
+    docs.filter(text.isNotNull)
+      .select(id.cast("long").as("id"), sentsCol.as("_sents"))
+      .filter(size(col("_sents")) > 0)
+      .withColumn("_ntoks",
+        transform(col("_sents"), s => org.apache.spark.sql.functions.size(Dedup.tokens(s))))
+      .select(col("id"), explode(greedy(col("_sents"), col("_ntoks"))).as("_c"))
+      .select(col("id"), col("_c._1").as("chunk_id"),
+        col("_c._2").as("n_sentences"), col("_c._3").as("n_tokens"),
+        col("_c._4").as("chunk_text"))
+  }
 }

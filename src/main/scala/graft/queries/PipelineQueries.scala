@@ -971,6 +971,47 @@ object PipelineQueries {
       .orderBy("c")
   }
 
+  /** Sentence-aware chunking (budget 40 tokens): the greedy
+    * whole-sentence packing is a sequential per-doc fold, which DuckDB
+    * replays EXACTLY with a recursive CTE walking each document's
+    * sentence list in order — same sentence regex (\z-anchored: Java and
+    * RE2 agree on \z where they disagree on $), same tokenizer, same
+    * "new chunk when the budget would overflow" rule. A full
+    * cross-engine gate for an operator whose core is imperative.
+    */
+  val pipelineChunkSentences = NamedQuery(
+    "pipeline_chunk_sentences",
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT doc_id AS id, regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+\\z') AS ss
+       |  FROM documents WHERE text IS NOT NULL),
+       |sent0 AS (
+       |  SELECT id, trim(ss[i]) AS sent, i
+       |  FROM raw CROSS JOIN unnest(range(1, len(ss) + 1)) t(i)
+       |  WHERE trim(ss[i]) != ''),
+       |sent AS (
+       |  SELECT id, sent,
+       |    row_number() OVER (PARTITION BY id ORDER BY i) AS idx,
+       |    len(list_filter(string_split_regex(lower(sent), '[^\\p{L}\\p{N}]+'), t -> t != '')) AS nt
+       |  FROM sent0),
+       |rec AS (
+       |  SELECT id, idx, sent, nt, 0 AS chunk, nt AS cum
+       |  FROM sent WHERE idx = 1
+       |  UNION ALL
+       |  SELECT s.id, s.idx, s.sent, s.nt,
+       |    CASE WHEN r.cum + s.nt > 40 THEN r.chunk + 1 ELSE r.chunk END,
+       |    CASE WHEN r.cum + s.nt > 40 THEN s.nt ELSE r.cum + s.nt END
+       |  FROM rec r JOIN sent s ON s.id = r.id AND s.idx = r.idx + 1)
+       |SELECT id, CAST(chunk AS INT) AS chunk_id,
+       |  CAST(count(*) AS INT) AS n_sentences,
+       |  CAST(sum(nt) AS INT) AS n_tokens,
+       |  string_agg(sent, ' ' ORDER BY idx) AS chunk_text
+       |FROM rec GROUP BY id, chunk
+       |ORDER BY id, chunk_id""".stripMargin) { (s, d) =>
+    graft.operators.Chunking.chunkBySentences(
+        Tables.documents(s, d), col("doc_id"), col("text"), maxTokens = 40)
+      .orderBy("id", "chunk_id")
+  }
+
   /** RAG chunking over the whole corpus: size=64, stride=48 overlapping
     * token windows. Chunk identity and text are pure row properties of
     * the shared tokenizer, so DuckDB replays the FULL chunk set — ids,
@@ -1057,5 +1098,5 @@ object PipelineQueries {
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
-    pipelineChunkBm25, annJlProject, annPcaSpectrum)
+    pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences)
 }

@@ -104,6 +104,52 @@ class ChunkingSpec extends SparkSuite {
     }
   }
 
+  test("sentence chunking: greedy budget packing, whole sentences only") {
+    // sentences: 2, 3, 4, 2 tokens; budget 5 -> [s1 s2] [s3] [s4]... greedy:
+    // s1(2) fits; s2(3) -> 5 fits; s3(4) -> would be 9 > 5: new chunk; s4(2)
+    // -> 6 > 5: new chunk
+    val d = Seq((1L, "One two. Three four five! Six seven eight nine? Ten eleven"))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkBySentences(d, col("doc_id"), col("text"), maxTokens = 5)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_sentences", "n_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect().toSeq
+    assert(out === Seq(
+      (0, 2, 5, "One two. Three four five!"),
+      (1, 1, 4, "Six seven eight nine?"),
+      (2, 1, 2, "Ten eleven")))
+  }
+
+  test("sentence chunking: oversized sentence gets its own chunk; empty docs drop") {
+    val d = Seq(
+      (1L, "a b c d e f g h. tiny."),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Chunking.chunkBySentences(d, col("doc_id"), col("text"), maxTokens = 3)
+    val rows = out.orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "n_tokens").as[(Long, Int, Int)].collect().toSeq
+    assert(rows === Seq((1L, 0, 8), (1L, 1, 1)))
+  }
+
+  test("sentence chunking: every token lands in exactly one chunk, order kept") {
+    val docs = Tables.documents(spark, sf0001)
+    val chunks = Chunking.chunkBySentences(docs, col("doc_id"), col("text"), 50)
+    // per doc: sum of chunk token counts == doc token count over sentences
+    val perDoc = chunks.groupBy("id").agg(sum("n_tokens").as("nt"))
+    val direct = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        org.apache.spark.sql.functions.size(
+          graft.operators.Dedup.tokens(col("text"))).as("nd"))
+      .filter(col("nd") > 0)
+    val joined = perDoc.join(direct, Seq("id"))
+    assert(joined.count() > 0)
+    // sentence segmentation preserves tokens: punctuation is split away by
+    // the tokenizer in both views
+    assert(joined.filter(col("nt") =!= col("nd")).count() === 0)
+    // budget respected except single-oversized-sentence chunks
+    assert(chunks.filter(col("n_tokens") > 50 && col("n_sentences") > 1).count() === 0)
+  }
+
   test("layout independence: chunk set identical under repartition") {
     val d = Tables.documents(spark, sf0001)
     val a = Chunking.chunk(d, col("doc_id"), col("text"), 32, 24)
