@@ -53,4 +53,66 @@ object Curation {
       }
       .toDF("group", "id", "score", "rank")
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k results maximizing λ·relevance − (1−λ)·max cosine
+    * similarity to what's already picked — the diversity post-stage a
+    * near-dup-heavy corpus needs after `near` (top-k alone returns the
+    * duplicate cluster k times). Runs DRIVER-SIDE over the candidate
+    * frame, which is legitimate by construction: candidates come from a
+    * top-N search and are bounded by its limit — `maxCandidates` fails
+    * fast if a caller points it at a corpus. Deterministic: fixed scan
+    * order, ties broken by lower id, O(k·n) with running max-sim state.
+    *
+    * @param candidates (id, relevance, vector) rows; higher relevance =
+    *                   better (negate a distance before calling)
+    * @return (id, rank, objective) — rank 1-based in selection order
+    */
+  def mmr(candidates: DataFrame, id: Column, rel: Column, vec: Column,
+      k: Int, lambda: Double, maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1] (got $lambda)")
+    require(maxCandidates > 0, s"maxCandidates must be positive (got $maxCandidates)")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .filter(id.isNotNull && rel.isNotNull && vec.isNotNull)
+      .select(id.cast("long").as("id"), rel.cast("double").as("rel"),
+        vec.cast("array<double>").as("v"))
+      .as[(Long, Double, Seq[Double])]
+      .collect()
+      .sortBy(r => (-r._2, r._1)) // deterministic scan order
+    require(rows.length <= maxCandidates,
+      s"${rows.length} candidates exceed maxCandidates=$maxCandidates — " +
+        "MMR is a post-stage over a bounded top-N, not a corpus operator")
+    val vs = rows.map(_._3.toArray)
+    val norms = vs.map(v => math.sqrt(v.map(x => x * x).sum))
+    def cos(a: Int, b: Int): Double = {
+      val denom = norms(a) * norms(b)
+      if (denom == 0.0) 0.0
+      else vs(a).zip(vs(b)).map { case (x, y) => x * y }.sum / denom
+    }
+    val n = rows.length
+    val picked = Array.newBuilder[(Long, Int, Double)]
+    val used = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(0.0)
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1; var bestObj = Double.NegativeInfinity
+      for (i <- 0 until n if !used(i)) {
+        val obj = if (step == 0) rows(i)._2
+          else lambda * rows(i)._2 - (1.0 - lambda) * maxSim(i)
+        // strict > with (-rel, id)-sorted scan order = lower-id tiebreak
+        if (obj > bestObj) { best = i; bestObj = obj }
+      }
+      used(best) = true
+      picked += ((rows(best)._1, step + 1, bestObj))
+      for (i <- 0 until n if !used(i)) {
+        val s = cos(i, best)
+        if (s > maxSim(i)) maxSim(i) = s
+      }
+      step += 1
+    }
+    picked.result().toSeq.toDF("id", "rank", "objective")
+  }
 }

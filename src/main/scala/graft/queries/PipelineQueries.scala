@@ -971,6 +971,39 @@ object PipelineQueries {
       .orderBy("c")
   }
 
+  /** MMR diverse re-rank of the exact cosine top-50 for the vec_id-0
+    * query (k=10, λ=0.7), hash-compared against a PINNED GOLDEN (the
+    * vamana_graph convention — the greedy argmax chain is driver-side
+    * IEEE arithmetic DuckDB cannot replay digit-for-digit, but it is
+    * deterministic by construction: (-rel, id)-sorted scan, strict->
+    * argmax, lower-id ties; CurationSpec's layout law is the guarantee).
+    * Any drift in candidate generation, cosine, or the greedy rule flips
+    * the pinned rows. Regenerate after an INTENTIONAL change via
+    * `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
+    * s1_near_mmr` and pin the printed spark rows.
+    */
+  val s1NearMmr = NamedQuery(
+    "s1_near_mmr",
+    """SELECT CAST(id AS BIGINT) AS id, CAST(rank AS INT) AS rank,
+      |  CAST(obj_r AS DOUBLE) AS obj_r
+      |FROM (VALUES (0, 1, 0.0), (365, 2, -0.5520), (334, 3, -0.5549),
+      |  (387, 4, -0.5675), (423, 5, -0.5812), (73, 6, -0.5818),
+      |  (320, 7, -0.5849), (464, 8, -0.5893), (190, 9, -0.5951),
+      |  (483, 10, -0.5973)) t(id, rank, obj_r)
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cands = Similarity.knnJoin(
+        emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"),
+        k = 50, metric = Metric.Cosine)
+      .select(col("corpus_id").as("cid"), (lit(0.0) - col("distance")).as("rel"))
+      .join(emb.select(col("vec_id").as("cid"), col("embedding")), Seq("cid"))
+    graft.operators.Curation.mmr(cands, col("cid"), col("rel"), col("embedding"),
+        k = 10, lambda = 0.7)
+      .select(col("id"), col("rank"), dround(col("objective"), 4).as("obj_r"))
+      .orderBy("rank")
+  }
+
   /** Sentence-aware chunking (budget 40 tokens): the greedy
     * whole-sentence packing is a sequential per-doc fold, which DuckDB
     * replays EXACTLY with a recursive CTE walking each document's
@@ -1098,5 +1131,6 @@ object PipelineQueries {
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
-    pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences)
+    pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences,
+    s1NearMmr)
 }

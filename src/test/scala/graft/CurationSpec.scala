@@ -70,6 +70,42 @@ class CurationSpec extends SparkSuite {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("mmr: lambda=1 reduces to top-k by relevance") {
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)), (2L, 0.8, Seq(1.0, 0.01)),
+      (3L, 0.7, Seq(0.0, 1.0)), (4L, 0.6, Seq(0.5, 0.5)))
+      .toDF("id", "rel", "v")
+    val out = Curation.mmr(cands, $"id", $"rel", $"v", k = 3, lambda = 1.0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L, 3L))
+  }
+
+  test("mmr: diversity beats the duplicate cluster") {
+    // ids 1,2 are near-duplicates with the best scores; 3 is distinct.
+    // plain top-2 = {1,2}; MMR at λ=0.5 must pick {1,3}.
+    val cands = Seq(
+      (1L, 0.95, Seq(1.0, 0.0)), (2L, 0.94, Seq(0.999, 0.001)),
+      (3L, 0.60, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "v")
+    val out = Curation.mmr(cands, $"id", $"rel", $"v", k = 2, lambda = 0.5)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 3L))
+  }
+
+  test("mmr: deterministic under layout; candidate cap enforced") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", (lit(0.0) - $"vec_id" % 97).as("rel"), $"embedding")
+      .limit(60)
+    val a = Curation.mmr(e, $"vec_id", $"rel", $"embedding", 10, 0.7)
+      .as[(Long, Int, Double)].collect().toSeq
+    val b = Curation.mmr(e.repartition(7), $"vec_id", $"rel", $"embedding", 10, 0.7)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a === b)
+    assert(a.map(_._2) === (1 to 10))
+    intercept[IllegalArgumentException](
+      Curation.mmr(e, $"vec_id", $"rel", $"embedding", 5, 0.5, maxCandidates = 10))
+  }
+
   test("guards: k must be positive, id must be numeric") {
     intercept[IllegalArgumentException](
       Curation.topKPerGroup(toy, $"src", $"id", $"score", 0))
