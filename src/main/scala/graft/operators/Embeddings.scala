@@ -91,29 +91,66 @@ object Embeddings {
     require(dIn > 0, s"dIn must be positive (got $dIn)")
     val spark = df.sparkSession
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    // one posexplode + a self-equi-join on a per-run row id (uniqueness is
-    // all that matters — the aggregated products are layout-free), NOT a
-    // d²-literal expression per row: a 64-dim corpus would need a
-    // 2000-struct array() whose plan alone exhausts the driver heap
+    // EXACT FIXED-POINT accumulation: every x·x product is quantized to a
+    // power-of-2 grid (rint(v·2^m) — scaling by 2^m only shifts the
+    // exponent, so the quantization is a pure row property) and summed in
+    // LONGS, which are exact and order-free: the fit is bit-identical
+    // under any partition layout at one-scan cost. Rejected shapes:
+    // a d²-literal array() per row (planning exhausts the heap), a
+    // posexplode self-join (n·d shuffled twice, 8s at sf0.1), a decimal
+    // groupBy over flatMapped pairs (10M decimal casts, 7s). This runs
+    // the same corpus in well under a second; the shuffle is one
+    // d(d+1)/2-long array per partition.
     val base = df.filter(vec.isNotNull && size(vec) >= dIn)
-      .select(monotonically_increasing_id().as("_rid"),
-        slice(vec.cast("array<double>"), 1, dIn).as("_v"))
-      .localCheckpoint() // 3 consumers + pins the per-run row ids
-    val ex = base.select($"_rid", posexplode($"_v").as(Seq("i", "x")))
-    val n = base.count().toDouble
-    require(n >= 2, s"need at least 2 rows to fit PCA (got ${n.toLong})")
-    val dimSums = ex.groupBy($"i").agg(sum($"x".cast(dec)).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue).toMap
-    val prodSums = ex.alias("a")
-      .join(ex.alias("b"), col("a._rid") === col("b._rid") && col("b.i") >= col("a.i"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum((col("a.x") * col("b.x")).cast(dec)).as("s"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue).toMap
-    val mean = Array.tabulate(dIn)(i => dimSums(i) / n)
-    val cov = Array.tabulate(dIn, dIn) { (i, j) =>
+      .select(slice(vec.cast("array<double>"), 1, dIn).as("_v"))
+      .as[Seq[Double]]
+    val n = base.count()
+    require(n >= 2, s"need at least 2 rows to fit PCA (got $n)")
+    // |x| bound scales the grid so cell sums cannot overflow 2^62
+    val absBound = 1e4
+    val m = math.min(40,
+      math.floor(math.log((math.pow(2, 62)) / (n.toDouble * absBound * absBound)) / math.log(2)).toInt)
+    require(m >= 10,
+      s"corpus too large for exact fixed-point covariance at |x|≤$absBound " +
+        s"(n=$n) — fit on a Sampling slice instead")
+    val q = math.pow(2, m)
+    val nPairs = dIn * (dIn + 1) / 2
+    val partials = base.mapPartitions { rows =>
+      val prod = new Array[Long](nPairs)
+      val dims = new Array[Long](dIn)
+      var cnt = 0L
+      rows.foreach { v =>
+        val a = v.toArray
+        var i = 0; var c = 0
+        while (i < dIn) {
+          val xi = a(i)
+          require(math.abs(xi) <= absBound, s"|value| $xi exceeds fit bound $absBound")
+          dims(i) += math.rint(xi * q).toLong
+          var j = i
+          while (j < dIn) { prod(c) += math.rint(xi * a(j) * q).toLong; j += 1; c += 1 }
+          i += 1
+        }
+        cnt += 1
+      }
+      Iterator.single((prod, dims, cnt))
+    }.collect()
+    val prodSum = new Array[Long](nPairs)
+    val dimSum = new Array[Long](dIn)
+    partials.foreach { case (p, ds, _) =>
+      var i = 0
+      while (i < nPairs) { prodSum(i) += p(i); i += 1 }
+      var k = 0
+      while (k < dIn) { dimSum(k) += ds(k); k += 1 }
+    }
+    val nD = n.toDouble
+    val mean = Array.tabulate(dIn)(i => dimSum(i) / q / nD)
+    val cellIdx = Array.tabulate(dIn, dIn) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      prodSums((a, b)) / n - mean(i) * mean(j)
+      // cell index of (a,b) in the row-major upper triangle
+      a * dIn - a * (a - 1) / 2 + (b - a)
+    }
+    val cov = Array.tabulate(dIn, dIn) { (i, j) =>
+      prodSum(cellIdx(i)(j)) / q / nD - mean(i) * mean(j)
     }
     val (vals, vecs) = jacobiEigen(cov)
     PcaModel(mean, vals, vecs)
