@@ -971,6 +971,49 @@ object PipelineQueries {
       .orderBy("c")
   }
 
+  /** Late-interaction MaxSim scoring (ColBERT shape): each `label` group
+    * of the embeddings table is a multi-vector document; the query is
+    * THREE md5-parity sign vectors (the JL derivation convention, salts
+    * maxsim-q0..q2 — deterministic, so their ±1 literals and exact
+    * |q| = 8.0 are injected into both engines), and the score is
+    * Σ_q max_v cos(q, v). Every cosine is an explicit left-fold chain,
+    * the max is order-free, and the 3-term sum is explicit — the whole
+    * pipeline hashes bit-exactly cross-engine with no golden needed.
+    */
+  val annMaxsimScore = {
+    val dIn = 64
+    val salts = Seq("maxsim-q0", "maxsim-q1", "maxsim-q2")
+    val qs = salts.map(s => (0 until dIn).map(i =>
+      graft.operators.Embeddings.signAt(i, 0, s)))
+    val qNorm = 8.0 // sqrt(64) exactly
+    val selfChain = (0 until dIn)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) * CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val dotChains = qs.map(q => (0 until dIn)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${q(i)}")
+      .mkString(" + "))
+    NamedQuery(
+      "ann_maxsim_score",
+      s"""WITH per_row AS (
+         |  SELECT label AS grp, ($selfChain) AS n2,
+         |    (${dotChains(0)}) AS d0, (${dotChains(1)}) AS d1, (${dotChains(2)}) AS d2
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) >= $dIn),
+         |sims AS (
+         |  SELECT grp, d0 / (sqrt(n2) * $qNorm) AS s0,
+         |    d1 / (sqrt(n2) * $qNorm) AS s1, d2 / (sqrt(n2) * $qNorm) AS s2
+         |  FROM per_row WHERE n2 > 0)
+         |SELECT CAST(grp AS BIGINT) AS "group",
+         |  ${sqlDround("((max(s0) + max(s1)) + max(s2))", 5)} AS score_r
+         |FROM sims GROUP BY grp ORDER BY "group"""".stripMargin) { (s, d) =>
+      graft.operators.LateInteraction.maxSimScore(
+          Tables.embeddings(s, d), col("label"), col("embedding"),
+          qs.map(_.toSeq), dIn = dIn)
+        .select(col("group"), dround(col("score"), 5).as("score_r"))
+        .orderBy("group")
+    }
+  }
+
   /** MMR diverse re-rank of the exact cosine top-50 for the vec_id-0
     * query (k=10, λ=0.7), hash-compared against a PINNED GOLDEN (the
     * vamana_graph convention — the greedy argmax chain is driver-side
@@ -1132,5 +1175,5 @@ object PipelineQueries {
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
     pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences,
-    s1NearMmr)
+    s1NearMmr, annMaxsimScore)
 }
