@@ -115,4 +115,39 @@ object Curation {
     }
     picked.result().toSeq.toDF("id", "rank", "objective")
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009): merge
+    * ranked lists from heterogeneous retrievers — BM25, vector near,
+    * anything that emits (id, rank) — by Σ_lists 1/(k + rank), the
+    * score-calibration-free fusion that consistently beats learned
+    * weights in TREC settings (and the standard alternative to the
+    * engine's weighted score-sum hybrid, which needs comparable score
+    * scales). Shape: a fold of full-outer equi-joins on id — lists are
+    * top-N bounded by their retrievers, so every join is broadcast-size;
+    * the contribution sum is an explicit left fold over the (static)
+    * list sequence, giving the bit-exact cross-engine result integer
+    * ranks always do.
+    *
+    * @param lists ranked frames, each with columns (id, rank), rank
+    *              1-based; absent ids contribute 0 from that list
+    * @return (id, rrf_score, n_lists) sorted by (score desc, id)
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 0, s"k must be non-negative (got $k)")
+    val prepped = lists.zipWithIndex.map { case (df, li) =>
+      df.select(col("id").cast("long").as("id"),
+        col("rank").cast("long").as(s"_r$li"))
+    }
+    val joined = prepped.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val contribs = lists.indices.map(li =>
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(s"_r$li")), lit(0.0)))
+    val present = lists.indices.map(li =>
+      when(col(s"_r$li").isNotNull, 1).otherwise(0))
+    joined.select(
+        col("id"),
+        contribs.reduce(_ + _).as("rrf_score"),
+        present.reduce(_ + _).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+  }
 }

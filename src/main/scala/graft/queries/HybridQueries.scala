@@ -187,5 +187,77 @@ object HybridQueries {
       .orderBy(col("n_chars"), col("_id"))
   }
 
-  val all: Seq[NamedQuery] = Seq(q2HybridAnd, q3HybridOr, kitchenSink)
+  /** Reciprocal Rank Fusion of two heterogeneous retrievers — BM25
+    * top-20 for the 3-term text query fused with the exact cosine top-20
+    * for the vec_id-0 vector (testdata aligns doc_id and vec_id) by
+    * Σ 1/(60 + rank). Integer ranks make the fusion arithmetic
+    * bit-exact in any engine: DuckDB rebuilds BOTH lists (the full BM25
+    * pipeline + the exact kNN with identical tiebreaks) and replays the
+    * join-and-sum — no scores cross the engine boundary, only ranks.
+    * The weighted score-sum hybrid (q2/q3) needs calibrated scales; RRF
+    * is the calibration-free alternative the IR literature defaults to.
+    */
+  val hybridRrfFuse = NamedQuery(
+    "hybrid_rrf_fuse",
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, ${TextAnalyzer.sqlAnalyze("text")} AS terms
+       |  FROM documents WHERE text IS NOT NULL),
+       |grouped AS (
+       |  SELECT id, len(terms) AS dl, term, count(*) AS tf
+       |  FROM (SELECT id, terms, unnest(terms) AS term FROM tok)
+       |  GROUP BY id, dl, term),
+       |stats AS (
+       |  SELECT count(*) AS n, CAST(sum(len(terms)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ('spark', 'filter', 'merge') GROUP BY term),
+       |bmranked AS (
+       |  SELECT g.id,
+       |    CAST(sum(
+       |      ln(1 + (n - df + 0.5) / (df + 0.5)) * (CAST(tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       |    ) AS REAL) AS score32
+       |  FROM grouped g JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY g.id ORDER BY score32 DESC, g.id ASC LIMIT 20),
+       |bm AS (
+       |  SELECT id, row_number() OVER (ORDER BY score32 DESC, id) AS rank FROM bmranked),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |vd AS (
+       |  SELECT e.vec_id AS id,
+       |    row_number() OVER (ORDER BY
+       |      1.0 - list_sum(list_transform(range(1, 65), t -> CAST(e.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))),
+       |      e.vec_id) AS rank
+       |  FROM embeddings e CROSS JOIN q),
+       |vv AS (SELECT id, rank FROM vd WHERE rank <= 20),
+       |fused AS (
+       |  SELECT coalesce(bm.id, vv.id) AS id,
+       |    (coalesce(1.0 / (60.0 + bm.rank), 0.0) + coalesce(1.0 / (60.0 + vv.rank), 0.0)) AS s,
+       |    ((CASE WHEN bm.rank IS NOT NULL THEN 1 ELSE 0 END)
+       |      + (CASE WHEN vv.rank IS NOT NULL THEN 1 ELSE 0 END)) AS n_lists
+       |  FROM bm FULL OUTER JOIN vv ON bm.id = vv.id)
+       |SELECT id, ${sqlDround("s", 6)} AS rrf_r, CAST(n_lists AS INT) AS n_lists
+       |FROM fused ORDER BY rrf_r DESC, id""".stripMargin) { (s, d) =>
+    import graft.operators.{Curation, Similarity, TextAnalysis}
+    import graft.model.IndexKind.Metric
+    val docs = graft.Tables.documents(s, d)
+    val emb = graft.Tables.embeddings(s, d)
+    // BM25 emits (score32-ordered) rows; ranks assigned driver-side over
+    // the bounded top-20 (a global row_number window would trip PlanLint
+    // for no reason at 20 rows)
+    val bmRows = TextAnalysis.bm25(docs, col("doc_id"), col("text"),
+        queryText = "the spark AND filter, merge!", k = 20)
+      .select(col("id")).collect().map(_.getLong(0))
+    import s.implicits._
+    val bmList = bmRows.toSeq.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+      .toDF("id", "rank")
+    val vecList = Similarity.knnJoin(
+        emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
+        emb, col("vec_id"), col("embedding"), k = 20, metric = Metric.Cosine)
+      .select(col("corpus_id").as("id"), col("rank").cast("long").as("rank"))
+    Curation.rrfFuse(Seq(bmList, vecList), k = 60)
+      .select(col("id"), dround(col("rrf_score"), 6).as("rrf_r"), col("n_lists"))
+      .orderBy(col("rrf_r").desc, col("id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(q2HybridAnd, q3HybridOr, kitchenSink, hybridRrfFuse)
 }

@@ -106,6 +106,30 @@ class CurationSpec extends SparkSuite {
       Curation.mmr(e, $"vec_id", $"rel", $"embedding", 5, 0.5, maxCandidates = 10))
   }
 
+  test("rrf: hand-computed fusion, overlap outranks single-list hits") {
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Curation.rrfFuse(Seq(l1, l2), k = 60)
+      .as[(Long, Double, Int)].collect().toSeq
+    val expected = Map(
+      10L -> 1.0 / 61, 20L -> (1.0 / 62 + 1.0 / 61),
+      30L -> 1.0 / 63, 40L -> 1.0 / 62)
+    out.foreach { case (id, s, n) =>
+      assert(math.abs(s - expected(id)) < 1e-15, s"id $id")
+      assert(n === (if (id == 20L) 2 else 1))
+    }
+    // the doubly-ranked id wins despite rank 2 in one list
+    assert(out.head._1 === 20L)
+  }
+
+  test("rrf: single list preserves its order; guards") {
+    val l = Seq((5L, 1L), (6L, 2L)).toDF("id", "rank")
+    val out = Curation.rrfFuse(Seq(l)).select("id").as[Long].collect().toSeq
+    assert(out === Seq(5L, 6L))
+    intercept[IllegalArgumentException](Curation.rrfFuse(Seq.empty))
+    intercept[IllegalArgumentException](Curation.rrfFuse(Seq(l), k = -1))
+  }
+
   test("guards: k must be positive, id must be numeric") {
     intercept[IllegalArgumentException](
       Curation.topKPerGroup(toy, $"src", $"id", $"score", 0))
