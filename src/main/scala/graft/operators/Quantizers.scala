@@ -304,3 +304,84 @@ object ProductQuantizer {
       .limit(k)
   }
 }
+
+/** Scalar (SQ8) quantization — faiss's SQ family: each dimension maps
+  * independently onto a 256-level grid over its [lo, hi] range, so a
+  * 64-float vector becomes 64 bytes with far better fidelity than 64
+  * sign bits (BQ) at 8× the size; the classic middle point of the
+  * size/recall trade. Ranges come either from the exact per-dimension
+  * min/max fit (order-free aggregates — deterministic under any layout)
+  * or are caller-specified ("fixed-range" mode, which keeps every
+  * constant static for cross-engine replay).
+  *
+  * All arithmetic is the repo's explicit-IEEE contract:
+  * code = clamp(floor((x − lo)·255/(hi − lo) + 0.5)) — floor(+0.5), not
+  * round(), because Spark's round is DECIMAL half-up and DuckDB's is
+  * half-away, while floor is floor everywhere — and the approximate
+  * distance is an explicit left-fold over reconstructed centers.
+  */
+object ScalarQuantizer {
+
+  /** Exact per-dimension [min, max] (no rounding needed: min/max of
+    * floats are order-free and exact in any engine).
+    */
+  def fitMinMax(df: DataFrame, vec: Column, dim: Int): (Array[Double], Array[Double]) = {
+    val rows = df.filter(vec.isNotNull && size(vec) >= dim)
+      .select(posexplode(slice(vec, 1, dim)).as(Seq("_pos", "_v")))
+      .groupBy("_pos")
+      .agg(min(col("_v").cast("double")).as("_lo"), max(col("_v").cast("double")).as("_hi"))
+      .collect().map(r => r.getAs[Int]("_pos") -> (r.getAs[Double]("_lo"), r.getAs[Double]("_hi")))
+      .toMap
+    val lohi = (0 until dim).map(i => rows.getOrElse(i,
+      throw new IllegalArgumentException(
+        s"no values at dimension $i — vectors shorter than dim=$dim or empty corpus")))
+    (lohi.map(_._1).toArray, lohi.map(_._2).toArray)
+  }
+
+  /** Per-element code expression for dimension i (0-based). */
+  private def codeAt(vec: Column, i: Int, lo: Array[Double], hi: Array[Double]): Column = {
+    val l = lo(i); val h = hi(i)
+    if (h <= l) lit(0L)
+    else {
+      val q = floor((try_element_at(vec, lit(i + 1)).cast("double") - lit(l)) * 255.0 / lit(h - l) + lit(0.5))
+      least(greatest(q, lit(0.0)), lit(255.0)).cast("long")
+    }
+  }
+
+  /** Encode to an array<long> of 0..255 codes (one per dimension). */
+  def encode(df: DataFrame, id: Column, vec: Column,
+      lo: Array[Double], hi: Array[Double]): DataFrame = {
+    require(lo.length == hi.length && lo.nonEmpty, "lo/hi must be same non-zero length")
+    val dim = lo.length
+    df.filter(id.isNotNull && vec.isNotNull && size(vec) >= dim)
+      .select(id.cast("long").as("id"),
+        array((0 until dim).map(i => codeAt(vec, i, lo, hi)): _*).as("codes"))
+  }
+
+  /** Approximate squared-L2 to `query` from codes: reconstruct each
+    * center lo_i + c_i·(hi_i−lo_i)/255 and fold (x̂_i − q_i)² left in
+    * index order — bit-replayable from the same (lo, hi, query)
+    * constants.
+    */
+  def approxDistance(codes: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double]): Column = {
+    require(query.length == lo.length, s"query dim ${query.length} != ${lo.length}")
+    val terms = lo.indices.map { i =>
+      val step = if (hi(i) <= lo(i)) 0.0 else (hi(i) - lo(i)) / 255.0
+      val xhat = lit(lo(i)) + try_element_at(codes, lit(i + 1)).cast("double") * lit(step)
+      val dlt = xhat - lit(query(i).toDouble)
+      dlt * dlt
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Top-k by approximate distance over an encoded frame. */
+  def search(encoded: DataFrame, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    encoded
+      .select(col("id"), approxDistance(col("codes"), query, lo, hi).as("approx_distance"))
+      .orderBy(col("approx_distance").asc, col("id").asc)
+      .limit(k)
+  }
+}

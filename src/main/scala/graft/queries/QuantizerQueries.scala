@@ -201,6 +201,44 @@ object QuantizerQueries {
             concat_ws(":", col("id"), col("neighbors_csv")))))).as("graph_md5"))
   }
 
+  /** SQ8 top-10 for the vec_id-7 query under FIXED range [−4, 4] — the
+    * fixed-range mode keeps every constant static, so DuckDB recomputes
+    * each dimension's 0..255 code INLINE from the raw embedding and
+    * replays the reconstruct-and-fold distance chain bit-for-bit (the
+    * pq_adc_fixed convention: full pipeline, no golden). floor(x+0.5)
+    * quantization, not round() — Spark rounds DECIMAL half-up, DuckDB
+    * half-away, floor is floor everywhere. The trained min/max fit stays
+    * covered by QuantizerSpec (exactness + layout laws).
+    */
+  val sq8Topk = {
+    val dim = 64
+    val lo = -4.0; val hi = 4.0
+    val step = (hi - lo) / 255.0 // inject the SAME double literal both sides
+    val chain = (1 to dim).map { i =>
+      val xhat = s"($lo + least(greatest(floor((CAST(e.embedding[$i] AS DOUBLE) - $lo) * 255.0 / ${hi - lo} + 0.5), 0.0), 255.0) * $step)"
+      s"(($xhat - CAST(q.qv[$i] AS DOUBLE)) * ($xhat - CAST(q.qv[$i] AS DOUBLE)))"
+    }.mkString(" + ")
+    NamedQuery(
+      "sq8_topk",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |d AS (
+         |  SELECT e.vec_id AS id, ($chain) AS ad
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.embedding IS NOT NULL AND len(e.embedding) >= $dim
+         |  ORDER BY ad, id LIMIT 10)
+         |SELECT id, ${sqlDround("ad", 4)} AS approx_r
+         |FROM d ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+      import graft.operators.ScalarQuantizer
+      val emb = Tables.embeddings(s, d)
+      val los = Array.fill(dim)(lo); val his = Array.fill(dim)(hi)
+      val codes = ScalarQuantizer.encode(emb, col("vec_id"), col("embedding"), los, his)
+      ScalarQuantizer.search(codes, TestCollections.queryVector(s, d, 7), los, his, k = 10)
+        .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+        .orderBy(col("approx_r"), col("id"))
+    }
+  }
+
   val all: Seq[NamedQuery] =
-    Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph)
+    Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph,
+      sq8Topk)
 }

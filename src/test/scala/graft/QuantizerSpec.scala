@@ -200,4 +200,71 @@ class QuantizerSpec extends SparkSuite {
       .flatMap(t => Option(t.getMessage)).toSeq
     assert(msgs.exists(_.contains("dims")), msgs.mkString(" | "))
   }
+
+  // ---- SQ8 scalar quantizer ---------------------------------------------
+
+  test("sq8: trained min/max fit is exact and layout-independent") {
+    import graft.operators.ScalarQuantizer
+    val e = Tables.embeddings(spark, sf0001)
+    val (lo, hi) = ScalarQuantizer.fitMinMax(e, col("embedding"), 64)
+    val (lo2, hi2) = ScalarQuantizer.fitMinMax(
+      e.repartition(9, col("label")), col("embedding"), 64)
+    assert(lo.toSeq === lo2.toSeq && hi.toSeq === hi2.toSeq)
+    assert(lo.zip(hi).forall { case (l, h) => l < h })
+  }
+
+  test("sq8: reconstruction error bounded by half a grid step per dim") {
+    import spark.implicits._
+    import graft.operators.ScalarQuantizer
+    val rnd = new scala.util.Random(21)
+    val data = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() * 8 - 4).toFloat)))
+    val df = data.toDF("vid", "vec")
+    val lo = Array.fill(16)(-4.0); val hi = Array.fill(16)(4.0)
+    val step = 8.0 / 255.0
+    val codes = ScalarQuantizer.encode(df, $"vid", $"vec", lo, hi)
+      .as[(Long, Seq[Long])].collect().toMap
+    data.foreach { case (id, v) =>
+      val c = codes(id)
+      v.zipWithIndex.foreach { case (x, i) =>
+        val xhat = -4.0 + c(i) * step
+        assert(math.abs(xhat - x) <= step / 2 + 1e-9, s"id $id dim $i")
+        assert(c(i) >= 0 && c(i) <= 255)
+      }
+    }
+  }
+
+  test("sq8: approximate top-10 recalls the exact neighbours at 8 bits/dim") {
+    import graft.operators.ScalarQuantizer
+    import graft.queries.TestCollections
+    val e = Tables.embeddings(spark, sf0001)
+    val (lo, hi) = ScalarQuantizer.fitMinMax(e, col("embedding"), 64)
+    val q = TestCollections.queryVector(spark, sf0001, 3)
+    val codes = ScalarQuantizer.encode(e, col("vec_id"), col("embedding"), lo, hi)
+    val approx = ScalarQuantizer.search(codes, q, lo, hi, k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val qArr = q.map(_.toDouble).toArray
+    val exact = e.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val d2 = v.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+        (r.getLong(0), d2)
+      }.sortBy(p => (p._2, p._1)).take(10).map(_._1).toSet
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.8, s"sq8 recall@10 $recall")
+  }
+
+  test("sq8: degenerate dimension codes to 0; guards fire") {
+    import spark.implicits._
+    import graft.operators.ScalarQuantizer
+    val df = Seq((1L, Seq(3.0f, 7.0f))).toDF("vid", "vec")
+    val codes = ScalarQuantizer.encode(df, $"vid", $"vec",
+        Array(0.0, 7.0), Array(10.0, 7.0))
+      .as[(Long, Seq[Long])].head()
+    assert(codes._2(1) === 0L)
+    intercept[IllegalArgumentException](
+      ScalarQuantizer.encode(df, $"vid", $"vec", Array(0.0), Array(1.0, 2.0)))
+    intercept[IllegalArgumentException](
+      ScalarQuantizer.search(df.withColumnRenamed("vid", "id"), Seq(1.0f), Array(0.0), Array(1.0), 0))
+  }
 }
