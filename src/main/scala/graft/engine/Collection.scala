@@ -50,6 +50,22 @@ final case class Collection(
       copy(vectorIndexes = vectorIndexes + (prop -> BinaryVectorIndex(thresholds, packed)))
     }
 
+  /** Attach an SQ8 scalar-quantizer artifact for `prop`: per-dimension
+    * 0..255 grid codes over [lo, hi], persisted; approximate candidates
+    * rank by squared-L2 over reconstructed centers.
+    */
+  def withScalarVectorIndex(prop: String, lo: Array[Double], hi: Array[Double]): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val codes = graft.operators.ScalarQuantizer
+        .encode(df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), lo, hi)
+        .withColumnRenamed("id", Collection.IdCol)
+        .withColumnRenamed("codes", "_codes")
+        .persist()
+      copy(vectorIndexes = vectorIndexes + (prop -> ScalarVectorIndex(lo, hi, codes)))
+    }
+
   /** Attach a product-quantizer artifact for `prop`: per-subspace centroid
     * codes (byte-scale per subspace), persisted; approximate candidates
     * rank by asymmetric distance against a per-query lookup table.

@@ -235,6 +235,13 @@ object QueryCompiler {
         // (‖q−c‖² = 2−2·q·c); unnormalized dot re-ranks exactly but its
         // candidate pool is L2-biased — documented operating limitation
         (restricted0, graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model))
+      case ScalarVectorIndex(lo, hi, _) =>
+        require(vector.length == lo.length,
+          s"query vector has ${vector.length} dims; scalar index has ${lo.length}")
+        // squared-L2 over reconstructed grid centers — exact for
+        // euclidean; rank-equivalent for cosine/dot on normalized
+        // vectors (the PQ operating note applies verbatim)
+        (restricted0, graft.operators.ScalarQuantizer.approxDistance(col("_codes"), vector, lo, hi))
       case IvfPqVectorIndex(coarse, model, nprobe, _) =>
         require(vector.length == coarse.dim,
           s"query vector has ${vector.length} dims; IVF-PQ index has ${coarse.dim}")

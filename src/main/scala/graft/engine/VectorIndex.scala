@@ -45,6 +45,14 @@ final case class ProductVectorIndex(
 final case class VamanaVectorIndex(
     entry: Long, maxHops: Int, encoded: DataFrame) extends VectorIndex
 
+/** SQ8 scalar-quantizer artifact (`_codes array<long>`, 0..255 per
+  * dimension over per-dim [lo, hi]) — candidates rank by squared-L2
+  * over reconstructed grid centers: exact for euclidean, rank-equivalent
+  * for cosine/dot on normalized vectors (the PQ operating note).
+  */
+final case class ScalarVectorIndex(
+    lo: Array[Double], hi: Array[Double], encoded: DataFrame) extends VectorIndex
+
 /** Residual IVF-PQ artifact (operators/IvfPq.scala): `encoded` reads the
   * bucket-PARTITIONED artifact directory, so the probe restriction in the
   * approximate path is partition pruning, not an in-memory filter — the

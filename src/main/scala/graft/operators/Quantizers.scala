@@ -348,13 +348,15 @@ object ScalarQuantizer {
     }
   }
 
-  /** Encode to an array<long> of 0..255 codes (one per dimension). */
+  /** Encode to an array<long> of 0..255 codes (one per dimension). The
+    * id column keeps its own type (the engine's ids are strings).
+    */
   def encode(df: DataFrame, id: Column, vec: Column,
       lo: Array[Double], hi: Array[Double]): DataFrame = {
     require(lo.length == hi.length && lo.nonEmpty, "lo/hi must be same non-zero length")
     val dim = lo.length
     df.filter(id.isNotNull && vec.isNotNull && size(vec) >= dim)
-      .select(id.cast("long").as("id"),
+      .select(id.as("id"),
         array((0 until dim).map(i => codeAt(vec, i, lo, hi)): _*).as("codes"))
   }
 

@@ -365,9 +365,61 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** `"approx": true` served from the SQ8 SCALAR artifact — the third
+    * quantizer kind through the engine (beyond the reference's
+    * binary/product pair): per-dim min/max fit, 0..255 grid codes,
+    * candidates by reconstructed squared-L2, exact float32 re-rank.
+    * DuckDB rebuilds the fit, the codes, and the full two-stage pipeline
+    * from raw data — every constant is derived, no golden.
+    */
+  val s2NearSqApprox = {
+    val chain = (1 to 64).map { i =>
+      val code = s"least(greatest(floor((CAST(c.embedding[$i] AS DOUBLE) - mm.lo[$i]) * 255.0 / (mm.hi[$i] - mm.lo[$i]) + 0.5), 0.0), 255.0)"
+      val xhat = s"(mm.lo[$i] + $code * ((mm.hi[$i] - mm.lo[$i]) / 255.0))"
+      s"(($xhat - CAST(q.v[$i] AS DOUBLE)) * ($xhat - CAST(q.v[$i] AS DOUBLE)))"
+    }.mkString(" + ")
+    NamedQuery(
+      "s2_near_sq_approx",
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |corpus AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |mm0 AS (
+         |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+         |  FROM corpus CROSS JOIN dims GROUP BY i),
+         |mm AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM mm0),
+         |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |ad AS (
+         |  SELECT c._id, c.embedding, ($chain) AS ad
+         |  FROM corpus c CROSS JOIN q CROSS JOIN mm),
+         |cand AS (SELECT _id, embedding FROM ad ORDER BY ad ASC, _id ASC LIMIT 50),
+         |rr AS (
+         |  SELECT c._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+         |  FROM cand c CROSS JOIN q),
+         |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
+         |SELECT _id,
+         |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+         |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+         |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+      val base = TestCollections.docs(s, d)
+      val (lo, hi) = graft.operators.ScalarQuantizer.fitMinMax(base.df, col("embedding"), 64)
+      val coll = base.withScalarVectorIndex("embedding", lo, hi)
+      Search.search(coll, SearchRequest(
+        Query("embedding", vectorFlat = Some(VectorFlatOpts(
+          TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+        limit = 100))
+        .select(
+          col("_id"),
+          dround(col("_distance"), Scale).as("dist_r"),
+          dround(col("_hybridScore"), Scale).as("hybrid_r"))
+        .orderBy(col("dist_r"), col("_id"))
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
-    s1NearFilteredBq)
+    s1NearFilteredBq, s2NearSqApprox)
 }

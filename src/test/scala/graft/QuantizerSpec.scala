@@ -254,6 +254,22 @@ class QuantizerSpec extends SparkSuite {
     assert(recall >= 0.8, s"sq8 recall@10 $recall")
   }
 
+  test("sq8: engine-served approx recalls the exact top-10") {
+    import graft.queries.TestCollections
+    import graft.model._
+    val base = TestCollections.docs(spark, sf0001)
+    val (lo, hi) = graft.operators.ScalarQuantizer.fitMinMax(base.df, col("embedding"), 64)
+    val coll = base.withScalarVectorIndex("embedding", lo, hi)
+    val qv = TestCollections.queryVector(spark, sf0001, 0)
+    def ids(approx: Boolean) = graft.engine.Search.search(coll, SearchRequest(
+        Query("embedding", vectorFlat = Some(VectorFlatOpts(qv, Op.Near, 10, approx = approx))),
+        limit = 100))
+      .select("_id").collect().map(_.getString(0)).toSet
+    val (ex, ap) = (ids(false), ids(true))
+    val recall = (ex & ap).size / 10.0
+    assert(recall >= 0.8, s"sq8 engine-served recall@10 $recall")
+  }
+
   test("sq8: degenerate dimension codes to 0; guards fire") {
     import spark.implicits._
     import graft.operators.ScalarQuantizer
