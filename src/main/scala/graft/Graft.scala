@@ -332,6 +332,8 @@ final class Graft(spark: SparkSession, root: String,
               Some(p -> ((c: Collection) => c.withBinaryVectorIndex(p, th)))
             case Some(graft.store.FittedProduct(model)) =>
               Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
+            case Some(graft.store.FittedScalar(lo, hi)) =>
+              Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))
             case None => store.vamanaIndex(name, p).map { case (graph, idmap) =>
               p -> ((c: Collection) => c.withVamanaVectorIndexFrames(p, graph, idmap))
             }

@@ -40,6 +40,13 @@ object IndexKind {
     final case class Product(
         numCentroids: Int = 256, numSubVectors: Int = 8,
         triggerThreshold: Int = 10000) extends Quantizer { val name = "product" }
+    /** SQ8 per-dimension grid — a graft extension beyond the reference's
+      * binary/product pair (faiss's SQ family; the size/recall middle
+      * point). Fitted from exact per-dim min/max at the trigger.
+      */
+    final case class Scalar(triggerThreshold: Int = 10000) extends Quantizer {
+      val name = "scalar"
+    }
   }
 
   final case class VectorFlat(
@@ -107,6 +114,7 @@ object IndexSchema {
   private def badQuant(n: Int, q: IndexKind.Quantizer): Boolean = q match {
     case IndexKind.Quantizer.NoQuant => false
     case IndexKind.Quantizer.Binary(t) => t < 1
+    case IndexKind.Quantizer.Scalar(t) => t < 1
     case IndexKind.Quantizer.Product(kc, m, t) =>
       t < 1 || kc < 2 || kc > 256 || m < 1 || n % m != 0
   }

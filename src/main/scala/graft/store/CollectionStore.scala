@@ -1162,6 +1162,7 @@ final class CollectionStore(
             case JInt(x) => x.toInt; case JLong(x) => x.toInt
             case other => throw new IllegalStateException(s"bad $k: $other") }
           Some(FittedProduct(graft.operators.PQModel(i("m"), i("k"), i("dim"), cents)))
+        case JString("scalar") => Some(FittedScalar(dbls(j \ "lo"), dbls(j \ "hi")))
         case _ => None
       }
     }
@@ -1202,6 +1203,12 @@ final class CollectionStore(
               "centroids" -> JArray(model.centroids.map(sub =>
                 JArray(sub.map(c =>
                   JArray(c.map(x => JDouble(x.toDouble)).toList)).toList)).toList)))
+          case Quantizer.Scalar(t) if total >= t =>
+            val (lo, hi) = graft.operators.ScalarQuantizer.fitMinMax(vecs, col(prop), dim)
+            Some(JObject(
+              "type" -> JString("scalar"),
+              "lo" -> JArray(lo.map(JDouble(_)).toList),
+              "hi" -> JArray(hi.map(JDouble(_)).toList)))
           case _ => None
         }
         json.foreach { jv =>
@@ -1488,6 +1495,7 @@ final class CollectionStore(
 sealed trait FittedQuantizer
 final case class FittedBinary(thresholds: Array[Double]) extends FittedQuantizer
 final case class FittedProduct(model: graft.operators.PQModel) extends FittedQuantizer
+final case class FittedScalar(lo: Array[Double], hi: Array[Double]) extends FittedQuantizer
 
 object CollectionStore {
   val IdCol = "_id"
@@ -1525,6 +1533,8 @@ object CollectionStore {
       case IndexKind.Quantizer.Product(kc, m, t) =>
         o("type" -> JString("product"), "numCentroids" -> JInt(kc),
           "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t))
+      case IndexKind.Quantizer.Scalar(t) =>
+        o("type" -> JString("scalar"), "triggerThreshold" -> JInt(t))
     }
     val fields = s.props.toSeq.sortBy(_._1).map { case (p, k) =>
       val obj = k match {
@@ -1566,6 +1576,8 @@ object CollectionStore {
           case JString("product") => IndexKind.Quantizer.Product(
             qint("numCentroids", 256), qint("numSubVectors", 8),
             qint("triggerThreshold", 10000))
+          case JString("scalar") =>
+            IndexKind.Quantizer.Scalar(qint("triggerThreshold", 10000))
           case _ => IndexKind.Quantizer.NoQuant
         }
       }

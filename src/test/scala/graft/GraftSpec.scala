@@ -152,6 +152,29 @@ class GraftSpec extends SparkSuite {
     assert(after == exact) // n1 is far from the query; results unchanged
   }
 
+  test("approx JSON search serves from the store's auto-fitted SCALAR quantizer") {
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema(
+      "vec" -> VectorFlat(2, Metric.Euclidean, Quantizer.Scalar(triggerThreshold = 5)))
+    val seed = (0 until 40).map(i => (i.toString, Array(i.toFloat, (i + 1).toFloat)))
+      .toDF("_id", "vec")
+    db.createCollection("pts", schema, seed)
+    assert(db.quantizer("pts", "vec").exists(_.isInstanceOf[graft.store.FittedScalar]))
+    def q(approx: Boolean) =
+      s"""{"query": {"property": "vec",
+         |  "vectorFlat": {"vector": [7, 8], "operator": "near", "limit": 5,
+         |                 "approx": $approx}},
+         | "limit": 10}""".stripMargin
+    val exact = db.search("pts", q(approx = false)).collect().map(_.getString(0)).toSeq
+    val approx = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+    // 40-row corpus ≤ budget 50 → candidates cover the collection and the
+    // exact re-rank reproduces exact results through the SQ artifact
+    assert(approx == exact, s"approx $approx != exact $exact")
+    assert(db.collection("pts").vectorIndexes.contains("vec"))
+    // the schema round-trips the scalar quantizer declaration
+    assert(db.listCollections().contains("pts"))
+  }
+
   test("approx JSON search serves from the store-MAINTAINED vamana graph") {
     val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
     val schema = IndexSchema("vec" -> VectorVamana(2, Metric.Euclidean,
