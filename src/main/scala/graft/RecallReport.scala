@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.functions.Distances
 import graft.model.IndexKind.Metric
-import graft.operators.{BinaryQuantizer, IvfPq, ProductQuantizer, Similarity, VamanaBuild}
+import graft.operators.{BinaryQuantizer, IvfPq, ProductQuantizer, ScalarQuantizer, Similarity, VamanaBuild}
 
 /** Measures recall@10 of every approximate search path against exact
   * top-k over the embeddings table and writes RECALL.md — the analogue of
@@ -62,6 +62,25 @@ object RecallReport {
       BinaryQuantizer.searchRescored(encoded, col("vec_id"), col("embedding"),
           vec(q), th, k, rescoreC, Metric.Cosine)
         .select("id").as[Long].collect().toSet
+    }
+
+    // SQ8: reconstructed-L2 candidates (rank-equivalent to cosine on the
+    // normalized corpus) — pure top-k and rescored-from-top-rescoreC
+    val (sqLo, sqHi) = ScalarQuantizer.fitMinMax(emb, col("embedding"), 64)
+    val sqCodes = ScalarQuantizer.encode(
+      emb, col("vec_id"), col("embedding"), sqLo, sqHi).persist()
+    val sq = queryIds.map { q =>
+      ScalarQuantizer.search(sqCodes, vec(q), sqLo, sqHi, k)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    val sqR = queryIds.map { q =>
+      val cand = ScalarQuantizer.search(sqCodes, vec(q), sqLo, sqHi, 20 * k)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      emb.filter(col("vec_id").isin(cand: _*))
+        .select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Cosine, col("embedding"), vec(q)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
     }
 
     // PQ ADC — the round-1 m=8/k=32 point, a finer m=16/k=64 codebook,
@@ -223,6 +242,8 @@ object RecallReport {
          || exact `near` (S1/S2) | TakeOrderedAndProject scan | 1.000 |
          || binary quantizer | mean thresholds, packed hamming, vs cosine | ${recallOf(bq, exactCos)}%.3f |
          || binary quantizer + rescore | hamming top-$rescoreC → exact cosine re-rank | ${recallOf(bqR, exactCos)}%.3f |
+         || SQ8 scalar quantizer | per-dim min/max grid, reconstructed L2 | ${recallOf(sq, exactCos)}%.3f |
+         || SQ8 + rescore | top-$rescoreC → exact cosine re-rank | ${recallOf(sqR, exactCos)}%.3f |
          || product quantizer ADC | m=8, k=32, seeded Lloyd's | ${recallOf(pq8, exactCos)}%.3f |
          || product quantizer ADC | m=16, k=64 | ${recallOf(pq16, exactCos)}%.3f |
          || product quantizer ADC | m=16, k=128 | ${recallOf(pq16f, exactCos)}%.3f |
