@@ -155,6 +155,51 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_text"))
   }
 
+  /** Per-stratum BOILERPLATE removal — the per-domain complement of
+    * [[lineDedup]]'s global duplicate cut (RefinedWeb §3.2 practice:
+    * navigation, cookie banners, footers repeat across a DOMAIN's pages,
+    * not the whole web). A line counts once per document (presence, not
+    * occurrences) and is boilerplate in its stratum when it appears in
+    * more than `frac` of the stratum's documents AND at least `minDocs`
+    * of them (small strata can't convict a line). Removal preserves the
+    * original line order of what survives.
+    *
+    * Scale: presence rows shuffle on (stratum, line) with map-side
+    * combine; the hot set is a bounded anti-join side; reconstruction is
+    * an id-bounded sort, no window.
+    */
+  def boilerplate(df: DataFrame, id: Column, text: Column, stratum: Column,
+      minDocs: Long = 10L, frac: Double = 0.5): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1 (got $minDocs)")
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0,1) (got $frac)")
+    val base = df.filter(text.isNotNull && stratum.isNotNull)
+      .select(id.as("id"), stratum.cast("string").as("_src"),
+        filter(split(text, "\n"), l => trim(l) =!= "").as("_ls"))
+      .localCheckpoint() // three consumers (lines, presence, totals)
+    val lines = base.select(col("id"), col("_src"),
+      posexplode(col("_ls")).as(Seq("_p", "line")))
+    val docsPer = base.groupBy("_src").agg(count(lit(1)).as("_docs"))
+    val presence = base.select(col("id"), col("_src"),
+        explode(array_distinct(col("_ls"))).as("line"))
+      .groupBy("_src", "line").agg(count(lit(1)).as("_ldf"))
+    val hot = presence.join(docsPer, Seq("_src"))
+      .filter(col("_ldf") >= minDocs && col("_ldf") > lit(frac) * col("_docs"))
+      .select("_src", "line")
+    val agg = lines.join(hot, Seq("_src", "line"), "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_p"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("kept_text"))
+    base.select(col("id"), col("_src").as("stratum"),
+        size(col("_ls")).cast("long").as("n_lines"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"), col("stratum"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_text"))
+  }
+
   /** Exact n-gram Jaccard similar pairs via PPJoin-style prefix filtering
     * (Xiao et al.): order each document's shingles by global document
     * frequency (rarest first), keep only the prefix of length

@@ -340,6 +340,56 @@ object DedupQueries {
       .orderBy("id")
   }
 
+  /** Per-source boilerplate removal over a corpus where every document of
+    * a source carries that source's banner line (injected identically by
+    * both engines — the testdata has no natural per-source chrome, and a
+    * vacuous pass-through would gate nothing): the banner appears in 100%
+    * of its stratum's documents and must be cut, while every original
+    * line (per-source df = 1) must survive in order. The hash covers the
+    * reconstructed text via md5.
+    */
+  val textBoilerplate = NamedQuery(
+    "text_boilerplate",
+    """WITH d0 AS (
+      |  SELECT doc_id AS id, source,
+      |    source || ' NEWSLETTER FOOTER' || chr(10) || text AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |d AS (
+      |  SELECT id, source AS stratum,
+      |    list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+      |  FROM d0),
+      |l AS (
+      |  SELECT id, stratum, i AS pos, ls[i] AS line
+      |  FROM d CROSS JOIN unnest(range(1, len(ls) + 1)) AS r(i)),
+      |docs AS (SELECT stratum, count(*) AS n_docs FROM d GROUP BY stratum),
+      |pres AS (
+      |  SELECT stratum, line, count(*) AS ldf
+      |  FROM (SELECT DISTINCT id, stratum, unnest(ls) AS line FROM d)
+      |  GROUP BY stratum, line),
+      |hot AS (
+      |  SELECT p.stratum, p.line FROM pres p JOIN docs USING (stratum)
+      |  WHERE p.ldf >= 10 AND p.ldf > 0.5 * n_docs),
+      |k AS (
+      |  SELECT l.* FROM l LEFT JOIN hot h
+      |    ON l.stratum = h.stratum AND l.line = h.line
+      |  WHERE h.line IS NULL),
+      |agg AS (
+      |  SELECT id, count(*) AS n_kept,
+      |    md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5
+      |  FROM k GROUP BY id)
+      |SELECT d.id, d.stratum, CAST(len(d.ls) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, a.kept_md5
+      |FROM d LEFT JOIN agg a USING (id) ORDER BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat(col("source"), lit(" NEWSLETTER FOOTER\n"), col("text")).as("text"))
+    Dedup.boilerplate(docs, col("doc_id"), col("text"), col("source"),
+        minDocs = 10L, frac = 0.5)
+      .select(col("id"), col("stratum"), col("n_lines"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("id")
+  }
+
   /** Incremental-ingest novelty via the sharded Bloom filter: corpus =
     * docs with doc_id % 3 <> 0, incoming batch = even doc_ids, key = the
     * document text. The one-sided-error contract is what the oracle
@@ -382,5 +432,6 @@ object DedupQueries {
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
     dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines,
-    dedupSemantic, q9StreamDedup, dedupSubstring, dedupBloomNovelty)
+    dedupSemantic, q9StreamDedup, dedupSubstring, dedupBloomNovelty,
+    textBoilerplate)
 }

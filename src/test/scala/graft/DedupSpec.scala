@@ -273,4 +273,47 @@ class DedupSpec extends SparkSuite {
       docs.repartition(7), col("doc_id"), col("text"), n = 15)
     assert(out7.orderBy("id").collect().toSeq == out.orderBy("id").collect().toSeq)
   }
+
+  test("boilerplate: per-stratum banner cut, content kept in order, small strata immune") {
+    import spark.implicits._
+    // stratum A: 3 docs sharing a banner (df 3/3 > 0.5, ≥ minDocs 2);
+    // stratum B: 2 docs sharing a line but minDocs 3 protects it
+    val docs = Seq(
+      (1L, "A", "BANNER\nalpha\nbeta"),
+      (2L, "A", "gamma\nBANNER\ndelta"),
+      (3L, "A", "BANNER"),
+      (4L, "B", "SHARED\none"),
+      (5L, "B", "two\nSHARED"))
+      .toDF("id", "src", "text")
+    val out = Dedup.boilerplate(docs, col("id"), col("text"), col("src"),
+        minDocs = 3L, frac = 0.5)
+      .orderBy("id")
+      .select("id", "n_lines", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, "alpha\nbeta"),
+      (2L, 3L, 2L, "gamma\ndelta"),
+      (3L, 1L, 0L, null),
+      (4L, 2L, 2L, "SHARED\none"),
+      (5L, 2L, 2L, "two\nSHARED")))
+  }
+
+  test("boilerplate: repeated line within ONE doc is not boilerplate; guards") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "echo\necho\necho"), (2L, "A", "x"), (3L, "A", "y"),
+      (4L, "A", "z"), (5L, "A", "w"), (6L, "A", "v"))
+      .toDF("id", "src", "text")
+    // 'echo' present in 1 of 6 docs (presence, not occurrences): an
+    // occurrence count of 3 would cross frac·docs = 1.8, presence stays
+    // below it -> kept
+    val out = Dedup.boilerplate(docs, col("id"), col("text"), col("src"),
+        minDocs = 1L, frac = 0.3)
+      .filter(col("id") === 1L).select("n_kept").as[Long].head()
+    assert(out === 3L)
+    intercept[IllegalArgumentException](
+      Dedup.boilerplate(docs, col("id"), col("text"), col("src"), minDocs = 0L))
+    intercept[IllegalArgumentException](
+      Dedup.boilerplate(docs, col("id"), col("text"), col("src"), frac = 1.5))
+  }
 }
