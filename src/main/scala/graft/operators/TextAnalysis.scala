@@ -480,6 +480,75 @@ object TextAnalysis {
         decRound(exp(sumDec.cast("double") / count(lit(1))), 2).as("perplexity"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every KenLM-filtered pipeline actually ships): absolute
+    * discount D off every observed bigram, redistributed through the
+    * CONTINUATION probability — "how many distinct contexts precede w" —
+    * which is what separates KN from [[bigramLmScore]]'s count-mixing JM:
+    * a word frequent in ONE context ("Francisco") stops looking probable
+    * everywhere. P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1)·Pcont(w2),
+    * Pcont(w) = (N1+(·w)+1)/(B+V) with add-one smoothing over bigram
+    * types B and vocab V; document-initial tokens score by Pcont alone.
+    *
+    * Same machinery and cross-engine conventions as the JM scorer: one
+    * explode+groupBy per count table, equi-join scoring, per-row
+    * DECIMAL-rounded −ln values summed exactly.
+    */
+  def knLmScore(
+      df: DataFrame, id: Column, text: Column,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1) (got $discount)")
+    val base = df.filter(text.isNotNull)
+      .select(id.as("id"), Dedup.tokens(text).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .localCheckpoint()
+    val occ = base.select(col("id"), explode(col("_toks")).as("w"))
+    val vocab = occ.groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val pairCol = transform(
+      slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+      (x, i) => struct(x.as("prev"),
+        element_at(col("_toks"), i + lit(2)).as("cur")))
+    val bg = base
+      .filter(size(col("_toks")) >= 2)
+      .select(col("id"), explode(pairCol).as("pc"))
+      .select(col("id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+      .localCheckpoint()
+    val bigTable = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // three consumers: nFollow, nCont, scoring join
+    val nFollow = bigTable.groupBy("prev").agg(count(lit(1)).as("_nf"))
+    val nCont = bigTable.groupBy("cur").agg(count(lit(1)).as("_nc"))
+    // B + V as one exact double — the continuation denominator
+    val denomCont = bigTable.count().toDouble + vocab.count().toDouble
+    val firstNlp = base
+      .select(col("id"), element_at(col("_toks"), 1).as("w"))
+      // a document-initial token may never occur as a bigram's `cur`
+      .join(nCont.select(col("cur").as("w"), col("_nc")), Seq("w"), "left")
+      .select(col("id"),
+        (-log((coalesce(col("_nc"), lit(0L)) + 1L).cast("double") / lit(denomCont)))
+          .as("_nlp"))
+    val bigNlp = bg
+      .join(bigTable, Seq("prev", "cur"))
+      .join(vocab.select(col("w").as("prev"), col("c1").as("_c1p")), "prev")
+      .join(nFollow, "prev")
+      .join(nCont, "cur")
+      .select(col("id"),
+        (-log(
+          (greatest(col("cb").cast("double") - lit(discount), lit(0.0)) /
+            col("_c1p").cast("double")) +
+            ((lit(discount) * col("_nf").cast("double") / col("_c1p").cast("double")) *
+              ((col("_nc") + 1L).cast("double") / lit(denomCont))))).as("_nlp"))
+    val sumDec = sum(decRound(col("_nlp"), 6).cast(Dec))
+    firstNlp.unionByName(bigNlp)
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sumDec.cast("double").as("nlp_sum"),
+        round((sumDec.cast("double") / count(lit(1))).cast(Dec), 6)
+          .cast("double").as("cross_entropy"),
+        decRound(exp(sumDec.cast("double") / count(lit(1))), 2).as("perplexity"))
+  }
+
   /** CCNet-style perplexity partitioning (Wenzek et al. LREC'20, "CCNet:
     * Extracting high quality monolingual datasets from web crawl data",
     * §4.3): score every document with the corpus LM ([[lmScore]]) and

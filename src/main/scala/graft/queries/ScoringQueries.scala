@@ -441,8 +441,52 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  /** Kneser–Ney bigram scoring — text_bigram_lm's structure with the
+    * KN formula: absolute discount, continuation-probability backoff
+    * (distinct-context counts), add-one smoothing over B+V. The oracle
+    * replays every count table and the exact double formula; the signal
+    * is the same exact-sum-of-rounded-−ln convention.
+    */
+  val textKnLm = NamedQuery(
+    "text_kn_lm",
+    s"""WITH $tokCte,
+       |t AS (SELECT id, raw FROM tok WHERE len(raw) > 0),
+       |occ AS (SELECT id, unnest(raw) AS w FROM t),
+       |voc AS (SELECT w, count(*) AS c1 FROM occ GROUP BY w),
+       |bo AS (SELECT id, unnest(range(1, len(raw))) AS i, raw FROM t WHERE len(raw) >= 2),
+       |bg AS (SELECT id, raw[i] AS prev, raw[i+1] AS cur FROM bo),
+       |bt AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |nf AS (SELECT prev, count(*) AS nf FROM bt GROUP BY prev),
+       |nc AS (SELECT cur, count(*) AS nc FROM bt GROUP BY cur),
+       |tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bt)
+       |             + (SELECT CAST(count(*) AS DOUBLE) FROM voc) AS bv),
+       |f1 AS (
+       |  SELECT t.id, -ln(CAST(coalesce(nc.nc, 0) + 1 AS DOUBLE) / tot.bv) AS nlp
+       |  FROM t LEFT JOIN nc ON t.raw[1] = nc.cur CROSS JOIN tot),
+       |f2 AS (
+       |  SELECT bg.id,
+       |    -ln((greatest(CAST(bt.cb AS DOUBLE) - 0.75, 0.0) / CAST(vp.c1 AS DOUBLE))
+       |        + ((0.75 * CAST(nf.nf AS DOUBLE) / CAST(vp.c1 AS DOUBLE))
+       |           * (CAST(nc.nc + 1 AS DOUBLE) / tot.bv))) AS nlp
+       |  FROM bg
+       |  JOIN bt ON bg.prev = bt.prev AND bg.cur = bt.cur
+       |  JOIN voc vp ON bg.prev = vp.w
+       |  JOIN nf ON bg.prev = nf.prev
+       |  JOIN nc ON bg.cur = nc.cur
+       |  CROSS JOIN tot),
+       |u AS (SELECT id, ${sqlDround("nlp", 6)} AS nlp6 FROM f1
+       |      UNION ALL SELECT id, ${sqlDround("nlp", 6)} AS nlp6 FROM f2)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(nlp6 AS DECIMAL(28,6))) AS DOUBLE) AS nlp_sum,
+       |  ${sqlDround("exp(CAST(sum(CAST(nlp6 AS DECIMAL(28,6))) AS DOUBLE) / count(*))", 2)} AS perplexity
+       |FROM u GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.knLmScore(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select("id", "n_tokens", "nlp_sum", "perplexity")
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] =
     Seq(textLmScore, textBigramLm, textCcnetBucket, textCcnetServed,
       textDsirWeight, sampleDsirTopk, textPii, textGopher, textC4Clean,
-      textClassifier, q8StreamScore)
+      textClassifier, q8StreamScore, textKnLm)
 }

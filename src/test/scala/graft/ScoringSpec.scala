@@ -381,4 +381,45 @@ class ScoringSpec extends SparkSuite {
     assert(out(3L) > out(2L))
     assert(!out.contains(4L))
   }
+
+  test("knLmScore: matches the hand-computed Kneser-Ney model") {
+    // corpus: "a b", "a c" → voc {a:2,b:1,c:1} V=3; bigrams (a,b),(a,c)
+    // B=2, bv=5; nFollow(a)=2; nCont(b)=nCont(c)=1; nCont(a)=0
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("id", "text")
+    val out = TextAnalysis.knLmScore(df, col("id"), col("text"), discount = 0.75)
+      .orderBy("id").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val first = r6(-math.log(1.0 / 5.0)) // Pcont(a) = (0+1)/5
+    // (a,b): max(1−.75,0)/2 + (.75·2/2)·((1+1)/5) = .125 + .75·.4 = .425
+    val pair = r6(-math.log(0.25 / 2.0 + (0.75 * 2.0 / 2.0) * (2.0 / 5.0)))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    out.foreach(r => assert(math.abs(r.getDouble(2) - (first + pair)) < 1e-9))
+  }
+
+  test("knLmScore: continuation counts discriminate one-context words") {
+    // 'only' follows exclusively 'san' (one context, many occurrences);
+    // 'any' follows three distinct contexts with the same total count.
+    // A fresh bigram 'new any' must beat 'new only': nCont(any)=3 vs 1.
+    val corpus = Seq(
+      (1L, "san only san only san only"),
+      (2L, "x any y any z any"),
+      (3L, "new any"), (4L, "new only"))
+      .toDF("id", "text")
+    val out = TextAnalysis.knLmScore(corpus, col("id"), col("text"))
+      .filter(col("id") >= 3L)
+      .select("id", "nlp_sum").as[(Long, Double)].collect().toMap
+    assert(out(3L) < out(4L),
+      s"higher-continuation 'any' should score better: ${out(3L)} vs ${out(4L)}")
+  }
+
+  test("knLmScore: layout independence and guards") {
+    val d = Tables.documents(spark, sf0001)
+    val a = TextAnalysis.knLmScore(d, col("doc_id"), col("text"))
+    val b = TextAnalysis.knLmScore(d.repartition(7, col("lang")), col("doc_id"), col("text"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.knLmScore(d, col("doc_id"), col("text"), discount = 1.5))
+  }
 }
