@@ -904,6 +904,67 @@ object PipelineQueries {
       .limit(10)
   }
 
+  /** Deterministic textured PNG for the pHash gate: per-pixel hash noise
+    * seeded by `seed`, with an optional one-pixel tweak — kept in main
+    * (not test) code because the gate query synthesizes its corpus here.
+    */
+  def phashSynthPng(seed: Int, tweak: Int): Array[Byte] = {
+    val w = 64; val h = 64
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mix = x * 73856093 ^ y * 19349663 ^ seed * 83492791
+        val g = ((mix * 2246822519L.toInt) >>> 24) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    if (tweak > 0) { // variant v edits pixel (7·v, 11·v) to white
+      img.setRGB((7 * tweak) % w, (11 * tweak) % h, 0xFFFFFF)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual-hash image near-dup pairs over a synthesized corpus of
+    * 10 textured base images × 4 variants (base + three one-pixel
+    * edits): the REAL PNG decode → 32×32 area-average → DCT-II → median
+    * threshold pipeline, paired by multi-index hamming banding. PINNED
+    * GOLDEN (the vamana_graph convention — DuckDB cannot decode images;
+    * the hash is a pure function of the payload bytes since PNG is
+    * lossless and the DCT is fixed-order arithmetic). Within-group pairs
+    * at hamming ≤ 3 must appear; cross-group pairs must not.
+    */
+  val multimodalPhashPairs = NamedQuery(
+    "multimodal_phash_pairs",
+    """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      |  CAST(hamming AS INT) AS hamming
+      |FROM (VALUES
+      |  (0, 1, 0), (0, 2, 0), (0, 3, 2), (1, 2, 0), (1, 3, 2), (2, 3, 2), (4, 5,
+      |  2), (4, 6, 0), (4, 7, 0), (5, 6, 2), (5, 7, 2), (6, 7, 0), (8, 9, 0),
+      |  (8, 10, 0), (8, 11, 0), (9, 10, 0), (9, 11, 0), (10, 11, 0), (12, 13,
+      |  0), (12, 14, 0), (12, 15, 2), (13, 14, 0), (13, 15, 2), (14, 15, 2),
+      |  (16, 17, 2), (16, 18, 0), (16, 19, 2), (17, 18, 2), (17, 19, 0), (18,
+      |  19, 2), (20, 21, 0), (20, 22, 0), (20, 23, 0), (21, 22, 0), (21, 23, 0),
+      |  (22, 23, 0), (24, 25, 0), (24, 26, 0), (24, 27, 0), (25, 26, 0), (25,
+      |  27, 0), (26, 27, 0), (28, 29, 0), (28, 30, 0), (28, 31, 0), (29, 30, 0),
+      |  (29, 31, 0), (30, 31, 0), (32, 33, 0), (32, 34, 0), (32, 35, 0), (33,
+      |  34, 0), (33, 35, 0), (34, 35, 0), (36, 37, 0), (36, 38, 2), (36, 39, 0),
+      |  (37, 38, 2), (37, 39, 0), (38, 39, 2)) t(id_a, id_b, hamming)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val synth = udf((id: Long) => phashSynthPng((id / 4).toInt, (id % 4).toInt))
+    val corpus = Multimodal.withPayload(
+      s.range(40).toDF("doc_id"), col("doc_id"), synth(col("doc_id")), "image/png")
+    graft.operators.Phash.phashPairs(graft.operators.Phash.phash(corpus), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Johnson–Lindenstrauss sparse-sign projection of the embeddings
     * table, 64 → 8 dims. The ±1 matrix entries are the md5 PARITY of
     * "i,j,salt" — DuckDB derives the identical matrix from its own md5
@@ -1175,5 +1236,5 @@ object PipelineQueries {
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
     pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences,
-    s1NearMmr, annMaxsimScore)
+    s1NearMmr, annMaxsimScore, multimodalPhashPairs)
 }
