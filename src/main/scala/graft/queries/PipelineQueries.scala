@@ -965,6 +965,63 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Two-tone synthetic WAV for the audio-fingerprint gate: frequencies
+    * seeded by `seed`; variant 1 halves the gain, variant 2 adds a faint
+    * third tone — the edits a spectral print must survive.
+    */
+  def audioSynthWav(seed: Int, variant: Int): Array[Byte] = {
+    val rate = 8000f
+    val n = 4000
+    val amp = if (variant == 1) 3000 else 8000
+    val f1 = 300.0 + (seed * 137) % 1500
+    val f2 = 600.0 + (seed * 211) % 2500
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      var v = math.sin(2 * math.Pi * f1 * i / rate) * amp +
+        math.sin(2 * math.Pi * f2 * i / rate) * (amp / 2)
+      if (variant == 2) v += math.sin(2 * math.Pi * 1234.0 * i / rate) * (amp / 16)
+      val s = v.toInt.toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio near-dup pairs over 8 two-tone bases × 3 variants (base,
+    * re-gained, faint extra tone) through the REAL WAV decode →
+    * Goertzel band energies → spectral-contour bits → multi-index
+    * hamming banding. PINNED GOLDEN (fixed-order arithmetic over a
+    * lossless decode = pure function of the bytes; DuckDB has no audio
+    * codec). Within-group variants must pair; distinct tone stacks must
+    * not.
+    */
+  val multimodalAudioprintPairs = NamedQuery(
+    "multimodal_audioprint_pairs",
+    """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      |  CAST(hamming AS INT) AS hamming
+      |FROM (VALUES
+      |  (0, 1, 0), (0, 2, 1), (1, 2, 1), (3, 4, 0), (3, 5, 2), (4, 5, 2), (6, 7,
+      |  0), (6, 8, 0), (7, 8, 0), (9, 10, 1), (12, 13, 0), (12, 14, 0), (13, 14,
+      |  0), (15, 16, 0), (15, 17, 2), (16, 17, 2), (18, 19, 0), (18, 20, 2),
+      |  (19, 20, 2), (21, 22, 0), (21, 23, 0), (22, 23, 0)) t(id_a, id_b, hamming)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val synth = udf((id: Long) => audioSynthWav((id / 3).toInt * 7 + 1, (id % 3).toInt))
+    val corpus = Multimodal.withPayload(
+      s.range(24).toDF("doc_id"), col("doc_id"), synth(col("doc_id")), "audio/wav")
+    graft.operators.Phash.phashPairs(
+        graft.operators.AudioPrint.fingerprint(corpus), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Johnson–Lindenstrauss sparse-sign projection of the embeddings
     * table, 64 → 8 dims. The ±1 matrix entries are the md5 PARITY of
     * "i,j,salt" — DuckDB derives the identical matrix from its own md5
@@ -1236,5 +1293,5 @@ object PipelineQueries {
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
     pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences,
-    s1NearMmr, annMaxsimScore, multimodalPhashPairs)
+    s1NearMmr, annMaxsimScore, multimodalPhashPairs, multimodalAudioprintPairs)
 }
