@@ -126,14 +126,29 @@ object Phash {
     * banding. The pigeonhole guarantee needs bands > maxHamming — with
     * the 4 fixed 16-bit bands that bounds maxHamming ≤ 3.
     */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBandDf: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0,3] (got $maxHamming) — 4 bands only " +
         "guarantee recall up to hamming 3 (pigeonhole)")
-    val banded = hashes.select(col("id"), col("phash"),
+    maxBandDf.foreach(m => require(m >= 2, s"maxBandDf must be >= 2 (got $m)"))
+    val banded0 = hashes.select(col("id"), col("phash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bv")))
+    // skew guard (the maxShingleDf convention): a band value shared by f
+    // hashes contributes f² candidate rows — one viral image duplicated
+    // a million times would quadratically explode the join. Dropping a
+    // hot (band, value) cell weakens the pigeonhole guarantee ONLY for
+    // pairs whose sole agreeing band was the dropped one; exact copies
+    // (all 4 bands equal) still meet in any surviving band.
+    val banded = maxBandDf match {
+      case None => banded0
+      case Some(m) =>
+        val hot = banded0.groupBy("band", "bv").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") > m).select("band", "bv")
+        banded0.join(hot, Seq("band", "bv"), "left_anti")
+    }
     val cands = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))

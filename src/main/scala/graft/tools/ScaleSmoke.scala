@@ -132,6 +132,27 @@ object ScaleSmoke {
     time("snapshot diff (digest join)")(
       graft.operators.Audit.diff(docs,
         docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text")).count())
+    // sentence segmentation + greedy packing: per-row regex + bounded fold
+    time("sentence chunking (budget 64)")(
+      graft.operators.Chunking.chunkBySentences(docs, col("doc_id"), col("text"), 64).count())
+    // KN fit+score: three count tables off one explode, equi-join scoring
+    time("kneser-ney lm (fit + score)")(
+      graft.operators.TextAnalysis.knLmScore(docs, col("doc_id"), col("text")).count())
+    // per-stratum presence counts + anti-join reconstruction
+    time("boilerplate removal (per source)")(
+      graft.operators.Dedup.boilerplate(docs, col("doc_id"), col("text"),
+        col("source"), minDocs = 10L, frac = 0.5).count())
+    // pHash: per-row decode+DCT, no shuffle until the banded pair join
+    locally {
+      val synth = udf((id: Long) =>
+        graft.queries.PipelineQueries.phashSynthPng((id / 4).toInt % 500, (id % 4).toInt))
+      val imgs = graft.operators.Multimodal.withPayload(
+        s.range(2000L * factor / 10).toDF("doc_id"), col("doc_id"),
+        synth(col("doc_id")), "image/png")
+      time("phash + banded pairs (images)")(
+        graft.operators.Phash.phashPairs(
+          graft.operators.Phash.phash(imgs), maxHamming = 3).count())
+    }
 
     // JL projection over factor-replicated embeddings: per-row
     // multiply-add inside codegen, no shuffle — linear by construction

@@ -75,6 +75,23 @@ class PhashSpec extends SparkSuite {
     assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
   }
 
+  test("maxBandDf skew guard: hot band dropped, exact copies still pair") {
+    // 20 exact copies of one image (all bands hot at df 20) + 2 copies of
+    // another: with maxBandDf = 10 the hot cells drop, but exact copies
+    // agree on EVERY band, so the small group still pairs on its own
+    // (sub-threshold) cells; the viral group loses only its own pairs.
+    val a = png(1, 2); val b = png(8, 9)
+    val imgs = (0 until 20).map(i => (i.toLong, a)) ++ Seq((100L, b), (101L, b))
+    val df = Multimodal.withPayload(
+      imgs.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "image/png")
+    val hashes = Phash.phash(df)
+    val pairs = Phash.phashPairs(hashes, maxHamming = 0, maxBandDf = Some(10))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((100L, 101L, 0)))
+    intercept[IllegalArgumentException](
+      Phash.phashPairs(hashes, maxHamming = 0, maxBandDf = Some(1)))
+  }
+
   test("layout independence and the maxHamming guard") {
     val imgs = (0 until 8).map(i => (i.toLong, png(i + 1, i + 2)))
     val df = Multimodal.withPayload(
