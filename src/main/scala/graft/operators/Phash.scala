@@ -160,4 +160,33 @@ object Phash {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** VIDEO near-dup pairing by shared decoded frames: two videos that
+    * share ≥ `minShared` distinct frame fingerprints (the
+    * [[Multimodal.frameExtract]] luminance digests) are containment
+    * near-dups — trimmed, re-muxed, or concatenated copies keep frames
+    * byte-identical after a lossless decode even when the container
+    * bytes differ entirely. Same equi-join-on-fingerprint shape as the
+    * winnowing text sketch; `maxFrameDf` drops viral frames (a black
+    * frame shared by a million clips is f² candidate rows, and carries
+    * no identity).
+    */
+  def frameSharePairs(frames: DataFrame, minShared: Int,
+      maxFrameDf: Option[Long] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    maxFrameDf.foreach(m => require(m >= 2, s"maxFrameDf must be >= 2 (got $m)"))
+    val d0 = frames.select(col("id"), col("frame_sha")).distinct()
+    val d = maxFrameDf match {
+      case None => d0
+      case Some(m) =>
+        val hot = d0.groupBy("frame_sha").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") > m).select("frame_sha")
+        d0.join(hot, Seq("frame_sha"), "left_anti")
+    }
+    d.alias("a").join(d.alias("b"),
+        col("a.frame_sha") === col("b.frame_sha") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -1022,6 +1022,35 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Video near-dup pairs by SHARED DECODED FRAMES over the real
+    * animated-GIF path: 48 synthesized clips where ids congruent mod 24
+    * share (width, phase) and therefore share their common frame
+    * indices' pixels exactly — containment near-dups by construction —
+    * while different parameter tuples share nothing. Frame identity is
+    * frameExtract's decoded-luminance digest, so the whole pipeline
+    * (GIF writer → LZW round-trip → decode → digest → equi-join) is
+    * under the pinned golden (DuckDB cannot parse GIF).
+    */
+  val multimodalVideoPairs = NamedQuery(
+    "multimodal_video_pairs",
+    """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      |  CAST(shared AS BIGINT) AS shared
+      |FROM (VALUES
+      |  (0, 24, 3), (1, 25, 3), (2, 26, 4), (3, 27, 5), (4, 28, 6), (5, 29, 3),
+      |  (6, 30, 3), (7, 31, 4), (8, 32, 5), (9, 33, 6), (10, 34, 3), (11, 35,
+      |  3), (12, 36, 4), (13, 37, 5), (14, 38, 6), (15, 39, 3), (16, 40, 3),
+      |  (17, 41, 4), (18, 42, 5), (19, 43, 6), (20, 44, 3), (21, 45, 3), (22,
+      |  46, 4), (23, 47, 5)) t(id_a, id_b, shared)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val synth = udf(videoSynthGif)
+    val corpus = Multimodal.withPayload(
+      s.range(48).toDF("doc_id"), col("doc_id"), synth(col("doc_id")), "video/gif")
+    graft.operators.Phash.frameSharePairs(
+        Multimodal.frameExtract(corpus, stride = 1), minShared = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Johnson–Lindenstrauss sparse-sign projection of the embeddings
     * table, 64 → 8 dims. The ±1 matrix entries are the md5 PARITY of
     * "i,j,salt" — DuckDB derives the identical matrix from its own md5
@@ -1293,5 +1322,6 @@ object PipelineQueries {
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,
     sketchCardinality, sketchQuantiles, q15StreamSketch, pipelineChunks,
     pipelineChunkBm25, annJlProject, annPcaSpectrum, pipelineChunkSentences,
-    s1NearMmr, annMaxsimScore, multimodalPhashPairs, multimodalAudioprintPairs)
+    s1NearMmr, annMaxsimScore, multimodalPhashPairs, multimodalAudioprintPairs,
+    multimodalVideoPairs)
 }

@@ -92,6 +92,30 @@ class PhashSpec extends SparkSuite {
       Phash.phashPairs(hashes, maxHamming = 0, maxBandDf = Some(1)))
   }
 
+  test("frameSharePairs: shared decoded frames pair videos; hot-frame guard") {
+    // clips 0 & 1 share (w, phase) -> common frame indices are
+    // pixel-identical; clip 2 differs in phase and shares nothing
+    val gifs = Seq(
+      (0L, Multimodal.synthGif(4, 16, 12, 17)),
+      (1L, Multimodal.synthGif(6, 16, 12, 17)),
+      (2L, Multimodal.synthGif(4, 16, 12, 48)))
+    val df = Multimodal.withPayload(
+      gifs.toDF("doc_id", "bytes"), col("doc_id"), col("bytes"), "video/gif")
+    val frames = Multimodal.frameExtract(df, stride = 1)
+    val pairs = graft.operators.Phash.frameSharePairs(frames, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((0L, 1L, 4L)))
+    // frame 0 is phase-INDEPENDENT (f·phase = 0) — a genuine viral frame
+    // present in all three clips. The df cap drops it: the (0,1) pair
+    // loses exactly that one shared frame, and the cross-phase pairs
+    // (whose ONLY shared frame it was) stay unpaired as before.
+    val guarded = graft.operators.Phash.frameSharePairs(frames, 3, maxFrameDf = Some(2))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(guarded === Seq((0L, 1L, 3L)))
+    intercept[IllegalArgumentException](
+      graft.operators.Phash.frameSharePairs(frames, minShared = 0))
+  }
+
   test("layout independence and the maxHamming guard") {
     val imgs = (0 until 8).map(i => (i.toLong, png(i + 1, i + 2)))
     val df = Multimodal.withPayload(
