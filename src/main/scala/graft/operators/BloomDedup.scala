@@ -44,7 +44,7 @@ object BloomDedup {
     (((x % mBits) + mBits) % mBits).toInt
   }
 
-  private[operators] def setBits(w: Array[Long], h1: Long, h2: Long, k: Int): Unit = {
+  private[graft] def setBits(w: Array[Long], h1: Long, h2: Long, k: Int): Unit = {
     var i = 0
     while (i < k) {
       val p = bitPos(h1, h2, i, w.length * 64)
@@ -53,7 +53,7 @@ object BloomDedup {
     }
   }
 
-  private[operators] def hasBits(w: Array[Long], h1: Long, h2: Long, k: Int): Boolean = {
+  private[graft] def hasBits(w: Array[Long], h1: Long, h2: Long, k: Int): Boolean = {
     var i = 0
     while (i < k) {
       val p = bitPos(h1, h2, i, w.length * 64)

@@ -171,4 +171,77 @@ class PropertySpec extends AnyFunSuite {
       packed == elementwise
     })
   }
+
+  // ---- round-6 pure kernels ---------------------------------------------
+
+  test("Jacobi eigensolve: orthonormal basis, eigen-equation residual, trace preserved") {
+    val dGen = Gen.chooseNum(2, 6)
+    check(Prop.forAll(dGen, Gen.listOfN(36, Gen.chooseNum(-5.0, 5.0))) { (d, raw) =>
+      // symmetric matrix from the raw pool
+      val a = Array.tabulate(d, d)((i, j) => raw((math.min(i, j) * 6 + math.max(i, j)) % 36))
+      val (vals, basis) = operators.Embeddings.jacobiEigen(a)
+      val orthonormal = (0 until d).forall { c =>
+        val n = math.sqrt(basis(c).map(x => x * x).sum)
+        math.abs(n - 1.0) < 1e-8 && (c + 1 until d).forall { c2 =>
+          math.abs(basis(c).zip(basis(c2)).map { case (x, y) => x * y }.sum) < 1e-8
+        }
+      }
+      val residualOk = (0 until d).forall { c =>
+        val av = (0 until d).map(i => (0 until d).map(j => a(i)(j) * basis(c)(j)).sum)
+        av.zip(basis(c)).forall { case (x, w) => math.abs(x - vals(c) * w) < 1e-6 }
+      }
+      val traceOk = math.abs((0 until d).map(i => a(i)(i)).sum - vals.sum) < 1e-6
+      val sortedOk = vals.sliding(2).forall { case Array(x, y) => x >= y - 1e-12; case _ => true }
+      orthonormal && residualOk && traceOk && sortedOk
+    }, cases = 100)
+  }
+
+  test("bloom bits: inserted keys always probe positive (no false negatives, any k/m)") {
+    val keyGen = Gen.listOf(Gen.zip(Gen.long, Gen.long))
+    check(Prop.forAll(keyGen, Gen.chooseNum(1, 8), Gen.chooseNum(1, 16)) { (keys, words, k) =>
+      val agg = new operators.BloomDedup.BloomAgg(words, k)
+      val buf = keys.foldLeft(agg.zero)((b, kv) =>
+        agg.reduce(b, operators.BloomDedup.KeyedHashes(0, kv._1, kv._2)))
+      keys.forall { case (h1, h2) =>
+        operators.BloomDedup.hasBits(buf.words, h1, h2, k)
+      }
+    })
+  }
+
+  test("bloom merge is an OR: union filter answers every side's keys") {
+    val keyGen = Gen.listOf(Gen.zip(Gen.long, Gen.long))
+    check(Prop.forAll(keyGen, keyGen, Gen.chooseNum(1, 4)) { (ka, kb, words) =>
+      val agg = new operators.BloomDedup.BloomAgg(words, 4)
+      def build(ks: List[(Long, Long)]) = ks.foldLeft(agg.zero)((b, kv) =>
+        agg.reduce(b, operators.BloomDedup.KeyedHashes(0, kv._1, kv._2)))
+      val merged = agg.merge(build(ka), build(kb))
+      (ka ++ kb).forall { case (h1, h2) =>
+        operators.BloomDedup.hasBits(merged.words, h1, h2, 4)
+      }
+    })
+  }
+
+  test("Morton code round-trips: interleave then deinterleave recovers ranks") {
+    val b = 8
+    val rankGen = Gen.listOfN(2, Gen.chooseNum(0L, (1L << b) - 1))
+    check(Prop.forAll(rankGen) { qs =>
+      var z = 0L
+      for (bit <- 0 until b; (q, i) <- qs.zipWithIndex)
+        z |= ((q >> bit) & 1L) << (bit * qs.size + i)
+      val back = qs.indices.map { i =>
+        (0 until b).foldLeft(0L)((acc, bit) =>
+          acc | (((z >> (bit * qs.size + i)) & 1L) << bit))
+      }
+      back == qs
+    })
+  }
+
+  test("RRF fusion is monotone: improving a rank never lowers the fused score") {
+    val rGen = Gen.chooseNum(1L, 1000L)
+    check(Prop.forAll(rGen, rGen, Gen.chooseNum(0, 100)) { (r1, r2, k) =>
+      def s(r: Long) = 1.0 / (k + r)
+      val better = math.max(1L, r1 - 1)
+      s(better) + s(r2) >= s(r1) + s(r2)
+    })
+  }
 }
