@@ -106,6 +106,36 @@ object TextAnalysis {
         "uniq_ratio", "quality")
   }
 
+  /** Encoding-quality signals — the mojibake gate every web-scale
+    * pipeline runs before anything tokenizes: replacement characters
+    * (U+FFFD, what a lossy transcode leaves behind), C0/C1 control
+    * characters (NUL-ridden binary mistaken for text), and their
+    * per-character ratios; `encoding_ok` applies the standard admission
+    * rule (no replacement chars, < 0.1% control chars). Pure per-row
+    * regex algebra — each count is `length(text) − length(text with the
+    * class removed)`, the formulation any engine replays exactly.
+    */
+  def encodingQuality(df: DataFrame, id: Column, text: Column,
+      maxControlRatio: Double = 0.001): DataFrame = {
+    require(maxControlRatio >= 0.0 && maxControlRatio < 1.0,
+      s"maxControlRatio must be in [0,1) (got $maxControlRatio)")
+    def classCount(c: Column, pattern: String): Column =
+      (length(c) - length(regexp_replace(c, pattern, ""))).cast("long")
+    df.filter(text.isNotNull)
+      .select(
+        id.as("id"),
+        length(text).cast("long").as("n_chars"),
+        classCount(text, "�").as("n_replacement"),
+        // C0 minus \t\n\r (legitimate whitespace), plus DEL and C1
+        classCount(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]")
+          .as("n_control"))
+      .withColumn("control_ratio",
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(col("n_control").cast("double") / col("n_chars").cast("double")))
+      .withColumn("encoding_ok",
+        col("n_replacement") === 0L && col("control_ratio") < lit(maxControlRatio))
+  }
+
   /** The composite-quality EXPRESSION over (text, tokens) — [[quality]]'s
     * formula as a single Column for fused single-scan consumers. NULL when
     * the text has no tokens (quality() drops those rows; a fused admission

@@ -485,8 +485,41 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  /** Encoding-quality admission over a corpus where mojibake is INJECTED
+    * identically by both engines (the synthetic documents are clean, and
+    * a vacuous all-pass would gate nothing): every 9th doc gains a
+    * U+FFFD replacement char, every 11th two BEL controls. Counts are
+    * the remove-and-diff formulation; the admission booleans and ratios
+    * hash exactly.
+    */
+  val textEncoding = NamedQuery(
+    "text_encoding",
+    """WITH d AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 9 = 0 THEN text || ' ' || chr(65533)
+      |         WHEN doc_id % 11 = 0 THEN text || chr(7) || chr(7)
+      |         ELSE text END AS text
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT id, CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(text) - length(regexp_replace(text, chr(65533), '', 'g')) AS BIGINT) AS n_replacement,
+      |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g')) AS BIGINT) AS n_control,
+      |  CAST(round(CAST(CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g')) AS DOUBLE) / length(text) AS DECIMAL(28,6)), 6) AS DOUBLE) AS control_ratio_r,
+      |  (length(text) = length(regexp_replace(text, chr(65533), '', 'g'))
+      |   AND CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g')) AS DOUBLE) / length(text) < 0.001) AS encoding_ok
+      |FROM d ORDER BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" �")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit("\u0007\u0007")))
+          .otherwise(col("text")).as("text"))
+    TextAnalysis.encodingQuality(docs, col("doc_id"), col("text"))
+      .select(col("id"), col("n_chars"), col("n_replacement"), col("n_control"),
+        dround(col("control_ratio"), 6).as("control_ratio_r"), col("encoding_ok"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] =
     Seq(textLmScore, textBigramLm, textCcnetBucket, textCcnetServed,
       textDsirWeight, sampleDsirTopk, textPii, textGopher, textC4Clean,
-      textClassifier, q8StreamScore, textKnLm)
+      textClassifier, q8StreamScore, textKnLm, textEncoding)
 }

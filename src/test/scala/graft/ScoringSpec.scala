@@ -382,6 +382,25 @@ class ScoringSpec extends SparkSuite {
     assert(!out.contains(4L))
   }
 
+  test("encodingQuality: counts, ratios, admission rule, guards") {
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "lossy � transcode �"),
+      (3L, "nul\u0000ridden\u0007binary\u009F"),
+      (4L, "tabs\tand\nnewlines are fine"))
+      .toDF("id", "text")
+    val out = TextAnalysis.encodingQuality(df, col("id"), col("text"))
+      .select("id", "n_replacement", "n_control", "encoding_ok")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+    assert(out(1L) === ((0L, 0L, true)))
+    assert(out(2L) === ((2L, 0L, false)))
+    assert(out(3L) === ((0L, 3L, false)))
+    assert(out(4L) === ((0L, 0L, true))) // \t \n are whitespace, not control
+    intercept[IllegalArgumentException](
+      TextAnalysis.encodingQuality(df, col("id"), col("text"), maxControlRatio = 1.5))
+  }
+
   test("knLmScore: matches the hand-computed Kneser-Ney model") {
     // corpus: "a b", "a c" → voc {a:2,b:1,c:1} V=3; bigrams (a,b),(a,c)
     // B=2, bv=5; nFollow(a)=2; nCont(b)=nCont(c)=1; nCont(a)=0
