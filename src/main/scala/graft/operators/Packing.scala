@@ -102,6 +102,58 @@ object Packing {
     * spanned-chunk count. Integer `div` throughout — no double rounding
     * at large offsets.
     */
+  /** DOCUMENT-BOUNDARY-PRESERVING greedy packing — the other sequence
+    * layout labs train with: no document ever spans two sequences (no
+    * cross-document attention contamination), the remainder of each bin
+    * is padding, and an oversized document gets a bin of its own (the
+    * caller truncates or splits upstream — [[Chunking]] exists for
+    * that). Greedy first-fit in a FIXED scan order: bins are scoped to a
+    * GROUP (use [[Sampling.shuffleShards]]'s shard — a pure row
+    * property), and within a group documents pack in `order` sequence,
+    * so bin assignment is layout-independent by construction: a
+    * partition boundary can't leak bin state because bins reset at group
+    * boundaries, not partition boundaries.
+    *
+    * Scale: one range-repartition on (group, order) + a sortWithinPartitions
+    * + a mapPartitions fold with O(1) state — the shape a shard writer
+    * runs anyway. Output: (group, order, id, w, bin, pos) — bin is
+    * 0-based per group, pos 0-based within the bin.
+    */
+  def packGreedy(df: DataFrame, group: Column, order: Column, id: Column,
+      weight: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    val spark = df.sparkSession
+    val prepared = df
+      .select(group.cast(LongType).as("group"), order.cast(LongType).as("order"),
+        id.cast(LongType).as("id"), coalesce(weight.cast(LongType), lit(0L)).as("w"))
+      .filter(col("group").isNotNull && col("order").isNotNull && col("id").isNotNull)
+      .repartitionByRange(col("group"))
+      .sortWithinPartitions("group", "order", "id")
+    val schema = StructType(Seq(
+      StructField("group", LongType), StructField("order", LongType),
+      StructField("id", LongType), StructField("w", LongType),
+      StructField("bin", LongType), StructField("pos", LongType)))
+    val rdd = prepared.rdd.mapPartitions { rows =>
+      var curGroup = Long.MinValue
+      var bin = -1L; var used = 0L; var pos = 0L
+      rows.map { r =>
+        val g = r.getLong(0); val o = r.getLong(1)
+        val i = r.getLong(2); val w = r.getLong(3)
+        if (g != curGroup) { curGroup = g; bin = -1L }
+        // open a new bin at every group start, and whenever the doc
+        // would overflow the current one (an oversized doc thus gets a
+        // bin of its own: the fresh bin overflows too, but only rolls
+        // again for the NEXT doc)
+        if (bin == -1L || used + w > capacity) { bin += 1L; used = 0L; pos = 0L }
+        used += w
+        val out = Row(g, o, i, w, bin, pos)
+        pos += 1L
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   def packChunks(df: DataFrame, id: Column, weight: Column, capacity: Long,
       partitions: Int = 0): DataFrame = {
     require(capacity > 0, s"capacity must be positive (got $capacity)")

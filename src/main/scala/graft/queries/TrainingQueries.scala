@@ -324,6 +324,42 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** Document-boundary-preserving greedy packing (capacity 256 tokens,
+    * 4 md5-free groups for a replayable fixture): no doc spans two bins,
+    * oversized docs sit alone, bins reset at group boundaries so the
+    * assignment is layout-independent. The sequential fold DuckDB
+    * replays with a recursive CTE walking each group in id order — the
+    * pipeline_chunk_sentences convention for imperative cores.
+    */
+  val packGreedy = NamedQuery(
+    "pack_greedy",
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id AS id, $sqlRawToks AS raw
+       |  FROM documents WHERE text IS NOT NULL),
+       |d AS (SELECT id, id % 4 AS grp, len(raw) AS w FROM tok),
+       |o AS (SELECT id, grp, w,
+       |        row_number() OVER (PARTITION BY grp ORDER BY id) AS rn FROM d),
+       |rec AS (
+       |  SELECT grp, rn, id, w, 0 AS bin, w AS used, 0 AS pos FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.grp, n.rn, n.id, n.w,
+       |    CASE WHEN r.used + n.w > 256 THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.used + n.w > 256 THEN n.w ELSE r.used + n.w END,
+       |    CASE WHEN r.used + n.w > 256 THEN 0 ELSE r.pos + 1 END
+       |  FROM rec r JOIN o n ON n.grp = r.grp AND n.rn = r.rn + 1)
+       |SELECT CAST(grp AS BIGINT) AS grp, CAST(id AS BIGINT) AS id,
+       |  CAST(w AS BIGINT) AS w, CAST(bin AS BIGINT) AS bin,
+       |  CAST(pos AS BIGINT) AS pos
+       |FROM rec ORDER BY grp, id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("doc_id") % 4).as("grp"),
+        org.apache.spark.sql.functions.size(Dedup.tokens(col("text"))).as("w"))
+    Packing.packGreedy(docs, col("grp"), col("doc_id"), col("doc_id"),
+        col("w"), capacity = 256L)
+      .select(col("group").as("grp"), col("id"), col("w"), col("bin"), col("pos"))
+      .orderBy("grp", "id")
+  }
+
   /** Best-10 documents per source by length — the per-domain quality cap,
     * served by the bounded top-k aggregator (map-side partials of ≤ k rows
     * per group; NO per-group row_number window, which would shuffle the
@@ -349,5 +385,5 @@ object TrainingQueries {
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
-    shardAssign, sampleTopkPerSource)
+    shardAssign, sampleTopkPerSource, packGreedy)
 }

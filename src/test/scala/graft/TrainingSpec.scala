@@ -211,4 +211,47 @@ class TrainingSpec extends SparkSuite {
     val k2 = e2.orderBy("sort_key").select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(k1.toSet == k2.toSet && k1 != k2)
   }
+
+  test("packGreedy: hand fixture — first-fit bins, oversized alone, group reset") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, 1L, 4L), (0L, 2L, 5L), (0L, 3L, 3L), (0L, 4L, 10L), (0L, 5L, 2L),
+      (1L, 6L, 15L), // oversized: own bin
+      (1L, 7L, 0L))  // zero-weight at position 2
+      .toDF("grp", "id", "w")
+    val out = Packing.packGreedy(docs, col("grp"), col("id"), col("id"),
+        col("w"), capacity = 10L)
+      .orderBy("group", "id")
+      .select("group", "id", "bin", "pos").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      (0L, 1L, 0L, 0L), (0L, 2L, 0L, 1L), // 4+5=9 fits
+      (0L, 3L, 1L, 0L),                   // 12 > 10 -> new bin
+      (0L, 4L, 2L, 0L),                   // 10 fills a bin alone
+      (0L, 5L, 3L, 0L),
+      (1L, 6L, 0L, 0L),                   // group reset; oversized alone
+      (1L, 7L, 1L, 0L)))                  // 15+0 > 10 -> next bin
+  }
+
+  test("packGreedy: invariants on real data + layout independence") {
+    val docs = Tables.documents(spark, sf001).filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("doc_id") % 5).as("grp"),
+        org.apache.spark.sql.functions.size(
+          graft.operators.Dedup.tokens(col("text"))).cast("long").as("w"))
+    val a = Packing.packGreedy(docs, col("grp"), col("doc_id"), col("doc_id"),
+      col("w"), capacity = 300L)
+    // no bin exceeds capacity unless it holds exactly one oversized doc
+    val over = a.groupBy("group", "bin")
+      .agg(sum("w").as("tw"), count(lit(1)).as("n"))
+      .filter(col("tw") > 300L && col("n") > 1L)
+    assert(over.count() === 0)
+    // every doc appears exactly once
+    assert(a.count() === docs.count())
+    val b = Packing.packGreedy(docs.repartition(13, col("doc_id")),
+      col("grp"), col("doc_id"), col("doc_id"), col("w"), capacity = 300L)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    intercept[IllegalArgumentException](
+      Packing.packGreedy(docs, col("grp"), col("doc_id"), col("doc_id"), col("w"), 0L))
+  }
 }
