@@ -360,6 +360,32 @@ object TrainingQueries {
       .orderBy("grp", "id")
   }
 
+  /** EXACT-N quota sampling per stratum — rate-based sampling
+    * (sample_stratified) yields a BINOMIAL count per stratum; a training
+    * mix that must hit "exactly 20 docs per language" instead takes the
+    * N smallest md5-uniforms per stratum: deterministic, replayable, and
+    * served by the bounded top-k aggregator in smallest-k mode (map-side
+    * partials of ≤ N rows per stratum — no skewed per-stratum window).
+    * Pure composition of two gated operators.
+    */
+  val sampleExactN = NamedQuery(
+    "sample_exact_n",
+    """SELECT lang, id, rank FROM (
+      |  SELECT lang, doc_id AS id,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'quota'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0,
+      |      doc_id) AS INT) AS rank
+      |  FROM documents)
+      |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        Sampling.hashUniform(col("doc_id"), "quota").as("u"))
+    graft.operators.Curation.topKPerGroup(
+        docs, col("lang"), col("doc_id"), col("u"), k = 20, largest = false)
+      .select(col("group").as("lang"), col("id"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
   /** Best-10 documents per source by length — the per-domain quality cap,
     * served by the bounded top-k aggregator (map-side partials of ≤ k rows
     * per group; NO per-group row_number window, which would shuffle the
@@ -385,5 +411,5 @@ object TrainingQueries {
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
-    shardAssign, sampleTopkPerSource, packGreedy)
+    shardAssign, sampleTopkPerSource, packGreedy, sampleExactN)
 }
