@@ -174,7 +174,13 @@ object Embeddings {
         off += a(p)(q) * a(p)(q)
         if (math.abs(a(p)(q)) > 1e-18) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          // sign(0) must be +1 here, NOT 0: equal diagonal entries give
+          // θ = 0 and the correct rotation is the full 45° (t = 1);
+          // math.signum would zero the rotation and the off-diagonal
+          // element would never be annihilated (caught by the property
+          // layer on [[5, ε], [ε, 5]])
+          val sg = if (theta >= 0.0) 1.0 else -1.0
+          val t = sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
           for (k <- 0 until d) {
