@@ -360,6 +360,73 @@ object TrainingQueries {
       .orderBy("grp", "id")
   }
 
+  /** One unigram-LM model per (session, sfDir) — the bpeCache convention. */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.operators.UnigramLm.Model]()
+  private def trainedUnigram(
+      s: org.apache.spark.sql.SparkSession, d: String): graft.operators.UnigramLm.Model =
+    unigramCache.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
+      graft.operators.UnigramLm.train(Tables.documents(s, d), col("text"),
+        vocabSize = 120, maxPieceLen = 5, emIters = 2, seedCap = 1000, minCount = 2L))
+
+  /** The unigram-LM (SentencePiece-family) piece inventory: top-15
+    * multi-character pieces by EM-fitted probability, hash-compared
+    * against a PINNED GOLDEN (the bpe_merges convention — an iterative
+    * EM is not SQL-replayable, but the fit is a pure function of the
+    * corpus: exact long counts, deterministic Viterbi tiebreaks,
+    * explicit pruning order; UnigramLmSpec's layout law). Regenerate
+    * after an INTENTIONAL change via `python3 tools/check_oracle.py
+    * /root/testdata/sf0.01 /tmp/v unigram_vocab`.
+    */
+  val unigramVocab = NamedQuery(
+    "unigram_vocab",
+    """SELECT piece, CAST(prob_r AS DOUBLE) AS prob_r
+      |FROM (VALUES
+      |  ('join', 0.029506),
+      |  ('hash', 0.028986),
+      |  ('row', 0.028864),
+      |  ('batch', 0.02868),
+      |  ('scan', 0.028649),
+      |  ('custo', 0.028588),
+      |  ('mer', 0.028588),
+      |  ('olumn', 0.028588),
+      |  ('filte', 0.028557),
+      |  ('small', 0.028404),
+      |  ('merge', 0.028098),
+      |  ('slow', 0.028098),
+      |  ('order', 0.027915),
+      |  ('vecto', 0.027915),
+      |  ('line', 0.027853)) t(piece, prob_r)
+      |ORDER BY prob_r DESC, piece""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val m = trainedUnigram(s, d)
+    m.pieces.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, pr) => (-pr, p) }.take(15)
+      .toDF("piece", "prob")
+      .select(col("piece"), dround(col("prob"), 6).as("prob_r"))
+      .orderBy(col("prob_r").desc, col("piece"))
+  }
+
+  /** The unigram tokenization of the whole corpus, summarized as totals
+    * + an order-free digest over per-doc piece streams (the
+    * multimodal_video golden convention) — any drift in the model, the
+    * Viterbi, or the per-doc reassembly flips it.
+    */
+  val unigramTokenize = NamedQuery(
+    "unigram_tokenize",
+    """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(32652 AS BIGINT) AS total_pieces,
+      |'d94b0d595609942efd89350b34d2e985' AS digest""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val m = trainedUnigram(s, d)
+    graft.operators.UnigramLm.tokenize(Tables.documents(s, d), col("doc_id"), col("text"), m)
+      .select(col("id"), col("n_pieces"),
+        concat_ws(":", col("id"), concat_ws("", col("pieces"))).as("_row"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).cast("long").as("total_pieces"),
+        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+  }
+
   /** EXACT-N quota sampling per stratum — rate-based sampling
     * (sample_stratified) yields a BINOMIAL count per stratum; a training
     * mix that must hit "exactly 20 docs per language" instead takes the
@@ -411,5 +478,6 @@ object TrainingQueries {
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
-    shardAssign, sampleTopkPerSource, packGreedy, sampleExactN)
+    shardAssign, sampleTopkPerSource, packGreedy, sampleExactN, unigramVocab,
+    unigramTokenize)
 }
