@@ -144,6 +144,22 @@ object UnigramLm {
     Model(counts.map { case (p, c) => p -> (c / total) }.toMap)
   }
 
+  /** Persist the fitted inventory as a parquet artifact (piece, prob) —
+    * the serving handoff, symmetric with [[Bpe.saveMerges]].
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.pieces.toSeq.sortBy(_._1).toDF("piece", "prob")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]]d artifact back into a serving model. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    import spark.implicits._
+    Model(spark.read.parquet(dir).select("piece", "prob")
+      .as[(String, Double)].collect().toMap)
+  }
+
   /** Tokenize each row's text: per-token Viterbi under the model, pieces
     * re-concatenated per doc in token order. Output (id, pieces
     * array<string>, n_pieces).

@@ -72,6 +72,20 @@ class UnigramLmSpec extends SparkSuite {
     assert(a.pieces === b.pieces)
   }
 
+  test("save/load round-trips the model; served tokenization identical") {
+    val docs = Tables.documents(spark, sf0001)
+    val m = UnigramLm.train(docs, col("text"), vocabSize = 80, emIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toString
+    UnigramLm.save(spark, m, s"$dir/m")
+    val loaded = UnigramLm.load(spark, s"$dir/m")
+    assert(loaded.pieces === m.pieces)
+    val a = UnigramLm.tokenize(docs, col("doc_id"), col("text"), m)
+    val b = UnigramLm.tokenize(docs, col("doc_id"), col("text"), loaded)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("guards: parameters and empty corpus rejected") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     intercept[IllegalArgumentException](
