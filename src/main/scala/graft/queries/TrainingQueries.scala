@@ -427,6 +427,50 @@ object TrainingQueries {
         md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
   }
 
+  /** The full MODERN training-shard pipeline composed from this round's
+    * operators: encoding-quality admission → unigram-LM tokenization →
+    * md5 shuffle-sharding → document-boundary-preserving greedy packing
+    * (512 pieces per sequence) — the unigram/padded counterpart of
+    * pipeline_train_shards' BPE/concat-and-chunk lineage. PINNED GOLDEN
+    * per shard (the unigram stage is EM-fitted; deterministic end to
+    * end: every stage is a pure corpus function with explicit
+    * tiebreaks). Regenerate after an INTENTIONAL change via
+    * `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
+    * pipeline_unigram_shards`.
+    */
+  val pipelineUnigramShards = NamedQuery(
+    "pipeline_unigram_shards",
+    """SELECT CAST(shard AS INT) AS shard, CAST(n_bins AS BIGINT) AS n_bins,
+      |  CAST(n_docs AS BIGINT) AS n_docs, CAST(total_pieces AS BIGINT) AS total_pieces,
+      |  digest
+      |FROM (VALUES
+      |  (0, 16, 111, 7334, '046010bebea5668d84bbd65bfb9b07be'),
+      |  (1, 17, 112, 7723, '8854bdb44442b43bb6cc082ac18e13de'),
+      |  (2, 19, 138, 8580, 'cd4f9b9ee21d21623935d2b690fa1bb8'),
+      |  (3, 19, 139, 9015, '4182fe233e484305f2061eae32c92316')) t(shard, n_bins, n_docs, total_pieces, digest)
+      |ORDER BY shard""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val m = trainedUnigram(s, d)
+    val admitted = TextAnalysis.encodingQuality(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+      .filter(col("encoding_ok"))
+      .select(col("id").as("doc_id"))
+      .join(Tables.documents(s, d), Seq("doc_id"))
+    val toks = graft.operators.UnigramLm.tokenize(admitted, col("doc_id"), col("text"), m)
+    val sharded = Sampling.shuffleShards(toks, col("id"), numShards = 4)
+    val packed = Packing.packGreedy(sharded, col("shard"), col("sort_key"),
+      col("id"), col("n_pieces"), capacity = 512L)
+    packed
+      .withColumn("_row", concat_ws(":", col("id"), col("bin"), col("pos"), col("w")))
+      .groupBy(col("group").as("shard"))
+      .agg(
+        (max(col("bin")) + 1L).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("long").as("total_pieces"),
+        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+      .orderBy("shard")
+  }
+
   /** EXACT-N quota sampling per stratum — rate-based sampling
     * (sample_stratified) yields a BINOMIAL count per stratum; a training
     * mix that must hit "exactly 20 docs per language" instead takes the
@@ -479,5 +523,5 @@ object TrainingQueries {
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
     shardAssign, sampleTopkPerSource, packGreedy, sampleExactN, unigramVocab,
-    unigramTokenize)
+    unigramTokenize, pipelineUnigramShards)
 }
