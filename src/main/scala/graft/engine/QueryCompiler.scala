@@ -192,14 +192,14 @@ object QueryCompiler {
       // ids, navigate unfiltered, collect in-filter expanded nodes — so a
       // filter matching ≤ budget points is served EXACTLY, and recall
       // degrades gracefully (not cliff-like) past that.
-      case VamanaVectorIndex(entry, maxHops, art) =>
+      case vidx @ VamanaVectorIndex(entry, maxHops, art) =>
         val gids = filter match {
           case None => VamanaServe.beamCandidateGids(
-            art, metric, vector, budget, entry, maxHops)
+            art, metric, vector, budget, entry, maxHops, vidx.local)
           case Some(f) =>
             val matchArt = applySet(col0, compile(col0, f).set, art)
             VamanaServe.beamCandidateGidsFiltered(
-              art, matchArt, metric, vector, budget, entry, maxHops)
+              art, matchArt, metric, vector, budget, entry, maxHops, vidx.local)
         }
         val candIds =
           if (gids.isEmpty) art.filter(lit(false)).select(IdCol)

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.Distances
+import graft.functions.VectorDistance
 import graft.model.IndexKind.Metric
 
 /** Engine-side beam search over a [[VamanaVectorIndex]] serving frame —
@@ -12,35 +12,131 @@ import graft.model.IndexKind.Metric
   * The traversal is HOP-BATCHED: instead of expanding one nearest
   * unexpanded node per step (the single-node serving loop,
   * [[graft.operators.VamanaBuild.greedySearch]]), every unexpanded pool
-  * member expands in the same round — one distributed lookup fetches all
-  * their adjacency lists, one more scores all unseen neighbors with the
-  * codegen distance kernel, and the driver merges the ≤ searchSize pool.
-  * Rounds ≈ graph hops to the query's neighborhood (tens), not beam
-  * steps (hundreds); the batched frontier explores a superset of the
-  * sequential beam's nodes per round, so pool quality is never worse.
+  * member expands in the same round. Rounds ≈ graph hops to the query's
+  * neighborhood (tens), not beam steps (hundreds); the batched frontier
+  * explores a superset of the sequential beam's nodes per round, so pool
+  * quality is never worse.
   *
-  * Scale (100 TB): driver state is bounded by the pool + visited set
-  * (≤ searchSize · maxHops ids); each round's two scans are id-equality
-  * restrictions over the persisted NARROW artifact — on a bucketed
-  * artifact these are partition-pruned point lookups, the batch analogue
-  * of the reference's bbolt page reads. A latency-serving layer would
-  * hold the same artifact in a keyed store; this face exists so a JSON
-  * `"approx": true` query is answerable entirely inside the engine.
+  * Three cost regimes, all computing the IDENTICAL pool (the walk is one
+  * algorithm parameterized by a [[GraphAccess]]; VamanaServeSpec proves
+  * pool-equality empirically):
   *
-  * Determinism: every round collects its complete frontier/neighbor set
+  *   - LOCAL fast path: when the artifact fits a broadcast-sized budget
+  *     (`graft.vamana.localMaxBytes`, default 128 MB — decided from row
+  *     count × measured row width), the narrow `(gid, vec, nbrs)` frame
+  *     is collected ONCE per attached index ([[VamanaVectorIndex.local]]
+  *     is lazy) and every walk runs entirely in driver memory: zero Spark
+  *     jobs per query, microsecond hops. This is the serving regime for
+  *     every artifact that a single-node reference deployment could hold
+  *     at all.
+  *   - DISTRIBUTED walk: past the budget, each round issues ONE fused
+  *     lookup — `_gid ∈ newIds → (vec, nbrs)` — an id-equality
+  *     restriction over the persisted narrow artifact (partition-pruned
+  *     point reads on a bucketed layout, the batch analogue of the
+  *     reference's bbolt page reads); distances are computed driver-side
+  *     by the same scalar kernel the codegen expression compiles
+  *     ([[VectorDistance.scalarDistance]], co-located formulations).
+  *     Driver state stays bounded by pool + visited (≤ searchSize·hops
+  *     node entries per query).
+  *   - BATCHED serving: [[beamCandidateGidsBatch]] walks Q queries
+  *     concurrently, UNIONING the per-round frontiers so each round is
+  *     still one fused lookup for all queries — a serving workload costs
+  *     ~hops jobs total, not Q×hops.
+  *
+  * Determinism: every round gathers its complete frontier/neighbor set
   * before merging, the pool orders by (distance, id), and the graph
   * artifact itself is a pure function of the corpus (VamanaBuild's
   * sorted-rank construction) — the candidate set is layout-independent.
   */
 object VamanaServe {
 
+  /** Collected snapshot of a broadcast-sized artifact: gid → (vec, nbrs),
+    * immutable and shared across every query against the index.
+    */
+  final case class LocalGraph(nodes: Map[Long, (Array[Float], Array[Long])])
+
+  /** Collect `art` (`_gid`, `_vec`, `_nbrs`) into a [[LocalGraph]] when
+    * its estimated bytes fit `graft.vamana.localMaxBytes` (default
+    * 128 MB); None past the budget — callers then walk distributed. The
+    * estimate is rowCount × (first-row vec/nbr widths + fixed overhead),
+    * honest for the fixed-dim bounded-degree frames VamanaBuild emits.
+    */
+  def tryLocal(art: DataFrame): Option[LocalGraph] = {
+    val maxBytes = art.sparkSession.conf
+      .getOption("graft.vamana.localMaxBytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    val head = art.select(col("_gid"), col("_vec"), col("_nbrs")).head(1)
+    if (head.isEmpty) return Some(LocalGraph(Map.empty))
+    val dim = head(0).getSeq[Float](1).length
+    val deg = head(0).getSeq[Long](2).length
+    val rowBytes = 40L + 4L * dim + 8L * deg
+    val n = art.count()
+    if (n * rowBytes > maxBytes) None
+    else Some(LocalGraph(
+      art.select(col("_gid"), col("_vec"), col("_nbrs"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Float](1).toArray, r.getSeq[Long](2).toArray))
+        .toMap))
+  }
+
+  /** Data access for one walk: node fetch, filter-membership verdicts,
+    * and filtered seeding. Implementations must agree on content — the
+    * walk is otherwise identical.
+    */
+  private sealed trait GraphAccess {
+    /** (vec, nbrs) for each requested gid PRESENT in the artifact. */
+    def fetch(ids: Seq[Long]): Map[Long, (Array[Float], Array[Long])]
+    /** Which of `ids` pass the filter (filtered mode only). */
+    def memberOk(ids: Seq[Long]): Set[Long]
+    /** First `n` in-filter gids ascending — the reference's
+      * bitmap-iterator seeding (filtered mode only).
+      */
+    def seeds(n: Int): Seq[Long]
+  }
+
+  private final class DistributedAccess(
+      art: DataFrame, matchArt: Option[DataFrame]) extends GraphAccess {
+    private val spark = art.sparkSession
+    import spark.implicits._
+    def fetch(ids: Seq[Long]): Map[Long, (Array[Float], Array[Long])] =
+      if (ids.isEmpty) Map.empty
+      else art.filter(col("_gid").isin(ids: _*))
+        .select(col("_gid"), col("_vec"), col("_nbrs"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Float](1).toArray, r.getSeq[Long](2).toArray))
+        .toMap
+    def memberOk(ids: Seq[Long]): Set[Long] =
+      if (ids.isEmpty) Set.empty
+      else matchArt.get.filter(col("_gid").isin(ids: _*))
+        .select(col("_gid")).as[Long].collect().toSet
+    def seeds(n: Int): Seq[Long] =
+      matchArt.get.select(col("_gid")).orderBy(col("_gid").asc)
+        .limit(n).as[Long].collect().toSeq
+  }
+
+  private final class LocalAccess(
+      g: LocalGraph, inFilter: Option[Set[Long]]) extends GraphAccess {
+    def fetch(ids: Seq[Long]): Map[Long, (Array[Float], Array[Long])] =
+      ids.iterator.flatMap(id => g.nodes.get(id).map(id -> _)).toMap
+    def memberOk(ids: Seq[Long]): Set[Long] = {
+      val f = inFilter.get
+      ids.iterator.filter(f).toSet
+    }
+    def seeds(n: Int): Seq[Long] = inFilter.get.toSeq.sorted.take(n)
+  }
+
   /** The final beam pool (graph ids, ≤ searchSize) for `query`, walked
-    * from `entry`. Empty when the artifact is empty.
+    * from `entry`. Empty when the artifact is empty. `local` routes the
+    * walk through a collected snapshot (zero jobs) when present.
     */
   def beamCandidateGids(
       art: DataFrame, metric: Metric, query: Seq[Float],
-      searchSize: Int, entry: Long, maxHops: Int = 64): Seq[Long] =
-    walk(art, metric, query, searchSize, entry, maxHops, matchArt = None)
+      searchSize: Int, entry: Long, maxHops: Int = 64,
+      local: Option[LocalGraph] = None): Seq[Long] =
+    walkBatch(access(art, None, local), metric, Seq(query), searchSize,
+      entry, maxHops, filtered = false).head
 
   /** FILTERED beam candidates — the reference's optimistic filtered
     * search (vamana/search.go:27–51, 93–95) re-expressed:
@@ -53,88 +149,141 @@ object VamanaServe {
     *   - navigation stays UNFILTERED (removing out-of-filter nodes would
     *     break the graph's navigability);
     *   - a separate result set collects every EXPANDED node that passes
-    *     the filter (one id-restricted membership probe per round),
+    *     the filter (id-restricted membership probes, shared per round),
     *     capped at `searchSize` by (distance, id).
     *
     * `matchArt` is the artifact restricted to the filter set (the caller
     * applies the compiled filter — an id semi-join, pushdown-able).
-    * Returned gids are in-filter by construction.
+    * Returned gids are in-filter by construction. In local mode the
+    * in-filter gid set is collected once (≤ artifact size, which already
+    * fit the local budget).
     */
   def beamCandidateGidsFiltered(
       art: DataFrame, matchArt: DataFrame, metric: Metric, query: Seq[Float],
-      searchSize: Int, entry: Long, maxHops: Int = 64): Seq[Long] =
-    walk(art, metric, query, searchSize, entry, maxHops, matchArt = Some(matchArt))
+      searchSize: Int, entry: Long, maxHops: Int = 64,
+      local: Option[LocalGraph] = None): Seq[Long] =
+    walkBatch(access(art, Some(matchArt), local), metric, Seq(query),
+      searchSize, entry, maxHops, filtered = true).head
 
-  private def walk(
-      art: DataFrame, metric: Metric, query: Seq[Float],
-      searchSize: Int, entry: Long, maxHops: Int,
-      matchArt: Option[DataFrame]): Seq[Long] = {
-    require(searchSize > 0, s"searchSize must be positive (got $searchSize)")
-    val spark = art.sparkSession
-    import spark.implicits._
-    def score(frame: DataFrame, ids: Seq[Long]): Seq[(Long, Double)] =
-      frame.filter(col("_gid").isin(ids: _*))
-        .select(col("_gid"),
-          Distances.distanceToQuery(metric, col("_vec"), query).cast("double"))
-        .as[(Long, Double)].collect().toSeq
-    val ord = implicitly[Ordering[(Double, Long)]]
-    // seeds: the first searchSize in-filter ids ascending (scored), the
-    // reference's bitmap-iterator seeding
-    val seeds: Seq[(Long, Double)] = matchArt match {
-      case None => Nil
-      case Some(m) =>
-        val ids = m.select(col("_gid")).orderBy(col("_gid").asc)
-          .limit(searchSize).as[Long].collect().toSeq
-        if (ids.isEmpty) Nil else score(art, ids)
-    }
-    val init = score(art, Seq(entry))
-    if (init.isEmpty && seeds.isEmpty) return Seq.empty
-    val seen = scala.collection.mutable.Set[Long]((entry +: seeds.map(_._1)): _*)
+  /** Walk MANY queries concurrently against one artifact (unfiltered):
+    * per round the frontiers union into a single fused lookup, so a
+    * Q-query serving batch costs ~maxHops jobs in distributed mode (and
+    * zero in local mode) instead of Q× that. Pools are per-query and
+    * identical to Q independent [[beamCandidateGids]] walks.
+    */
+  def beamCandidateGidsBatch(
+      art: DataFrame, metric: Metric, queries: Seq[Seq[Float]],
+      searchSize: Int, entry: Long, maxHops: Int = 64,
+      local: Option[LocalGraph] = None): Seq[Seq[Long]] =
+    walkBatch(access(art, None, local), metric, queries, searchSize,
+      entry, maxHops, filtered = false)
+
+  private def access(
+      art: DataFrame, matchArt: Option[DataFrame],
+      local: Option[LocalGraph]): GraphAccess = local match {
+    case Some(g) =>
+      import art.sparkSession.implicits._
+      new LocalAccess(g, matchArt.map(
+        _.select(col("_gid")).as[Long].collect().toSet))
+    case None => new DistributedAccess(art, matchArt)
+  }
+
+  /** Per-query walk state. Pool and result order by (distance, id). */
+  private final class QueryState(val qvec: Array[Float]) {
+    val seen = scala.collection.mutable.Set[Long]()
     val expanded = scala.collection.mutable.Set[Long]()
-    // the in-filter membership verdicts gathered so far (seeds known true)
-    val okKnown = scala.collection.mutable.Map[Long, Boolean](
-      seeds.map(_._1 -> true): _*)
-    var pool = scala.collection.immutable.SortedSet[(Double, Long)](
-      (init ++ seeds).map { case (id, d) => (d, id) }: _*)
-    // filtered mode: result set of in-filter EXPANDED-or-seeded nodes
-    var result = scala.collection.immutable.SortedSet[(Double, Long)](
-      seeds.map { case (id, d) => (d, id) }: _*)(ord)
+    var pool = scala.collection.immutable.SortedSet.empty[(Double, Long)]
+    var result = scala.collection.immutable.SortedSet.empty[(Double, Long)]
     var hops = 0
-    var frontier = pool.iterator.map(_._2).filterNot(expanded).toSeq
-    while (frontier.nonEmpty && hops < maxHops) {
-      expanded ++= frontier
-      // filtered mode: probe membership of newly expanded nodes and admit
-      // the passing ones to the result set (reference search.go:93–95)
-      matchArt.foreach { m =>
-        val unknown = frontier.filterNot(okKnown.contains)
-        if (unknown.nonEmpty) {
-          val ok = m.filter(col("_gid").isin(unknown: _*))
-            .select(col("_gid")).as[Long].collect().toSet
-          unknown.foreach(id => okKnown(id) = ok(id))
-        }
-        val dist = pool.iterator.map { case (d, id) => id -> d }.toMap
-        result ++= frontier.collect {
-          case id if okKnown(id) && dist.contains(id) => (dist(id), id)
-        }
-        if (result.size > searchSize) result = result.take(searchSize)
-      }
-      val nbrs = art.filter(col("_gid").isin(frontier: _*))
-        .select(explode(col("_nbrs")).as("_n")).distinct()
-        .as[Long].collect().toSeq
-        .filterNot(seen)
-      if (nbrs.nonEmpty) {
-        seen ++= nbrs
-        pool ++= score(art, nbrs).map { case (id, d) => (d, id) }
-        if (pool.size > searchSize) pool = pool.take(searchSize)
-      }
-      hops += 1
+    var frontier: Seq[Long] = Nil
+    def refreshFrontier(): Unit =
       frontier = pool.iterator.collect {
         case (_, id) if !expanded(id) => id
       }.toSeq
+  }
+
+  private def walkBatch(
+      acc: GraphAccess, metric: Metric, queries: Seq[Seq[Float]],
+      searchSize: Int, entry: Long, maxHops: Int,
+      filtered: Boolean): Seq[Seq[Long]] = {
+    require(searchSize > 0, s"searchSize must be positive (got $searchSize)")
+    // shared across queries: fetched node data and membership verdicts
+    val cache = scala.collection.mutable.Map[Long, (Array[Float], Array[Long])]()
+    val missing = scala.collection.mutable.Set[Long]() // probed, absent
+    val okKnown = scala.collection.mutable.Map[Long, Boolean]()
+    def ensure(ids: Seq[Long]): Unit = {
+      val need = ids.distinct.filterNot(id => cache.contains(id) || missing(id))
+      if (need.nonEmpty) {
+        val got = acc.fetch(need)
+        cache ++= got
+        missing ++= need.filterNot(got.contains)
+      }
     }
-    matchArt match {
-      case None => pool.toSeq.map(_._2)
-      case Some(_) => result.toSeq.map(_._2)
+    val seedIds: Seq[Long] = if (filtered) acc.seeds(searchSize) else Nil
+    ensure(entry +: seedIds)
+    seedIds.foreach(id => okKnown(id) = true)
+    def distTo(s: QueryState, id: Long): Double =
+      VectorDistance.scalarDistance(metric, cache(id)._1, s.qvec)
+    val states = queries.map { q =>
+      val s = new QueryState(q.toArray)
+      // seed the pool with the scored entry + in-filter seeds; ids absent
+      // from the artifact score nothing but are still marked seen
+      s.seen += entry
+      s.seen ++= seedIds
+      val scoredSeeds = seedIds.filter(cache.contains)
+        .map(id => (distTo(s, id), id))
+      s.pool = s.pool ++ scoredSeeds ++
+        (if (cache.contains(entry)) Seq((distTo(s, entry), entry)) else Nil)
+      s.result = s.result ++ scoredSeeds
+      s.refreshFrontier()
+      s
+    }
+    if (states.forall(_.pool.isEmpty)) return states.map(_ => Seq.empty)
+    var active = states.filter(s => s.frontier.nonEmpty && s.hops < maxHops)
+    while (active.nonEmpty) {
+      // filtered mode: one shared membership probe for every newly
+      // expanded node this round (reference search.go:93–95)
+      if (filtered) {
+        val unknown = active.flatMap(_.frontier).distinct
+          .filterNot(okKnown.contains)
+        if (unknown.nonEmpty) {
+          val ok = acc.memberOk(unknown)
+          unknown.foreach(id => okKnown(id) = ok(id))
+        }
+      }
+      active.foreach { s =>
+        s.expanded ++= s.frontier
+        if (filtered) {
+          val dist = s.pool.iterator.map { case (d, id) => id -> d }.toMap
+          s.result = s.result ++ s.frontier.collect {
+            case id if okKnown.getOrElse(id, false) && dist.contains(id) =>
+              (dist(id), id)
+          }
+          if (s.result.size > searchSize) s.result = s.result.take(searchSize)
+        }
+      }
+      // one fused lookup: vec + nbrs for every id any query newly needs
+      val perQueryNew = active.map { s =>
+        val nbrs = s.frontier.iterator
+          .flatMap(id => cache.get(id).map(_._2).getOrElse(Array.empty[Long]))
+          .toSeq.distinct.filterNot(s.seen)
+        s -> nbrs
+      }
+      ensure(perQueryNew.flatMap(_._2))
+      perQueryNew.foreach { case (s, nbrs) =>
+        if (nbrs.nonEmpty) {
+          s.seen ++= nbrs
+          s.pool = s.pool ++ nbrs.filter(cache.contains)
+            .map(id => (distTo(s, id), id))
+          if (s.pool.size > searchSize) s.pool = s.pool.take(searchSize)
+        }
+        s.hops += 1
+        s.refreshFrontier()
+      }
+      active = active.filter(s => s.frontier.nonEmpty && s.hops < maxHops)
+    }
+    states.map { s =>
+      if (filtered) s.result.toSeq.map(_._2) else s.pool.toSeq.map(_._2)
     }
   }
 }

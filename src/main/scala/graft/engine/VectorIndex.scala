@@ -43,7 +43,15 @@ final case class ProductVectorIndex(
   * RecallReport convention); `maxHops` bounds pathological traversals.
   */
 final case class VamanaVectorIndex(
-    entry: Long, maxHops: Int, encoded: DataFrame) extends VectorIndex
+    entry: Long, maxHops: Int, encoded: DataFrame) extends VectorIndex {
+  /** Broadcast-sized artifacts are collected ONCE (lazily, on the first
+    * approximate query) and every beam walk then runs in driver memory
+    * with zero Spark jobs — the serving fast path. None past the
+    * `graft.vamana.localMaxBytes` budget → the distributed fused-lookup
+    * walk serves instead (the 100 TB regime).
+    */
+  lazy val local: Option[VamanaServe.LocalGraph] = VamanaServe.tryLocal(encoded)
+}
 
 /** SQ8 scalar-quantizer artifact (`_codes array<long>`, 0..255 per
   * dimension over per-dim [lo, hi]) — candidates rank by squared-L2
