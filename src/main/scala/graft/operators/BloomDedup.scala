@@ -93,8 +93,15 @@ object BloomDedup {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
     val ln2 = math.log(2.0)
     val mTotal = math.ceil(-expectedItems.toDouble * math.log(fpp) / (ln2 * ln2))
-    val wordsPerBucket = math.max(1,
-      math.ceil(mTotal / buckets / 64.0).toInt)
+    // size in Long first: a Double→Int cast saturates SILENTLY, and a
+    // 10^10-key filter with few buckets would otherwise mis-size or fail
+    // with an opaque allocation error instead of this message
+    val wordsPerBucketL = math.max(1L,
+      math.ceil(mTotal / buckets / 64.0).toLong)
+    require(wordsPerBucketL <= Int.MaxValue / 8, // ≤16 GiB of words per shard
+      s"bloom shard needs $wordsPerBucketL words (${wordsPerBucketL * 8} bytes); " +
+        s"raise `buckets` (got $buckets) so each shard's bit array fits an executor")
+    val wordsPerBucket = wordsPerBucketL.toInt
     val k = math.max(1,
       math.round(wordsPerBucket.toDouble * 64 * buckets / expectedItems * ln2).toInt)
     (wordsPerBucket, k)

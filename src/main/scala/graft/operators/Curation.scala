@@ -77,6 +77,10 @@ object Curation {
     import spark.implicits._
     val rows = candidates
       .filter(id.isNotNull && rel.isNotNull && vec.isNotNull)
+      // NaN relevance (or a NaN vector component) would poison the argmax
+      // (NaN > -Inf is false, leaving best = -1) — exclude such rows here
+      .filter(!isnan(rel.cast("double")) &&
+        !exists(vec.cast("array<double>"), x => isnan(x)))
       .select(id.cast("long").as("id"), rel.cast("double").as("rel"),
         vec.cast("array<double>").as("v"))
       .as[(Long, Double, Seq[Double])]
@@ -105,6 +109,7 @@ object Curation {
         // strict > with (-rel, id)-sorted scan order = lower-id tiebreak
         if (obj > bestObj) { best = i; bestObj = obj }
       }
+      require(best >= 0, "MMR argmax found no candidate — unreachable after NaN prefilter")
       used(best) = true
       picked += ((rows(best)._1, step + 1, bestObj))
       for (i <- 0 until n if !used(i)) {
@@ -136,8 +141,12 @@ object Curation {
     require(lists.nonEmpty, "need at least one ranked list")
     require(k >= 0, s"k must be non-negative (got $k)")
     val prepped = lists.zipWithIndex.map { case (df, li) =>
+      // a duplicate id inside one list would fan out through the chained
+      // full-outer joins and double-count the OTHER lists' contributions;
+      // collapse to the best (lowest) rank per id first
       df.select(col("id").cast("long").as("id"),
-        col("rank").cast("long").as(s"_r$li"))
+          col("rank").cast("long").as(s"_r$li"))
+        .groupBy("id").agg(min(col(s"_r$li")).as(s"_r$li"))
     }
     val joined = prepped.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val contribs = lists.indices.map(li =>

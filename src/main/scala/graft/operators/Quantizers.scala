@@ -330,7 +330,17 @@ object ScalarQuantizer {
       .select(posexplode(slice(vec, 1, dim)).as(Seq("_pos", "_v")))
       .groupBy("_pos")
       .agg(min(col("_v").cast("double")).as("_lo"), max(col("_v").cast("double")).as("_hi"))
-      .collect().map(r => r.getAs[Int]("_pos") -> (r.getAs[Double]("_lo"), r.getAs[Double]("_hi")))
+      .collect().map { r =>
+        // read boxed: an all-null dimension aggregates to null min/max,
+        // and getAs[Double] would silently unbox that to 0.0
+        val pos = r.getAs[Int]("_pos")
+        val lo = r.getAs[java.lang.Double]("_lo")
+        val hi = r.getAs[java.lang.Double]("_hi")
+        if (lo == null || hi == null)
+          throw new IllegalArgumentException(
+            s"no values at dimension $pos — vectors shorter than dim=$dim or empty corpus")
+        pos -> (lo.doubleValue, hi.doubleValue)
+      }
       .toMap
     val lohi = (0 until dim).map(i => rows.getOrElse(i,
       throw new IllegalArgumentException(

@@ -232,14 +232,14 @@ object TrainingQueries {
     """SELECT CAST(shard AS INT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(n_tokens AS BIGINT) AS n_tokens, digest
       |FROM (VALUES
-      |  (0, 55, 12270, 'b54b470c46edb709a5f89d1390a16e57'),
-      |  (1, 52, 13335, '8c54e1da50596f4e408901908342afcd'),
-      |  (2, 72, 15240, '15cdf1f7fac6dc1bd467103a8e201715'),
-      |  (3, 69, 15211, 'bbd062fcce1dd386283b6f280c165836'),
-      |  (4, 56, 12328, 'd5adb8ac73cd5d97f70ce8a5560e5ffd'),
-      |  (5, 60, 12715, 'b873df3748ad351d8decaf3ba5c1a9a1'),
-      |  (6, 66, 13674, '93423a043cca3087e95589b14942a61a'),
-      |  (7, 70, 14935, '773c4366be5836df921751154f9d87d6')
+      |  (0, 55, 12270, '30380222572552400521-30316786972468414013'),
+      |  (1, 52, 13335, '29225814984711618595-33546758967367463865'),
+      |  (2, 72, 15240, '38774862032713376218-32730102902041436496'),
+      |  (3, 69, 15211, '41571515242523576737-40065261896659038974'),
+      |  (4, 56, 12328, '28372687290658959040-34277572566044730429'),
+      |  (5, 60, 12715, '34099146963384617135-39305591725662738071'),
+      |  (6, 66, 13674, '38625919384305934205-38281117879384826636'),
+      |  (7, 70, 14935, '43409619529613674987-39848839806843895352')
       |) t(shard, n_docs, n_tokens, digest)
       |ORDER BY shard""".stripMargin) { (s, d) =>
     val toks = Bpe.tokenize(
@@ -253,9 +253,7 @@ object TrainingQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("w")).as("n_tokens"),
-        md5(concat_ws("|", transform(
-          array_sort(collect_list(struct(col("sort_key"), col("id"), col("_row")))),
-          x => x.getField("_row")))).as("digest"))
+        orderFreeDigest(col("_row")).as("digest"))
       .orderBy("shard")
   }
 
@@ -415,7 +413,7 @@ object TrainingQueries {
   val unigramTokenize = NamedQuery(
     "unigram_tokenize",
     """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(32652 AS BIGINT) AS total_pieces,
-      |'d94b0d595609942efd89350b34d2e985' AS digest""".stripMargin) { (s, d) =>
+      |'292451445676626377885-288087813444183861191' AS digest""".stripMargin) { (s, d) =>
     import s.implicits._
     val m = trainedUnigram(s, d)
     graft.operators.UnigramLm.tokenize(Tables.documents(s, d), col("doc_id"), col("text"), m)
@@ -424,7 +422,7 @@ object TrainingQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_pieces")).cast("long").as("total_pieces"),
-        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+        orderFreeDigest(col("_row")).as("digest"))
   }
 
   /** The full MODERN training-shard pipeline composed from this round's
@@ -444,10 +442,10 @@ object TrainingQueries {
       |  CAST(n_docs AS BIGINT) AS n_docs, CAST(total_pieces AS BIGINT) AS total_pieces,
       |  digest
       |FROM (VALUES
-      |  (0, 16, 111, 7334, '046010bebea5668d84bbd65bfb9b07be'),
-      |  (1, 17, 112, 7723, '8854bdb44442b43bb6cc082ac18e13de'),
-      |  (2, 19, 138, 8580, 'cd4f9b9ee21d21623935d2b690fa1bb8'),
-      |  (3, 19, 139, 9015, '4182fe233e484305f2061eae32c92316')) t(shard, n_bins, n_docs, total_pieces, digest)
+      |  (0, 16, 111, 7334, '62350302674610201660-65005600617214549084'),
+      |  (1, 17, 112, 7723, '62987891664563562968-59776171614208710986'),
+      |  (2, 19, 138, 8580, '80659089984172170116-80316824417804394187'),
+      |  (3, 19, 139, 9015, '86480946195250949975-84084026423495581478')) t(shard, n_bins, n_docs, total_pieces, digest)
       |ORDER BY shard""".stripMargin) { (s, d) =>
     import s.implicits._
     val m = trainedUnigram(s, d)
@@ -467,7 +465,7 @@ object TrainingQueries {
         (max(col("bin")) + 1L).as("n_bins"),
         count(lit(1)).as("n_docs"),
         sum(col("w")).cast("long").as("total_pieces"),
-        md5(concat_ws("|", sort_array(collect_list(col("_row"))))).as("digest"))
+        orderFreeDigest(col("_row")).as("digest"))
       .orderBy("shard")
   }
 

@@ -86,6 +86,20 @@ package object queries {
   def dround(c: Column, scale: Int = 4): Column =
     round(c.cast(Dec), scale).cast("double")
 
+  /** ORDER-FREE row-set digest: the exact DECIMAL sums of the two
+    * 60-bit halves of each row's md5, joined as "lo-hi". Commutative and
+    * constant-state per group — the digest an actual 100 TB shard writer
+    * could compute (vs `sort_array(collect_list(...))`, whose agg buffer
+    * holds the whole group). Any changed/added/dropped row moves both
+    * halves; 10^12 rows × 2^60 stays far inside DECIMAL(38,0).
+    */
+  def orderFreeDigest(row: Column): Column = {
+    val h = md5(row)
+    def half(lo: Int): Column =
+      sum(conv(substring(h, lo, 15), 16, 10).cast(DecimalType(38, 0)))
+    concat_ws("-", half(1), half(17))
+  }
+
   // DuckDB-side equivalents (string snippets for oracle SQL)
   def sqlDsum(expr: String, scale: Int = 2): String =
     s"CAST(round(sum(CAST(($expr) AS DECIMAL(28,6))), $scale) AS DOUBLE)"

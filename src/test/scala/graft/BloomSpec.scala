@@ -67,4 +67,15 @@ class BloomSpec extends SparkSuite {
     val (w2, k2) = BloomDedup.sizing(1000, 0.0001, 8)
     assert(w2 > w1 && k2 > k1 && k1 >= 1)
   }
+
+  test("sizing: oversized shards raise a clear error instead of saturating to Int") {
+    // 10^10 keys at fpp 1e-9 in ONE bucket needs ~10^12 bits - the Long
+    // sizing path must refuse with the raise-buckets hint, not mis-size
+    val ex = intercept[IllegalArgumentException](
+      BloomDedup.sizing(10_000_000_000L, 1e-9, 1))
+    assert(ex.getMessage.contains("raise `buckets`"), ex.getMessage)
+    // the same load spread over enough buckets sizes fine
+    val (w, k) = BloomDedup.sizing(10_000_000_000L, 1e-9, 4096)
+    assert(w > 0 && k >= 1)
+  }
 }

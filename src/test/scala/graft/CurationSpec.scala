@@ -137,4 +137,30 @@ class CurationSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Curation.topKPerGroup(strId, $"src", $"sid", $"score", 1))
   }
+
+  test("mmr: NaN relevance / NaN vectors are excluded, never poison the argmax") {
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0f, 0.0f)),
+      (2L, Double.NaN, Seq(0.0f, 1.0f)),        // NaN rel
+      (3L, 0.5, Seq(Float.NaN, 1.0f)),          // NaN vector component
+      (4L, 0.4, Seq(0.0f, 1.0f))
+    ).toDF("id", "rel", "vec")
+    val out = Curation.mmr(cands, $"id", $"rel", $"vec", k = 4, lambda = 0.5)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 4L), out) // NaN rows dropped, no AIOOBE(-1)
+    // all-NaN input degrades to empty, not a crash
+    val allNan = Seq((9L, Double.NaN, Seq(1.0f))).toDF("id", "rel", "vec")
+    assert(Curation.mmr(allNan, $"id", $"rel", $"vec", k = 1, lambda = 0.5).count() == 0)
+  }
+
+  test("rrf: duplicate ids inside one list collapse to best rank, no fan-out") {
+    val dup = Seq((10L, 3L), (10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val l2 = Seq((10L, 1L), (30L, 2L)).toDF("id", "rank")
+    val out = Curation.rrfFuse(Seq(dup, l2), k = 60)
+      .as[(Long, Double, Int)].collect().map { case (id, s, n) => id -> (s, n) }.toMap
+    // id 10: min-rank 1 from the dup list + rank 1 from l2 - counted ONCE each
+    assert(math.abs(out(10L)._1 - (1.0 / 61 + 1.0 / 61)) < 1e-15, out(10L))
+    assert(out(10L)._2 == 2)
+    assert(out(20L)._2 == 1 && out(30L)._2 == 1)
+  }
 }

@@ -283,4 +283,15 @@ class QuantizerSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       ScalarQuantizer.search(df.withColumnRenamed("vid", "id"), Seq(1.0f), Array(0.0), Array(1.0), 0))
   }
+
+  test("sq8 fitMinMax: an all-null dimension raises, never silently pins to 0.0") {
+    import graft.operators.ScalarQuantizer
+    // dimension 0 is null in EVERY row - the boxed-read guard must raise
+    // the same error as a missing position (not unbox null to lo=hi=0.0)
+    val df = spark.range(4).selectExpr(
+      "array(cast(null as float), cast(id as float)) as vec")
+    val ex = intercept[IllegalArgumentException](
+      ScalarQuantizer.fitMinMax(df, col("vec"), 2))
+    assert(ex.getMessage.contains("no values at dimension 0"), ex.getMessage)
+  }
 }
