@@ -7,10 +7,19 @@ import org.apache.spark.sql.functions._
   * English stopword removal — mirroring the reference's bleve standard
   * analyzer (reference shard/index/text/text.go:69–96, models/index.go:315–324).
   *
-  * Tokenization here is letter/digit runs (`[\p{L}\p{N}]+`), a close,
-  * deterministic approximation of UAX#29 word boundaries (divergence:
-  * mid-word apostrophes split; the reference keeps "don't" whole). The
-  * stopword list is the Snowball English list bleve uses.
+  * Tokenization extracts maximal alphanumeric runs that may be JOINED by
+  * mid-word apostrophes (ASCII `'` and U+2019 `’`), matching UAX#29's
+  * WB6/WB7 + WB11/WB12 treatment of Single_Quote/MidNumLet: "don't",
+  * "O'Brien", "rock'n'roll", "3'5" stay whole; leading/trailing
+  * apostrophes strip ("believin'" → "believin"). One corner divergence
+  * remains, documented: a MIXED-class junction ("3'a") is kept whole
+  * here but split by strict UAX#29 — expressing the class-adjacency
+  * constraint needs lookaround, which DuckDB's RE2 (the oracle engine)
+  * does not support, and the case is vanishingly rare in real text.
+  *
+  * The stopword list is the full Snowball English list bleve uses —
+  * including the contraction forms ("don't", "i'm", …), which the
+  * tokenizer above now actually produces.
   *
   * Everything is pure `Column` algebra — no UDFs — so the analyser stays
   * inside whole-stage codegen and the same regex/list can be replicated
@@ -18,9 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalyzer {
 
+  /** The repo-wide RAW-token split convention (Dedup.tokens and every
+    * n-gram/packing/BPE operator): split on non-alphanumeric runs,
+    * apostrophes included. Deliberately NOT the analyzer's word pattern —
+    * raw tokens feed dedup shingles and token counts where bleve parity
+    * is not the contract, and dozens of pinned goldens ride on it.
+    */
   val TokenPattern = "[^\\p{L}\\p{N}]+"
 
-  /** Snowball English stopwords (the list behind bleve's "stop_en"). */
+  /** The analyzer's MATCH pattern (see class doc): alphanumeric runs
+    * joined by mid-word apostrophes. Shared verbatim with the DuckDB
+    * oracle (RE2-compatible: no lookaround).
+    */
+  val WordPattern = "[\\p{L}\\p{N}]+(?:['’][\\p{L}\\p{N}]+)*"
+
+  /** Snowball English stopwords (the list behind bleve's "stop_en"),
+    * contraction forms included — reachable now that the tokenizer keeps
+    * mid-word apostrophes.
+    */
   val StopWords: Seq[String] = Seq(
     "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
     "you", "your", "yours", "yourself", "yourselves",
@@ -29,12 +53,15 @@ object TextAnalyzer {
     "what", "which", "who", "whom", "this", "that", "these", "those",
     "am", "is", "are", "was", "were", "be", "been", "being",
     "have", "has", "had", "having", "do", "does", "did", "doing",
-    "would", "should", "could", "ought", "cannot",
-    // bleve's list also carries contraction forms ("don't", "i'm", …) —
-    // unreachable here BY CONSTRUCTION: the tokenizer splits on
-    // apostrophes, so no token ever contains one (in Spark or in the
-    // DuckDB oracle, which replays the same regex). Keeping them would
-    // only bloat every isin list and generated SQL.
+    "would", "should", "could", "ought",
+    "i'm", "you're", "he's", "she's", "it's", "we're", "they're",
+    "i've", "you've", "we've", "they've",
+    "i'd", "you'd", "he'd", "she'd", "we'd", "they'd",
+    "i'll", "you'll", "he'll", "she'll", "we'll", "they'll",
+    "isn't", "aren't", "wasn't", "weren't", "hasn't", "haven't", "hadn't",
+    "doesn't", "don't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
+    "can't", "cannot", "couldn't", "mustn't", "let's", "that's", "who's",
+    "what's", "here's", "there's", "when's", "where's", "why's", "how's",
     "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
     "while", "of", "at", "by", "for", "with", "about", "against", "between",
     "into", "through", "during", "before", "after", "above", "below",
@@ -51,7 +78,7 @@ object TextAnalyzer {
     */
   def analyze(c: Column): Column =
     filter(
-      split(lower(c), TokenPattern),
+      regexp_extract_all(lower(c), lit(WordPattern), lit(0)),
       t => t =!= "" && !t.isin(StopWords: _*))
 
   /** Driver-side analysis of a query string (same tokenizer + stopwords).
@@ -69,7 +96,7 @@ object TextAnalyzer {
     * requirement in EventsStream.
     */
   def analyzeString(s: String): Seq[String] =
-    TokenPattern.r.split(s.toLowerCase(java.util.Locale.ROOT))
+    WordPattern.r.findAllIn(s.toLowerCase(java.util.Locale.ROOT))
       .filter(t => t.nonEmpty && !stopSet(t))
       .toSeq
 
@@ -78,7 +105,12 @@ object TextAnalyzer {
     */
   val SqlStopList: String = StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(",")
 
+  /** [[WordPattern]] as a DuckDB string literal (apostrophe doubled;
+    * backslashes pass through verbatim in standard SQL strings).
+    */
+  val SqlWordPattern: String = WordPattern.replace("'", "''")
+
   /** The same analysis as a DuckDB SQL expression over `expr`, for oracles. */
   def sqlAnalyze(expr: String): String =
-    s"list_filter(string_split_regex(lower($expr), '[^\\p{L}\\p{N}]+'), t -> t != '' AND t NOT IN ($SqlStopList))"
+    s"list_filter(regexp_extract_all(lower($expr), '$SqlWordPattern'), t -> t != '' AND t NOT IN ($SqlStopList))"
 }

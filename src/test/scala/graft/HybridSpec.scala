@@ -120,4 +120,22 @@ class HybridSpec extends SparkSuite {
     assert(rows.nonEmpty && rows.length <= 5)
     assert(df.columns.contains("body"))
   }
+
+  test("analyzer: bleve UAX#29 apostrophe fidelity on a contraction corpus") {
+    // expected output derived from bleve's standard analyzer (unicode
+    // tokenizer + to_lower + stop_en, reference shard/index/text/text.go:
+    // 69-96): mid-word apostrophes keep tokens whole, leading/trailing
+    // apostrophes strip, contraction STOPWORDS ("don't", "it's") drop
+    val text = "Don't stop believin' \u2014 it's Mary's 3'5 O'Brien rock'n'roll"
+    val expected = Seq("stop", "believin", "mary's", "3'5", "o'brien", "rock'n'roll")
+    assert(TextAnalyzer.analyzeString(text) == expected)
+    // the Column path agrees with the driver path term for term
+    val viaCol = Seq(text).toDF("t")
+      .select(TextAnalyzer.analyze(col("t")).as("terms"))
+      .as[Seq[String]].head()
+    assert(viaCol == expected)
+    // the curly apostrophe variant stays whole but is NOT the ASCII
+    // stopword - bleve's stop_en is ASCII-only, so "don\u2019t" survives
+    assert(TextAnalyzer.analyzeString("don\u2019t worry") == Seq("don\u2019t", "worry"))
+  }
 }
