@@ -85,4 +85,36 @@ object Geohash {
   def apply(latLon: Column, precision: Int): Column =
     Bridge.toColumn(GeohashExpr(
       Bridge.toExpression(latLon.cast(ArrayType(FloatType))), precision))
+
+  /** Bounding box `[latLo, latHi) × [lonLo, lonHi)` of every point whose
+    * geohash starts with `prefix` — exact by the bisection construction
+    * (`encode` takes the upper half on `>= mid`, so boxes are half-open).
+    * This is the AT-SCALE face of prefix search: a range predicate on raw
+    * lat/lon columns pushes down to parquet min/max stats and partition
+    * pruning, where a string `startsWith` over encoded hashes cannot.
+    */
+  def bbox(prefix: String): (Double, Double, Double, Double) = {
+    require(prefix.nonEmpty, "geohash prefix must be non-empty")
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var evenBit = true
+    prefix.foreach { c =>
+      val ch = Base32.indexOf(c.toLower)
+      require(ch >= 0, s"invalid geohash character '$c'")
+      var i = 4
+      while (i >= 0) {
+        val one = ((ch >> i) & 1) == 1
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (one) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (one) latLo = mid else latHi = mid
+        }
+        evenBit = !evenBit
+        i -= 1
+      }
+    }
+    (latLo, latHi, lonLo, lonHi)
+  }
 }

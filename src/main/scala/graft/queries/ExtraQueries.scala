@@ -309,7 +309,52 @@ object ExtraQueries {
       .orderBy("status")
   }
 
+  /** Geohash-PREFIX search (reference shard/index/string/string.go prefix
+    * scan over geohash-encoded points; functions/Geohash.scala is the
+    * encoder): derive [lat, lon] from embeddings (the s2_near_haversine
+    * convention), encode precision-5 geohashes with the codegen
+    * expression, and keep points whose hash starts with a fixed cell
+    * prefix. The ORACLE replays the SEMANTIC, not the string op: a
+    * geohash prefix is exactly a half-open bbox (Geohash.bbox — the
+    * bisection construction), so DuckDB filters lat/lon against the
+    * box literals. Any encoder drift — bit order, base32 alphabet,
+    * rounding — moves some point across a cell boundary and flips the
+    * selected set. The bbox face is also the 100 TB plan: range
+    * predicates on raw lat/lon push down to parquet stats, where a
+    * string startsWith over hashes cannot.
+    */
+  val geoPrefixSearch = {
+    val Prefix = "s0"
+    val (latLo, latHi, lonLo, lonHi) = graft.functions.Geohash.bbox(Prefix)
+    NamedQuery(
+      "geo_prefix_search",
+      s"""WITH geo AS (
+        |  SELECT vec_id AS id,
+        |    CAST(embedding[1] * 60 AS REAL) AS lat,
+        |    CAST(embedding[2] * 120 AS REAL) AS lon
+        |  FROM embeddings)
+        |SELECT id,
+        |  ${sqlDround("CAST(lat AS DOUBLE)", 4)} AS lat_r,
+        |  ${sqlDround("CAST(lon AS DOUBLE)", 4)} AS lon_r
+        |FROM geo
+        |WHERE CAST(lat AS DOUBLE) >= $latLo AND CAST(lat AS DOUBLE) < $latHi
+        |  AND CAST(lon AS DOUBLE) >= $lonLo AND CAST(lon AS DOUBLE) < $lonHi
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"),
+          (element_at(col("embedding"), 1) * lit(60.0f)).cast("float").as("lat"),
+          (element_at(col("embedding"), 2) * lit(120.0f)).cast("float").as("lon"))
+        .withColumn("gh",
+          graft.functions.Geohash(array(col("lat"), col("lon")), 5))
+        .filter(col("gh").startsWith(Prefix))
+        .select(col("id"),
+          dround(col("lat").cast("double"), 4).as("lat_r"),
+          dround(col("lon").cast("double"), 4).as("lon_r"))
+        .orderBy("id")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
     q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip, q19ZonemapRange,
-    q20SnapshotDiff)
+    q20SnapshotDiff, geoPrefixSearch)
 }

@@ -517,9 +517,35 @@ object TrainingQueries {
       .orderBy("source", "rank")
   }
 
+  /** Gumbel-top-k weighted sampling (Sampling.gumbelTopK — the
+    * Efraimidis–Spirakis reservoir-key trick) as a FULL cross-engine
+    * replay: log-length weights, the md5-uniform perturbation
+    * g = −ln(−ln((h+0.5)/2^32)), top 25 by perturbed key. Every draw is a
+    * pure row function, so DuckDB reproduces the exact selected SET (not
+    * just its size); keys surface rounded at scale 6 through the decimal
+    * convention. Scale: the perturbation is a narrow per-row projection
+    * and the top-k plans TakeOrderedAndProject — no global sort.
+    */
+  val sampleGumbelTopk = NamedQuery(
+    "sample_gumbel_topk",
+    s"""WITH t AS (
+      |  SELECT doc_id AS id, ln(CAST(n_chars AS DOUBLE)) AS lw,
+      |    (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gumbel'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+      |  FROM documents),
+      |k AS (SELECT id, lw + (-ln(-ln(u))) AS gk FROM t
+      |      ORDER BY gk DESC, id ASC LIMIT 25)
+      |SELECT id, ${sqlDround("gk", 6)} AS gumbel_r FROM k ORDER BY id""".stripMargin) { (s, d) =>
+    Sampling.gumbelTopK(
+        Tables.documents(s, d)
+          .select(col("doc_id").as("id"), log(col("n_chars").cast("double")).as("lw")),
+        col("id"), col("lw"), k = 25, salt = "gumbel")
+      .select(col("id"), dround(col("gumbel_key"), 6).as("gumbel_r"))
+      .orderBy("id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
     shardAssign, sampleTopkPerSource, packGreedy, sampleExactN, unigramVocab,
-    unigramTokenize, pipelineUnigramShards)
+    unigramTokenize, pipelineUnigramShards, sampleGumbelTopk)
 }

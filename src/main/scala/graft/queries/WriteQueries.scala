@@ -199,6 +199,48 @@ object WriteQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** W4's backup/restore lifecycle as a CONTRACT query (reference shard
+    * Backup semantics): create from part (p_size ≤ 10), snapshot, then
+    * DIVERGE destructively — delete every p_size ≤ 4 row, blank a name
+    * slab, insert a junk row — and restore the snapshot. The final state
+    * must be byte-identical to the pre-backup state, which is a
+    * closed-form SELECT over part: a restore that leaks any post-snapshot
+    * write (or loses any pre-snapshot row) flips the hash.
+    */
+  val w7BackupRestore = NamedQuery(
+    "w7_backup_restore",
+    """SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name,
+      |  CAST(p_size AS BIGINT) AS p_size
+      |FROM part WHERE p_size <= 10 ORDER BY _id""".stripMargin) { (s, d) =>
+    val dir = Files.createTempDirectory("graft_backup_").toString
+    val db = graft.Graft(s, dir)
+    val part = Tables.part(s, d).select(
+      col("p_partkey").cast("string").as("_id"),
+      col("p_name"),
+      col("p_size").cast("long").as("p_size"))
+    db.createCollection("parts", IndexSchema(
+      "p_name" -> IndexKind.Str(),
+      "p_size" -> IndexKind.Integer), part.filter(col("p_size") <= 10))
+    val seq = db.backup("parts")
+      .getOrElse(sys.error("first backup must not be frequency-gated"))
+    // destructive divergence the restore must fully undo
+    import s.implicits._
+    val doomed = part.filter(col("p_size") <= 4)
+      .select("_id").as[String].collect().toSeq
+    doomed.grouped(CollectionStore.MaxDeleteBatch).foreach(b => db.delete("parts", b))
+    val blanked = part.filter(col("p_size") === 7)
+      .select("_id").as[String].collect().toSeq
+    blanked.grouped(CollectionStore.MaxUpdateBatch).foreach { b =>
+      db.update("parts",
+        b.map(id => (id, CollectionStore.DeleteSentinel)).toDF("_id", "p_name"))
+    }
+    db.insert("parts", Seq(("zzz_junk", "junk row", 99L)).toDF("_id", "p_name", "p_size"))
+    db.restore("parts", seq)
+    detach(db.collection("parts").df
+      .select("_id", "p_name", "p_size").orderBy("_id"), dir)
+  }
+
   val all: Seq[NamedQuery] =
-    Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe)
+    Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
+      w7BackupRestore)
 }
