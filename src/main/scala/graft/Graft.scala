@@ -20,7 +20,7 @@ import graft.store.CollectionStore
   * first text query (like the reference's shard cache manager,
   * cluster/shardmgr.go:56–110) and invalidated on every write.
   */
-final class Graft(spark: SparkSession, root: String,
+final class Graft(val spark: SparkSession, root: String,
     plan: graft.store.UserPlan = graft.store.UserPlan()) {
 
   private val store = new CollectionStore(spark, root, plan)

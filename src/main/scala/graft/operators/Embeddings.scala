@@ -35,6 +35,41 @@ object Embeddings {
     * preserved. Rows with null/short vectors are dropped (they have no
     * well-defined projection).
     */
+  /** Deterministic perturbed replication — the recall-at-scale corpus
+    * generator: `factor` copies of every vector, each dimension of each
+    * copy nudged by an xxhash64-derived uniform in [−eps, +eps] (replica
+    * 0 unperturbed), then re-normalized to unit length. A pure row
+    * function of (id, replica, dim): layout-independent, reproducible,
+    * no RNG state. Replica clouds preserve the base corpus's
+    * neighborhood structure while making every vector distinct — so
+    * exact top-k at N× scale has real within-cloud ranking to get right,
+    * not ties. Ids offset by (max id + 1) per replica.
+    *
+    * Scale: crossJoin with a `factor`-row literal range (broadcast) and
+    * per-row codegen transforms — no shuffle.
+    */
+  def replicatePerturbed(df: DataFrame, id: Column, vec: Column,
+      factor: Int, eps: Double, salt: String = "graft-scale"): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    require(eps >= 0.0, s"eps must be non-negative (got $eps)")
+    val spark = df.sparkSession
+    val step = df.agg(max(id.cast("long"))).head().getLong(0) + 1
+    val noise = (base: Column, rep: Column, i: Column) =>
+      (((pmod(xxhash64(base, rep, i, lit(salt)), lit(20001L)) - lit(10000L))
+        / lit(10000.0)) * lit(eps)).cast("float")
+    df.select(id.cast("long").as("_base"), vec.cast("array<float>").as("_v"))
+      .crossJoin(spark.range(factor).select(col("id").as("_rep")))
+      .withColumn("_p", transform(col("_v"), (x, i) =>
+        x + when(col("_rep") === 0, lit(0.0f))
+          .otherwise(noise(col("_base"), col("_rep"), i))))
+      .withColumn("_n", sqrt(aggregate(col("_p"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select(
+        (col("_base") + col("_rep") * step).as("vec_id"),
+        transform(col("_p"), x => (x.cast("double") / col("_n")).cast("float"))
+          .as("embedding"))
+  }
+
   def jlProject(df: DataFrame, id: Column, vec: Column,
       dIn: Int, dOut: Int, salt: String = "graft-jl"): DataFrame = {
     require(dIn > 0 && dOut > 0, s"dims must be positive (got $dIn -> $dOut)")

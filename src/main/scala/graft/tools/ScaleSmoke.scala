@@ -280,6 +280,24 @@ object ScaleSmoke {
         f" pairs ${exponent((f1, p1), (f8, p8))}%.2f (1.0 = linear; naive join -> 2.0)")
     println(s"[scale] cc rounds by factor: ${measured.map(m => s"f=${m._1}:${m._4}").mkString(" ")}")
 
+    // ---- recall bands at 10× ------------------------------------------
+    // Runtime exponents alone don't guard QUALITY: the approximate-search
+    // operating points must hold at a second scale point too. Perturbed
+    // replication (deterministic) grows the corpus 10×; the bands are the
+    // RECALL.md operating points and ScaleRecallSpec asserts the same
+    // rows in the test suite — here they fail the smoke run loudly.
+    val recallRows = ScaleRecall.measure(
+      s, emb0, factor = 10, queryBaseIds = Seq(0L, 7L, 99L, 250L, 444L))
+    recallRows.foreach(r =>
+      println(f"[scale] recall@10 ${r.method}%-36s ${r.recall}%.3f (${r.config})"))
+    val byMethod = recallRows.map(r => r.method -> r.recall).toMap
+    require(byMethod("engine-served Vamana") >= 0.99,
+      s"vamana recall band broken at 10×: $byMethod")
+    require(byMethod("SQ8 + rescore") >= 0.99,
+      s"sq8 recall band broken at 10×: $byMethod")
+    require(byMethod("residual IVF-PQ spill=3 + rescore") >= 0.95,
+      s"ivfpq recall band broken at 10×: $byMethod")
+
     s.stop()
   }
 }

@@ -1,0 +1,437 @@
+package graft.wire
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.model.{IndexKind, IndexSchema, MsgPack}
+
+/** The reference's HTTP/RPC surface as an IN-PROCESS router (reference
+  * httpapi/v2/handlers.go:30–52 routes, 56–73 create envelope, 228–305
+  * point writes, 435–488 search): the same METHOD + PATH routing, request
+  * envelopes, validation bounds, status codes, and response shapes —
+  * minus the socket, which rounds 4–6 ruled out of scope for a Spark
+  * library. A real deployment mounts [[WireRouter.handle]] behind any
+  * JVM HTTP server in a few lines; everything protocol-shaped lives here
+  * and is testable as wire round-trips (WireRouterSpec).
+  *
+  * Request/response bodies speak BOTH wire codecs, selected by content
+  * type: JSON (jackson) and msgpack (model/MsgPack.scala) — the
+  * reference's two encodings (httpapi/utils DecodeValid).
+  *
+  * Documented divergences, all rooted in the engine's deterministic
+  * column-typed store:
+  *   - point `_id`s are arbitrary strings (the engine-wide id model),
+  *     not UUIDs; insert REQUIRES `_id` rather than minting a random
+  *     uuid.New() per point (a deterministic store cannot mint
+  *     nondeterministic ids; reference models/point.go:14–20);
+  *   - point fields must be declared in the index schema (a column
+  *     store has no schemaless payload bucket);
+  *   - GET /collections/{id} reports ONE logical shard whose pointCount
+  *     is the collection count (sharding is Catalyst partitioning here,
+  *     SURVEY §2.7).
+  */
+object WireRouter {
+
+  final case class WireResponse(status: Int, body: JValue) {
+    def json: String = JsonMethods.compact(JsonMethods.render(body))
+    def msgpack: Array[Byte] = MsgPack.encode(body)
+  }
+
+  private def err(status: Int, message: String): WireResponse =
+    WireResponse(status, JObject("error" -> JString(message)))
+  private def msg(status: Int, message: String): WireResponse =
+    WireResponse(status, JObject("message" -> JString(message)))
+
+  // ---- reference-format index schema codec --------------------------------
+  // (models/index.go:20–28: {type, <type>: {params}} per property; the
+  // store's internal schema.json is a different, flat format — this codec
+  // is the WIRE face.)
+
+  private def quantizerOf(j: JValue): IndexKind.Quantizer = j match {
+    case JNothing | JNull => IndexKind.Quantizer.NoQuant
+    case q =>
+      def trig(sub: JValue): Int = sub \ "triggerThreshold" match {
+        case JInt(x) => x.toInt
+        case JLong(x) => x.toInt
+        case _ => 10000
+      }
+      q \ "type" match {
+        case JString("none") | JNothing => IndexKind.Quantizer.NoQuant
+        case JString("binary") => IndexKind.Quantizer.Binary(trig(q \ "binary"))
+        case JString("product") =>
+          val p = q \ "product"
+          def i(k: String, d: Int) = p \ k match {
+            case JInt(x) => x.toInt; case JLong(x) => x.toInt; case _ => d
+          }
+          IndexKind.Quantizer.Product(
+            i("numCentroids", 256), i("numSubVectors", 8), trig(p))
+        case JString("scalar") => IndexKind.Quantizer.Scalar(trig(q \ "scalar"))
+        case other => throw new IllegalArgumentException(
+          s"unknown quantizer type ${JsonMethods.compact(JsonMethods.render(other))}")
+      }
+  }
+
+  def parseIndexSchema(j: JValue): IndexSchema = j match {
+    case JObject(fields) =>
+      IndexSchema(fields.map { case (prop, v) =>
+        def sub(name: String): JValue = v \ name
+        def i(o: JValue, k: String, d: Int) = o \ k match {
+          case JInt(x) => x.toInt; case JLong(x) => x.toInt; case _ => d
+        }
+        def dbl(o: JValue, k: String, d: Double) = o \ k match {
+          case JDouble(x) => x; case JInt(x) => x.toDouble; case _ => d
+        }
+        def metric(o: JValue): IndexKind.Metric = o \ "distanceMetric" match {
+          case JString(m) => IndexKind.Metric.parse(m)
+          case _ => throw new IllegalArgumentException(
+            s"property $prop: distanceMetric is required")
+        }
+        val kind: IndexKind = v \ "type" match {
+          case JString("vectorFlat") =>
+            val p = sub("vectorFlat")
+            IndexKind.VectorFlat(i(p, "vectorSize", 0), metric(p),
+              quantizerOf(p \ "quantizer"))
+          case JString("vectorVamana") =>
+            val p = sub("vectorVamana")
+            IndexKind.VectorVamana(i(p, "vectorSize", 0), metric(p),
+              i(p, "searchSize", 75), i(p, "degreeBound", 64),
+              dbl(p, "alpha", 1.2), quantizerOf(p \ "quantizer"))
+          case JString("text") =>
+            sub("text") \ "analyser" match {
+              case JString(a) => IndexKind.Text(a)
+              case _ => IndexKind.Text()
+            }
+          case JString("string") =>
+            IndexKind.Str(sub("string") \ "caseSensitive" == JBool(true))
+          case JString("stringArray") =>
+            IndexKind.StrArray(sub("stringArray") \ "caseSensitive" == JBool(true))
+          case JString("integer") => IndexKind.Integer
+          case JString("float") => IndexKind.Float
+          case other => throw new IllegalArgumentException(
+            s"property $prop: unknown index type ${JsonMethods.compact(JsonMethods.render(other))}")
+        }
+        prop -> kind
+      }.toMap)
+    case _ => throw new IllegalArgumentException("indexSchema must be an object")
+  }
+
+  def encodeIndexSchema(s: IndexSchema): JValue = {
+    def quant(q: IndexKind.Quantizer): JValue = q match {
+      case IndexKind.Quantizer.NoQuant => JObject("type" -> JString("none"))
+      case IndexKind.Quantizer.Binary(t) => JObject(
+        "type" -> JString("binary"),
+        "binary" -> JObject("triggerThreshold" -> JInt(t)))
+      case IndexKind.Quantizer.Product(kc, m, t) => JObject(
+        "type" -> JString("product"),
+        "product" -> JObject("numCentroids" -> JInt(kc),
+          "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t)))
+      case IndexKind.Quantizer.Scalar(t) => JObject(
+        "type" -> JString("scalar"),
+        "scalar" -> JObject("triggerThreshold" -> JInt(t)))
+    }
+    JObject(s.props.toSeq.sortBy(_._1).map { case (prop, k) =>
+      val body: JValue = k match {
+        case IndexKind.VectorFlat(n, m, q) => JObject(
+          "type" -> JString("vectorFlat"),
+          "vectorFlat" -> JObject("vectorSize" -> JInt(n),
+            "distanceMetric" -> JString(m.name), "quantizer" -> quant(q)))
+        case IndexKind.VectorVamana(n, m, ss, db, a, q) => JObject(
+          "type" -> JString("vectorVamana"),
+          "vectorVamana" -> JObject("vectorSize" -> JInt(n),
+            "distanceMetric" -> JString(m.name), "searchSize" -> JInt(ss),
+            "degreeBound" -> JInt(db), "alpha" -> JDouble(a),
+            "quantizer" -> quant(q)))
+        case IndexKind.Text(a) => JObject(
+          "type" -> JString("text"), "text" -> JObject("analyser" -> JString(a)))
+        case IndexKind.Str(cs) => JObject(
+          "type" -> JString("string"),
+          "string" -> JObject("caseSensitive" -> JBool(cs)))
+        case IndexKind.StrArray(cs) => JObject(
+          "type" -> JString("stringArray"),
+          "stringArray" -> JObject("caseSensitive" -> JBool(cs)))
+        case IndexKind.Integer => JObject("type" -> JString("integer"))
+        case IndexKind.Float => JObject("type" -> JString("float"))
+      }
+      prop -> body
+    }.toList)
+  }
+
+  // ---- Spark schema + point-map coercion ----------------------------------
+
+  private def leafType(k: IndexKind): DataType = k match {
+    case _: IndexKind.VectorFlat | _: IndexKind.VectorVamana => ArrayType(FloatType)
+    case _: IndexKind.Text | _: IndexKind.Str => StringType
+    case _: IndexKind.StrArray => ArrayType(StringType)
+    case IndexKind.Integer => LongType
+    case IndexKind.Float => DoubleType
+  }
+
+  /** The collection's column schema: `_id` + one (possibly nested, via
+    * dotted property paths) column per declared index property.
+    */
+  def sparkSchema(s: IndexSchema): StructType = {
+    def build(paths: Seq[(List[String], DataType)]): StructType =
+      StructType(paths.groupBy(_._1.head).toSeq.sortBy(_._1).map { case (h, grp) =>
+        grp.find(_._1.lengthCompare(1) == 0) match {
+          case Some((_, t)) => StructField(h, t, nullable = true)
+          case None => StructField(h,
+            build(grp.map { case (p, t) => (p.tail, t) }), nullable = true)
+        }
+      })
+    StructType(
+      StructField("_id", StringType, nullable = false) +:
+        build(s.props.toSeq.map { case (p, k) =>
+          (p.split("\\.").toList, leafType(k))
+        }).fields)
+  }
+
+  private def coerce(j: JValue, t: DataType, at: String): Any = (j, t) match {
+    case (JNothing | JNull, _) => null
+    case (JString(s), StringType) => s
+    case (JInt(x), LongType) => x.toLong
+    case (JLong(x), LongType) => x
+    case (JInt(x), DoubleType) => x.toDouble
+    case (JLong(x), DoubleType) => x.toDouble
+    case (JDouble(x), DoubleType) => x
+    case (JDecimal(x), DoubleType) => x.toDouble
+    case (JArray(xs), ArrayType(FloatType, _)) => xs.map {
+      case JDouble(x) => x.toFloat
+      case JInt(x) => x.toFloat
+      case JLong(x) => x.toFloat
+      case JDecimal(x) => x.toFloat
+      case other => throw new IllegalArgumentException(
+        s"$at: expected a number in the vector, got ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
+    case (JArray(xs), ArrayType(StringType, _)) => xs.map {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"$at: expected a string in the array, got ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
+    case (o: JObject, st: StructType) => structRow(o, st, at)
+    case (other, t0) => throw new IllegalArgumentException(
+      s"$at: cannot read ${JsonMethods.compact(JsonMethods.render(other))} as $t0")
+  }
+
+  private def structRow(o: JObject, st: StructType, at: String): Row = {
+    val fields = o.obj.toMap
+    val unknown = fields.keySet -- st.fieldNames
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$at: undeclared propert${if (unknown.size == 1) "y" else "ies"} " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (the column-typed store " +
+          "requires every point field in the index schema)")
+    Row.fromSeq(st.fields.toSeq.map(f =>
+      coerce(fields.getOrElse(f.name, JNothing), f.dataType, s"$at.${f.name}")))
+  }
+
+  /** One point map → one typed Row. `requireId` = insert semantics (the
+    * update path also requires it; the reference mints uuids on insert,
+    * which a deterministic store deliberately does not).
+    */
+  def pointRow(o: JObject, st: StructType, idx: Int): Row = {
+    o.obj.toMap.get("_id") match {
+      case Some(JString(id)) if id.nonEmpty =>
+        val rest = JObject(o.obj.filterNot(_._1 == "_id"))
+        val body = structRow(rest,
+          StructType(st.fields.filterNot(_.name == "_id")), s"point $idx")
+        Row.fromSeq(id +: body.toSeq)
+      case Some(_) => throw new IllegalArgumentException(
+        s"invalid id for point $idx, expected a non-empty string")
+      case None => throw new IllegalArgumentException(
+        s"invalid id for point $idx, missing _id field (this engine does not mint ids)")
+    }
+  }
+
+  // ---- result row → wire map ----------------------------------------------
+
+  private def toJValue(v: Any): JValue = v match {
+    case null => JNull
+    case s: String => JString(s)
+    case b: Boolean => JBool(b)
+    case i: Int => JInt(BigInt(i))
+    case l: Long => JInt(BigInt(l))
+    case f: Float => JDouble(f.toDouble)
+    case d: Double => JDouble(d)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case r: Row => JObject(r.schema.fields.toList.map(f =>
+      f.name -> toJValue(r.getAs[Any](f.name))))
+    case xs: scala.collection.Seq[_] => JArray(xs.toList.map(toJValue))
+    case other => JString(other.toString)
+  }
+
+  def rowToPointMap(r: Row): JObject = {
+    val fields = r.schema.fields.toList.flatMap { f =>
+      val v = r.getAs[Any](f.name)
+      // reference handlers omit nil _distance/_score but always carry
+      // _hybridScore (handlers.go:471–478)
+      if (v == null && (f.name == "_distance" || f.name == "_score")) Nil
+      else if (v == null && f.name != "_hybridScore") Nil
+      else List(f.name -> toJValue(v))
+    }
+    JObject(fields)
+  }
+}
+
+/** The router itself: stateless over a [[graft.Graft]] facade. */
+final class WireRouter(db: graft.Graft) {
+  import WireRouter._
+
+  private val CollectionId = "^/collections/([^/]+)$".r
+  private val Points = "^/collections/([^/]+)/points$".r
+  private val PointsSearch = "^/collections/([^/]+)/points/search$".r
+
+  /** Dispatch one request. `contentType` selects the body codec for both
+    * request and response ("application/msgpack" or JSON otherwise).
+    */
+  def handle(method: String, path: String, body: Array[Byte] = Array.empty,
+      contentType: String = "application/json"): WireResponse = {
+    def parsed: JValue =
+      if (contentType == "application/msgpack") MsgPack.decode(body)
+      else JsonMethods.parse(new String(body, java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      (method.toUpperCase, path) match {
+        case ("GET", "/ping") => msg(200, "pong")
+        case ("GET", "/collections") => listCollections()
+        case ("POST", "/collections") => createCollection(parsed)
+        case ("GET", CollectionId(id)) => withCollection(id)(getCollection)
+        case ("DELETE", CollectionId(id)) => withCollection(id)(deleteCollection)
+        case ("POST", Points(id)) => withCollection(id)(insertPoints(_, parsed))
+        case ("PUT", Points(id)) => withCollection(id)(updatePoints(_, parsed))
+        case ("DELETE", Points(id)) => withCollection(id)(deletePoints(_, parsed))
+        case ("POST", PointsSearch(id)) =>
+          withCollection(id)(searchPoints(_, body, contentType))
+        case _ => err(404, s"no route for $method $path")
+      }
+    } catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        err(400, s"invalid JSON body: ${e.getMessage}")
+      case e: IllegalArgumentException => err(400, e.getMessage)
+    }
+  }
+
+  /** Collection-id middleware (handlers.go:139–167): 3–24 chars,
+    * lowercase alphanumeric, must exist.
+    */
+  private def withCollection(id: String)(f: String => WireResponse): WireResponse =
+    if (id.length < 3 || id.length > 24)
+      err(400, "collectionId must be between 3 and 24 characters")
+    else if (!id.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+      err(400, s"id must be alphanumeric, got $id")
+    else if (!db.listCollections().contains(id))
+      err(404, s"collection $id not found")
+    else f(id)
+
+  private def listCollections(): WireResponse =
+    WireResponse(200, JObject("collections" -> JArray(
+      db.listCollections().sorted.toList.map(id =>
+        JObject("id" -> JString(id))))))
+
+  private def createCollection(j: JValue): WireResponse = {
+    val id = j \ "id" match {
+      case JString(s) => s
+      case _ => return err(400, "id is required")
+    }
+    if (id.length < 3 || id.length > 24)
+      return err(400, s"id must be between 3 and 24 characters, got ${id.length}")
+    if (!id.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+      return err(400, s"id must be alphanumeric, got $id")
+    val schema = parseIndexSchema(j \ "indexSchema")
+    if (db.listCollections().contains(id))
+      return err(409, "collection exists")
+    val spark = db.spark
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), sparkSchema(schema))
+    try {
+      db.createCollection(id, schema, empty)
+      msg(200, "collection created")
+    } catch {
+      case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
+        err(409, "collection exists")
+      case e: IllegalArgumentException if e.getMessage.contains("user plan") =>
+        err(403, "quota reached")
+    }
+  }
+
+  private def getCollection(id: String): WireResponse = {
+    val coll = db.collection(id)
+    val n = coll.df.count()
+    WireResponse(200, JObject(
+      "id" -> JString(id),
+      "indexSchema" -> encodeIndexSchema(coll.schema),
+      "shards" -> JArray(List(JObject(
+        "id" -> JString("0"), "pointCount" -> JInt(BigInt(n)))))))
+  }
+
+  private def deleteCollection(id: String): WireResponse = {
+    db.dropCollection(id)
+    msg(200, "collection deleted")
+  }
+
+  private def pointsOf(j: JValue, maxPoints: Int): List[JObject] = j \ "points" match {
+    case JArray(xs) =>
+      if (xs.isEmpty || xs.length > maxPoints)
+        throw new IllegalArgumentException(
+          s"number of points must be between 1 and $maxPoints, got ${xs.length}")
+      xs.map {
+        case o: JObject => o
+        case other => throw new IllegalArgumentException(
+          s"each point must be an object, got ${JsonMethods.compact(JsonMethods.render(other))}")
+      }
+    case _ => throw new IllegalArgumentException("points array is required")
+  }
+
+  private def insertPoints(id: String, j: JValue): WireResponse = {
+    val coll = db.collection(id)
+    val st = sparkSchema(coll.schema)
+    val rows = pointsOf(j, graft.store.CollectionStore.MaxInsertBatch)
+      .zipWithIndex.map { case (o, i) => pointRow(o, st, i) }
+    import scala.jdk.CollectionConverters._
+    db.insert(id, db.spark.createDataFrame(rows.asJava, st))
+    WireResponse(200, JObject(
+      "message" -> JString("success"), "failedRanges" -> JArray(Nil)))
+  }
+
+  private def updatePoints(id: String, j: JValue): WireResponse = {
+    val coll = db.collection(id)
+    val st = sparkSchema(coll.schema)
+    val points = pointsOf(j, graft.store.CollectionStore.MaxUpdateBatch)
+    // field-merge semantics: only the fields a point CARRIES update, so
+    // batch the points by carried-field set — one update per distinct set
+    import scala.jdk.CollectionConverters._
+    points.zipWithIndex.groupBy(_._1.obj.map(_._1).toSet).foreach {
+      case (fieldSet, grp) =>
+        val sub = StructType(st.fields.filter(f =>
+          f.name == "_id" || fieldSet.contains(f.name)))
+        val rows = grp.map { case (o, i) => pointRow(o, sub, i) }
+        db.update(id, db.spark.createDataFrame(rows.asJava, sub))
+    }
+    WireResponse(200, JObject(
+      "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
+  }
+
+  private def deletePoints(id: String, j: JValue): WireResponse = {
+    val ids = j \ "ids" match {
+      case JArray(xs) if xs.nonEmpty && xs.length <= graft.store.CollectionStore.MaxDeleteBatch =>
+        xs.map {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(
+            s"ids must be strings, got ${JsonMethods.compact(JsonMethods.render(other))}")
+        }
+      case JArray(xs) => return err(400,
+        s"number of ids must be between 1 and ${graft.store.CollectionStore.MaxDeleteBatch}, got ${xs.length}")
+      case _ => return err(400, "ids array is required")
+    }
+    db.delete(id, ids)
+    WireResponse(200, JObject(
+      "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
+  }
+
+  private def searchPoints(id: String, body: Array[Byte], contentType: String): WireResponse = {
+    val df =
+      if (contentType == "application/msgpack") db.searchMsgPack(id, body)
+      else db.search(id, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+    val points = df.collect().toList.map(rowToPointMap)
+    WireResponse(200, JObject("points" -> JArray(points)))
+  }
+}
