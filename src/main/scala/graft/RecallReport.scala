@@ -332,7 +332,10 @@ object RecallReport {
          |
          || method | config | recall@10 |
          ||---|---|---|
-         |${scaleRows.map(r => s"| ${r.method} | ${r.config} | ${f"${r.recall}%.3f"} |").mkString("\n")}
+         |${scaleRows.map(r => s"| ${r.method} | ${r.config} | ${f"${r.recall}%.3f"} |").mkString("\n")
+           // rows joined BEFORE stripMargin sees them: double the pipe so
+           // margin-stripping leaves each row's leading table pipe intact
+           .replace("\n|", "\n||")}
          |
          |The Vamana row uses the RECALL.md headline build (degree 32, α 1.2,
          |3 NN-Descent rounds — 2 rounds measures 0.880 at this size) and
