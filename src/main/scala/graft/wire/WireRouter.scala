@@ -435,3 +435,47 @@ final class WireRouter(db: graft.Graft) {
     WireResponse(200, JObject("points" -> JArray(points)))
   }
 }
+
+/** The reference's app-header middleware in front of the router
+  * (httpapi/middleware/appheaders.go:23–49): every request must carry
+  * `X-User-Id` + `X-Plan-Id`; the plan id resolves against the
+  * configured plan table (403 on unknown), and the request executes
+  * against the TENANT's namespace (Graft.forTenant — collections
+  * prefixed by user id, per-tenant quotas) — the reference's own
+  * isolation mechanism. Per-tenant facades are cached: the first request
+  * pays store discovery, the rest reuse the collection cache.
+  */
+final class WireService(
+    spark: org.apache.spark.sql.SparkSession, root: String,
+    userPlans: Map[String, graft.store.UserPlan]) {
+  import WireRouter._
+
+  private val routers =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), WireRouter]()
+
+  def handle(method: String, path: String,
+      headers: Map[String, String], body: Array[Byte] = Array.empty): WireResponse = {
+    val userId = headers.getOrElse("X-User-Id", "")
+    val planId = headers.getOrElse("X-Plan-Id", "")
+    if (userId.isEmpty || planId.isEmpty)
+      return WireResponse(400,
+        org.json4s.JObject("error" ->
+          org.json4s.JString("missing X-User-Id or X-Plan-Id headers")))
+    userPlans.get(planId) match {
+      case None => WireResponse(403,
+        org.json4s.JObject("error" ->
+          org.json4s.JString(s"unknown user plan $planId")))
+      case Some(plan) =>
+        val router =
+          try routers.computeIfAbsent((userId, planId), _ =>
+            new WireRouter(graft.Graft.forTenant(spark, root, userId, plan)))
+          catch {
+            case e: IllegalArgumentException =>
+              return WireResponse(400,
+                org.json4s.JObject("error" -> org.json4s.JString(e.getMessage)))
+          }
+        router.handle(method, path, body,
+          headers.getOrElse("Content-Type", "application/json"))
+    }
+  }
+}

@@ -136,4 +136,29 @@ class WireRouterSpec extends SparkSuite {
     // malformed body → 400, not an exception
     assert(r.handle("POST", "/collections/caps1/points", json("{nope")).status == 400)
   }
+
+  test("WireService: app-header middleware + tenant isolation through the wire") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wiresvc_").toString
+    val svc = new graft.wire.WireService(spark, root,
+      userPlans = Map("basic" -> graft.store.UserPlan()))
+    // header validation mirrors the reference middleware
+    assert(svc.handle("GET", "/collections", Map.empty).status == 400)
+    assert(svc.handle("GET", "/collections",
+      Map("X-User-Id" -> "alice", "X-Plan-Id" -> "wat")).status == 403)
+    val alice = Map("X-User-Id" -> "alice", "X-Plan-Id" -> "basic")
+    val bob = Map("X-User-Id" -> "bob", "X-Plan-Id" -> "basic")
+    val mk = """{"id":"shared1","indexSchema":{"size":{"type":"integer"}}}"""
+    // SAME collection name for two tenants - namespaced, no interference
+    assert(svc.handle("POST", "/collections", alice, json(mk)).status == 200)
+    assert(svc.handle("POST", "/collections", bob, json(mk)).status == 200)
+    assert(svc.handle("POST", "/collections/shared1/points", alice,
+      json("""{"points":[{"_id":"a1","size":1}]}""")).status == 200)
+    val aliceGot = parse(svc.handle("GET", "/collections/shared1", alice))
+    val bobGot = parse(svc.handle("GET", "/collections/shared1", bob))
+    assert(aliceGot \\ "pointCount" == JInt(1))
+    assert(bobGot \\ "pointCount" == JInt(0))
+    // a hostile user id cannot escape the namespace
+    assert(svc.handle("GET", "/collections",
+      Map("X-User-Id" -> "../alice", "X-Plan-Id" -> "basic")).status == 400)
+  }
 }
