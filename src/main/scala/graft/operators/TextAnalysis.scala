@@ -187,6 +187,50 @@ object TextAnalysis {
         md5(concat_ws(" ", array_sort(array_distinct(Dedup.tokens(text))))))
         .as("fingerprint"))
 
+  /** EXACT n-gram benchmark decontamination (the GPT-3 appendix-C / PaLM
+    * convention, Brown et al. 2020): a training document is contaminated
+    * when it shares any exact token `n`-gram (n = 13 canonically) with
+    * the held-out evaluation set. Complements [[winnow]]-based
+    * decontamination: winnowing is a probabilistic sketch with density
+    * 2/(w+1); this is the EXHAUSTIVE exact-match census the published
+    * pipelines actually ran.
+    *
+    * Returns one row per TRAIN document (`isEval` false) that has at
+    * least one n-gram: (id, n_grams distinct, eval_hits distinct,
+    * contaminated_frac = hits/n_grams). Callers drop/trim documents above
+    * a hit threshold.
+    *
+    * Scale (100 TB): grams travel as md5 hex (bounded width, not the raw
+    * n-token strings); the eval side is benchmark-sized so its distinct
+    * gram set BROADCASTS, and the train side stays one narrow explode +
+    * broadcast-hash-join + per-doc bounded aggregation — no corpus-sized
+    * shuffle beyond the (id, gram) distinct, which is capped by document
+    * length. Every decision is a pure row property: DuckDB replays the
+    * exact contaminated set.
+    */
+  def ngramContamination(
+      df: DataFrame, id: Column, text: Column, isEval: Column,
+      n: Int = 13): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    val toks = graft.operators.Dedup.tokens(text)
+    val grams = df
+      .filter(text.isNotNull)
+      .select(id.as("id"), isEval.as("_eval"),
+        explode(when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val evalGrams = grams.filter(col("_eval")).select("g").distinct()
+    grams.filter(!col("_eval"))
+      .join(broadcast(evalGrams.withColumn("_hit", lit(true))), Seq("g"), "left")
+      .groupBy("id")
+      .agg(
+        countDistinct(col("g")).as("n_grams"),
+        countDistinct(when(col("_hit"), col("g"))).as("eval_hits"))
+      .withColumn("contaminated_frac",
+        col("eval_hits").cast("double") / col("n_grams"))
+  }
+
   /** Winnowing sketch (Schleimer, Wilkerson, Aiken — "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD'03): hash every token
     * `n`-gram (md5-based 60-bit, the repo's cross-engine hash), slide a

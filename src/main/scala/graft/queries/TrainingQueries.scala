@@ -517,6 +517,40 @@ object TrainingQueries {
       .orderBy("source", "rank")
   }
 
+  /** EXACT 13-gram benchmark decontamination (GPT-3 appendix C — the
+    * census the published pipelines ran, vs pipeline_decontaminate's
+    * winnowing sketch): train docs sharing any exact 13-token gram with
+    * the eval set (source 'src0'), with the per-doc contamination
+    * fraction. Fully row-pure: DuckDB replays the exact contaminated set
+    * (the engine joins md5(gram) for bounded shuffle width; the oracle
+    * joins the raw gram strings — identical set semantics).
+    */
+  val pipelineNgramDecontaminate = NamedQuery(
+    "pipeline_ngram_decontaminate",
+    s"""WITH d AS (SELECT doc_id AS id, source, $sqlRawToks AS raw
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT id, source, unnest(CASE WHEN len(raw) >= 13
+       |  THEN list_distinct(list_transform(range(1, len(raw) - 11),
+       |    i -> array_to_string(raw[i:i+12], ' ')))
+       |  ELSE [] END) AS gram FROM d),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       |tr AS (SELECT g.id, count(*) AS n_grams,
+       |         count(*) FILTER (WHERE ev.gram IS NOT NULL) AS eval_hits
+       |       FROM g LEFT JOIN ev USING (gram) WHERE g.source <> 'src0'
+       |       GROUP BY g.id)
+       |SELECT id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(eval_hits AS BIGINT) AS eval_hits,
+       |  ${sqlDround("CAST(eval_hits AS DOUBLE) / n_grams", 6)} AS frac_r
+       |FROM tr WHERE eval_hits >= 1 ORDER BY id""".stripMargin) { (s, d) =>
+    TextAnalysis.ngramContamination(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        col("source") === "src0", n = 13)
+      .filter(col("eval_hits") >= 1)
+      .select(col("id"), col("n_grams"), col("eval_hits"),
+        dround(col("contaminated_frac"), 6).as("frac_r"))
+      .orderBy("id")
+  }
+
   /** Gumbel-top-k weighted sampling (Sampling.gumbelTopK — the
     * Efraimidis–Spirakis reservoir-key trick) as a FULL cross-engine
     * replay: log-length weights, the md5-uniform perturbation
@@ -547,5 +581,6 @@ object TrainingQueries {
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
     shardAssign, sampleTopkPerSource, packGreedy, sampleExactN, unigramVocab,
-    unigramTokenize, pipelineUnigramShards, sampleGumbelTopk)
+    unigramTokenize, pipelineUnigramShards, sampleGumbelTopk,
+    pipelineNgramDecontaminate)
 }

@@ -254,4 +254,29 @@ class TrainingSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Packing.packGreedy(docs, col("grp"), col("doc_id"), col("doc_id"), col("w"), 0L))
   }
+
+  test("exact 13-gram decontamination: shared run flags, disjoint text does not") {
+    import org.apache.spark.sql.functions._
+    val shared = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"eval doc begins $shared and ends here", true),
+      (2L, s"train doc carries $shared plus its own tail words", false),
+      (3L, "a completely different training document with no overlap at all " +
+        "padded out to well over thirteen distinct tokens of text", false),
+      (4L, "short train doc", false) // < 13 tokens: no grams, no row
+    ).toDF("id", "text", "is_eval")
+    val out = graft.operators.TextAnalysis.ngramContamination(
+        df, col("id"), col("text"), col("is_eval"), n = 13)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(2L, 3L), byId.keySet) // eval + short docs excluded
+    assert(byId(2L).getLong(2) >= 1, byId(2L))      // the shared run hits
+    assert(byId(3L).getLong(2) == 0)
+    assert(byId(3L).getDouble(3) == 0.0)
+    // layout independence: identical under a different partitioning
+    val again = graft.operators.TextAnalysis.ngramContamination(
+        df.repartition(7), col("id"), col("text"), col("is_eval"), n = 13)
+      .orderBy("id").collect()
+    assert(again.toSeq == out.toSeq)
+  }
 }
