@@ -230,26 +230,43 @@ object QueryCompiler {
       case ProductVectorIndex(model, _) =>
         require(vector.length == model.dim,
           s"query vector has ${vector.length} dims; product index has ${model.dim}")
-        // ADC tables are squared-L2 in the residual space: exact for
-        // euclidean, rank-equivalent for cosine/dot on NORMALIZED vectors
-        // (‖q−c‖² = 2−2·q·c); unnormalized dot re-ranks exactly but its
-        // candidate pool is L2-biased — documented operating limitation
-        (restricted0, graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model))
+        // candidate ranking follows the DECLARED metric: squared-L2 ADC
+        // for euclidean (exact in code space) and cosine (rank-equivalent
+        // on the normalized inputs cosine assumes, ‖q−c‖² = 2−2·q·c);
+        // INNER-PRODUCT ADC for dot (round 7 — L2 tables would bury long
+        // vectors an unnormalized dot query must surface). The exact
+        // re-rank stage is metric-true either way.
+        val pqCd =
+          if (metric == IndexKind.Metric.Dot)
+            graft.operators.ProductQuantizer.adcDotDistance(col("_codes"), vector, model)
+          else graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model)
+        (restricted0, pqCd)
       case ScalarVectorIndex(lo, hi, _) =>
         require(vector.length == lo.length,
           s"query vector has ${vector.length} dims; scalar index has ${lo.length}")
-        // squared-L2 over reconstructed grid centers — exact for
-        // euclidean; rank-equivalent for cosine/dot on normalized
-        // vectors (the PQ operating note applies verbatim)
-        (restricted0, graft.operators.ScalarQuantizer.approxDistance(col("_codes"), vector, lo, hi))
+        // same metric routing as PQ: reconstructed squared-L2 for
+        // euclidean/cosine, reconstructed negated dot for dot (round 7)
+        val sqCd =
+          if (metric == IndexKind.Metric.Dot)
+            graft.operators.ScalarQuantizer.approxDotDistance(col("_codes"), vector, lo, hi)
+          else graft.operators.ScalarQuantizer.approxDistance(col("_codes"), vector, lo, hi)
+        (restricted0, sqCd)
       case IvfPqVectorIndex(coarse, model, nprobe, _) =>
         require(vector.length == coarse.dim,
           s"query vector has ${vector.length} dims; IVF-PQ index has ${coarse.dim}")
         // probe restriction FIRST: the artifact frame is bucket-partitioned,
-        // so this lands in PartitionFilters and unprobed cells are never read
-        val cells = graft.operators.IvfPq.probes(coarse, vector, nprobe)
+        // so this lands in PartitionFilters and unprobed cells are never
+        // read. Dot queries probe AND score by inner product (round 7):
+        // high-dot cells, −dot(q,c)−dot(q,r̂) tables — L2 probing would
+        // skip the very cells an unnormalized MIPS query needs.
+        val dot = metric == IndexKind.Metric.Dot
+        val cells =
+          if (dot) graft.operators.IvfPq.probesDot(coarse, vector, nprobe)
+          else graft.operators.IvfPq.probes(coarse, vector, nprobe)
         require(cells.nonEmpty, "no populated cells to probe") // isin() of nothing = 0 rows, silently
-        val tables = graft.operators.IvfPq.queryTables(coarse, model, vector, cells)
+        val tables =
+          if (dot) graft.operators.IvfPq.queryTablesDot(coarse, model, vector, cells)
+          else graft.operators.IvfPq.queryTables(coarse, model, vector, cells)
         (restricted0.filter(col("_bucket").isin(cells: _*)),
           graft.operators.IvfPq.adcUdf(tables)(col("_bucket"), col("_codes")))
       case _: VamanaVectorIndex =>

@@ -182,6 +182,47 @@ object IvfPq {
       (acc, b)
     }.sorted.take(nprobe).map(_._2)
 
+  /** Probe selection for Metric.Dot (round 7): rank cells by NEGATED
+    * inner product q·c — for an unnormalized MIPS query the best cells
+    * are the high-dot ones, which L2 probing would skip whenever the
+    * query's norm dominates. Same deterministic (score, bucket) tiebreak.
+    */
+  def probesDot(coarse: Coarse, queryVec: Seq[Float], nprobe: Int): Seq[Int] =
+    coarse.centroids.toSeq.map { case (b, c) =>
+      require(queryVec.length == c.length,
+        s"query vector has ${queryVec.length} dims; centroids have ${c.length}")
+      var acc = 0.0; var t = 0
+      while (t < c.length) { acc -= queryVec(t).toDouble * c(t); t += 1 }
+      (acc, b)
+    }.sorted.take(nprobe).map(_._2)
+
+  /** Per-cell DOT lookup tables (round 7): −dot(q, c_cell + r̂) =
+    * −dot(q, c_cell) − dot(q_sub_i, residCent_ij) summed over subspaces.
+    * The per-cell constant folds into EVERY subspace-0 entry, so the
+    * unchanged [[adcUdf]] kernel scores dot candidates too.
+    */
+  def queryTablesDot(
+      coarse: Coarse, pq: PQModel, queryVec: Seq[Float],
+      probeCells: Seq[Int]): Map[Int, Array[Array[Double]]] =
+    probeCells.map { b =>
+      val cent = coarse.centroids(b)
+      require(queryVec.length == cent.length,
+        s"query vector has ${queryVec.length} dims; cell centroid has ${cent.length}")
+      var cellConst = 0.0
+      var t0 = 0
+      while (t0 < cent.length) { cellConst -= queryVec(t0).toDouble * cent(t0); t0 += 1 }
+      b -> (0 until pq.m).map { i =>
+        (0 until pq.k).map { j =>
+          val c = pq.centroids(i)(j)
+          var acc = 0.0; var t = 0
+          while (t < pq.subDim) {
+            acc -= queryVec(i * pq.subDim + t).toDouble * c(t); t += 1
+          }
+          if (i == 0) acc + cellConst else acc
+        }.toArray
+      }.toArray
+    }.toMap
+
   /** Fit the residual codebook: assign cells, subtract centroids, PQ-fit
     * the residual sample. The residual frame is only sampled
     * (`sampleLimit`), never materialized corpus-wide.

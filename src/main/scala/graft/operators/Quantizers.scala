@@ -279,6 +279,33 @@ object ProductQuantizer {
     adcUdf(codes)
   }
 
+  /** Inner-product ADC (round 7 — closes the "L2-biased candidate pool
+    * for unnormalized dot" operating limitation): table[i][j] =
+    * −dot(query_sub_i, centroid_ij), so the row sum is −dot(q, x̂) — the
+    * Metric.Dot convention (lower = closer) over the RECONSTRUCTION.
+    * Candidates now rank by estimated inner product, so a long vector
+    * that L2 would bury ranks where dot semantics put it; the exact
+    * re-rank stage is unchanged.
+    */
+  def adcDotDistance(codes: Column, queryVec: Seq[Float], model: PQModel): Column = {
+    require(queryVec.length == model.dim,
+      s"query vector has ${queryVec.length} dims; model has ${model.dim}")
+    val table: Array[Array[Double]] = (0 until model.m).map { i =>
+      val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
+      (0 until model.k).map { j =>
+        val c = model.centroids(i)(j)
+        -sub.zip(c).map { case (x, y) => x.toDouble * y }.sum
+      }.toArray
+    }.toArray
+    val adcUdf = udf { (cs: Seq[Int]) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cs.length) { acc += table(i)(cs(i)); i += 1 }
+      acc
+    }
+    adcUdf(codes)
+  }
+
   def adcSearch(codes: DataFrame, queryVec: Seq[Float], model: PQModel, k: Int): DataFrame =
     codes
       .select(col("id"), adcDistance(col("codes"), queryVec, model).as("approx_distance"))
@@ -383,6 +410,24 @@ object ScalarQuantizer {
       val xhat = lit(lo(i)) + try_element_at(codes, lit(i + 1)).cast("double") * lit(step)
       val dlt = xhat - lit(query(i).toDouble)
       dlt * dlt
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Approximate NEGATED INNER PRODUCT from codes (round 7, the Dot
+    * candidate ranking): fold −q_i·x̂_i over reconstructed grid centers
+    * in index order — same explicit-IEEE replayability as
+    * [[approxDistance]], but candidates rank by estimated dot, which is
+    * what an UNNORMALIZED dot query needs (reconstructed L2 buries
+    * long vectors).
+    */
+  def approxDotDistance(codes: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double]): Column = {
+    require(query.length == lo.length, s"query dim ${query.length} != ${lo.length}")
+    val terms = lo.indices.map { i =>
+      val step = if (hi(i) <= lo(i)) 0.0 else (hi(i) - lo(i)) / 255.0
+      val xhat = lit(lo(i)) + try_element_at(codes, lit(i + 1)).cast("double") * lit(step)
+      lit(-query(i).toDouble) * xhat
     }
     terms.reduce(_ + _)
   }

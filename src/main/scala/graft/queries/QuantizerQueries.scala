@@ -238,7 +238,59 @@ object QuantizerQueries {
     }
   }
 
+  /** SQ8 DOT-metric candidate ranking (round 7 — the former "L2-biased
+    * candidate pool for unnormalized dot" operating limitation, now a
+    * served path): the corpus is deliberately UNNORMALIZED (each vector
+    * scaled by 1 + vec_id % 5), candidates rank by the reconstructed
+    * NEGATED INNER PRODUCT (ScalarQuantizer.approxDotDistance) — which
+    * surfaces the long vectors an L2 ranking would bury. Fixed range
+    * [−5, 5] keeps every constant static, so DuckDB recomputes codes and
+    * the −q·x̂ fold INLINE (the sq8_topk convention: full replay, no
+    * golden).
+    */
+  val sq8DotTopk = {
+    val dim = 64
+    val lo = -5.0; val hi = 5.0
+    val step = (hi - lo) / 255.0
+    val chain = (1 to dim).map { i =>
+      // e is the ALREADY-scaled CTE — no re-scaling here
+      val x = s"CAST(e.embedding[$i] AS DOUBLE)"
+      val xhat = s"($lo + least(greatest(floor(($x - $lo) * 255.0 / ${hi - lo} + 0.5), 0.0), 255.0) * $step)"
+      s"((-CAST(q.qv[$i] AS DOUBLE)) * $xhat)"
+    }.mkString(" + ")
+    NamedQuery(
+      "sq8_dot_topk",
+      s"""WITH s AS (
+         |  SELECT vec_id, list_transform(range(1, $dim + 1),
+         |    i -> CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(vec_id % 5 AS DOUBLE)) AS REAL)) AS embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $dim),
+         |q AS (SELECT embedding AS qv FROM s WHERE vec_id = 7),
+         |d AS (
+         |  SELECT e.vec_id AS id, ($chain) AS ad
+         |  FROM s e CROSS JOIN q
+         |  ORDER BY ad, id LIMIT 10)
+         |SELECT id, ${sqlDround("ad", 4)} AS approx_r
+         |FROM d ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+      import graft.operators.ScalarQuantizer
+      val scaled = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= dim)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => (x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+            .cast("float")).as("embedding"))
+      val los = Array.fill(dim)(lo); val his = Array.fill(dim)(hi)
+      val codes = ScalarQuantizer.encode(scaled, col("vec_id"), col("embedding"), los, his)
+      val qv = scaled.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      codes
+        .select(col("id"),
+          ScalarQuantizer.approxDotDistance(col("codes"), qv, los, his).as("ad"))
+        .orderBy(col("ad").asc, col("id").asc).limit(10)
+        .select(col("id"), dround(col("ad"), 4).as("approx_r"))
+        .orderBy(col("approx_r"), col("id"))
+    }
+  }
+
   val all: Seq[NamedQuery] =
     Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph,
-      sq8Topk)
+      sq8Topk, sq8DotTopk)
 }

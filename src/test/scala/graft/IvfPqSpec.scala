@@ -239,4 +239,27 @@ class IvfPqSpec extends SparkSuite {
     assert(resErr < rawErr,
       s"residual ADC error $resErr not below raw ADC error $rawErr")
   }
+
+  test("dot probing + dot tables: MIPS cells win, table sum equals -dot(q, c + r-hat)") {
+    import graft.operators.IvfPq
+    // q aligned with a FAR-but-long centroid: L2 probing picks cell 0
+    // (nearby), dot probing must pick cell 1 (high inner product)
+    val coarse = IvfPq.Coarse("kmeans", 2, Map(
+      0 -> Array(0.9, 0.0, 0.0, 0.0),
+      1 -> Array(5.0, 0.0, 0.0, 0.0)))
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    assert(IvfPq.probes(coarse, q, 1) == Seq(0))
+    assert(IvfPq.probesDot(coarse, q, 1) == Seq(1))
+    // hand model: m=2 subspaces of dim 2, k=2 centroids each
+    val pq = graft.operators.PQModel(2, 2, 4, Array(
+      Array(Array(0.1f, 0.2f), Array(-0.3f, 0.4f)),
+      Array(Array(0.0f, 0.5f), Array(0.7f, -0.1f))))
+    val tables = IvfPq.queryTablesDot(coarse, pq, q, Seq(1))
+    val codes = Seq(1, 0) // subspace 0 -> centroid 1, subspace 1 -> centroid 0
+    val got = tables(1)(0)(codes(0)) + tables(1)(1)(codes(1))
+    // expected: -dot(q, c_cell) - dot(q_sub, residual centroids)
+    val recon = Array(5.0 + (-0.3), 0.0 + 0.4, 0.0 + 0.0, 0.0 + 0.5)
+    val want = -q.map(_.toDouble).zip(recon).map { case (a, b) => a * b }.sum
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want") // float32 centroid literals
+  }
 }

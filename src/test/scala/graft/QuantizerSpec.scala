@@ -294,4 +294,45 @@ class QuantizerSpec extends SparkSuite {
       ScalarQuantizer.fitMinMax(df, col("vec"), 2))
     assert(ex.getMessage.contains("no values at dimension 0"), ex.getMessage)
   }
+
+  test("dot metric on an UNNORMALIZED corpus: dot-ADC candidates beat L2, engine serves it") {
+    import graft.operators.ScalarQuantizer
+    import graft.functions.Distances
+    import graft.model.IndexKind.Metric
+    // deliberately unnormalized: norms spread 1..5 - the regime where
+    // reconstructed-L2 candidate ranking buries long vectors
+    val scaled = emb.select(col("vec_id"), transform(col("embedding"),
+      x => (x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+        .cast("float")).as("v"))
+    val qv = scaled.filter(col("vec_id") === 7).select("v").head().getSeq[Float](0)
+    val exact = scaled.select(col("vec_id"),
+        Distances.distanceToQuery(Metric.Dot, col("v"), qv).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val (lo, hi) = ScalarQuantizer.fitMinMax(scaled, col("v"), 64)
+    val codes = ScalarQuantizer.encode(scaled, col("vec_id"), col("v"), lo, hi)
+    def candRecall(dc: org.apache.spark.sql.Column): Double = {
+      val cand = codes.select(col("id"), dc.as("ad"))
+        .orderBy(col("ad"), col("id")).limit(50)
+        .select("id").as[Long].collect().toSet
+      exact.count(cand.contains).toDouble / exact.size
+    }
+    val l2Recall = candRecall(ScalarQuantizer.approxDistance(col("codes"), qv, lo, hi))
+    val dotRecall = candRecall(ScalarQuantizer.approxDotDistance(col("codes"), qv, lo, hi))
+    assert(dotRecall >= 0.9, s"dot-ADC candidate recall $dotRecall")
+    assert(dotRecall > l2Recall,
+      s"dot-ADC ($dotRecall) should beat L2-ADC ($l2Recall) on unnormalized dot")
+    // engine-served: a Dot-metric scalar artifact answers "approx": true
+    // with the same top-10 as exact (candidate budget covers the pool)
+    val coll = graft.engine.Collection(
+        scaled.select(col("vec_id").cast("string").as("_id"), col("v")),
+        graft.model.IndexSchema("v" -> graft.model.IndexKind.VectorFlat(64, Metric.Dot)))
+      .withScalarVectorIndex("v", lo, hi)
+    def run(approx: Boolean): Seq[String] =
+      engine.Search.search(coll, model.SearchRequest(
+        model.Query("v", vectorFlat = Some(model.VectorFlatOpts(
+          qv, model.Op.Near, 10, approx = approx))),
+        limit = 10)).select("_id").as[String].collect().toSeq
+    assert(run(approx = true) == run(approx = false))
+  }
 }
