@@ -125,6 +125,24 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- geohash bbox: the prefix <-> box equivalence the oracle uses ------
+
+  test("geohash bbox: startsWith(prefix) iff point in bbox(prefix) (half-open)") {
+    val coords = Gen.zip(Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0))
+    // prefixes drawn from OTHER points so matches and misses both occur
+    val prefixes = Gen.zip(coords, Gen.chooseNum(1, 6))
+      .map { case ((la, lo), p) => functions.Geohash.encode(la, lo, p) }
+    check(Prop.forAll(coords, prefixes) { case ((lat, lon), prefix) =>
+      val (latLo, latHi, lonLo, lonHi) = functions.Geohash.bbox(prefix)
+      val inBox = lat >= latLo && lat < latHi && lon >= lonLo && lon < lonHi
+      val byPrefix = functions.Geohash.encode(lat, lon, 8).startsWith(prefix)
+      inBox == byPrefix
+    })
+    // degenerate inputs fail loud
+    intercept[IllegalArgumentException](functions.Geohash.bbox(""))
+    intercept[IllegalArgumentException](functions.Geohash.bbox("a")) // 'a' is not in geohash base32
+  }
+
   // ---- PII redaction: idempotent, no residual matches --------------------
 
   test("PII redaction is idempotent and leaves no residual matches") {
