@@ -417,9 +417,53 @@ object VectorQueries {
     }
   }
 
+  /** BATCHED Vamana serving (round 7): five queries walk the graph
+    * CONCURRENTLY through VamanaServe.beamCandidateGidsBatch — per round
+    * the frontiers union into one fused lookup, so a serving batch costs
+    * ~hops lookups total (zero in the local fast-path regime), not
+    * Q×hops. Each query's pool is provably identical to its independent
+    * walk (VamanaServeSpec pool-equality), and at beam 75 each pool
+    * contains that query's exact top-10 — so the per-query exact re-rank
+    * equals exact `near` and DuckDB's windowed per-query top-10 is a
+    * true oracle for the whole batch.
+    */
+  val s1NearVamanaBatch = NamedQuery(
+    "s1_near_vamana_batch",
+    s"""WITH q AS (SELECT vec_id AS qi, embedding AS v FROM embeddings WHERE vec_id <= 4),
+       |ranked AS (
+       |  SELECT q.qi, CAST(doc_id AS VARCHAR) AS _id,
+       |    CAST(power(list_distance(embedding, q.v), 2) AS REAL) AS dist32,
+       |    row_number() OVER (PARTITION BY q.qi
+       |      ORDER BY CAST(power(list_distance(embedding, q.v), 2) AS REAL) ASC,
+       |               CAST(doc_id AS VARCHAR) ASC) AS rn
+       |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q)
+       |SELECT CAST(qi AS BIGINT) AS qi, _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r
+       |FROM ranked WHERE rn <= 10 ORDER BY qi, dist_r, _id""".stripMargin) { (s, d) =>
+    import graft.engine.{VamanaServe, VamanaVectorIndex}
+    import graft.functions.Distances
+    val coll = TestCollections.docsVamana(s, d)
+    val idx = coll.vectorIndexes("vec_l2").asInstanceOf[VamanaVectorIndex]
+    val qvs = (0L to 4L).map(i => TestCollections.queryVector(s, d, i))
+    val pools = VamanaServe.beamCandidateGidsBatch(
+      idx.encoded, graft.model.IndexKind.Metric.Euclidean, qvs,
+      searchSize = 75, entry = idx.entry, maxHops = idx.maxHops, local = idx.local)
+    qvs.zip(pools).zipWithIndex.map { case ((qv, pool), qi) =>
+      idx.encoded.filter(col("_gid").isin(pool: _*))
+        .select(lit(qi.toLong).as("qi"), col("_id"),
+          Distances.distanceToQuery(
+            graft.model.IndexKind.Metric.Euclidean, col("_vec"), qv)
+            .cast("float").as("dist32"))
+        .orderBy(col("dist32").asc, col("_id").asc)
+        .limit(10)
+    }.reduce(_ unionAll _)
+      .select(col("qi"), col("_id"), dround(col("dist32"), Scale).as("dist_r"))
+      .orderBy("qi", "dist_r", "_id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
-    s1NearFilteredBq, s2NearSqApprox)
+    s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch)
 }
