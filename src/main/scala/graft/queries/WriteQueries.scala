@@ -240,7 +240,47 @@ object WriteQueries {
       .select("_id", "p_name", "p_size").orderBy("_id"), dir)
   }
 
+  /** Multi-tenancy as a CONTRACT query (reference
+    * docs/concepts/multi-tenancy.md — collections namespaced by user id,
+    * nothing else shared): two tenants create the SAME collection name
+    * under one root with disjoint slices of part; each tenant's read-back
+    * must equal exactly its own closed-form slice. Any cross-tenant leak
+    * (shared cache entry, path collision, id-mirror bleed) moves a row
+    * between tenants and flips the hash.
+    */
+  val w8TenantIsolation = NamedQuery(
+    "w8_tenant_isolation",
+    """SELECT tenant, CAST(p_partkey AS VARCHAR) AS _id, CAST(p_size AS BIGINT) AS p_size
+      |FROM (
+      |  SELECT 'alice' AS tenant, p_partkey, p_size FROM part
+      |  WHERE p_size <= 6 AND p_partkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 'bob' AS tenant, p_partkey, p_size FROM part
+      |  WHERE p_size <= 6 AND p_partkey % 2 = 1)
+      |ORDER BY tenant, _id""".stripMargin) { (s, d) =>
+    val root = Files.createTempDirectory("graft_tenants_").toString
+    val part = Tables.part(s, d)
+      .filter(col("p_size") <= 6)
+      .select(col("p_partkey").cast("string").as("_id"),
+        col("p_partkey").as("_key"),
+        col("p_size").cast("long").as("p_size"))
+    val schema = IndexSchema("p_size" -> IndexKind.Integer)
+    val alice = graft.Graft.forTenant(s, root, "alice")
+    val bob = graft.Graft.forTenant(s, root, "bob")
+    alice.createCollection("parts", schema,
+      part.filter(col("_key") % 2 === 0).drop("_key"))
+    bob.createCollection("parts", schema,
+      part.filter(col("_key") % 2 === 1).drop("_key"))
+    detach(
+      alice.collection("parts").df
+        .select(lit("alice").as("tenant"), col("_id"), col("p_size"))
+        .unionAll(bob.collection("parts").df
+          .select(lit("bob").as("tenant"), col("_id"), col("p_size")))
+        .orderBy("tenant", "_id"),
+      root)
+  }
+
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
-      w7BackupRestore)
+      w7BackupRestore, w8TenantIsolation)
 }
