@@ -63,6 +63,23 @@ object RecallReport {
           vec(q), th, k, rescoreC, Metric.Cosine)
         .select("id").as[Long].collect().toSet
     }
+    // asymmetric 1-bit ADC (round 7): full-precision query vs two learned
+    // levels per dim — same packed scan, magnitude-aware ranking
+    val (bqLo, bqHi) = BinaryQuantizer.fitLevels(emb, col("embedding"), 64, th)
+    val bqAsym = queryIds.map { q =>
+      BinaryQuantizer.searchAsymmetric(encoded, col("vec_id"), vec(q), bqLo, bqHi, k)
+        .select("id").as[Long].collect().toSet
+    }
+    val bqAsymR = queryIds.map { q =>
+      val cand = BinaryQuantizer.searchAsymmetric(
+          encoded, col("vec_id"), vec(q), bqLo, bqHi, rescoreC)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      emb.filter(col("vec_id").isin(cand: _*))
+        .select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Cosine, col("embedding"), vec(q)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    }
 
     // SQ8: reconstructed-L2 candidates (rank-equivalent to cosine on the
     // normalized corpus) — pure top-k and rescored-from-top-rescoreC
@@ -242,6 +259,8 @@ object RecallReport {
          || exact `near` (S1/S2) | TakeOrderedAndProject scan | 1.000 |
          || binary quantizer | mean thresholds, packed hamming, vs cosine | ${recallOf(bq, exactCos)}%.3f |
          || binary quantizer + rescore | hamming top-$rescoreC → exact cosine re-rank | ${recallOf(bqR, exactCos)}%.3f |
+         || binary quantizer, ASYMMETRIC 1-bit ADC (r7) | two learned levels/dim, same packed scan | ${recallOf(bqAsym, exactCos)}%.3f |
+         || asymmetric ADC + rescore (r7) | asym top-$rescoreC → exact cosine re-rank | ${recallOf(bqAsymR, exactCos)}%.3f |
          || SQ8 scalar quantizer | per-dim min/max grid, reconstructed L2 | ${recallOf(sq, exactCos)}%.3f |
          || SQ8 + rescore | top-$rescoreC → exact cosine re-rank | ${recallOf(sqR, exactCos)}%.3f |
          || product quantizer ADC | m=8, k=32, seeded Lloyd's | ${recallOf(pq8, exactCos)}%.3f |

@@ -76,6 +76,71 @@ object BinaryQuantizer {
     words
   }
 
+  /** Two-sided reconstruction levels (round 7): per dimension, the
+    * decimal-rounded mean of the corpus values on EACH side of the
+    * threshold — the 1-bit codebook's two centroids. Feeds
+    * [[asymmetricDistance]]: scoring the full-precision query against
+    * levels instead of counting bit flips keeps the magnitude
+    * information symmetric hamming throws away (the PQ asymmetric-
+    * distance argument applied to 1-bit codes). A side with no values
+    * (constant dimension) falls back to the threshold itself.
+    */
+  def fitLevels(df: DataFrame, vec: Column, dim: Int,
+      thresholds: Array[Double]): (Array[Double], Array[Double]) = {
+    require(thresholds.length == dim,
+      s"thresholds have ${thresholds.length} dims; expected $dim")
+    val th = lit(thresholds)
+    val side = df.filter(vec.isNotNull && size(vec) >= dim)
+      .select(posexplode(slice(vec, 1, dim)).as(Seq("_pos", "_v")))
+      .withColumn("_up", col("_v").cast("double") > element_at(th, col("_pos") + 1))
+      .groupBy("_pos")
+      .agg(
+        round(sum(when(!col("_up"), col("_v")).cast("decimal(28,6)")) /
+          count(when(!col("_up"), col("_v"))), 9).cast("double").as("_lo"),
+        round(sum(when(col("_up"), col("_v")).cast("decimal(28,6)")) /
+          count(when(col("_up"), col("_v"))), 9).cast("double").as("_hi"))
+      .collect().map(r => r.getAs[Int]("_pos") ->
+        (r.getAs[java.lang.Double]("_lo"), r.getAs[java.lang.Double]("_hi")))
+      .toMap
+    def level(i: Int, pick: ((java.lang.Double, java.lang.Double)) => java.lang.Double) =
+      side.get(i).map(pick).filter(_ != null).map(_.doubleValue)
+        .getOrElse(thresholds(i))
+    (Array.tabulate(dim)(level(_, _._1)), Array.tabulate(dim)(level(_, _._2)))
+  }
+
+  /** Asymmetric 1-bit ADC over the PACKED column (round 7): the stored
+    * side keeps only its sign bits (same 32×-narrow scan as hamming);
+    * the query stays full precision and rows score
+    * Σ_i (q_i − level_{bit_i, i})², bits read straight from the packed
+    * words. Every (q_i − level)² is a driver-side double constant, so
+    * each term is a CASE over a bit — codegen-friendly, and an oracle
+    * engine replays the identical per-term CASE + index-order sum.
+    */
+  def asymmetricDistance(packed: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double]): Column = {
+    require(query.length == lo.length && lo.length == hi.length,
+      s"query/levels dims disagree: ${query.length}/${lo.length}/${hi.length}")
+    val terms = lo.indices.map { i =>
+      val q = query(i).toDouble
+      val a2 = (q - lo(i)) * (q - lo(i)) // bit = 0 → low-side level
+      val b2 = (q - hi(i)) * (q - hi(i)) // bit = 1 → high-side level
+      val bit = shiftright(element_at(packed, i / 64 + 1), i % 64)
+        .bitwiseAND(lit(1L))
+      when(bit === 1L, lit(b2)).otherwise(lit(a2))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Top-k by asymmetric 1-bit ADC over an encoded frame. */
+  def searchAsymmetric(
+      encoded: DataFrame, id: Column, queryVec: Seq[Float],
+      lo: Array[Double], hi: Array[Double], k: Int): DataFrame =
+    encoded
+      .select(id.as("id"),
+        asymmetricDistance(col("packed"), queryVec, lo, hi).as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+
   /** Two-stage search: hamming over the packed words selects a
     * `rescore`-sized candidate set (the 32×-smaller scan), then the TRUE
     * metric re-ranks just those candidates — the standard BQ operating

@@ -290,7 +290,55 @@ object QuantizerQueries {
     }
   }
 
+  /** Asymmetric 1-bit ADC (round 7): the query keeps full precision and
+    * every stored bit scores against its side's learned mean level —
+    * Σ (q_i − level_{bit_i,i})² over the same packed scan hamming uses,
+    * the PQ asymmetric-distance idea at 1 bit. DuckDB recomputes
+    * thresholds AND both level tables inline from the raw corpus and
+    * replays the per-term CASE + index-order sum — full pipeline, no
+    * golden. RECALL.md carries the operating-point rows (asym beats
+    * symmetric hamming at the same scan width).
+    */
+  val bqAsymTopk = NamedQuery(
+    "bq_asym_topk",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |means AS (
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM embeddings CROSS JOIN dims GROUP BY i),
+      |th AS (SELECT list(m ORDER BY i) AS t FROM means),
+      |lvl AS (
+      |  SELECT d.i,
+      |    coalesce(CAST(round(sum(CASE WHEN CAST(e.embedding[d.i] AS DOUBLE) <= th.t[d.i]
+      |        THEN CAST(e.embedding[d.i] AS DECIMAL(28,6)) END) /
+      |      count(CASE WHEN CAST(e.embedding[d.i] AS DOUBLE) <= th.t[d.i] THEN 1 END), 9) AS DOUBLE), th.t[d.i]) AS lo,
+      |    coalesce(CAST(round(sum(CASE WHEN CAST(e.embedding[d.i] AS DOUBLE) > th.t[d.i]
+      |        THEN CAST(e.embedding[d.i] AS DECIMAL(28,6)) END) /
+      |      count(CASE WHEN CAST(e.embedding[d.i] AS DOUBLE) > th.t[d.i] THEN 1 END), 9) AS DOUBLE), th.t[d.i]) AS hi
+      |  FROM embeddings e CROSS JOIN dims d CROSS JOIN th
+      |  GROUP BY d.i, th.t),
+      |lv AS (SELECT list(lo ORDER BY i) AS ll, list(hi ORDER BY i) AS lh FROM lvl),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+      |d AS (
+      |  SELECT e.vec_id AS id,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      CASE WHEN CAST(e.embedding[i] AS DOUBLE) > th.t[i]
+      |        THEN (CAST(q.v[i] AS DOUBLE) - lv.lh[i]) * (CAST(q.v[i] AS DOUBLE) - lv.lh[i])
+      |        ELSE (CAST(q.v[i] AS DOUBLE) - lv.ll[i]) * (CAST(q.v[i] AS DOUBLE) - lv.ll[i]) END)) AS ad
+      |  FROM embeddings e CROSS JOIN q CROSS JOIN th CROSS JOIN lv
+      |  ORDER BY ad, id LIMIT 10)
+      |SELECT id, CAST(round(CAST(ad AS DECIMAL(28,6)), 4) AS DOUBLE) AS approx_r
+      |FROM d ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
+    val (lo, hi) = BinaryQuantizer.fitLevels(emb, col("embedding"), 64, th)
+    val encoded = BinaryQuantizer.encode(emb, col("embedding"), th)
+    BinaryQuantizer.searchAsymmetric(encoded, col("vec_id"),
+        TestCollections.queryVector(s, d, 7), lo, hi, k = 10)
+      .select(col("id"), dround(col("distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
+  }
+
   val all: Seq[NamedQuery] =
     Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph,
-      sq8Topk, sq8DotTopk)
+      sq8Topk, sq8DotTopk, bqAsymTopk)
 }

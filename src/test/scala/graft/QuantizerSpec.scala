@@ -335,4 +335,39 @@ class QuantizerSpec extends SparkSuite {
         limit = 10)).select("_id").as[String].collect().toSeq
     assert(run(approx = true) == run(approx = false))
   }
+
+  test("asymmetric 1-bit ADC: beats symmetric hamming at the same scan width") {
+    import graft.operators.BinaryQuantizer
+    import graft.functions.Distances
+    import graft.model.IndexKind.Metric
+    val th = BinaryQuantizer.fit(emb, col("embedding"), 64)
+    val (lo64, hi64) = BinaryQuantizer.fitLevels(emb, col("embedding"), 64, th)
+    // levels bracket the threshold on every real dimension
+    lo64.indices.foreach { i =>
+      assert(lo64(i) <= th(i) && hi64(i) >= th(i), s"dim $i: ${lo64(i)} ${th(i)} ${hi64(i)}")
+    }
+    val encoded = BinaryQuantizer.encode(
+      emb.select(col("vec_id"), col("embedding")), col("embedding"), th)
+    val qids = Seq(0L, 3L, 77L, 250L, 444L)
+    def recallOf(got: Long => Set[Long]): Double = qids.map { qid =>
+      val qv = graft.queries.TestCollections.queryVector(spark, sf0001, qid)
+      val exact = emb.select(col("vec_id"),
+          Distances.distanceToQuery(Metric.Cosine, col("embedding"), qv).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      exact.count(got(qid).contains).toDouble / 10
+    }.sum / qids.size
+    def qv(id: Long) = graft.queries.TestCollections.queryVector(spark, sf0001, id)
+    val ham = recallOf(id => BinaryQuantizer.search(encoded, col("vec_id"), qv(id), th, 10)
+      .select("id").as[Long].collect().toSet)
+    val asym = recallOf(id => BinaryQuantizer.searchAsymmetric(
+        encoded, col("vec_id"), qv(id), lo64, hi64, 10)
+      .select("id").as[Long].collect().toSet)
+    assert(asym > ham, s"asymmetric ($asym) should beat hamming ($ham)")
+    // constant dimension: both sides of a degenerate dim fall back to the
+    // threshold instead of NaN/null
+    val const = spark.range(4).selectExpr("array(cast(1.5 as float), cast(id as float)) as v")
+    val (l2, h2) = BinaryQuantizer.fitLevels(const, col("v"), 2, Array(1.5, 1.5))
+    assert(l2(0) == 1.5 && h2(0) == 1.5) // no values above 1.5 at dim 0
+  }
 }
