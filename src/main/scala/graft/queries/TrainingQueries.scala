@@ -577,10 +577,74 @@ object TrainingQueries {
       .orderBy("id")
   }
 
+  /** The round-7 MODERN-MIX lineage, composed entirely from row-pure
+    * operators and therefore a FULL oracle (unlike the EM/BPE shard
+    * pipelines' pinned goldens): exact 13-gram decontamination drops
+    * contaminated train docs → Gumbel-top-k picks the 100 highest
+    * log-length-weighted survivors → boundary-preserving greedy packing
+    * (capacity 512 raw tokens, selection order) → per-bin totals. DuckDB
+    * replays every stage: the gram census, the md5-Gumbel draw, and the
+    * greedy fold as a recursive CTE. The top-100 rank assignment is a
+    * driver-side zip over a k-BOUNDED set (the MMR convention), not a
+    * window.
+    */
+  val pipelineModernMix = NamedQuery(
+    "pipeline_modern_mix",
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id AS id, source, $sqlRawToks AS raw
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT id, source, unnest(CASE WHEN len(raw) >= 13
+       |  THEN list_distinct(list_transform(range(1, len(raw) - 11),
+       |    i -> array_to_string(raw[i:i+12], ' ')))
+       |  ELSE [] END) AS gram FROM d),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       |dirty AS (SELECT DISTINCT g.id FROM g JOIN ev USING (gram) WHERE g.source <> 'src0'),
+       |clean AS (
+       |  SELECT id, CAST(len(raw) AS BIGINT) AS w FROM d
+       |  WHERE source <> 'src0' AND len(raw) > 0
+       |    AND id NOT IN (SELECT id FROM dirty)),
+       |gk AS (
+       |  SELECT id, w, ln(CAST(w AS DOUBLE)) +
+       |    (-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0))) AS k
+       |  FROM clean),
+       |top AS (SELECT id, w, k FROM gk ORDER BY k DESC, id LIMIT 100),
+       |o AS (SELECT id, w, row_number() OVER (ORDER BY k DESC, id) AS rn FROM top),
+       |rec AS (
+       |  SELECT rn, id, w, 0 AS bin, w AS used FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT n.rn, n.id, n.w,
+       |    CASE WHEN r.used + n.w > 512 THEN r.bin + 1 ELSE r.bin END,
+       |    CASE WHEN r.used + n.w > 512 THEN n.w ELSE r.used + n.w END
+       |  FROM rec r JOIN o n ON n.rn = r.rn + 1)
+       |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS total_w
+       |FROM rec GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dirty = TextAnalysis.ngramContamination(
+        docs, col("doc_id"), col("text"), col("source") === "src0", n = 13)
+      .filter(col("eval_hits") >= 1).select(col("id"))
+    val train = docs.filter(col("text").isNotNull && col("source") =!= "src0")
+      .select(col("doc_id").as("id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .join(dirty, Seq("id"), "left_anti")
+    val top = Sampling.gumbelTopK(train, col("id"),
+        log(col("w").cast("double")), k = 100, salt = "mix")
+      .select(col("id"), col("w")).as[(Long, Long)].collect()
+    val ranked = top.zipWithIndex
+      .map { case ((id, w), r) => (r.toLong, id, w) }.toSeq
+      .toDF("rn", "id", "w")
+    Packing.packGreedy(ranked, lit(0L), col("rn"), col("id"), col("w"), 512L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).cast("long").as("total_w"))
+      .orderBy("bin")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     textRepetition, sampleStratified, packSequences, pipelineDecontaminate,
     bpeMerges, bpeEncode, bpePack, pipelineTrainShards, sampleMixSources,
     shardAssign, sampleTopkPerSource, packGreedy, sampleExactN, unigramVocab,
     unigramTokenize, pipelineUnigramShards, sampleGumbelTopk,
-    pipelineNgramDecontaminate)
+    pipelineNgramDecontaminate, pipelineModernMix)
 }
