@@ -115,6 +115,13 @@ object Geohash {
         i -= 1
       }
     }
-    (latLo, latHi, lonLo, lonHi)
+    // the domain MAXIMA are closed: encode(90, ·) / encode(·, 180) take
+    // the upper half at every bisection, so they land in the top cell —
+    // a strictly-half-open box would exclude them from their own prefix.
+    // Nudging the bound one ulp past the domain max keeps the simple
+    // `x < hi` predicate exact (no value lies strictly between).
+    val latHiAdj = if (latHi == 90.0) Math.nextUp(90.0) else latHi
+    val lonHiAdj = if (lonHi == 180.0) Math.nextUp(180.0) else lonHi
+    (latLo, latHiAdj, lonLo, lonHiAdj)
   }
 }

@@ -30,11 +30,6 @@ object Embeddings {
     if (((digest(0) >> 4) & 0xf) < 8) 1.0 else -1.0
   }
 
-  /** Project `vec` (array<numeric>, fixed length `dIn`) to `dOut` dims.
-    * Output columns p0..p{dOut-1} as doubles (scaled by 1/√dOut), id
-    * preserved. Rows with null/short vectors are dropped (they have no
-    * well-defined projection).
-    */
   /** Deterministic perturbed replication — the recall-at-scale corpus
     * generator: `factor` copies of every vector, each dimension of each
     * copy nudged by an xxhash64-derived uniform in [−eps, +eps] (replica
@@ -53,11 +48,17 @@ object Embeddings {
     require(factor >= 1, s"factor must be >= 1 (got $factor)")
     require(eps >= 0.0, s"eps must be non-negative (got $eps)")
     val spark = df.sparkSession
-    val step = df.agg(max(id.cast("long"))).head().getLong(0) + 1
+    // null vectors would renormalize to null rows and sort FIRST under an
+    // ascending distance order, corrupting any exact baseline built on
+    // the replicas - drop them here (they have no well-defined cloud)
+    val base = df.filter(vec.isNotNull)
+    val maxId = base.agg(max(id.cast("long"))).head()
+    require(!maxId.isNullAt(0), "replicatePerturbed on an empty corpus")
+    val step = maxId.getLong(0) + 1
     val noise = (base: Column, rep: Column, i: Column) =>
       (((pmod(xxhash64(base, rep, i, lit(salt)), lit(20001L)) - lit(10000L))
         / lit(10000.0)) * lit(eps)).cast("float")
-    df.select(id.cast("long").as("_base"), vec.cast("array<float>").as("_v"))
+    base.select(id.cast("long").as("_base"), vec.cast("array<float>").as("_v"))
       .crossJoin(spark.range(factor).select(col("id").as("_rep")))
       .withColumn("_p", transform(col("_v"), (x, i) =>
         x + when(col("_rep") === 0, lit(0.0f))
@@ -70,6 +71,11 @@ object Embeddings {
           .as("embedding"))
   }
 
+  /** Project `vec` (array<numeric>, fixed length `dIn`) to `dOut` dims.
+    * Output columns p0..p{dOut-1} as doubles (scaled by 1/√dOut), id
+    * preserved. Rows with null/short vectors are dropped (they have no
+    * well-defined projection).
+    */
   def jlProject(df: DataFrame, id: Column, vec: Column,
       dIn: Int, dOut: Int, salt: String = "graft-jl"): DataFrame = {
     require(dIn > 0 && dOut > 0, s"dims must be positive (got $dIn -> $dOut)")

@@ -90,8 +90,14 @@ object BinaryQuantizer {
     require(thresholds.length == dim,
       s"thresholds have ${thresholds.length} dims; expected $dim")
     val th = lit(thresholds)
-    val side = df.filter(vec.isNotNull && size(vec) >= dim)
-      .select(posexplode(slice(vec, 1, dim)).as(Seq("_pos", "_v")))
+    // posexplode the RAW vector and keep positions < dim — the same
+    // corpus fit() aggregates (a shorter vector contributes its partial
+    // dims to BOTH the thresholds and the levels; filtering whole short
+    // vectors here would train levels on a different corpus than the
+    // thresholds and diverge from the oracle's per-element replay)
+    val side = df.filter(vec.isNotNull)
+      .select(posexplode(vec).as(Seq("_pos", "_v")))
+      .filter(col("_pos") < dim)
       .withColumn("_up", col("_v").cast("double") > element_at(th, col("_pos") + 1))
       .groupBy("_pos")
       .agg(

@@ -263,10 +263,9 @@ object WireRouter {
   def rowToPointMap(r: Row): JObject = {
     val fields = r.schema.fields.toList.flatMap { f =>
       val v = r.getAs[Any](f.name)
-      // reference handlers omit nil _distance/_score but always carry
-      // _hybridScore (handlers.go:471–478)
-      if (v == null && (f.name == "_distance" || f.name == "_score")) Nil
-      else if (v == null && f.name != "_hybridScore") Nil
+      // nulls are omitted (the reference omits nil _distance/_score,
+      // handlers.go:471–478) — except _hybridScore, which always rides
+      if (v == null && f.name != "_hybridScore") Nil
       else List(f.name -> toJValue(v))
     }
     JObject(fields)
@@ -396,15 +395,27 @@ final class WireRouter(db: graft.Graft) {
     val coll = db.collection(id)
     val st = sparkSchema(coll.schema)
     val points = pointsOf(j, graft.store.CollectionStore.MaxUpdateBatch)
-    // field-merge semantics: only the fields a point CARRIES update, so
-    // batch the points by carried-field set — one update per distinct set
+    // field-merge semantics: only the fields a point CARRIES update.
+    // COERCE EVERYTHING FIRST — a bad point must 400 before ANY write
+    // lands (a mid-batch failure after partial commits would report
+    // failure while leaving earlier updates durable) — then apply runs
+    // of consecutive same-field-set points in REQUEST order, so
+    // duplicate ids resolve by position like the reference's sequential
+    // handler, not by hash-map iteration order.
     import scala.jdk.CollectionConverters._
-    points.zipWithIndex.groupBy(_._1.obj.map(_._1).toSet).foreach {
-      case (fieldSet, grp) =>
-        val sub = StructType(st.fields.filter(f =>
-          f.name == "_id" || fieldSet.contains(f.name)))
-        val rows = grp.map { case (o, i) => pointRow(o, sub, i) }
-        db.update(id, db.spark.createDataFrame(rows.asJava, sub))
+    val coerced = points.zipWithIndex.map { case (o, i) =>
+      val fieldSet = o.obj.map(_._1).toSet
+      val sub = StructType(st.fields.filter(f =>
+        f.name == "_id" || fieldSet.contains(f.name)))
+      (sub, pointRow(o, sub, i))
+    }
+    val runs = coerced.foldLeft(List.empty[(StructType, List[Row])]) {
+      case ((sub, rows) :: tail, (s2, r)) if s2 == sub =>
+        (sub, rows :+ r) :: tail
+      case (acc, (s2, r)) => (s2, List(r)) :: acc
+    }.reverse
+    runs.foreach { case (sub, rows) =>
+      db.update(id, db.spark.createDataFrame(rows.asJava, sub))
     }
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
@@ -450,8 +461,22 @@ final class WireService(
     userPlans: Map[String, graft.store.UserPlan]) {
   import WireRouter._
 
+  /** Most tenants a long-lived service caches facades for at once: a
+    * facade per (user, plan) holds a CollectionStore with its own caches,
+    * so an attacker spraying distinct X-User-Id values must not grow
+    * driver memory without bound. Past the cap, least-recently-used
+    * facades are dropped (their collections re-open lazily on the
+    * tenant's next request — the store is durable, nothing is lost).
+    */
+  private val MaxCachedTenants = 1024
+
   private val routers =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), WireRouter]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), WireRouter](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), WireRouter]): Boolean =
+          size() > MaxCachedTenants
+      })
 
   def handle(method: String, path: String,
       headers: Map[String, String], body: Array[Byte] = Array.empty): WireResponse = {
