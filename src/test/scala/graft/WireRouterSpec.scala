@@ -161,4 +161,28 @@ class WireRouterSpec extends SparkSuite {
     assert(svc.handle("GET", "/collections",
       Map("X-User-Id" -> "../alice", "X-Plan-Id" -> "basic")).status == 400)
   }
+
+  test("PUT is validate-then-commit: a bad point aborts the whole batch; dup ids apply in request order") {
+    val r = freshRouter()
+    assert(r.handle("POST", "/collections", json(schemaJson)).status == 200)
+    assert(r.handle("POST", "/collections/mycol/points", json(
+      """{"points":[{"_id":"p1","vec":[0.0,0.0],"name":"before","size":1}]}""")).status == 200)
+    // second point is malformed (string in a float vector): the first
+    // point's update must NOT land
+    val bad = r.handle("PUT", "/collections/mycol/points", json(
+      """{"points":[{"_id":"p1","name":"after"},{"_id":"p1","vec":["wat"]}]}"""))
+    assert(bad.status == 400, bad.json)
+    val check = parse(r.handle("POST", "/collections/mycol/points/search", json(
+      """{"query":{"property":"size","integer":{"value":0,"operator":"greaterThan"}},
+        |"select":["name"],"limit":10}""".stripMargin)))
+    assert((check \\ "name") == JString("before"), check)
+    // duplicate ids with DIFFERENT field sets: last-in-request wins
+    assert(r.handle("PUT", "/collections/mycol/points", json(
+      """{"points":[{"_id":"p1","name":"first"},{"_id":"p1","name":"second","size":9}]}""")).status == 200)
+    val after = parse(r.handle("POST", "/collections/mycol/points/search", json(
+      """{"query":{"property":"size","integer":{"value":0,"operator":"greaterThan"}},
+        |"select":["name","size"],"limit":10}""".stripMargin)))
+    assert((after \\ "name") == JString("second"), after)
+    assert((after \\ "size") == JInt(9), after)
+  }
 }
