@@ -39,15 +39,21 @@ final case class Collection(
     * `"approx": true` vector queries then scan this 32×-narrower frame
     * for candidates and re-rank only those rows exactly.
     */
-  def withBinaryVectorIndex(prop: String, thresholds: Array[Double]): Collection =
+  def withBinaryVectorIndex(prop: String, thresholds: Array[Double],
+      levels: Option[(Array[Double], Array[Double])] = None): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
+      levels.foreach { case (lo, hi) =>
+        require(lo.length == thresholds.length && hi.length == thresholds.length,
+          s"levels dims ${lo.length}/${hi.length} != thresholds ${thresholds.length}")
+      }
       val packed = df.filter(col(prop).isNotNull)
         .select(col(Collection.IdCol),
           graft.functions.PackedOps.packBits(col(prop), lit(thresholds)).as("_packed"))
         .persist()
-      copy(vectorIndexes = vectorIndexes + (prop -> BinaryVectorIndex(thresholds, packed)))
+      copy(vectorIndexes =
+        vectorIndexes + (prop -> BinaryVectorIndex(thresholds, packed, levels)))
     }
 
   /** Attach an SQ8 scalar-quantizer artifact for `prop`: per-dimension

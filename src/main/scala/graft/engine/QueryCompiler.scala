@@ -212,7 +212,7 @@ object QueryCompiler {
       case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
     }
     val (restricted, qd) = idx match {
-      case BinaryVectorIndex(th, _) =>
+      case BinaryVectorIndex(th, _, levels) =>
         require(vector.length == th.length,
           s"query vector has ${vector.length} dims; binary index has ${th.length}")
         // candidates rank in the quantized space of the DECLARED metric:
@@ -220,12 +220,19 @@ object QueryCompiler {
         // bury a high-overlap dense vector below sparse far ones and the
         // exact re-rank could never recover it); everything else ranks by
         // hamming (for cosine/euclidean the bits are a scan-reduction
-        // proxy and the exact stage restores the true metric)
+        // proxy and the exact stage restores the true metric) — or by
+        // ASYMMETRIC 1-bit ADC when reconstruction levels are attached
+        // (round 7 opt-in: same packed scan, magnitude-aware ranking)
         val qWords = lit(graft.operators.BinaryQuantizer.packWords(vector, th))
-        val cd =
-          if (metric == IndexKind.Metric.Jaccard)
+        val cd = (metric, levels) match {
+          case (IndexKind.Metric.Jaccard, _) =>
             graft.functions.PackedOps.packedJaccard(col("_packed"), qWords)
-          else graft.functions.PackedOps.packedHamming(col("_packed"), qWords)
+          case (_, Some((lo, hi))) =>
+            graft.operators.BinaryQuantizer.asymmetricDistance(
+              col("_packed"), vector, lo, hi)
+          case _ =>
+            graft.functions.PackedOps.packedHamming(col("_packed"), qWords)
+        }
         (restricted0, cd)
       case ProductVectorIndex(model, _) =>
         require(vector.length == model.dim,

@@ -22,10 +22,17 @@ sealed trait VectorIndex {
 }
 
 /** Sign bits under per-dimension thresholds, packed 64/long
-  * (`_packed array<long>`) — candidates rank by popcount hamming.
+  * (`_packed array<long>`) — candidates rank by popcount hamming (the
+  * reference's served default), or, when two-sided reconstruction
+  * `levels` are attached (round 7 opt-in, Collection.withBinaryVectorIndex),
+  * by ASYMMETRIC 1-bit ADC over the same packed scan — Σ (q_i −
+  * level_{bit_i,i})², magnitude-aware where hamming counts flips (the
+  * RECALL.md asym rows: rescored 0.76 → 0.96 at this corpus's 64 bits).
+  * Jaccard-metric vectors always rank by packed jaccard.
   */
 final case class BinaryVectorIndex(
-    thresholds: Array[Double], encoded: DataFrame) extends VectorIndex
+    thresholds: Array[Double], encoded: DataFrame,
+    levels: Option[(Array[Double], Array[Double])] = None) extends VectorIndex
 
 /** Per-subspace centroid codes (`_codes array<int>`) — candidates rank by
   * asymmetric distance (per-query lookup table).

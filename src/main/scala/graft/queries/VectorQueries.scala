@@ -188,6 +188,67 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** ASYMMETRIC-ADC binary artifact through the engine (round 7): the
+    * same two-stage `"approx": true` pipeline as s2_near_bq_approx, but
+    * the attach carries the two-sided reconstruction levels, so stage-1
+    * candidates rank by Σ (q_i − level_{bit_i,i})² over the packed scan
+    * instead of hamming. DuckDB recomputes thresholds, BOTH level
+    * tables, the asym candidate cut, and the exact re-rank inline — the
+    * full served pipeline, no golden.
+    */
+  val s2NearBqAsymApprox = NamedQuery(
+    "s2_near_bq_asym_approx",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |means AS (
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY i),
+      |th AS (SELECT list(m ORDER BY i) AS t FROM means),
+      |lvl AS (
+      |  SELECT d.i,
+      |    coalesce(CAST(round(sum(CASE WHEN CAST(c.embedding[d.i] AS DOUBLE) <= th.t[d.i]
+      |        THEN CAST(c.embedding[d.i] AS DECIMAL(28,6)) END) /
+      |      count(CASE WHEN CAST(c.embedding[d.i] AS DOUBLE) <= th.t[d.i] THEN 1 END), 9) AS DOUBLE), th.t[d.i]) AS lo,
+      |    coalesce(CAST(round(sum(CASE WHEN CAST(c.embedding[d.i] AS DOUBLE) > th.t[d.i]
+      |        THEN CAST(c.embedding[d.i] AS DECIMAL(28,6)) END) /
+      |      count(CASE WHEN CAST(c.embedding[d.i] AS DOUBLE) > th.t[d.i] THEN 1 END), 9) AS DOUBLE), th.t[d.i]) AS hi
+      |  FROM corpus c CROSS JOIN dims d CROSS JOIN th
+      |  GROUP BY d.i, th.t),
+      |lv AS (SELECT list(lo ORDER BY i) AS ll, list(hi ORDER BY i) AS lh FROM lvl),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |ad AS (
+      |  SELECT c._id, c.embedding,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      CASE WHEN CAST(c.embedding[i] AS DOUBLE) > th.t[i]
+      |        THEN (CAST(q.v[i] AS DOUBLE) - lv.lh[i]) * (CAST(q.v[i] AS DOUBLE) - lv.lh[i])
+      |        ELSE (CAST(q.v[i] AS DOUBLE) - lv.ll[i]) * (CAST(q.v[i] AS DOUBLE) - lv.ll[i]) END)) AS adist
+      |  FROM corpus c CROSS JOIN q CROSS JOIN th CROSS JOIN lv),
+      |cand AS (SELECT _id, embedding FROM ad ORDER BY adist ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT c._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM cand c CROSS JOIN q),
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val th = graft.operators.BinaryQuantizer.fit(base.df, col("embedding"), 64)
+    val levels = graft.operators.BinaryQuantizer.fitLevels(base.df, col("embedding"), 64, th)
+    val coll = base.withBinaryVectorIndex("embedding", th, Some(levels))
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** Pre-filter + VAMANA GRAPH artifact through the engine — the
     * reference's OPTIMISTIC filtered graph search
     * (vamana/search.go:27–51): seed with the in-filter points, navigate
@@ -465,5 +526,5 @@ object VectorQueries {
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
-    s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch)
+    s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox)
 }
