@@ -213,20 +213,24 @@ object TextAnalysis {
       n: Int = 13): DataFrame = {
     require(n > 0, s"n must be positive (got $n)")
     val toks = graft.operators.Dedup.tokens(text)
+    // dedupe INSIDE the gram array (array_distinct, the oracle's
+    // list_distinct shape): exploded rows are then already distinct per
+    // doc, so the aggregation is plain counts — no the 2× expand a
+    // multi-countDistinct would plan
     val grams = df
       .filter(text.isNotNull)
       .select(id.as("id"), isEval.as("_eval"),
         explode(when(size(toks) >= n,
-            transform(sequence(lit(0), size(toks) - n),
-              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+            array_distinct(transform(sequence(lit(0), size(toks) - n),
+              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
           .otherwise(array().cast("array<string>"))).as("g"))
     val evalGrams = grams.filter(col("_eval")).select("g").distinct()
     grams.filter(!col("_eval"))
       .join(broadcast(evalGrams.withColumn("_hit", lit(true))), Seq("g"), "left")
       .groupBy("id")
       .agg(
-        countDistinct(col("g")).as("n_grams"),
-        countDistinct(when(col("_hit"), col("g"))).as("eval_hits"))
+        count(col("g")).as("n_grams"),
+        count(when(col("_hit"), col("g"))).as("eval_hits"))
       .withColumn("contaminated_frac",
         col("eval_hits").cast("double") / col("n_grams"))
   }
