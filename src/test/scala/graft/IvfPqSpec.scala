@@ -262,4 +262,28 @@ class IvfPqSpec extends SparkSuite {
     val want = -q.map(_.toDouble).zip(recon).map { case (a, b) => a * b }.sum
     assert(math.abs(got - want) < 1e-6, s"$got vs $want") // float32 centroid literals
   }
+
+  test("engine-served IVF-PQ under the Dot metric: MIPS probing + dot tables, approx == exact") {
+    // unnormalized corpus (norms 1..5): exactly the regime where L2
+    // probing/tables would bury long vectors
+    val scaled = emb.select(col("vec_id"), transform(col("embedding"),
+      x => (x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+        .cast("float")).as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_dot_").toString
+    val coll = graft.engine.Collection(
+        scaled.select(col("vec_id").cast("string").as("_id"), col("v")),
+        graft.model.IndexSchema("v" -> graft.model.IndexKind.VectorFlat(64, Metric.Dot)))
+      .withIvfPqVectorIndex("v", dir,
+        () => IvfPq.kmeansCoarse(scaled, col("v"), k = 8),
+        c => IvfPq.fitResidualPq(scaled, col("v"), c, m = 16, k = 16),
+        nprobe = 8)
+    val qv = scaled.filter(col("vec_id") === 7).select("v").head().getSeq[Float](0)
+    def run(approx: Boolean): Seq[String] =
+      engine.Search.search(coll, model.SearchRequest(
+        model.Query("v", vectorFlat = Some(model.VectorFlatOpts(
+          qv, model.Op.Near, 10, approx = approx))),
+        limit = 10)).select("_id").as[String].collect().toSeq
+    assert(run(approx = true) == run(approx = false))
+    coll.vectorIndexes.values.foreach(_.release())
+  }
 }
