@@ -138,4 +138,23 @@ class HybridSpec extends SparkSuite {
     // stopword - bleve's stop_en is ASCII-only, so "don\u2019t" survives
     assert(TextAnalyzer.analyzeString("don\u2019t worry") == Seq("don\u2019t", "worry"))
   }
+
+  test("analyzer: Column path == driver path over generated apostrophe-heavy strings") {
+    // deterministic corpus sweeping the tokenizer's edge shapes: the
+    // engine indexes with the Column path and parses queries with the
+    // driver path - any divergence silently empties search results
+    val pieces = Seq("don't", "O'Brien", "3'5", "it's", "'leading", "trailing'",
+      "rock'n'roll", "a''b", "don\u2019t", "x", "42", "caf\u00e9", "-", "''", "I'M")
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 40).map { _ =>
+      (0 until (1 + rng.nextInt(8))).map(_ => pieces(rng.nextInt(pieces.size)))
+        .mkString(Seq(" ", ", ", "! ", " \u2014 ")(rng.nextInt(4)))
+    }
+    val viaCol = corpus.toDF("t")
+      .select(TextAnalyzer.analyze(col("t")).as("terms"))
+      .as[Seq[String]].collect().toSeq
+    corpus.zip(viaCol).foreach { case (text, colTerms) =>
+      assert(TextAnalyzer.analyzeString(text) == colTerms, s"diverged on: $text")
+    }
+  }
 }
