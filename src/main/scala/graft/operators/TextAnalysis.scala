@@ -310,6 +310,44 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** DIRECTED containment (Broder's containment coefficient, "On the
+    * resemblance and containment of documents", 1997, over the winnowing
+    * sketch): c(a→b) = |S_a ∩ S_b| / |S_a| — how much of document a
+    * lives inside document b. The ASYMMETRIC complement of the jaccard
+    * near-dup pair: an excerpt, quote, or copy-with-additions scores
+    * near 1.0 in one direction while jaccard stays low, which is exactly
+    * the case symmetric dedup misses in curation (keep the superset
+    * document, drop the excerpt). Emits BOTH directions of every
+    * intersecting pair (c is not symmetric), filtered at `minShared`
+    * shared sketch hashes and `minContainment`.
+    *
+    * Scale (100 TB): the same (hash) equi-join shape as [[winnowPairs]]
+    * — sketches are density 2/(w+1) of the gram stream, pair volume is
+    * bounded by shared sketch hashes (never all-pairs), sketch sizes are
+    * one id-keyed count, and the final normalization is an id_a-keyed
+    * equi-join. Every number is exact integer arithmetic + one double
+    * division — fully oracle-replayable.
+    */
+  def winnowContainment(sketch: DataFrame, minShared: Long,
+      minContainment: Double): DataFrame = {
+    require(minShared > 0, s"minShared must be positive (got $minShared)")
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment must be in [0,1] (got $minContainment)")
+    val d = sketch.select(col("id"), col("hash")).distinct()
+    val sizes = d.groupBy(col("id")).agg(count(lit(1)).as("_sz"))
+    val a = d.select(col("id").as("id_a"), col("hash"))
+    val b = d.select(col("id").as("id_b"), col("hash"))
+    a.join(b, Seq("hash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+      .withColumn("containment", col("shared").cast("double") / col("_sz"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+  }
+
   /** Repetition quality filters (the Gopher/MassiveText family): how much
     * of a document is the document repeating itself. Per doc:
     *

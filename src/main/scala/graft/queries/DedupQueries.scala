@@ -429,9 +429,44 @@ object DedupQueries {
       .orderBy("id")
   }
 
+  /** DIRECTED containment over the winnow sketches (round 7 — Broder's
+    * containment coefficient): c(a→b) = |S_a ∩ S_b| / |S_a|, both
+    * directions of each intersecting pair. The excerpt/quote detector
+    * symmetric near-dup misses: a contained document scores high a→b
+    * while b→a (and jaccard) stay low. Shares the winnow CTE with
+    * text_winnow/dedup_winnow so the sketch algorithm cannot drift; the
+    * containment itself is exact integers + one double division —
+    * full replay.
+    */
+  val dedupContainment = NamedQuery(
+    "dedup_containment",
+    s"""WITH $winnowSelCte,
+       |dsel AS (SELECT DISTINCT id, mn FROM sel),
+       |sz AS (SELECT id, count(*) AS s FROM dsel GROUP BY id),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM dsel a JOIN dsel b ON a.mn = b.mn AND a.id <> b.id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT p.id_a, p.id_b, p.shared,
+       |    CAST(p.shared AS DOUBLE) / sz.s AS containment
+       |  FROM pairs p JOIN sz ON sz.id = p.id_a)
+       |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       |  ${sqlDround("containment", 6)} AS containment_r
+       |FROM c WHERE shared >= 5 AND containment >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sketch = graft.operators.TextAnalysis.winnow(
+      Tables.documents(s, d), col("doc_id"), col("text"), n = 3, window = 4)
+    graft.operators.TextAnalysis.winnowContainment(
+        sketch, minShared = 5, minContainment = 0.5)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        dround(col("containment"), 6).as("containment_r"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhashSig,
     dedupMinhashLsh, dedupSimhash, dedupEmbCosine, dedupWinnow, dedupLines,
     dedupSemantic, q9StreamDedup, dedupSubstring, dedupBloomNovelty,
-    textBoilerplate)
+    textBoilerplate, dedupContainment)
 }

@@ -316,4 +316,26 @@ class DedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       Dedup.boilerplate(docs, col("id"), col("text"), col("src"), frac = 1.5))
   }
+
+  test("winnow containment: an excerpt scores high toward its superset, not back") {
+    import graft.operators.TextAnalysis
+    val small = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val big = small + " and then a very long continuation about entirely different " +
+      "matters with many additional unique tokens stretching the document much " +
+      "further than the excerpt ever went covering weather markets history science " +
+      "art travel cooking music sports politics and several other topics entirely"
+    val docs = Seq((1L, small), (2L, big), (3L, "nothing in common here at all with anyone"))
+      .toDF("doc_id", "text")
+    val sketch = TextAnalysis.winnow(docs, col("doc_id"), col("text"), n = 3, window = 4)
+    val out = TextAnalysis.winnowContainment(sketch, minShared = 1, minContainment = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // the excerpt is (nearly) fully contained in the superset...
+    assert(out((1L, 2L)) >= 0.9, out)
+    // ...but the superset is NOT contained in the excerpt (asymmetry)
+    assert(out((2L, 1L)) < 0.5, out)
+    assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L), out)
+    // guards
+    intercept[IllegalArgumentException](TextAnalysis.winnowContainment(sketch, 0, 0.5))
+    intercept[IllegalArgumentException](TextAnalysis.winnowContainment(sketch, 1, 1.5))
+  }
 }
