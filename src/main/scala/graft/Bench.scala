@@ -121,7 +121,19 @@ object Bench {
     val coldTotal = allPasses.head.collect { case (_, v) if v >= 0 => v }.sum
     // vital summary fields ride at the END of the line; total = sum of
     // per-query minima, so total ≤ cold_total by construction
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"failed":$failed,"total":${r2(total)}}""")
-    spark.stop()
+    val record = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"failed":$failed,"total":${r2(total)}}"""
+    // Emit the record as the process's FINAL stdout line, AFTER teardown:
+    // round 7's official artifact was unparseable because a StateStore
+    // maintenance thread threw RpcEnvStoppedException after spark.stop()
+    // and its stacktrace displaced the record from the driver's 2000-char
+    // tail. Order: stop active streams → StateStore maintenance → SparkSession
+    // → then print. Teardown noise (if any) now lands BEFORE the record.
+    try spark.streams.active.foreach(_.stop())
+    catch { case e: Throwable => System.err.println(s"[bench] stream stop: $e") }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] statestore stop: $e") }
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark stop: $e") }
+    println(record)
   }
 }
