@@ -413,12 +413,19 @@ object TrainingQueries {
   val unigramTokenize = NamedQuery(
     "unigram_tokenize",
     """SELECT CAST(500 AS BIGINT) AS n_docs, CAST(32652 AS BIGINT) AS total_pieces,
-      |'292451445676626377885-288087813444183861191' AS digest""".stripMargin) { (s, d) =>
+      |'284943652489159834727-298474245056831466164' AS digest""".stripMargin) { (s, d) =>
     import s.implicits._
     val m = trainedUnigram(s, d)
     graft.operators.UnigramLm.tokenize(Tables.documents(s, d), col("doc_id"), col("text"), m)
       .select(col("id"), col("n_pieces"),
-        concat_ws(":", col("id"), concat_ws("", col("pieces"))).as("_row"))
+        // pieces join with a VISIBLE separator (tokens are [\p{L}\p{N}]+
+        // runs, so a space can never occur inside a piece): an alternate
+        // segmentation of the same text yields a different row string, so
+        // the digest pins the Viterbi's boundary choices, not just the
+        // round-trip concatenation. (Was U+0001 since inception — same
+        // guarantee, but invisible in a terminal and twice mistaken for an
+        // empty separator on review; UnigramLmSpec asserts the flip.)
+        concat_ws(":", col("id"), concat_ws(" ", col("pieces"))).as("_row"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_pieces")).cast("long").as("total_pieces"),

@@ -93,4 +93,18 @@ class UnigramLmSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       UnigramLm.train(docs, col("text"), minCount = 100L)) // nothing survives
   }
+  test("gate digest pins segmentation: an alternate split of the same text flips it") {
+    // Two VALID segmentations of the same word stream. Joined with "" both
+    // reconstruct "walking" (the round-trip law), so an unseparated digest
+    // could never tell them apart; the gate's space-joined row string can.
+    val segA = Seq((1L, Seq("walk", "ing"))).toDF("id", "pieces")
+    val segB = Seq((1L, Seq("walki", "ng"))).toDF("id", "pieces")
+    def rows(df: org.apache.spark.sql.DataFrame, sep: String) =
+      df.select(concat_ws(":", col("id"), concat_ws(sep, col("pieces"))).as("_row"))
+        .agg(graft.queries.orderFreeDigest(col("_row")).as("digest"))
+        .as[String].head()
+    assert(rows(segA, "") === rows(segB, ""), "sanity: unseparated join collides")
+    assert(rows(segA, " ") !== rows(segB, " "),
+      "space-separated gate digest must distinguish segmentations")
+  }
 }
