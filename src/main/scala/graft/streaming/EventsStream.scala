@@ -237,6 +237,20 @@ object EventsStream {
     // session into LongType columns (test-order-dependent behavior)
     val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stateful operators allocate one state store per shuffle partition
+    // per operator PER MICRO-BATCH (a stream-stream join runs four state
+    // machines per partition), and this harness streams a bounded parity
+    // corpus through 2-3 micro-batches — at the session's batch-oriented
+    // partition count most of the wall time is empty-store commit/CRC
+    // churn, not data. Run the stream narrow (graft.stream.parityPartitions,
+    // default 8); restored in the finally. The PRODUCTION path
+    // (ingestInto/landIncremental) keeps session settings — this knob is
+    // scoped to the bounded harness where state is KB-sized by design.
+    val prevShuffle = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val parityParts = spark.conf.getOption("graft.stream.parityPartitions")
+      .getOrElse("8").toInt
+    require(parityParts > 0, s"graft.stream.parityPartitions must be > 0: $parityParts")
+    spark.conf.set("spark.sql.shuffle.partitions", parityParts.toString)
     try {
       // the stored logical type of `ts` varies across testdata
       // generations (TIMESTAMP(NANOS) → long under the legacy conf, or
@@ -284,9 +298,15 @@ object EventsStream {
         spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), normalized.schema)
       } finally spark.catalog.dropTempView(name)
-    } finally prevNanos match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      prevShuffle match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
     }
   }
 }
