@@ -280,7 +280,95 @@ object WriteQueries {
       root)
   }
 
+  /** The WIRE surface as a CONTRACT query (reference httpapi/v2): a full
+    * collection lifecycle — create, batched point inserts, field-merge
+    * updates, point deletes, then a compound search — driven entirely
+    * THROUGH `WireRouter.handle` method+path+JSON-body round-trips (no
+    * facade call anywhere), with the search RESPONSE parsed back from its
+    * wire JSON into the gate row set. The oracle is the closed-form final
+    * state, so any envelope-coercion, routing, or response-shaping defect
+    * lands as a hash mismatch, not just a spec failure. Request bodies
+    * are driver-built by construction (the wire carries ≤10k points per
+    * call — the reference's own bound); bulk data paths stay distributed
+    * via w5's ingest face.
+    */
+  val w9WireLifecycle = NamedQuery(
+    "w9_wire_lifecycle",
+    """WITH base AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS _id,
+      |    CASE WHEN p_partkey % 17 = 0 THEN p_name || ' xq' ELSE p_name END AS p_name,
+      |    CAST(p_size AS BIGINT) AS p_size
+      |  FROM part
+      |  WHERE p_size BETWEEN 4 AND 12 AND p_partkey % 23 <> 0)
+      |SELECT _id, CAST(NULL AS REAL) AS _distance, CAST(NULL AS REAL) AS _score,
+      |  CAST(0.0 AS REAL) AS _hybridScore, p_name, p_size
+      |FROM base
+      |WHERE p_name > 'm'
+      |ORDER BY p_name, _id LIMIT 20 OFFSET 5""".stripMargin) { (s, d) =>
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Files.createTempDirectory("graft_wire_gate_").toString
+    val r = new graft.wire.WireRouter(graft.Graft(s, dir))
+    def call(method: String, path: String, body: String = ""): JValue = {
+      val resp = r.handle(method, path, body.getBytes("UTF-8"))
+      require(resp.status == 200, s"$method $path -> ${resp.status}: ${resp.json}")
+      resp.body
+    }
+    call("POST", "/collections",
+      """{"id":"parts9","indexSchema":{
+        |  "p_name":{"type":"string","string":{"caseSensitive":false}},
+        |  "p_size":{"type":"integer"}}}""".stripMargin)
+    import s.implicits._
+    val slab = Tables.part(s, d).filter(col("p_size").between(4, 12))
+      .select(col("p_partkey").cast("string").as("_id"),
+        col("p_partkey").as("_key"), col("p_name"),
+        col("p_size").cast("long").as("p_size"))
+    val rows = slab.select("_id", "_key", "p_name", "p_size")
+      .as[(String, Long, String, Long)].collect().toSeq
+    def pointJson(id: String, name: String, size: Long): JValue = JObject(
+      "_id" -> JString(id), "p_name" -> JString(name), "p_size" -> JInt(BigInt(size)))
+    rows.grouped(CollectionStore.MaxInsertBatch).foreach { b =>
+      call("POST", "/collections/parts9/points", JsonMethods.compact(JsonMethods.render(
+        JObject("points" -> JArray(b.toList.map { case (id, _, n, sz) =>
+          pointJson(id, n, sz) })))))
+    }
+    // field-merge updates through the wire (batch cap 100)
+    rows.filter(_._2 % 17 == 0).grouped(CollectionStore.MaxUpdateBatch).foreach { b =>
+      call("PUT", "/collections/parts9/points", JsonMethods.compact(JsonMethods.render(
+        JObject("points" -> JArray(b.toList.map { case (id, _, n, _) =>
+          JObject("_id" -> JString(id), "p_name" -> JString(n + " xq")) })))))
+    }
+    // point deletes through the wire (batch cap 100)
+    rows.filter(_._2 % 23 == 0).grouped(CollectionStore.MaxDeleteBatch).foreach { b =>
+      call("DELETE", "/collections/parts9/points", JsonMethods.compact(JsonMethods.render(
+        JObject("ids" -> JArray(b.toList.map(t => JString(t._1)))))))
+    }
+    val found = call("POST", "/collections/parts9/points/search",
+      """{"query":{"property":"_and","_and":[
+        |  {"property":"p_size","integer":{"value":12,"operator":"lessThanOrEquals"}},
+        |  {"property":"p_name","string":{"value":"m","operator":"greaterThan"}}]},
+        | "select":["p_name","p_size"],
+        | "sort":[{"property":"p_name"}],
+        | "offset":5,"limit":20}""".stripMargin)
+    // the wire RESPONSE is the result: re-typed to the gate row shape
+    val out = (found \ "points").asInstanceOf[JArray].arr.map { p =>
+      def str(k: String) = p \ k match { case JString(v) => v; case _ => null }
+      val size = p \ "p_size" match {
+        case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L }
+      val hybrid = p \ "_hybridScore" match {
+        case JDouble(x) => x.toFloat; case JNull | JNothing => 0.0f
+        case JInt(x) => x.toFloat; case other => other.toString.toFloat }
+      org.apache.spark.sql.Row(str("_id"), null, null, hybrid, str("p_name"), size)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("_distance", FloatType),
+      StructField("_score", FloatType), StructField("_hybridScore", FloatType),
+      StructField("p_name", StringType), StructField("p_size", LongType)))
+    detach(s.createDataFrame(java.util.Arrays.asList(out: _*), schema), dir)
+  }
+
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
-      w7BackupRestore, w8TenantIsolation)
+      w7BackupRestore, w8TenantIsolation, w9WireLifecycle)
 }

@@ -289,7 +289,12 @@ final class WireRouter(db: graft.Graft) {
       if (contentType == "application/msgpack") MsgPack.decode(body)
       else JsonMethods.parse(new String(body, java.nio.charset.StandardCharsets.UTF_8))
     try {
-      (method.toUpperCase, path) match {
+      if (path == "/v1/ping" || path.startsWith("/v1/collections"))
+        return handleV1(method, path, parsed)
+      // the bare table IS the v2 surface; accept the reference's explicit
+      // /v2 prefix too (httpapi/setup.go mounts v1 and v2 side by side)
+      val p = if (path.startsWith("/v2/")) path.substring(3) else path
+      (method.toUpperCase, p) match {
         case ("GET", "/ping") => msg(200, "pong")
         case ("GET", "/collections") => listCollections()
         case ("POST", "/collections") => createCollection(parsed)
@@ -443,6 +448,252 @@ final class WireRouter(db: graft.Graft) {
       if (contentType == "application/msgpack") db.searchMsgPack(id, body)
       else db.search(id, new String(body, java.nio.charset.StandardCharsets.UTF_8))
     val points = df.collect().toList.map(rowToPointMap)
+    WireResponse(200, JObject("points" -> JArray(points)))
+  }
+
+  // ---- v1 legacy surface ----------------------------------------------------
+  // The reference's OLDER pure-vector API, still mounted beside v2
+  // (reference httpapi/v1/handlers.go:30–52): one fixed vectorVamana
+  // property `vector` (searchSize 75, degreeBound 64, alpha 1.2) plus an
+  // opaque per-point `metadata` payload. On this column-typed store the
+  // payload rides as one JSON-encoded string column declared in the
+  // schema (`metadata`), encoded on write and decoded back to structured
+  // JSON on read — v1 treats it as opaque bytes either way, so the
+  // round-trip is exact. Point ids are uuid-validated like the
+  // reference, but REQUIRED on insert (handlers.go:316 mints uuid.New()
+  // for absent ids; a deterministic engine cannot mint randomness — the
+  // same documented divergence as the v2 surface above).
+
+  private val V1CollectionId = "^/v1/collections/([^/]+)$".r
+  private val V1Points = "^/v1/collections/([^/]+)/points$".r
+  private val V1PointsSearch = "^/v1/collections/([^/]+)/points/search$".r
+
+  private def handleV1(method: String, path: String, parsed: => JValue): WireResponse =
+    (method.toUpperCase, path) match {
+      case ("GET", "/v1/ping") => msg(200, "pong")
+      case ("GET", "/v1/collections") => v1ListCollections()
+      case ("POST", "/v1/collections") => v1CreateCollection(parsed)
+      case ("GET", V1CollectionId(id)) => withV1Collection(id)(v1GetCollection)
+      case ("DELETE", V1CollectionId(id)) => withV1Collection(id)(deleteCollection)
+      case ("POST", V1Points(id)) => withV1Collection(id)(v1InsertPoints(_, parsed))
+      case ("PUT", V1Points(id)) => withV1Collection(id)(v1UpdatePoints(_, parsed))
+      case ("DELETE", V1Points(id)) => withV1Collection(id)(v1DeletePoints(_, parsed))
+      case ("POST", V1PointsSearch(id)) => withV1Collection(id)(v1SearchPoints(_, parsed))
+      case _ => err(404, s"no route for $method $path")
+    }
+
+  /** v1 URI middleware (handlers.go:160–167): only the LENGTH is checked
+    * here (3–16 — v1's tighter bound, vs 24 for v2), then existence.
+    */
+  private def withV1Collection(id: String)(f: String => WireResponse): WireResponse =
+    if (id.length < 3 || id.length > 16)
+      err(400, "collectionId must be between 3 and 16 characters")
+    else if (!db.listCollections().contains(id))
+      err(404, s"collection $id not found")
+    else f(id)
+
+  /** The v1 vamana params of a collection, when it HAS the v1 shape (a
+    * `vector` vectorVamana property). v2-created collections without it
+    * are invisible to the v1 list (the reference would nil-deref on
+    * them — handlers.go:146 assumes the shape; skipping is the safe
+    * reading of the same contract).
+    */
+  private def v1Params(id: String): Option[graft.model.IndexKind.VectorVamana] =
+    db.collection(id).schema.props.get("vector").collect {
+      case v: graft.model.IndexKind.VectorVamana => v
+    }
+
+  private def v1ListCollections(): WireResponse =
+    WireResponse(200, JObject("collections" -> JArray(
+      db.listCollections().sorted.toList.flatMap(id => v1Params(id).map(p =>
+        JObject("id" -> JString(id),
+          "vectorSize" -> JInt(BigInt(p.vectorSize)),
+          "distanceMetric" -> JString(p.metric.name)))))))
+
+  private def v1CreateCollection(j: JValue): WireResponse = {
+    val id = j \ "id" match {
+      case JString(s) => s
+      case _ => return err(400, "id is required")
+    }
+    if (id.length < 3 || id.length > 16)
+      return err(400, "id must be between 3 and 16 characters")
+    if (!id.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+      return err(400, "id must be alphanumeric")
+    val vectorSize = j \ "vectorSize" match {
+      case JInt(x) => x.toInt
+      case JLong(x) => x.toInt
+      case _ => return err(400, "vectorSize is required")
+    }
+    if (vectorSize < 1 || vectorSize > 4096)
+      return err(400, s"vectorSize must be between 1 and 4096, got $vectorSize")
+    val metric = j \ "distanceMetric" match {
+      case JString(m @ ("euclidean" | "cosine" | "dot")) =>
+        graft.model.IndexKind.Metric.parse(m)
+      case JString(m) => return err(400,
+        s"distanceMetric must be one of euclidean, cosine, dot, got $m")
+      case _ => return err(400, "distanceMetric is required")
+    }
+    if (db.listCollections().contains(id))
+      return err(409, "collection exists")
+    // the reference's fixed v1 schema (handlers.go:93–109) + the payload
+    // column this engine declares explicitly
+    val schema = graft.model.IndexSchema(Map(
+      "vector" -> graft.model.IndexKind.VectorVamana(
+        vectorSize, metric, searchSize = 75, degreeBound = 64, alpha = 1.2),
+      "metadata" -> graft.model.IndexKind.Str(caseSensitive = true)))
+    val empty = db.spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), sparkSchema(schema))
+    try {
+      db.createCollection(id, schema, empty)
+      msg(200, "collection created")
+    } catch {
+      case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
+        err(409, "collection exists")
+      case e: IllegalArgumentException if e.getMessage.contains("user plan") =>
+        err(403, "quota reached")
+    }
+  }
+
+  private def v1GetCollection(id: String): WireResponse = v1Params(id) match {
+    case None => err(404, s"collection $id not found")
+    case Some(p) =>
+      val n = db.collection(id).df.count()
+      WireResponse(200, JObject(
+        "id" -> JString(id),
+        "vectorSize" -> JInt(BigInt(p.vectorSize)),
+        "distanceMetric" -> JString(p.metric.name),
+        "shards" -> JArray(List(JObject(
+          "id" -> JString("0"), "pointCount" -> JInt(BigInt(n)))))))
+  }
+
+  private def v1Uuid(s: String, at: String): String =
+    try { java.util.UUID.fromString(s); s }
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"$at must be a valid uuid") }
+
+  /** One v1 point body → the typed row (id, metadata-as-JSON-string,
+    * vector), reusing the v2 coercion path. `maxPoints`/`requireId` carry
+    * the v1 bounds: insert 1–10000 (id optional in the reference — here
+    * required, see the section doc), update 1–100 (id required).
+    */
+  private def v1Rows(id: String, j: JValue, maxPoints: Int): (StructType, List[Row]) = {
+    val p = v1Params(id).getOrElse(
+      throw new IllegalArgumentException(s"collection $id is not a v1 collection"))
+    val st = sparkSchema(db.collection(id).schema)
+    val rows = pointsOf(j, maxPoints).zipWithIndex.map { case (o, i) =>
+      val fields = o.obj.toMap
+      val unknown = fields.keySet -- Set("id", "vector", "metadata")
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"point $i: unknown field(s) ${unknown.toSeq.sorted.mkString(", ")}")
+      val pid = fields.get("id") match {
+        case Some(JString(s)) if s.nonEmpty => v1Uuid(s, s"id for point $i")
+        case _ => throw new IllegalArgumentException(
+          s"invalid id for point $i, expected a uuid (this engine does not mint ids)")
+      }
+      val vec = fields.getOrElse("vector", JNothing) match {
+        case JArray(xs) if xs.nonEmpty && xs.length <= 2000 =>
+          if (xs.length != p.vectorSize) throw new IllegalArgumentException(
+            s"invalid vector dimension, expected ${p.vectorSize} got ${xs.length} for point at index $i")
+          JArray(xs)
+        case JArray(xs) => throw new IllegalArgumentException(
+          s"vector size must be between 1 and 2000, got ${xs.length}")
+        case _ => throw new IllegalArgumentException(s"point $i: vector is required")
+      }
+      val meta: JValue = fields.getOrElse("metadata", JNothing) match {
+        case JNothing | JNull => JNothing
+        case m => JString(JsonMethods.compact(JsonMethods.render(m)))
+      }
+      pointRow(JObject(List(
+        "_id" -> JString(pid), "vector" -> vec) ++
+        (if (meta == JNothing) Nil else List("metadata" -> meta))), st, i)
+    }
+    (st, rows)
+  }
+
+  private def v1InsertPoints(id: String, j: JValue): WireResponse = {
+    val (st, rows) = v1Rows(id, j, graft.store.CollectionStore.MaxInsertBatch)
+    import scala.jdk.CollectionConverters._
+    db.insert(id, db.spark.createDataFrame(rows.asJava, st))
+    WireResponse(200, JObject(
+      "message" -> JString("success"), "failedRanges" -> JArray(Nil)))
+  }
+
+  private def v1UpdatePoints(id: String, j: JValue): WireResponse = {
+    val (st, rows) = v1Rows(id, j, graft.store.CollectionStore.MaxUpdateBatch)
+    import scala.jdk.CollectionConverters._
+    db.update(id, db.spark.createDataFrame(rows.asJava, st))
+    WireResponse(200, JObject(
+      "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
+  }
+
+  private def v1DeletePoints(id: String, j: JValue): WireResponse = {
+    val ids = j \ "ids" match {
+      case JArray(xs) if xs.nonEmpty && xs.length <= graft.store.CollectionStore.MaxDeleteBatch =>
+        xs.zipWithIndex.map {
+          case (JString(s), i) => v1Uuid(s, s"id at index $i")
+          case (other, _) => throw new IllegalArgumentException(
+            s"ids must be strings, got ${JsonMethods.compact(JsonMethods.render(other))}")
+        }
+      case JArray(xs) => return err(400,
+        s"number of ids must be between 1 and ${graft.store.CollectionStore.MaxDeleteBatch}, got ${xs.length}")
+      case _ => return err(400, "ids array is required")
+    }
+    db.delete(id, ids)
+    WireResponse(200, JObject(
+      "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
+  }
+
+  /** v1 search (handlers.go:521–579): the fixed request {vector, limit}
+    * compiles to the SAME v2 search request the reference builds
+    * internally (property `vector`, operator `near`, searchSize 75,
+    * select [metadata]) and runs through the one engine path; the
+    * response re-shapes to v1's {id, distance, metadata} triples with
+    * the stored payload decoded back to structured JSON.
+    */
+  private def v1SearchPoints(id: String, j: JValue): WireResponse = {
+    val p = v1Params(id).getOrElse(
+      return err(400, s"collection $id is not a v1 collection"))
+    val vec = j \ "vector" match {
+      case JArray(xs) if xs.nonEmpty && xs.length <= 2000 =>
+        if (xs.length != p.vectorSize) return err(400,
+          s"invalid vector dimension, expected ${p.vectorSize} got ${xs.length}")
+        JArray(xs)
+      case JArray(_) => return err(400, "vector size must be between 1 and 2000")
+      case _ => return err(400, "vector is required")
+    }
+    val limit = j \ "limit" match {
+      case JNothing | JNull => 10
+      case JInt(x) if x >= 0 && x <= 75 => if (x == 0) 10 else x.toInt
+      case JLong(x) if x >= 0 && x <= 75 => if (x == 0) 10 else x.toInt
+      case _ => return err(400, "limit must be between 0 and 75")
+    }
+    val req = JObject(
+      "query" -> JObject(
+        "property" -> JString("vector"),
+        "vectorVamana" -> JObject(
+          "vector" -> vec, "operator" -> JString("near"),
+          "searchSize" -> JInt(75), "limit" -> JInt(limit))),
+      "select" -> JArray(List(JString("metadata"))),
+      "limit" -> JInt(limit))
+    val rows = db.search(id, JsonMethods.compact(JsonMethods.render(req))).collect()
+    val points = rows.toList.map { r =>
+      val names = r.schema.fieldNames.toSet
+      val dist: Double =
+        if (!names.contains("_distance") || r.isNullAt(r.fieldIndex("_distance"))) 0.0
+        else r.getAs[Any]("_distance") match {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => other.toString.toDouble
+        }
+      val meta: JValue =
+        if (!names.contains("metadata") || r.isNullAt(r.fieldIndex("metadata"))) JNull
+        else JsonMethods.parse(r.getAs[String]("metadata"))
+      JObject(
+        "id" -> JString(r.getAs[String]("_id")),
+        "distance" -> JDouble(dist),
+        "metadata" -> meta)
+    }
     WireResponse(200, JObject("points" -> JArray(points)))
   }
 }

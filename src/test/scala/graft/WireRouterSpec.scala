@@ -185,4 +185,105 @@ class WireRouterSpec extends SparkSuite {
     assert((after \\ "name") == JString("second"), after)
     assert((after \\ "size") == JInt(9), after)
   }
+  test("v1 legacy surface: create/list/get, insert, search, update, delete with v1 envelopes") {
+    val r = freshRouter()
+    assert(parse(r.handle("GET", "/v1/ping")) \ "message" == JString("pong"))
+    assert(parse(r.handle("GET", "/v1/collections")) \ "collections" == JArray(Nil))
+
+    // v1 create validation: id bounds 3-16 (not 24), vectorSize 1-4096,
+    // metric restricted to the v1 trio (no haversine/hamming/jaccard)
+    def mk(id: String, n: Int, m: String) =
+      s"""{"id":"$id","vectorSize":$n,"distanceMetric":"$m"}"""
+    assert(r.handle("POST", "/v1/collections", json(mk("ab", 2, "euclidean"))).status == 400)
+    assert(r.handle("POST", "/v1/collections", json(mk("averyverylongname1", 2, "euclidean"))).status == 400)
+    assert(r.handle("POST", "/v1/collections", json(mk("vcol1", 0, "euclidean"))).status == 400)
+    assert(r.handle("POST", "/v1/collections", json(mk("vcol1", 5000, "euclidean"))).status == 400)
+    assert(r.handle("POST", "/v1/collections", json(mk("vcol1", 2, "hamming"))).status == 400)
+    assert(r.handle("POST", "/v1/collections", json(mk("vcol1", 2, "euclidean"))).status == 200)
+    assert(r.handle("POST", "/v1/collections", json(mk("vcol1", 2, "euclidean"))).status == 409)
+
+    // list carries the v1 {id, vectorSize, distanceMetric} triples
+    assert(parse(r.handle("GET", "/v1/collections")) \ "collections" == JArray(List(
+      JObject("id" -> JString("vcol1"), "vectorSize" -> JInt(2),
+        "distanceMetric" -> JString("euclidean")))))
+
+    // the v1 collection is the fixed reference shape THROUGH THE V2 FACE
+    // too: one vectorVamana `vector` (75/64/1.2) + the payload column
+    val v2got = parse(r.handle("GET", "/collections/vcol1"))
+    assert(v2got \ "indexSchema" \ "vector" \ "type" == JString("vectorVamana"))
+    assert(v2got \ "indexSchema" \ "vector" \ "vectorVamana" \ "searchSize" == JInt(75))
+    assert(v2got \ "indexSchema" \ "vector" \ "vectorVamana" \ "degreeBound" == JInt(64))
+    assert(v2got \ "indexSchema" \ "metadata" \ "type" == JString("string"))
+    // and the explicit /v2 prefix aliases the bare table
+    assert(parse(r.handle("GET", "/v2/collections/vcol1")) == v2got)
+
+    val u1 = "00000000-0000-0000-0000-000000000001"
+    val u2 = "00000000-0000-0000-0000-000000000002"
+    val u3 = "00000000-0000-0000-0000-000000000003"
+    // insert validation: non-uuid id, wrong dimension, absent id (this
+    // engine mints no ids - documented divergence), empty batch
+    assert(r.handle("POST", "/v1/collections/vcol1/points",
+      json("""{"points":[{"id":"notauuid","vector":[0.0,0.0]}]}""")).status == 400)
+    assert(r.handle("POST", "/v1/collections/vcol1/points",
+      json(s"""{"points":[{"id":"$u1","vector":[0.0,0.0,9.0]}]}""")).status == 400)
+    assert(r.handle("POST", "/v1/collections/vcol1/points",
+      json("""{"points":[{"vector":[0.0,0.0]}]}""")).status == 400)
+    assert(r.handle("POST", "/v1/collections/vcol1/points",
+      json("""{"points":[]}""")).status == 400)
+
+    val ins = r.handle("POST", "/v1/collections/vcol1/points", json(
+      s"""{"points":[
+         |  {"id":"$u1","vector":[0.0,0.0],"metadata":{"tag":"origin","rank":1}},
+         |  {"id":"$u2","vector":[1.0,0.0],"metadata":{"tag":"east","rank":2}},
+         |  {"id":"$u3","vector":[0.0,3.0]}]}""".stripMargin))
+    assert(ins.status == 200, ins.json)
+    assert(parse(ins) \ "message" == JString("success"))
+    assert(parse(ins) \ "failedRanges" == JArray(Nil))
+    assert(parse(r.handle("GET", "/v1/collections/vcol1")) \\ "pointCount" == JInt(3))
+
+    // search: {vector, limit} -> {id, distance, metadata} triples with
+    // the payload decoded back to structured JSON (distance = squared L2)
+    val found = parse(r.handle("POST", "/v1/collections/vcol1/points/search",
+      json("""{"vector":[0.0,0.0],"limit":2}""")))
+    val pts = (found \ "points").asInstanceOf[JArray].arr
+    assert(pts.map(p => p \ "id") == List(JString(u1), JString(u2)), found)
+    assert(pts.map(p => p \ "distance") == List(JDouble(0.0), JDouble(1.0)))
+    assert(pts.head \ "metadata" \ "tag" == JString("origin"))
+    assert(pts.head \ "metadata" \ "rank" == JInt(1))
+    // absent payload rides as null, like the reference's nil metadata
+    val all = parse(r.handle("POST", "/v1/collections/vcol1/points/search",
+      json("""{"vector":[0.0,3.0],"limit":3}""")))
+    assert((all \ "points").asInstanceOf[JArray].arr.head \ "metadata" == JNull)
+    // limit 0 defaults to 10; out-of-range limit rejected
+    assert((parse(r.handle("POST", "/v1/collections/vcol1/points/search",
+      json("""{"vector":[0.0,0.0],"limit":0}"""))) \ "points")
+      .asInstanceOf[JArray].arr.length == 3)
+    assert(r.handle("POST", "/v1/collections/vcol1/points/search",
+      json("""{"vector":[0.0,0.0],"limit":76}""")).status == 400)
+    assert(r.handle("POST", "/v1/collections/vcol1/points/search",
+      json("""{"vector":[0.0]}""")).status == 400)
+
+    // update is full-point replace in v1 (id+vector required)
+    assert(r.handle("PUT", "/v1/collections/vcol1/points",
+      json(s"""{"points":[{"id":"$u2","metadata":{"tag":"moved"}}]}""")).status == 400)
+    assert(r.handle("PUT", "/v1/collections/vcol1/points", json(
+      s"""{"points":[{"id":"$u2","vector":[5.0,0.0],"metadata":{"tag":"moved","rank":9}}]}""")).status == 200)
+    val after = parse(r.handle("POST", "/v1/collections/vcol1/points/search",
+      json("""{"vector":[5.0,0.0],"limit":1}""")))
+    val hit = (after \ "points").asInstanceOf[JArray].arr.head
+    assert(hit \ "id" == JString(u2), after)
+    assert(hit \ "distance" == JDouble(0.0))
+    assert(hit \ "metadata" \ "tag" == JString("moved"))
+
+    // delete points (uuid-validated), then the collection
+    assert(r.handle("DELETE", "/v1/collections/vcol1/points",
+      json("""{"ids":["notauuid"]}""")).status == 400)
+    assert(r.handle("DELETE", "/v1/collections/vcol1/points",
+      json(s"""{"ids":["$u1","$u3"]}""")).status == 200)
+    assert(parse(r.handle("GET", "/v1/collections/vcol1")) \\ "pointCount" == JInt(1))
+    assert(r.handle("DELETE", "/v1/collections/vcol1").status == 200)
+    assert(r.handle("GET", "/v1/collections/vcol1").status == 404)
+    assert(r.handle("GET", "/v1/collections/ab").status == 400)
+    assert(parse(r.handle("GET", "/v1/collections")) \ "collections" == JArray(Nil))
+  }
 }
