@@ -334,8 +334,10 @@ final class Graft(val spark: SparkSession, root: String,
               Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
             case Some(graft.store.FittedScalar(lo, hi)) =>
               Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))
-            case None => store.vamanaIndex(name, p).map { case (graph, idmap) =>
-              p -> ((c: Collection) => c.withVamanaVectorIndexFrames(p, graph, idmap))
+            case None => store.vamanaIndexWithDir(name, p).map {
+              case (graph, idmap, serveDir) =>
+                p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
+                  p, graph, idmap, serveDir = Some(serveDir)))
             }
           }
         }

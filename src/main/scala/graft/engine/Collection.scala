@@ -119,11 +119,13 @@ final case class Collection(
         graft.operators.VamanaBuild
           .build(base, col(Collection.IdCol).cast("long"), col(prop), metric, params)
           .write.mode("overwrite").parquet(dir)
-      // graph node ids ARE the long-cast _ids here — identity idmap
+      // graph node ids ARE the long-cast _ids here — identity idmap;
+      // the serve cache lands BESIDE the graph parquet (a subdirectory
+      // would read as a partition column and corrupt the artifact scan)
       withVamanaVectorIndexFrames(prop, spark.read.parquet(dir),
         base.select(col(Collection.IdCol),
           col(Collection.IdCol).cast("long").as("nid")),
-        maxHops)
+        maxHops, serveDir = Some(dir.stripSuffix("/") + "_serve"))
     }
 
   /** Attach a Vamana serving artifact from EXPLICIT frames — the face the
@@ -134,7 +136,7 @@ final case class Collection(
     */
   def withVamanaVectorIndexFrames(
       prop: String, graph: DataFrame, idmap: DataFrame,
-      maxHops: Int = 64): Collection =
+      maxHops: Int = 64, serveDir: Option[String] = None): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
@@ -149,7 +151,7 @@ final case class Collection(
       val entryRow = graph.agg(min(col("id"))).head()
       val entry = if (entryRow.isNullAt(0)) -1L else entryRow.getLong(0)
       copy(vectorIndexes =
-        vectorIndexes + (prop -> VamanaVectorIndex(entry, maxHops, enc)))
+        vectorIndexes + (prop -> VamanaVectorIndex(entry, maxHops, enc, serveDir)))
     }
 
   /** Attach a residual IVF-PQ artifact for `prop`, building it at `dir` if

@@ -192,7 +192,12 @@ object QueryCompiler {
       // ids, navigate unfiltered, collect in-filter expanded nodes — so a
       // filter matching ≤ budget points is served EXACTLY, and recall
       // degrades gracefully (not cliff-like) past that.
-      case vidx @ VamanaVectorIndex(entry, maxHops, art) =>
+      case vidx: VamanaVectorIndex =>
+        // past the local budget, `serving` is the _gid-bucketed table —
+        // every per-hop fetch AND the final candidate-id lookup below
+        // are bucket-pruned point reads, not artifact scans
+        val art = vidx.serving
+        val (entry, maxHops) = (vidx.entry, vidx.maxHops)
         val gids = filter match {
           case None => VamanaServe.beamCandidateGids(
             art, metric, vector, budget, entry, maxHops, vidx.local)

@@ -50,7 +50,8 @@ final case class ProductVectorIndex(
   * RecallReport convention); `maxHops` bounds pathological traversals.
   */
 final case class VamanaVectorIndex(
-    entry: Long, maxHops: Int, encoded: DataFrame) extends VectorIndex {
+    entry: Long, maxHops: Int, encoded: DataFrame,
+    serveDir: Option[String] = None) extends VectorIndex {
   /** Broadcast-sized artifacts are collected ONCE (lazily, on the first
     * approximate query) and every beam walk then runs in driver memory
     * with zero Spark jobs — the serving fast path. None past the
@@ -58,6 +59,26 @@ final case class VamanaVectorIndex(
     * walk serves instead (the 100 TB regime).
     */
   lazy val local: Option[VamanaServe.LocalGraph] = VamanaServe.tryLocal(encoded)
+
+  /** The frame distributed walks fetch from. Past the local budget (the
+    * regime where fetches happen at all) and given a [[serveDir]], the
+    * joined serving frame materializes ONCE as a `_gid`-bucketed,
+    * `_gid`-sorted external table there, so every per-hop `_gid ∈ ids`
+    * lookup is answered by bucket-pruned, stats-skipped point reads
+    * (`SelectedBucketsCount k out of N` in the scan) instead of a full
+    * pass over the artifact — the batch analogue of the reference's
+    * per-node bbolt page reads, and the difference between reading a few
+    * MB and re-scanning a 100 GB artifact every hop.
+    */
+  lazy val serving: DataFrame =
+    if (local.isDefined) encoded
+    else serveDir.map(d => VamanaServe.servingTable(encoded, d)).getOrElse(encoded)
+
+  override def release(): Unit = {
+    super.release()
+    serveDir.foreach(d => encoded.sparkSession
+      .sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(d)}`"))
+  }
 }
 
 /** SQ8 scalar-quantizer artifact (`_codes array<long>`, 0..255 per

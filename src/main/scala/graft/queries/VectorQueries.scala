@@ -507,10 +507,10 @@ object VectorQueries {
     val idx = coll.vectorIndexes("vec_l2").asInstanceOf[VamanaVectorIndex]
     val qvs = (0L to 4L).map(i => TestCollections.queryVector(s, d, i))
     val pools = VamanaServe.beamCandidateGidsBatch(
-      idx.encoded, graft.model.IndexKind.Metric.Euclidean, qvs,
+      idx.serving, graft.model.IndexKind.Metric.Euclidean, qvs,
       searchSize = 75, entry = idx.entry, maxHops = idx.maxHops, local = idx.local)
     qvs.zip(pools).zipWithIndex.map { case ((qv, pool), qi) =>
-      idx.encoded.filter(col("_gid").isin(pool: _*))
+      idx.serving.filter(col("_gid").isin(pool: _*))
         .select(lit(qi.toLong).as("qi"), col("_id"),
           Distances.distanceToQuery(
             graft.model.IndexKind.Metric.Euclidean, col("_vec"), qv)

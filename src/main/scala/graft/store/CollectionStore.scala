@@ -990,9 +990,17 @@ final class CollectionStore(
 
   /** The graph artifact, if built: (graph(nid, neighbors), idmap(_id, nid)). */
   def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] =
+    vamanaIndexWithDir(name, prop).map { case (g, m, _) => (g, m) }
+
+  /** [[vamanaIndex]] plus a generation-addressed scratch dir for the
+    * serving-side bucketed cache (`<gen>/serve` — retired with its
+    * generation, so a republish can never serve stale bucket files).
+    */
+  def vamanaIndexWithDir(name: String, prop: String): Option[(DataFrame, DataFrame, String)] =
     vamanaGens(name, prop).lastOption.map { case (_, dir) =>
       (spark.read.parquet(dir.resolve("graph").toString),
-        spark.read.parquet(dir.resolve("idmap").toString)) }
+        spark.read.parquet(dir.resolve("idmap").toString),
+        dir.resolve("serve").toString) }
 
   /** Published artifact generations for a property, oldest → newest.
     *

@@ -88,4 +88,50 @@ class VamanaServeSpec extends SparkSuite {
     // ids touches the cluster (a handful of jobs, not 2-3 per hop)
     assert(after - before <= 6, s"expected a job-light serve, saw ${after - before} jobs")
   }
+  test("past-budget serving fetches from a _gid-bucketed table with pruned buckets") {
+    // force the distributed regime over the real artifact, with a serve
+    // cache target like the store-backed attach provides
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    val serveDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_").toString + "/serve"
+    try {
+      val fresh = VamanaVectorIndex(idx.entry, idx.maxHops, art, Some(serveDir))
+      assert(fresh.local.isEmpty) // the budget decision
+      val serving = fresh.serving
+      // a hop-shaped _gid IN (...) lookup must be bucket-pruned at the
+      // FILE level: the write lands one file per bucket, and the scan
+      // opens only the buckets hashing the requested ids (Spark prunes
+      // by bucket-id file name even in a non-bucketed scan shape)
+      val fetch = serving.filter(col("_gid").isin(1L, 2L, 3L))
+      fetch.collect()
+      val scan = fetch.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail(s"no file scan in:\n${fetch.queryExecution.executedPlan}"))
+      assert(scan.metadata("PushedFilters").contains("In(_gid"), scan.metadata)
+      val plan = fetch.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+        .getOrElse(fail(s"no bucket pruning in scan:\n$plan"))
+      assert(m.group(1).toInt <= 3 && m.group(1).toInt < m.group(2).toInt, plan)
+      // and the layout really is one file per bucket (fetches open at
+      // most |ids| files, not tasks x buckets small files)
+      val totalFiles = new java.io.File(serveDir)
+        .listFiles().count(_.getName.startsWith("part-"))
+      assert(totalFiles == m.group(2).toInt,
+        s"expected one file per bucket, saw $totalFiles files for ${m.group(2)} buckets")
+      // and the walk over the bucketed table computes the IDENTICAL pool
+      qvecs.foreach { q =>
+        val viaBuckets = VamanaServe.beamCandidateGids(
+          serving, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
+          maxHops = idx.maxHops, local = None)
+        val viaLocal = VamanaServe.beamCandidateGids(
+          art, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
+          maxHops = idx.maxHops, local = localGraph)
+        assert(viaBuckets == viaLocal)
+      }
+    } finally {
+      spark.conf.unset("graft.vamana.localMaxBytes")
+      spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
+    }
+  }
 }
