@@ -97,6 +97,37 @@ object Embeddings {
       .select((id.cast("long").as("id") +: outCols): _*)
   }
 
+  /** Lift `vec` (dIn dims) to a HIGHER dimensionality via a deterministic
+    * ±1 random projection — the complement of [[jlProject]] for
+    * SYNTHESIZING corpora at a second shape: a wide random sign matrix
+    * embeds the base neighborhoods near-isometrically into dOut dims, so
+    * recall measured on the lifted corpus exercises the serving artifacts
+    * at a dimensionality the source table doesn't have while keeping a
+    * meaningful (structured, not uniform-random) distance geometry.
+    * Output: (vec_id long, embedding array<float> L2-normalized).
+    *
+    * The nested fold is interpreted (higher-order functions), which is
+    * fine at its intended altitude: the lift runs ONCE over the small
+    * base corpus BEFORE [[replicatePerturbed]] fans it out — the replicas
+    * inherit lifted rows through the row-pure codegen path.
+    */
+  def jlLift(df: DataFrame, id: Column, vec: Column,
+      dIn: Int, dOut: Int, salt: String = "graft-jl-lift"): DataFrame = {
+    require(dIn > 0 && dOut >= dIn, s"lift must not reduce (got $dIn -> $dOut)")
+    val sign = (i: Column, j: Column) =>
+      when(pmod(xxhash64(i, j, lit(salt)), lit(2L)) === 0L, lit(1.0d))
+        .otherwise(lit(-1.0d))
+    df.filter(vec.isNotNull && size(vec) >= dIn)
+      .select(id.cast("long").as("vec_id"), vec.cast("array<float>").as("_v"))
+      .withColumn("_y", transform(sequence(lit(0), lit(dOut - 1)), j =>
+        aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0d), (acc, i) =>
+          acc + element_at(col("_v"), i + 1).cast("double") * sign(i, j))))
+      .withColumn("_n", sqrt(aggregate(col("_y"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("_y"), x => (x / col("_n")).cast("float")).as("embedding"))
+  }
+
   /** The DuckDB-side sign expression for matrix entry (i, j) — kept next
     * to [[signAt]] so the two parities can never drift.
     */

@@ -46,6 +46,9 @@ object ScaleRecall {
     val queryVecs: Map[Long, Seq[Float]] = queryBaseIds.map(q =>
       q -> big.filter(col("vec_id") === q).select("embedding")
         .head().getSeq[Float](0)).toMap
+    // dimensionality comes from the corpus, not a constant: the harness
+    // also measures lifted shapes (jlLift 256-d), not just the 64-d table
+    val dim = queryVecs(queryBaseIds.head).length
 
     def exactTop(qv: Seq[Float], metric: Metric): Set[Long] =
       big.select(col("vec_id"),
@@ -69,7 +72,7 @@ object ScaleRecall {
         big.select(col("vec_id").cast("string").as("_id"),
           col("embedding").as("vec_l2")),
         graft.model.IndexSchema(
-          "vec_l2" -> IndexKind.VectorVamana(64, Metric.Euclidean)))
+          "vec_l2" -> IndexKind.VectorVamana(dim, Metric.Euclidean)))
       .withVamanaVectorIndex("vec_l2", vamDir, buildParams)
     val vamServed = queryBaseIds.map { q =>
       graft.engine.Search.search(coll, graft.model.SearchRequest(
@@ -105,7 +108,7 @@ object ScaleRecall {
 
     if (methods("sq8")) {
     // SQ8 + rescore: reconstructed-L2 top-`rescore` → exact cosine re-rank
-    val (lo, hi) = ScalarQuantizer.fitMinMax(big, col("embedding"), 64)
+    val (lo, hi) = ScalarQuantizer.fitMinMax(big, col("embedding"), dim)
     val codes = ScalarQuantizer.encode(
       big, col("vec_id"), col("embedding"), lo, hi).persist()
     val sqGot = queryBaseIds.map { q =>
