@@ -368,7 +368,94 @@ object WriteQueries {
     detach(s.createDataFrame(java.util.Arrays.asList(out: _*), schema), dir)
   }
 
+  /** The LEGACY v1 wire surface under the same hard signal as w9: a full
+    * v1 lifecycle — create (fixed vamana `vector` schema), uuid-id point
+    * inserts, full-row updates, deletes, then the pure-vector search —
+    * every step a `WireRouter.handle` round-trip over `/v1` paths, with
+    * the v1 `{id, distance, metadata}` response re-typed into the gate
+    * row set (metadata decoded from the stored opaque payload and
+    * re-rendered compactly — byte-identical to the oracle's literal
+    * construction because v1 treats it as opaque bytes). The oracle is
+    * the closed-form post-mutation top-10 by squared L2 with the
+    * reference's (distance, id) tie-break; uuids are deterministic
+    * zero-padded forms so both engines construct them literally.
+    */
+  val w10V1Lifecycle = NamedQuery(
+    "w10_v1_lifecycle",
+    """WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |ranked AS (
+      |  SELECT printf('00000000-0000-4000-8000-%012d', vec_id) AS _id,
+      |    CAST(power(list_distance(embedding, q.v), 2) AS REAL) AS dist32,
+      |    CASE WHEN vec_id % 7 = 0
+      |      THEN '{"vid":' || vec_id || ',"u":true}'
+      |      ELSE '{"vid":' || vec_id || '}' END AS metadata
+      |  FROM embeddings CROSS JOIN q
+      |  WHERE vec_id % 13 <> 0
+      |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  metadata
+      |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Files.createTempDirectory("graft_wire_v1_gate_").toString
+    val r = new graft.wire.WireRouter(graft.Graft(s, dir))
+    def call(method: String, path: String, body: String = ""): JValue = {
+      val resp = r.handle(method, path, body.getBytes("UTF-8"))
+      require(resp.status == 200, s"$method $path -> ${resp.status}: ${resp.json}")
+      resp.body
+    }
+    def j(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+    call("POST", "/v1/collections",
+      """{"id":"legacy10","vectorSize":64,"distanceMetric":"euclidean"}""")
+    import s.implicits._
+    val rows = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    def uuid(v: Long) = f"00000000-0000-4000-8000-$v%012d"
+    def pointJson(v: Long, vec: Seq[Float], updated: Boolean): JValue = JObject(
+      "id" -> JString(uuid(v)),
+      "vector" -> JArray(vec.toList.map(x => JDouble(x.toDouble))),
+      "metadata" -> (
+        if (updated) JObject("vid" -> JInt(BigInt(v)), "u" -> JBool(true))
+        else JObject("vid" -> JInt(BigInt(v)))))
+    rows.grouped(CollectionStore.MaxInsertBatch).foreach { b =>
+      call("POST", "/v1/collections/legacy10/points", j(JObject(
+        "points" -> JArray(b.toList.map { case (v, vec) => pointJson(v, vec, updated = false) }))))
+    }
+    rows.filter(_._1 % 7 == 0).grouped(CollectionStore.MaxUpdateBatch).foreach { b =>
+      call("PUT", "/v1/collections/legacy10/points", j(JObject(
+        "points" -> JArray(b.toList.map { case (v, vec) => pointJson(v, vec, updated = true) }))))
+    }
+    rows.filter(_._1 % 13 == 0).grouped(CollectionStore.MaxDeleteBatch).foreach { b =>
+      call("DELETE", "/v1/collections/legacy10/points", j(JObject(
+        "ids" -> JArray(b.toList.map(t => JString(uuid(t._1)))))))
+    }
+    val qvec = rows.find(_._1 == 0L).get._2
+    val found = call("POST", "/v1/collections/legacy10/points/search", j(JObject(
+      "vector" -> JArray(qvec.toList.map(x => JDouble(x.toDouble))),
+      "limit" -> JInt(10))))
+    val out = (found \ "points").asInstanceOf[JArray].arr.map { p =>
+      val id = p \ "id" match { case JString(v) => v; case _ => null }
+      val dist = p \ "distance" match {
+        case JDouble(x) => x; case JInt(x) => x.toDouble
+        case other => other.toString.toDouble }
+      val meta = p \ "metadata" match {
+        case JNull | JNothing => null
+        case m => j(m) }
+      org.apache.spark.sql.Row(id, dist, meta)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("_dist", DoubleType),
+      StructField("metadata", StringType)))
+    detach(
+      s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+        .select(col("_id"), dround(col("_dist")).as("dist_r"), col("metadata"))
+        .orderBy(col("dist_r"), col("_id")),
+      dir)
+  }
+
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
-      w7BackupRestore, w8TenantIsolation, w9WireLifecycle)
+      w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle)
 }
