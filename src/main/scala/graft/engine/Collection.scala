@@ -101,7 +101,8 @@ final case class Collection(
       dir: String,
       params: graft.operators.VamanaBuild.Params =
         graft.operators.VamanaBuild.Params(degreeBound = 32, iterations = 2),
-      maxHops: Int = 64): Collection =
+      maxHops: Int = 64,
+      coded: Option[graft.operators.PQModel] = None): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
@@ -125,7 +126,8 @@ final case class Collection(
       withVamanaVectorIndexFrames(prop, spark.read.parquet(dir),
         base.select(col(Collection.IdCol),
           col(Collection.IdCol).cast("long").as("nid")),
-        maxHops, serveDir = Some(dir.stripSuffix("/") + "_serve"))
+        maxHops, serveDir = Some(dir.stripSuffix("/") + "_serve"),
+        coded = coded)
     }
 
   /** Attach a Vamana serving artifact from EXPLICIT frames — the face the
@@ -136,7 +138,8 @@ final case class Collection(
     */
   def withVamanaVectorIndexFrames(
       prop: String, graph: DataFrame, idmap: DataFrame,
-      maxHops: Int = 64, serveDir: Option[String] = None): Collection =
+      maxHops: Int = 64, serveDir: Option[String] = None,
+      coded: Option[graft.operators.PQModel] = None): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
@@ -150,8 +153,8 @@ final case class Collection(
         .persist()
       val entryRow = graph.agg(min(col("id"))).head()
       val entry = if (entryRow.isNullAt(0)) -1L else entryRow.getLong(0)
-      copy(vectorIndexes =
-        vectorIndexes + (prop -> VamanaVectorIndex(entry, maxHops, enc, serveDir)))
+      copy(vectorIndexes = vectorIndexes +
+        (prop -> VamanaVectorIndex(entry, maxHops, enc, serveDir, coded)))
     }
 
   /** Attach a residual IVF-PQ artifact for `prop`, building it at `dir` if

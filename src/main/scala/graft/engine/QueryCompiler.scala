@@ -193,18 +193,24 @@ object QueryCompiler {
       // filter matching ≤ budget points is served EXACTLY, and recall
       // degrades gracefully (not cliff-like) past that.
       case vidx: VamanaVectorIndex =>
-        // past the local budget, `serving` is the _gid-bucketed table —
-        // every per-hop fetch AND the final candidate-id lookup below
-        // are bucket-pruned point reads, not artifact scans
-        val art = vidx.serving
+        // past the local budget, the walk fetches from a _gid-bucketed
+        // table — every per-hop fetch AND the final candidate-id lookup
+        // below are bucket-pruned point reads, not artifact scans. With
+        // a PQ model attached the table carries _codes instead of _vec
+        // (the DiskANN compressed-navigation regime): hops rank by ADC
+        // and only the exact re-rank below reads full vectors.
+        val coded = vidx.codedServing.map(c => (c, vidx.coded.get))
+        val art = coded.map(_._1).getOrElse(vidx.serving)
+        val codedModel = coded.map(_._2)
         val (entry, maxHops) = (vidx.entry, vidx.maxHops)
         val gids = filter match {
           case None => VamanaServe.beamCandidateGids(
-            art, metric, vector, budget, entry, maxHops, vidx.local)
+            art, metric, vector, budget, entry, maxHops, vidx.local, codedModel)
           case Some(f) =>
             val matchArt = applySet(col0, compile(col0, f).set, art)
             VamanaServe.beamCandidateGidsFiltered(
-              art, matchArt, metric, vector, budget, entry, maxHops, vidx.local)
+              art, matchArt, metric, vector, budget, entry, maxHops,
+              vidx.local, codedModel)
         }
         val candIds =
           if (gids.isEmpty) art.filter(lit(false)).select(IdCol)

@@ -133,13 +133,51 @@ object VamanaServe {
     spark.table(tbl)
   }
 
-  /** Data access for one walk: node fetch, filter-membership verdicts,
-    * and filtered seeding. Implementations must agree on content — the
-    * walk is otherwise identical.
+  /** The CODED sibling of [[servingTable]] (the DiskANN layout — see
+    * [[CodedAccess]]): `(_id, _gid, _codes, _nbrs)` with `_codes` the
+    * PQ encoding of `_vec`, bucketed and sorted by `_gid`. Rows are
+    * ~(4·m + 8·deg) bytes instead of ~(4·dim + 8·deg), so the same 32 MB
+    * bucket target packs vector-width-fold more nodes per bucket — every
+    * per-hop fetch reads proportionally fewer pages. Encoding is one
+    * pass over the artifact, paid once per attached generation.
+    */
+  def codedServingTable(
+      art: DataFrame, model: graft.operators.PQModel, dir: String): DataFrame = {
+    val spark = art.sparkSession
+    val tbl = servingTableName(dir)
+    if (!spark.catalog.tableExists(tbl)) {
+      val head = art.select(col("_gid"), col("_nbrs")).head(1)
+      if (head.isEmpty) return art
+      val deg = head(0).getSeq[Long](1).length
+      val rowBytes = 40L + 4L * model.m + 8L * deg
+      val n = art.count()
+      val buckets = math.min(4096L,
+        math.max(8L, n * rowBytes / (32L * 1024 * 1024) + 1)).toInt
+      val coded = art.select(
+        col("_id"), col("_gid"),
+        graft.operators.ProductQuantizer.encodeUdf(model)(col("_vec"))
+          .as("_codes"),
+        col("_nbrs"))
+      graft.operators.Bucketing.writeBucketed(
+        coded.repartition(buckets, col("_gid")),
+        tbl, dir, "_gid", buckets, sortCols = Seq("_gid"))
+    }
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table(tbl)
+  }
+
+  /** Data access for one walk: node fetch, per-query scoring of the
+    * fetched node payload, filter-membership verdicts, and filtered
+    * seeding. The walk never inspects payloads — it scores them through
+    * [[scorer]] — so one algorithm serves both EXACT payloads (the raw
+    * vector, scalar-kernel distances) and CODED payloads (PQ codes,
+    * per-query ADC table lookups — the compressed-navigation regime).
     */
   private sealed trait GraphAccess {
-    /** (vec, nbrs) for each requested gid PRESENT in the artifact. */
-    def fetch(ids: Seq[Long]): Map[Long, (Array[Float], Array[Long])]
+    /** (payload, nbrs) for each requested gid PRESENT in the artifact. */
+    def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])]
+    /** Distance of a fetched payload to `qvec`, built once per query. */
+    def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double
     /** Which of `ids` pass the filter (filtered mode only). */
     def memberOk(ids: Seq[Long]): Set[Long]
     /** First `n` in-filter gids ascending — the reference's
@@ -148,31 +186,92 @@ object VamanaServe {
     def seeds(n: Int): Seq[Long]
   }
 
+  /** Shared filtered-mode probes over the gid-restricted artifact. */
+  private sealed trait MatchProbes { self: GraphAccess =>
+    protected def matchArt: Option[DataFrame]
+    def memberOk(ids: Seq[Long]): Set[Long] =
+      if (ids.isEmpty) Set.empty
+      else {
+        val spark = matchArt.get.sparkSession
+        import spark.implicits._
+        matchArt.get.filter(col("_gid").isin(ids: _*))
+          .select(col("_gid")).as[Long].collect().toSet
+      }
+    def seeds(n: Int): Seq[Long] = {
+      val spark = matchArt.get.sparkSession
+      import spark.implicits._
+      matchArt.get.select(col("_gid")).orderBy(col("_gid").asc)
+        .limit(n).as[Long].collect().toSeq
+    }
+  }
+
+  private def exactScorer(metric: Metric, qvec: Array[Float]): AnyRef => Double =
+    p => VectorDistance.scalarDistance(metric, p.asInstanceOf[Array[Float]], qvec)
+
   private final class DistributedAccess(
-      art: DataFrame, matchArt: Option[DataFrame]) extends GraphAccess {
-    private val spark = art.sparkSession
-    import spark.implicits._
-    def fetch(ids: Seq[Long]): Map[Long, (Array[Float], Array[Long])] =
+      art: DataFrame, protected val matchArt: Option[DataFrame])
+      extends GraphAccess with MatchProbes {
+    def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
       else art.filter(col("_gid").isin(ids: _*))
         .select(col("_gid"), col("_vec"), col("_nbrs"))
         .collect()
         .map(r => r.getLong(0) ->
-          (r.getSeq[Float](1).toArray, r.getSeq[Long](2).toArray))
+          (r.getSeq[Float](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
         .toMap
-    def memberOk(ids: Seq[Long]): Set[Long] =
-      if (ids.isEmpty) Set.empty
-      else matchArt.get.filter(col("_gid").isin(ids: _*))
-        .select(col("_gid")).as[Long].collect().toSet
-    def seeds(n: Int): Seq[Long] =
-      matchArt.get.select(col("_gid")).orderBy(col("_gid").asc)
-        .limit(n).as[Long].collect().toSeq
+    def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double =
+      exactScorer(metric, qvec)
+  }
+
+  /** DiskANN's compressed-navigation regime (Subramanya et al. 2019,
+    * "DiskANN: Fast Accurate Billion-point Nearest Neighbor Search on a
+    * Single Node" — PQ codes steer the graph walk, full-precision
+    * vectors are read only to re-rank the final pool): per-hop fetches
+    * read `(_gid, _codes, _nbrs)` — m bytes of PQ code per node instead
+    * of the 4·dim-byte vector — and rank by a per-query ADC table
+    * (Metric.Dot queries by the inner-product table, everything else by
+    * squared-L2 — the flat-artifact operating convention). At 100 TB
+    * this shrinks every hop's point reads by the vector/code width ratio
+    * (~64× at 256-d/m=16) AND packs ~64× more nodes per row group, so
+    * bucket-pruned fetches touch far fewer pages. The pool is
+    * approximate; the engine's exact re-rank of pool candidates is
+    * unchanged, so served top-k quality degrades only as far as the pool
+    * misses true neighbors (RECALL.md / VamanaServeSpec bands).
+    */
+  private final class CodedAccess(
+      art: DataFrame, model: graft.operators.PQModel,
+      protected val matchArt: Option[DataFrame])
+      extends GraphAccess with MatchProbes {
+    def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
+      if (ids.isEmpty) Map.empty
+      else art.filter(col("_gid").isin(ids: _*))
+        .select(col("_gid"), col("_codes"), col("_nbrs"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Int](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
+        .toMap
+    def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double = {
+      val table =
+        if (metric == Metric.Dot)
+          graft.operators.ProductQuantizer.adcDotTable(qvec, model)
+        else graft.operators.ProductQuantizer.adcTable(qvec, model)
+      p => {
+        val cs = p.asInstanceOf[Array[Int]]
+        var acc = 0.0
+        var i = 0
+        while (i < cs.length) { acc += table(i)(cs(i)); i += 1 }
+        acc
+      }
+    }
   }
 
   private final class LocalAccess(
       g: LocalGraph, inFilter: Option[Set[Long]]) extends GraphAccess {
-    def fetch(ids: Seq[Long]): Map[Long, (Array[Float], Array[Long])] =
-      ids.iterator.flatMap(id => g.nodes.get(id).map(id -> _)).toMap
+    def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
+      ids.iterator.flatMap(id =>
+        g.nodes.get(id).map(n => id -> (n._1: AnyRef, n._2))).toMap
+    def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double =
+      exactScorer(metric, qvec)
     def memberOk(ids: Seq[Long]): Set[Long] = {
       val f = inFilter.get
       ids.iterator.filter(f).toSet
@@ -187,8 +286,9 @@ object VamanaServe {
   def beamCandidateGids(
       art: DataFrame, metric: Metric, query: Seq[Float],
       searchSize: Int, entry: Long, maxHops: Int = 64,
-      local: Option[LocalGraph] = None): Seq[Long] =
-    walkBatch(access(art, None, local), metric, Seq(query), searchSize,
+      local: Option[LocalGraph] = None,
+      coded: Option[graft.operators.PQModel] = None): Seq[Long] =
+    walkBatch(access(art, None, local, coded), metric, Seq(query), searchSize,
       entry, maxHops, filtered = false).head
 
   /** FILTERED beam candidates — the reference's optimistic filtered
@@ -214,8 +314,9 @@ object VamanaServe {
   def beamCandidateGidsFiltered(
       art: DataFrame, matchArt: DataFrame, metric: Metric, query: Seq[Float],
       searchSize: Int, entry: Long, maxHops: Int = 64,
-      local: Option[LocalGraph] = None): Seq[Long] =
-    walkBatch(access(art, Some(matchArt), local), metric, Seq(query),
+      local: Option[LocalGraph] = None,
+      coded: Option[graft.operators.PQModel] = None): Seq[Long] =
+    walkBatch(access(art, Some(matchArt), local, coded), metric, Seq(query),
       searchSize, entry, maxHops, filtered = true).head
 
   /** Walk MANY queries concurrently against one artifact (unfiltered):
@@ -227,22 +328,31 @@ object VamanaServe {
   def beamCandidateGidsBatch(
       art: DataFrame, metric: Metric, queries: Seq[Seq[Float]],
       searchSize: Int, entry: Long, maxHops: Int = 64,
-      local: Option[LocalGraph] = None): Seq[Seq[Long]] =
-    walkBatch(access(art, None, local), metric, queries, searchSize,
+      local: Option[LocalGraph] = None,
+      coded: Option[graft.operators.PQModel] = None): Seq[Seq[Long]] =
+    walkBatch(access(art, None, local, coded), metric, queries, searchSize,
       entry, maxHops, filtered = false)
 
   private def access(
       art: DataFrame, matchArt: Option[DataFrame],
-      local: Option[LocalGraph]): GraphAccess = local match {
+      local: Option[LocalGraph],
+      coded: Option[graft.operators.PQModel]): GraphAccess = local match {
     case Some(g) =>
+      // a broadcast-sized artifact always walks exact in driver memory:
+      // the coded regime exists to shrink per-hop IO, and the local fast
+      // path has none
       import art.sparkSession.implicits._
       new LocalAccess(g, matchArt.map(
         _.select(col("_gid")).as[Long].collect().toSet))
-    case None => new DistributedAccess(art, matchArt)
+    case None => coded match {
+      case Some(model) => new CodedAccess(art, model, matchArt)
+      case None => new DistributedAccess(art, matchArt)
+    }
   }
 
   /** Per-query walk state. Pool and result order by (distance, id). */
-  private final class QueryState(val qvec: Array[Float]) {
+  private final class QueryState(val qvec: Array[Float],
+      val score: AnyRef => Double) {
     val seen = scala.collection.mutable.Set[Long]()
     val expanded = scala.collection.mutable.Set[Long]()
     var pool = scala.collection.immutable.SortedSet.empty[(Double, Long)]
@@ -261,7 +371,7 @@ object VamanaServe {
       filtered: Boolean): Seq[Seq[Long]] = {
     require(searchSize > 0, s"searchSize must be positive (got $searchSize)")
     // shared across queries: fetched node data and membership verdicts
-    val cache = scala.collection.mutable.Map[Long, (Array[Float], Array[Long])]()
+    val cache = scala.collection.mutable.Map[Long, (AnyRef, Array[Long])]()
     val missing = scala.collection.mutable.Set[Long]() // probed, absent
     val okKnown = scala.collection.mutable.Map[Long, Boolean]()
     def ensure(ids: Seq[Long]): Unit = {
@@ -275,10 +385,10 @@ object VamanaServe {
     val seedIds: Seq[Long] = if (filtered) acc.seeds(searchSize) else Nil
     ensure(entry +: seedIds)
     seedIds.foreach(id => okKnown(id) = true)
-    def distTo(s: QueryState, id: Long): Double =
-      VectorDistance.scalarDistance(metric, cache(id)._1, s.qvec)
+    def distTo(s: QueryState, id: Long): Double = s.score(cache(id)._1)
     val states = queries.map { q =>
-      val s = new QueryState(q.toArray)
+      val qarr = q.toArray
+      val s = new QueryState(qarr, acc.scorer(metric, qarr))
       // seed the pool with the scored entry + in-filter seeds; ids absent
       // from the artifact score nothing but are still marked seen
       s.seen += entry

@@ -51,7 +51,8 @@ final case class ProductVectorIndex(
   */
 final case class VamanaVectorIndex(
     entry: Long, maxHops: Int, encoded: DataFrame,
-    serveDir: Option[String] = None) extends VectorIndex {
+    serveDir: Option[String] = None,
+    coded: Option[graft.operators.PQModel] = None) extends VectorIndex {
   /** Broadcast-sized artifacts are collected ONCE (lazily, on the first
     * approximate query) and every beam walk then runs in driver memory
     * with zero Spark jobs — the serving fast path. None past the
@@ -74,10 +75,28 @@ final case class VamanaVectorIndex(
     if (local.isDefined) encoded
     else serveDir.map(d => VamanaServe.servingTable(encoded, d)).getOrElse(encoded)
 
+  /** The DiskANN-style compressed serving frame (`_codes` in place of
+    * `_vec` — see [[VamanaServe.codedServingTable]]), materialized only
+    * in the regime that fetches at all: a [[coded]] PQ model attached, a
+    * [[serveDir]] to land the layout in, and an artifact past the local
+    * budget. None otherwise — callers then walk the exact frames.
+    */
+  lazy val codedServing: Option[DataFrame] =
+    if (local.isDefined) None
+    else (coded, serveDir) match {
+      case (Some(m), Some(d)) =>
+        Some(VamanaServe.codedServingTable(encoded, m, d.stripSuffix("/") + "_coded"))
+      case _ => None
+    }
+
   override def release(): Unit = {
     super.release()
-    serveDir.foreach(d => encoded.sparkSession
-      .sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(d)}`"))
+    serveDir.foreach { d =>
+      val spark = encoded.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(d)}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${
+        VamanaServe.servingTableName(d.stripSuffix("/") + "_coded")}`")
+    }
   }
 }
 

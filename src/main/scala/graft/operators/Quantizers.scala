@@ -330,17 +330,7 @@ object ProductQuantizer {
     * oracles' `list_sum(list(… ORDER BY i))` exactly.
     */
   def adcDistance(codes: Column, queryVec: Seq[Float], model: PQModel): Column = {
-    // slice+zip would silently truncate a short query to partial-dimension
-    // distances — reject like the engine path does
-    require(queryVec.length == model.dim,
-      s"query vector has ${queryVec.length} dims; model has ${model.dim}")
-    val table: Array[Array[Double]] = (0 until model.m).map { i =>
-      val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
-      (0 until model.k).map { j =>
-        val c = model.centroids(i)(j)
-        sub.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
-      }.toArray
-    }.toArray
+    val table = adcTable(queryVec, model)
     val adcUdf = udf { (cs: Seq[Int]) =>
       var acc = 0.0
       var i = 0
@@ -348,6 +338,25 @@ object ProductQuantizer {
       acc
     }
     adcUdf(codes)
+  }
+
+  /** The per-query squared-L2 ADC lookup table (m×k): table(i)(j) = the
+    * subspace-i contribution of centroid j. Shared by [[adcDistance]]'s
+    * column scorer and driver-side scorers (VamanaServe's coded walk),
+    * so the two rankings can never drift on the arithmetic.
+    */
+  def adcTable(queryVec: Seq[Float], model: PQModel): Array[Array[Double]] = {
+    // slice+zip would silently truncate a short query to partial-dimension
+    // distances — reject like the engine path does
+    require(queryVec.length == model.dim,
+      s"query vector has ${queryVec.length} dims; model has ${model.dim}")
+    (0 until model.m).map { i =>
+      val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
+      (0 until model.k).map { j =>
+        val c = model.centroids(i)(j)
+        sub.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      }.toArray
+    }.toArray
   }
 
   /** Inner-product ADC (round 7 — closes the "L2-biased candidate pool
@@ -359,15 +368,7 @@ object ProductQuantizer {
     * re-rank stage is unchanged.
     */
   def adcDotDistance(codes: Column, queryVec: Seq[Float], model: PQModel): Column = {
-    require(queryVec.length == model.dim,
-      s"query vector has ${queryVec.length} dims; model has ${model.dim}")
-    val table: Array[Array[Double]] = (0 until model.m).map { i =>
-      val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
-      (0 until model.k).map { j =>
-        val c = model.centroids(i)(j)
-        -sub.zip(c).map { case (x, y) => x.toDouble * y }.sum
-      }.toArray
-    }.toArray
+    val table = adcDotTable(queryVec, model)
     val adcUdf = udf { (cs: Seq[Int]) =>
       var acc = 0.0
       var i = 0
@@ -375,6 +376,22 @@ object ProductQuantizer {
       acc
     }
     adcUdf(codes)
+  }
+
+  /** The inner-product sibling of [[adcTable]]: table(i)(j) =
+    * −dot(query_sub_i, centroid_ij) (Metric.Dot's lower-is-closer
+    * convention over the reconstruction).
+    */
+  def adcDotTable(queryVec: Seq[Float], model: PQModel): Array[Array[Double]] = {
+    require(queryVec.length == model.dim,
+      s"query vector has ${queryVec.length} dims; model has ${model.dim}")
+    (0 until model.m).map { i =>
+      val sub = queryVec.slice(i * model.subDim, (i + 1) * model.subDim)
+      (0 until model.k).map { j =>
+        val c = model.centroids(i)(j)
+        -sub.zip(c).map { case (x, y) => x.toDouble * y }.sum
+      }.toArray
+    }.toArray
   }
 
   def adcSearch(codes: DataFrame, queryVec: Seq[Float], model: PQModel, k: Int): DataFrame =

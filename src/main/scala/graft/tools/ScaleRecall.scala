@@ -88,6 +88,40 @@ object ScaleRecall {
       coll.vectorIndexes.values.foreach(_.release())
     }
 
+    // coded-walk Vamana (DiskANN regime): the distributed walk forced on
+    // (localMaxBytes=1) with a PQ model attached — hops fetch m-byte
+    // codes from the bucketed serving table and rank by ADC; the engine's
+    // exact re-rank of the pool is unchanged. This is the serving shape
+    // a >memory artifact actually runs, so its recall band is the one
+    // that matters at 100 TB.
+    if (methods("vamana_coded")) {
+      val codDir = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString
+      val pq = graft.operators.ProductQuantizer.fit(
+        big, col("embedding"), m = 16, k = 16, dim = dim)
+      val coll = graft.engine.Collection(
+          big.select(col("vec_id").cast("string").as("_id"),
+            col("embedding").as("vec_l2")),
+          graft.model.IndexSchema(
+            "vec_l2" -> IndexKind.VectorVamana(dim, Metric.Euclidean)))
+        .withVamanaVectorIndex("vec_l2", codDir, buildParams, coded = Some(pq))
+      spark.conf.set("graft.vamana.localMaxBytes", "1")
+      val codGot =
+        try queryBaseIds.map { q =>
+          graft.engine.Search.search(coll, graft.model.SearchRequest(
+            graft.model.Query("vec_l2", vectorVamana = Some(
+              graft.model.VectorVamanaOpts(queryVecs(q), graft.model.Op.Near,
+                searchSize = searchSize, limit = k, approx = true))),
+            limit = k))
+            .select("_id").as[String].collect().map(_.toLong).toSet
+        }
+        finally spark.conf.unset("graft.vamana.localMaxBytes")
+      out += Row("coded-walk Vamana (DiskANN)",
+        s"degree ${buildParams.degreeBound}, ${buildParams.iterations} NN-Descent rounds, PQ m=16/k=16 ADC hops, beam $searchSize + exact re-rank, n=$n",
+        recallOf(codGot, exactL2))
+      coll.vectorIndexes.values.foreach(_.release())
+    }
+
     if (methods("ivfpq")) {
     // residual IVF-PQ, spill=3, nprobe=8 of 32 cells, ADC + exact rescore
     val coarse = IvfPq.kmeansCoarse(big, col("embedding"), k = 32)

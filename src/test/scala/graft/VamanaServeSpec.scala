@@ -134,4 +134,56 @@ class VamanaServeSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
     }
   }
+
+  test("coded walk (DiskANN): narrow bucket-pruned fetches, high served recall") {
+    // past-budget regime with a PQ model attached: hops fetch
+    // (_gid, _codes, _nbrs) and rank by ADC; only the final re-rank
+    // reads full vectors. The pool is approximate — assert the SERVED
+    // top-10 (exact re-rank of the pool) against the exact search.
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    val serveDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_coded_").toString + "/serve"
+    val pq = graft.operators.ProductQuantizer.fit(
+      art, col("_vec"), m = 16, k = 16, dim = 64)
+    try {
+      val codedIdx = VamanaVectorIndex(
+        idx.entry, idx.maxHops, art, Some(serveDir), Some(pq))
+      assert(codedIdx.local.isEmpty)
+      val cart = codedIdx.codedServing.getOrElse(fail("no coded serving table"))
+      // the serving layout is code-narrow: no _vec column at all
+      assert(cart.columns.toSet == Set("_id", "_gid", "_codes", "_nbrs"), cart.columns.toSeq)
+      // and a hop-shaped fetch is bucket-pruned like the exact layout
+      val fetch = cart.filter(col("_gid").isin(1L, 2L, 3L))
+      fetch.collect()
+      val plan = fetch.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+        .getOrElse(fail(s"no bucket pruning in coded scan:\n$plan"))
+      assert(m.group(1).toInt <= 3 && m.group(1).toInt < m.group(2).toInt, plan)
+      // engine end-to-end: serve through Search with the coded index
+      // installed; compare against the exact (approx=false) top-10
+      val codedColl = coll.copy(
+        vectorIndexes = coll.vectorIndexes + ("vec_l2" -> codedIdx))
+      def top10(c: engine.Collection, approx: Boolean, q: Seq[Float]): Seq[String] =
+        engine.Search.search(c, req(q, approx))
+          .select("_id").as[String].collect().toSeq
+      def req(q: Seq[Float], approx: Boolean) = model.SearchRequest(
+        graft.model.Query("vec_l2", vectorVamana = Some(graft.model.VectorVamanaOpts(
+          q, graft.model.Op.Near, searchSize = 75, limit = 10, approx = approx))),
+        limit = 10)
+      val recalls = qvecs.map { q =>
+        val exact = top10(coll, approx = false, q).toSet
+        val served = top10(codedColl, approx = true, q)
+        served.count(exact).toDouble / exact.size
+      }
+      val avg = recalls.sum / recalls.size
+      info(s"coded-walk served recall@10 per query: $recalls")
+      assert(avg >= 0.9, s"avg coded-walk recall $avg < 0.9 ($recalls)")
+    } finally {
+      spark.conf.unset("graft.vamana.localMaxBytes")
+      spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${
+        VamanaServe.servingTableName(serveDir + "_coded")}`")
+    }
+  }
 }
