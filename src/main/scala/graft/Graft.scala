@@ -331,7 +331,26 @@ final class Graft(val spark: SparkSession, root: String,
             case Some(graft.store.FittedBinary(th)) =>
               Some(p -> ((c: Collection) => c.withBinaryVectorIndex(p, th)))
             case Some(graft.store.FittedProduct(model)) =>
-              Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
+              // coded-walk opt-in (DiskANN — VamanaServe.CodedAccess): a
+              // prop with BOTH a built store graph and a fitted product
+              // quantizer can serve the graph walk over PQ codes instead
+              // of the flat code scan — per-hop point reads instead of a
+              // full pass over the encoded frame, the winning shape once
+              // the corpus outgrows a scan budget. Conf-gated so the
+              // default store serving (the reference's quantizer
+              // precedence) is unchanged.
+              val viaGraph =
+                if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
+                  store.vamanaIndexWithDir(name, p)
+                else None
+              viaGraph match {
+                case Some((graph, idmap, serveDir)) =>
+                  Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
+                    p, graph, idmap, serveDir = Some(serveDir),
+                    coded = Some(model))))
+                case None =>
+                  Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
+              }
             case Some(graft.store.FittedScalar(lo, hi)) =>
               Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))
             case None => store.vamanaIndexWithDir(name, p).map {

@@ -204,6 +204,45 @@ class GraftSpec extends SparkSuite {
     assert(after.head == "n1", s"patched graph must serve the new nearest point: $after")
   }
 
+  test("coded walk via the store: graph + fitted product quantizer serve together") {
+    // the conf-gated DiskANN regime end-to-end through the JSON surface:
+    // a vectorVamana prop with BOTH a built store graph and an auto-fitted
+    // product quantizer walks the graph over PQ codes (localMaxBytes=1
+    // forces the fetching regime) — corpus == searchSize, so the walk
+    // visits every reachable node, the pool covers the collection, and
+    // the exact re-rank must reproduce exact results
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema("vec" -> VectorVamana(2, Metric.Euclidean,
+      searchSize = 40, degreeBound = 32,
+      quantizer = Quantizer.Product(
+        numCentroids = 16, numSubVectors = 2, triggerThreshold = 5)))
+    val seed = (0 until 40).map(i => (i.toString, Array(i.toFloat, (i * 2).toFloat)))
+      .toDF("_id", "vec")
+    db.createCollection("pts", schema, seed)
+    assert(db.quantizer("pts", "vec").exists(_.isInstanceOf[graft.store.FittedProduct]))
+    db.buildVamanaIndex("pts", "vec")
+    def q(approx: Boolean) =
+      s"""{"query": {"property": "vec",
+         |  "vectorVamana": {"vector": [17, 33], "operator": "near",
+         |                   "limit": 5, "searchSize": 40, "approx": $approx}},
+         | "limit": 10}""".stripMargin
+    spark.conf.set("graft.vamana.codedWalk", "true")
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    try {
+      val exact = db.search("pts", q(approx = false)).collect().map(_.getString(0)).toSeq
+      val approx = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+      assert(approx == exact, s"approx $approx != exact $exact")
+      // the attached artifact is the coded graph, not the flat code scan
+      val vidx = db.collection("pts").vectorIndexes("vec")
+      assert(vidx.isInstanceOf[graft.engine.VamanaVectorIndex], vidx.getClass)
+      assert(vidx.asInstanceOf[graft.engine.VamanaVectorIndex].coded.isDefined)
+      assert(vidx.asInstanceOf[graft.engine.VamanaVectorIndex].codedServing.isDefined)
+    } finally {
+      spark.conf.unset("graft.vamana.codedWalk")
+      spark.conf.unset("graft.vamana.localMaxBytes")
+    }
+  }
+
   test("multi-tenancy: same-named collections isolated per tenant, quotas independent") {
     val root = Files.createTempDirectory("graft_mt_").toString
     val a = Graft.forTenant(spark, root, "tenant-a")
