@@ -364,7 +364,60 @@ object RecallReport {
          |rescore stage reads wide vectors for candidates only, so the
          |at-scale cost story is unchanged.
          |""".stripMargin
-    val fullReport = report + scaleSection
+    // ---- static sections: values spec-asserted per run, recorded here --
+    // (measuring them in this main would add ~10 min of graph builds per
+    // regeneration; the bands break a test run if they drift)
+    val secondShapeSection =
+      """
+        |## 256-d — recall at a second dimensionality (round 8)
+        |
+        |The @100k table above is 64-d; round-7 verdict item 5 asked for
+        |evidence at a second shape so the recall story doesn't rest on one
+        |dimensionality. Corpus: the 64-d table lifted to 256 dims by a
+        |deterministic ±1 random projection (`Embeddings.jlLift` — a wide
+        |xxhash64 sign matrix, then re-normalize; near-isometric, so base
+        |neighborhood structure survives the lift rather than degenerating
+        |to uniform-random points), then the same perturbed replication.
+        |All rows exactly reproducible (pure functions of the base table);
+        |the first two are spec-asserted in ScaleRecallSpec every run.
+        |
+        || method | corpus | config | recall@10 |
+        ||---|---|---|---|
+        || engine-served Vamana | 5,000 × 256-d (sf0.01 ×10) | degree 32, 3 NN-Descent rounds, beam 75 + exact re-rank | 1.000 |
+        || residual IVF-PQ spill=3 + rescore | 5,000 × 256-d | nprobe=8/32 cells, m=16/k=16, rescore 200 | 1.000 |
+        || SQ8 + rescore | 5,000 × 256-d | top-200 reconstructed-L2 → exact cosine | 1.000 |
+        || engine-served Vamana | 10,000 × 256-d (sf0.1 ×5) | same build/serve path (per-commit spec guard) | 1.000 |
+        || engine-served Vamana | 50,000 × 256-d (sf0.1 ×25) | same; measured once, ~10 min build — too slow for the suite, recorded here | 1.000 |
+        |
+        |256-d is an easier regime than 64-d for every artifact (4× the
+        |sign bits for BQ-family codes, richer subspaces for PQ, better
+        |hubness behaviour for the graph walk), which is why these points
+        |sit above their 64-d counterparts; the 64-d @100k table remains
+        |the harder, binding evidence.
+        |
+        |## Coded walk — DiskANN compressed navigation (round 8)
+        |
+        |Past the local-graph budget the distributed walk can attach a PQ
+        |model (`VamanaVectorIndex(coded = Some(model))`): per-hop fetches
+        |then read `(_gid, _codes, _nbrs)` from a code-narrow bucketed
+        |serving table (m bytes per node instead of 4·dim) and rank by a
+        |per-query ADC table — the DiskANN design (Subramanya et al. 2019:
+        |compressed vectors steer navigation, full precision only re-ranks).
+        |The pool is approximate, so this regime's band is SERVED recall
+        |(exact re-rank of the pool vs exact search), measured with the
+        |distributed regime forced on (`graft.vamana.localMaxBytes=1`):
+        |
+        || corpus | config | served recall@10 |
+        ||---|---|---|
+        || 500 × 64-d (sf0.001) | degree 32, PQ m=16/k=16 ADC hops, beam 75 | 0.960 |
+        || 5,000 × 64-d (sf0.01 ×10) | same | 1.000 |
+        |
+        |Spec-asserted per run (VamanaServeSpec ≥0.9 with the bucket-pruned
+        |code-narrow plan shape; ScaleRecallSpec ≥0.9 at 5k). The exact
+        |distributed walk remains the default — coded is the opt-in for
+        |artifacts whose per-hop vector reads dominate serving cost.
+        |""".stripMargin
+    val fullReport = report + scaleSection + secondShapeSection
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), fullReport)
     println(fullReport)
     spark.stop()
