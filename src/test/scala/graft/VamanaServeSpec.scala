@@ -186,4 +186,45 @@ class VamanaServeSpec extends SparkSuite {
         VamanaServe.servingTableName(serveDir + "_coded")}`")
     }
   }
+
+  test("coded FILTERED walk: in-filter pools, exact when the filter fits the beam") {
+    // the coded access composes with the optimistic filtered search: the
+    // membership probes and seeding never touch payloads, so the
+    // reference's ≤-searchSize exactness guarantee (all in-filter points
+    // seeded) holds REGARDLESS of ADC ranking quality — assert it, plus
+    // in-filter-only membership on a broad filter
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    val serveDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_codedf_").toString + "/serve"
+    val pq = graft.operators.ProductQuantizer.fit(
+      art, col("_vec"), m = 16, k = 16, dim = 64)
+    try {
+      val codedIdx = VamanaVectorIndex(
+        idx.entry, idx.maxHops, art, Some(serveDir), Some(pq))
+      val cart = codedIdx.codedServing.getOrElse(fail("no coded serving table"))
+      val q = qvecs.head
+      // narrow filter (≤ searchSize matches): exact by construction —
+      // identical pool to the exact walk under the same filter
+      val narrowC = cart.filter(col("_gid") % 29 === 0)
+      val narrowE = art.filter(col("_gid") % 29 === 0)
+      val codedPool = VamanaServe.beamCandidateGidsFiltered(
+        cart, narrowC, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
+        maxHops = idx.maxHops, local = None, coded = Some(pq))
+      val exactPool = VamanaServe.beamCandidateGidsFiltered(
+        art, narrowE, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
+        maxHops = idx.maxHops, local = localGraph)
+      assert(codedPool.toSet == exactPool.toSet,
+        s"narrow-filter pools must agree: $codedPool vs $exactPool")
+      // broad filter: every returned gid is in-filter
+      val broad = cart.filter(col("_gid") % 2 === 0)
+      val broadPool = VamanaServe.beamCandidateGidsFiltered(
+        cart, broad, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
+        maxHops = idx.maxHops, local = None, coded = Some(pq))
+      assert(broadPool.nonEmpty && broadPool.forall(_ % 2 == 0), broadPool)
+    } finally {
+      spark.conf.unset("graft.vamana.localMaxBytes")
+      spark.sql(s"DROP TABLE IF EXISTS `${
+        VamanaServe.servingTableName(serveDir + "_coded")}`")
+    }
+  }
 }
