@@ -411,11 +411,14 @@ object RecallReport {
         ||---|---|---|
         || 500 × 64-d (sf0.001) | degree 32, PQ m=16/k=16 ADC hops, beam 75 | 0.960 |
         || 5,000 × 64-d (sf0.01 ×10) | same | 1.000 |
+        || 5,000 × 256-d (jlLift ×10) | same — 16-byte codes vs 1,024-byte vectors: 64× narrower hops | 1.000 |
         |
         |Spec-asserted per run (VamanaServeSpec ≥0.9 with the bucket-pruned
-        |code-narrow plan shape; ScaleRecallSpec ≥0.9 at 5k). The exact
-        |distributed walk remains the default — coded is the opt-in for
-        |artifacts whose per-hop vector reads dominate serving cost.
+        |code-narrow plan shape; ScaleRecallSpec ≥0.9 at 5k; the 256-d row
+        |measured once, the shape where the code/vector width ratio bites).
+        |The exact distributed walk remains the default — coded is the
+        |opt-in for artifacts whose per-hop vector reads dominate serving
+        |cost.
         |""".stripMargin
     val fullReport = report + scaleSection + secondShapeSection
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), fullReport)
