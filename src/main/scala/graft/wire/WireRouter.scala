@@ -273,7 +273,8 @@ object WireRouter {
 }
 
 /** The router itself: stateless over a [[graft.Graft]] facade. */
-final class WireRouter(db: graft.Graft) {
+final class WireRouter(db: graft.Graft,
+    metrics: Option[WireMetrics] = None) {
   import WireRouter._
 
   private val CollectionId = "^/collections/([^/]+)$".r
@@ -392,6 +393,7 @@ final class WireRouter(db: graft.Graft) {
       .zipWithIndex.map { case (o, i) => pointRow(o, st, i) }
     import scala.jdk.CollectionConverters._
     db.insert(id, db.spark.createDataFrame(rows.asJava, st))
+    metrics.foreach(_.pointInsertCount.add(rows.length))
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedRanges" -> JArray(Nil)))
   }
@@ -422,6 +424,7 @@ final class WireRouter(db: graft.Graft) {
     runs.foreach { case (sub, rows) =>
       db.update(id, db.spark.createDataFrame(rows.asJava, sub))
     }
+    metrics.foreach(_.pointUpdateCount.add(points.length))
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
   }
@@ -439,6 +442,7 @@ final class WireRouter(db: graft.Graft) {
       case _ => return err(400, "ids array is required")
     }
     db.delete(id, ids)
+    metrics.foreach(_.pointDeleteCount.add(ids.length))
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
   }
@@ -448,6 +452,7 @@ final class WireRouter(db: graft.Graft) {
       if (contentType == "application/msgpack") db.searchMsgPack(id, body)
       else db.search(id, new String(body, java.nio.charset.StandardCharsets.UTF_8))
     val points = df.collect().toList.map(rowToPointMap)
+    metrics.foreach(_.pointSearchCount.add(points.length))
     WireResponse(200, JObject("points" -> JArray(points)))
   }
 
@@ -615,6 +620,7 @@ final class WireRouter(db: graft.Graft) {
     val (st, rows) = v1Rows(id, j, graft.store.CollectionStore.MaxInsertBatch)
     import scala.jdk.CollectionConverters._
     db.insert(id, db.spark.createDataFrame(rows.asJava, st))
+    metrics.foreach(_.pointInsertCount.add(rows.length))
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedRanges" -> JArray(Nil)))
   }
@@ -623,6 +629,7 @@ final class WireRouter(db: graft.Graft) {
     val (st, rows) = v1Rows(id, j, graft.store.CollectionStore.MaxUpdateBatch)
     import scala.jdk.CollectionConverters._
     db.update(id, db.spark.createDataFrame(rows.asJava, st))
+    metrics.foreach(_.pointUpdateCount.add(rows.length))
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
   }
@@ -640,6 +647,7 @@ final class WireRouter(db: graft.Graft) {
       case _ => return err(400, "ids array is required")
     }
     db.delete(id, ids)
+    metrics.foreach(_.pointDeleteCount.add(ids.length))
     WireResponse(200, JObject(
       "message" -> JString("success"), "failedPoints" -> JArray(Nil)))
   }
@@ -694,6 +702,7 @@ final class WireRouter(db: graft.Graft) {
         "distance" -> JDouble(dist),
         "metadata" -> meta)
     }
+    metrics.foreach(_.pointSearchCount.add(points.length))
     WireResponse(200, JObject("points" -> JArray(points)))
   }
 }
@@ -709,8 +718,19 @@ final class WireRouter(db: graft.Graft) {
   */
 final class WireService(
     spark: org.apache.spark.sql.SparkSession, root: String,
-    userPlans: Map[String, graft.store.UserPlan]) {
+    userPlans: Map[String, graft.store.UserPlan],
+    proxySecret: Option[String] = None,
+    whiteListIps: Seq[String] = Nil,
+    val metrics: Option[WireMetrics] = None) {
   import WireRouter._
+
+  // the reference's security middlewares disable themselves on the empty
+  // config (middleware.go:46–49, 63–66: empty secret / nil-or-["*"]
+  // whitelist log a warning and pass through)
+  private val secretEnabled = proxySecret.exists(_.nonEmpty)
+  private val whitelistEnabled =
+    whiteListIps.nonEmpty && whiteListIps != Seq("*")
+  private val whitelistSorted = whiteListIps.sorted.toArray
 
   /** Most tenants a long-lived service caches facades for at once: a
     * facade per (user, plan) holds a CollectionStore with its own caches,
@@ -729,8 +749,45 @@ final class WireService(
           size() > MaxCachedTenants
       })
 
+  /** The reference's full middleware chain in evaluation order
+    * (httpapi.go:42–52, outermost first): Recover → logger/metrics (times
+    * and counts EVERYTHING inside, rejections included) → ProxySecret
+    * (407 on a missing/mismatched X-Proxy-Secret, handlers.go convention)
+    * → WhiteListIP (403 on a non-listed remote address, exact string
+    * match over the sorted list) → app-header tenancy → routes.
+    * `remoteAddr` plays http.Request.RemoteAddr; callers without a
+    * socket pass the peer identity they have.
+    */
   def handle(method: String, path: String,
-      headers: Map[String, String], body: Array[Byte] = Array.empty): WireResponse = {
+      headers: Map[String, String], body: Array[Byte] = Array.empty,
+      remoteAddr: String = ""): WireResponse = {
+    val t0 = System.nanoTime()
+    val resp =
+      try inner(method, path, headers, body, remoteAddr)
+      catch {
+        // the Recover middleware (middleware.go:82–93): a panic anywhere
+        // below surfaces as a plain 500, never a torn connection
+        case scala.util.control.NonFatal(e) =>
+          WireResponse(500, org.json4s.JObject("error" ->
+            org.json4s.JString(s"internal error: ${e.getMessage}")))
+      }
+    metrics.foreach(_.observe(resp.status, method, path,
+      (System.nanoTime() - t0) / 1e9, body.length.toLong))
+    resp
+  }
+
+  private def inner(method: String, path: String,
+      headers: Map[String, String], body: Array[Byte],
+      remoteAddr: String): WireResponse = {
+    if (secretEnabled &&
+        !headers.get("X-Proxy-Secret").contains(proxySecret.get))
+      return WireResponse(407,
+        org.json4s.JObject("error" -> org.json4s.JString("forbidden")))
+    if (whitelistEnabled &&
+        java.util.Arrays.binarySearch(
+          whitelistSorted.asInstanceOf[Array[AnyRef]], remoteAddr) < 0)
+      return WireResponse(403,
+        org.json4s.JObject("error" -> org.json4s.JString("forbidden")))
     val userId = headers.getOrElse("X-User-Id", "")
     val planId = headers.getOrElse("X-Plan-Id", "")
     if (userId.isEmpty || planId.isEmpty)
@@ -744,7 +801,8 @@ final class WireService(
       case Some(plan) =>
         val router =
           try routers.computeIfAbsent((userId, planId), _ =>
-            new WireRouter(graft.Graft.forTenant(spark, root, userId, plan)))
+            new WireRouter(graft.Graft.forTenant(spark, root, userId, plan),
+              metrics))
           catch {
             case e: IllegalArgumentException =>
               return WireResponse(400,

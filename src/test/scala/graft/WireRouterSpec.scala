@@ -286,4 +286,67 @@ class WireRouterSpec extends SparkSuite {
     assert(r.handle("GET", "/v1/collections/ab").status == 400)
     assert(parse(r.handle("GET", "/v1/collections")) \ "collections" == JArray(Nil))
   }
+
+  test("security middleware: ProxySecret 407, WhiteListIP 403, disabled configs pass") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wiresec_").toString
+    val plans = Map("basic" -> graft.store.UserPlan())
+    val alice = Map("X-User-Id" -> "alice", "X-Plan-Id" -> "basic")
+    // proxy secret: missing or wrong header → 407 "forbidden" (the
+    // reference's StatusProxyAuthRequired, middleware.go:50-58)
+    val sec = new graft.wire.WireService(spark, root, plans,
+      proxySecret = Some("s3cr3t"))
+    assert(sec.handle("GET", "/ping", alice).status == 407)
+    assert(sec.handle("GET", "/ping",
+      alice + ("X-Proxy-Secret" -> "nope")).status == 407)
+    assert(sec.handle("GET", "/ping",
+      alice + ("X-Proxy-Secret" -> "s3cr3t")).status == 200)
+    // ip whitelist: exact-match over the sorted list; unlisted → 403
+    val wl = new graft.wire.WireService(spark, root, plans,
+      whiteListIps = Seq("10.0.0.2", "10.0.0.1"))
+    assert(wl.handle("GET", "/ping", alice, remoteAddr = "10.0.0.9").status == 403)
+    assert(wl.handle("GET", "/ping", alice, remoteAddr = "10.0.0.1").status == 200)
+    // disabled semantics (middleware.go:46-49, 63-66): empty secret /
+    // ["*"] whitelist pass everything
+    val open = new graft.wire.WireService(spark, root, plans,
+      proxySecret = Some(""), whiteListIps = Seq("*"))
+    assert(open.handle("GET", "/ping", alice).status == 200)
+  }
+
+  test("metrics: request vectors + point counters, prometheus text exposition") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wiremet_").toString
+    val m = new graft.wire.WireMetrics
+    val svc = new graft.wire.WireService(spark, root,
+      Map("basic" -> graft.store.UserPlan()), metrics = Some(m))
+    val alice = Map("X-User-Id" -> "alice", "X-Plan-Id" -> "basic")
+    assert(svc.handle("POST", "/collections", alice, json(
+      """{"id":"mcol1","indexSchema":{"size":{"type":"integer"}}}""")).status == 200)
+    assert(svc.handle("POST", "/collections/mcol1/points", alice, json(
+      """{"points":[{"_id":"a","size":1},{"_id":"b","size":2},{"_id":"c","size":3}]}""")).status == 200)
+    assert(svc.handle("PUT", "/collections/mcol1/points", alice, json(
+      """{"points":[{"_id":"a","size":9}]}""")).status == 200)
+    assert(svc.handle("DELETE", "/collections/mcol1/points", alice, json(
+      """{"ids":["b"]}""")).status == 200)
+    val found = svc.handle("POST", "/collections/mcol1/points/search", alice, json(
+      """{"query":{"property":"size","integer":{"value":0,"operator":"greaterThan"}},"limit":10}"""))
+    assert(found.status == 200)
+    // rejections are observed too (logger middleware is outermost)
+    assert(svc.handle("GET", "/collections", Map.empty).status == 400)
+    // point counters follow the reference's increments
+    // (rpchandlers.go:420-511): inserted points, updated ids, deleted
+    // ids, points RETURNED by search
+    assert(m.pointInsertCount.sum() == 3)
+    assert(m.pointUpdateCount.sum() == 1)
+    assert(m.pointDeleteCount.sum() == 1)
+    assert(m.pointSearchCount.sum() == 2)
+    val text = m.render()
+    // canonicalized handler labels, the reference's regex
+    assert(text.contains(
+      """http_request_count{code="200",method="POST",handler="/collections/{collectionId}/points"} 1"""), text)
+    assert(text.contains("""code="400",method="GET",handler="/collections""""), text)
+    // histogram exposition shape: cumulative buckets end at +Inf == count
+    assert(text.contains("""http_request_duration_seconds_bucket"""), text)
+    assert(text.contains("""le="+Inf""""), text)
+    assert(text.contains("cluster_node_point_insert_count 3"), text)
+    assert(text.contains("cluster_node_point_search_count 2"), text)
+  }
 }
