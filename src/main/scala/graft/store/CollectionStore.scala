@@ -719,11 +719,19 @@ final class CollectionStore(
           case (_, PendingTombstone(ids)) => ids
         }.distinct
         val slice = viewRowsFor(name, allIds).withColumn(DeadCol, lit(false))
-        val folded = ops.foldLeft(slice) {
-          case (df, (_, p: PendingPatch)) => applyPatch(df, storedSchema, p)
-          case (df, (_, PendingTombstone(ids))) =>
-            df.withColumn(DeadCol, col(DeadCol) || col(IdCol).isin(ids: _*))
-        }
+        // fold the whole WAL window as ONE join against a local-relation
+        // patch frame (net effect computed driver-side over the ≤threshold
+        // × batch rows already in memory) — a chain of per-op projections
+        // re-plans literal maps per op, which made flush cost grow with
+        // the op COUNT instead of the touched-row count. Falls back to the
+        // per-op chain only when a column's winning writes disagree on
+        // their incoming dtype (not producible through the wire surface).
+        val folded = foldOpsAsJoin(slice, storedSchema, ops).getOrElse(
+          ops.foldLeft(slice) {
+            case (df, (_, p: PendingPatch)) => applyPatch(df, storedSchema, p)
+            case (df, (_, PendingTombstone(ids))) =>
+              df.withColumn(DeadCol, col(DeadCol) || col(IdCol).isin(ids: _*))
+          })
         val out = folded.select(
           storedSchema.fieldNames.map(col).toSeq :+ col(DeadCol).as(TombstoneCol): _*)
         writeDeltaFlagged(name, out)
@@ -824,6 +832,113 @@ final class CollectionStore(
       }
     }
     df.select(col(IdCol) +: merged.toSeq :+ col(DeadCol): _*)
+  }
+
+  /** The WAL window folded as ONE broadcast-sized join instead of a
+    * per-op projection chain. The net effect of the op sequence is
+    * replayed driver-side — the rows are already in memory, bounded by
+    * CompactThreshold × MaxUpdateBatch — into a last-write-wins action
+    * per (id, column): `Some(v)` sets (cast to the stored type at apply,
+    * like [[applyPatch]]'s `incoming.cast`), `None` nulls (the string
+    * `_delete` sentinel and `_unset` name lists both land here), absent
+    * keeps the stored value. Tombstoned ids keep their stored values in
+    * the dead row version (readers never look at a tombstone's fields).
+    *
+    * Returns None — caller falls back to the exact per-op chain — when a
+    * column's winning writes carry mixed incoming dtypes (each op's cast
+    * source would differ; not producible through the wire surface, which
+    * decodes through the collection schema) or a stored column collides
+    * with the internal `__patch_` prefix.
+    */
+  private def foldOpsAsJoin(
+      slice: DataFrame, storedSchema: StructType,
+      ops: Vector[(Long, Pending)]): Option[DataFrame] = {
+    import scala.collection.mutable
+    if (storedSchema.fieldNames.exists(_.startsWith("__patch_"))) return None
+    val dead = mutable.Set[String]()
+    // id -> column -> (action, incoming dtype); insertion order irrelevant
+    // (last-wins is resolved as the replay overwrites)
+    val acts = mutable.Map[String, mutable.Map[String, (Option[Any], DataType)]]()
+    val storedCols = storedSchema.fields.filter(_.name != IdCol)
+    val storedByName = storedCols.map(f => f.name -> f.dataType).toMap
+    ops.foreach {
+      case (_, PendingTombstone(ids)) => dead ++= ids
+      case (_, PendingPatch(uSchema, rows)) =>
+        val idIdx = uSchema.fieldIndex(IdCol)
+        val valueCols = uSchema.fields.zipWithIndex.filter { case (f, _) =>
+          f.name != IdCol && f.name != UnsetCol && storedByName.contains(f.name)
+        }
+        val unsetIdx =
+          if (uSchema.fieldNames.contains(UnsetCol)) Some(uSchema.fieldIndex(UnsetCol)) else None
+        rows.foreach { r =>
+          val id = r.get(idIdx).toString
+          if (!dead.contains(id)) {
+            lazy val m = acts.getOrElseUpdate(id, mutable.Map())
+            valueCols.foreach { case (f, fi) =>
+              if (!r.isNullAt(fi)) {
+                val v = r.get(fi)
+                val isSentinel =
+                  storedByName(f.name) == StringType && v == DeleteSentinel
+                m(f.name) = (if (isSentinel) None else Some(v), f.dataType)
+              }
+            }
+            // within one op the `_unset` list beats a value in the same
+            // batch row (applyPatch checks it first) — replayed here by
+            // applying it after the value columns
+            unsetIdx.foreach { ui =>
+              if (!r.isNullAt(ui)) r.get(ui) match {
+                case names: scala.collection.Seq[_] =>
+                  names.foreach {
+                    case n: String if storedByName.contains(n) =>
+                      m(n) = (None, storedByName(n))
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            }
+          }
+        }
+    }
+    // dead rows keep stored values — drop their actions
+    dead.foreach(acts.remove)
+    val touched: Seq[String] =
+      storedCols.map(_.name).filter(c => acts.values.exists(_.contains(c))).toSeq
+    // one incoming dtype per column, or bail to the per-op chain
+    val colType: Map[String, DataType] = touched.map { c =>
+      val dts = acts.values.flatMap(_.get(c)).map(_._2).toSet
+      if (dts.size > 1) return None
+      c -> dts.head
+    }.toMap
+    val patchIds = (acts.keySet ++ dead).toSeq
+    if (patchIds.isEmpty) return Some(slice)
+    val patchSchema = StructType(
+      StructField(IdCol, StringType) +:
+      StructField("__patch_dead", BooleanType) +:
+      touched.flatMap(c => Seq(
+        StructField(s"__patch_v_$c", colType(c)),
+        StructField(s"__patch_t_$c", BooleanType))))
+    val patchRows: Seq[org.apache.spark.sql.Row] = patchIds.map { id =>
+      val m = acts.getOrElse(id, mutable.Map.empty[String, (Option[Any], DataType)])
+      val cells: Seq[Any] = touched.flatMap { c =>
+        m.get(c) match {
+          case Some((ov, _)) => Seq(ov.orNull, true)
+          case None => Seq(null, false)
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(id +: dead.contains(id) +: cells)
+    }
+    val patch = slice.sparkSession.createDataFrame(
+      new java.util.ArrayList(patchRows.asJava), patchSchema)
+    val joined = slice.join(broadcast(patch), Seq(IdCol), "left")
+    val deadOut = (col(DeadCol) || coalesce(col("__patch_dead"), lit(false))).as(DeadCol)
+    val merged = storedCols.map { f =>
+      if (!touched.contains(f.name)) col(f.name)
+      else when(coalesce(col("__patch_dead"), lit(false)), col(f.name))
+        .otherwise(when(coalesce(col(s"__patch_t_${f.name}"), lit(false)),
+            col(s"__patch_v_${f.name}").cast(f.dataType))
+          .otherwise(col(f.name))).as(f.name)
+    }
+    Some(joined.select(col(IdCol) +: merged.toSeq :+ deadOut: _*))
   }
 
   /** Driver-side vector-length validation over the collected batch rows
