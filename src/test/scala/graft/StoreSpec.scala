@@ -187,6 +187,70 @@ class StoreSpec extends SparkSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "c"))
   }
 
+  // Drives one adversarial WAL window (last-wins rewrites, sentinel,
+  // set-then-unset, unset-then-set, patch-then-tombstone, tombstone-
+  // then-patch) through the public surface and returns the folded view.
+  // `sizeAsInt` types ONE op's `size` as Int instead of Long, which
+  // makes the column's winning writes carry mixed incoming dtypes —
+  // the exact condition under which foldOpsAsJoin bails to the per-op
+  // projection chain. Running the same window both ways pins the two
+  // flush implementations to identical public semantics.
+  private def runAdversarialWindow(sizeAsInt: Boolean): Seq[(String, Option[String], Option[String], Option[Long])] = {
+    val st = freshStore()
+    val sch = IndexSchema(
+      "name" -> IndexKind.Str(), "tag" -> IndexKind.Str(),
+      "size" -> IndexKind.Integer)
+    val rows = Seq(
+      ("a", "alpha", "ta", 1L), ("b", "beta", "tb", 2L),
+      ("c", "gamma", "tc", 3L), ("d", "delta", "td", 4L),
+      ("e", "eps", "te", 5L)).toDF("_id", "name", "tag", "size")
+    st.create("f1", sch, rows)
+    // 1. first writes; size dtype is the fold/fallback switch
+    if (sizeAsInt) assert(st.update("f1", Seq(("b", 10)).toDF("_id", "size")) == 1)
+    else assert(st.update("f1", Seq(("b", 10L)).toDF("_id", "size")) == 1)
+    assert(st.update("f1", Seq(("a", "x1")).toDF("_id", "name")) == 1)
+    // 2. last-wins rewrite of a.name; sentinel nulls c.name
+    assert(st.update("f1", Seq(("a", "x2"), ("c", "_delete")).toDF("_id", "name")) == 2)
+    // 3. unset AFTER the size write (unset wins over op 1)
+    assert(st.update("f1", Seq(("b", Seq("size"))).toDF("_id", "_unset")) == 1)
+    // 4. set AFTER the unset (value wins over op 3). In the fallback
+    // shape this stays Int while op 4b writes c.size as Long — two ids
+    // whose WINNING size writes disagree on dtype, the bail condition
+    // (a single id's superseded write would be rewritten away in `acts`).
+    if (sizeAsInt) assert(st.update("f1", Seq(("b", 40)).toDF("_id", "size")) == 1)
+    else assert(st.update("f1", Seq(("b", 40L)).toDF("_id", "size")) == 1)
+    assert(st.update("f1", Seq(("c", 30L)).toDF("_id", "size")) == 1)
+    // 5. patch then tombstone: d must read as gone
+    assert(st.update("f1", Seq(("d", "kept")).toDF("_id", "tag")) == 1)
+    assert(st.delete("f1", Seq("d")) == 1)
+    // 6. tombstone then patch: the update sees e as already gone
+    assert(st.delete("f1", Seq("e")) == 1)
+    assert(st.update("f1", Seq(("e", 99L)).toDF("_id", "size")) == 0)
+    // 7. independent column on the sentinel'd row
+    assert(st.update("f1", Seq(("c", "t2")).toDF("_id", "tag")) == 1)
+    st.load("f1").df.orderBy("_id").collect().toSeq.map { r =>
+      (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+  }
+
+  test("WAL fold: adversarial multi-op window folds to chain-equivalent state") {
+    val view = runAdversarialWindow(sizeAsInt = false)
+    assert(view == Seq(
+      ("a", Some("x2"), Some("ta"), Some(1L)),
+      ("b", Some("beta"), Some("tb"), Some(40L)),
+      ("c", None, Some("t2"), Some(30L))), view)
+  }
+
+  test("WAL fold: mixed incoming dtypes fall back to the per-op chain, same view") {
+    // Int-typed size write forces the fallback; the public view must be
+    // byte-identical to the fold path's.
+    assert(runAdversarialWindow(sizeAsInt = true) ==
+      runAdversarialWindow(sizeAsInt = false))
+  }
+
   test("merge-on-read plan: delta ids broadcast into the base scan, no sort-merge join") {
     val st = freshStore()
     st.create("c1", schema, seed)
