@@ -354,7 +354,62 @@ object ExtraQueries {
     }
   }
 
+  /** HDF5 source under the hard gate (reference internal/loadhdf5):
+    * a deterministic matrix — every value an exact multiple of 1/8, so
+    * float32, float64 and DuckDB doubles all agree bit-for-bit — is
+    * written as BOTH layout shapes the reader supports (contiguous
+    * float32; chunked float64 with shuffle+deflate and ragged edge
+    * chunks), read back through the DISTRIBUTED row-range path, and
+    * reduced to per-row exact sums plus two probe cells (one per
+    * column-chunk block, so a chunk-offset bug flips values). DuckDB
+    * replays the generator in closed form — the file bytes never matter
+    * to the oracle, only the decoded VALUES, which is exactly what a
+    * format reader can get wrong.
+    */
+  val hdf5Load = {
+    val N = 300; val D = 12
+    NamedQuery(
+      "hdf5_load",
+      s"""WITH cells AS (
+        |  SELECT i, j, CAST((i * 131 + j * 17) % 1000 AS DOUBLE) / 8.0 AS v
+        |  FROM range($N) t(i) CROSS JOIN range($D) u(j)),
+        |per AS (
+        |  SELECT i AS vec_id, sum(v) AS vsum,
+        |    max(CASE WHEN j = 0 THEN v END) AS v0,
+        |    max(CASE WHEN j = 7 THEN v END) AS v7
+        |  FROM cells GROUP BY i)
+        |SELECT src AS source, vec_id, vsum, v0, v7
+        |FROM per CROSS JOIN (VALUES ('chunked_f64'), ('contiguous_f32')) s(src)
+        |ORDER BY source, vec_id""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_h5_gate_")
+      val m = Array.tabulate(N, D)((i, j) => ((i * 131 + j * 17) % 1000) / 8.0)
+      val pc = dir.resolve("contig.hdf5").toString
+      val pk = dir.resolve("chunked.hdf5").toString
+      graft.sources.Hdf5Write.write(pc,
+        Seq(graft.sources.Hdf5Write.Spec("train", m, graft.sources.Hdf5.F32)))
+      graft.sources.Hdf5Write.write(pk,
+        Seq(graft.sources.Hdf5Write.Spec("train", m, graft.sources.Hdf5.F64,
+          chunk = Some((32, 5)), shuffle = true, deflate = true)))
+      def face(path: String, tag: String) =
+        graft.sources.Hdf5.matrix(s, path, "train")
+          .select(lit(tag).as("source"), col("vec_id"),
+            aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x).as("vsum"),
+            element_at(col("embedding"), 1).cast("double").as("v0"),
+            element_at(col("embedding"), 8).cast("double").as("v7"))
+      val out = face(pc, "contiguous_f32").unionAll(face(pk, "chunked_f64"))
+        .orderBy("source", "vec_id")
+      // materialize off the temp files, then delete them
+      val got = out.localCheckpoint()
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      got
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(q8JsonProps, q9JsonRequest, q12BucketedJoin,
     q13SaltedJoin, q14PartitionPruned, q17Zorder, q18BloomSkip, q19ZonemapRange,
-    q20SnapshotDiff, geoPrefixSearch)
+    q20SnapshotDiff, geoPrefixSearch, hdf5Load)
 }

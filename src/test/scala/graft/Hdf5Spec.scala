@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Hdf5, Hdf5Write}
+import graft.sources.Hdf5.{F32, F64, I32}
+
+/** Round-trips the pure-JVM HDF5 subset: the writer assembles
+  * spec-conformant bytes, the reader re-derives them from
+  * signatures/versions, and values are checked against the in-memory
+  * source matrix (the hdf5_load gate additionally pins the decoded
+  * values to a DuckDB closed-form replay).
+  */
+class Hdf5Spec extends SparkSuite {
+
+  private def tmp(n: String) =
+    Files.createTempDirectory("graft_h5_").resolve(n).toString
+
+  // deterministic matrix, exactly representable in float32 (≤3 fraction
+  // bits, small magnitude) so f64/f32 round-trips compare with ==
+  private def mat(rows: Int, cols: Int): Array[Array[Double]] =
+    Array.tabulate(rows, cols)((i, j) => ((i * 131 + j * 17) % 1000) / 8.0)
+
+  test("contiguous float32 dataset round-trips exactly") {
+    val p = tmp("plain.hdf5")
+    val m = mat(100, 7)
+    Hdf5Write.write(p, Seq(Hdf5Write.Spec("train", m, F32)))
+    val ds = Hdf5.datasets(p)
+    assert(ds.map(_.name) == Seq("train"))
+    assert(ds.head.rows == 100 && ds.head.cols == 7 && ds.head.dtype == F32)
+    val back = Hdf5.readRows(p, ds.head, 0, 100)
+    assert(back.map(_.toSeq).toSeq == m.map(_.toSeq).toSeq)
+    // partial range: rows [37, 61)
+    val part = Hdf5.readRows(p, ds.head, 37, 61)
+    assert(part.map(_.toSeq).toSeq == m.slice(37, 61).map(_.toSeq).toSeq)
+  }
+
+  test("chunked float64 with shuffle+deflate round-trips, chunk edges padded") {
+    val p = tmp("packed.hdf5")
+    // 53 rows, 11 cols with 16x4 chunks: ragged edges in both dims
+    val m = mat(53, 11)
+    Hdf5Write.write(p, Seq(Hdf5Write.Spec(
+      "train", m, F64, chunk = Some((16, 4)), shuffle = true, deflate = true)))
+    val ds = Hdf5.datasets(p).head
+    assert(ds.dtype == F64)
+    val back = Hdf5.readRows(p, ds, 0, 53)
+    assert(back.map(_.toSeq).toSeq == m.map(_.toSeq).toSeq)
+    // a range crossing chunk-row boundaries
+    val part = Hdf5.readRows(p, ds, 13, 37)
+    assert(part.map(_.toSeq).toSeq == m.slice(13, 37).map(_.toSeq).toSeq)
+  }
+
+  test("multiple datasets resolve by name through the symbol table") {
+    val p = tmp("ann.hdf5")
+    val train = mat(40, 5)
+    val test_ = mat(8, 5).map(_.map(_ + 0.125))
+    val neighbors = Array.tabulate(8, 10)((i, j) => ((i * 10 + j) % 40).toDouble)
+    Hdf5Write.write(p, Seq(
+      Hdf5Write.Spec("train", train, F32),
+      Hdf5Write.Spec("test", test_, F32),
+      Hdf5Write.Spec("neighbors", neighbors, I32)))
+    val ds = Hdf5.datasets(p)
+    assert(ds.map(_.name).sorted == Seq("neighbors", "test", "train"))
+    val n = ds.find(_.name == "neighbors").get
+    assert(n.dtype == I32)
+    assert(Hdf5.readRows(p, n, 3, 4).head.toSeq == neighbors(3).toSeq)
+    val t = ds.find(_.name == "train").get
+    assert(Hdf5.readRows(p, t, 0, 40).map(_.toSeq).toSeq == train.map(_.toSeq).toSeq)
+  }
+
+  test("distributed matrix read: many slices reassemble the full table") {
+    val p = tmp("dist.hdf5")
+    val m = mat(257, 6) // prime-ish row count vs 32 slices: ragged ranges
+    Hdf5Write.write(p, Seq(Hdf5Write.Spec("train", m, F32)))
+    val df = Hdf5.matrix(spark, p, "train", slices = 32)
+    assert(df.rdd.getNumPartitions == 32)
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows.length == 257)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong)
+      assert(r.getSeq[Float](1).map(_.toDouble) == m(i).toSeq, s"row $i")
+    }
+  }
+
+  test("reference loader parity: angular file names normalize and pick cosine") {
+    val dir = Files.createTempDirectory("graft_h5_")
+    val pe = dir.resolve("mnist-784-euclidean.hdf5").toString
+    val pa = dir.resolve("glove-25-angular.hdf5").toString
+    val m = mat(20, 4).map(_.map(_ + 1.0)) // keep away from the zero vector
+    Hdf5Write.write(pe, Seq(Hdf5Write.Spec("train", m, F32)))
+    Hdf5Write.write(pa, Seq(Hdf5Write.Spec("train", m, F32)))
+    val (de, metE) = Hdf5.vectors(spark, pe)
+    val (da, metA) = Hdf5.vectors(spark, pa)
+    assert(metE == "euclidean" && metA == "cosine")
+    val rawRow = de.orderBy("vec_id").head.getSeq[Float](1)
+    assert(rawRow.map(_.toDouble) == m(0).toSeq)
+    // every normalized row has unit L2 norm (float32 tolerance, like the
+    // reference's float32 normalise loop, loadhdf5.go:17-27)
+    da.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val n2 = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-5, s"row ${r.getLong(0)}: |v|^2 = $n2")
+    }
+  }
+
+  test("unsupported shapes fail with clear errors, not garbage") {
+    val p = tmp("bad.hdf5")
+    // not an HDF5 file at all
+    Files.write(java.nio.file.Paths.get(p), Array.fill[Byte](64)(7))
+    val e = intercept[IllegalArgumentException](Hdf5.datasets(p))
+    assert(e.getMessage.contains("not an HDF5 file"))
+    // v2 superblock signature is detected and named
+    val v2 = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n', 2) ++
+      Array.fill[Byte](56)(0)
+    val p2 = tmp("v2.hdf5")
+    Files.write(java.nio.file.Paths.get(p2), v2)
+    val e2 = intercept[IllegalArgumentException](Hdf5.datasets(p2))
+    assert(e2.getMessage.contains("superblock version 2"))
+  }
+}
