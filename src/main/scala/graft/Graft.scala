@@ -34,6 +34,31 @@ final class Graft(val spark: SparkSession, root: String,
       evict(name)
     }
 
+  /** Import an ann-benchmarks HDF5 file as a searchable collection —
+    * the reference's benchmark ingest (internal/loadhdf5/loadhdf5.go +
+    * its v1 harness): the "train" dataset becomes the `vector` property,
+    * file names containing "angular" are L2-normalized and served under
+    * cosine, others under euclidean; ids are the zero-padded row
+    * indices. `flat = true` declares vectorFlat instead of the v1
+    * harness's vectorVamana defaults (searchSize 75, degree 64, α 1.2).
+    * The read is distributed (row-range slices), so a big file never
+    * lands on the driver.
+    */
+  def importHdf5(name: String, path: String, flat: Boolean = false): String = {
+    import org.apache.spark.sql.functions.{col, format_string}
+    val meta = graft.sources.Hdf5.datasets(path).find(_.name == "train")
+      .getOrElse(throw new IllegalArgumentException(s"$path: no 'train' dataset"))
+    val (df, metricName) = graft.sources.Hdf5.vectors(spark, path)
+    val metric = graft.model.IndexKind.Metric.parse(metricName)
+    val kind =
+      if (flat) graft.model.IndexKind.VectorFlat(meta.cols.toInt, metric)
+      else graft.model.IndexKind.VectorVamana(meta.cols.toInt, metric)
+    createCollection(name, IndexSchema("vector" -> kind),
+      df.select(format_string("%012d", col("vec_id")).as("_id"),
+        col("embedding").as("vector")))
+    metricName
+  }
+
   def listCollections(): Seq[String] = store.list()
 
   /** Serialized with writes on the same name: an unserialized drop could

@@ -103,6 +103,29 @@ class Hdf5Spec extends SparkSuite {
     }
   }
 
+  test("importHdf5: ann-benchmarks file becomes a searchable collection") {
+    val dir = Files.createTempDirectory("graft_h5_imp_")
+    val p = dir.resolve("rand-4-angular.hdf5").toString
+    // distinct directions so cosine ranking is unambiguous
+    val m = Array.tabulate(30, 4)((i, j) =>
+      (if (j == i % 4) 8.0 else 1.0) + (i / 4) * 0.125)
+    graft.sources.Hdf5Write.write(p, Seq(Hdf5Write.Spec("train", m, F32)))
+    val db = graft.Graft(spark,
+      Files.createTempDirectory("graft_h5_db_").toString)
+    assert(db.importHdf5("bench", p) == "cosine")
+    // the stored vectors are normalized (angular), and the nearest
+    // neighbor of row 0's own direction is row 0 itself
+    val q = m(0).map(x => x / math.sqrt(m(0).map(y => y * y).sum))
+    val hits = db.search("bench",
+      s"""{"query": {"property": "vector",
+         |  "vectorVamana": {"vector": [${q.mkString(",")}],
+         |                   "operator": "near", "limit": 3}},
+         | "limit": 3, "select": []}""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(hits.head == "000000000000", hits)
+    assert(hits.length == 3)
+  }
+
   test("unsupported shapes fail with clear errors, not garbage") {
     val p = tmp("bad.hdf5")
     // not an HDF5 file at all
