@@ -285,8 +285,13 @@ object Hdf5 {
 
   /** Read rows [r0, r1) of a 2-D (or 1-D) dataset as doubles — runs on
     * whatever node calls it; tasks call it with their own slice.
+    * `preChunks` carries a driver-parsed chunk subset so a fleet of
+    * tasks doesn't re-walk the full chunk B-tree once each (O(tasks ×
+    * chunks) at a million-chunk file); when None, the B-tree is parsed
+    * here (the single-caller convenience path).
     */
-  def readRows(path: String, ds: H5Dataset, r0: Long, r1: Long): Array[Array[Double]] = {
+  def readRows(path: String, ds: H5Dataset, r0: Long, r1: Long,
+      preChunks: Option[Seq[Chunk]] = None): Array[Array[Double]] = {
     require(r0 >= 0 && r1 <= ds.rows && r0 <= r1, s"row range [$r0,$r1) out of [0,${ds.rows})")
     val nCols = ds.cols.toInt
     val es = ds.dtype.size
@@ -314,8 +319,8 @@ object Hdf5 {
             }
             base = hi
           }
-        case ch @ Chunked(cdims, bt, filters) =>
-          val chunks = chunkIndex(r, ds.dims.length, bt)
+        case ch @ Chunked(cdims, bt, _) =>
+          val chunks = preChunks.getOrElse(chunkIndex(r, ds.dims.length, bt))
           val cRows = cdims(0).toLong
           val cCols = if (cdims.length > 1) cdims(1).toLong else 1L
           chunks.foreach { c =>
@@ -398,9 +403,13 @@ object Hdf5 {
   // ------------------------------------------------------------------
 
   /** Distributed matrix read: (vec_id BIGINT, embedding ARRAY<FLOAT>).
-    * Metadata parses on the driver; each task reads only its row range
-    * from `path` (which must be visible to executors — local[?] or a
-    * shared filesystem, the same contract as any file source).
+    * Metadata parses on the driver — including the chunk B-tree, ONCE,
+    * so each task receives just its own chunk subset instead of
+    * re-walking the index (O(tasks × chunks) on a million-chunk file).
+    * Each task reads only its row range from `path` (which must be
+    * visible to executors — local[?] or a shared filesystem, the same
+    * contract as any file source); for chunked layouts the task bounds
+    * align to chunk-row boundaries so no chunk inflates twice.
     */
   def matrix(spark: SparkSession, path: String, name: String,
       slices: Int = 0): DataFrame = {
@@ -414,13 +423,34 @@ object Hdf5 {
       else math.max(1L, math.min(n, math.max(
         spark.sparkContext.defaultParallelism.toLong,
         totalBytes / (128L << 20) + 1))).toInt
-    val bounds = (0 until parts).map { p =>
+    val (chunkRows, allChunks) = ds.layout match {
+      case Chunked(cdims, bt, _) =>
+        val raf = new RandomAccessFile(path, "r")
+        val cs = try chunkIndex(new Reader(raf), ds.dims.length, bt) finally raf.close()
+        (cdims(0).toLong, cs)
+      case _ => (0L, Nil)
+    }
+    val rawBounds = (0 until parts).map { p =>
       (n * p / parts, n * (p + 1) / parts)
-    }.filter(b => b._2 > b._1)
+    }
+    val bounds = (if (chunkRows > 0) {
+      // snap split points down to chunk-row multiples (the last stays n)
+      val snapped = rawBounds.map { case (a, b) =>
+        (a / chunkRows * chunkRows, if (b == n) n else b / chunkRows * chunkRows)
+      }
+      snapped
+    } else rawBounds).filter(b => b._2 > b._1)
+    val work = bounds.map { case (r0, r1) =>
+      val mine =
+        if (chunkRows == 0) Nil
+        else allChunks.filter(c => c.offs(0) < r1 && c.offs(0) + chunkRows > r0)
+      (r0, r1, mine)
+    }
     import spark.implicits._
-    spark.sparkContext.parallelize(bounds, bounds.length)
-      .flatMap { case (r0, r1) =>
-        val rows = readRows(path, ds, r0, r1)
+    spark.sparkContext.parallelize(work, work.length)
+      .flatMap { case (r0, r1, mine) =>
+        val pre = if (chunkRows == 0) None else Some(mine)
+        val rows = readRows(path, ds, r0, r1, pre)
         rows.iterator.zipWithIndex.map { case (v, i) =>
           (r0 + i, v.map(_.toFloat))
         }

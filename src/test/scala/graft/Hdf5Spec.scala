@@ -82,6 +82,22 @@ class Hdf5Spec extends SparkSuite {
     }
   }
 
+  test("distributed chunked read: driver-parsed chunk subsets, aligned bounds") {
+    val p = tmp("dist_chunked.hdf5")
+    val m = mat(257, 6)
+    Hdf5Write.write(p, Seq(Hdf5Write.Spec(
+      "train", m, F64, chunk = Some((10, 6)), deflate = true)))
+    // slices (32) don't divide the 26 chunk-rows: bounds snap to chunk
+    // boundaries, some collapse, every row still arrives exactly once
+    val rows = Hdf5.matrix(spark, p, "train", slices = 32)
+      .orderBy("vec_id").collect()
+    assert(rows.length == 257)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong)
+      assert(r.getSeq[Float](1).map(_.toDouble) == m(i).toSeq, s"row $i")
+    }
+  }
+
   test("reference loader parity: angular file names normalize and pick cosine") {
     val dir = Files.createTempDirectory("graft_h5_")
     val pe = dir.resolve("mnist-784-euclidean.hdf5").toString
