@@ -412,7 +412,7 @@ object Hdf5 {
     * align to chunk-row boundaries so no chunk inflates twice.
     */
   def matrix(spark: SparkSession, path: String, name: String,
-      slices: Int = 0): DataFrame = {
+      slices: Int = 0, normalize: Boolean = false): DataFrame = {
     val ds = datasets(path).find(_.name == name).getOrElse(
       sys.error(s"$path: no dataset '$name' (have: ${datasets(path).map(_.name).mkString(", ")})"))
     val n = ds.rows
@@ -452,7 +452,21 @@ object Hdf5 {
         val pre = if (chunkRows == 0) None else Some(mine)
         val rows = readRows(path, ds, r0, r1, pre)
         rows.iterator.zipWithIndex.map { case (v, i) =>
-          (r0 + i, v.map(_.toFloat))
+          val f = new Array[Float](v.length)
+          var j = 0
+          while (j < f.length) { f(j) = v(j).toFloat; j += 1 }
+          if (normalize) {
+            // float32 accumulation + float32 divide — the reference's
+            // exact normalise loop (loadhdf5.go:17–27), and a compiled
+            // per-row loop instead of an interpreted HOF on a
+            // billion-row import path
+            var mag = 0.0f
+            var k = 0
+            while (k < f.length) { mag += f(k) * f(k); k += 1 }
+            mag = math.sqrt(mag.toDouble).toFloat
+            if (mag > 0f) { k = 0; while (k < f.length) { f(k) /= mag; k += 1 } }
+          }
+          (r0 + i, f)
         }
       }.toDF("vec_id", "embedding")
   }
@@ -463,13 +477,7 @@ object Hdf5 {
     */
   def vectors(spark: SparkSession, path: String): (DataFrame, String) = {
     val angular = new java.io.File(path).getName.contains("angular")
-    val df = matrix(spark, path, "train")
-    val out = if (!angular) df else {
-      val norm = sqrt(aggregate(col("embedding"), lit(0.0f),
-        (acc, x) => acc + x * x))
-      df.withColumn("embedding",
-        transform(col("embedding"), x => (x / norm).cast("float")))
-    }
-    (out, if (angular) "cosine" else "euclidean")
+    (matrix(spark, path, "train", normalize = angular),
+      if (angular) "cosine" else "euclidean")
   }
 }
