@@ -24,18 +24,50 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "fr" -> Seq("le", "les", "une", "et", "est"))
 
+  /** Every token-derived count in ONE compiled pass: per-language marker
+    * hits (Markers order), stopword hits, distinct-token count. The
+    * interpreted `filter(toks, isin(...))` HOF costs ~8× a per-row loop
+    * (the measured trap the 13-gram census hit), and language + quality
+    * over one corpus reference token counts ~7 times per row — so the
+    * fused admission scans (pipeline_curation) paid it 7-fold. The UDF is
+    * deterministic; codegen's subexpression elimination shares one
+    * evaluation across the fields a projection reads. Null tokens → null
+    * struct, so every downstream null branch is unchanged.
+    */
+  private val markerSets: Array[Set[String]] = Markers.map(_._2.toSet).toArray
+  private val stopSet: Set[String] = TextAnalyzer.StopWords.toSet
+  private val tokStatsUdf = udf { (toks: Seq[String]) =>
+    if (toks == null) None
+    else {
+      val mc = new Array[Int](markerSets.length)
+      var stops = 0
+      val seen = new java.util.HashSet[String]()
+      val it = toks.iterator
+      while (it.hasNext) {
+        val t = it.next()
+        var i = 0
+        while (i < mc.length) { if (markerSets(i).contains(t)) mc(i) += 1; i += 1 }
+        if (stopSet.contains(t)) stops += 1
+        seen.add(t)
+      }
+      Some((mc(0), mc(1), mc(2), mc(3), stops, seen.size))
+    }
+  }
+  private def tokStats(toks: Column): Column = tokStatsUdf(toks)
+  private def markerCount(st: Column, i: Int): Column = st.getField(s"_${i + 1}")
+  private def stopHits(st: Column): Column = st.getField("_5")
+  private def uniqCount(st: Column): Column = st.getField("_6")
+
   /** The predicted-language EXPRESSION over a tokens column — shared by
     * [[languageId]] and fused single-scan consumers (pipeline_curation
     * computes language + quality in one projection over one corpus scan
     * instead of two scans joined back). Ties resolve by the fixed
     * precedence en > de > es > fr (the Markers order); null/empty token
-    * arrays classify as 'und'. Catalyst's common-subexpression
-    * elimination shares the repeated marker-count subtrees in codegen.
+    * arrays classify as 'und'.
     */
   def predLangExpr(toks: Column): Column = {
-    val counts = Markers.map { case (_, words) =>
-      size(filter(toks, t => t.isin(words: _*)))
-    }
+    val st = tokStats(toks)
+    val counts = Markers.indices.map(markerCount(st, _))
     val maxc = greatest(counts: _*)
     val pred = Markers.zip(counts).foldLeft(when(lit(false), lit("")): Column) {
       case (acc, ((lang, _), c)) => acc.when(c === maxc, lit(lang))
@@ -48,10 +80,11 @@ object TextAnalysis {
     // null text classifies as 'und' (counts 0), not a null row — keeps the
     // engine and the SQL oracle on the same branch
     val toks = coalesce(Dedup.tokens(text), array().cast("array<string>"))
+    val st = tokStats(toks)
     df.select(
       id.as("id") +: predLangExpr(toks).as("pred_lang") +:
-        Markers.map { case (l, words) =>
-          size(filter(toks, t => t.isin(words: _*))).as(s"c_$l")
+        Markers.zipWithIndex.map { case ((l, _), i) =>
+          markerCount(st, i).as(s"c_$l")
         }: _*)
   }
 
@@ -59,8 +92,7 @@ object TextAnalysis {
   // of them) and qualityExpr() (the fused single-scan composite) stay one
   // formula — a drift between the two would silently split the oracle
   private def stopwordRatioExpr(toks: Column, nTokens: Column): Column =
-    size(filter(toks, t => t.isin(TextAnalyzer.StopWords: _*)))
-      .cast("double") / nTokens
+    stopHits(tokStats(toks)).cast("double") / nTokens
   /** Whitespace spelled as an EXPLICIT char class (same set as Java `\s`),
     * never `\s` itself: Java's includes U+000B where RE2's (DuckDB) does
     * not — the same cross-engine rule [[BpeLikePattern]] documents. The
@@ -73,7 +105,7 @@ object TextAnalysis {
     (length(text) - length(regexp_replace(text, s"[^\\p{L}\\p{N}$WsClass]", "")))
       .cast("double") / nChars
   private def uniqRatioExpr(toks: Column, nTokens: Column): Column =
-    size(array_distinct(toks)).cast("double") / nTokens
+    uniqCount(tokStats(toks)).cast("double") / nTokens
   private def lenScoreExpr(nTokens: Column): Column =
     least(nTokens.cast("double") / 100.0, lit(1.0))
   private def compositeExpr(
