@@ -411,18 +411,21 @@ object Hdf5 {
     * contract as any file source); for chunked layouts the task bounds
     * align to chunk-row boundaries so no chunk inflates twice.
     */
-  def matrix(spark: SparkSession, path: String, name: String,
-      slices: Int = 0, normalize: Boolean = false): DataFrame = {
-    val ds = datasets(path).find(_.name == name).getOrElse(
-      sys.error(s"$path: no dataset '$name' (have: ${datasets(path).map(_.name).mkString(", ")})"))
+  /** Plan the distributed read: row ranges (aligned to chunk-row
+    * boundaries for chunked layouts, so no chunk inflates twice) plus
+    * each range's own chunk subset — the chunk B-tree parses ONCE here
+    * instead of once per task (O(tasks × chunks) on a million-chunk
+    * file). `slices = 0` targets ≤128 MB of dataset bytes per task but
+    * never fewer tasks than `defaultSlices`. Shared by [[matrix]] and the
+    * DataSource V2 scan ([[Hdf5DataSource]]).
+    */
+  def planSlices(path: String, ds: H5Dataset, slices: Int,
+      defaultSlices: Int = 32): Seq[(Long, Long, Seq[Chunk])] = {
     val n = ds.rows
-    // target ≤128 MB of dataset bytes per task, but never fewer tasks
-    // than cores (nor more than rows)
     val totalBytes = n * ds.cols * ds.dtype.size
     val parts = if (slices > 0) slices
       else math.max(1L, math.min(n, math.max(
-        spark.sparkContext.defaultParallelism.toLong,
-        totalBytes / (128L << 20) + 1))).toInt
+        defaultSlices.toLong, totalBytes / (128L << 20) + 1))).toInt
     val (chunkRows, allChunks) = ds.layout match {
       case Chunked(cdims, bt, _) =>
         val raf = new RandomAccessFile(path, "r")
@@ -435,37 +438,47 @@ object Hdf5 {
     }
     val bounds = (if (chunkRows > 0) {
       // snap split points down to chunk-row multiples (the last stays n)
-      val snapped = rawBounds.map { case (a, b) =>
+      rawBounds.map { case (a, b) =>
         (a / chunkRows * chunkRows, if (b == n) n else b / chunkRows * chunkRows)
       }
-      snapped
     } else rawBounds).filter(b => b._2 > b._1)
-    val work = bounds.map { case (r0, r1) =>
+    bounds.map { case (r0, r1) =>
       val mine =
         if (chunkRows == 0) Nil
         else allChunks.filter(c => c.offs(0) < r1 && c.offs(0) + chunkRows > r0)
       (r0, r1, mine)
     }
+  }
+
+  /** float32 magnitude accumulation + float32 divide — the reference's
+    * exact normalise loop (loadhdf5.go:17–27), compiled per row instead
+    * of an interpreted HOF on a billion-row import path.
+    */
+  def normalizeInPlace(f: Array[Float]): Unit = {
+    var mag = 0.0f
+    var k = 0
+    while (k < f.length) { mag += f(k) * f(k); k += 1 }
+    mag = math.sqrt(mag.toDouble).toFloat
+    if (mag > 0f) { k = 0; while (k < f.length) { f(k) /= mag; k += 1 } }
+  }
+
+  def matrix(spark: SparkSession, path: String, name: String,
+      slices: Int = 0, normalize: Boolean = false): DataFrame = {
+    val ds = datasets(path).find(_.name == name).getOrElse(
+      sys.error(s"$path: no dataset '$name' (have: ${datasets(path).map(_.name).mkString(", ")})"))
+    val work = planSlices(path, ds, slices,
+      defaultSlices = spark.sparkContext.defaultParallelism)
+    val chunked = ds.layout.isInstanceOf[Chunked]
     import spark.implicits._
     spark.sparkContext.parallelize(work, work.length)
       .flatMap { case (r0, r1, mine) =>
-        val pre = if (chunkRows == 0) None else Some(mine)
+        val pre = if (chunked) Some(mine) else None
         val rows = readRows(path, ds, r0, r1, pre)
         rows.iterator.zipWithIndex.map { case (v, i) =>
           val f = new Array[Float](v.length)
           var j = 0
           while (j < f.length) { f(j) = v(j).toFloat; j += 1 }
-          if (normalize) {
-            // float32 accumulation + float32 divide — the reference's
-            // exact normalise loop (loadhdf5.go:17–27), and a compiled
-            // per-row loop instead of an interpreted HOF on a
-            // billion-row import path
-            var mag = 0.0f
-            var k = 0
-            while (k < f.length) { mag += f(k) * f(k); k += 1 }
-            mag = math.sqrt(mag.toDouble).toFloat
-            if (mag > 0f) { k = 0; while (k < f.length) { f(k) /= mag; k += 1 } }
-          }
+          if (normalize) normalizeInPlace(f)
           (r0 + i, f)
         }
       }.toDF("vec_id", "embedding")

@@ -142,6 +142,34 @@ class Hdf5Spec extends SparkSuite {
     assert(hits.length == 3)
   }
 
+  test("DataSource V2: spark.read.format(\"hdf5\") and SQL USING hdf5") {
+    val dir = Files.createTempDirectory("graft_h5_dsv2_")
+    val p = dir.resolve("dsv2-angular.hdf5").toString
+    val m = mat(90, 5).map(_.map(_ + 1.0))
+    Hdf5Write.write(p, Seq(
+      Hdf5Write.Spec("train", m, F32),
+      Hdf5Write.Spec("test", m.take(4), F64, chunk = Some((2, 5)), deflate = true)))
+    // default: train dataset, angular name -> normalized
+    val df = spark.read.format("hdf5").load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("vec_id", "embedding"))
+    val n2 = df.orderBy("vec_id").head.getSeq[Float](1).map(x => x.toDouble * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-5, s"|v|^2 = $n2")
+    assert(df.count() == 90)
+    // explicit dataset + normalize off reads raw values, chunked layout
+    val raw = spark.read.format("hdf5")
+      .option("dataset", "test").option("normalize", "false").load(p)
+      .orderBy("vec_id").collect()
+    assert(raw.length == 4)
+    assert(raw(2).getSeq[Float](1).map(_.toDouble) == m(2).toSeq)
+    // the same table through SQL
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW h5v USING hdf5 OPTIONS (path '$p', normalize 'false')")
+    val viaSql = spark.sql("SELECT sum(embedding[0]) AS s0 FROM h5v").head.getDouble(0)
+    assert(viaSql == m.map(_(0)).sum, viaSql)
+    // slices option controls partitioning
+    assert(spark.read.format("hdf5").option("slices", "7").load(p)
+      .rdd.getNumPartitions == 7)
+  }
+
   test("unsupported shapes fail with clear errors, not garbage") {
     val p = tmp("bad.hdf5")
     // not an HDF5 file at all
