@@ -170,6 +170,29 @@ class Hdf5Spec extends SparkSuite {
       .rdd.getNumPartitions == 7)
   }
 
+  test("AnnBenchHdf5: the reference's evaluation loop scores recall 1.0 exact") {
+    val dir = Files.createTempDirectory("graft_h5_ab_")
+    val p = dir.resolve("toy-4-euclidean.hdf5").toString
+    // distinct vectors with distinct pairwise distances (quadratic spread)
+    val train = Array.tabulate(24, 4)((i, j) =>
+      ((i * i + 7 * i) % 97) / 8.0 + j * 0.25 + (if (j == i % 4) 3.0 else 0.0))
+    val test_ = Array.tabulate(3, 4)((q, j) => train(q * 7)(j) + 0.125)
+    val k = 5
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val neighbors = test_.map { q =>
+      train.zipWithIndex.sortBy { case (v, i) => (d2(q, v), i) }
+        .take(k).map(_._2.toDouble)
+    }
+    graft.sources.Hdf5Write.write(p, Seq(
+      Hdf5Write.Spec("train", train, F32),
+      Hdf5Write.Spec("test", test_, F32),
+      Hdf5Write.Spec("neighbors", neighbors, I32)))
+    val r = graft.tools.AnnBenchHdf5.evaluate(spark, p, k = k)
+    assert(r.metric == "euclidean" && r.nQueries == 3)
+    assert(r.recall == 1.0, s"recall ${r.recall}")
+  }
+
   test("unsupported shapes fail with clear errors, not garbage") {
     val p = tmp("bad.hdf5")
     // not an HDF5 file at all
