@@ -462,6 +462,39 @@ object Hdf5 {
     if (mag > 0f) { k = 0; while (k < f.length) { f(k) /= mag; k += 1 } }
   }
 
+  /** Lazy per-row iteration over a task's slice in ≤~4096-row blocks
+    * (rounded up to a chunk-row multiple so no chunk inflates twice), so
+    * a 128 MB-plan slice never sits fully materialized as boxed double
+    * arrays on an executor — peak heap is one block, not one slice.
+    * Shared by [[matrix]] and the DataSource V2 partition reader.
+    */
+  def rowIterator(path: String, ds: H5Dataset, r0: Long, r1: Long,
+      pre: Option[Seq[Chunk]]): Iterator[(Long, Array[Float])] = {
+    val block = ds.layout match {
+      case Chunked(cdims, _, _) =>
+        val cr = math.max(1L, cdims(0).toLong)
+        (4096L + cr - 1) / cr * cr
+      case _ => 4096L
+    }
+    Iterator.range(0L, (r1 - r0 + block - 1) / block).flatMap { b =>
+      val s = r0 + b * block
+      val e = math.min(r1, s + block)
+      val sub = pre.map(_.filter { c =>
+        ds.layout match {
+          case Chunked(cdims, _, _) =>
+            c.offs(0) < e && c.offs(0) + cdims(0) > s
+          case _ => true
+        }
+      })
+      readRows(path, ds, s, e, sub).iterator.zipWithIndex.map { case (v, i) =>
+        val f = new Array[Float](v.length)
+        var j = 0
+        while (j < f.length) { f(j) = v(j).toFloat; j += 1 }
+        (s + i, f)
+      }
+    }
+  }
+
   def matrix(spark: SparkSession, path: String, name: String,
       slices: Int = 0, normalize: Boolean = false): DataFrame = {
     val ds = datasets(path).find(_.name == name).getOrElse(
@@ -473,13 +506,9 @@ object Hdf5 {
     spark.sparkContext.parallelize(work, work.length)
       .flatMap { case (r0, r1, mine) =>
         val pre = if (chunked) Some(mine) else None
-        val rows = readRows(path, ds, r0, r1, pre)
-        rows.iterator.zipWithIndex.map { case (v, i) =>
-          val f = new Array[Float](v.length)
-          var j = 0
-          while (j < f.length) { f(j) = v(j).toFloat; j += 1 }
+        rowIterator(path, ds, r0, r1, pre).map { case (id, f) =>
           if (normalize) normalizeInPlace(f)
-          (r0 + i, f)
+          (id, f)
         }
       }.toDF("vec_id", "embedding")
   }

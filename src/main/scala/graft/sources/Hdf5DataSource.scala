@@ -101,19 +101,21 @@ private final class Hdf5PartitionReader(p: Hdf5Partition)
     case _: Hdf5.Chunked => Some(p.chunks)
     case _ => None
   }
-  private val rows = Hdf5.readRows(p.path, p.ds, p.r0, p.r1, pre)
-  private var i = -1
+  // lazy block iteration (Hdf5.rowIterator): one ≤4096-row block on the
+  // heap at a time, never the whole 128 MB-plan slice
+  private val it = Hdf5.rowIterator(p.path, p.ds, p.r0, p.r1, pre)
+  private var cur: (Long, Array[Float]) = _
 
-  override def next(): Boolean = { i += 1; i < rows.length }
+  override def next(): Boolean = {
+    if (!it.hasNext) false
+    else { cur = it.next(); true }
+  }
 
   override def get(): InternalRow = {
-    val v = rows(i)
-    val f = new Array[Float](v.length)
-    var j = 0
-    while (j < f.length) { f(j) = v(j).toFloat; j += 1 }
+    val f = cur._2
     if (p.normalize) Hdf5.normalizeInPlace(f)
     new GenericInternalRow(Array[Any](
-      p.r0 + i, UnsafeArrayData.fromPrimitiveArray(f)))
+      cur._1, UnsafeArrayData.fromPrimitiveArray(f)))
   }
 
   override def close(): Unit = ()
