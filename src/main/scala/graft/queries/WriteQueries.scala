@@ -455,7 +455,95 @@ object WriteQueries {
       dir)
   }
 
+  /** The observability surface under the hard gate: a full lifecycle runs
+    * through `WireService.handle` (the complete middleware chain, metrics
+    * outermost) and the gate rows are the COUNTER VALUES — the
+    * reference's point counters (inserted / updated / deleted / points
+    * RETURNED by search, rpchandlers.go:420–511) plus the total
+    * `http_request_count` summed from the rendered Prometheus text
+    * exposition (so the exposition format itself is on the gate path).
+    * Every value is a closed-form aggregate over `part` with the gate's
+    * own predicates — DuckDB recomputes inserted/updated/deleted/returned
+    * counts and the batch-derived request total (batch caps 10000/100/100
+    * are wire constants), so a drifted counter increment, a double-count
+    * in the middleware, or a malformed exposition line flips the hash.
+    */
+  val w11WireMetrics = NamedQuery(
+    "w11_wire_metrics",
+    """WITH slab AS (SELECT * FROM part WHERE p_size BETWEEN 2 AND 9),
+      |c AS (
+      |  SELECT count(*) AS i,
+      |    count(*) FILTER (WHERE p_partkey % 5 = 0) AS u,
+      |    count(*) FILTER (WHERE p_partkey % 7 = 0) AS d,
+      |    count(*) FILTER (WHERE p_size BETWEEN 6 AND 9 AND p_partkey % 7 <> 0) AS sv
+      |  FROM slab)
+      |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      |  SELECT 'http_requests' AS metric,
+      |    2 + CAST(ceil(i / 10000.0) AS BIGINT) + CAST(ceil(u / 100.0) AS BIGINT)
+      |      + CAST(ceil(d / 100.0) AS BIGINT) AS value FROM c
+      |  UNION ALL SELECT 'points_deleted', d FROM c
+      |  UNION ALL SELECT 'points_inserted', i FROM c
+      |  UNION ALL SELECT 'points_searched', least(25, sv) FROM c
+      |  UNION ALL SELECT 'points_updated', u FROM c)
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Files.createTempDirectory("graft_wire_metrics_").toString
+    val m = new graft.wire.WireMetrics
+    val svc = new graft.wire.WireService(s, dir,
+      userPlans = Map("basic" -> graft.store.UserPlan()), metrics = Some(m))
+    val hdrs = Map("X-User-Id" -> "u1", "X-Plan-Id" -> "basic")
+    def call(method: String, path: String, body: String = ""): JValue = {
+      val resp = svc.handle(method, path, hdrs, body.getBytes("UTF-8"))
+      require(resp.status == 200, s"$method $path -> ${resp.status}: ${resp.json}")
+      resp.body
+    }
+    def j(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+    call("POST", "/collections",
+      """{"id":"obs11","indexSchema":{
+        |  "p_name":{"type":"string","string":{"caseSensitive":false}},
+        |  "p_size":{"type":"integer"}}}""".stripMargin)
+    import s.implicits._
+    val rows = Tables.part(s, d).filter(col("p_size").between(2, 9))
+      .select(col("p_partkey").cast("string").as("_id"),
+        col("p_partkey").as("_key"), col("p_name"),
+        col("p_size").cast("long").as("p_size"))
+      .as[(String, Long, String, Long)].collect().toSeq
+    rows.grouped(CollectionStore.MaxInsertBatch).foreach { b =>
+      call("POST", "/collections/obs11/points", j(JObject(
+        "points" -> JArray(b.toList.map { case (id, _, n, sz) =>
+          JObject("_id" -> JString(id), "p_name" -> JString(n),
+            "p_size" -> JInt(BigInt(sz))) }))))
+    }
+    rows.filter(_._2 % 5 == 0).grouped(CollectionStore.MaxUpdateBatch).foreach { b =>
+      call("PUT", "/collections/obs11/points", j(JObject(
+        "points" -> JArray(b.toList.map { case (id, _, n, _) =>
+          JObject("_id" -> JString(id), "p_name" -> JString(n + " u")) }))))
+    }
+    rows.filter(_._2 % 7 == 0).grouped(CollectionStore.MaxDeleteBatch).foreach { b =>
+      call("DELETE", "/collections/obs11/points", j(JObject(
+        "ids" -> JArray(b.toList.map(t => JString(t._1))))))
+    }
+    call("POST", "/collections/obs11/points/search",
+      """{"query":{"property":"p_size",
+        |  "integer":{"value":6,"operator":"greaterThanOrEquals"}},
+        | "select":[], "limit":25}""".stripMargin)
+    // total http_request_count summed from the text exposition itself
+    val httpTotal = m.render().linesIterator
+      .filter(_.startsWith("http_request_count{"))
+      .map(_.split(' ').last.toLong).sum
+    val out = Seq(
+      ("http_requests", httpTotal),
+      ("points_deleted", m.pointDeleteCount.sum()),
+      ("points_inserted", m.pointInsertCount.sum()),
+      ("points_searched", m.pointSearchCount.sum()),
+      ("points_updated", m.pointUpdateCount.sum()))
+    detach(
+      s.createDataFrame(out).toDF("metric", "value").orderBy("metric"), dir)
+  }
+
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
-      w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle)
+      w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle,
+      w11WireMetrics)
 }
