@@ -262,4 +262,44 @@ class PropertySpec extends AnyFunSuite {
       s(better) + s(r2) >= s(r1) + s(r2)
     })
   }
+
+  // ---- HDF5 writer → reader round-trip over the whole declared subset ----
+
+  test("HDF5 round-trips any shape/dtype/chunking/filter combination exactly") {
+    import graft.sources.{Hdf5, Hdf5Write}
+    val shapeGen = for {
+      rows <- Gen.chooseNum(1, 60)
+      cols <- Gen.chooseNum(1, 9)
+      dt <- Gen.oneOf(Hdf5.F32, Hdf5.F64, Hdf5.I32)
+      chunk <- Gen.option(Gen.zip(Gen.chooseNum(1, 17), Gen.chooseNum(1, 5)))
+      shuffle <- Gen.oneOf(true, false)
+      deflate <- Gen.oneOf(true, false)
+      seed <- Gen.chooseNum(0, 1 << 20)
+      r0frac <- Gen.chooseNum(0.0, 1.0)
+      r1frac <- Gen.chooseNum(0.0, 1.0)
+    } yield (rows, cols, dt, chunk, shuffle && chunk.isDefined,
+      deflate && chunk.isDefined, seed, r0frac, r1frac)
+    check(Prop.forAll(shapeGen) {
+      case (rows, cols, dt, chunk, shuffle, deflate, seed, r0f, r1f) =>
+        // exact in every dtype: multiples of 1/8, small magnitude;
+        // I32 floors to the integer part on write (spec: fixed-point)
+        val m = Array.tabulate(rows, cols)((i, j) =>
+          (((i * 131 + j * 17 + seed) % 1000) - 500) / 8.0)
+        val mExpect =
+          if (dt == Hdf5.I32) m.map(_.map(_.toInt.toDouble)) else m
+        val p = java.nio.file.Files.createTempDirectory("graft_h5_prop_")
+          .resolve("t.hdf5").toString
+        Hdf5Write.write(p, Seq(Hdf5Write.Spec("train", m, dt,
+          chunk = chunk, shuffle = shuffle, deflate = deflate)))
+        val ds = Hdf5.datasets(p).head
+        val lo = math.min((rows * r0f).toInt, rows)
+        val hi = math.max(lo, math.min((rows * r1f).toInt, rows))
+        val whole = Hdf5.readRows(p, ds, 0, rows).map(_.toSeq).toSeq
+        val part = Hdf5.readRows(p, ds, lo, hi).map(_.toSeq).toSeq
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+        ds.rows == rows && ds.cols == cols &&
+          whole == mExpect.map(_.toSeq).toSeq &&
+          part == mExpect.slice(lo, hi).map(_.toSeq).toSeq
+    }, cases = 120)
+  }
 }
