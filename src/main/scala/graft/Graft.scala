@@ -59,6 +59,32 @@ final class Graft(val spark: SparkSession, root: String,
     metricName
   }
 
+  /** Export a collection's vector property as an ann-benchmarks-shaped
+    * HDF5 file (a "train" float32 dataset, row order = id order) — the
+    * reverse of [[importHdf5]], so a graft collection can feed any
+    * HDF5-consuming evaluation harness. Row count is the driver-side
+    * materialization bound: HDF5 contiguous layout needs the matrix
+    * assembled in order, so this face is for benchmark-scale exports
+    * (the reference's datasets are the same shape); `maxRows` guards a
+    * misdirected call at a 100 TB collection.
+    */
+  def exportHdf5(name: String, prop: String, path: String,
+      maxRows: Int = 1 << 22): Long = {
+    import org.apache.spark.sql.functions.col
+    val rows = collection(name).df
+      .select(col("_id"), col(prop))
+      .orderBy("_id")
+      .limit(maxRows + 1)
+      .collect()
+    require(rows.length <= maxRows,
+      s"$name has more than $maxRows points; exportHdf5 is a benchmark-scale face")
+    require(rows.forall(!_.isNullAt(1)), s"$name.$prop has null vectors")
+    val m = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    graft.sources.Hdf5Write.write(path,
+      Seq(graft.sources.Hdf5Write.Spec("train", m, graft.sources.Hdf5.F32)))
+    rows.length.toLong
+  }
+
   def listCollections(): Seq[String] = store.list()
 
   /** Serialized with writes on the same name: an unserialized drop could

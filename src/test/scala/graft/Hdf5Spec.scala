@@ -193,6 +193,23 @@ class Hdf5Spec extends SparkSuite {
     assert(r.recall == 1.0, s"recall ${r.recall}")
   }
 
+  test("exportHdf5 round-trips a collection back to an importable file") {
+    val dir = Files.createTempDirectory("graft_h5_exp_")
+    val p = dir.resolve("src-4-euclidean.hdf5").toString
+    val m = mat(17, 4)
+    graft.sources.Hdf5Write.write(p, Seq(Hdf5Write.Spec("train", m, F32)))
+    val db = graft.Graft(spark, Files.createTempDirectory("graft_h5_edb_").toString)
+    db.importHdf5("src", p)
+    val out = dir.resolve("exported.hdf5").toString
+    assert(db.exportHdf5("src", "vector", out) == 17L)
+    // the exported file reads back as the original matrix (ids are
+    // zero-padded row indices, so id order == row order)
+    val ds = Hdf5.datasets(out)
+    assert(ds.map(_.name) == Seq("train") && ds.head.rows == 17 && ds.head.cols == 4)
+    val back = Hdf5.readRows(out, ds.head, 0, 17)
+    assert(back.map(_.toSeq).toSeq == m.map(_.toSeq).toSeq)
+  }
+
   test("unsupported shapes fail with clear errors, not garbage") {
     val p = tmp("bad.hdf5")
     // not an HDF5 file at all
