@@ -251,6 +251,84 @@ class StoreSpec extends SparkSuite {
       runAdversarialWindow(sizeAsInt = false))
   }
 
+  test("WAL fold: seeded random windows match an in-memory model (both dtypes)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val sch = IndexSchema("name" -> IndexKind.Str(), "size" -> IndexKind.Integer)
+    val ids = ('a' to 'h').map(_.toString)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val st = freshStore()
+      val coll = s"r$seed"
+      st.create(coll, sch,
+        ids.zipWithIndex.map { case (id, i) => (id, s"n$i", i.toLong) }
+          .toDF("_id", "name", "size"))
+      // in-memory model of the public semantics
+      val live = scala.collection.mutable.Set(ids: _*)
+      val nameM = scala.collection.mutable.Map(ids.zipWithIndex.map {
+        case (id, i) => id -> (s"n$i": String) }: _*)
+      val sizeM = scala.collection.mutable.Map[String, java.lang.Long](
+        ids.zipWithIndex.map { case (id, i) => id -> java.lang.Long.valueOf(i.toLong) }: _*)
+      val nOps = 6 + rnd.nextInt(7)
+      for (_ <- 0 until nOps) {
+        if (rnd.nextInt(10) < 4) {
+          val del = rnd.shuffle(ids).take(1 + rnd.nextInt(2))
+          st.delete(coll, del)
+          del.foreach { id => live -= id }
+        } else {
+          val sizeAsInt = rnd.nextBoolean() // mixes fold and fallback paths
+          val rows = rnd.shuffle(ids).take(1 + rnd.nextInt(3)).map { id =>
+            val setName = rnd.nextInt(3) // 0 none, 1 value, 2 sentinel
+            val nm: String = setName match {
+              case 1 => s"v${rnd.nextInt(100)}"
+              case 2 => "_delete"
+              case _ => null
+            }
+            val sz: Any =
+              if (rnd.nextBoolean())
+                (if (sizeAsInt) Integer.valueOf(rnd.nextInt(1000))
+                 else java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
+              else null
+            val unset: Seq[String] =
+              if (rnd.nextInt(4) == 0) Seq(if (rnd.nextBoolean()) "name" else "size")
+              else null
+            (id, nm, sz, unset)
+          }
+          val schema = StructType(Seq(
+            StructField("_id", StringType),
+            StructField("name", StringType),
+            StructField("size", if (sizeAsInt) IntegerType else LongType),
+            StructField("_unset", ArrayType(StringType))))
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3, r._4)): _*),
+            schema)
+          st.update(coll, df)
+          rows.foreach { case (id, nm, sz, unset) =>
+            if (live(id)) {
+              if (nm != null) nameM(id) = if (nm == "_delete") null else nm
+              if (sz != null) sizeM(id) = (sz match {
+                case i: Integer => java.lang.Long.valueOf(i.longValue())
+                case l: java.lang.Long => l
+                case other => sys.error(s"unexpected size $other")
+              })
+              if (unset != null) unset.foreach {
+                case "name" => nameM(id) = null
+                case "size" => sizeM(id) = null
+              }
+            }
+          }
+        }
+      }
+      val got = st.load(coll).df.orderBy("_id").collect().map { r =>
+        (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))
+      }.toSeq
+      val want = ids.filter(live).sorted.map(id => (id, nameM(id), sizeM(id)))
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
   test("merge-on-read plan: delta ids broadcast into the base scan, no sort-merge join") {
     val st = freshStore()
     st.create("c1", schema, seed)
