@@ -78,7 +78,13 @@ private final class Hdf5Scan(opts: Map[String, String]) extends Scan with Batch 
   override def planInputPartitions(): Array[InputPartition] = {
     val ds = Hdf5.datasets(path).find(_.name == dsName).getOrElse(
       throw new IllegalArgumentException(s"$path: no dataset '$dsName'"))
-    Hdf5.planSlices(path, ds, opts.get("slices").map(_.toInt).getOrElse(0))
+    // floor the partition count at the session's parallelism, like any
+    // file source — a 1000-core cluster must not read 32 slices
+    val floor = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+      .getOrElse(32)
+    Hdf5.planSlices(path, ds, opts.get("slices").map(_.toInt).getOrElse(0),
+        defaultSlices = floor)
       .map { case (r0, r1, chunks) =>
         Hdf5Partition(path, ds, r0, r1, chunks, normalize): InputPartition
       }.toArray
