@@ -76,6 +76,7 @@ final class Graft(val spark: SparkSession, root: String,
       .orderBy("_id")
       .limit(maxRows + 1)
       .collect()
+    require(rows.nonEmpty, s"$name is empty; nothing to export")
     require(rows.length <= maxRows,
       s"$name has more than $maxRows points; exportHdf5 is a benchmark-scale face")
     require(rows.forall(!_.isNullAt(1)), s"$name.$prop has null vectors")

@@ -35,6 +35,11 @@ object TextAnalysis {
     * struct, so every downstream null branch is unchanged.
     */
   private val markerSets: Array[Set[String]] = Markers.map(_._2.toSet).toArray
+  // the UDF's tuple return hardcodes this arity (marker counts at _1.._4,
+  // stops at _5, uniq at _6) — a grown Markers list must fail HERE, not
+  // silently read the stopword field as the 5th language's count
+  require(markerSets.length == 4,
+    s"tokStatsUdf's return tuple assumes exactly 4 Markers languages; got ${markerSets.length}")
   private val stopSet: Set[String] = TextAnalyzer.StopWords.toSet
   private val tokStatsUdf = udf { (toks: Seq[String]) =>
     if (toks == null) None

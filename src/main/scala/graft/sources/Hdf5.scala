@@ -366,8 +366,14 @@ object Hdf5 {
           inf.setInput(data)
           val out = new Array[Byte](plainBytes)
           var off = 0
-          while (!inf.finished() && off < plainBytes)
-            off += inf.inflate(out, off, plainBytes - off)
+          while (!inf.finished() && off < plainBytes) {
+            val n = inf.inflate(out, off, plainBytes - off)
+            // a truncated stream makes inflate() return 0 with the input
+            // exhausted — raise a decode error, never spin
+            if (n == 0 && inf.needsInput())
+              sys.error(s"truncated deflate stream in chunk at ${c.addr}")
+            off += n
+          }
           inf.end()
           data = out
         case ShuffleId =>
@@ -503,6 +509,9 @@ object Hdf5 {
       defaultSlices = spark.sparkContext.defaultParallelism)
     val chunked = ds.layout.isInstanceOf[Chunked]
     import spark.implicits._
+    // a 0-row dataset plans zero slices; parallelize(_, 0) would throw
+    if (work.isEmpty)
+      return Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     spark.sparkContext.parallelize(work, work.length)
       .flatMap { case (r0, r1, mine) =>
         val pre = if (chunked) Some(mine) else None

@@ -33,7 +33,8 @@ object Hdf5Write {
       name: String, data: Array[Array[Double]], dtype: DType,
       chunk: Option[(Int, Int)] = None,
       shuffle: Boolean = false, deflate: Boolean = false) {
-    require(data.nonEmpty && data.forall(_.length == data(0).length), s"$name: ragged data")
+    require(data.nonEmpty, s"$name: empty dataset (HDF5 export needs at least one row)")
+    require(data.forall(_.length == data(0).length), s"$name: ragged data")
     require(chunk.isDefined || (!shuffle && !deflate), s"$name: filters need chunked layout")
     def rows: Int = data.length
     def cols: Int = data(0).length
@@ -111,6 +112,10 @@ object Hdf5Write {
       }
     }
     val eof = cursor
+    // single-allocation writer: a named bound, not an Int overflow crash
+    // after an expensive collect (benchmark-scale files by design)
+    require(eof <= Int.MaxValue - 8,
+      s"HDF5 writer supports files up to 2 GB; this write needs $eof bytes")
 
     // ---- emit ------------------------------------------------------------
     val out = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
