@@ -1060,4 +1060,72 @@ object TextAnalysis {
       .orderBy(col("score32").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Line-terminal punctuation the FineWeb filter tests for (Penedo et
+    * al. 2024 §3.3 — `. ' " ! ?`).
+    */
+  val FineWebPunct: Set[Char] = Set('.', '\'', '"', '!', '?')
+
+  // one compiled pass over the line array: (n_lines, punct_lines,
+  // short_lines, dup_chars, line_chars) — the same single-pass rule as
+  // tokStatsUdf (an interpreted filter per ratio would walk the array
+  // once per component)
+  private val fineWebStatsUdf = udf { (lines: Seq[String]) =>
+    if (lines == null || lines.isEmpty) None
+    else {
+      var punct = 0L; var short = 0L; var chars = 0L
+      val seen = new java.util.HashMap[String, Long]()
+      lines.foreach { l =>
+        if (l.nonEmpty && FineWebPunct.contains(l.charAt(l.length - 1))) punct += 1
+        if (l.length <= 30) short += 1
+        chars += l.length
+        if (l.nonEmpty) seen.merge(l, 1L, _ + _)
+      }
+      var dup = 0L
+      seen.forEach { (line, cnt) => if (cnt > 1) dup += (cnt - 1) * line.length }
+      Some((lines.length.toLong, punct, short, dup, chars))
+    }
+  }
+
+  /** The FineWeb quality-filter family (Penedo et al. 2024, "The FineWeb
+    * Datasets", §3.3 custom filters — the published default thresholds):
+    * a document is KEPT when
+    *  - the fraction of lines ending in terminal punctuation
+    *    ([[FineWebPunct]]) is ≥ 0.12,
+    *  - the fraction of lines of ≤ 30 characters is < 0.67,
+    *  - the fraction of line characters belonging to DUPLICATED lines
+    *    (each repeat of an already-seen non-empty line contributes its
+    *    length) is < 0.01, and
+    *  - the newline-to-word ratio ((n_lines − 1) / words) is ≤ 0.3.
+    *
+    * Takes an explicit LINE-ARRAY column plus a word count, so corpora
+    * without layout can synthesize lines deterministically (the gate
+    * chunks the token stream) and real multi-line corpora pass
+    * `split(text, "\n")`. Ratios are IEEE divisions of exact counts —
+    * both engines compute bit-identical values, so the pass flag needs
+    * no rounding convention. Pure per-row algebra; no shuffle.
+    */
+  def fineWebQuality(
+      df: DataFrame, id: Column, lines: Column, words: Column): DataFrame = {
+    val st = fineWebStatsUdf(lines)
+    df.select(id.as("id"), st.as("_st"), words.cast("long").as("words"))
+      .filter(col("_st").isNotNull)
+      .select(col("id"), col("words"),
+        col("_st").getField("_1").as("n_lines"),
+        (col("_st").getField("_2").cast("double") /
+          col("_st").getField("_1").cast("double")).as("line_punct_r"),
+        (col("_st").getField("_3").cast("double") /
+          col("_st").getField("_1").cast("double")).as("short_line_r"),
+        // all-empty-line and zero-word docs define their ratios as 0,
+        // not NaN (the SQL oracle mirrors the CASE)
+        when(col("_st").getField("_5") === 0L, lit(0.0))
+          .otherwise(col("_st").getField("_4").cast("double") /
+            col("_st").getField("_5").cast("double")).as("dup_char_r"),
+        when(col("words") === 0L, lit(0.0))
+          .otherwise((col("_st").getField("_1").cast("double") - 1.0) /
+            col("words").cast("double")).as("nl_word_r"))
+      .withColumn("passes",
+        col("line_punct_r") >= 0.12 && col("short_line_r") < 0.67 &&
+          col("dup_char_r") < 0.01 && col("nl_word_r") <= 0.3)
+  }
 }

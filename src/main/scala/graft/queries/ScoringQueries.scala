@@ -367,6 +367,80 @@ object ScoringQueries {
       .orderBy("id")
   }
 
+  /** The FineWeb custom quality filters (Penedo et al. 2024 §3.3) under
+    * the gate — and unlike text_gopher/text_c4_clean, NOT on a degenerate
+    * one-line corpus: both engines deterministically synthesize a
+    * multi-line view from the token stream (lines of `1 + id % 7` tokens;
+    * every line where `(i + id) % 3 = 0` gains a terminal '.'), so
+    * punct/short/duplicate-line/newline ratios all take non-trivial
+    * values, and duplicated LINES arise naturally from the corpus's
+    * repeated token runs. Ratios are IEEE divisions of exact counts —
+    * bit-identical across engines — so the pass verdict needs no rounding
+    * convention (display columns round to 4).
+    */
+  val textFineWeb = NamedQuery(
+    "text_fineweb",
+    s"""WITH tok AS (SELECT doc_id AS id, $sqlRawToks AS raw FROM documents),
+       |g AS (SELECT id, raw, CAST(len(raw) AS BIGINT) AS words, 1 + id % 7 AS k
+       |      FROM tok WHERE len(raw) > 0),
+       |ln AS (
+       |  SELECT id, words,
+       |    list_transform(range(0, CAST(ceil(words / CAST(k AS DOUBLE)) AS BIGINT)),
+       |      i -> array_to_string(raw[i * k + 1 : i * k + k], ' ') ||
+       |           CASE WHEN (i + id) % 3 = 0 THEN '.' ELSE '' END) AS ls
+       |  FROM g),
+       |st AS (
+       |  SELECT id, words, CAST(len(ls) AS BIGINT) AS n_lines,
+       |    len(list_filter(ls, l -> len(l) > 0 AND
+       |      list_contains(['.', chr(39), '"', '!', '?'], l[-1]))) AS punct_lines,
+       |    len(list_filter(ls, l -> len(l) <= 30)) AS short_lines,
+       |    CAST(coalesce(list_sum(list_transform(ls, l -> len(l))), 0) AS BIGINT) AS line_chars
+       |  FROM ln),
+       |dup AS (
+       |  SELECT id, CAST(coalesce(sum((cnt - 1) * llen), 0) AS BIGINT) AS dup_chars FROM (
+       |    SELECT id, line, len(line) AS llen, count(*) AS cnt
+       |    FROM (SELECT id, unnest(ls) AS line FROM ln)
+       |    WHERE len(line) > 0 GROUP BY id, line) GROUP BY id),
+       |r AS (
+       |  SELECT st.id, words, n_lines,
+       |    CAST(punct_lines AS DOUBLE) / n_lines AS line_punct_r,
+       |    CAST(short_lines AS DOUBLE) / n_lines AS short_line_r,
+       |    CASE WHEN line_chars = 0 THEN 0.0
+       |         ELSE CAST(dup_chars AS DOUBLE) / line_chars END AS dup_char_r,
+       |    CASE WHEN words = 0 THEN 0.0
+       |         ELSE CAST(n_lines - 1 AS DOUBLE) / words END AS nl_word_r
+       |  FROM st JOIN dup USING (id))
+       |SELECT id, n_lines,
+       |  ${sqlDround("line_punct_r", 4)} AS punct_r,
+       |  ${sqlDround("short_line_r", 4)} AS short_r,
+       |  ${sqlDround("dup_char_r", 4)} AS dup_r,
+       |  ${sqlDround("nl_word_r", 4)} AS nlw_r,
+       |  (line_punct_r >= 0.12 AND short_line_r < 0.67 AND dup_char_r < 0.01
+       |   AND nl_word_r <= 0.3) AS passes
+       |FROM r ORDER BY id""".stripMargin) { (s, d) =>
+    val mkLines = udf { (toks: Seq[String], id: Long) =>
+      val k = (1 + (id % 7)).toInt
+      val n = (toks.length + k - 1) / k
+      (0 until n).map { i =>
+        val line = toks.slice(i * k, i * k + k).mkString(" ")
+        if ((i + id) % 3 == 0) line + "." else line
+      }
+    }
+    val tokd = Tables.documents(s, d)
+      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"), col("_toks"),
+        mkLines(col("_toks"), col("doc_id")).as("_lines"))
+    TextAnalysis.fineWebQuality(tokd, col("doc_id"), col("_lines"), size(col("_toks")))
+      .select(col("id"), col("n_lines"),
+        dround(col("line_punct_r"), 4).as("punct_r"),
+        dround(col("short_line_r"), 4).as("short_r"),
+        dround(col("dup_char_r"), 4).as("dup_r"),
+        dround(col("nl_word_r"), 4).as("nlw_r"),
+        col("passes"))
+      .orderBy("id")
+  }
+
   /** Terminal-punctuation set for C4's line rule, as a SQL IN list. */
   private val sqlC4Punct = """('.', '!', '?', '"')"""
 
@@ -521,5 +595,5 @@ object ScoringQueries {
   val all: Seq[NamedQuery] =
     Seq(textLmScore, textBigramLm, textCcnetBucket, textCcnetServed,
       textDsirWeight, sampleDsirTopk, textPii, textGopher, textC4Clean,
-      textClassifier, q8StreamScore, textKnLm, textEncoding)
+      textFineWeb, textClassifier, q8StreamScore, textKnLm, textEncoding)
 }

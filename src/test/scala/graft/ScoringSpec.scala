@@ -9,6 +9,35 @@ import graft.operators.TextAnalysis
 class ScoringSpec extends SparkSuite {
   import spark.implicits._
 
+  // ---- fineWebQuality -----------------------------------------------------
+
+  test("fineWebQuality: each filter trips on its own hand-built fixture") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val good = Seq.tabulate(10)(i => s"a sufficiently long line number $i ok.")
+    val noPunct = good.map(_.stripSuffix("."))           // punct ratio 0
+    val short = Seq.fill(9)("tiny.") ++ Seq("a long enough line to not count here.")
+    val dup = Seq.fill(6)("duplicated line content that repeats verbatim.") ++
+      good.take(1)
+    val rows = Seq(
+      (1L, good), (2L, noPunct), (3L, short), (4L, dup),
+      (5L, good ++ Seq.fill(90)(""))) // 104 newlines vs ~70 words: nl ratio trips? words dominate; use words=10
+      .toDF("id", "lines")
+    val out = graft.operators.TextAnalysis
+      .fineWebQuality(rows, col("id"), col("lines"), lit(100L))
+      .orderBy("id").collect()
+    def row(id: Long) = out.find(_.getLong(0) == id).get
+    assert(row(1).getAs[Boolean]("passes"), row(1))
+    assert(!row(2).getAs[Boolean]("passes") &&
+      row(2).getAs[Double]("line_punct_r") == 0.0, row(2))
+    assert(!row(3).getAs[Boolean]("passes") &&
+      row(3).getAs[Double]("short_line_r") == 0.9, row(3))
+    assert(!row(4).getAs[Boolean]("passes") &&
+      row(4).getAs[Double]("dup_char_r") > 0.5, row(4))
+    // 100 lines -> 99 newlines over 100 words = 0.99 > 0.3
+    assert(!row(5).getAs[Boolean]("passes") &&
+      row(5).getAs[Double]("nl_word_r") > 0.3, row(5))
+  }
+
   // ---- lmScore ------------------------------------------------------------
 
   test("lmScore: matches the hand-computed add-one unigram model") {
