@@ -470,12 +470,12 @@ object WriteQueries {
     */
   val w11WireMetrics = NamedQuery(
     "w11_wire_metrics",
-    """WITH slab AS (SELECT * FROM part WHERE p_size BETWEEN 2 AND 9),
+    """WITH slab AS (SELECT * FROM part WHERE p_size BETWEEN 2 AND 6),
       |c AS (
       |  SELECT count(*) AS i,
       |    count(*) FILTER (WHERE p_partkey % 5 = 0) AS u,
       |    count(*) FILTER (WHERE p_partkey % 7 = 0) AS d,
-      |    count(*) FILTER (WHERE p_size BETWEEN 6 AND 9 AND p_partkey % 7 <> 0) AS sv
+      |    count(*) FILTER (WHERE p_size BETWEEN 4 AND 6 AND p_partkey % 7 <> 0) AS sv
       |  FROM slab)
       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
       |  SELECT 'http_requests' AS metric,
@@ -504,7 +504,7 @@ object WriteQueries {
         |  "p_name":{"type":"string","string":{"caseSensitive":false}},
         |  "p_size":{"type":"integer"}}}""".stripMargin)
     import s.implicits._
-    val rows = Tables.part(s, d).filter(col("p_size").between(2, 9))
+    val rows = Tables.part(s, d).filter(col("p_size").between(2, 6))
       .select(col("p_partkey").cast("string").as("_id"),
         col("p_partkey").as("_key"), col("p_name"),
         col("p_size").cast("long").as("p_size"))
@@ -526,7 +526,7 @@ object WriteQueries {
     }
     call("POST", "/collections/obs11/points/search",
       """{"query":{"property":"p_size",
-        |  "integer":{"value":6,"operator":"greaterThanOrEquals"}},
+        |  "integer":{"value":4,"operator":"greaterThanOrEquals"}},
         | "select":[], "limit":25}""".stripMargin)
     // total http_request_count summed from the text exposition itself
     val httpTotal = m.render().linesIterator
