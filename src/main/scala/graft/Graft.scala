@@ -74,7 +74,7 @@ final class Graft(val spark: SparkSession, root: String,
     val rows = collection(name).df
       .select(col("_id"), col(prop))
       .orderBy("_id")
-      .limit(maxRows + 1)
+      .limit(math.min(maxRows.toLong + 1, Int.MaxValue.toLong).toInt)
       .collect()
     require(rows.nonEmpty, s"$name is empty; nothing to export")
     require(rows.length <= maxRows,

@@ -369,9 +369,10 @@ object Hdf5 {
           while (!inf.finished() && off < plainBytes) {
             val n = inf.inflate(out, off, plainBytes - off)
             // a truncated stream makes inflate() return 0 with the input
-            // exhausted — raise a decode error, never spin
-            if (n == 0 && inf.needsInput())
-              sys.error(s"truncated deflate stream in chunk at ${c.addr}")
+            // exhausted (and an FDICT stream stalls on needsDictionary) —
+            // raise a decode error, never spin
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              sys.error(s"truncated or dictionary-requiring deflate stream in chunk at ${c.addr}")
             off += n
           }
           inf.end()
@@ -476,11 +477,15 @@ object Hdf5 {
     */
   def rowIterator(path: String, ds: H5Dataset, r0: Long, r1: Long,
       pre: Option[Seq[Chunk]]): Iterator[(Long, Array[Float])] = {
+    // size blocks by BYTES (~8 MB), floored at 4096 rows — narrow rows
+    // must not degrade into a file open + tiny read per 4096 rows
+    val rowBytes = math.max(1L, ds.cols * ds.dtype.size)
+    val byRows = math.max(4096L, (8L << 20) / rowBytes)
     val block = ds.layout match {
       case Chunked(cdims, _, _) =>
         val cr = math.max(1L, cdims(0).toLong)
-        (4096L + cr - 1) / cr * cr
-      case _ => 4096L
+        (byRows + cr - 1) / cr * cr
+      case _ => byRows
     }
     Iterator.range(0L, (r1 - r0 + block - 1) / block).flatMap { b =>
       val s = r0 + b * block

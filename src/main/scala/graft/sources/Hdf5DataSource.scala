@@ -114,15 +114,18 @@ private final class Hdf5PartitionReader(p: Hdf5Partition)
 
   override def next(): Boolean = {
     if (!it.hasNext) false
-    else { cur = it.next(); true }
+    else {
+      cur = it.next()
+      // normalize HERE, once per row — get() may legally be called more
+      // than once per next() and must be idempotent
+      if (p.normalize) Hdf5.normalizeInPlace(cur._2)
+      true
+    }
   }
 
-  override def get(): InternalRow = {
-    val f = cur._2
-    if (p.normalize) Hdf5.normalizeInPlace(f)
+  override def get(): InternalRow =
     new GenericInternalRow(Array[Any](
-      cur._1, UnsafeArrayData.fromPrimitiveArray(f)))
-  }
+      cur._1, UnsafeArrayData.fromPrimitiveArray(cur._2)))
 
   override def close(): Unit = ()
 }

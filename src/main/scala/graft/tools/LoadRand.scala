@@ -26,7 +26,8 @@ object LoadRand {
   def run(spark: SparkSession, root: String,
       nPoints: Int = 2000, dim: Int = 64, batch: Int = 1000,
       seed: Long = 42L, searchQueries: Int = 5): Report = {
-    require(batch > 0 && batch <= 10000, s"batch must be in (0, 10000]: $batch")
+    require(batch > 0 && batch <= graft.store.CollectionStore.MaxInsertBatch,
+      s"batch must be in (0, ${graft.store.CollectionStore.MaxInsertBatch}]: $batch")
     val metrics = new WireMetrics
     val svc = new WireService(spark, root,
       userPlans = Map("BASIC" -> graft.store.UserPlan()),
