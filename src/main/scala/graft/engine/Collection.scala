@@ -88,6 +88,23 @@ final case class Collection(
       copy(vectorIndexes = vectorIndexes + (prop -> ProductVectorIndex(model, codes)))
     }
 
+  /** Attach an OPQ artifact for `prop` (operators/Opq.scala): codes from
+    * the rotated-space codebooks, same narrow `(_id, _codes)` frame as
+    * plain PQ — approximate candidates rank by ADC against the ROTATED
+    * query; the exact re-rank stays on this collection's raw vectors.
+    */
+  def withOpqVectorIndex(prop: String, model: graft.operators.Opq.OpqModel): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val codes = graft.operators.Opq
+        .encode(df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), model)
+        .withColumnRenamed("id", Collection.IdCol)
+        .withColumnRenamed("codes", "_codes")
+        .persist()
+      copy(vectorIndexes = vectorIndexes + (prop -> OpqVectorIndex(model, codes)))
+    }
+
   /** Attach a Vamana graph artifact for `prop`, building it at `dir` if
     * absent (the build is a pure function of the corpus — VamanaBuild's
     * sorted-rank determinism — so a reused artifact is byte-identical to

@@ -259,6 +259,19 @@ object QueryCompiler {
             graft.operators.ProductQuantizer.adcDotDistance(col("_codes"), vector, model)
           else graft.operators.ProductQuantizer.adcDistance(col("_codes"), vector, model)
         (restricted0, pqCd)
+      case OpqVectorIndex(model, _) =>
+        require(vector.length == model.dim,
+          s"query vector has ${vector.length} dims; OPQ index has ${model.dim}")
+        // rotate the query by the model's orthogonal matrix (driver-side,
+        // one d×d mat-vec), then the UNCHANGED PQ ADC fold over the codes:
+        // orthogonality preserves both L2 and dot (Rq·Rx = q·x), so the
+        // same metric routing as plain PQ applies in the rotated space
+        val rq = model.rotate(vector.toArray).toSeq
+        val opqCd =
+          if (metric == IndexKind.Metric.Dot)
+            graft.operators.ProductQuantizer.adcDotDistance(col("_codes"), rq, model.pq)
+          else graft.operators.ProductQuantizer.adcDistance(col("_codes"), rq, model.pq)
+        (restricted0, opqCd)
       case ScalarVectorIndex(lo, hi, _) =>
         require(vector.length == lo.length,
           s"query vector has ${vector.length} dims; scalar index has ${lo.length}")

@@ -100,6 +100,17 @@ final case class VamanaVectorIndex(
   }
 }
 
+/** OPQ artifact (operators/Opq.scala — Ge et al. 2013): per-subspace
+  * centroid codes learned in a ROTATED space (`_codes array<int>`, same
+  * narrow frame as plain PQ). Candidates rank by asymmetric distance
+  * after rotating the QUERY by the model's orthogonal matrix (one d×d
+  * mat-vec on the driver) — the scan itself is byte-for-byte the PQ
+  * scan, so the 100 TB candidate-stage cost is unchanged; only the
+  * codebook's fit to correlated/anisotropic corpora improves.
+  */
+final case class OpqVectorIndex(
+    model: graft.operators.Opq.OpqModel, encoded: DataFrame) extends VectorIndex
+
 /** SQ8 scalar-quantizer artifact (`_codes array<long>`, 0..255 per
   * dimension over per-dim [lo, hi]) — candidates rank by squared-L2
   * over reconstructed grid centers: exact for euclidean, rank-equivalent

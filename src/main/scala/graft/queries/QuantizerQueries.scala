@@ -338,7 +338,33 @@ object QuantizerQueries {
       .orderBy(col("approx_r"), col("id"))
   }
 
+  /** OPQ ADC top-10 (Ge et al. 2013 parametric variant — see
+    * operators/Opq.scala) for the vec_id-7 query under a LEARNED rotation
+    * (PCA + eigenvalue allocation) and m=8, k=32 rotated-space codebook —
+    * hash-compared against a PINNED GOLDEN, the pq_adc_topk convention:
+    * DuckDB can replay neither the Jacobi eigensolve nor seeded Lloyd's,
+    * but the whole model is a pure function of the corpus (exact
+    * fixed-point covariance + canonically-sorted training sample), so any
+    * drift in the PCA fit, the allocation, the rotation arithmetic, the
+    * codebook, encoding, or the ADC fold flips the pinned rows. After an
+    * INTENTIONAL fit change, regenerate via `python3 tools/check_oracle.py
+    * /root/testdata/sf0.01 /tmp/v opq_adc_topk` and pin the printed
+    * spark-side rows.
+    */
+  val opqAdcTopk = NamedQuery(
+    "opq_adc_topk",
+    """SELECT CAST(id AS BIGINT) AS id, CAST(approx_r AS DOUBLE) AS approx_r
+      |FROM (VALUES (0, 0.0)) t(id, approx_r)
+      |ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = graft.operators.Opq.fit(emb, col("embedding"), dim = 64, m = 8, k = 32)
+    val codes = graft.operators.Opq.encode(emb, col("vec_id"), col("embedding"), model)
+    graft.operators.Opq.adcSearch(codes, TestCollections.queryVector(s, d, 7), model, k = 10)
+      .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
+  }
+
   val all: Seq[NamedQuery] =
     Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph,
-      sq8Topk, sq8DotTopk, bqAsymTopk)
+      sq8Topk, sq8DotTopk, bqAsymTopk, opqAdcTopk)
 }
