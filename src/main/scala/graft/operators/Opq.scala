@@ -80,7 +80,7 @@ object Opq {
   private[operators] def eigenAllocation(
       eigenvalues: Array[Double], m: Int, subDim: Int): Array[Int] = {
     val d = eigenvalues.length
-    require(m * subDim == d, s"allocation needs m·subDim = d (got $m·$subDim ≠ $d)")
+    require(m * subDim == d, s"allocation needs m*subDim = d (got ${m}*${subDim} != $d)")
     val buckets = Array.fill(m)(List.empty[Int])
     val logSum = new Array[Double](m)
     val counts = new Array[Int](m)
