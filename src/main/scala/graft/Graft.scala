@@ -399,9 +399,25 @@ final class Graft(val spark: SparkSession, root: String,
                 case Some((graph, idmap, serveDir)) =>
                   Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
                     p, graph, idmap, serveDir = Some(serveDir),
-                    coded = Some(model))))
+                    coded = Some(graft.operators.PqCodes(model)))))
                 case None =>
                   Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
+              }
+            case Some(graft.store.FittedOpq(model)) =>
+              // same coded-walk opt-in as FittedProduct: OPQ codes steer
+              // the graph walk (query rotated once per walk — OpqCodes);
+              // without a graph, the flat rotated-space ADC scan
+              val viaGraph =
+                if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
+                  store.vamanaIndexWithDir(name, p)
+                else None
+              viaGraph match {
+                case Some((graph, idmap, serveDir)) =>
+                  Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
+                    p, graph, idmap, serveDir = Some(serveDir),
+                    coded = Some(graft.operators.OpqCodes(model)))))
+                case None =>
+                  Some(p -> ((c: Collection) => c.withOpqVectorIndex(p, model)))
               }
             case Some(graft.store.FittedScalar(lo, hi)) =>
               Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))

@@ -92,13 +92,18 @@ final case class Collection(
     * the rotated-space codebooks, same narrow `(_id, _codes)` frame as
     * plain PQ — approximate candidates rank by ADC against the ROTATED
     * query; the exact re-rank stays on this collection's raw vectors.
+    * Ragged vectors are SHED like nulls (the fit's own filter — the
+    * rotation UDF would otherwise throw on the first short vector and
+    * kill the encode job instead of skipping the row).
     */
   def withOpqVectorIndex(prop: String, model: graft.operators.Opq.OpqModel): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
       val codes = graft.operators.Opq
-        .encode(df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop), model)
+        .encode(
+          df.filter(col(prop).isNotNull && size(col(prop)) === model.dim),
+          col(Collection.IdCol), col(prop), model)
         .withColumnRenamed("id", Collection.IdCol)
         .withColumnRenamed("codes", "_codes")
         .persist()
@@ -119,7 +124,7 @@ final case class Collection(
       params: graft.operators.VamanaBuild.Params =
         graft.operators.VamanaBuild.Params(degreeBound = 32, iterations = 2),
       maxHops: Int = 64,
-      coded: Option[graft.operators.PQModel] = None): Collection =
+      coded: Option[graft.operators.CodedSource] = None): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._
@@ -156,7 +161,7 @@ final case class Collection(
   def withVamanaVectorIndexFrames(
       prop: String, graph: DataFrame, idmap: DataFrame,
       maxHops: Int = 64, serveDir: Option[String] = None,
-      coded: Option[graft.operators.PQModel] = None): Collection =
+      coded: Option[graft.operators.CodedSource] = None): Collection =
     if (vectorIndexes.contains(prop)) this
     else {
       import org.apache.spark.sql.functions._

@@ -142,21 +142,20 @@ object VamanaServe {
     * pass over the artifact, paid once per attached generation.
     */
   def codedServingTable(
-      art: DataFrame, model: graft.operators.PQModel, dir: String): DataFrame = {
+      art: DataFrame, source: graft.operators.CodedSource, dir: String): DataFrame = {
     val spark = art.sparkSession
     val tbl = servingTableName(dir)
     if (!spark.catalog.tableExists(tbl)) {
       val head = art.select(col("_gid"), col("_nbrs")).head(1)
       if (head.isEmpty) return art
       val deg = head(0).getSeq[Long](1).length
-      val rowBytes = 40L + 4L * model.m + 8L * deg
+      val rowBytes = 40L + 4L * source.pq.m + 8L * deg
       val n = art.count()
       val buckets = math.min(4096L,
         math.max(8L, n * rowBytes / (32L * 1024 * 1024) + 1)).toInt
       val coded = art.select(
         col("_id"), col("_gid"),
-        graft.operators.ProductQuantizer.encodeUdf(model)(col("_vec"))
-          .as("_codes"),
+        source.encodeExpr(col("_vec")).as("_codes"),
         col("_nbrs"))
       graft.operators.Bucketing.writeBucketed(
         coded.repartition(buckets, col("_gid")),
@@ -239,7 +238,7 @@ object VamanaServe {
     * misses true neighbors (RECALL.md / VamanaServeSpec bands).
     */
   private final class CodedAccess(
-      art: DataFrame, model: graft.operators.PQModel,
+      art: DataFrame, source: graft.operators.CodedSource,
       protected val matchArt: Option[DataFrame])
       extends GraphAccess with MatchProbes {
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
@@ -251,10 +250,14 @@ object VamanaServe {
           (r.getSeq[Int](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
         .toMap
     def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double = {
+      // map the query into the space the codes quantize FIRST (identity
+      // for plain PQ, the learned rotation for OPQ), then the unchanged
+      // ADC table build over the source's codebooks
+      val q2 = source.mapQuery(qvec)
       val table =
         if (metric == Metric.Dot)
-          graft.operators.ProductQuantizer.adcDotTable(qvec, model)
-        else graft.operators.ProductQuantizer.adcTable(qvec, model)
+          graft.operators.ProductQuantizer.adcDotTable(q2, source.pq)
+        else graft.operators.ProductQuantizer.adcTable(q2, source.pq)
       p => {
         val cs = p.asInstanceOf[Array[Int]]
         var acc = 0.0
@@ -287,7 +290,7 @@ object VamanaServe {
       art: DataFrame, metric: Metric, query: Seq[Float],
       searchSize: Int, entry: Long, maxHops: Int = 64,
       local: Option[LocalGraph] = None,
-      coded: Option[graft.operators.PQModel] = None): Seq[Long] =
+      coded: Option[graft.operators.CodedSource] = None): Seq[Long] =
     walkBatch(access(art, None, local, coded), metric, Seq(query), searchSize,
       entry, maxHops, filtered = false).head
 
@@ -315,7 +318,7 @@ object VamanaServe {
       art: DataFrame, matchArt: DataFrame, metric: Metric, query: Seq[Float],
       searchSize: Int, entry: Long, maxHops: Int = 64,
       local: Option[LocalGraph] = None,
-      coded: Option[graft.operators.PQModel] = None): Seq[Long] =
+      coded: Option[graft.operators.CodedSource] = None): Seq[Long] =
     walkBatch(access(art, Some(matchArt), local, coded), metric, Seq(query),
       searchSize, entry, maxHops, filtered = true).head
 
@@ -329,14 +332,14 @@ object VamanaServe {
       art: DataFrame, metric: Metric, queries: Seq[Seq[Float]],
       searchSize: Int, entry: Long, maxHops: Int = 64,
       local: Option[LocalGraph] = None,
-      coded: Option[graft.operators.PQModel] = None): Seq[Seq[Long]] =
+      coded: Option[graft.operators.CodedSource] = None): Seq[Seq[Long]] =
     walkBatch(access(art, None, local, coded), metric, queries, searchSize,
       entry, maxHops, filtered = false)
 
   private def access(
       art: DataFrame, matchArt: Option[DataFrame],
       local: Option[LocalGraph],
-      coded: Option[graft.operators.PQModel]): GraphAccess = local match {
+      coded: Option[graft.operators.CodedSource]): GraphAccess = local match {
     case Some(g) =>
       // a broadcast-sized artifact always walks exact in driver memory:
       // the coded regime exists to shrink per-hop IO, and the local fast
@@ -345,7 +348,7 @@ object VamanaServe {
       new LocalAccess(g, matchArt.map(
         _.select(col("_gid")).as[Long].collect().toSet))
     case None => coded match {
-      case Some(model) => new CodedAccess(art, model, matchArt)
+      case Some(src) => new CodedAccess(art, src, matchArt)
       case None => new DistributedAccess(art, matchArt)
     }
   }

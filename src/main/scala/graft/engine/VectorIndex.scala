@@ -52,7 +52,7 @@ final case class ProductVectorIndex(
 final case class VamanaVectorIndex(
     entry: Long, maxHops: Int, encoded: DataFrame,
     serveDir: Option[String] = None,
-    coded: Option[graft.operators.PQModel] = None) extends VectorIndex {
+    coded: Option[graft.operators.CodedSource] = None) extends VectorIndex {
   /** Broadcast-sized artifacts are collected ONCE (lazily, on the first
     * approximate query) and every beam walk then runs in driver memory
     * with zero Spark jobs — the serving fast path. None past the
@@ -84,8 +84,8 @@ final case class VamanaVectorIndex(
   lazy val codedServing: Option[DataFrame] =
     if (local.isDefined) None
     else (coded, serveDir) match {
-      case (Some(m), Some(d)) =>
-        Some(VamanaServe.codedServingTable(encoded, m, d.stripSuffix("/") + "_coded"))
+      case (Some(src), Some(d)) =>
+        Some(VamanaServe.codedServingTable(encoded, src, d.stripSuffix("/") + "_coded"))
       case _ => None
     }
 

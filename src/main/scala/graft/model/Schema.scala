@@ -47,6 +47,16 @@ object IndexKind {
     final case class Scalar(triggerThreshold: Int = 10000) extends Quantizer {
       val name = "scalar"
     }
+    /** Optimized PQ (Ge et al. 2013 — operators/Opq.scala): a learned
+      * orthogonal rotation aligns the subspace split with the corpus's
+      * principal axes, then plain PQ in the rotated space. Same code
+      * width and candidate-scan cost as [[Product]]; better codebook
+      * fit on correlated/anisotropic corpora. A graft extension beyond
+      * the reference's binary/product pair.
+      */
+    final case class Opq(
+        numCentroids: Int = 256, numSubVectors: Int = 8,
+        triggerThreshold: Int = 10000) extends Quantizer { val name = "opq" }
   }
 
   final case class VectorFlat(
@@ -116,6 +126,8 @@ object IndexSchema {
     case IndexKind.Quantizer.Binary(t) => t < 1
     case IndexKind.Quantizer.Scalar(t) => t < 1
     case IndexKind.Quantizer.Product(kc, m, t) =>
+      t < 1 || kc < 2 || kc > 256 || m < 1 || n % m != 0
+    case IndexKind.Quantizer.Opq(kc, m, t) =>
       t < 1 || kc < 2 || kc > 256 || m < 1 || n % m != 0
   }
 }

@@ -77,7 +77,7 @@ object Opq {
     * permutation: output dim p(r) of the rotation is principal axis
     * `alloc(r)`. Deterministic: ties break on bucket index.
     */
-  private[operators] def eigenAllocation(
+  private[graft] def eigenAllocation(
       eigenvalues: Array[Double], m: Int, subDim: Int): Array[Int] = {
     val d = eigenvalues.length
     require(m * subDim == d, s"allocation needs m*subDim = d (got ${m}*${subDim} != $d)")
@@ -104,22 +104,41 @@ object Opq {
   }
 
   /** Fit: PCA basis → eigenvalue allocation → rotation = the allocated
-    * permutation of principal axes → plain PQ on the rotated corpus.
-    * The PCA pass is exact over the frame (one scan, d²-cell shuffle);
-    * codebook training samples like every learned fit (≤ sampleLimit,
-    * canonically sorted). For 100 TB fit on an upstream [[Sampling]]
-    * slice, like the other quantizers.
+    * permutation of principal axes → plain PQ on the rotated sample.
+    *
+    * BOTH stages train on the ONE canonical bounded sample
+    * ([[Similarity.vectorSample]]: ≤ `sampleLimit` rows, lexicographically
+    * sorted) — quantizer training is sample-scale by nature, so at 100 TB
+    * the whole fit costs one bounded limit+collect, never a full-corpus
+    * covariance pass (the d²-cell exact PCA would otherwise scan
+    * everything). At gate scale the sample IS the corpus, so the model
+    * stays a pure function of it: [[Embeddings.fitPca]] is exact and
+    * order-free over the sorted sample, the rotation is a pure function
+    * of the PCA model, and the rotated sample feeds the seeded Lloyd's
+    * in its (deterministic) raw-space canonical order — the pinned-golden
+    * contract of `opq_adc_topk`. Encoding below stays distributed.
     */
   def fit(
       df: DataFrame, vec: Column, dim: Int, m: Int, k: Int,
       seed: Long = 42L, sampleLimit: Int = 100000): OpqModel = {
     require(dim % m == 0, s"dim $dim not divisible by numSubVectors $m")
-    val pca = Embeddings.fitPca(df, vec, dim)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.filter(vec.isNotNull && size(vec) === dim)
+    val sample = Similarity.vectorSample(clean, vec, sampleLimit)
+    require(sample.nonEmpty, "cannot fit OPQ on an empty corpus")
+    val sampleDf = spark.createDataset(sample.toIndexedSeq.map(_.toSeq)).toDF("_sv")
+    val pca = Embeddings.fitPca(sampleDf, col("_sv"), dim)
     val perm = eigenAllocation(pca.eigenvalues, m, dim / m)
     val rotation = perm.map(pca.basis(_))
-    val rotated = df.filter(vec.isNotNull && size(vec) === dim)
-      .select(rotateUdf(rotation)(vec).as("_rv"))
-    val pq = ProductQuantizer.fit(rotated, col("_rv"), m, k, dim, seed, sampleLimit)
+    // rotate the already-collected sample driver-side (with the encode
+    // path's float32 collapse, so codebooks train on exactly the values
+    // they will quantize) and fit the rotated-space codebooks locally —
+    // no second distributed pass over the corpus
+    val rotated = sample.map(v =>
+      rotateVec(rotation, v.map(_.toFloat)).map(_.toDouble).toSeq)
+    val rotatedDf = spark.createDataset(rotated.toIndexedSeq).toDF("_rv")
+    val pq = ProductQuantizer.fit(rotatedDf, col("_rv"), m, k, dim, seed, sampleLimit)
     OpqModel(rotation, pq)
   }
 

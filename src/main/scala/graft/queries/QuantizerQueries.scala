@@ -343,8 +343,9 @@ object QuantizerQueries {
     * (PCA + eigenvalue allocation) and m=8, k=32 rotated-space codebook —
     * hash-compared against a PINNED GOLDEN, the pq_adc_topk convention:
     * DuckDB can replay neither the Jacobi eigensolve nor seeded Lloyd's,
-    * but the whole model is a pure function of the corpus (exact
-    * fixed-point covariance + canonically-sorted training sample), so any
+    * but the whole model is a pure function of the corpus (both fit
+    * stages train on the ONE canonical bounded sample, which at gate
+    * scale IS the corpus; the PCA over it is exact fixed-point), so any
     * drift in the PCA fit, the allocation, the rotation arithmetic, the
     * codebook, encoding, or the ADC fold flips the pinned rows. After an
     * INTENTIONAL fit change, regenerate via `python3 tools/check_oracle.py
@@ -354,7 +355,9 @@ object QuantizerQueries {
   val opqAdcTopk = NamedQuery(
     "opq_adc_topk",
     """SELECT CAST(id AS BIGINT) AS id, CAST(approx_r AS DOUBLE) AS approx_r
-      |FROM (VALUES (0, 0.0)) t(id, approx_r)
+      |FROM (VALUES (7, 0.4263), (340, 0.8980), (332, 1.0078), (218, 1.0134),
+      |  (445, 1.0274), (49, 1.0742), (221, 1.0805), (59, 1.0886),
+      |  (297, 1.0908), (381, 1.1109)) t(id, approx_r)
       |ORDER BY approx_r, id""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val model = graft.operators.Opq.fit(emb, col("embedding"), dim = 64, m = 8, k = 32)

@@ -426,6 +426,90 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** `"approx": true` served from an OPQ artifact (operators/Opq.scala,
+    * Ge et al. 2013) under a CLOSED-FORM model DuckDB can replay end to
+    * end: the rotation is the dimension-REVERSAL permutation (orthogonal,
+    * so all the OPQ serving arithmetic — rotate corpus vector before
+    * encode, rotate query before the ADC table — runs for real), and the
+    * rotated-space codebook is the s2_near_pq_approx closed form applied
+    * to the REVERSED seed embeddings. The oracle replays rotation
+    * (list_reverse), per-(vector, subspace) argmin codes, the rotated
+    * query's lookup table, the subspace-ordered fold, the candidate cut,
+    * and the exact float32 cosine re-rank on the ORIGINAL vectors —
+    * covering every OPQ-specific seam (encode-side rotation, query-side
+    * rotation, unrotated re-rank) with no golden. The LEARNED fit stays
+    * covered by opq_adc_topk's pinned golden + OpqSpec's recall law.
+    */
+  val s2NearOpqApprox = NamedQuery(
+    "s2_near_opq_approx",
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |subs AS (SELECT unnest(range(4)) AS i),
+      |cents AS (SELECT unnest(range(8)) AS j),
+      |cb AS (
+      |  SELECT s.i, c.j, list_slice(list_reverse(e.embedding), s.i*16 + 1, s.i*16 + 16) AS cv
+      |  FROM embeddings e, subs s, cents c
+      |  WHERE e.vec_id = c.j),
+      |q AS (SELECT list_reverse(embedding) AS qv, embedding AS qraw
+      |  FROM embeddings WHERE vec_id = 0),
+      |rot AS (SELECT _id, list_reverse(embedding) AS rv FROM corpus),
+      |dists AS (
+      |  SELECT r._id, cb.i, cb.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> (CAST(r.rv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |         * (CAST(r.rv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM rot r CROSS JOIN cb),
+      |codes AS (
+      |  SELECT _id, i, j AS code FROM (
+      |    SELECT _id, i, j,
+      |      row_number() OVER (PARTITION BY _id, i ORDER BY d2, j) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |qtab AS (
+      |  SELECT cb.i, cb.j,
+      |    list_sum(list_transform(range(1, 17),
+      |      t -> (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE))
+      |         * (CAST(q.qv[cb.i*16 + t] AS DOUBLE) - CAST(cb.cv[t] AS DOUBLE)))) AS d2
+      |  FROM cb CROSS JOIN q),
+      |scores AS (
+      |  SELECT c._id, list_sum(list(t.d2 ORDER BY t.i)) AS approx
+      |  FROM codes c JOIN qtab t ON c.i = t.i AND c.code = t.j
+      |  GROUP BY c._id),
+      |cand AS (SELECT _id FROM scores ORDER BY approx ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  -- REAL: the engine's stage-2 re-rank distance is float32, on the
+      |  -- ORIGINAL (unrotated) vectors and query
+      |  SELECT co._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qraw[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM cand JOIN corpus co USING (_id) CROSS JOIN q),
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val seed = graft.Tables.embeddings(s, d).filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val rev = seed.map(_.reverse)
+    val cents = (0 until 4).map { i =>
+      (0 until 8).map(j =>
+        java.util.Arrays.copyOfRange(rev(j), i * 16, (i + 1) * 16)).toArray
+    }.toArray
+    val rotation = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => if (j == 63 - i) 1.0 else 0.0))
+    val model = graft.operators.Opq.OpqModel(rotation,
+      graft.operators.PQModel(m = 4, k = 8, dim = 64, centroids = cents))
+    val coll = base.withOpqVectorIndex("embedding", model)
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** `"approx": true` served from the SQ8 SCALAR artifact — the third
     * quantizer kind through the engine (beyond the reference's
     * binary/product pair): per-dim min/max fit, 0..255 grid codes,
@@ -526,5 +610,6 @@ object VectorQueries {
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
-    s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox)
+    s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
+    s2NearOpqApprox)
 }

@@ -199,6 +199,59 @@ object WriteQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** The FULL OPQ store lifecycle under the gate (round 9): a collection
+    * DECLARES `"quantizer": {"type": "opq"}` in its schema, the store fits
+    * the model at the trigger (maybeFitQuantizers → Opq.fit: PCA rotation
+    * + eigenvalue allocation + rotated-space codebooks, all on the
+    * canonical sample), persists it as quantizer_vec.json, loadQuantizer
+    * parses it back (rotation + codebooks), ensureVectorIndexes attaches
+    * the OPQ artifact, and a JSON `"approx": true` query serves ADC
+    * candidates (query rotated once, driver-side) + exact re-rank. At
+    * candidate budget 50 over this corpus the ADC pool contains the exact
+    * top-10, so exact cosine SQL is a true oracle (the
+    * s1_near_vamana_approx argument) — any drift in the schema codec, the
+    * fit, the JSON round-trip, the rotation arithmetic, or the serving
+    * path loses a true neighbor and flips the hash.
+    */
+  private val opqDbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.Graft]()
+  private def opqDb(s: org.apache.spark.sql.SparkSession, d: String): graft.Graft = {
+    val app = s.sparkContext.applicationId
+    opqDbCache.keySet.removeIf(k => k._1 != app)
+    opqDbCache.computeIfAbsent((app, d), _ => {
+      val db = graft.Graft(s, Files.createTempDirectory("graft_opq_store_").toString)
+      db.createCollection("emb",
+        IndexSchema("vec" -> IndexKind.VectorFlat(64, IndexKind.Metric.Cosine,
+          IndexKind.Quantizer.Opq(
+            numCentroids = 32, numSubVectors = 16, triggerThreshold = 1))),
+        Tables.embeddings(s, d).select(
+          col("vec_id").cast("string").as("_id"), col("embedding").as("vec")))
+      db
+    })
+  }
+
+  val w12OpqStoreServe = NamedQuery(
+    "w12_opq_store_serve",
+    """WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |ranked AS (
+      |  SELECT CAST(vec_id AS VARCHAR) AS _id,
+      |    CAST(1.0 - list_sum(list_transform(range(1, 65),
+      |      t -> CAST(embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM embeddings CROSS JOIN q
+      |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val qv = TestCollections.queryVector(s, d, 0)
+    opqDb(s, d).search("emb",
+      s"""{"query": {"property": "vec",
+         |  "vectorFlat": {"vector": [${qv.mkString(",")}], "operator": "near",
+         |                 "limit": 10, "approx": true}},
+         | "select": ["_id"], "limit": 100}""".stripMargin)
+      .select(col("_id"), dround(col("_distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** W4's backup/restore lifecycle as a CONTRACT query (reference shard
     * Backup semantics): create from part (p_size ≤ 10), snapshot, then
     * DIVERGE destructively — delete every p_size ≤ 4 row, blank a name
@@ -545,5 +598,5 @@ object WriteQueries {
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
       w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle,
-      w11WireMetrics)
+      w11WireMetrics, w12OpqStoreServe)
 }

@@ -1274,18 +1274,30 @@ final class CollectionStore(
           case other => throw new IllegalStateException(s"bad number $other")
         }.toArray
       }
+      def ints(k: String): Int = (j \ k) match {
+        case JInt(x) => x.toInt; case JLong(x) => x.toInt
+        case other => throw new IllegalStateException(s"bad $k: $other") }
+      def pqOf(j2: JValue): graft.operators.PQModel = {
+        val JArray(subs) = (j2 \ "centroids"): @unchecked
+        val cents = subs.map { case JArray(cs) =>
+          cs.map(c => dbls(c).map(_.toFloat)).toArray
+        case other => throw new IllegalStateException(s"bad centroids $other") }.toArray
+        def i(k: String) = (j2 \ k) match {
+          case JInt(x) => x.toInt; case JLong(x) => x.toInt
+          case other => throw new IllegalStateException(s"bad $k: $other") }
+        graft.operators.PQModel(i("m"), i("k"), i("dim"), cents)
+      }
       (j \ "type") match {
         case JString("binary") => Some(FittedBinary(dbls(j \ "thresholds")))
-        case JString("product") =>
-          val JArray(subs) = (j \ "centroids"): @unchecked
-          val cents = subs.map { case JArray(cs) =>
-            cs.map(c => dbls(c).map(_.toFloat)).toArray
-          case other => throw new IllegalStateException(s"bad centroids $other") }.toArray
-          def i(k: String) = (j \ k) match {
-            case JInt(x) => x.toInt; case JLong(x) => x.toInt
-            case other => throw new IllegalStateException(s"bad $k: $other") }
-          Some(FittedProduct(graft.operators.PQModel(i("m"), i("k"), i("dim"), cents)))
+        case JString("product") => Some(FittedProduct(pqOf(j)))
         case JString("scalar") => Some(FittedScalar(dbls(j \ "lo"), dbls(j \ "hi")))
+        case JString("opq") =>
+          val JArray(rows) = (j \ "rotation"): @unchecked
+          val rotation = rows.map(dbls).toArray
+          require(rotation.length == ints("dim") &&
+            rotation.forall(_.length == ints("dim")),
+            s"opq rotation is not ${ints("dim")}x${ints("dim")}")
+          Some(FittedOpq(graft.operators.Opq.OpqModel(rotation, pqOf(j))))
         case _ => None
       }
     }
@@ -1303,7 +1315,8 @@ final class CollectionStore(
     import graft.model.IndexKind.Quantizer
     val declared = readSchema(name).props.toSeq.sortBy(_._1).collect {
       case (p, IndexKind.VectorFlat(n, _, q)) if q != Quantizer.NoQuant => (p, n, q)
-      case (p, IndexKind.VectorVamana(n, _, _, _, _, q)) if q != Quantizer.NoQuant => (p, n, q)
+      case (p, IndexKind.VectorVamana(n, _, _, _, _, q)) if q != Quantizer.NoQuant =>
+        (p, n, q)
     }.filterNot { case (p, _, _) => Files.exists(quantizerPath(name, p)) }
     if (declared.nonEmpty) {
       import org.json4s._
@@ -1332,6 +1345,20 @@ final class CollectionStore(
               "type" -> JString("scalar"),
               "lo" -> JArray(lo.map(JDouble(_)).toList),
               "hi" -> JArray(hi.map(JDouble(_)).toList)))
+          case Quantizer.Opq(kc, m, t) if total >= t =>
+            // Opq.fit trains BOTH stages (PCA rotation + rotated-space
+            // codebooks) on the one canonical bounded sample — the exact
+            // d²-cell covariance pass never touches the full corpus here
+            val model = graft.operators.Opq.fit(vecs, col(prop), dim, m, kc)
+            Some(JObject(
+              "type" -> JString("opq"),
+              "m" -> JInt(model.pq.m), "k" -> JInt(model.pq.k),
+              "dim" -> JInt(model.pq.dim),
+              "rotation" -> JArray(model.rotation.map(row =>
+                JArray(row.map(JDouble(_)).toList)).toList),
+              "centroids" -> JArray(model.pq.centroids.map(sub =>
+                JArray(sub.map(c =>
+                  JArray(c.map(x => JDouble(x.toDouble)).toList)).toList)).toList)))
           case _ => None
         }
         json.foreach { jv =>
@@ -1619,6 +1646,7 @@ sealed trait FittedQuantizer
 final case class FittedBinary(thresholds: Array[Double]) extends FittedQuantizer
 final case class FittedProduct(model: graft.operators.PQModel) extends FittedQuantizer
 final case class FittedScalar(lo: Array[Double], hi: Array[Double]) extends FittedQuantizer
+final case class FittedOpq(model: graft.operators.Opq.OpqModel) extends FittedQuantizer
 
 object CollectionStore {
   val IdCol = "_id"
@@ -1658,6 +1686,9 @@ object CollectionStore {
           "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t))
       case IndexKind.Quantizer.Scalar(t) =>
         o("type" -> JString("scalar"), "triggerThreshold" -> JInt(t))
+      case IndexKind.Quantizer.Opq(kc, m, t) =>
+        o("type" -> JString("opq"), "numCentroids" -> JInt(kc),
+          "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t))
     }
     val fields = s.props.toSeq.sortBy(_._1).map { case (p, k) =>
       val obj = k match {
@@ -1701,6 +1732,9 @@ object CollectionStore {
             qint("triggerThreshold", 10000))
           case JString("scalar") =>
             IndexKind.Quantizer.Scalar(qint("triggerThreshold", 10000))
+          case JString("opq") => IndexKind.Quantizer.Opq(
+            qint("numCentroids", 256), qint("numSubVectors", 8),
+            qint("triggerThreshold", 10000))
           case _ => IndexKind.Quantizer.NoQuant
         }
       }

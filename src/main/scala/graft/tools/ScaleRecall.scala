@@ -104,7 +104,7 @@ object ScaleRecall {
             col("embedding").as("vec_l2")),
           graft.model.IndexSchema(
             "vec_l2" -> IndexKind.VectorVamana(dim, Metric.Euclidean)))
-        .withVamanaVectorIndex("vec_l2", codDir, buildParams, coded = Some(pq))
+        .withVamanaVectorIndex("vec_l2", codDir, buildParams, coded = Some(graft.operators.PqCodes(pq)))
       spark.conf.set("graft.vamana.localMaxBytes", "1")
       val codGot =
         try queryBaseIds.map { q =>

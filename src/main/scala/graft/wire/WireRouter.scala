@@ -67,6 +67,13 @@ object WireRouter {
           IndexKind.Quantizer.Product(
             i("numCentroids", 256), i("numSubVectors", 8), trig(p))
         case JString("scalar") => IndexKind.Quantizer.Scalar(trig(q \ "scalar"))
+        case JString("opq") =>
+          val p = q \ "opq"
+          def i(k: String, d: Int) = p \ k match {
+            case JInt(x) => x.toInt; case JLong(x) => x.toInt; case _ => d
+          }
+          IndexKind.Quantizer.Opq(
+            i("numCentroids", 256), i("numSubVectors", 8), trig(p))
         case other => throw new IllegalArgumentException(
           s"unknown quantizer type ${JsonMethods.compact(JsonMethods.render(other))}")
       }
@@ -129,6 +136,10 @@ object WireRouter {
       case IndexKind.Quantizer.Scalar(t) => JObject(
         "type" -> JString("scalar"),
         "scalar" -> JObject("triggerThreshold" -> JInt(t)))
+      case IndexKind.Quantizer.Opq(kc, m, t) => JObject(
+        "type" -> JString("opq"),
+        "opq" -> JObject("numCentroids" -> JInt(kc),
+          "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t)))
     }
     JObject(s.props.toSeq.sortBy(_._1).map { case (prop, k) =>
       val body: JValue = k match {

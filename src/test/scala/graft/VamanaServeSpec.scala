@@ -147,7 +147,7 @@ class VamanaServeSpec extends SparkSuite {
       art, col("_vec"), m = 16, k = 16, dim = 64)
     try {
       val codedIdx = VamanaVectorIndex(
-        idx.entry, idx.maxHops, art, Some(serveDir), Some(pq))
+        idx.entry, idx.maxHops, art, Some(serveDir), Some(graft.operators.PqCodes(pq)))
       assert(codedIdx.local.isEmpty)
       val cart = codedIdx.codedServing.getOrElse(fail("no coded serving table"))
       // the serving layout is code-narrow: no _vec column at all
@@ -200,7 +200,7 @@ class VamanaServeSpec extends SparkSuite {
       art, col("_vec"), m = 16, k = 16, dim = 64)
     try {
       val codedIdx = VamanaVectorIndex(
-        idx.entry, idx.maxHops, art, Some(serveDir), Some(pq))
+        idx.entry, idx.maxHops, art, Some(serveDir), Some(graft.operators.PqCodes(pq)))
       val cart = codedIdx.codedServing.getOrElse(fail("no coded serving table"))
       val q = qvecs.head
       // narrow filter (≤ searchSize matches): exact by construction —
@@ -209,7 +209,7 @@ class VamanaServeSpec extends SparkSuite {
       val narrowE = art.filter(col("_gid") % 29 === 0)
       val codedPool = VamanaServe.beamCandidateGidsFiltered(
         cart, narrowC, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
-        maxHops = idx.maxHops, local = None, coded = Some(pq))
+        maxHops = idx.maxHops, local = None, coded = Some(graft.operators.PqCodes(pq)))
       val exactPool = VamanaServe.beamCandidateGidsFiltered(
         art, narrowE, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
         maxHops = idx.maxHops, local = localGraph)
@@ -219,10 +219,51 @@ class VamanaServeSpec extends SparkSuite {
       val broad = cart.filter(col("_gid") % 2 === 0)
       val broadPool = VamanaServe.beamCandidateGidsFiltered(
         cart, broad, Metric.Euclidean, q, searchSize = 75, entry = idx.entry,
-        maxHops = idx.maxHops, local = None, coded = Some(pq))
+        maxHops = idx.maxHops, local = None, coded = Some(graft.operators.PqCodes(pq)))
       assert(broadPool.nonEmpty && broadPool.forall(_ % 2 == 0), broadPool)
     } finally {
       spark.conf.unset("graft.vamana.localMaxBytes")
+      spark.sql(s"DROP TABLE IF EXISTS `${
+        VamanaServe.servingTableName(serveDir + "_coded")}`")
+    }
+  }
+
+  test("OPQ-coded walk (DiskANN over rotated-space codes): same shape, high recall") {
+    // the coded walk is parameterized by a CodedSource: with OpqCodes the
+    // serving table's _codes quantize the ROTATED vectors and each walk
+    // rotates its query once before the ADC table — assert the layout is
+    // identical to the PQ-coded one and the SERVED top-10 (exact re-rank
+    // of the pool) keeps the recall band
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    val serveDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_opqcoded_").toString + "/serve"
+    val opq = graft.operators.Opq.fit(
+      art, col("_vec"), dim = 64, m = 16, k = 16)
+    try {
+      val codedIdx = VamanaVectorIndex(
+        idx.entry, idx.maxHops, art, Some(serveDir),
+        Some(graft.operators.OpqCodes(opq)))
+      assert(codedIdx.local.isEmpty)
+      val cart = codedIdx.codedServing.getOrElse(fail("no coded serving table"))
+      assert(cart.columns.toSet == Set("_id", "_gid", "_codes", "_nbrs"), cart.columns.toSeq)
+      val codedColl = coll.copy(
+        vectorIndexes = coll.vectorIndexes + ("vec_l2" -> codedIdx))
+      def top10(c: engine.Collection, approx: Boolean, q: Seq[Float]): Seq[String] =
+        engine.Search.search(c, model.SearchRequest(
+          graft.model.Query("vec_l2", vectorVamana = Some(graft.model.VectorVamanaOpts(
+            q, graft.model.Op.Near, searchSize = 75, limit = 10, approx = approx))),
+          limit = 10)).select("_id").as[String].collect().toSeq
+      val recalls = qvecs.map { q =>
+        val exact = top10(coll, approx = false, q).toSet
+        val served = top10(codedColl, approx = true, q)
+        served.count(exact).toDouble / exact.size
+      }
+      val avg = recalls.sum / recalls.size
+      info(s"OPQ-coded-walk served recall@10 per query: $recalls")
+      assert(avg >= 0.9, s"avg OPQ-coded-walk recall $avg < 0.9 ($recalls)")
+    } finally {
+      spark.conf.unset("graft.vamana.localMaxBytes")
+      spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
       spark.sql(s"DROP TABLE IF EXISTS `${
         VamanaServe.servingTableName(serveDir + "_coded")}`")
     }
