@@ -224,4 +224,155 @@ class Hdf5Spec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](Hdf5.datasets(p2))
     assert(e2.getMessage.contains("superblock version 2"))
   }
+
+  /** A fixture authored INDEPENDENTLY of Hdf5Write, hand-assembled from
+    * the public HDF5 File Format Specification (version 0 superblock,
+    * III.A v1 group B-tree, III.D local heap, III.C symbol node, IV.A v1
+    * object header, message types IV.A.2.b/d/i) — so the reader cannot
+    * pass by sharing a misreading with the repo's own writer. Every
+    * structure's offset is derived in the comments; the dataset is
+    * "temps", 3x2 float32, contiguous.
+    */
+  test("reader parses a hand-assembled spec-derived v0 file (writer-independent)") {
+    val buf = java.nio.ByteBuffer.allocate(432).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val UNDEF = -1L // the spec's "undefined address" (all ones)
+
+    // ---- superblock v0, bytes 0..95 -------------------------------------
+    // signature (8) + versions/sizes (8) + ks/flags (8) + 4 addresses (32)
+    // + root symbol-table entry (40) = 96
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    buf.put(0.toByte)  //  8: superblock version 0
+    buf.put(0.toByte)  //  9: free-space storage version
+    buf.put(0.toByte)  // 10: root group symbol-table version
+    buf.put(0.toByte)  // 11: reserved
+    buf.put(0.toByte)  // 12: shared-header message version
+    buf.put(8.toByte)  // 13: size of offsets
+    buf.put(8.toByte)  // 14: size of lengths
+    buf.put(0.toByte)  // 15: reserved
+    buf.putShort(4)    // 16: group leaf node k
+    buf.putShort(16)   // 18: group internal node k
+    buf.putInt(0)      // 20: file consistency flags
+    buf.putLong(0L)    // 24: base address
+    buf.putLong(UNDEF) // 32: free-space info address
+    buf.putLong(432L)  // 40: end-of-file address
+    buf.putLong(UNDEF) // 48: driver information address
+    // root group symbol-table entry (40 bytes, at 56 = 24 + 4*8)
+    buf.putLong(0L)    // 56: link name offset (heap offset 0 = "")
+    buf.putLong(96L)   // 64: root object header address
+    buf.putInt(1)      // 72: cache type 1 (scratch caches btree+heap)
+    buf.putInt(0)      // 76: reserved
+    buf.putLong(136L)  // 80: scratch: group B-tree address
+    buf.putLong(184L)  // 88: scratch: local heap address
+    assert(buf.position() == 96)
+
+    // ---- root group object header v1, bytes 96..135 ----------------------
+    // prefix (8) + pad-to-16 (8 written as part of the 16-byte prefix the
+    // reader consumes) + one 0x0011 symbol-table message (8 hdr + 16 data)
+    buf.put(1.toByte); buf.put(0.toByte) // version 1, reserved
+    buf.putShort(1)                      // total header messages
+    buf.putInt(1)                        // object reference count
+    buf.putInt(24)                       // header size (the message block)
+    buf.putInt(0)                        // alignment pad (prefix is 16 bytes)
+    buf.putShort(0x0011)                 // message type: symbol table
+    buf.putShort(16)                     // message data size
+    buf.putInt(0)                        // flags + reserved
+    buf.putLong(136L)                    // v1 B-tree address
+    buf.putLong(184L)                    // local heap address
+    assert(buf.position() == 136)
+
+    // ---- group B-tree v1 leaf, bytes 136..183 ----------------------------
+    // header (24) + key0/child0/key1 (24): one child, the SNOD at 248
+    buf.put("TREE".getBytes("US-ASCII"))
+    buf.put(0.toByte)  // node type 0 (group)
+    buf.put(0.toByte)  // level 0 (leaf: children are symbol nodes)
+    buf.putShort(1)    // entries used
+    buf.putLong(UNDEF) // left sibling
+    buf.putLong(UNDEF) // right sibling
+    buf.putLong(0L)    // key 0: heap offset of "" (before all names)
+    buf.putLong(248L)  // child 0: symbol node address
+    buf.putLong(8L)    // key 1: heap offset of the last name ("temps")
+    assert(buf.position() == 184)
+
+    // ---- local heap, bytes 184..247 ---------------------------------------
+    // header (32) + data segment (32 at 216): "" at 0, "temps" at 8
+    buf.put("HEAP".getBytes("US-ASCII"))
+    buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte); buf.put(0.toByte)
+    buf.putLong(32L)   // data segment size
+    buf.putLong(UNDEF) // free-list head offset (no free blocks)
+    buf.putLong(216L)  // data segment address
+    assert(buf.position() == 216)
+    buf.putLong(0L)    // heap[0..7]: "" + pad (link-name offset 0)
+    buf.put("temps".getBytes("US-ASCII")); buf.put(0.toByte) // heap[8..13]
+    buf.putShort(0)    // pad "temps\0" (6 bytes) to the 8-byte boundary
+    buf.putLong(0L); buf.putLong(0L) // unused heap tail (declared size 32)
+    assert(buf.position() == 248)
+
+    // ---- symbol node (SNOD), bytes 248..295 --------------------------------
+    // header (8) + one 40-byte entry for "temps" -> object header 296
+    buf.put("SNOD".getBytes("US-ASCII"))
+    buf.put(1.toByte)  // version
+    buf.put(0.toByte)  // reserved
+    buf.putShort(1)    // number of symbols
+    buf.putLong(8L)    // entry: link name offset ("temps")
+    buf.putLong(296L)  // entry: object header address
+    buf.putInt(0)      // entry: cache type 0 (nothing cached)
+    buf.putInt(0)      // entry: reserved
+    buf.putLong(0L); buf.putLong(0L) // entry: scratch (unused)
+    assert(buf.position() == 296)
+
+    // ---- dataset object header v1, bytes 296..407 ---------------------------
+    // 16-byte prefix + 3 messages of (8 header + 24 padded data) = 112
+    buf.put(1.toByte); buf.put(0.toByte) // version, reserved
+    buf.putShort(3)    // 3 messages
+    buf.putInt(1)      // reference count
+    buf.putInt(96)     // header size (the message block)
+    buf.putInt(0)      // alignment pad
+    // dataspace v1 (type 0x0001): rank 2, dims {3, 2}
+    buf.putShort(0x0001); buf.putShort(24); buf.putInt(0)
+    buf.put(1.toByte)  // version
+    buf.put(2.toByte)  // dimensionality
+    buf.put(0.toByte)  // flags (no maxdims)
+    buf.put(Array[Byte](0, 0, 0, 0, 0)) // reserved (5)
+    buf.putLong(3L); buf.putLong(2L)
+    // datatype (type 0x0003): v1, class 1 (float), little-endian IEEE f32
+    buf.putShort(0x0003); buf.putShort(20); buf.putInt(0)
+    buf.put(0x11.toByte) // (version 1) << 4 | class 1
+    buf.put(0x20.toByte) // bits 0-7: LE, lo-pad 0, hi-pad 0, mantissa-norm 2 (bit 4-5), sign at...
+    buf.put(31.toByte)   // bits 8-15: sign bit position 31
+    buf.put(0.toByte)    // bits 16-23
+    buf.putInt(4)        // element size
+    buf.putShort(0)      // bit offset
+    buf.putShort(32)     // bit precision
+    buf.put(23.toByte)   // exponent location
+    buf.put(8.toByte)    // exponent size
+    buf.put(0.toByte)    // mantissa location
+    buf.put(23.toByte)   // mantissa size
+    buf.putInt(127)      // exponent bias
+    buf.putInt(0)        // pad message data 20 -> 24
+    // data layout v3 (type 0x0008): class 1 contiguous at 384, 24 bytes
+    buf.putShort(0x0008); buf.putShort(18); buf.putInt(0)
+    buf.put(3.toByte)  // layout message version
+    buf.put(1.toByte)  // layout class: contiguous
+    buf.putLong(408L)  // raw data address
+    buf.putLong(24L)   // raw data size
+    buf.putShort(0); buf.putInt(0) // pad message data 18 -> 24
+    assert(buf.position() == 408)
+
+    // ---- raw data, bytes 408..431: 3x2 f32, row-major ----------------------
+    val want = Array(Array(1.5, -2.25), Array(3.0, 0.125), Array(-0.5, 8.0))
+    want.foreach(_.foreach(v => buf.putFloat(v.toFloat)))
+    assert(buf.position() == 432)
+
+    val p = tmp("handmade.hdf5")
+    Files.write(java.nio.file.Paths.get(p), buf.array())
+    val ds = Hdf5.datasets(p)
+    assert(ds.map(_.name) == Seq("temps"), ds)
+    assert(ds.head.rows == 3 && ds.head.cols == 2 && ds.head.dtype == F32)
+    assert(ds.head.layout == Hdf5.Contiguous(408L, 24L))
+    val back = Hdf5.readRows(p, ds.head, 0, 3)
+    assert(back.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // and a partial range slices the same bytes
+    assert(Hdf5.readRows(p, ds.head, 1, 2).map(_.toSeq).toSeq ==
+      Seq(want(1).toSeq))
+  }
 }
