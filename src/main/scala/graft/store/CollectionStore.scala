@@ -427,8 +427,24 @@ final class CollectionStore(
     updateCommitted(name, updates).length.toLong
 
   /** As [[update]], returning the matched (committed) ids. */
+  /** The first `n` rows of a batch WITHOUT a job when the plan is local
+    * (the wire path: point batches are parsed driver-side and arrive as
+    * `createDataFrame(rows)` local relations — scheduling a cluster job
+    * to read back ≤100 rows the driver already holds puts a scheduler
+    * round-trip on every point-write's latency). Genuinely distributed
+    * inputs still collect through the engine.
+    */
+  private def localHeadRows(df: DataFrame, n: Int): Array[org.apache.spark.sql.Row] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(df.schema)
+        lr.data.take(n).map(r => conv(r).asInstanceOf[org.apache.spark.sql.Row]).toArray
+      case _ => df.limit(n).collect()
+    }
+
   private[graft] def updateCommitted(name: String, updates: DataFrame): Seq[String] = {
-    val batchRows = updates.limit(MaxUpdateBatch + 1).collect()
+    val batchRows = localHeadRows(updates, MaxUpdateBatch + 1)
     require(batchRows.length <= MaxUpdateBatch, s"update batch exceeds $MaxUpdateBatch points")
     val uSchema = updates.schema
     require(uSchema.fieldNames.contains(IdCol), s"updates must carry $IdCol")
