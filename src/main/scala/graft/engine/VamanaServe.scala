@@ -122,14 +122,6 @@ object VamanaServe {
         art.repartition(buckets, col("_gid")),
         tbl, dir, "_gid", buckets, sortCols = Seq("_gid"))
     }
-    // the planner's auto-demotion of "unnecessary" bucketed scans to
-    // coalesced file scans also DROPS bucket pruning (measured: a 3-id
-    // fetch read 8/8 bucket files demoted, 1-3/8 bucketed) — and pruned
-    // per-hop fetches are the entire point of this layout. A session
-    // serving a past-budget graph keeps explicit bucketed scans; the
-    // trade (no split coalescing on full scans of bucketed tables) is
-    // noise next to per-hop full passes over a 100 GB artifact.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.table(tbl)
   }
 
@@ -161,8 +153,29 @@ object VamanaServe {
         coded.repartition(buckets, col("_gid")),
         tbl, dir, "_gid", buckets, sortCols = Seq("_gid"))
     }
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark.table(tbl)
+  }
+
+  /** Run `f` with the planner's auto-demotion of bucketed scans OFF —
+    * the demotion to a coalesced file scan also DROPS file-level bucket
+    * pruning (measured: a 3-id fetch read 8/8 bucket files demoted,
+    * 1-3/8 bucketed), and pruned per-hop fetches are the entire point of
+    * the serving layout. Scoped save/restore around each fetch instead
+    * of a session-wide set (the round-8 shape): other bucketed-table
+    * queries on the SHARED session — other tenants behind WireService —
+    * keep their plan shape outside the fetch window. A concurrent
+    * planner inside the window sees the override; that race is strictly
+    * narrower than the permanent mutation it replaces.
+    */
+  private[graft] def withExplicitBucketedScan[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Data access for one walk: node fetch, per-query scoring of the
@@ -193,14 +206,16 @@ object VamanaServe {
       else {
         val spark = matchArt.get.sparkSession
         import spark.implicits._
-        matchArt.get.filter(col("_gid").isin(ids: _*))
-          .select(col("_gid")).as[Long].collect().toSet
+        withExplicitBucketedScan(spark)(
+          matchArt.get.filter(col("_gid").isin(ids: _*))
+            .select(col("_gid")).as[Long].collect().toSet)
       }
     def seeds(n: Int): Seq[Long] = {
       val spark = matchArt.get.sparkSession
       import spark.implicits._
-      matchArt.get.select(col("_gid")).orderBy(col("_gid").asc)
-        .limit(n).as[Long].collect().toSeq
+      withExplicitBucketedScan(spark)(
+        matchArt.get.select(col("_gid")).orderBy(col("_gid").asc)
+          .limit(n).as[Long].collect().toSeq)
     }
   }
 
@@ -212,9 +227,10 @@ object VamanaServe {
       extends GraphAccess with MatchProbes {
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
-      else art.filter(col("_gid").isin(ids: _*))
-        .select(col("_gid"), col("_vec"), col("_nbrs"))
-        .collect()
+      else withExplicitBucketedScan(art.sparkSession)(
+        art.filter(col("_gid").isin(ids: _*))
+          .select(col("_gid"), col("_vec"), col("_nbrs"))
+          .collect())
         .map(r => r.getLong(0) ->
           (r.getSeq[Float](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
         .toMap
@@ -243,17 +259,31 @@ object VamanaServe {
       extends GraphAccess with MatchProbes {
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
-      else art.filter(col("_gid").isin(ids: _*))
-        .select(col("_gid"), col("_codes"), col("_nbrs"))
-        .collect()
+      else withExplicitBucketedScan(art.sparkSession)(
+        art.filter(col("_gid").isin(ids: _*))
+          .select(col("_gid"), col("_codes"), col("_nbrs"))
+          .collect())
         .map(r => r.getLong(0) ->
           (r.getSeq[Int](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
         .toMap
     def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double = {
-      // map the query into the space the codes quantize FIRST (identity
-      // for plain PQ, the learned rotation for OPQ), then the unchanged
-      // ADC table build over the source's codebooks
-      val q2 = source.mapQuery(qvec)
+      // cosine navigates by squared-L2 ADC over the STORED vectors'
+      // codes, which ranks like cosine only when the stored vectors are
+      // normalized (the PQ operating note — cosine declares normalized
+      // input, IndexKind.Metric). The QUERY side is made safe here
+      // (cosine is scale-invariant in q, so normalizing it is free);
+      // an unnormalized CORPUS under cosine degrades only the pool, and
+      // the engine's exact re-rank stage stays metric-true.
+      val q1 =
+        if (metric == Metric.Cosine) {
+          val n = math.sqrt(qvec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+          if (n > 0) qvec.map(x => (x / n).toFloat) else qvec
+        } else qvec
+      // map the query into the space the codes quantize (identity for
+      // plain PQ, the learned rotation for OPQ — rotation preserves the
+      // norm, so the order of normalize/rotate is immaterial), then the
+      // unchanged ADC table build over the source's codebooks
+      val q2 = source.mapQuery(q1)
       val table =
         if (metric == Metric.Dot)
           graft.operators.ProductQuantizer.adcDotTable(q2, source.pq)

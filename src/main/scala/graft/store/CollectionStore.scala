@@ -860,6 +860,15 @@ final class CollectionStore(
     * keeps the stored value. Tombstoned ids keep their stored values in
     * the dead row version (readers never look at a tombstone's fields).
     *
+    * KNOWN on-disk divergence from the per-op fallback chain: a patch
+    * applied BEFORE a tombstone in the same WAL window is dropped here
+    * (the dead row keeps its pre-patch stored bytes), while the chain
+    * would have written the patched values into the dead row. Observable
+    * behavior is identical — tombstone fields are never read — but the
+    * two paths' segment BYTES differ for such rows, so byte-level
+    * artifact diffing (e.g. comparing backups taken under different
+    * fold regimes) must not assume dead-row stability.
+    *
     * Returns None — caller falls back to the exact per-op chain — when a
     * column's winning writes carry mixed incoming dtypes (each op's cast
     * source would differ; not producible through the wire surface, which

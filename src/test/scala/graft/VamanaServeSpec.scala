@@ -103,7 +103,10 @@ class VamanaServeSpec extends SparkSuite {
       // opens only the buckets hashing the requested ids (Spark prunes
       // by bucket-id file name even in a non-bucketed scan shape)
       val fetch = serving.filter(col("_gid").isin(1L, 2L, 3L))
-      fetch.collect()
+      // the pruning-preserving override is SCOPED to walk fetches now
+      // (round-9 advice: no session-wide conf mutation) — this manual
+      // plan probe opts in the same way the walk's access layer does
+      VamanaServe.withExplicitBucketedScan(spark)(fetch.collect())
       val scan = fetch.queryExecution.executedPlan.collectLeaves().collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.getOrElse(fail(s"no file scan in:\n${fetch.queryExecution.executedPlan}"))
@@ -154,7 +157,7 @@ class VamanaServeSpec extends SparkSuite {
       assert(cart.columns.toSet == Set("_id", "_gid", "_codes", "_nbrs"), cart.columns.toSeq)
       // and a hop-shaped fetch is bucket-pruned like the exact layout
       val fetch = cart.filter(col("_gid").isin(1L, 2L, 3L))
-      fetch.collect()
+      VamanaServe.withExplicitBucketedScan(spark)(fetch.collect())
       val plan = fetch.queryExecution.executedPlan.toString
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
       val m = sel.findFirstMatchIn(plan)
