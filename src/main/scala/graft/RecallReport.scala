@@ -337,7 +337,8 @@ object RecallReport {
     // 0.92 glove point) and the 10× bands on every test run.
     val scaleFactor = math.max(1, math.ceil(100000.0 / n).toInt)
     val scaleRows = graft.tools.ScaleRecall.measure(
-      spark, emb, scaleFactor, queryIds)
+      spark, emb, scaleFactor, queryIds,
+      methods = Set("vamana", "ivfpq", "opq", "sq8"))
     val scaleSection =
       f"""
          |## @100k — recall above toy scale (round 7)
@@ -362,7 +363,11 @@ object RecallReport {
          |(BASELINE.md) at the same beam the engine's searchSize cap allows
          |(75). IVF-PQ and SQ8 hold their rescored operating points: the
          |rescore stage reads wide vectors for candidates only, so the
-         |at-scale cost story is unchanged.
+         |at-scale cost story is unchanged. The PQ/OPQ pair runs at an
+         |equal m=16/k=16 code budget: OPQ's learned rotation + eigenvalue
+         |allocation (operators/Opq.scala) can only show its margin on
+         |correlated corpora (OpqSpec asserts OPQ > PQ there as a law);
+         |this near-isotropic replication is the neutral-ground reading.
          |""".stripMargin
     // ---- static sections: values spec-asserted per run, recorded here --
     // (measuring them in this main would add ~10 min of graph builds per

@@ -140,6 +140,42 @@ object ScaleRecall {
       recallOf(ivfGot, exactCos))
     }
 
+    // OPQ vs plain PQ at EQUAL code budget (m=16/k=16): ADC top-`rescore`
+    // candidates -> exact cosine re-rank. The paired rows record what the
+    // learned rotation + eigenvalue allocation buys at scale (Ge et al.
+    // 2013 — operators/Opq.scala); on this near-isotropic synthetic
+    // corpus the gap is small by construction — OpqSpec's correlated
+    // corpus is where the rotation's value is asserted as a law.
+    if (methods("opq")) {
+      val pq = graft.operators.ProductQuantizer.fit(
+        big, col("embedding"), m = 16, k = 16, dim = dim)
+      val opq = graft.operators.Opq.fit(big, col("embedding"), dim = dim, m = 16, k = 16)
+      val pqCodes = graft.operators.ProductQuantizer.encode(
+        big, col("vec_id"), col("embedding"), pq).persist()
+      val opqCodes = graft.operators.Opq.encode(
+        big, col("vec_id"), col("embedding"), opq).persist()
+      def rescored(cands: org.apache.spark.sql.DataFrame, qv: Seq[Float]): Set[Long] = {
+        val cand = cands.select("id").collect().map(_.getLong(0)).toSeq
+        big.filter(col("vec_id").isin(cand: _*))
+          .select(col("vec_id"),
+            Distances.distanceToQuery(Metric.Cosine, col("embedding"), qv).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+      }
+      val pqGot = queryBaseIds.map(q => rescored(
+        graft.operators.ProductQuantizer.adcSearch(pqCodes, queryVecs(q), pq, rescore),
+        queryVecs(q)))
+      val opqGot = queryBaseIds.map(q => rescored(
+        graft.operators.Opq.adcSearch(opqCodes, queryVecs(q), opq, rescore),
+        queryVecs(q)))
+      out += Row("plain PQ ADC + rescore",
+        s"m=16/k=16, rescore $rescore, n=$n", recallOf(pqGot, exactCos))
+      out += Row("OPQ ADC + rescore",
+        s"learned rotation + eigen-allocation, m=16/k=16, rescore $rescore, n=$n",
+        recallOf(opqGot, exactCos))
+      pqCodes.unpersist(false); opqCodes.unpersist(false)
+    }
+
     if (methods("sq8")) {
     // SQ8 + rescore: reconstructed-L2 top-`rescore` → exact cosine re-rank
     val (lo, hi) = ScalarQuantizer.fitMinMax(big, col("embedding"), dim)
