@@ -421,6 +421,10 @@ final class Graft(val spark: SparkSession, root: String,
               }
             case Some(graft.store.FittedScalar(lo, hi)) =>
               Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))
+            case Some(graft.store.FittedRbq(model)) =>
+              // no coded-walk route: the DiskANN coded table is PQ-code
+              // shaped; RaBitQ serves the flat estimator scan
+              Some(p -> ((c: Collection) => c.withRbqVectorIndex(p, model)))
             case None => store.vamanaIndexWithDir(name, p).map {
               case (graph, idmap, serveDir) =>
                 p -> ((c: Collection) => c.withVamanaVectorIndexFrames(

@@ -110,6 +110,30 @@ final case class Collection(
       copy(vectorIndexes = vectorIndexes + (prop -> OpqVectorIndex(model, codes)))
     }
 
+  /** Attach a RaBitQ artifact for `prop` (operators/RaBitQ.scala): packed
+    * sign bits of the rotated unit residual + the estimator's three
+    * scalars, persisted; approximate candidates rank by the unbiased
+    * squared-L2 estimate (Dot by the reconstructed inner product).
+    * Ragged vectors are SHED like nulls (the encode UDF would otherwise
+    * throw on the first short vector — the quantizer-attach convention).
+    */
+  def withRbqVectorIndex(prop: String, model: graft.operators.RaBitQ.RbqModel): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      val codes = graft.operators.RaBitQ
+        .encode(
+          df.filter(col(prop).isNotNull && size(col(prop)) === model.dim),
+          col(Collection.IdCol), col(prop), model)
+        .withColumnRenamed("id", Collection.IdCol)
+        .withColumnRenamed("bits", "_bits")
+        .withColumnRenamed("norm", "_norm")
+        .withColumnRenamed("dotq", "_dotq")
+        .withColumnRenamed("dotc", "_dotc")
+        .persist()
+      copy(vectorIndexes = vectorIndexes + (prop -> RbqVectorIndex(model, codes)))
+    }
+
   /** Attach a Vamana graph artifact for `prop`, building it at `dir` if
     * absent (the build is a pure function of the corpus — VamanaBuild's
     * sorted-rank determinism — so a reused artifact is byte-identical to

@@ -272,6 +272,21 @@ object QueryCompiler {
             graft.operators.ProductQuantizer.adcDotDistance(col("_codes"), rq, model.pq)
           else graft.operators.ProductQuantizer.adcDistance(col("_codes"), rq, model.pq)
         (restricted0, opqCd)
+      case RbqVectorIndex(model, _) =>
+        require(vector.length == model.dim,
+          s"query vector has ${vector.length} dims; RaBitQ index has ${model.dim}")
+        // the paper's unbiased squared-L2 estimator for euclidean (and
+        // cosine — rank-equivalent on the normalized inputs cosine
+        // declares); Dot by the reconstructed inner product (the stored
+        // <o,c> scalar closes the centering algebra). Exact re-rank is
+        // metric-true either way.
+        val rbqCd =
+          if (metric == IndexKind.Metric.Dot)
+            graft.operators.RaBitQ.dotEstimateExpr(
+              col("_bits"), col("_norm"), col("_dotq"), col("_dotc"), vector, model)
+          else graft.operators.RaBitQ.estimateExpr(
+            col("_bits"), col("_norm"), col("_dotq"), vector, model)
+        (restricted0, rbqCd)
       case ScalarVectorIndex(lo, hi, _) =>
         require(vector.length == lo.length,
           s"query vector has ${vector.length} dims; scalar index has ${lo.length}")

@@ -111,6 +111,15 @@ final case class VamanaVectorIndex(
 final case class OpqVectorIndex(
     model: graft.operators.Opq.OpqModel, encoded: DataFrame) extends VectorIndex
 
+/** RaBitQ artifact (operators/RaBitQ.scala — Gao & Long, SIGMOD 2024):
+  * `(_id, _bits array<long>, _norm, _dotq, _dotc)` — one sign bit per
+  * dimension of the rotated unit residual plus three scalars. Candidates
+  * rank by the paper's unbiased squared-L2 estimator (Dot metric by the
+  * reconstructed inner product); the exact re-rank stage is metric-true.
+  */
+final case class RbqVectorIndex(
+    model: graft.operators.RaBitQ.RbqModel, encoded: DataFrame) extends VectorIndex
+
 /** SQ8 scalar-quantizer artifact (`_codes array<long>`, 0..255 per
   * dimension over per-dim [lo, hi]) — candidates rank by squared-L2
   * over reconstructed grid centers: exact for euclidean, rank-equivalent

@@ -57,6 +57,15 @@ object IndexKind {
     final case class Opq(
         numCentroids: Int = 256, numSubVectors: Int = 8,
         triggerThreshold: Int = 10000) extends Quantizer { val name = "opq" }
+    /** RaBitQ (Gao & Long, SIGMOD 2024 — operators/RaBitQ.scala): 1 bit
+      * per dimension plus three scalars per vector, with an UNBIASED
+      * distance estimator and an O(1/√D) error bound — the binary
+      * quantizer's byte budget with magnitude-aware ranking. A graft
+      * extension beyond the reference's binary/product pair.
+      */
+    final case class RaBitQ(triggerThreshold: Int = 10000) extends Quantizer {
+      val name = "rabitq"
+    }
   }
 
   final case class VectorFlat(
@@ -129,5 +138,6 @@ object IndexSchema {
       t < 1 || kc < 2 || kc > 256 || m < 1 || n % m != 0
     case IndexKind.Quantizer.Opq(kc, m, t) =>
       t < 1 || kc < 2 || kc > 256 || m < 1 || n % m != 0
+    case IndexKind.Quantizer.RaBitQ(t) => t < 1
   }
 }

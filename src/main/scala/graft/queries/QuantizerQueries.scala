@@ -367,7 +367,78 @@ object QuantizerQueries {
       .orderBy(col("approx_r"), col("id"))
   }
 
+  /** RaBitQ top-10 (Gao & Long, SIGMOD 2024 — operators/RaBitQ.scala)
+    * under the IDENTITY rotation, fully oracled: the centroid is the
+    * decimal-mean fit (the bq convention, replayable), and with P = I
+    * every stage — unit residual, sign bits, the two stored scalars, the
+    * query fold, the unbiased estimator — is plain per-element arithmetic
+    * DuckDB recomputes inline. No golden; the RANDOM-rotation production
+    * fit is pinned by rbq_rot_topk below and banded by RaBitQSpec.
+    */
+  val rbqTopk = NamedQuery(
+    "rbq_topk",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |means AS (
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM embeddings CROSS JOIN dims GROUP BY i),
+      |cv AS (SELECT list(m ORDER BY i) AS c FROM means),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+      |qr AS (
+      |  SELECT list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) - cv.c[i]) AS rq
+      |  FROM q CROSS JOIN cv),
+      |qn AS (SELECT rq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+      |qu AS (SELECT list_transform(rq, x -> x / qnorm) AS qp, qnorm FROM qn),
+      |enc AS (
+      |  SELECT e.vec_id AS id,
+      |    list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) - cv.c[i]) AS r
+      |  FROM embeddings e CROSS JOIN cv),
+      |en AS (SELECT id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+      |est AS (
+      |  SELECT en.id,
+      |    nrm * nrm + qu.qnorm * qu.qnorm - 2 * nrm * qu.qnorm *
+      |      ((list_sum(list_transform(range(1, 65),
+      |          i -> CASE WHEN en.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+      |       / (list_sum(list_transform(en.r, x -> abs(x / en.nrm))) / sqrt(64.0))) AS e
+      |  FROM en CROSS JOIN qu),
+      |top AS (SELECT id, e FROM est ORDER BY e ASC, id ASC LIMIT 10)
+      |SELECT CAST(id AS BIGINT) AS id,
+      |  CAST(round(CAST(e AS DECIMAL(28,6)), 4) AS DOUBLE) AS approx_r
+      |FROM top ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = graft.operators.RaBitQ.fitIdentity(emb, col("embedding"), 64)
+    val codes = graft.operators.RaBitQ.encode(emb, col("vec_id"), col("embedding"), model)
+    graft.operators.RaBitQ.search(codes, TestCollections.queryVector(s, d, 7), model, k = 10)
+      .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
+  }
+
+  /** The PRODUCTION RaBitQ fit — seeded RANDOM rotation (the paper's
+    * distribution-free error bound needs it) — hash-compared against a
+    * PINNED GOLDEN, the pq_adc_topk convention: DuckDB cannot replay the
+    * seeded Gaussian Gram-Schmidt, but the model is a pure function of
+    * (corpus, dim, seed) — java.util.Random's LCG and nextGaussian are
+    * specified, the centroid is the exact decimal mean — so any drift in
+    * the rotation build, the encode, the stored scalars, or the estimator
+    * flips the pinned rows. After an INTENTIONAL fit change, regenerate
+    * via `python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/v
+    * rbq_rot_topk` and pin the printed spark-side rows.
+    */
+  val rbqRotTopk = NamedQuery(
+    "rbq_rot_topk",
+    """SELECT CAST(id AS BIGINT) AS id, CAST(approx_r AS DOUBLE) AS approx_r
+      |FROM (VALUES (7, 0.0), (425, 0.9036), (209, 1.0145), (340, 1.0326),
+      |  (313, 1.1408), (334, 1.1714), (103, 1.2619), (221, 1.2739),
+      |  (435, 1.2970), (214, 1.3143)) t(id, approx_r)
+      |ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = graft.operators.RaBitQ.fit(emb, col("embedding"), 64)
+    val codes = graft.operators.RaBitQ.encode(emb, col("vec_id"), col("embedding"), model)
+    graft.operators.RaBitQ.search(codes, TestCollections.queryVector(s, d, 7), model, k = 10)
+      .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
+  }
+
   val all: Seq[NamedQuery] =
     Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph,
-      sq8Topk, sq8DotTopk, bqAsymTopk, opqAdcTopk)
+      sq8Topk, sq8DotTopk, bqAsymTopk, opqAdcTopk, rbqTopk, rbqRotTopk)
 }

@@ -562,6 +562,68 @@ object VectorQueries {
     }
   }
 
+  /** `"approx": true` served from a RaBitQ artifact (operators/
+    * RaBitQ.scala — Gao & Long, SIGMOD 2024), the fifth quantizer kind
+    * through the engine, under the IDENTITY rotation so DuckDB replays
+    * the WHOLE pipeline from raw data: decimal-mean centroid, unit
+    * residuals, sign bits, the stored ⟨o,x̄⟩ scalar, the query fold, the
+    * unbiased estimator, the candidate cut, and the exact float32 cosine
+    * re-rank — no golden. The RANDOM-rotation production fit is covered
+    * by rbq_rot_topk's pinned golden + RaBitQSpec's bands, and the store
+    * lifecycle by w13_rbq_store_serve.
+    */
+  val s2NearRbqApprox = NamedQuery(
+    "s2_near_rbq_approx",
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |means AS (
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY i),
+      |cv AS (SELECT list(m ORDER BY i) AS c FROM means),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |qr AS (
+      |  SELECT list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) - cv.c[i]) AS rq
+      |  FROM q CROSS JOIN cv),
+      |qn AS (SELECT rq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+      |qu AS (SELECT list_transform(rq, x -> x / qnorm) AS qp, qnorm FROM qn),
+      |enc AS (
+      |  SELECT co._id,
+      |    list_transform(range(1, 65), i -> CAST(co.embedding[i] AS DOUBLE) - cv.c[i]) AS r
+      |  FROM corpus co CROSS JOIN cv),
+      |en AS (SELECT _id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+      |est AS (
+      |  SELECT en._id,
+      |    nrm * nrm + qu.qnorm * qu.qnorm - 2 * nrm * qu.qnorm *
+      |      ((list_sum(list_transform(range(1, 65),
+      |          i -> CASE WHEN en.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+      |       / (list_sum(list_transform(en.r, x -> abs(x / en.nrm))) / sqrt(64.0))) AS e
+      |  FROM en CROSS JOIN qu),
+      |cand AS (SELECT _id FROM est ORDER BY e ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  -- REAL: the engine's stage-2 re-rank distance is float32
+      |  SELECT co._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM cand JOIN corpus co USING (_id) CROSS JOIN q),
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val model = graft.operators.RaBitQ.fitIdentity(base.df, col("embedding"), 64)
+    val coll = base.withRbqVectorIndex("embedding", model)
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** BATCHED Vamana serving (round 7): five queries walk the graph
     * CONCURRENTLY through VamanaServe.beamCandidateGidsBatch — per round
     * the frontiers union into one fused lookup, so a serving batch costs
@@ -611,5 +673,5 @@ object VectorQueries {
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
     s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
-    s2NearOpqApprox)
+    s2NearOpqApprox, s2NearRbqApprox)
 }

@@ -252,6 +252,60 @@ object WriteQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** The RaBitQ store lifecycle under the gate (w12's argument, fifth
+    * quantizer kind): schema declares `"quantizer": {"type": "rabitq"}`,
+    * the store fits at the trigger (decimal-mean centroid + the seeded
+    * random rotation), persists/reloads the model as JSON,
+    * ensureVectorIndexes attaches the artifact, and a JSON
+    * `"approx": true` query serves estimator candidates + exact re-rank.
+    * The request asks limit 25 (candidate budget 5x25 = 125 — a 1-bit
+    * code needs a deeper pool than the multi-byte kinds; at budget 50
+    * the pool measurably missed 3 of the exact top-10 here) and the gate
+    * keeps the top-10, where the pool provably covers, so exact cosine
+    * SQL is a true oracle — any drift
+    * in the codec, the fit, the rotation build, the encode scalars, or
+    * the serving path loses a true neighbor and flips the hash.
+    */
+  private val rbqDbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.Graft]()
+  private def rbqDb(s: org.apache.spark.sql.SparkSession, d: String): graft.Graft = {
+    val app = s.sparkContext.applicationId
+    rbqDbCache.keySet.removeIf(k => k._1 != app)
+    rbqDbCache.computeIfAbsent((app, d), _ => {
+      val db = graft.Graft(s, Files.createTempDirectory("graft_rbq_store_").toString)
+      db.createCollection("emb",
+        IndexSchema("vec" -> IndexKind.VectorFlat(64, IndexKind.Metric.Cosine,
+          IndexKind.Quantizer.RaBitQ(triggerThreshold = 1))),
+        Tables.embeddings(s, d).select(
+          col("vec_id").cast("string").as("_id"), col("embedding").as("vec")))
+      db
+    })
+  }
+
+  val w13RbqStoreServe = NamedQuery(
+    "w13_rbq_store_serve",
+    """WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |ranked AS (
+      |  SELECT CAST(vec_id AS VARCHAR) AS _id,
+      |    CAST(1.0 - list_sum(list_transform(range(1, 65),
+      |      t -> CAST(embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM embeddings CROSS JOIN q
+      |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val qv = TestCollections.queryVector(s, d, 0)
+    rbqDb(s, d).search("emb",
+      s"""{"query": {"property": "vec",
+         |  "vectorFlat": {"vector": [${qv.mkString(",")}], "operator": "near",
+         |                 "limit": 25, "approx": true}},
+         | "select": ["_id"], "limit": 100}""".stripMargin)
+      .orderBy(col("_distance").asc, col("_id").asc)
+      .limit(10)
+      .select(col("_id"), dround(col("_distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** W4's backup/restore lifecycle as a CONTRACT query (reference shard
     * Backup semantics): create from part (p_size ≤ 10), snapshot, then
     * DIVERGE destructively — delete every p_size ≤ 4 row, blank a name
@@ -669,5 +723,5 @@ object WriteQueries {
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
       w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle,
-      w11WireMetrics, w12OpqStoreServe)
+      w11WireMetrics, w12OpqStoreServe, w13RbqStoreServe)
 }

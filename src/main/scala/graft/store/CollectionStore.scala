@@ -1323,6 +1323,14 @@ final class CollectionStore(
             rotation.forall(_.length == ints("dim")),
             s"opq rotation is not ${ints("dim")}x${ints("dim")}")
           Some(FittedOpq(graft.operators.Opq.OpqModel(rotation, pqOf(j))))
+        case JString("rabitq") =>
+          val centroid = dbls(j \ "centroid")
+          val JArray(rows) = (j \ "rotation"): @unchecked
+          val rotation = rows.map(dbls).toArray
+          require(rotation.length == centroid.length &&
+            rotation.forall(_.length == centroid.length),
+            s"rabitq rotation is not ${centroid.length}-square")
+          Some(FittedRbq(graft.operators.RaBitQ.RbqModel(centroid, rotation)))
         case _ => None
       }
     }
@@ -1370,6 +1378,15 @@ final class CollectionStore(
               "type" -> JString("scalar"),
               "lo" -> JArray(lo.map(JDouble(_)).toList),
               "hi" -> JArray(hi.map(JDouble(_)).toList)))
+          case Quantizer.RaBitQ(t) if total >= t =>
+            // fit = one decimal-mean pass (the centroid) + the seeded
+            // rotation (a pure function of (dim, seed), corpus-free)
+            val model = graft.operators.RaBitQ.fit(vecs, col(prop), dim)
+            Some(JObject(
+              "type" -> JString("rabitq"),
+              "centroid" -> JArray(model.centroid.map(JDouble(_)).toList),
+              "rotation" -> JArray(model.rotation.map(row =>
+                JArray(row.map(JDouble(_)).toList)).toList)))
           case Quantizer.Opq(kc, m, t) if total >= t =>
             // Opq.fit trains BOTH stages (PCA rotation + rotated-space
             // codebooks) on the one canonical bounded sample — the exact
@@ -1672,6 +1689,7 @@ final case class FittedBinary(thresholds: Array[Double]) extends FittedQuantizer
 final case class FittedProduct(model: graft.operators.PQModel) extends FittedQuantizer
 final case class FittedScalar(lo: Array[Double], hi: Array[Double]) extends FittedQuantizer
 final case class FittedOpq(model: graft.operators.Opq.OpqModel) extends FittedQuantizer
+final case class FittedRbq(model: graft.operators.RaBitQ.RbqModel) extends FittedQuantizer
 
 object CollectionStore {
   val IdCol = "_id"
@@ -1714,6 +1732,8 @@ object CollectionStore {
       case IndexKind.Quantizer.Opq(kc, m, t) =>
         o("type" -> JString("opq"), "numCentroids" -> JInt(kc),
           "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t))
+      case IndexKind.Quantizer.RaBitQ(t) =>
+        o("type" -> JString("rabitq"), "triggerThreshold" -> JInt(t))
     }
     val fields = s.props.toSeq.sortBy(_._1).map { case (p, k) =>
       val obj = k match {
@@ -1760,6 +1780,8 @@ object CollectionStore {
           case JString("opq") => IndexKind.Quantizer.Opq(
             qint("numCentroids", 256), qint("numSubVectors", 8),
             qint("triggerThreshold", 10000))
+          case JString("rabitq") =>
+            IndexKind.Quantizer.RaBitQ(qint("triggerThreshold", 10000))
           case _ => IndexKind.Quantizer.NoQuant
         }
       }

@@ -74,6 +74,7 @@ object WireRouter {
           }
           IndexKind.Quantizer.Opq(
             i("numCentroids", 256), i("numSubVectors", 8), trig(p))
+        case JString("rabitq") => IndexKind.Quantizer.RaBitQ(trig(q \ "rabitq"))
         case other => throw new IllegalArgumentException(
           s"unknown quantizer type ${JsonMethods.compact(JsonMethods.render(other))}")
       }
@@ -140,6 +141,9 @@ object WireRouter {
         "type" -> JString("opq"),
         "opq" -> JObject("numCentroids" -> JInt(kc),
           "numSubVectors" -> JInt(m), "triggerThreshold" -> JInt(t)))
+      case IndexKind.Quantizer.RaBitQ(t) => JObject(
+        "type" -> JString("rabitq"),
+        "rabitq" -> JObject("triggerThreshold" -> JInt(t)))
     }
     JObject(s.props.toSeq.sortBy(_._1).map { case (prop, k) =>
       val body: JValue = k match {
