@@ -338,7 +338,7 @@ object RecallReport {
     val scaleFactor = math.max(1, math.ceil(100000.0 / n).toInt)
     val scaleRows = graft.tools.ScaleRecall.measure(
       spark, emb, scaleFactor, queryIds,
-      methods = Set("vamana", "ivfpq", "opq", "sq8"))
+      methods = Set("vamana", "ivfpq", "opq", "rbq", "sq8"))
     val scaleSection =
       f"""
          |## @100k — recall above toy scale (round 7)
@@ -367,7 +367,10 @@ object RecallReport {
          |equal m=16/k=16 code budget: OPQ's learned rotation + eigenvalue
          |allocation (operators/Opq.scala) can only show its margin on
          |correlated corpora (OpqSpec asserts OPQ > PQ there as a law);
-         |this near-isotropic replication is the neutral-ground reading.
+         |this near-isotropic replication is the neutral-ground reading. The
+         |RaBitQ row is the family's 1-bit/dim budget point (unbiased
+         |estimator, O(1/√D) error — RaBitQSpec asserts the bound and the
+         |ranking advantage over plain hamming).
          |""".stripMargin
     // ---- static sections: values spec-asserted per run, recorded here --
     // (measuring them in this main would add ~10 min of graph builds per

@@ -176,6 +176,28 @@ object ScaleRecall {
       pqCodes.unpersist(false); opqCodes.unpersist(false)
     }
 
+    // RaBitQ + rescore: 1-bit estimator candidates -> exact cosine
+    // re-rank — the binary-budget point of the quantizer family with the
+    // paper's unbiased estimator (operators/RaBitQ.scala)
+    if (methods("rbq")) {
+      val model = graft.operators.RaBitQ.fit(big, col("embedding"), dim)
+      val codes = graft.operators.RaBitQ.encode(
+        big, col("vec_id"), col("embedding"), model).persist()
+      val rbqGot = queryBaseIds.map { q =>
+        val cand = graft.operators.RaBitQ.search(codes, queryVecs(q), model, rescore)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        big.filter(col("vec_id").isin(cand: _*))
+          .select(col("vec_id"),
+            Distances.distanceToQuery(Metric.Cosine, col("embedding"), queryVecs(q)).as("d"))
+          .orderBy(col("d"), col("vec_id")).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+      }
+      out += Row("RaBitQ + rescore",
+        s"1 bit/dim unbiased estimator, rescore $rescore, n=$n",
+        recallOf(rbqGot, exactCos))
+      codes.unpersist(false)
+    }
+
     if (methods("sq8")) {
     // SQ8 + rescore: reconstructed-L2 top-`rescore` → exact cosine re-rank
     val (lo, hi) = ScalarQuantizer.fitMinMax(big, col("embedding"), dim)
