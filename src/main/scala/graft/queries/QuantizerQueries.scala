@@ -412,6 +412,63 @@ object QuantizerQueries {
       .orderBy(col("approx_r"), col("id"))
   }
 
+  /** The DOT-metric RaBitQ route (the sq8_dot_topk convention): under the
+    * identity rotation DuckDB replays the full inner-product
+    * reconstruction — ⟨x,q⟩ ≈ ⟨c,q⟩ + ‖x−c‖·(‖q−c‖·cosEst + ⟨o,c⟩) with
+    * the stored ⟨o,c⟩ scalar closing the centering algebra — so the
+    * dotEstimateExpr path (QueryCompiler's Metric.Dot routing for
+    * RbqVectorIndex) is inline-oracled with no golden. Negated, MIPS
+    * ranks ascending like every distance.
+    */
+  val rbqDotTopk = NamedQuery(
+    "rbq_dot_topk",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |means AS (
+      |  SELECT i, CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM embeddings CROSS JOIN dims GROUP BY i),
+      |cv AS (SELECT list(m ORDER BY i) AS c FROM means),
+      |q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 7),
+      |qr AS (
+      |  SELECT list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) - cv.c[i]) AS rq,
+      |    list_sum(list_transform(range(1, 65), i -> cv.c[i] * CAST(q.v[i] AS DOUBLE))) AS cq
+      |  FROM q CROSS JOIN cv),
+      |qn AS (SELECT rq, cq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+      |qu AS (SELECT list_transform(rq, x -> x / qnorm) AS qp, qnorm, cq FROM qn),
+      |enc AS (
+      |  SELECT e.vec_id AS id,
+      |    list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) - cv.c[i]) AS r
+      |  FROM embeddings e CROSS JOIN cv),
+      |en AS (SELECT id, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+      |en2 AS (
+      |  SELECT en.id, en.r, en.nrm,
+      |    list_sum(list_transform(range(1, 65), i -> (en.r[i] / en.nrm) * cv.c[i])) AS dotc
+      |  FROM en CROSS JOIN cv),
+      |est AS (
+      |  SELECT en2.id,
+      |    -(qu.cq + nrm * (qu.qnorm *
+      |      ((list_sum(list_transform(range(1, 65),
+      |          i -> CASE WHEN en2.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+      |       / (list_sum(list_transform(en2.r, x -> abs(x / en2.nrm))) / sqrt(64.0)))
+      |      + en2.dotc)) AS e
+      |  FROM en2 CROSS JOIN qu),
+      |top AS (SELECT id, e FROM est ORDER BY e ASC, id ASC LIMIT 10)
+      |SELECT CAST(id AS BIGINT) AS id,
+      |  CAST(round(CAST(e AS DECIMAL(28,6)), 4) AS DOUBLE) AS approx_r
+      |FROM top ORDER BY approx_r, id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = graft.operators.RaBitQ.fitIdentity(emb, col("embedding"), 64)
+    val codes = graft.operators.RaBitQ.encode(emb, col("vec_id"), col("embedding"), model)
+    codes
+      .select(col("id"),
+        graft.operators.RaBitQ.dotEstimateExpr(
+          col("bits"), col("norm"), col("dotq"), col("dotc"),
+          TestCollections.queryVector(s, d, 7), model).as("approx_distance"))
+      .orderBy(col("approx_distance").asc, col("id").asc)
+      .limit(10)
+      .select(col("id"), dround(col("approx_distance"), 4).as("approx_r"))
+      .orderBy(col("approx_r"), col("id"))
+  }
+
   /** The PRODUCTION RaBitQ fit — seeded RANDOM rotation (the paper's
     * distribution-free error bound needs it) — hash-compared against a
     * PINNED GOLDEN, the pq_adc_topk convention: DuckDB cannot replay the
@@ -440,5 +497,6 @@ object QuantizerQueries {
 
   val all: Seq[NamedQuery] =
     Seq(bqHammingPacked, bqRescoredTopk, pqAdcTopk, pqAdcFixed, vamanaGraph,
-      sq8Topk, sq8DotTopk, bqAsymTopk, opqAdcTopk, rbqTopk, rbqRotTopk)
+      sq8Topk, sq8DotTopk, bqAsymTopk, opqAdcTopk, rbqTopk, rbqDotTopk,
+      rbqRotTopk)
 }
