@@ -302,4 +302,70 @@ class PropertySpec extends AnyFunSuite {
           part == mExpect.slice(lo, hi).map(_.toSeq).toSeq
     }, cases = 120)
   }
+
+  // ---- OPQ / RaBitQ rotation + estimator laws -----------------------------
+
+  test("eigenAllocation: permutation, exact bucket fill, largest axes spread") {
+    val spectra = Gen.chooseNum(1, 5).flatMap(sub =>
+      Gen.chooseNum(2, 6).flatMap(m =>
+        Gen.listOfN(m * sub, Gen.chooseNum(0.0, 100.0)).map(l =>
+          (l.sortBy(-_).toArray, m, sub))))
+    check(Prop.forAll(spectra) { case (eig, m, sub) =>
+      val alloc = operators.Opq.eigenAllocation(eig, m, sub)
+      val buckets = alloc.grouped(sub).toSeq
+      alloc.sorted.toSeq == eig.indices &&
+        buckets.forall(_.length == sub) &&
+        // the m largest (distinct-bucket) law needs distinct eigenvalues
+        (eig.distinct.length != eig.length ||
+          (0 until m).map(a => buckets.indexWhere(_.contains(a))).toSet.size == m)
+    })
+  }
+
+  test("RaBitQ randomRotation is orthonormal for any (dim, seed)") {
+    check(Prop.forAll(Gen.chooseNum(2, 24), Gen.chooseNum(0L, 1000L)) { (d, seed) =>
+      val r = operators.RaBitQ.randomRotation(d, seed)
+      (0 until d).forall { i =>
+        (i until d).forall { j =>
+          val dot = (0 until d).map(t => r(i)(t) * r(j)(t)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+        }
+      }
+    }, cases = 60)
+  }
+
+  test("Opq.rotateVec under an orthogonal matrix preserves pairwise L2 (float tolerance)") {
+    val vecGen = Gen.listOfN(12, Gen.chooseNum(-100.0, 100.0).map(_.toFloat)).map(_.toArray)
+    check(Prop.forAll(vecGen, vecGen, Gen.chooseNum(0L, 500L)) { (x, q, seed) =>
+      val rot = operators.RaBitQ.randomRotation(12, seed)
+      def l2(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (u, v) => (u.toDouble - v) * (u.toDouble - v) }.sum
+      val raw = l2(x, q)
+      val rr = l2(operators.Opq.rotateVec(rot, x), operators.Opq.rotateVec(rot, q))
+      math.abs(raw - rr) <= 1e-3 * math.max(raw, 1.0)
+    })
+  }
+
+  test("RaBitQ self-estimate is exactly zero for any corpus vector and rotation") {
+    // cosEst(x, x) = <x-bar, o>/<o, x-bar> = 1 identically, so the
+    // estimated ||x - x||^2 collapses to 0 regardless of quantization
+    // error — a sharp identity fixtures can't sweep
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-50.0, 50.0).map(_.toFloat)).map(_.toArray)
+    val cGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0)).map(_.toArray)
+    check(Prop.forAll(vecGen, cGen, Gen.chooseNum(0L, 500L)) { (x, c, seed) =>
+      val model = operators.RaBitQ.RbqModel(c, operators.RaBitQ.randomRotation(8, seed))
+      // driver-side replay of encode + estimator with q = x
+      val r = x.zip(c).map { case (a, b) => a.toDouble - b }
+      val n = math.sqrt(r.map(t => t * t).sum)
+      n == 0.0 || {
+        val o = r.map(_ / n)
+        val p = Array.tabulate(8)(i => (0 until 8).map(j => model.rotation(i)(j) * o(j)).sum)
+        val inv = 1.0 / math.sqrt(8.0)
+        val dotq = p.map(math.abs).sum * inv
+        val uDotQ = p.map(v => if (v > 0) v else -v).sum * inv // <sign(p)/sqrt(D), p>
+        val cosEst = uDotQ / dotq
+        val est = n * n + n * n - 2.0 * n * n * cosEst
+        math.abs(est) < 1e-9
+      }
+    })
+  }
 }
