@@ -107,7 +107,7 @@ object IvfPq {
     }.toMap)
   }
 
-  private def assignBuckets(corpus: DataFrame, vec: Column, coarse: Coarse): DataFrame =
+  private[operators] def assignBuckets(corpus: DataFrame, vec: Column, coarse: Coarse): DataFrame =
     coarse.kind match {
       case "sign" => Similarity.signBuckets(corpus.filter(vec.isNotNull), vec, coarse.param)
       case "kmeans" =>

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.IndexKind.Metric
+
+/** IVF-RaBitQ — the RaBitQ paper's own deployment shape (Gao & Long,
+  * SIGMOD 2024 §4 pair RaBitQ with an IVF index): coarse cells restrict
+  * the scan, and each row stores the 1-bit RaBitQ code of its CELL
+  * residual under ONE global random rotation. The algebra is exactly the
+  * flat [[RaBitQ]] estimator with the cell centroid as the centering
+  * point — ‖x−q‖² = ‖r‖² + ‖q−c_b‖² − 2‖r‖·‖q−c_b‖·⟨o_r, o_{q−c_b}⟩ —
+  * so every per-cell score reuses [[RaBitQ.estimateExpr]] with a
+  * per-cell model, and the candidate stage reads `(id, bucket, bits,
+  * norm, dotq)` only: D/64 longs + 2 doubles a row inside `nprobe`
+  * PARTITION-PRUNED cells. At 100 TB the probe restriction is partition
+  * pruning of a `bucket=<b>/` layout (the [[IvfPq]] artifact
+  * convention), not a filter over a full scan, and the bit codes are
+  * 32× narrower than the raw vectors the exact re-rank stage reads for
+  * ≤ `rescore` candidates only.
+  *
+  * Reuses [[IvfPq.Coarse]] (sign or k-means cells, same probe order) and
+  * [[RaBitQ.randomRotation]] — determinism and the oracle-replayability
+  * of the sign-cell + identity-rotation configuration follow from those
+  * pieces' own conventions.
+  */
+object IvfRbq {
+
+  /** Encode: `(id, vec, bucket, bits, norm, dotq)` — each row's RaBitQ
+    * code of its cell residual. One pass; the residual + code arithmetic
+    * is the flat encode's with `c = centroid(bucket)`.
+    */
+  def encode(
+      corpus: DataFrame, id: Column, vec: Column,
+      coarse: IvfPq.Coarse, rotation: Array[Array[Double]]): DataFrame = {
+    val d = coarse.dim
+    require(rotation.length == d && rotation.forall(_.length == d),
+      s"rotation is not $d-square")
+    val cents = coarse.centroids
+    val assigned = IvfPq.assignBuckets(corpus, vec, coarse)
+    val enc = udf { (b: Int, v: Seq[Float]) =>
+      val c = cents.getOrElse(b,
+        throw new IllegalArgumentException(s"row assigned to unknown cell $b"))
+      require(v.length == d, s"vector has ${v.length} dims; cells are $d-d")
+      val r = new Array[Double](d)
+      var i = 0
+      var n2 = 0.0
+      while (i < d) { r(i) = v(i).toDouble - c(i); n2 += r(i) * r(i); i += 1 }
+      val norm = math.sqrt(n2)
+      val words = new Array[Long]((d + 63) / 64)
+      var dotq = 0.0
+      if (norm > 0) {
+        i = 0
+        while (i < d) { r(i) /= norm; i += 1 }
+        val p = new Array[Double](d)
+        i = 0
+        while (i < d) {
+          val row = rotation(i)
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += row(j) * r(j); j += 1 }
+          p(i) = acc
+          i += 1
+        }
+        val invSqrtD = 1.0 / math.sqrt(d.toDouble)
+        i = 0
+        while (i < d) {
+          if (p(i) > 0) words(i >> 6) |= (1L << (i & 63))
+          dotq += math.abs(p(i)) * invSqrtD
+          i += 1
+        }
+      }
+      (words.toSeq, norm, dotq)
+    }
+    assigned
+      .select(id.as("id"), vec.as("vec"), col("bucket"),
+        enc(col("bucket"), vec).as("_e"))
+      .select(col("id"), col("vec"), col("bucket"),
+        col("_e._1").as("bits"), col("_e._2").as("norm"), col("_e._3").as("dotq"))
+  }
+
+  /** Materialize the index under `bucket=<b>/` directories (the
+    * [[IvfPq.writeArtifact]] layout — probe restriction becomes partition
+    * pruning) plus a meta guard binding the artifact to its coarse shape
+    * and rotation seed fingerprint.
+    */
+  def writeArtifact(
+      corpus: DataFrame, id: Column, vec: Column,
+      coarse: IvfPq.Coarse, rotation: Array[Array[Double]], dir: String): Unit = {
+    encode(corpus, id, vec, coarse, rotation)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val fp = java.util.Arrays.hashCode(rotation.map(java.util.Arrays.hashCode))
+    val meta = new org.apache.hadoop.fs.Path(dir, "_ivfrbq_meta")
+    val fs = meta.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(s"${coarse.kind},${coarse.param},${coarse.dim},$fp".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Search an encoded frame (or a [[writeArtifact]] read): probe cells by
+    * L2-to-centroid (the IvfPq probe convention), score the probed rows by
+    * the PER-CELL RaBitQ estimator (a `when` chain over nprobe cells, each
+    * arm the flat [[RaBitQ.estimateExpr]] with that cell's centering
+    * model), keep the best `rescore` candidates, exact re-rank.
+    *
+    * Euclidean/cosine only: the IVF layout does not store the ⟨o,c⟩
+    * scalar a MIPS reconstruction needs (the L2 identity never uses it),
+    * so Dot queries fail fast here — use the flat [[RaBitQ]] artifact
+    * (which stores it) or residual IVF-PQ's dot tables.
+    */
+  def search(
+      encoded: DataFrame, queryVec: Seq[Float],
+      coarse: IvfPq.Coarse, rotation: Array[Array[Double]],
+      k: Int, rescore: Int, metric: Metric, nprobe: Int): DataFrame = {
+    require(metric != Metric.Dot,
+      "IVF-RaBitQ serves euclidean/cosine; for MIPS use the flat RaBitQ " +
+        "artifact (stores the <o,c> scalar) or residual IVF-PQ's dot tables")
+    val cells = IvfPq.probes(coarse, queryVec, nprobe)
+    require(cells.nonEmpty, "no populated cells to probe")
+    val arms = cells.map { b =>
+      val model = RaBitQ.RbqModel(coarse.centroids(b), rotation)
+      (b, RaBitQ.estimateExpr(col("bits"), col("norm"), col("dotq"), queryVec, model))
+    }
+    val cd = arms.tail.foldLeft(
+      when(col("bucket") === arms.head._1, arms.head._2)) {
+      case (acc, (b, e)) => acc.when(col("bucket") === b, e)
+    }
+    val probed = encoded.filter(col("bucket").isin(cells: _*))
+    val cands = probed
+      .select(col("id"), cd.as("approx_distance"))
+      .orderBy(col("approx_distance").asc, col("id").asc)
+      .limit(rescore)
+    probed
+      .join(broadcast(cands.select("id")), "id")
+      .select(col("id"),
+        graft.functions.Distances.distanceToQuery(metric, col("vec"), queryVec)
+          .as("distance"))
+      .orderBy(col("distance").asc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -431,6 +431,82 @@ object PipelineQueries {
       (String, String),
       (String, graft.operators.IvfPq.Coarse, graft.operators.PQModel)]()
 
+  /** IVF-RaBitQ (operators/IvfRbq.scala — the RaBitQ paper's §4
+    * deployment: coarse cells + per-cell 1-bit residual codes under one
+    * global rotation), FULLY oracled under the closed-form configuration:
+    * sign-bit cells (deterministic), per-cell decimal-mean centroids
+    * (replayable), IDENTITY rotation — DuckDB recomputes the cell
+    * assignment, the probe ranking, every per-cell residual code, both
+    * stored scalars, the per-cell unbiased estimator, the candidate cut,
+    * and the exact float32 cosine re-rank from raw data. No golden. The
+    * seeded-rotation production fit stays covered by rbq_rot_topk's
+    * pinned convention + IvfRbqSpec's recall/pruning laws.
+    */
+  val annIvfRbq = NamedQuery(
+    "ann_ivf_rbq",
+    """WITH corpus AS (
+      |  SELECT vec_id AS id, embedding,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |cmeans AS (
+      |  SELECT bucket, i,
+      |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY bucket, i),
+      |cents AS (SELECT bucket, list(m ORDER BY i) AS c FROM cmeans GROUP BY bucket),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+      |probe AS (
+      |  SELECT ct.bucket, ct.c
+      |  FROM cents ct CROSS JOIN q
+      |  ORDER BY list_sum(list_transform(range(1, 65),
+      |      i -> (CAST(q.qv[i] AS DOUBLE) - ct.c[i]) * (CAST(q.qv[i] AS DOUBLE) - ct.c[i]))) ASC,
+      |    ct.bucket ASC
+      |  LIMIT 4),
+      |qr AS (
+      |  SELECT p.bucket,
+      |    list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - p.c[i]) AS rq
+      |  FROM probe p CROSS JOIN q),
+      |qn AS (SELECT bucket, rq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+      |qu AS (SELECT bucket, list_transform(rq, x -> x / qnorm) AS qp, qnorm FROM qn),
+      |enc AS (
+      |  SELECT co.id, co.bucket, co.embedding,
+      |    list_transform(range(1, 65), i -> CAST(co.embedding[i] AS DOUBLE) - p.c[i]) AS r
+      |  FROM corpus co JOIN probe p USING (bucket)),
+      |en AS (SELECT id, bucket, embedding, r,
+      |  sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+      |est AS (
+      |  SELECT en.id, en.embedding,
+      |    CASE WHEN en.nrm = 0 THEN qu.qnorm * qu.qnorm
+      |    ELSE nrm * nrm + qu.qnorm * qu.qnorm - 2 * nrm * qu.qnorm *
+      |      ((list_sum(list_transform(range(1, 65),
+      |          i -> CASE WHEN en.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+      |       / (list_sum(list_transform(en.r, x -> abs(x / en.nrm))) / sqrt(64.0)))
+      |    END AS e
+      |  FROM en JOIN qu ON en.bucket = qu.bucket),
+      |cand AS (SELECT id, embedding FROM est ORDER BY e ASC, id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT c.id, CAST(1.0 - list_sum(list_transform(range(1, 65),
+      |    t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM cand c CROSS JOIN q),
+      |top AS (SELECT id, dist32 FROM rr ORDER BY dist32 ASC, id ASC LIMIT 10)
+      |SELECT CAST(id AS BIGINT) AS id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM top ORDER BY dist_r, id""".stripMargin) { (s, d) =>
+    import graft.operators.{IvfPq, IvfRbq}
+    val emb = Tables.embeddings(s, d)
+    val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+    val rotation = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
+    val enc = IvfRbq.encode(emb, col("vec_id"), col("embedding"), coarse, rotation)
+    IvfRbq.search(enc, TestCollections.queryVector(s, d, 7), coarse, rotation,
+        k = 10, rescore = 50, metric = graft.model.IndexKind.Metric.Cosine, nprobe = 4)
+      .select(col("id"), dround(col("distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("id"))
+  }
+
   val annIvfPqFixed = NamedQuery(
     "ann_ivfpq_fixed",
     """WITH corpus AS (
@@ -1327,7 +1403,7 @@ object PipelineQueries {
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
     pipelineCuration, annKnnJoin, annMatryoshka, annIvfGrid, annIvfPruned,
-    annIvfPqFixed,
+    annIvfPqFixed, annIvfRbq,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,

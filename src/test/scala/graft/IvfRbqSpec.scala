@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.IndexKind.Metric
+import graft.operators.{IvfPq, IvfRbq, RaBitQ}
+
+/** Laws for IVF-RaBitQ (operators/IvfRbq.scala — the RaBitQ paper's own
+  * IVF deployment): the probe restriction must be PARTITION pruning on
+  * the written artifact, every per-cell score must equal the flat RaBitQ
+  * estimator centered at that cell (the composition is algebraic reuse,
+  * not a reimplementation), recall holds a band under the seeded
+  * production rotation, and the unsupported MIPS route fails fast.
+  */
+class IvfRbqSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001)
+  lazy val vecs: Array[Array[Float]] = emb.orderBy("vec_id")
+    .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+  lazy val coarse = IvfPq.signCoarse(emb, col("embedding"), nBits = 4)
+  lazy val rotation = RaBitQ.randomRotation(64, seed = 42L)
+
+  private def exactTopK(q: Array[Float], k: Int): Seq[Long] = {
+    def cos(a: Array[Float]): Double =
+      1.0 - a.zip(q).map { case (x, y) => x.toDouble * y }.sum
+    vecs.indices.sortBy(i => (cos(vecs(i)), i)).take(k).map(_.toLong)
+  }
+
+  test("written artifact probes are partition-pruned; recall band holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrbq_").toString
+    IvfRbq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, rotation, dir)
+    val art = spark.read.parquet(dir)
+    val qv = vecs(7)
+    val served = IvfRbq.search(art, qv, coarse, rotation,
+      k = 10, rescore = 100, metric = Metric.Cosine, nprobe = 8)
+    val got = served.select("id").as[Long].collect().toSeq
+    // the probe filter must land in PartitionFilters, not a row filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined, plan)
+    val exact = exactTopK(qv, 10)
+    assert(got.head == exact.head, s"self-match lost: $got vs $exact")
+    assert(got.toSet.intersect(exact.toSet).size >= 7,
+      s"recall too low: got $got vs exact $exact")
+  }
+
+  test("per-cell codes equal the flat RaBitQ encode centered at that cell") {
+    // the composition law: an IVF row's (bits, norm, dotq) must be
+    // byte-identical to flat RaBitQ.encode under a model whose centroid
+    // is that row's CELL centroid — the when-chain in search then scores
+    // through the very same estimateExpr, so encode equality IS scorer
+    // equality
+    val enc = IvfRbq.encode(emb, col("vec_id"), col("embedding"), coarse, rotation)
+      .persist()
+    val cells = IvfPq.probes(coarse, vecs(0), 4)
+    cells.foreach { b =>
+      val model = RaBitQ.RbqModel(coarse.centroids(b), rotation)
+      val viaIvf = enc.filter(col("bucket") === b)
+        .select("id", "bits", "norm", "dotq")
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[Long](1), r.getDouble(2), r.getDouble(3))).toMap
+      val cellIds = viaIvf.keySet.toSeq
+      val viaFlat = RaBitQ.encode(
+          emb.filter(col("vec_id").isin(cellIds: _*)),
+          col("vec_id"), col("embedding"), model)
+        .select("id", "bits", "norm", "dotq")
+        .collect().map(r => r.getLong(0) ->
+          (r.getSeq[Long](1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(viaIvf.nonEmpty && viaIvf == viaFlat, s"cell $b codes diverge")
+    }
+    enc.unpersist(false)
+  }
+
+  test("encode round-trips through the artifact byte-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrbq_rt_").toString
+    IvfRbq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, rotation, dir)
+    val mem = IvfRbq.encode(emb, col("vec_id"), col("embedding"), coarse, rotation)
+      .select("id", "bucket", "bits", "norm", "dotq")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Long](2), r.getDouble(3), r.getDouble(4))).toMap
+    val disk = spark.read.parquet(dir)
+      .select("id", "bucket", "bits", "norm", "dotq")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getSeq[Long](2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(mem == disk)
+  }
+
+  test("MIPS fails fast with the operating note") {
+    val enc = IvfRbq.encode(emb.limit(10), col("vec_id"), col("embedding"), coarse, rotation)
+    val e = intercept[IllegalArgumentException] {
+      IvfRbq.search(enc, vecs(0), coarse, rotation,
+        k = 5, rescore = 10, metric = Metric.Dot, nprobe = 2)
+    }
+    assert(e.getMessage.contains("flat RaBitQ"), e.getMessage)
+  }
+}
