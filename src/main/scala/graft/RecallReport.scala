@@ -338,7 +338,7 @@ object RecallReport {
     val scaleFactor = math.max(1, math.ceil(100000.0 / n).toInt)
     val scaleRows = graft.tools.ScaleRecall.measure(
       spark, emb, scaleFactor, queryIds,
-      methods = Set("vamana", "ivfpq", "opq", "rbq", "sq8"))
+      methods = Set("vamana", "ivfpq", "opq", "rbq", "ivfrbq", "sq8"))
     val scaleSection =
       f"""
          |## @100k — recall above toy scale (round 7)

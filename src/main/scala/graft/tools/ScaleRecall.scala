@@ -176,6 +176,25 @@ object ScaleRecall {
       pqCodes.unpersist(false); opqCodes.unpersist(false)
     }
 
+    // IVF-RaBitQ: learned coarse cells (partition-pruned probes) +
+    // per-cell 1-bit residual codes under the seeded global rotation —
+    // the RaBitQ paper's own deployment shape (operators/IvfRbq.scala)
+    if (methods("ivfrbq")) {
+      val coarse = IvfPq.kmeansCoarse(big, col("embedding"), k = 32)
+      val rotation = graft.operators.RaBitQ.randomRotation(dim, seed = 42L)
+      val enc = graft.operators.IvfRbq.encode(
+        big, col("vec_id"), col("embedding"), coarse, rotation).persist()
+      val got = queryBaseIds.map { q =>
+        graft.operators.IvfRbq.search(enc, queryVecs(q), coarse, rotation,
+            k = k, rescore = rescore, metric = Metric.Cosine, nprobe = 8)
+          .select("id").as[Long].collect().toSet
+      }
+      out += Row("IVF-RaBitQ + rescore",
+        s"nprobe=8/32 cells, 1 bit/dim residual codes, rescore $rescore, n=$n",
+        recallOf(got, exactCos))
+      enc.unpersist(false)
+    }
+
     // RaBitQ + rescore: 1-bit estimator candidates -> exact cosine
     // re-rank — the binary-budget point of the quantizer family with the
     // paper's unbiased estimator (operators/RaBitQ.scala)
