@@ -209,6 +209,43 @@ final case class Collection(
     * reads the partitioned directory, so approximate probes prune
     * partitions even through the engine path.
     */
+  /** Attach an IVF-RaBitQ artifact for `prop` (operators/IvfRbq.scala),
+    * building it at `dir` if absent. The coarse cells and the rotation
+    * are PURE FUNCTIONS of (corpus, params, seed) — signCoarse /
+    * kmeansCoarse / RaBitQ.randomRotation — so a reused artifact equals
+    * a fresh build; the meta fingerprint fails fast on a mismatched
+    * rotation or coarse shape instead of silently mis-ranking.
+    */
+  def withIvfRbqVectorIndex(
+      prop: String, dir: String,
+      coarse: () => graft.operators.IvfPq.Coarse,
+      rotation: Array[Array[Double]],
+      nprobe: Int): Collection =
+    if (vectorIndexes.contains(prop)) this
+    else {
+      import org.apache.spark.sql.functions._
+      import graft.operators.IvfRbq
+      require(nprobe > 0, s"nprobe must be positive (got $nprobe)")
+      val spark = df.sparkSession
+      val co = coarse()
+      IvfRbq.metaOf(spark, dir) match {
+        case Some(stored) =>
+          val expect = IvfRbq.metaString(co, rotation)
+          require(stored == expect,
+            s"artifact at $dir was written as ($stored), probed as ($expect)")
+        case None =>
+          IvfRbq.writeArtifact(
+            df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop),
+            co, rotation, dir)
+      }
+      val enc = spark.read.parquet(dir)
+        .select(col("id").as(Collection.IdCol),
+          col("bucket").as("_bucket"), col("bits").as("_bits"),
+          col("norm").as("_norm"), col("dotq").as("_dotq"))
+      copy(vectorIndexes =
+        vectorIndexes + (prop -> IvfRbqVectorIndex(co, rotation, nprobe, enc)))
+    }
+
   def withIvfPqVectorIndex(
       prop: String, dir: String,
       coarse: () => graft.operators.IvfPq.Coarse,

@@ -297,6 +297,29 @@ object QueryCompiler {
             graft.operators.ScalarQuantizer.approxDotDistance(col("_codes"), vector, lo, hi)
           else graft.operators.ScalarQuantizer.approxDistance(col("_codes"), vector, lo, hi)
         (restricted0, sqCd)
+      case IvfRbqVectorIndex(coarse, rotation, nprobe, _) =>
+        require(vector.length == coarse.dim,
+          s"query vector has ${vector.length} dims; IVF-RaBitQ index has ${coarse.dim}")
+        // the IVF layout drops the <o,c> scalar MIPS reconstruction
+        // needs — fail fast with the operating note (flat RaBitQ stores
+        // it; residual IVF-PQ has dot tables)
+        require(metric != IndexKind.Metric.Dot,
+          "IVF-RaBitQ serves euclidean/cosine; for MIPS use a flat rabitq " +
+            "quantizer or residual IVF-PQ")
+        val rbqCells = graft.operators.IvfPq.probes(coarse, vector, nprobe)
+        require(rbqCells.nonEmpty, "no populated cells to probe")
+        // per-cell estimator arms over the partition-pruned probed rows:
+        // each arm is the flat RaBitQ estimator centered at that cell
+        val arms = rbqCells.map { b =>
+          val m = graft.operators.RaBitQ.RbqModel(coarse.centroids(b), rotation)
+          (b, graft.operators.RaBitQ.estimateExpr(
+            col("_bits"), col("_norm"), col("_dotq"), vector, m))
+        }
+        val chain = arms.tail.foldLeft(
+          when(col("_bucket") === arms.head._1, arms.head._2)) {
+          case (acc, (b, e)) => acc.when(col("_bucket") === b, e)
+        }
+        (restricted0.filter(col("_bucket").isin(rbqCells: _*)), chain)
       case IvfPqVectorIndex(coarse, model, nprobe, _) =>
         require(vector.length == coarse.dim,
           s"query vector has ${vector.length} dims; IVF-PQ index has ${coarse.dim}")

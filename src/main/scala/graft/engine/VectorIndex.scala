@@ -128,6 +128,18 @@ final case class RbqVectorIndex(
 final case class ScalarVectorIndex(
     lo: Array[Double], hi: Array[Double], encoded: DataFrame) extends VectorIndex
 
+/** IVF-RaBitQ artifact (operators/IvfRbq.scala — the RaBitQ paper's IVF
+  * deployment): `encoded` reads the bucket-PARTITIONED artifact
+  * directory, so the probe restriction is partition pruning; probed rows
+  * rank by the per-cell unbiased estimator (a when-chain of
+  * [[graft.operators.RaBitQ.estimateExpr]] arms, one per probed cell).
+  * Euclidean/cosine only — the layout drops the ⟨o,c⟩ scalar MIPS needs.
+  */
+final case class IvfRbqVectorIndex(
+    coarse: graft.operators.IvfPq.Coarse,
+    rotation: Array[Array[Double]],
+    nprobe: Int, encoded: DataFrame) extends VectorIndex
+
 /** Residual IVF-PQ artifact (operators/IvfPq.scala): `encoded` reads the
   * bucket-PARTITIONED artifact directory, so the probe restriction in the
   * approximate path is partition pruning, not an in-memory filter — the

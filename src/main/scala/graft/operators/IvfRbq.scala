@@ -89,12 +89,38 @@ object IvfRbq {
       coarse: IvfPq.Coarse, rotation: Array[Array[Double]], dir: String): Unit = {
     encode(corpus, id, vec, coarse, rotation)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    val fp = java.util.Arrays.hashCode(rotation.map(java.util.Arrays.hashCode))
     val meta = new org.apache.hadoop.fs.Path(dir, "_ivfrbq_meta")
     val fs = meta.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(meta, true)
-    try out.write(s"${coarse.kind},${coarse.param},${coarse.dim},$fp".getBytes("UTF-8"))
+    try out.write(metaString(coarse, rotation).getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** The guard string binding an artifact to its coarse shape and the
+    * rotation's content fingerprint (cells and rotation are pure
+    * functions of their params, so equality of this string means the
+    * supplied model reproduces the artifact's codes).
+    */
+  def metaString(coarse: IvfPq.Coarse, rotation: Array[Array[Double]]): String = {
+    val fp = java.util.Arrays.hashCode(rotation.map(java.util.Arrays.hashCode))
+    s"${coarse.kind},${coarse.param},${coarse.dim},$fp"
+  }
+
+  /** The stored guard string of an artifact dir, if one exists there. */
+  def metaOf(spark: SparkSession, dir: String): Option[String] = {
+    val meta = new org.apache.hadoop.fs.Path(dir, "_ivfrbq_meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1024)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
   }
 
   /** Search an encoded frame (or a [[writeArtifact]] read): probe cells by

@@ -624,6 +624,89 @@ object VectorQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** `"approx": true` served from an IVF-RaBitQ artifact
+    * (operators/IvfRbq.scala — partition-pruned probes + per-cell 1-bit
+    * estimators), fully replayed by DuckDB under the closed-form
+    * configuration: sign cells, per-cell decimal-mean centroids, identity
+    * rotation. The oracle recomputes cell assignment, probe ranking,
+    * residual codes, the per-cell estimator, the budget-50 cut, and the
+    * exact float32 cosine re-rank — the ann_ivf_rbq pipeline THROUGH the
+    * engine's serving path (attach, QueryCompiler routing, re-rank
+    * staging). No golden.
+    */
+  val s2NearIvfRbqApprox = NamedQuery(
+    "s2_near_ivfrbq_approx",
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM documents JOIN embeddings ON doc_id = vec_id),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |cmeans AS (
+      |  SELECT bucket, i,
+      |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY bucket, i),
+      |cents AS (SELECT bucket, list(m ORDER BY i) AS c FROM cmeans GROUP BY bucket),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT ct.bucket, ct.c
+      |  FROM cents ct CROSS JOIN q
+      |  ORDER BY list_sum(list_transform(range(1, 65),
+      |      i -> (CAST(q.qv[i] AS DOUBLE) - ct.c[i]) * (CAST(q.qv[i] AS DOUBLE) - ct.c[i]))) ASC,
+      |    ct.bucket ASC
+      |  LIMIT 4),
+      |qr AS (
+      |  SELECT p.bucket,
+      |    list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - p.c[i]) AS rq
+      |  FROM probe p CROSS JOIN q),
+      |qn AS (SELECT bucket, rq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+      |qu AS (SELECT bucket, list_transform(rq, x -> x / qnorm) AS qp, qnorm FROM qn),
+      |enc AS (
+      |  SELECT co._id, co.bucket, co.embedding,
+      |    list_transform(range(1, 65), i -> CAST(co.embedding[i] AS DOUBLE) - p.c[i]) AS r
+      |  FROM corpus co JOIN probe p USING (bucket)),
+      |en AS (SELECT _id, bucket, embedding, r,
+      |  sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+      |est AS (
+      |  SELECT en._id,
+      |    CASE WHEN en.nrm = 0 THEN qu.qnorm * qu.qnorm
+      |    ELSE nrm * nrm + qu.qnorm * qu.qnorm - 2 * nrm * qu.qnorm *
+      |      ((list_sum(list_transform(range(1, 65),
+      |          i -> CASE WHEN en.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+      |       / (list_sum(list_transform(en.r, x -> abs(x / en.nrm))) / sqrt(64.0)))
+      |    END AS e
+      |  FROM en JOIN qu ON en.bucket = qu.bucket),
+      |cand AS (SELECT _id FROM est ORDER BY e ASC, _id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT co._id, CAST(1.0 - list_sum(list_transform(range(1, 65),
+      |    t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS REAL) AS dist32
+      |  FROM cand JOIN corpus co USING (_id) CROSS JOIN q),
+      |top AS (SELECT _id, dist32 FROM rr ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+      |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val rotation = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfrbq_gate_").toString + "/art"
+    val coll = base.withIvfRbqVectorIndex("embedding", dir,
+      () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+      rotation, nprobe = 4)
+    Search.search(coll, SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
+      limit = 100))
+      .select(
+        col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   /** BATCHED Vamana serving (round 7): five queries walk the graph
     * CONCURRENTLY through VamanaServe.beamCandidateGidsBatch — per round
     * the frontiers union into one fused lookup, so a serving batch costs
@@ -673,5 +756,5 @@ object VectorQueries {
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
     s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
-    s2NearOpqApprox, s2NearRbqApprox)
+    s2NearOpqApprox, s2NearRbqApprox, s2NearIvfRbqApprox)
 }

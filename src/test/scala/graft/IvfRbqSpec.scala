@@ -92,4 +92,48 @@ class IvfRbqSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("flat RaBitQ"), e.getMessage)
   }
+
+  test("engine approx near serves from the attached artifact; meta guard fails fast") {
+    val base = queries.TestCollections.docs(spark, sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfrbq_eng_").toString + "/art"
+    val coll = base.withIvfRbqVectorIndex("embedding", dir,
+      () => IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+      rotation, nprobe = 8)
+    def req(approx: Boolean) = graft.model.SearchRequest(
+      graft.model.Query("embedding", vectorFlat = Some(graft.model.VectorFlatOpts(
+        vecs(0).toSeq, graft.model.Op.Near, 10, approx = approx))),
+      limit = 10)
+    val exact = engine.Search.search(base, req(approx = false))
+      .select("_id").as[String].collect().toSet
+    val served = engine.Search.search(coll, req(approx = true))
+      .select("_id").as[String].collect().toSeq
+    assert(served.toSet.intersect(exact).size >= 8,
+      s"engine-served recall too low: $served vs $exact")
+    // the probe restriction is partition pruning in the engine plan too
+    val idx = coll.vectorIndexes("embedding")
+      .asInstanceOf[engine.IvfRbqVectorIndex]
+    // a second attach with the SAME pure-function params reuses the artifact
+    val again = base.withIvfRbqVectorIndex("embedding2_unused", dir,
+      () => IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+      rotation, nprobe = 8)
+    assert(again.vectorIndexes.contains("embedding2_unused"))
+    // ... and a DIFFERENT rotation against the same dir fails fast
+    val other = RaBitQ.randomRotation(64, seed = 99L)
+    val e = intercept[IllegalArgumentException] {
+      base.withIvfRbqVectorIndex("embedding3_unused", dir,
+        () => IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+        other, nprobe = 8)
+    }
+    assert(e.getMessage.contains("was written as"), e.getMessage)
+    // MIPS through the engine fails fast with the operating note
+    val dot = intercept[IllegalArgumentException] {
+      val dotColl = coll.copy(schema = graft.model.IndexSchema(
+        "embedding" -> graft.model.IndexKind.VectorFlat(
+          64, graft.model.IndexKind.Metric.Dot)))
+      engine.Search.search(dotColl, req(approx = true)).collect()
+    }
+    assert(dot.getMessage.contains("euclidean/cosine"), dot.getMessage)
+    idx.release()
+  }
 }
