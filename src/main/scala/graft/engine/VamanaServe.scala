@@ -166,15 +166,36 @@ object VamanaServe {
     * keep their plan shape outside the fetch window. A concurrent
     * planner inside the window sees the override; that race is strictly
     * narrower than the permanent mutation it replaces.
+    *
+    * Re-entrancy/concurrency: a per-session depth counter makes the
+    * OUTERMOST enter save the user's value and the LAST exit restore it.
+    * Plain interleaved save/restore would let a second concurrent walk
+    * save "false" as its "previous" value and re-pin the session after
+    * the first walk restored — the sticky-mutation bug this helper
+    * exists to prevent.
     */
+  private val bucketedScanDepth =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      (java.util.concurrent.atomic.AtomicInteger, Option[String])]()
+
   private[graft] def withExplicitBucketedScan[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // the merge is atomic per session: the creator of the depth-1 entry
+    // is the thread that saves the user's value and sets the override
+    val entry = bucketedScanDepth.compute(spark, (_, cur) =>
+      if (cur == null) (new java.util.concurrent.atomic.AtomicInteger(0),
+        spark.conf.getOption(key))
+      else cur)
+    if (entry._1.incrementAndGet() == 1) spark.conf.set(key, "false")
+    try f finally {
+      if (entry._1.decrementAndGet() == 0) {
+        bucketedScanDepth.remove(spark)
+        entry._2 match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
     }
   }
 

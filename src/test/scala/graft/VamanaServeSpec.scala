@@ -271,4 +271,35 @@ class VamanaServeSpec extends SparkSuite {
         VamanaServe.servingTableName(serveDir + "_coded")}`")
     }
   }
+
+  test("withExplicitBucketedScan: nested and concurrent uses restore the user's conf") {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(key, "true")
+    try {
+      // re-entrant: the inner exit must NOT restore early
+      VamanaServe.withExplicitBucketedScan(spark) {
+        assert(spark.conf.get(key) == "false")
+        VamanaServe.withExplicitBucketedScan(spark)(
+          assert(spark.conf.get(key) == "false"))
+        assert(spark.conf.get(key) == "false", "inner exit restored early")
+      }
+      assert(spark.conf.get(key) == "true")
+      // concurrent: interleaved enters/exits must leave the user's value
+      // (plain save/restore would let a late saver re-pin "false")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val tasks = (1 to 16).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = VamanaServe.withExplicitBucketedScan(spark) {
+              assert(spark.conf.get(key) == "false")
+              Thread.sleep(5)
+            }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      assert(spark.conf.get(key) == "true",
+        "concurrent walks left the session conf mutated")
+    } finally spark.conf.unset(key)
+  }
 }
