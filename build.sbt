@@ -1,5 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The per-round bench record must be the process's FINAL stdout line; sbt's
+// trailing "[success] Total time: ..." banner otherwise displaces it and the
+// driver's last-line JSON parse fails (it did, every round through r9).
+Global / showSuccess := false
+// ... and the forked run's stdout must pass through UN-prefixed: the default
+// LoggedOutput strategy would wrap the record line as "[info] {...}", which a
+// strict JSON parse of the last line also rejects.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "semadbspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

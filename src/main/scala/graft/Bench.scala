@@ -134,6 +134,13 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] statestore stop: $e") }
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark stop: $e") }
+    // Belt-and-braces for the stdout parse: also persist the record to a
+    // well-known file so the round record is recoverable even if some future
+    // teardown noise displaces the final line again.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_record.json"),
+      (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] record file: $e") }
     println(record)
   }
 }

@@ -234,9 +234,12 @@ final case class Collection(
           require(stored == expect,
             s"artifact at $dir was written as ($stored), probed as ($expect)")
         case None =>
+          // shed ragged rows (wrong-length vectors) like the sibling
+          // quantizer attaches — a ragged row would otherwise throw inside
+          // IvfRbq.encode's kernel and kill the whole build job
           IvfRbq.writeArtifact(
-            df.filter(col(prop).isNotNull), col(Collection.IdCol), col(prop),
-            co, rotation, dir)
+            df.filter(col(prop).isNotNull && size(col(prop)) === co.dim),
+            col(Collection.IdCol), col(prop), co, rotation, dir)
       }
       val enc = spark.read.parquet(dir)
         .select(col("id").as(Collection.IdCol),

@@ -156,48 +156,40 @@ object VamanaServe {
     spark.table(tbl)
   }
 
-  /** Run `f` with the planner's auto-demotion of bucketed scans OFF —
-    * the demotion to a coalesced file scan also DROPS file-level bucket
-    * pruning (measured: a 3-id fetch read 8/8 bucket files demoted,
-    * 1-3/8 bucketed), and pruned per-hop fetches are the entire point of
-    * the serving layout. Scoped save/restore around each fetch instead
-    * of a session-wide set (the round-8 shape): other bucketed-table
-    * queries on the SHARED session — other tenants behind WireService —
-    * keep their plan shape outside the fetch window. A concurrent
-    * planner inside the window sees the override; that race is strictly
-    * narrower than the permanent mutation it replaces.
-    *
-    * Re-entrancy/concurrency: a per-session depth counter makes the
-    * OUTERMOST enter save the user's value and the LAST exit restore it.
-    * Plain interleaved save/restore would let a second concurrent walk
-    * save "false" as its "previous" value and re-pin the session after
-    * the first walk restored — the sticky-mutation bug this helper
-    * exists to prevent.
+  /** Per-hop fetches must keep the planner's auto-demotion of bucketed
+    * scans OFF — the demotion to a coalesced file scan also DROPS
+    * file-level bucket pruning (measured: a 3-id fetch read 8/8 bucket
+    * files demoted, 1-3/8 bucketed), and pruned fetches are the entire
+    * point of the serving layout. Rather than flipping the conf on the
+    * SHARED session (round-8: a permanent mutation; round-9: a refcounted
+    * save/restore whose exit raced concurrent enters), every fetch plans
+    * under a per-session CLONED SparkSession that permanently pins the
+    * override: same SparkContext, SharedState (external catalog, cache
+    * manager — so serving tables and cached frames resolve identically),
+    * copied SessionState, one conf difference. User queries on the main
+    * session can never observe the override, and there is no restore
+    * step to race — the clone is created once per parent session and
+    * reused by every walk.
     */
-  private val bucketedScanDepth =
+  private val walkSessions =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      (java.util.concurrent.atomic.AtomicInteger, Option[String])]()
+      org.apache.spark.sql.SparkSession]()
 
-  private[graft] def withExplicitBucketedScan[A](
-      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    // the merge is atomic per session: the creator of the depth-1 entry
-    // is the thread that saves the user's value and sets the override
-    val entry = bucketedScanDepth.compute(spark, (_, cur) =>
-      if (cur == null) (new java.util.concurrent.atomic.AtomicInteger(0),
-        spark.conf.getOption(key))
-      else cur)
-    if (entry._1.incrementAndGet() == 1) spark.conf.set(key, "false")
-    try f finally {
-      if (entry._1.decrementAndGet() == 0) {
-        bucketedScanDepth.remove(spark)
-        entry._2 match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      }
-    }
-  }
+  /** The fetch-planning session for `spark` (created on first use). */
+  private[graft] def walkSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    walkSessions.computeIfAbsent(spark, s => {
+      val w = org.apache.spark.sql.graft.Bridge.cloneSession(s)
+      w.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      w
+    })
+
+  /** `df` re-planned under the walk session: identical data and lineage,
+    * bucketed-scan-preserving planner conf. Specs probing fetch plan
+    * shape go through this too.
+    */
+  private[graft] def forWalkFetch(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.rebind(df, walkSession(df.sparkSession))
 
   /** Data access for one walk: node fetch, per-query scoring of the
     * fetched node payload, filter-membership verdicts, and filtered
@@ -224,20 +216,13 @@ object VamanaServe {
     protected def matchArt: Option[DataFrame]
     def memberOk(ids: Seq[Long]): Set[Long] =
       if (ids.isEmpty) Set.empty
-      else {
-        val spark = matchArt.get.sparkSession
-        import spark.implicits._
-        withExplicitBucketedScan(spark)(
-          matchArt.get.filter(col("_gid").isin(ids: _*))
-            .select(col("_gid")).as[Long].collect().toSet)
-      }
-    def seeds(n: Int): Seq[Long] = {
-      val spark = matchArt.get.sparkSession
-      import spark.implicits._
-      withExplicitBucketedScan(spark)(
-        matchArt.get.select(col("_gid")).orderBy(col("_gid").asc)
-          .limit(n).as[Long].collect().toSeq)
-    }
+      else forWalkFetch(
+        matchArt.get.filter(col("_gid").isin(ids: _*)).select(col("_gid")))
+        .collect().map(_.getLong(0)).toSet
+    def seeds(n: Int): Seq[Long] =
+      forWalkFetch(
+        matchArt.get.select(col("_gid")).orderBy(col("_gid").asc).limit(n))
+        .collect().map(_.getLong(0)).toSeq
   }
 
   private def exactScorer(metric: Metric, qvec: Array[Float]): AnyRef => Double =
@@ -248,10 +233,10 @@ object VamanaServe {
       extends GraphAccess with MatchProbes {
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
-      else withExplicitBucketedScan(art.sparkSession)(
+      else forWalkFetch(
         art.filter(col("_gid").isin(ids: _*))
-          .select(col("_gid"), col("_vec"), col("_nbrs"))
-          .collect())
+          .select(col("_gid"), col("_vec"), col("_nbrs")))
+        .collect()
         .map(r => r.getLong(0) ->
           (r.getSeq[Float](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
         .toMap
@@ -280,10 +265,10 @@ object VamanaServe {
       extends GraphAccess with MatchProbes {
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
-      else withExplicitBucketedScan(art.sparkSession)(
+      else forWalkFetch(
         art.filter(col("_gid").isin(ids: _*))
-          .select(col("_gid"), col("_codes"), col("_nbrs"))
-          .collect())
+          .select(col("_gid"), col("_codes"), col("_nbrs")))
+        .collect()
         .map(r => r.getLong(0) ->
           (r.getSeq[Int](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
         .toMap

@@ -102,7 +102,16 @@ object IvfRbq {
     * supplied model reproduces the artifact's codes).
     */
   def metaString(coarse: IvfPq.Coarse, rotation: Array[Array[Double]]): String = {
-    val fp = java.util.Arrays.hashCode(rotation.map(java.util.Arrays.hashCode))
+    // SHA-256 over the little-endian doubleToLongBits stream: a 32-bit
+    // Arrays.hashCode could collide and let a different (or corrupted)
+    // rotation pass the guard — the exact failure the guard exists to stop
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rotation.foreach(_.foreach { d =>
+      buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(buf.array())
+    })
+    val fp = md.digest().map(b => f"$b%02x").mkString
     s"${coarse.kind},${coarse.param},${coarse.dim},$fp"
   }
 

@@ -19,6 +19,27 @@ object Bridge {
     */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
 
+  /** Re-bind `df`'s (analyzed) plan to `session`, so the query PLANS under
+    * that session's SQL conf — same data, same lineage, different planner
+    * settings. Used by the Vamana walk to run per-hop fetches under a
+    * cloned session whose `autoBucketedScan` override can never leak into
+    * (or race with) user queries on the main session. The analyzed plan is
+    * already resolved, so no temp-view/catalog lookup recurs in the target
+    * session; `ofRows` is `private[sql]`, hence this shim.
+    */
+  def rebind(df: org.apache.spark.sql.Dataset[_],
+      session: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
+  /** A clone of `session` sharing its SparkContext, SharedState (external
+    * catalog, cache manager) and a COPY of its SessionState (runtime conf,
+    * temp views) — `cloneSession` is `private[sql]`.
+    */
+  def cloneSession(session: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Release the storage behind a DataFrame whether it was `persist()`ed
     * (CacheManager) or `localCheckpoint()`ed — checkpoint blocks live in
     * the RDD layer, where `Dataset.unpersist` is a silent no-op.

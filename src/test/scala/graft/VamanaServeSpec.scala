@@ -102,11 +102,13 @@ class VamanaServeSpec extends SparkSuite {
       // FILE level: the write lands one file per bucket, and the scan
       // opens only the buckets hashing the requested ids (Spark prunes
       // by bucket-id file name even in a non-bucketed scan shape)
-      val fetch = serving.filter(col("_gid").isin(1L, 2L, 3L))
-      // the pruning-preserving override is SCOPED to walk fetches now
-      // (round-9 advice: no session-wide conf mutation) — this manual
-      // plan probe opts in the same way the walk's access layer does
-      VamanaServe.withExplicitBucketedScan(spark)(fetch.collect())
+      // the pruning-preserving override lives in the cloned walk session
+      // now (round-9/10 advice: no session-wide conf mutation, no
+      // restore race) — this manual plan probe re-binds the fetch the
+      // same way the walk's access layer does
+      val fetch = VamanaServe.forWalkFetch(
+        serving.filter(col("_gid").isin(1L, 2L, 3L)))
+      fetch.collect()
       val scan = fetch.queryExecution.executedPlan.collectLeaves().collectFirst {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.getOrElse(fail(s"no file scan in:\n${fetch.queryExecution.executedPlan}"))
@@ -156,8 +158,9 @@ class VamanaServeSpec extends SparkSuite {
       // the serving layout is code-narrow: no _vec column at all
       assert(cart.columns.toSet == Set("_id", "_gid", "_codes", "_nbrs"), cart.columns.toSeq)
       // and a hop-shaped fetch is bucket-pruned like the exact layout
-      val fetch = cart.filter(col("_gid").isin(1L, 2L, 3L))
-      VamanaServe.withExplicitBucketedScan(spark)(fetch.collect())
+      val fetch = VamanaServe.forWalkFetch(
+        cart.filter(col("_gid").isin(1L, 2L, 3L)))
+      fetch.collect()
       val plan = fetch.queryExecution.executedPlan.toString
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
       val m = sel.findFirstMatchIn(plan)
@@ -272,34 +275,37 @@ class VamanaServeSpec extends SparkSuite {
     }
   }
 
-  test("withExplicitBucketedScan: nested and concurrent uses restore the user's conf") {
+  test("walk fetches plan under a cloned session; the main session's conf is never touched") {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     spark.conf.set(key, "true")
     try {
-      // re-entrant: the inner exit must NOT restore early
-      VamanaServe.withExplicitBucketedScan(spark) {
-        assert(spark.conf.get(key) == "false")
-        VamanaServe.withExplicitBucketedScan(spark)(
-          assert(spark.conf.get(key) == "false"))
-        assert(spark.conf.get(key) == "false", "inner exit restored early")
-      }
-      assert(spark.conf.get(key) == "true")
-      // concurrent: interleaved enters/exits must leave the user's value
-      // (plain save/restore would let a late saver re-pin "false")
+      // the walk session is a per-parent singleton with the override
+      // pinned — no enter/exit, so nothing to race
+      val w = VamanaServe.walkSession(spark)
+      assert(w ne spark)
+      assert(w eq VamanaServe.walkSession(spark), "walk session not cached")
+      assert(w.conf.get(key) == "false")
+      assert(spark.conf.get(key) == "true", "clone creation mutated the parent")
+      // a rebound frame computes the same rows and its plan carries the
+      // override, while the MAIN session's conf stays the user's value
+      // throughout — including under concurrent walks
+      import spark.implicits._
+      val df = (1L to 10L).toDF("x").filter(col("x") > 5)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       try {
         val tasks = (1 to 16).map { _ =>
           pool.submit(new Runnable {
-            def run(): Unit = VamanaServe.withExplicitBucketedScan(spark) {
-              assert(spark.conf.get(key) == "false")
-              Thread.sleep(5)
+            def run(): Unit = {
+              val got = VamanaServe.forWalkFetch(df).collect().map(_.getLong(0)).sorted
+              assert(got.toSeq == (6L to 10L))
+              assert(spark.conf.get(key) == "true",
+                "a concurrent walk fetch mutated the main session conf")
             }
           })
         }
         tasks.foreach(_.get())
       } finally pool.shutdown()
-      assert(spark.conf.get(key) == "true",
-        "concurrent walks left the session conf mutated")
+      assert(spark.conf.get(key) == "true")
     } finally spark.conf.unset(key)
   }
 }
