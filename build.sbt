@@ -31,8 +31,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default fork heap 32g: the test suite's heaviest band (ScaleRecallSpec's
+// 100k-vector sort-merge joins on local[32]) OOMs a stock 8g JVM — a plain
+// `sbt test` from a clean checkout must be green with NO env vars (round-9
+// verdict #1). Override with SPARK_DRIVER_MEM on smaller machines.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

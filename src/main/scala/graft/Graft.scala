@@ -422,9 +422,22 @@ final class Graft(val spark: SparkSession, root: String,
             case Some(graft.store.FittedScalar(lo, hi)) =>
               Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))
             case Some(graft.store.FittedRbq(model)) =>
-              // no coded-walk route: the DiskANN coded table is PQ-code
-              // shaped; RaBitQ serves the flat estimator scan
-              Some(p -> ((c: Collection) => c.withRbqVectorIndex(p, model)))
+              // same coded-walk opt-in as FittedProduct/FittedOpq: the
+              // 1-bit RaBitQ payload (D/64 longs + 3 scalars) steers the
+              // graph walk — the NARROWEST per-hop fetch of the family;
+              // without a graph, the flat estimator scan
+              val viaGraph =
+                if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
+                  store.vamanaIndexWithDir(name, p)
+                else None
+              viaGraph match {
+                case Some((graph, idmap, serveDir)) =>
+                  Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
+                    p, graph, idmap, serveDir = Some(serveDir),
+                    coded = Some(graft.operators.RbqCodes(model)))))
+                case None =>
+                  Some(p -> ((c: Collection) => c.withRbqVectorIndex(p, model)))
+              }
             case None => store.vamanaIndexWithDir(name, p).map {
               case (graph, idmap, serveDir) =>
                 p -> ((c: Collection) => c.withVamanaVectorIndexFrames(

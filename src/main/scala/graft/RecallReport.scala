@@ -403,14 +403,18 @@ object RecallReport {
         |sit above their 64-d counterparts; the 64-d @100k table remains
         |the harder, binding evidence.
         |
-        |## Coded walk — DiskANN compressed navigation (round 8)
+        |## Coded walk — DiskANN compressed navigation (rounds 8–10)
         |
-        |Past the local-graph budget the distributed walk can attach a PQ
-        |model (`VamanaVectorIndex(coded = Some(model))`): per-hop fetches
+        |Past the local-graph budget the distributed walk can attach a code
+        |source (`VamanaVectorIndex(coded = Some(src))`): per-hop fetches
         |then read `(_gid, _codes, _nbrs)` from a code-narrow bucketed
-        |serving table (m bytes per node instead of 4·dim) and rank by a
-        |per-query ADC table — the DiskANN design (Subramanya et al. 2019:
-        |compressed vectors steer navigation, full precision only re-ranks).
+        |serving table and rank by the source's estimator — the DiskANN
+        |design (Subramanya et al. 2019: compressed vectors steer
+        |navigation, full precision only re-ranks). Three sources: PQ ADC
+        |(m bytes/node), OPQ ADC (m bytes, rotated space), and — round 10 —
+        |RaBitQ (D/64 longs + 3 scalars: 32 B at 64-d vs PQ m=16's 64 B,
+        |and 216 B at 1536-d vs 6 KB raw — the narrowest hop payload the
+        |family offers, with the paper's unbiased estimator steering).
         |The pool is approximate, so this regime's band is SERVED recall
         |(exact re-rank of the pool vs exact search), measured with the
         |distributed regime forced on (`graft.vamana.localMaxBytes=1`):
@@ -418,15 +422,20 @@ object RecallReport {
         || corpus | config | served recall@10 |
         ||---|---|---|
         || 500 × 64-d (sf0.001) | degree 32, PQ m=16/k=16 ADC hops, beam 75 | 0.960 |
-        || 5,000 × 64-d (sf0.01 ×10) | same | 1.000 |
-        || 5,000 × 256-d (jlLift ×10) | same — 16-byte codes vs 1,024-byte vectors: 64× narrower hops | 1.000 |
+        || 500 × 64-d (sf0.001) | degree 32, RaBitQ 1-bit estimator hops, beam 75 | 0.940 |
+        || 5,000 × 64-d (sf0.01 ×10) | PQ ADC hops | 1.000 |
+        || 5,000 × 64-d (sf0.01 ×10) | RaBitQ 1-bit estimator hops | 1.000 |
+        || 5,000 × 256-d (jlLift ×10) | PQ ADC hops — 16-byte codes vs 1,024-byte vectors: 64× narrower hops | 1.000 |
         |
-        |Spec-asserted per run (VamanaServeSpec ≥0.9 with the bucket-pruned
-        |code-narrow plan shape; ScaleRecallSpec ≥0.9 at 5k; the 256-d row
+        |Spec-asserted per run (VamanaServeSpec ≥0.9 for the PQ, OPQ and
+        |RBQ bands with the bucket-pruned code-narrow plan shape;
+        |ScaleRecallSpec ≥0.9 at 5k for PQ- and RBQ-coded; the 256-d row
         |measured once, the shape where the code/vector width ratio bites).
-        |The exact distributed walk remains the default — coded is the
-        |opt-in for artifacts whose per-hop vector reads dominate serving
-        |cost.
+        |The engine serves the RBQ-coded walk end-to-end through the store
+        |facade under the same `graft.vamana.codedWalk` opt-in as PQ/OPQ
+        |(gate w14_rbq_coded_walk, exact-SQL oracled). The exact
+        |distributed walk remains the default — coded is the opt-in for
+        |artifacts whose per-hop vector reads dominate serving cost.
         |""".stripMargin
     val fullReport = report + scaleSection + secondShapeSection
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), fullReport)

@@ -138,10 +138,11 @@ object VamanaServe {
     val spark = art.sparkSession
     val tbl = servingTableName(dir)
     if (!spark.catalog.tableExists(tbl)) {
-      val head = art.select(col("_gid"), col("_nbrs")).head(1)
+      val head = art.select(col("_gid"), col("_nbrs"), col("_vec")).head(1)
       if (head.isEmpty) return art
       val deg = head(0).getSeq[Long](1).length
-      val rowBytes = 40L + 4L * source.pq.m + 8L * deg
+      val dim = head(0).getSeq[Float](2).length
+      val rowBytes = 40L + source.payloadBytes(dim) + 8L * deg
       val n = art.count()
       val buckets = math.min(4096L,
         math.max(8L, n * rowBytes / (32L * 1024 * 1024) + 1)).toInt
@@ -270,37 +271,24 @@ object VamanaServe {
           .select(col("_gid"), col("_codes"), col("_nbrs")))
         .collect()
         .map(r => r.getLong(0) ->
-          (r.getSeq[Int](1).toArray: AnyRef, r.getSeq[Long](2).toArray))
+          (source.payloadOf(r, 1), r.getSeq[Long](2).toArray))
         .toMap
     def scorer(metric: Metric, qvec: Array[Float]): AnyRef => Double = {
-      // cosine navigates by squared-L2 ADC over the STORED vectors'
-      // codes, which ranks like cosine only when the stored vectors are
-      // normalized (the PQ operating note — cosine declares normalized
-      // input, IndexKind.Metric). The QUERY side is made safe here
-      // (cosine is scale-invariant in q, so normalizing it is free);
+      // cosine navigates by the source's squared-L2 form over the STORED
+      // vectors' codes, which ranks like cosine only when the stored
+      // vectors are normalized (the PQ operating note — cosine declares
+      // normalized input, IndexKind.Metric). The QUERY side is made safe
+      // here (cosine is scale-invariant in q, so normalizing it is free);
       // an unnormalized CORPUS under cosine degrades only the pool, and
-      // the engine's exact re-rank stage stays metric-true.
+      // the engine's exact re-rank stage stays metric-true. The rest —
+      // query map, ADC tables or estimator folds — is the source's
+      // business (CodedSource.scorer).
       val q1 =
         if (metric == Metric.Cosine) {
           val n = math.sqrt(qvec.foldLeft(0.0)((a, x) => a + x.toDouble * x))
           if (n > 0) qvec.map(x => (x / n).toFloat) else qvec
         } else qvec
-      // map the query into the space the codes quantize (identity for
-      // plain PQ, the learned rotation for OPQ — rotation preserves the
-      // norm, so the order of normalize/rotate is immaterial), then the
-      // unchanged ADC table build over the source's codebooks
-      val q2 = source.mapQuery(q1)
-      val table =
-        if (metric == Metric.Dot)
-          graft.operators.ProductQuantizer.adcDotTable(q2, source.pq)
-        else graft.operators.ProductQuantizer.adcTable(q2, source.pq)
-      p => {
-        val cs = p.asInstanceOf[Array[Int]]
-        var acc = 0.0
-        var i = 0
-        while (i < cs.length) { acc += table(i)(cs(i)); i += 1 }
-        acc
-      }
+      source.scorer(metric, q1)
     }
   }
 

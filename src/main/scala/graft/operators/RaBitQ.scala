@@ -120,11 +120,22 @@ object RaBitQ {
     * metric-routing convention). A zero residual (x == c) stores norm 0
     * and all-zero bits; search treats it exactly.
     */
-  def encode(df: DataFrame, id: Column, vec: Column, model: RbqModel): DataFrame = {
+  def encode(df: DataFrame, id: Column, vec: Column, model: RbqModel): DataFrame =
+    df.select(id.as("id"), encodeUdf(model)(vec).as("_e"))
+      .select(col("id"), col("_e._1").as("bits"),
+        col("_e._2").as("norm"), col("_e._3").as("dotq"),
+        col("_e._4").as("dotc"))
+
+  /** The encode kernel as a reusable UDF: `(bits, norm, dotq, dotc)` as a
+    * struct (fields `_1.._4`) — [[encode]] flattens it to named columns;
+    * [[RbqCodes.encodeExpr]] stores the struct whole as the coded walk's
+    * `_codes` payload.
+    */
+  def encodeUdf(model: RbqModel): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val d = model.dim
     val bcC = model.centroid
     val bcR = model.rotation
-    val enc = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       require(v.length == d, s"vector has ${v.length} dims; model is $d-d")
       val r = new Array[Double](d)
       var i = 0
@@ -153,10 +164,6 @@ object RaBitQ {
       }
       (words.toSeq, norm, dotq, dotc)
     }
-    df.select(id.as("id"), enc(vec).as("_e"))
-      .select(col("id"), col("_e._1").as("bits"),
-        col("_e._2").as("norm"), col("_e._3").as("dotq"),
-        col("_e._4").as("dotc"))
   }
 
   /** Top-k by the RaBitQ squared-L2 ESTIMATE. The query folds once on the
@@ -229,15 +236,39 @@ object RaBitQ {
     */
   def estimateExpr(bits: Column, norm: Column, dotq: Column,
       queryVec: Seq[Float], model: RbqModel): Column = {
-    val f = foldQuery(queryVec, model)
+    val sc = l2Scorer(model, queryVec)
     val est = udf { (words: Seq[Long], norm: Double, dotq: Double) =>
+      sc(words, norm, dotq)
+    }
+    est(bits, norm, dotq)
+  }
+
+  /** The squared-L2 estimator as a LOCAL scalar function (one query fold,
+    * then per-code evaluation) — the column form above wraps it; the
+    * coded graph walk ([[RbqCodes]]) calls it directly on fetched
+    * payloads, driver-side.
+    */
+  def l2Scorer(model: RbqModel,
+      queryVec: Seq[Float]): (Seq[Long], Double, Double) => Double = {
+    val f = foldQuery(queryVec, model)
+    (words, norm, dotq) =>
       if (norm == 0.0 || dotq <= 0.0) f.qNorm * f.qNorm
       else {
         val cosEst = cosEstOf(f, words, dotq)
         norm * norm + f.qNorm * f.qNorm - 2.0 * norm * f.qNorm * cosEst
       }
-    }
-    est(bits, norm, dotq)
+  }
+
+  /** LOCAL form of [[dotEstimateExpr]] (negated inner product). */
+  def dotScorer(model: RbqModel,
+      queryVec: Seq[Float]): (Seq[Long], Double, Double, Double) => Double = {
+    val f = foldQuery(queryVec, model)
+    (words, norm, dotq, dotc) =>
+      if (norm == 0.0 || dotq <= 0.0) -f.cDotQ
+      else {
+        val cosEst = cosEstOf(f, words, dotq)
+        -(f.cDotQ + norm * (f.qNorm * cosEst + dotc))
+      }
   }
 
   /** NEGATED inner-product estimate (the Dot metric's distance sign):
@@ -246,13 +277,9 @@ object RaBitQ {
     */
   def dotEstimateExpr(bits: Column, norm: Column, dotq: Column, dotc: Column,
       queryVec: Seq[Float], model: RbqModel): Column = {
-    val f = foldQuery(queryVec, model)
+    val sc = dotScorer(model, queryVec)
     val est = udf { (words: Seq[Long], norm: Double, dotq: Double, dotc: Double) =>
-      if (norm == 0.0 || dotq <= 0.0) -f.cDotQ
-      else {
-        val cosEst = cosEstOf(f, words, dotq)
-        -(f.cDotQ + norm * (f.qNorm * cosEst + dotc))
-      }
+      sc(words, norm, dotq, dotc)
     }
     est(bits, norm, dotq, dotc)
   }

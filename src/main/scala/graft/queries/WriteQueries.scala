@@ -306,6 +306,68 @@ object WriteQueries {
       .orderBy(col("dist_r"), col("_id"))
   }
 
+  /** The RBQ-coded DiskANN walk end-to-end through the store facade
+    * (round 10): a vectorVamana prop ALSO declares `"quantizer": {"type":
+    * "rabitq"}`; the store fits the model at the trigger and maintains the
+    * graph, and under the coded-walk opt-in the approx search attaches the
+    * graph with [[graft.operators.RbqCodes]] — per-hop fetches read the
+    * 1-bit payload struct (D/64 longs + 3 scalars, the narrowest per-hop
+    * read the family offers) from the `_gid`-bucketed coded serving table
+    * and rank by the paper's unbiased estimator; only the final re-rank
+    * reads full vectors (forced past the local budget with
+    * localMaxBytes=1, so the fetching regime actually runs). At beam 75
+    * over this corpus the estimator-steered pool contains the exact
+    * top-10, so exact euclidean SQL is a true oracle — any drift in the
+    * code source's struct payload, the estimator fold, the coded table
+    * layout, or the walk loses a true neighbor and flips the hash.
+    */
+  private val rbqWalkDbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.Graft]()
+  private def rbqWalkDb(s: org.apache.spark.sql.SparkSession, d: String): graft.Graft = {
+    val app = s.sparkContext.applicationId
+    rbqWalkDbCache.keySet.removeIf(k => k._1 != app)
+    rbqWalkDbCache.computeIfAbsent((app, d), _ => {
+      val db = graft.Graft(s, Files.createTempDirectory("graft_rbqwalk_store_").toString)
+      db.createCollection("emb",
+        IndexSchema("vec" -> IndexKind.VectorVamana(64, IndexKind.Metric.Euclidean,
+          quantizer = IndexKind.Quantizer.RaBitQ(triggerThreshold = 1))),
+        Tables.embeddings(s, d).select(
+          col("vec_id").cast("string").as("_id"), col("embedding").as("vec")))
+      db.buildVamanaIndex("emb", "vec")
+      db
+    })
+  }
+
+  val w14RbqCodedWalk = NamedQuery(
+    "w14_rbq_coded_walk",
+    """WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |ranked AS (
+      |  SELECT CAST(vec_id AS VARCHAR) AS _id,
+      |    CAST(power(list_distance(embedding, q.v), 2) AS REAL) AS dist32
+      |  FROM embeddings CROSS JOIN q
+      |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    val qv = TestCollections.queryVector(s, d, 0)
+    val db = rbqWalkDb(s, d)
+    // the conf window needs to cover ATTACH + walk only (both run eagerly
+    // inside search); the returned re-rank frame is conf-independent
+    s.conf.set("graft.vamana.codedWalk", "true")
+    s.conf.set("graft.vamana.localMaxBytes", "1")
+    try db.search("emb",
+      s"""{"query": {"property": "vec",
+         |  "vectorVamana": {"vector": [${qv.mkString(",")}], "operator": "near",
+         |                   "limit": 10, "searchSize": 75, "approx": true}},
+         | "select": ["_id"], "limit": 100}""".stripMargin)
+      .select(col("_id"), dround(col("_distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("_id"))
+    finally {
+      s.conf.unset("graft.vamana.codedWalk")
+      s.conf.unset("graft.vamana.localMaxBytes")
+    }
+  }
+
   /** W4's backup/restore lifecycle as a CONTRACT query (reference shard
     * Backup semantics): create from part (p_size ≤ 10), snapshot, then
     * DIVERGE destructively — delete every p_size ≤ 4 row, blank a name
@@ -723,5 +785,5 @@ object WriteQueries {
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
       w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle,
-      w11WireMetrics, w12OpqStoreServe, w13RbqStoreServe)
+      w11WireMetrics, w12OpqStoreServe, w13RbqStoreServe, w14RbqCodedWalk)
 }

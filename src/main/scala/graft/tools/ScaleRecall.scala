@@ -122,6 +122,38 @@ object ScaleRecall {
       coll.vectorIndexes.values.foreach(_.release())
     }
 
+    // RBQ-coded walk: the same DiskANN regime with the RaBitQ 1-bit
+    // payload as the code source (RbqCodes) — D/64 longs + 3 scalars per
+    // hop instead of m bytes, the narrowest fetch the family offers; hops
+    // rank by the paper's unbiased estimator.
+    if (methods("vamana_rbq")) {
+      val codDir = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_vamrbq_f$factor").resolve("art").toString
+      val rbq = graft.operators.RaBitQ.fit(big, col("embedding"), dim)
+      val coll = graft.engine.Collection(
+          big.select(col("vec_id").cast("string").as("_id"),
+            col("embedding").as("vec_l2")),
+          graft.model.IndexSchema(
+            "vec_l2" -> IndexKind.VectorVamana(dim, Metric.Euclidean)))
+        .withVamanaVectorIndex("vec_l2", codDir, buildParams,
+          coded = Some(graft.operators.RbqCodes(rbq)))
+      spark.conf.set("graft.vamana.localMaxBytes", "1")
+      val rbqGot =
+        try queryBaseIds.map { q =>
+          graft.engine.Search.search(coll, graft.model.SearchRequest(
+            graft.model.Query("vec_l2", vectorVamana = Some(
+              graft.model.VectorVamanaOpts(queryVecs(q), graft.model.Op.Near,
+                searchSize = searchSize, limit = k, approx = true))),
+            limit = k))
+            .select("_id").as[String].collect().map(_.toLong).toSet
+        }
+        finally spark.conf.unset("graft.vamana.localMaxBytes")
+      out += Row("RBQ-coded walk Vamana (DiskANN)",
+        s"degree ${buildParams.degreeBound}, ${buildParams.iterations} NN-Descent rounds, 1-bit RaBitQ estimator hops, beam $searchSize + exact re-rank, n=$n",
+        recallOf(rbqGot, exactL2))
+      coll.vectorIndexes.values.foreach(_.release())
+    }
+
     if (methods("ivfpq")) {
     // residual IVF-PQ, spill=3, nprobe=8 of 32 cells, ADC + exact rescore
     val coarse = IvfPq.kmeansCoarse(big, col("embedding"), k = 32)

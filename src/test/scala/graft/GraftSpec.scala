@@ -281,6 +281,43 @@ class GraftSpec extends SparkSuite {
     }
   }
 
+  test("coded walk via the store: graph + fitted RaBitQ serve together") {
+    // the RBQ variant of the DiskANN regime (round 10): the store's
+    // auto-fitted RaBitQ model is the code source — hops fetch the 1-bit
+    // struct payload (bits/norm/dotq/dotc) and rank by the unbiased
+    // estimator; same exactness argument as the PQ/OPQ cases (corpus ==
+    // searchSize => the pool covers everything reachable)
+    val db = Graft(spark, Files.createTempDirectory("graft_db_").toString)
+    val schema = IndexSchema("vec" -> VectorVamana(2, Metric.Euclidean,
+      searchSize = 40, degreeBound = 32,
+      quantizer = Quantizer.RaBitQ(triggerThreshold = 5)))
+    val seed = (0 until 40).map(i => (i.toString, Array(i.toFloat, (i * 2).toFloat)))
+      .toDF("_id", "vec")
+    db.createCollection("pts", schema, seed)
+    assert(db.quantizer("pts", "vec").exists(_.isInstanceOf[graft.store.FittedRbq]))
+    db.buildVamanaIndex("pts", "vec")
+    def q(approx: Boolean) =
+      s"""{"query": {"property": "vec",
+         |  "vectorVamana": {"vector": [17, 33], "operator": "near",
+         |                   "limit": 5, "searchSize": 40, "approx": $approx}},
+         | "limit": 10}""".stripMargin
+    spark.conf.set("graft.vamana.codedWalk", "true")
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    try {
+      val exact = db.search("pts", q(approx = false)).collect().map(_.getString(0)).toSeq
+      val approx = db.search("pts", q(approx = true)).collect().map(_.getString(0)).toSeq
+      assert(approx == exact, s"approx $approx != exact $exact")
+      val vidx = db.collection("pts").vectorIndexes("vec")
+      assert(vidx.isInstanceOf[graft.engine.VamanaVectorIndex], vidx.getClass)
+      val vam = vidx.asInstanceOf[graft.engine.VamanaVectorIndex]
+      assert(vam.coded.exists(_.isInstanceOf[graft.operators.RbqCodes]), vam.coded)
+      assert(vam.codedServing.isDefined)
+    } finally {
+      spark.conf.unset("graft.vamana.codedWalk")
+      spark.conf.unset("graft.vamana.localMaxBytes")
+    }
+  }
+
   test("multi-tenancy: same-named collections isolated per tenant, quotas independent") {
     val root = Files.createTempDirectory("graft_mt_").toString
     val a = Graft.forTenant(spark, root, "tenant-a")

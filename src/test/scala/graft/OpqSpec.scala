@@ -229,6 +229,52 @@ class OpqSpec extends SparkSuite {
 
   // ---- coded-walk source ------------------------------------------------------
 
+  test("seeded-rotation golden route ties to un-rotated geometry at the gate's params") {
+    // opq_adc_topk pins a GOLDEN (DuckDB can replay neither the Jacobi
+    // eigensolve nor seeded Lloyd's) — determinism, not correctness of
+    // the rotation path (round-9 verdict #6). Close the gap: at the
+    // gate's EXACT params (sf0.01 corpus, dim 64, m=8, k=32, query
+    // vec_id 7), the production ADC estimate — per-subspace table
+    // lookups against the ROTATED query — must equal plain un-rotated
+    // geometry: ‖q − Rᵀ·recon(codes)‖², with recon the rotated-space
+    // codebook reconstruction explicitly rotated BACK. Orthogonality is
+    // what makes them equal; plain PQ's ADC fold is already closed-form
+    // oracled (pq_adc_fixed), so this law transfers that authority to
+    // the rotated route, and re-deriving the gate's top-10 re-proves the
+    // pinned rows.
+    val gateEmb = Tables.embeddings(spark, sf001)
+    val model = Opq.fit(gateEmb, col("embedding"), dim = 64, m = 8, k = 32)
+    val d = 64
+    val sub = model.pq.subDim
+    val q = gateEmb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val codes = Opq.encode(gateEmb, col("vec_id"), col("embedding"), model)
+    val prod = Opq.adcSearch(codes, q.toSeq, model, k = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val codeRows = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val indep = codeRows.map { case (id, cs) =>
+      // rotated-space reconstruction from the codebooks...
+      val recon = new Array[Double](d)
+      for (i <- 0 until model.pq.m; t <- 0 until sub)
+        recon(i * sub + t) = model.pq.centroids(i)(cs(i))(t).toDouble
+      // ...rotated BACK to the original space (Rᵀ = R⁻¹, rows orthonormal)
+      val reconBack = Array.tabulate(d)(j =>
+        (0 until d).map(i => model.rotation(i)(j) * recon(i)).sum)
+      val dist = q.zip(reconBack).map { case (a, b) =>
+        (a.toDouble - b) * (a.toDouble - b) }.sum
+      // production rotates q to FLOAT before the table build — allow that
+      // rounding (≤ ~1e-6 here), nothing more
+      assert(math.abs(dist - prod(id)) < 1e-5,
+        s"ADC estimate != un-rotated geometry at $id: ${prod(id)} vs $dist")
+      id -> dist
+    }
+    val indepTop = indep.toSeq.sortBy { case (id, e) => (e, id) }.take(10)
+      .map(_._1)
+    val prodTop = Opq.adcSearch(codes, q.toSeq, model, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(prodTop == indepTop, s"gate top-10 not re-derived: $prodTop vs $indepTop")
+  }
+
   test("OpqCodes: query map is the rotation; encode equals PQ-encode of rotated vectors") {
     val src = OpqCodes(embModel)
     val q = Tables.embeddings(spark, sf0001).limit(1)

@@ -49,12 +49,15 @@ class ScaleRecallSpec extends SparkSuite {
     assert(rows("residual IVF-PQ spill=3 + rescore") >= 0.9, rows)
   }
   test("coded walk (DiskANN) at 5k x 64-d holds a >=0.9 served band") {
-    // the distributed walk forced on with PQ-coded hops — the >memory
-    // serving regime's recall, above the 500-node VamanaServeSpec corpus
+    // the distributed walk forced on with PQ-coded AND RBQ-coded hops —
+    // the >memory serving regime's recall, above the 500-node
+    // VamanaServeSpec corpus
     val rows = ScaleRecall.measure(spark, Tables.embeddings(spark, sf001),
-      factor = 10, queryIds, methods = Set("vamana_coded"))
-    info(s"coded 5k: ${rows.head.recall}")
-    assert(rows.head.recall >= 0.9, rows)
+      factor = 10, queryIds, methods = Set("vamana_coded", "vamana_rbq"))
+      .map(r => r.method -> r.recall).toMap
+    info(s"coded 5k: $rows")
+    assert(rows("coded-walk Vamana (DiskANN)") >= 0.9, rows)
+    assert(rows("RBQ-coded walk Vamana (DiskANN)") >= 0.9, rows)
   }
   test("second shape headline: engine-served Vamana at 10k x 256-d beats the reference bar") {
     // suite-affordable slice of the RECALL.md 256-d section (the recorded

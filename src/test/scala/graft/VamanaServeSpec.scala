@@ -275,6 +275,57 @@ class VamanaServeSpec extends SparkSuite {
     }
   }
 
+  test("RBQ-coded walk (DiskANN over 1-bit codes): narrowest payload, high recall") {
+    // the third CodedSource: hops fetch the RaBitQ struct payload —
+    // D/64 longs + 3 scalars, narrower than PQ m=16 already at 64-d —
+    // and rank by the unbiased estimator. Same layout assertions as the
+    // PQ/OPQ bands and the same SERVED recall bar.
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
+    val serveDir = java.nio.file.Files
+      .createTempDirectory("graft_serve_rbqcoded_").toString + "/serve"
+    val rbq = graft.operators.RaBitQ.fit(art, col("_vec"), dim = 64)
+    try {
+      val codedIdx = VamanaVectorIndex(
+        idx.entry, idx.maxHops, art, Some(serveDir),
+        Some(graft.operators.RbqCodes(rbq)))
+      assert(codedIdx.local.isEmpty)
+      val cart = codedIdx.codedServing.getOrElse(fail("no coded serving table"))
+      assert(cart.columns.toSet == Set("_id", "_gid", "_codes", "_nbrs"), cart.columns.toSeq)
+      // the payload really is the 1-bit struct, not an int-code array
+      val codesField = cart.schema("_codes").dataType
+      assert(codesField.isInstanceOf[org.apache.spark.sql.types.StructType], codesField)
+      // hop-shaped fetches stay bucket-pruned
+      val fetch = VamanaServe.forWalkFetch(
+        cart.filter(col("_gid").isin(1L, 2L, 3L)))
+      fetch.collect()
+      val plan = fetch.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+        .getOrElse(fail(s"no bucket pruning in RBQ-coded scan:\n$plan"))
+      assert(m.group(1).toInt <= 3 && m.group(1).toInt < m.group(2).toInt, plan)
+      val codedColl = coll.copy(
+        vectorIndexes = coll.vectorIndexes + ("vec_l2" -> codedIdx))
+      def top10(c: engine.Collection, approx: Boolean, q: Seq[Float]): Seq[String] =
+        engine.Search.search(c, model.SearchRequest(
+          graft.model.Query("vec_l2", vectorVamana = Some(graft.model.VectorVamanaOpts(
+            q, graft.model.Op.Near, searchSize = 75, limit = 10, approx = approx))),
+          limit = 10)).select("_id").as[String].collect().toSeq
+      val recalls = qvecs.map { q =>
+        val exact = top10(coll, approx = false, q).toSet
+        val served = top10(codedColl, approx = true, q)
+        served.count(exact).toDouble / exact.size
+      }
+      val avg = recalls.sum / recalls.size
+      info(s"RBQ-coded-walk served recall@10 per query: $recalls")
+      assert(avg >= 0.9, s"avg RBQ-coded-walk recall $avg < 0.9 ($recalls)")
+    } finally {
+      spark.conf.unset("graft.vamana.localMaxBytes")
+      spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${
+        VamanaServe.servingTableName(serveDir + "_coded")}`")
+    }
+  }
+
   test("walk fetches plan under a cloned session; the main session's conf is never touched") {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     spark.conf.set(key, "true")
