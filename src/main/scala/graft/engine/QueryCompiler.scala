@@ -196,9 +196,10 @@ object QueryCompiler {
         // past the local budget, the walk fetches from a _gid-bucketed
         // table — every per-hop fetch AND the final candidate-id lookup
         // below are bucket-pruned point reads, not artifact scans. With
-        // a PQ model attached the table carries _codes instead of _vec
-        // (the DiskANN compressed-navigation regime): hops rank by ADC
-        // and only the exact re-rank below reads full vectors.
+        // a CodedSource attached (PQ/OPQ ADC codes or the RaBitQ 1-bit
+        // payload) the table carries _codes instead of _vec (the DiskANN
+        // compressed-navigation regime): hops rank by the source's
+        // estimator and only the exact re-rank below reads full vectors.
         val coded = vidx.codedServing.map(c => (c, vidx.coded.get))
         val art = coded.map(_._1).getOrElse(vidx.serving)
         val codedModel = coded.map(_._2)

@@ -127,11 +127,12 @@ object VamanaServe {
 
   /** The CODED sibling of [[servingTable]] (the DiskANN layout — see
     * [[CodedAccess]]): `(_id, _gid, _codes, _nbrs)` with `_codes` the
-    * PQ encoding of `_vec`, bucketed and sorted by `_gid`. Rows are
-    * ~(4·m + 8·deg) bytes instead of ~(4·dim + 8·deg), so the same 32 MB
-    * bucket target packs vector-width-fold more nodes per bucket — every
-    * per-hop fetch reads proportionally fewer pages. Encoding is one
-    * pass over the artifact, paid once per attached generation.
+    * source's encoding of `_vec` (PQ/OPQ int codes or the RaBitQ 1-bit
+    * struct), bucketed and sorted by `_gid`. Rows are
+    * ~(payloadBytes + 8·deg) instead of ~(4·dim + 8·deg), so the same
+    * 32 MB bucket target packs vector-width-fold more nodes per bucket —
+    * every per-hop fetch reads proportionally fewer pages. Encoding is
+    * one pass over the artifact, paid once per attached generation.
     */
   def codedServingTable(
       art: DataFrame, source: graft.operators.CodedSource, dir: String): DataFrame = {

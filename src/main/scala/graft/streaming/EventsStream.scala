@@ -256,18 +256,24 @@ object EventsStream {
       // generations (TIMESTAMP(NANOS) → long under the legacy conf, or
       // plain TIMESTAMP(MICROS)); a streaming source needs an explicit
       // schema, so peek at the footer with a batch read first
-      val storedTs = spark.read
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .schema("ts").dataType
-      val raw = spark.readStream
+      val eventsPath = s"$sfDir/events.parquet"
+      val storedTs = spark.read.parquet(eventsPath).schema("ts").dataType
+      val reader = spark.readStream
         .schema(StructType(Schema.fields.map {
           case f if f.name == "ts" => StructField("ts", storedTs)
           case f => f
         }))
-        // the file source wants a directory; pick just the events table out
-        // of the scale-factor dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      // the table ships either as one FILE named events.parquet inside
+      // the scale dir (driver testdata) or as a part-file DIRECTORY of
+      // that name (any written-at-scale layout, e.g. the ScaleSweep
+      // replicas). The file source streams a directory natively; for the
+      // single-file shape, stream the parent dir filtered to the file.
+      val p = new org.apache.hadoop.fs.Path(eventsPath)
+      val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+      val raw =
+        if (isDir) reader.parquet(eventsPath)
+        else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
       // streaming watermarks require TIMESTAMP (not NTZ); with the session
       // in UTC the wall values match the batch NTZ path exactly
       val events = storedTs match {

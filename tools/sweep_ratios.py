@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench records (base vs replicated dir) and print the
+per-query growth-ratio table for the SURVEY §6 full-registry scale sweep.
+
+Usage: python3 tools/sweep_ratios.py /tmp/bench_sf01.json /tmp/bench_sweep.json [topN]
+"""
+import json
+import sys
+
+
+def main() -> None:
+    base_path, sweep_path = sys.argv[1], sys.argv[2]
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    base = json.load(open(base_path))["queries"]
+    sweep = json.load(open(sweep_path))["queries"]
+    rows = []
+    for name, b in base.items():
+        s = sweep.get(name)
+        if s is None or b is None or b < 0 or s is None or s < 0:
+            rows.append((float("inf"), name, b, s))
+            continue
+        # floor tiny denominators: a 0.03 s query's ratio is scheduling
+        # noise, not a scaling exponent
+        rows.append((s / max(b, 0.05), name, b, s))
+    rows.sort(reverse=True)
+    print(f"| query | sf0.1 (s) | 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for r, name, b, s in rows[:top_n]:
+        print(f"| {name} | {b:.2f} | {s:.2f} | {r:.1f}x |")
+    ratios = [r for r, *_ in rows if r != float("inf")]
+    import statistics
+    print(f"\nmedian ratio {statistics.median(ratios):.2f}x, "
+          f"queries >12x: {sum(1 for r in ratios if r > 12)}, "
+          f"total base {sum(b for _, _, b, _ in rows if b and b > 0):.1f}s "
+          f"sweep {sum(s for _, _, _, s in rows if s and s > 0):.1f}s")
+
+
+if __name__ == "__main__":
+    main()
