@@ -426,11 +426,13 @@ object RecallReport {
         || 5,000 × 64-d (sf0.01 ×10) | PQ ADC hops | 1.000 |
         || 5,000 × 64-d (sf0.01 ×10) | RaBitQ 1-bit estimator hops | 1.000 |
         || 5,000 × 256-d (jlLift ×10) | PQ ADC hops — 16-byte codes vs 1,024-byte vectors: 64× narrower hops | 1.000 |
+        || 5,000 × 256-d (jlLift ×10) | RaBitQ hops — 56-byte payload (4 longs + 3 scalars) vs 1,024-byte vectors: 18× narrower, no codebook | 1.000 |
         |
         |Spec-asserted per run (VamanaServeSpec ≥0.9 for the PQ, OPQ and
         |RBQ bands with the bucket-pruned code-narrow plan shape;
-        |ScaleRecallSpec ≥0.9 at 5k for PQ- and RBQ-coded; the 256-d row
-        |measured once, the shape where the code/vector width ratio bites).
+        |ScaleRecallSpec ≥0.9 at 5k for PQ- and RBQ-coded; the 256-d rows
+        |measured once via `runMain graft.tools.MeasureRecall`, the shape
+        |where the code/vector width ratio bites).
         |The engine serves the RBQ-coded walk end-to-end through the store
         |facade under the same `graft.vamana.codedWalk` opt-in as PQ/OPQ
         |(gate w14_rbq_coded_walk, exact-SQL oracled). The exact

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off recall measurements outside the RecallReport regeneration:
+  * run any [[ScaleRecall]] method set at any (sfDir, factor, lift) point
+  * and print the rows — the harness behind RECALL.md's "measured once"
+  * static entries (e.g. the 256-d coded-walk rows, whose builds are too
+  * slow for the per-commit suite).
+  *
+  * Usage: `runMain graft.tools.MeasureRecall <sfDir> <factor> <dOut|0> <m1,m2,...>`
+  * (`dOut` 0 = no JL lift, measure at the stored dimensionality).
+  */
+object MeasureRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val dOut = args.lift(2).map(_.toInt).getOrElse(0)
+    val methods = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("vamana"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb0 = graft.Tables.embeddings(spark, sfDir)
+    val emb =
+      if (dOut > 0)
+        graft.operators.Embeddings.jlLift(
+          emb0, col("vec_id"), col("embedding"), dIn = 64, dOut = dOut)
+      else emb0
+    val rows = ScaleRecall.measure(
+      spark, emb, factor, Seq(0L, 7L, 99L, 250L, 444L), methods = methods)
+    rows.foreach(r => println(f"[recall] ${r.method} | ${r.config} | ${r.recall}%.3f"))
+    spark.stop()
+  }
+}
