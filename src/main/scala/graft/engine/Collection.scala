@@ -244,7 +244,8 @@ final case class Collection(
       val enc = spark.read.parquet(dir)
         .select(col("id").as(Collection.IdCol),
           col("bucket").as("_bucket"), col("bits").as("_bits"),
-          col("norm").as("_norm"), col("dotq").as("_dotq"))
+          col("norm").as("_norm"), col("dotq").as("_dotq"),
+          col("dotc").as("_dotc"))
       copy(vectorIndexes =
         vectorIndexes + (prop -> IvfRbqVectorIndex(co, rotation, nprobe, enc)))
     }

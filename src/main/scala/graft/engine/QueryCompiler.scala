@@ -301,20 +301,25 @@ object QueryCompiler {
       case IvfRbqVectorIndex(coarse, rotation, nprobe, _) =>
         require(vector.length == coarse.dim,
           s"query vector has ${vector.length} dims; IVF-RaBitQ index has ${coarse.dim}")
-        // the IVF layout drops the <o,c> scalar MIPS reconstruction
-        // needs — fail fast with the operating note (flat RaBitQ stores
-        // it; residual IVF-PQ has dot tables)
-        require(metric != IndexKind.Metric.Dot,
-          "IVF-RaBitQ serves euclidean/cosine; for MIPS use a flat rabitq " +
-            "quantizer or residual IVF-PQ")
-        val rbqCells = graft.operators.IvfPq.probes(coarse, vector, nprobe)
+        // Dot probes AND scores by inner product (the IvfPq round-7
+        // argument): high-dot cells, per-cell dotEstimateExpr closing
+        // the centering algebra with the stored <o,c> scalar (round 10 —
+        // the layout carries it now, the fail-fast is gone)
+        val rbqDot = metric == IndexKind.Metric.Dot
+        val rbqCells =
+          if (rbqDot) graft.operators.IvfPq.probesDot(coarse, vector, nprobe)
+          else graft.operators.IvfPq.probes(coarse, vector, nprobe)
         require(rbqCells.nonEmpty, "no populated cells to probe")
         // per-cell estimator arms over the partition-pruned probed rows:
         // each arm is the flat RaBitQ estimator centered at that cell
         val arms = rbqCells.map { b =>
           val m = graft.operators.RaBitQ.RbqModel(coarse.centroids(b), rotation)
-          (b, graft.operators.RaBitQ.estimateExpr(
-            col("_bits"), col("_norm"), col("_dotq"), vector, m))
+          val arm =
+            if (rbqDot) graft.operators.RaBitQ.dotEstimateExpr(
+              col("_bits"), col("_norm"), col("_dotq"), col("_dotc"), vector, m)
+            else graft.operators.RaBitQ.estimateExpr(
+              col("_bits"), col("_norm"), col("_dotq"), vector, m)
+          (b, arm)
         }
         val chain = arms.tail.foldLeft(
           when(col("_bucket") === arms.head._1, arms.head._2)) {

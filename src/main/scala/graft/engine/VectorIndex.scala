@@ -132,8 +132,9 @@ final case class ScalarVectorIndex(
   * deployment): `encoded` reads the bucket-PARTITIONED artifact
   * directory, so the probe restriction is partition pruning; probed rows
   * rank by the per-cell unbiased estimator (a when-chain of
-  * [[graft.operators.RaBitQ.estimateExpr]] arms, one per probed cell).
-  * Euclidean/cosine only — the layout drops the ⟨o,c⟩ scalar MIPS needs.
+  * [[graft.operators.RaBitQ.estimateExpr]] arms, one per probed cell;
+  * Metric.Dot probes high-dot cells and ranks by the per-cell
+  * dotEstimateExpr over the stored ⟨o,c⟩ scalar — round 10).
   */
 final case class IvfRbqVectorIndex(
     coarse: graft.operators.IvfPq.Coarse,

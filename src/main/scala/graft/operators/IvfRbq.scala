@@ -12,8 +12,9 @@ import graft.model.IndexKind.Metric
   * point — ‖x−q‖² = ‖r‖² + ‖q−c_b‖² − 2‖r‖·‖q−c_b‖·⟨o_r, o_{q−c_b}⟩ —
   * so every per-cell score reuses [[RaBitQ.estimateExpr]] with a
   * per-cell model, and the candidate stage reads `(id, bucket, bits,
-  * norm, dotq)` only: D/64 longs + 2 doubles a row inside `nprobe`
-  * PARTITION-PRUNED cells. At 100 TB the probe restriction is partition
+  * norm, dotq)` only — D/64 longs + 2 doubles a row (column pruning; Dot
+  * queries additionally read the per-cell `dotc` scalar that closes the
+  * MIPS centering algebra) — inside `nprobe` PARTITION-PRUNED cells. At 100 TB the probe restriction is partition
   * pruning of a `bucket=<b>/` layout (the [[IvfPq]] artifact
   * convention), not a filter over a full scan, and the bit codes are
   * 32× narrower than the raw vectors the exact re-rank stage reads for
@@ -26,9 +27,11 @@ import graft.model.IndexKind.Metric
   */
 object IvfRbq {
 
-  /** Encode: `(id, vec, bucket, bits, norm, dotq)` — each row's RaBitQ
-    * code of its cell residual. One pass; the residual + code arithmetic
-    * is the flat encode's with `c = centroid(bucket)`.
+  /** Encode: `(id, vec, bucket, bits, norm, dotq, dotc)` — each row's
+    * RaBitQ code of its cell residual, with `dotc` = ⟨o, c_bucket⟩ (the
+    * flat layout's MIPS-closure scalar, per-cell centered — round 10:
+    * the Dot metric no longer fails fast). One pass; the residual + code
+    * arithmetic is the flat encode's with `c = centroid(bucket)`.
     */
   def encode(
       corpus: DataFrame, id: Column, vec: Column,
@@ -49,6 +52,7 @@ object IvfRbq {
       val norm = math.sqrt(n2)
       val words = new Array[Long]((d + 63) / 64)
       var dotq = 0.0
+      var dotc = 0.0
       if (norm > 0) {
         i = 0
         while (i < d) { r(i) /= norm; i += 1 }
@@ -67,16 +71,18 @@ object IvfRbq {
         while (i < d) {
           if (p(i) > 0) words(i >> 6) |= (1L << (i & 63))
           dotq += math.abs(p(i)) * invSqrtD
+          dotc += r(i) * c(i)
           i += 1
         }
       }
-      (words.toSeq, norm, dotq)
+      (words.toSeq, norm, dotq, dotc)
     }
     assigned
       .select(id.as("id"), vec.as("vec"), col("bucket"),
         enc(col("bucket"), vec).as("_e"))
       .select(col("id"), col("vec"), col("bucket"),
-        col("_e._1").as("bits"), col("_e._2").as("norm"), col("_e._3").as("dotq"))
+        col("_e._1").as("bits"), col("_e._2").as("norm"),
+        col("_e._3").as("dotq"), col("_e._4").as("dotc"))
   }
 
   /** Materialize the index under `bucket=<b>/` directories (the
@@ -112,7 +118,9 @@ object IvfRbq {
       md.update(buf.array())
     })
     val fp = md.digest().map(b => f"$b%02x").mkString
-    s"${coarse.kind},${coarse.param},${coarse.dim},$fp"
+    // v2: the layout gained the per-cell <o,c> scalar (dotc) — a v1
+    // artifact must fail the guard, not surface a missing column later
+    s"${coarse.kind},${coarse.param},${coarse.dim},$fp,v2"
   }
 
   /** The stored guard string of an artifact dir, if one exists there. */
@@ -133,28 +141,32 @@ object IvfRbq {
   }
 
   /** Search an encoded frame (or a [[writeArtifact]] read): probe cells by
-    * L2-to-centroid (the IvfPq probe convention), score the probed rows by
-    * the PER-CELL RaBitQ estimator (a `when` chain over nprobe cells, each
-    * arm the flat [[RaBitQ.estimateExpr]] with that cell's centering
+    * L2-to-centroid (the IvfPq probe convention — Metric.Dot probes by
+    * inner product, [[IvfPq.probesDot]], since an unnormalized MIPS
+    * query's best cells are the high-dot ones L2 probing would skip),
+    * score the probed rows by the PER-CELL RaBitQ estimator (a `when`
+    * chain over nprobe cells, each arm the flat [[RaBitQ.estimateExpr]] —
+    * or, for Dot, [[RaBitQ.dotEstimateExpr]] closing the centering
+    * algebra with the stored per-cell ⟨o,c⟩ — with that cell's centering
     * model), keep the best `rescore` candidates, exact re-rank.
-    *
-    * Euclidean/cosine only: the IVF layout does not store the ⟨o,c⟩
-    * scalar a MIPS reconstruction needs (the L2 identity never uses it),
-    * so Dot queries fail fast here — use the flat [[RaBitQ]] artifact
-    * (which stores it) or residual IVF-PQ's dot tables.
     */
   def search(
       encoded: DataFrame, queryVec: Seq[Float],
       coarse: IvfPq.Coarse, rotation: Array[Array[Double]],
       k: Int, rescore: Int, metric: Metric, nprobe: Int): DataFrame = {
-    require(metric != Metric.Dot,
-      "IVF-RaBitQ serves euclidean/cosine; for MIPS use the flat RaBitQ " +
-        "artifact (stores the <o,c> scalar) or residual IVF-PQ's dot tables")
-    val cells = IvfPq.probes(coarse, queryVec, nprobe)
+    val dot = metric == Metric.Dot
+    val cells =
+      if (dot) IvfPq.probesDot(coarse, queryVec, nprobe)
+      else IvfPq.probes(coarse, queryVec, nprobe)
     require(cells.nonEmpty, "no populated cells to probe")
     val arms = cells.map { b =>
       val model = RaBitQ.RbqModel(coarse.centroids(b), rotation)
-      (b, RaBitQ.estimateExpr(col("bits"), col("norm"), col("dotq"), queryVec, model))
+      val arm =
+        if (dot) RaBitQ.dotEstimateExpr(
+          col("bits"), col("norm"), col("dotq"), col("dotc"), queryVec, model)
+        else RaBitQ.estimateExpr(
+          col("bits"), col("norm"), col("dotq"), queryVec, model)
+      (b, arm)
     }
     val cd = arms.tail.foldLeft(
       when(col("bucket") === arms.head._1, arms.head._2)) {

@@ -507,6 +507,102 @@ object PipelineQueries {
       .orderBy(col("dist_r"), col("id"))
   }
 
+  /** The IVF-RaBitQ MIPS route (round 10 — the layout's new per-cell
+    * ⟨o,c⟩ scalar closes the dot reconstruction): deliberately
+    * UNNORMALIZED corpus (the sq8_dot convention, each vector scaled by
+    * 1 + id % 5, so inner-product ranking surfaces long vectors an L2
+    * ranking would bury), sign cells fitted on the scaled corpus,
+    * IDENTITY rotation — DuckDB replays the whole pipeline inline: the
+    * scaled corpus, cell assignment, decimal-mean centroids, the
+    * HIGH-DOT probe order (IvfPq.probesDot — L2 probing would skip the
+    * cells an unnormalized query needs), every per-cell residual code
+    * and both stored scalars plus ⟨o,c⟩, the per-cell dot estimator
+    * ⟨x,q⟩ ≈ ⟨c,q⟩ + ‖r‖(‖q−c‖·cosEst + ⟨o,c⟩) negated, the candidate
+    * cut, and the exact double −⟨x,q⟩ re-rank. No golden.
+    */
+  val annIvfRbqDot = NamedQuery(
+    "ann_ivf_rbq_dot",
+    """WITH s AS (
+      |  SELECT vec_id, list_transform(range(1, 65),
+      |    i -> CAST(CAST(embedding[i] AS DOUBLE) * (1.0 + CAST(vec_id % 5 AS DOUBLE)) AS REAL)) AS embedding
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id AS id, embedding,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM s),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |cmeans AS (
+      |  SELECT bucket, i,
+      |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+      |  FROM corpus CROSS JOIN dims GROUP BY bucket, i),
+      |cents AS (SELECT bucket, list(m ORDER BY i) AS c FROM cmeans GROUP BY bucket),
+      |q AS (SELECT embedding AS qv FROM s WHERE vec_id = 7),
+      |probe AS (
+      |  SELECT ct.bucket, ct.c
+      |  FROM cents ct CROSS JOIN q
+      |  ORDER BY -(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * ct.c[i]))) ASC,
+      |    ct.bucket ASC
+      |  LIMIT 4),
+      |qr AS (
+      |  SELECT p.bucket,
+      |    list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - p.c[i]) AS rq,
+      |    list_sum(list_transform(range(1, 65), i -> p.c[i] * CAST(q.qv[i] AS DOUBLE))) AS cq
+      |  FROM probe p CROSS JOIN q),
+      |qn AS (SELECT bucket, rq, cq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+      |qu AS (SELECT bucket, list_transform(rq, x -> x / qnorm) AS qp, qnorm, cq FROM qn),
+      |enc AS (
+      |  SELECT co.id, co.bucket, co.embedding,
+      |    list_transform(range(1, 65), i -> CAST(co.embedding[i] AS DOUBLE) - p.c[i]) AS r,
+      |    p.c AS c
+      |  FROM corpus co JOIN probe p USING (bucket)),
+      |en AS (SELECT id, bucket, embedding, r, c,
+      |  sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+      |en2 AS (
+      |  SELECT en.id, en.bucket, en.embedding, en.r, en.nrm,
+      |    CASE WHEN en.nrm = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(range(1, 65), i -> (en.r[i] / en.nrm) * en.c[i]))
+      |    END AS dotc
+      |  FROM en),
+      |est AS (
+      |  SELECT en2.id, en2.embedding,
+      |    CASE WHEN en2.nrm = 0 THEN -qu.cq
+      |    ELSE -(qu.cq + en2.nrm * (qu.qnorm *
+      |      ((list_sum(list_transform(range(1, 65),
+      |          i -> CASE WHEN en2.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+      |       / (list_sum(list_transform(en2.r, x -> abs(x / en2.nrm))) / sqrt(64.0)))
+      |      + en2.dotc))
+      |    END AS e
+      |  FROM en2 JOIN qu ON en2.bucket = qu.bucket),
+      |cand AS (SELECT id, embedding FROM est ORDER BY e ASC, id ASC LIMIT 50),
+      |rr AS (
+      |  SELECT c.id, -(list_sum(list_transform(range(1, 65),
+      |    t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE)))) AS dist
+      |  FROM cand c CROSS JOIN q),
+      |top AS (SELECT id, dist FROM rr ORDER BY dist ASC, id ASC LIMIT 10)
+      |SELECT CAST(id AS BIGINT) AS id,
+      |  CAST(round(CAST(dist AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r
+      |FROM top ORDER BY dist_r, id""".stripMargin) { (s, d) =>
+    import graft.operators.{IvfPq, IvfRbq}
+    val scaled = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x =>
+        (x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .cast("float")).as("embedding"))
+    val coarse = IvfPq.signCoarse(scaled, col("embedding"), nBits = 4)
+    val rotation = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
+    val enc = IvfRbq.encode(scaled, col("vec_id"), col("embedding"), coarse, rotation)
+    val qv = scaled.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    IvfRbq.search(enc, qv, coarse, rotation,
+        k = 10, rescore = 50, metric = graft.model.IndexKind.Metric.Dot, nprobe = 4)
+      .select(col("id"), dround(col("distance"), 4).as("dist_r"))
+      .orderBy(col("dist_r"), col("id"))
+  }
+
   val annIvfPqFixed = NamedQuery(
     "ann_ivfpq_fixed",
     """WITH corpus AS (
@@ -1403,7 +1499,7 @@ object PipelineQueries {
     textLangId, textQuality, textTokens, textVocab, textFingerprint, textWinnow,
     textProfile,
     pipelineCuration, annKnnJoin, annMatryoshka, annIvfGrid, annIvfPruned,
-    annIvfPqFixed, annIvfRbq,
+    annIvfPqFixed, annIvfRbq, annIvfRbqDot,
     q6Sessionize, q7StreamWindow,
     multimodalDecode, multimodalFeatures, multimodalFrames, multimodalAudio,
     multimodalVideo, multimodalResize, multimodalDecodePng, sketchHeavyHitters,

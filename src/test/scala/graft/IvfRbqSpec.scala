@@ -9,7 +9,9 @@ import graft.operators.{IvfPq, IvfRbq, RaBitQ}
   * the written artifact, every per-cell score must equal the flat RaBitQ
   * estimator centered at that cell (the composition is algebraic reuse,
   * not a reimplementation), recall holds a band under the seeded
-  * production rotation, and the unsupported MIPS route fails fast.
+  * production rotation, and the MIPS route (round 10 — per-cell ⟨o,c⟩
+  * in the layout) tracks exact inner-product ranking on an
+  * unnormalized corpus.
   */
 class IvfRbqSpec extends SparkSuite {
   import spark.implicits._
@@ -55,16 +57,16 @@ class IvfRbqSpec extends SparkSuite {
     cells.foreach { b =>
       val model = RaBitQ.RbqModel(coarse.centroids(b), rotation)
       val viaIvf = enc.filter(col("bucket") === b)
-        .select("id", "bits", "norm", "dotq")
+        .select("id", "bits", "norm", "dotq", "dotc")
         .collect().map(r => r.getLong(0) ->
-          (r.getSeq[Long](1), r.getDouble(2), r.getDouble(3))).toMap
+          (r.getSeq[Long](1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
       val cellIds = viaIvf.keySet.toSeq
       val viaFlat = RaBitQ.encode(
           emb.filter(col("vec_id").isin(cellIds: _*)),
           col("vec_id"), col("embedding"), model)
-        .select("id", "bits", "norm", "dotq")
+        .select("id", "bits", "norm", "dotq", "dotc")
         .collect().map(r => r.getLong(0) ->
-          (r.getSeq[Long](1), r.getDouble(2), r.getDouble(3))).toMap
+          (r.getSeq[Long](1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
       assert(viaIvf.nonEmpty && viaIvf == viaFlat, s"cell $b codes diverge")
     }
     enc.unpersist(false)
@@ -74,23 +76,39 @@ class IvfRbqSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfrbq_rt_").toString
     IvfRbq.writeArtifact(emb, col("vec_id"), col("embedding"), coarse, rotation, dir)
     val mem = IvfRbq.encode(emb, col("vec_id"), col("embedding"), coarse, rotation)
-      .select("id", "bucket", "bits", "norm", "dotq")
+      .select("id", "bucket", "bits", "norm", "dotq", "dotc")
       .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getSeq[Long](2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getInt(1), r.getSeq[Long](2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
     val disk = spark.read.parquet(dir)
-      .select("id", "bucket", "bits", "norm", "dotq")
+      .select("id", "bucket", "bits", "norm", "dotq", "dotc")
       .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getSeq[Long](2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getInt(1), r.getSeq[Long](2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
     assert(mem == disk)
   }
 
-  test("MIPS fails fast with the operating note") {
-    val enc = IvfRbq.encode(emb.limit(10), col("vec_id"), col("embedding"), coarse, rotation)
-    val e = intercept[IllegalArgumentException] {
-      IvfRbq.search(enc, vecs(0), coarse, rotation,
-        k = 5, rescore = 10, metric = Metric.Dot, nprobe = 2)
-    }
-    assert(e.getMessage.contains("flat RaBitQ"), e.getMessage)
+  test("MIPS serves: dot probes high-dot cells, per-cell <o,c> closes the algebra") {
+    // deliberately UNNORMALIZED corpus (the sq8_dot convention — each
+    // vector scaled by 1 + id % 5): inner-product ranking then surfaces
+    // long vectors an L2 ranking would bury, so a wrong probe order or a
+    // broken dot reconstruction measurably loses the exact top-k
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        (x.cast("double") * (lit(1.0) + (col("vec_id") % 5).cast("double")))
+          .cast("float")).as("embedding"))
+    val sVecs = scaled.orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val sCoarse = IvfPq.signCoarse(scaled, col("embedding"), nBits = 4)
+    val enc = IvfRbq.encode(scaled, col("vec_id"), col("embedding"), sCoarse, rotation)
+    val q = sVecs(7)
+    val got = IvfRbq.search(enc, q, sCoarse, rotation,
+        k = 10, rescore = 100, metric = Metric.Dot, nprobe = 8)
+      .select("id").as[Long].collect().toSeq
+    def negDot(a: Array[Float]): Double =
+      -a.zip(q).map { case (x, y) => x.toDouble * y }.sum
+    val exact = sVecs.indices.sortBy(i => (negDot(sVecs(i)), i)).take(10).map(_.toLong)
+    assert(got.head == exact.head, s"best MIPS match lost: $got vs $exact")
+    assert(got.toSet.intersect(exact.toSet).size >= 7,
+      s"MIPS recall too low: $got vs $exact")
   }
 
   test("engine approx near serves from the attached artifact; meta guard fails fast") {
@@ -126,14 +144,19 @@ class IvfRbqSpec extends SparkSuite {
         other, nprobe = 8)
     }
     assert(e.getMessage.contains("was written as"), e.getMessage)
-    // MIPS through the engine fails fast with the operating note
-    val dot = intercept[IllegalArgumentException] {
-      val dotColl = coll.copy(schema = graft.model.IndexSchema(
-        "embedding" -> graft.model.IndexKind.VectorFlat(
-          64, graft.model.IndexKind.Metric.Dot)))
-      engine.Search.search(dotColl, req(approx = true)).collect()
-    }
-    assert(dot.getMessage.contains("euclidean/cosine"), dot.getMessage)
+    // MIPS through the engine serves from the same artifact (round 10 —
+    // the stored per-cell <o,c> closes the dot reconstruction): the
+    // served top-10 must track exact inner-product ranking
+    val dotColl = coll.copy(schema = graft.model.IndexSchema(
+      "embedding" -> graft.model.IndexKind.VectorFlat(
+        64, graft.model.IndexKind.Metric.Dot)))
+    val dotBase = base.copy(schema = dotColl.schema)
+    val dotExact = engine.Search.search(dotBase, req(approx = false))
+      .select("_id").as[String].collect().toSet
+    val dotServed = engine.Search.search(dotColl, req(approx = true))
+      .select("_id").as[String].collect().toSeq
+    assert(dotServed.toSet.intersect(dotExact).size >= 8,
+      s"engine-served MIPS recall too low: $dotServed vs $dotExact")
     idx.release()
   }
 }
