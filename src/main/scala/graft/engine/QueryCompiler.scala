@@ -215,7 +215,11 @@ object QueryCompiler {
         }
         val candIds =
           if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
-          else art.filter(col("_gid").isin(gids: _*)).select(IdCol)
+          // routed through the walk session like every per-hop fetch:
+          // planned on the main session the auto-demotion of bucketed
+          // scans would drop the file-level pruning this lookup is for
+          else VamanaServe.forWalkFetch(
+            art.filter(col("_gid").isin(gids: _*)).select(IdCol))
         return rerank(col0, prop, metric, vector, limit, w, candIds)
       case _ => ()
     }

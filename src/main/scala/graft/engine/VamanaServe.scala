@@ -170,21 +170,37 @@ object VamanaServe {
     * manager — so serving tables and cached frames resolve identically),
     * copied SessionState, one conf difference. User queries on the main
     * session can never observe the override, and there is no restore
-    * step to race — the clone is created once per parent session and
-    * reused by every walk.
+    * step to race.
+    *
+    * Freshness + lifetime: the clone is NOT a one-shot snapshot — the
+    * cache keys on a fingerprint of the parent's runtime conf, so any
+    * parent conf change (spill tuning, corrupt-file policy, AQE knobs)
+    * produces a fresh clone and fetches always plan under the parent's
+    * LIVE settings plus the single override. Keys are WEAK: a churned
+    * parent session (e.g. per-request `newSession()` callers) does not
+    * pin its clone once the parent itself is collectable.
     */
   private val walkSessions =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.SparkSession]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      (Int, org.apache.spark.sql.SparkSession)]()
 
-  /** The fetch-planning session for `spark` (created on first use). */
+  /** The fetch-planning session for `spark` (re-cloned when the parent's
+    * conf changed since the cached clone was taken).
+    */
   private[graft] def walkSession(
-      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
-    walkSessions.computeIfAbsent(spark, s => {
-      val w = org.apache.spark.sql.graft.Bridge.cloneSession(s)
-      w.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      w
-    })
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val fp = spark.conf.getAll.hashCode()
+    walkSessions.synchronized {
+      walkSessions.get(spark) match {
+        case (`fp`, w) => w
+        case _ =>
+          val w = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+          w.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+          walkSessions.put(spark, (fp, w))
+          w
+      }
+    }
+  }
 
   /** `df` re-planned under the walk session: identical data and lineage,
     * bucketed-scan-preserving planner conf. Specs probing fetch plan

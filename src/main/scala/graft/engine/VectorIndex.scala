@@ -85,7 +85,12 @@ final case class VamanaVectorIndex(
     if (local.isDefined) None
     else (coded, serveDir) match {
       case (Some(src), Some(d)) =>
-        Some(VamanaServe.codedServingTable(encoded, src, d.stripSuffix("/") + "_coded"))
+        // the path (and hence the catalog name) is keyed per SOURCE KIND:
+        // the three sources write incompatible `_codes` payloads, and a
+        // bare existence check would otherwise serve one source's table
+        // to another after a quantizer swap on the same graph generation
+        Some(VamanaServe.codedServingTable(
+          encoded, src, d.stripSuffix("/") + "_coded_" + src.tag))
       case _ => None
     }
 
@@ -94,8 +99,11 @@ final case class VamanaVectorIndex(
     serveDir.foreach { d =>
       val spark = encoded.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(d)}`")
-      spark.sql(s"DROP TABLE IF EXISTS `${
-        VamanaServe.servingTableName(d.stripSuffix("/") + "_coded")}`")
+      // every source kind's coded variant (plus the legacy untagged name)
+      Seq("_coded_pq", "_coded_opq", "_coded_rbq", "_coded").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS `${
+          VamanaServe.servingTableName(d.stripSuffix("/") + sfx)}`")
+      }
     }
   }
 }

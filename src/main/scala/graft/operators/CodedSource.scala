@@ -31,6 +31,15 @@ import graft.model.IndexKind.Metric
   * produced the codes.
   */
 sealed trait CodedSource {
+  /** Payload-kind tag, part of the coded serving table's PATH and catalog
+    * name: the three sources write incompatible `_codes` schemas
+    * (int-array vs struct) and even same-schema PQ/OPQ codes rank under
+    * different query maps, so a table materialized by one source must
+    * never be served to another — the tag keys the layout per kind the
+    * way IvfRbq's meta guard versions its artifact.
+    */
+  def tag: String
+
   /** Per-row `_codes` payload bytes for a `dim`-d artifact (bucket-count
     * sizing of the coded serving table).
     */
@@ -87,11 +96,13 @@ sealed trait PqAdcSource extends CodedSource {
 }
 
 final case class PqCodes(pq: PQModel) extends PqAdcSource {
+  def tag: String = "pq"
   def mapQuery(q: Array[Float]): Array[Float] = q
   def encodeExpr(vec: Column): Column = ProductQuantizer.encodeUdf(pq)(vec)
 }
 
 final case class OpqCodes(model: Opq.OpqModel) extends PqAdcSource {
+  def tag: String = "opq"
   def pq: PQModel = model.pq
   def mapQuery(q: Array[Float]): Array[Float] = model.rotate(q)
   def encodeExpr(vec: Column): Column =
@@ -106,6 +117,7 @@ final case class OpqCodes(model: Opq.OpqModel) extends PqAdcSource {
   * per walk like the ADC tables.
   */
 final case class RbqCodes(model: RaBitQ.RbqModel) extends CodedSource {
+  def tag: String = "rbq"
   def payloadBytes(dim: Int): Long = 8L * ((dim + 63) / 64) + 24L
   def encodeExpr(vec: Column): Column = RaBitQ.encodeUdf(model)(vec)
   def payloadOf(row: Row, idx: Int): AnyRef = {

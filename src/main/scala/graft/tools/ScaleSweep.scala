@@ -129,10 +129,13 @@ object ScaleSweep {
               - lit(10000L)) / lit(10000.0)) * lit(eps)).cast("float"))))
       .withColumn("_n", sqrt(aggregate(col("_p"), lit(0.0d),
         (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      // replica 0 must stay BIT-identical to the base corpus (the text
+      // branch's convention): re-normalizing an already-unit float vector
+      // double-round-trips every element, so gate the whole transform
       .withColumn("embedding",
-        when(col("_n") > 0, transform(col("_p"),
-          x => (x.cast("double") / col("_n")).cast("float")))
-          .otherwise(col("embedding")))
+        when(col("_rep") === 0 || col("_n") <= 0, col("embedding"))
+          .otherwise(transform(col("_p"),
+            x => (x.cast("double") / col("_n")).cast("float"))))
       .drop("_rep", "_p", "_n")
     write(perturbed, "embeddings")
   }

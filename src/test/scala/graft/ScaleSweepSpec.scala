@@ -56,6 +56,16 @@ class ScaleSweepSpec extends SparkSuite {
         (a, x) => a + x.cast("double") * x.cast("double"))) - 1.0).as("d"))
       .filter(col("d") > 1e-3).count()
     assert(offUnit == 0, s"$offUnit replicated embeddings off unit norm")
+    // ... and replica 0 is BIT-identical to the base corpus (a
+    // re-normalization round-trip here would silently break base-vs-sweep
+    // comparisons of the same vec_id)
+    val baseMax = base("embeddings").agg(max(col("vec_id"))).head().getLong(0)
+    val rep0 = rep("embeddings").filter(col("vec_id") <= baseMax)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = base("embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rep0 == orig, "replica-0 embeddings drifted from the base corpus")
   }
 
   test("directory-shaped events stream end-to-end (the sweep-found scale bug)") {

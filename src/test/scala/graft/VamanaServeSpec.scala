@@ -145,11 +145,13 @@ class VamanaServeSpec extends SparkSuite {
     // (_gid, _codes, _nbrs) and rank by ADC; only the final re-rank
     // reads full vectors. The pool is approximate — assert the SERVED
     // top-10 (exact re-rank of the pool) against the exact search.
-    spark.conf.set("graft.vamana.localMaxBytes", "1")
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft_serve_coded_").toString + "/serve"
     val pq = graft.operators.ProductQuantizer.fit(
       art, col("_vec"), m = 16, k = 16, dim = 64)
+    // set directly before the try: a fit failure above must not leak the
+    // distributed-regime override into the rest of the suite
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
     try {
       val codedIdx = VamanaVectorIndex(
         idx.entry, idx.maxHops, art, Some(serveDir), Some(graft.operators.PqCodes(pq)))
@@ -189,7 +191,7 @@ class VamanaServeSpec extends SparkSuite {
       spark.conf.unset("graft.vamana.localMaxBytes")
       spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
       spark.sql(s"DROP TABLE IF EXISTS `${
-        VamanaServe.servingTableName(serveDir + "_coded")}`")
+        VamanaServe.servingTableName(serveDir + "_coded_pq")}`")
     }
   }
 
@@ -230,7 +232,7 @@ class VamanaServeSpec extends SparkSuite {
     } finally {
       spark.conf.unset("graft.vamana.localMaxBytes")
       spark.sql(s"DROP TABLE IF EXISTS `${
-        VamanaServe.servingTableName(serveDir + "_coded")}`")
+        VamanaServe.servingTableName(serveDir + "_coded_pq")}`")
     }
   }
 
@@ -240,11 +242,11 @@ class VamanaServeSpec extends SparkSuite {
     // rotates its query once before the ADC table — assert the layout is
     // identical to the PQ-coded one and the SERVED top-10 (exact re-rank
     // of the pool) keeps the recall band
-    spark.conf.set("graft.vamana.localMaxBytes", "1")
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft_serve_opqcoded_").toString + "/serve"
     val opq = graft.operators.Opq.fit(
       art, col("_vec"), dim = 64, m = 16, k = 16)
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
     try {
       val codedIdx = VamanaVectorIndex(
         idx.entry, idx.maxHops, art, Some(serveDir),
@@ -271,7 +273,7 @@ class VamanaServeSpec extends SparkSuite {
       spark.conf.unset("graft.vamana.localMaxBytes")
       spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
       spark.sql(s"DROP TABLE IF EXISTS `${
-        VamanaServe.servingTableName(serveDir + "_coded")}`")
+        VamanaServe.servingTableName(serveDir + "_coded_opq")}`")
     }
   }
 
@@ -280,10 +282,10 @@ class VamanaServeSpec extends SparkSuite {
     // D/64 longs + 3 scalars, narrower than PQ m=16 already at 64-d —
     // and rank by the unbiased estimator. Same layout assertions as the
     // PQ/OPQ bands and the same SERVED recall bar.
-    spark.conf.set("graft.vamana.localMaxBytes", "1")
     val serveDir = java.nio.file.Files
       .createTempDirectory("graft_serve_rbqcoded_").toString + "/serve"
     val rbq = graft.operators.RaBitQ.fit(art, col("_vec"), dim = 64)
+    spark.conf.set("graft.vamana.localMaxBytes", "1")
     try {
       val codedIdx = VamanaVectorIndex(
         idx.entry, idx.maxHops, art, Some(serveDir),
@@ -322,7 +324,7 @@ class VamanaServeSpec extends SparkSuite {
       spark.conf.unset("graft.vamana.localMaxBytes")
       spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(serveDir)}`")
       spark.sql(s"DROP TABLE IF EXISTS `${
-        VamanaServe.servingTableName(serveDir + "_coded")}`")
+        VamanaServe.servingTableName(serveDir + "_coded_rbq")}`")
     }
   }
 
@@ -337,6 +339,16 @@ class VamanaServeSpec extends SparkSuite {
       assert(w eq VamanaServe.walkSession(spark), "walk session not cached")
       assert(w.conf.get(key) == "false")
       assert(spark.conf.get(key) == "true", "clone creation mutated the parent")
+      // NOT a stale snapshot: a parent conf change re-clones, so fetches
+      // plan under the parent's live settings (plus the one override)
+      val probe = "graft.test.walkSessionProbe"
+      spark.conf.set(probe, "live")
+      try {
+        val w2 = VamanaServe.walkSession(spark)
+        assert(w2.conf.get(probe) == "live",
+          "walk session served a stale conf snapshot")
+        assert(w2.conf.get(key) == "false")
+      } finally spark.conf.unset(probe)
       // a rebound frame computes the same rows and its plan carries the
       // override, while the MAIN session's conf stays the user's value
       // throughout — including under concurrent walks

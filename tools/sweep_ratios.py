@@ -16,7 +16,7 @@ def main() -> None:
     rows = []
     for name, b in base.items():
         s = sweep.get(name)
-        if s is None or b is None or b < 0 or s is None or s < 0:
+        if b is None or s is None or b < 0 or s < 0:
             rows.append((float("inf"), name, b, s))
             continue
         # floor tiny denominators: a 0.03 s query's ratio is scheduling
