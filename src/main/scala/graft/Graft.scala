@@ -374,6 +374,25 @@ final class Graft(val spark: SparkSession, root: String,
     * compare-and-swap install discipline as [[ensureTextIndexes]]; props
     * with neither artifact are simply served exactly.
     */
+  /** The ONE coded-walk routing rule: with the opt-in conf set and a
+    * built store graph, attach the graph with `source` steering the
+    * walk; otherwise the quantizer's flat artifact (`flat`).
+    */
+  private def codedOrFlat(
+      name: String, p: String, source: => graft.operators.CodedSource,
+      flat: Collection => Collection): Collection => Collection = {
+    val viaGraph =
+      if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
+        store.vamanaIndexWithDir(name, p)
+      else None
+    viaGraph match {
+      case Some((graph, idmap, serveDir)) =>
+        (c: Collection) => c.withVamanaVectorIndexFrames(
+          p, graph, idmap, serveDir = Some(serveDir), coded = Some(source))
+      case None => flat
+    }
+  }
+
   private def ensureVectorIndexes(name: String, props: Set[String]): Unit =
     if (props.nonEmpty) {
       val coll = collection(name)
@@ -382,62 +401,26 @@ final class Graft(val spark: SparkSession, root: String,
           store.loadQuantizer(name, p) match {
             case Some(graft.store.FittedBinary(th)) =>
               Some(p -> ((c: Collection) => c.withBinaryVectorIndex(p, th)))
+            // coded-walk opt-in (DiskANN — VamanaServe.CodedAccess): a
+            // prop with BOTH a built store graph and a fitted PQ/OPQ/RBQ
+            // quantizer can serve the graph walk over that quantizer's
+            // codes instead of the flat code scan — per-hop point reads
+            // instead of a full pass over the encoded frame, the winning
+            // shape once the corpus outgrows a scan budget. Conf-gated so
+            // the default store serving (the reference's quantizer
+            // precedence) is unchanged; one routing for all three kinds
+            // (codedOrFlat) so the opt-in rule can't drift per quantizer.
             case Some(graft.store.FittedProduct(model)) =>
-              // coded-walk opt-in (DiskANN — VamanaServe.CodedAccess): a
-              // prop with BOTH a built store graph and a fitted product
-              // quantizer can serve the graph walk over PQ codes instead
-              // of the flat code scan — per-hop point reads instead of a
-              // full pass over the encoded frame, the winning shape once
-              // the corpus outgrows a scan budget. Conf-gated so the
-              // default store serving (the reference's quantizer
-              // precedence) is unchanged.
-              val viaGraph =
-                if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
-                  store.vamanaIndexWithDir(name, p)
-                else None
-              viaGraph match {
-                case Some((graph, idmap, serveDir)) =>
-                  Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
-                    p, graph, idmap, serveDir = Some(serveDir),
-                    coded = Some(graft.operators.PqCodes(model)))))
-                case None =>
-                  Some(p -> ((c: Collection) => c.withProductVectorIndex(p, model)))
-              }
+              Some(p -> codedOrFlat(name, p, graft.operators.PqCodes(model),
+                _.withProductVectorIndex(p, model)))
             case Some(graft.store.FittedOpq(model)) =>
-              // same coded-walk opt-in as FittedProduct: OPQ codes steer
-              // the graph walk (query rotated once per walk — OpqCodes);
-              // without a graph, the flat rotated-space ADC scan
-              val viaGraph =
-                if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
-                  store.vamanaIndexWithDir(name, p)
-                else None
-              viaGraph match {
-                case Some((graph, idmap, serveDir)) =>
-                  Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
-                    p, graph, idmap, serveDir = Some(serveDir),
-                    coded = Some(graft.operators.OpqCodes(model)))))
-                case None =>
-                  Some(p -> ((c: Collection) => c.withOpqVectorIndex(p, model)))
-              }
+              Some(p -> codedOrFlat(name, p, graft.operators.OpqCodes(model),
+                _.withOpqVectorIndex(p, model)))
             case Some(graft.store.FittedScalar(lo, hi)) =>
               Some(p -> ((c: Collection) => c.withScalarVectorIndex(p, lo, hi)))
             case Some(graft.store.FittedRbq(model)) =>
-              // same coded-walk opt-in as FittedProduct/FittedOpq: the
-              // 1-bit RaBitQ payload (D/64 longs + 3 scalars) steers the
-              // graph walk — the NARROWEST per-hop fetch of the family;
-              // without a graph, the flat estimator scan
-              val viaGraph =
-                if (spark.conf.getOption("graft.vamana.codedWalk").contains("true"))
-                  store.vamanaIndexWithDir(name, p)
-                else None
-              viaGraph match {
-                case Some((graph, idmap, serveDir)) =>
-                  Some(p -> ((c: Collection) => c.withVamanaVectorIndexFrames(
-                    p, graph, idmap, serveDir = Some(serveDir),
-                    coded = Some(graft.operators.RbqCodes(model)))))
-                case None =>
-                  Some(p -> ((c: Collection) => c.withRbqVectorIndex(p, model)))
-              }
+              Some(p -> codedOrFlat(name, p, graft.operators.RbqCodes(model),
+                _.withRbqVectorIndex(p, model)))
             case None => store.vamanaIndexWithDir(name, p).map {
               case (graph, idmap, serveDir) =>
                 p -> ((c: Collection) => c.withVamanaVectorIndexFrames(

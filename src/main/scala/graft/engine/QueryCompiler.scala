@@ -215,11 +215,20 @@ object QueryCompiler {
         }
         val candIds =
           if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
-          // routed through the walk session like every per-hop fetch:
-          // planned on the main session the auto-demotion of bucketed
-          // scans would drop the file-level pruning this lookup is for
-          else VamanaServe.forWalkFetch(
-            art.filter(col("_gid").isin(gids: _*)).select(IdCol))
+          else {
+            // the gid→id lookup EXECUTES under the walk session like
+            // every per-hop fetch (bucket-pruned point reads) — merely
+            // rebinding the frame would be a no-op, because rerank's
+            // join would re-plan it under the main session where the
+            // auto-demotion drops file pruning. The result is ≤
+            // searchSize ids, so the collect is bounded and rerank gets
+            // a broadcast-sized local relation.
+            val ids = VamanaServe.forWalkFetch(
+              art.filter(col("_gid").isin(gids: _*)).select(IdCol))
+              .collect().map(_.getString(0)).toSeq
+            import art.sparkSession.implicits._
+            ids.toDF(IdCol)
+          }
         return rerank(col0, prop, metric, vector, limit, w, candIds)
       case _ => ()
     }

@@ -173,31 +173,40 @@ object VamanaServe {
     * step to race.
     *
     * Freshness + lifetime: the clone is NOT a one-shot snapshot — the
-    * cache keys on a fingerprint of the parent's runtime conf, so any
-    * parent conf change (spill tuning, corrupt-file policy, AQE knobs)
-    * produces a fresh clone and fetches always plan under the parent's
-    * LIVE settings plus the single override. Keys are WEAK: a churned
-    * parent session (e.g. per-request `newSession()` callers) does not
-    * pin its clone once the parent itself is collectable.
+    * cache entry stores the parent's FULL runtime conf at clone time and
+    * compares it by equality (not a collidable hash), so any parent conf
+    * change (spill tuning, corrupt-file policy, AQE knobs) produces a
+    * fresh clone and fetches always plan under the parent's LIVE
+    * settings plus the single override. Lifetime: keys are weak AND the
+    * clone is held through a WeakReference — a Spark clone strongly
+    * references its parent (SessionState.parentSessionState), so a
+    * strongly-held value would pin its own weak key forever; weakly held,
+    * a churned per-request parent session becomes collectable together
+    * with its clone, and a collected-but-needed clone is simply rebuilt
+    * (clones are cheap — one conf-map copy, no context or state stores).
     */
   private val walkSessions =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      (Int, org.apache.spark.sql.SparkSession)]()
+      (Map[String, String],
+        java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession])]()
 
   /** The fetch-planning session for `spark` (re-cloned when the parent's
-    * conf changed since the cached clone was taken).
+    * conf changed since the cached clone was taken, or the clone was
+    * collected).
     */
   private[graft] def walkSession(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
-    val fp = spark.conf.getAll.hashCode()
+    val conf = spark.conf.getAll
     walkSessions.synchronized {
-      walkSessions.get(spark) match {
-        case (`fp`, w) => w
-        case _ =>
-          val w = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
-          w.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-          walkSessions.put(spark, (fp, w))
-          w
+      val cached = walkSessions.get(spark) match {
+        case (c, ref) if c == conf => Option(ref.get())
+        case _ => None
+      }
+      cached.getOrElse {
+        val w = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+        w.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        walkSessions.put(spark, (conf, new java.lang.ref.WeakReference(w)))
+        w
       }
     }
   }

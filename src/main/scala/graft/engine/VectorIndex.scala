@@ -99,11 +99,13 @@ final case class VamanaVectorIndex(
     serveDir.foreach { d =>
       val spark = encoded.sparkSession
       spark.sql(s"DROP TABLE IF EXISTS `${VamanaServe.servingTableName(d)}`")
-      // every source kind's coded variant (plus the legacy untagged name)
-      Seq("_coded_pq", "_coded_opq", "_coded_rbq", "_coded").foreach { sfx =>
-        spark.sql(s"DROP TABLE IF EXISTS `${
-          VamanaServe.servingTableName(d.stripSuffix("/") + sfx)}`")
-      }
+      // every source kind's coded variant (single-sourced from
+      // CodedSource.tags) plus the legacy untagged name
+      (graft.operators.CodedSource.tags.map("_coded_" + _) :+ "_coded")
+        .foreach { sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS `${
+            VamanaServe.servingTableName(d.stripSuffix("/") + sfx)}`")
+        }
     }
   }
 }

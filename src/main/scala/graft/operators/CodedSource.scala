@@ -95,6 +95,15 @@ sealed trait PqAdcSource extends CodedSource {
   }
 }
 
+object CodedSource {
+  /** Every implementation's [[CodedSource.tag]] — the serving-table
+    * cleanup (VamanaVectorIndex.release) derives its drop-suffix list
+    * from this, so adding a source without extending it would leak
+    * tables; VamanaServeSpec's tag law ties the two together.
+    */
+  val tags: Seq[String] = Seq("pq", "opq", "rbq")
+}
+
 final case class PqCodes(pq: PQModel) extends PqAdcSource {
   def tag: String = "pq"
   def mapQuery(q: Array[Float]): Array[Float] = q

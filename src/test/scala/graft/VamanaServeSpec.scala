@@ -328,6 +328,18 @@ class VamanaServeSpec extends SparkSuite {
     }
   }
 
+  test("every CodedSource tag is registered in CodedSource.tags (cleanup can't miss one)") {
+    import graft.operators._
+    val pq = PQModel(1, 1, 1, Array(Array(Array(0f))))
+    val sources: Seq[CodedSource] = Seq(
+      PqCodes(pq),
+      OpqCodes(Opq.OpqModel(Array(Array(1.0)), pq)),
+      RbqCodes(RaBitQ.RbqModel(Array(0.0), Array(Array(1.0)))))
+    sources.foreach(s => assert(CodedSource.tags.contains(s.tag),
+      s"tag '${s.tag}' missing from CodedSource.tags — released serving tables would leak"))
+    assert(CodedSource.tags.distinct == CodedSource.tags)
+  }
+
   test("walk fetches plan under a cloned session; the main session's conf is never touched") {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     spark.conf.set(key, "true")
