@@ -119,9 +119,21 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val coldTotal = allPasses.head.collect { case (_, v) if v >= 0 => v }.sum
-    // vital summary fields ride at the END of the line; total = sum of
-    // per-query minima, so total ≤ cold_total by construction
+    // FULL record (per-query map included) goes to bench_record.json only.
+    // total = sum of per-query minima, so total ≤ cold_total by construction.
     val record = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"failed":$failed,"total":${r2(total)}}"""
+    // COMPACT summary for stdout: the driver stores/parses only the LAST
+    // 2000 chars of output, and the full record line is ~4 KB at 168
+    // queries — it enters that window mid-JSON and can never parse (ten
+    // rounds of BENCH parsed:null). This line is ~200 chars regardless of
+    // gate count, so it always fits; the per-query map lives in
+    // bench_record.json. The failed list is capped at 10 names so even a
+    // catastrophic run can't push the line past the window.
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failedCompact = (failedNames.take(10).map("\"" + _ + "\"") ++
+      (if (failedNames.length > 10) Seq("\"+" + (failedNames.length - 10) + " more\"") else Nil))
+      .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"nfailed":${failedNames.length},"failed":$failedCompact,"total":${r2(total)}}"""
     // Emit the record as the process's FINAL stdout line, AFTER teardown:
     // round 7's official artifact was unparseable because a StateStore
     // maintenance thread threw RpcEnvStoppedException after spark.stop()
@@ -141,6 +153,6 @@ object Bench {
       java.nio.file.Paths.get("bench_record.json"),
       (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] record file: $e") }
-    println(record)
+    println(compact)
   }
 }

@@ -339,6 +339,26 @@ final class Graft(val spark: SparkSession, root: String,
     Search.search(collection(name), request)
   }
 
+  /** Serve MANY requests against one collection in one call (request
+    * order preserved). Index builds/attaches are ensured ONCE for the
+    * union of the batch's properties, then Search.searchMany walks the
+    * batchable graph-served requests as a single hop-fused wave — a
+    * K-query serving batch pays ~one walk's Spark jobs, not K× (the
+    * per-query job-scheduling floor is the dominant cost of small-K
+    * serving).
+    */
+  def searchMany(name: String, requests: Seq[SearchRequest]): Seq[DataFrame] = {
+    requests.foreach { r =>
+      graft.model.Validation.validate(r)
+        .left.foreach(m => throw new IllegalArgumentException(m))
+      graft.model.Validation.validateSchema(r.query, collection(name).schema)
+        .left.foreach(m => throw new IllegalArgumentException(m))
+    }
+    ensureTextIndexes(name, requests.map(r => textProps(r.query)).fold(Set.empty)(_ ++ _))
+    ensureVectorIndexes(name, requests.map(r => approxVecProps(r.query)).fold(Set.empty)(_ ++ _))
+    Search.searchMany(collection(name), requests)
+  }
+
   /** Text properties a query tree actually touches (including filters
     * nested under vector/text operators) — only these pay an index build.
     */
@@ -377,6 +397,17 @@ final class Graft(val spark: SparkSession, root: String,
   /** The ONE coded-walk routing rule: with the opt-in conf set and a
     * built store graph, attach the graph with `source` steering the
     * walk; otherwise the quantizer's flat artifact (`flat`).
+    *
+    * ATTACH-TIME SAMPLING (deliberate): the opt-in is read when the
+    * prop's serving artifact is first attached, and the attached route
+    * is cached on the collection view — toggling the conf afterwards
+    * takes effect at the next view invalidation (any write to the
+    * collection replaces the view and the next search re-attaches under
+    * the new conf). Live re-attach on a conf flip would have to release
+    * an artifact that concurrent in-flight searches may be walking
+    * RIGHT NOW — the release races the serve — so the opt-in is part of
+    * the serving configuration: set it before the first approx search
+    * (or accept that it applies from the next write onward).
     */
   private def codedOrFlat(
       name: String, p: String, source: => graft.operators.CodedSource,

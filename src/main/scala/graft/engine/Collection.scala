@@ -232,7 +232,13 @@ final case class Collection(
         case Some(stored) =>
           val expect = IvfRbq.metaString(co, rotation)
           require(stored == expect,
-            s"artifact at $dir was written as ($stored), probed as ($expect)")
+            s"artifact at $dir was written as ($stored), probed as ($expect)" +
+              (if (stored.split(',').lastOption != expect.split(',').lastOption)
+                " — the artifact predates the current layout version; " +
+                  s"delete $dir and re-attach to rebuild it under the new layout"
+              else " — the coarse shape or rotation differs from the one " +
+                s"that wrote the artifact; delete $dir to rebuild, or probe " +
+                "with the original model"))
         case None =>
           // shed ragged rows (wrong-length vectors) like the sibling
           // quantizer attaches — a ragged row would otherwise throw inside

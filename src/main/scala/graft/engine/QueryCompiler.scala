@@ -213,23 +213,7 @@ object QueryCompiler {
               art, matchArt, metric, vector, budget, entry, maxHops,
               vidx.local, codedModel)
         }
-        val candIds =
-          if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
-          else {
-            // the gid→id lookup EXECUTES under the walk session like
-            // every per-hop fetch (bucket-pruned point reads) — merely
-            // rebinding the frame would be a no-op, because rerank's
-            // join would re-plan it under the main session where the
-            // auto-demotion drops file pruning. The result is ≤
-            // searchSize ids, so the collect is bounded and rerank gets
-            // a broadcast-sized local relation.
-            val ids = VamanaServe.forWalkFetch(
-              art.filter(col("_gid").isin(gids: _*)).select(IdCol))
-              .collect().map(_.getString(0)).toSeq
-            import art.sparkSession.implicits._
-            ids.toDF(IdCol)
-          }
-        return rerank(col0, prop, metric, vector, limit, w, candIds)
+        return vamanaPoolCompiled(col0, prop, metric, vector, limit, w, art, gids)
       case _ => ()
     }
     val restricted0 = filter match {
@@ -380,6 +364,69 @@ object QueryCompiler {
     * wide vector column is read only for candidates. Result schema and
     * scoring match exact `near` bit-for-bit.
     */
+  /** The tail of the graph-served route: beam pool (graph ids) → string
+    * ids → exact re-rank. The gid→id lookup EXECUTES under the walk
+    * session like every per-hop fetch (bucket-pruned point reads) —
+    * merely rebinding the frame would be a no-op, because rerank's join
+    * would re-plan it under the main session where the auto-demotion
+    * drops file pruning. The result is ≤ searchSize ids, so the collect
+    * is bounded and rerank gets a broadcast-sized local relation.
+    */
+  private def vamanaPoolCompiled(
+      col0: Collection, prop: String, metric: IndexKind.Metric,
+      vector: Seq[Float], limit: Int, w: Float,
+      art: DataFrame, gids: Seq[Long]): Compiled = {
+    val candIds =
+      if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
+      else {
+        val ids = VamanaServe.forWalkFetch(
+          art.filter(col("_gid").isin(gids: _*)).select(IdCol))
+          .collect().map(_.getString(0)).toSeq
+        import art.sparkSession.implicits._
+        ids.toDF(IdCol)
+      }
+    rerank(col0, prop, metric, vector, limit, w, candIds)
+  }
+
+  /** Batched compile for MANY single-leaf, unfiltered, approx vectorVamana
+    * queries against ONE attached graph artifact (Search.searchMany's
+    * batchable group): the walks advance as a single wave — per hop round
+    * every member's frontier fuses into one bucket-pruned fetch
+    * (VamanaServe.beamCandidateGidsBatch), and the final gid→id lookup is
+    * ONE fused point read over the union of the pools. Each query's pool,
+    * and therefore its compiled result, is identical to its independent
+    * single-query compile (VamanaServeSpec pool-equality law).
+    *
+    * `items` = (vector, limit, weight) per request; `budget` is the shared
+    * beam width (requests with different budgets land in different groups).
+    */
+  private[engine] def compileVamanaMany(
+      col0: Collection, prop: String, metric: IndexKind.Metric,
+      items: Seq[(Seq[Float], Int, Float)], budget: Int): Seq[Compiled] = {
+    val vidx = col0.vectorIndexes(prop).asInstanceOf[VamanaVectorIndex]
+    val coded = vidx.codedServing.map(c => (c, vidx.coded.get))
+    val art = coded.map(_._1).getOrElse(vidx.serving)
+    val pools = VamanaServe.beamCandidateGidsBatch(
+      art, metric, items.map(_._1), budget, vidx.entry, vidx.maxHops,
+      vidx.local, coded.map(_._2))
+    val allGids = pools.flatten.distinct
+    val gidToId: Map[Long, String] =
+      if (allGids.isEmpty) Map.empty
+      else VamanaServe.forWalkFetch(
+        art.filter(col("_gid").isin(allGids: _*)).select(col("_gid"), col(IdCol)))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    items.zip(pools).map { case ((vec, limit, w), gids) =>
+      val ids = gids.flatMap(gidToId.get)
+      val candIds =
+        if (ids.isEmpty) art.filter(lit(false)).select(IdCol)
+        else {
+          import art.sparkSession.implicits._
+          ids.toDF(IdCol)
+        }
+      rerank(col0, prop, metric, vec, limit, w, candIds)
+    }
+  }
+
   private def rerank(
       col0: Collection, prop: String, metric: IndexKind.Metric,
       vector: Seq[Float], limit: Int, w: Float, candIds: DataFrame): Compiled = {

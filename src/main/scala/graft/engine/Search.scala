@@ -16,11 +16,75 @@ import QueryCompiler._
 object Search {
 
   def search(col0: Collection, req: SearchRequest): DataFrame = {
+    validate(col0, req)
+    assemble(col0, req, QueryCompiler.compile(col0, req.query))
+  }
+
+  private def validate(col0: Collection, req: SearchRequest): Unit = {
     Validation.validate(req).left.foreach(m => throw new IllegalArgumentException(m))
     Validation.validateSchema(req.query, col0.schema)
       .left.foreach(m => throw new IllegalArgumentException(m))
-    val compiled = QueryCompiler.compile(col0, req.query)
+  }
 
+  /** Serve MANY requests in one call, returning one result frame per
+    * request in request order. Semantics are exactly K independent
+    * [[search]] calls; the win is the serving cost of the graph-walk
+    * family: requests that are single-leaf, unfiltered, approx
+    * vectorVamana `near` queries against the SAME attached graph artifact
+    * (grouped further by rescore budget, which sets the beam width) walk
+    * as ONE hop-batched wave — per hop round every group member's
+    * frontier fuses into a single bucket-pruned fetch
+    * (VamanaServe.beamCandidateGidsBatch), and the final gid→id lookup is
+    * one fused point read for the whole group — so a K-query batch costs
+    * ~maxHops Spark jobs instead of K×maxHops (the per-query
+    * job-scheduling floor is the dominant serving cost at small K).
+    * Everything else — filtered or combinator queries, other index kinds
+    * — takes the single-request pipeline unchanged.
+    */
+  def searchMany(col0: Collection, reqs: Seq[SearchRequest]): Seq[DataFrame] = {
+    reqs.foreach(validate(col0, _))
+    // batchable = the exact single-leaf shape whose compile is a pure
+    // function of (prop, vector, budget, limit, weight) over one artifact
+    def batchable(q: Query): Option[(String, VectorVamanaOpts, IndexKind.Metric)] =
+      q.vectorVamana match {
+        case Some(o) if o.approx && o.filter.isEmpty &&
+            q.and.isEmpty && q.or.isEmpty =>
+          col0.schema.get(q.property) match {
+            case Some(k: IndexKind.VectorVamana)
+                if col0.vectorIndexes.get(q.property)
+                  .exists(_.isInstanceOf[VamanaVectorIndex]) =>
+              Some((q.property, o, k.metric))
+            case _ => None
+          }
+        case _ => None
+      }
+    val tagged = reqs.map(r => r -> batchable(r.query)).zipWithIndex
+    val compiledByIdx = scala.collection.mutable.Map[Int, QueryCompiler.Compiled]()
+    tagged.collect { case ((r, Some((prop, o, metric))), i) =>
+      // the budget must mirror the single-request route bit-for-bit
+      // (QueryCompiler.leaf) or batch results drift from K independent calls
+      (prop, math.max(o.searchSize, 2 * o.limit), metric) -> ((i, o))
+    }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
+      val items = members.map { case (_, (_, o)) =>
+        (o.vector, o.limit, o.weight.getOrElse(1.0f))
+      }
+      val cs = QueryCompiler.compileVamanaMany(col0, prop, metric, items, budget)
+      members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
+    }
+    tagged.map { case ((r, tag), i) =>
+      assemble(col0, r,
+        if (tag.isDefined) compiledByIdx(i) else QueryCompiler.compile(col0, r.query))
+    }
+  }
+
+  /** JSON-request face of [[searchMany]]. */
+  def searchManyJson(col0: Collection, jsons: Seq[String]): Seq[DataFrame] =
+    searchMany(col0, jsons.map(Json.parseSearchRequest))
+
+  /** The post-compile pipeline: backfill → sort → offset/limit → select. */
+  private def assemble(
+      col0: Collection, req: SearchRequest,
+      compiled: QueryCompiler.Compiled): DataFrame = {
     // Backfill: every row in the final set gets its data; ranked rows carry
     // their scores, set-only rows get hybrid score 0 (shard.go:350–369).
     val withScores = compiled.ranked match {

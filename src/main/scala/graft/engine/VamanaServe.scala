@@ -173,11 +173,15 @@ object VamanaServe {
     * step to race.
     *
     * Freshness + lifetime: the clone is NOT a one-shot snapshot — the
-    * cache entry stores the parent's FULL runtime conf at clone time and
-    * compares it by equality (not a collidable hash), so any parent conf
-    * change (spill tuning, corrupt-file policy, AQE knobs) produces a
-    * fresh clone and fetches always plan under the parent's LIVE
-    * settings plus the single override. Lifetime: keys are weak AND the
+    * cache entry stores a (size, entry-hash) SIGNATURE of the parent's
+    * runtime conf at clone time (Bridge.confSignature — zero-copy over
+    * the underlying settings map; the previous full `conf.getAll` copy
+    * was a measured per-fetch allocation), so any parent conf change
+    * (spill tuning, corrupt-file policy, AQE knobs) produces a fresh
+    * clone and fetches always plan under the parent's LIVE settings plus
+    * the single override. On top of that, each walk resolves its session
+    * ONCE at GraphAccess construction and pins it for every hop — the
+    * freshness check runs per WALK, not per hop. Lifetime: keys are weak AND the
     * clone is held through a WeakReference — a Spark clone strongly
     * references its parent (SessionState.parentSessionState), so a
     * strongly-held value would pin its own weak key forever; weakly held,
@@ -187,25 +191,27 @@ object VamanaServe {
     */
   private val walkSessions =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      (Map[String, String],
+      ((Int, Int),
         java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession])]()
 
   /** The fetch-planning session for `spark` (re-cloned when the parent's
     * conf changed since the cached clone was taken, or the clone was
-    * collected).
+    * collected). The signature is computed OUTSIDE the lock (it holds the
+    * conf map's own monitor), so the shared lock guards only cache-map
+    * access.
     */
   private[graft] def walkSession(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
-    val conf = spark.conf.getAll
+    val sig = org.apache.spark.sql.graft.Bridge.confSignature(spark)
     walkSessions.synchronized {
       val cached = walkSessions.get(spark) match {
-        case (c, ref) if c == conf => Option(ref.get())
+        case (c, ref) if c == sig => Option(ref.get())
         case _ => None
       }
       cached.getOrElse {
         val w = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
         w.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-        walkSessions.put(spark, (conf, new java.lang.ref.WeakReference(w)))
+        walkSessions.put(spark, (sig, new java.lang.ref.WeakReference(w)))
         w
       }
     }
@@ -238,16 +244,22 @@ object VamanaServe {
     def seeds(n: Int): Seq[Long]
   }
 
-  /** Shared filtered-mode probes over the gid-restricted artifact. */
+  /** Shared filtered-mode probes over the gid-restricted artifact. All
+    * distributed probes rebind through [[pinned]] — the walk session
+    * resolved ONCE at access construction — so per-hop fetches pay no
+    * conf-freshness check at all (a walk is one logical operation; it
+    * plans under the parent conf that was live when it started).
+    */
   private sealed trait MatchProbes { self: GraphAccess =>
     protected def matchArt: Option[DataFrame]
+    protected def pinned(df: DataFrame): DataFrame
     def memberOk(ids: Seq[Long]): Set[Long] =
       if (ids.isEmpty) Set.empty
-      else forWalkFetch(
+      else pinned(
         matchArt.get.filter(col("_gid").isin(ids: _*)).select(col("_gid")))
         .collect().map(_.getLong(0)).toSet
     def seeds(n: Int): Seq[Long] =
-      forWalkFetch(
+      pinned(
         matchArt.get.select(col("_gid")).orderBy(col("_gid").asc).limit(n))
         .collect().map(_.getLong(0)).toSeq
   }
@@ -258,9 +270,12 @@ object VamanaServe {
   private final class DistributedAccess(
       art: DataFrame, protected val matchArt: Option[DataFrame])
       extends GraphAccess with MatchProbes {
+    private val walk = walkSession(art.sparkSession)
+    protected def pinned(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.Bridge.rebind(df, walk)
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
-      else forWalkFetch(
+      else pinned(
         art.filter(col("_gid").isin(ids: _*))
           .select(col("_gid"), col("_vec"), col("_nbrs")))
         .collect()
@@ -290,9 +305,12 @@ object VamanaServe {
       art: DataFrame, source: graft.operators.CodedSource,
       protected val matchArt: Option[DataFrame])
       extends GraphAccess with MatchProbes {
+    private val walk = walkSession(art.sparkSession)
+    protected def pinned(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.Bridge.rebind(df, walk)
     def fetch(ids: Seq[Long]): Map[Long, (AnyRef, Array[Long])] =
       if (ids.isEmpty) Map.empty
-      else forWalkFetch(
+      else pinned(
         art.filter(col("_gid").isin(ids: _*))
           .select(col("_gid"), col("_codes"), col("_nbrs")))
         .collect()

@@ -40,6 +40,29 @@ object Bridge {
   def cloneSession(session: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     session.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** A cheap change signal for `session`'s runtime SQL conf: (size, entry
+    * hash) of the UNDERLYING settings map — zero-copy, unlike
+    * `conf.getAll`, which materializes a full immutable Map per call
+    * (`settings` is `protected[spark]`, hence this shim). The hash follows
+    * the `java.util.Map.hashCode` contract (sum of entry hashes), computed
+    * by direct iteration because `Collections.synchronizedMap` wrappers
+    * inherit Object's identity hash; iteration holds the wrapper's monitor
+    * as its contract requires. Any set/unset/overwrite changes the signal —
+    * the only false-negative is a 32-bit entry-hash collision coinciding
+    * with a conf edit, whose worst case is one fetch planned under the
+    * previous (still valid at clone time) conf; the next edit re-signals.
+    */
+  def confSignature(session: org.apache.spark.sql.SparkSession): (Int, Int) = {
+    val m = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.settings
+    m.synchronized {
+      var h = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) h += it.next().hashCode()
+      (m.size(), h)
+    }
+  }
+
   /** Release the storage behind a DataFrame whether it was `persist()`ed
     * (CacheManager) or `localCheckpoint()`ed — checkpoint blocks live in
     * the RDD layer, where `Dataset.unpersist` is a silent no-op.

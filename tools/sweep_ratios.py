@@ -22,15 +22,22 @@ def main() -> None:
         # floor tiny denominators: a 0.03 s query's ratio is scheduling
         # noise, not a scaling exponent
         rows.append((s / max(b, 0.05), name, b, s))
-    rows.sort(reverse=True)
+    rows.sort(key=lambda t: t[0], reverse=True)
     print(f"| query | sf0.1 (s) | 10x (s) | ratio |")
     print("|---|---|---|---|")
+    def fmt(v):
+        # registry-mismatch / failed rows carry None or -1 — the sentinel
+        # must print, not TypeError inside the very case it exists to flag
+        return f"{v:.2f}" if isinstance(v, (int, float)) and v >= 0 else "n/a"
     for r, name, b, s in rows[:top_n]:
-        print(f"| {name} | {b:.2f} | {s:.2f} | {r:.1f}x |")
+        rs = f"{r:.1f}x" if r != float("inf") else "n/a"
+        print(f"| {name} | {fmt(b)} | {fmt(s)} | {rs} |")
     ratios = [r for r, *_ in rows if r != float("inf")]
     import statistics
-    print(f"\nmedian ratio {statistics.median(ratios):.2f}x, "
+    med = f"{statistics.median(ratios):.2f}x" if ratios else "n/a (no comparable rows)"
+    print(f"\nmedian ratio {med}, "
           f"queries >12x: {sum(1 for r in ratios if r > 12)}, "
+          f"missing/failed rows: {sum(1 for r, *_ in rows if r == float('inf'))}, "
           f"total base {sum(b for _, _, b, _ in rows if b and b > 0):.1f}s "
           f"sweep {sum(s for _, _, _, s in rows if s and s > 0):.1f}s")
 
