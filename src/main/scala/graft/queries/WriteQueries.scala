@@ -782,8 +782,127 @@ object WriteQueries {
       ("points_updated", m.pointUpdateCount.sum()))
   }
 
+  /** Round 11: the wire stack on a REAL loopback socket (HttpListener =
+    * the JDK's built-in HttpServer in front of WireService — the
+    * reference's ListenAndServe, httpapi/httpapi.go:42–52, previously the
+    * one adjudicated-n/a surface). The whole lifecycle — create → insert
+    * → point-deletes → search → collection DELETE — travels as actual
+    * HTTP round-trips through java.net.http.HttpClient: TCP, headers
+    * (tenant middleware), status codes, Content-Type codec. The oracle is
+    * the closed-form post-mutation result on `part`. Like w9/w11 the
+    * lifecycle is a deterministic pure function of the corpus, run once
+    * per (app, sfDir) with the RESPONSE rows cached (the socket is
+    * closed before returning — nothing leaks across invocations).
+    */
+  private val wire15Cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(String, String, Long, Float)]]()
+  private def w15Lifecycle(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, String, Long, Float)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = Files.createTempDirectory("graft_http_listener_").toString
+    val svc = new graft.wire.WireService(s, dir,
+      userPlans = Map("basic" -> graft.store.UserPlan()))
+    val listener = new graft.wire.HttpListener(svc)
+    try {
+      val base = java.net.URI.create(s"http://127.0.0.1:${listener.boundPort}")
+      val client = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: String = ""): JValue = {
+        val req = java.net.http.HttpRequest.newBuilder(base.resolve(path))
+          .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .header("X-User-Id", "u15").header("X-Plan-Id", "basic")
+          .header("Content-Type", "application/json")
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"$method $path -> ${resp.statusCode()}: ${resp.body()}")
+        require(resp.headers().firstValue("Content-Type").orElse("")
+          .startsWith("application/json"), "listener must echo the JSON codec")
+        JsonMethods.parse(resp.body())
+      }
+      def j(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+      call("POST", "/collections",
+        """{"id":"parts15","indexSchema":{
+          |  "p_name":{"type":"string","string":{"caseSensitive":true}},
+          |  "p_size":{"type":"integer"}}}""".stripMargin)
+      import s.implicits._
+      val rows = Tables.part(s, d).filter(col("p_size").between(13, 20))
+        .select(col("p_partkey").cast("string").as("_id"),
+          col("p_partkey").as("_key"), col("p_name"),
+          col("p_size").cast("long").as("p_size"))
+        .as[(String, Long, String, Long)].collect().toSeq
+      rows.grouped(CollectionStore.MaxInsertBatch).foreach { b =>
+        call("POST", "/collections/parts15/points", j(JObject(
+          "points" -> JArray(b.toList.map { case (id, _, n, sz) =>
+            JObject("_id" -> JString(id), "p_name" -> JString(n),
+              "p_size" -> JInt(BigInt(sz))) }))))
+      }
+      rows.filter(_._2 % 11 == 0).grouped(CollectionStore.MaxDeleteBatch).foreach { b =>
+        call("DELETE", "/collections/parts15/points", j(JObject(
+          "ids" -> JArray(b.toList.map(t => JString(t._1))))))
+      }
+      val found = call("POST", "/collections/parts15/points/search",
+        """{"query":{"property":"p_size",
+          |  "integer":{"value":15,"operator":"greaterThanOrEquals"}},
+          | "select":["p_name","p_size"],
+          | "sort":[{"property":"p_name"}],
+          | "offset":3,"limit":20}""".stripMargin)
+      val out = (found \ "points").asInstanceOf[JArray].arr.map { p =>
+        def str(k: String) = p \ k match { case JString(v) => v; case _ => null }
+        val size = p \ "p_size" match {
+          case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L }
+        val hybrid = p \ "_hybridScore" match {
+          case JDouble(x) => x.toFloat; case JNull | JNothing => 0.0f
+          case JInt(x) => x.toFloat; case other => other.toString.toFloat }
+        (str("_id"), str("p_name"), size, hybrid)
+      }
+      // collection DELETE over the socket completes the lifecycle and
+      // releases the scratch store's contents with it
+      call("DELETE", "/collections/parts15")
+      out
+    } finally {
+      listener.close()
+      import scala.jdk.CollectionConverters._
+      val pdir = java.nio.file.Paths.get(dir)
+      if (Files.exists(pdir)) {
+        val walk = Files.walk(pdir)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.reverse.foreach(f =>
+          try Files.deleteIfExists(f) catch { case _: Exception => () })
+      }
+    }
+  }
+
+  val w15HttpListener = NamedQuery(
+    "w15_http_listener",
+    """WITH base AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name,
+      |    CAST(p_size AS BIGINT) AS p_size
+      |  FROM part
+      |  WHERE p_size BETWEEN 13 AND 20 AND p_partkey % 11 <> 0)
+      |SELECT _id, CAST(NULL AS REAL) AS _distance, CAST(NULL AS REAL) AS _score,
+      |  CAST(0.0 AS REAL) AS _hybridScore, p_name, p_size
+      |FROM base
+      |WHERE p_size >= 15
+      |ORDER BY p_name, _id LIMIT 20 OFFSET 3""".stripMargin) { (s, d) =>
+    val out = wire15Cache.computeIfAbsent(
+      (s.sparkContext.applicationId, d), _ => w15Lifecycle(s, d))
+    wire15Cache.keySet.removeIf(k => k._1 != s.sparkContext.applicationId)
+    val rows = out.map { case (id, name, size, hybrid) =>
+      org.apache.spark.sql.Row(id, null, null, hybrid, name, size)
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("_distance", FloatType),
+      StructField("_score", FloatType), StructField("_hybridScore", FloatType),
+      StructField("p_name", StringType), StructField("p_size", LongType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
       w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle,
-      w11WireMetrics, w12OpqStoreServe, w13RbqStoreServe, w14RbqCodedWalk)
+      w11WireMetrics, w12OpqStoreServe, w13RbqStoreServe, w14RbqCodedWalk,
+      w15HttpListener)
 }

@@ -1,0 +1,85 @@
+package graft.wire
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** A real TCP listener in front of [[WireService]] — the last reference
+  * surface that had been adjudicated n/a (reference httpapi/httpapi.go:42–52
+  * `ListenAndServe`; setup.go mounts the middleware chain under one mux).
+  * Zero new dependencies: the JDK's built-in `com.sun.net.httpserver`
+  * adapts the socket onto `WireService.handle` — method/path/headers/body
+  * map one-to-one, the peer IP plays Go's `http.Request.RemoteAddr` for
+  * the whitelist middleware, and the response codec follows the request
+  * `Content-Type` exactly like the in-process face (JSON or msgpack).
+  *
+  * Scale shape: the listener is a DRIVER-side serving front — each
+  * request plans on the shared SparkSession and executes on the cluster,
+  * so listener concurrency (a small fixed pool; Spark's scheduler does
+  * the real fan-out) is about accepting sockets, not about compute.
+  * `GET /metrics` is served here, outside the tenant middleware, because
+  * a Prometheus scraper carries no tenant headers — the reference
+  * likewise exposes metrics on a separate mux (cluster/metrics.go).
+  */
+final class HttpListener(
+    service: WireService, host: String = "127.0.0.1", port: Int = 0,
+    threads: Int = 8) {
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+  private val server =
+    HttpServer.create(new java.net.InetSocketAddress(host, port), 64)
+  server.setExecutor(pool)
+  server.createContext("/", new HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      try respond(ex)
+      catch {
+        // last-resort recover: WireService already wraps handler panics,
+        // so this guards only the adapter itself (bad socket, torn read)
+        case scala.util.control.NonFatal(e) =>
+          try {
+            val out = ("{\"error\":\"listener error: " +
+              String.valueOf(e.getMessage).replace('"', '\'') + "\"}").getBytes(UTF_8)
+            ex.getResponseHeaders.set("Content-Type", "application/json")
+            ex.sendResponseHeaders(500, out.length.toLong)
+            ex.getResponseBody.write(out)
+          } catch { case scala.util.control.NonFatal(_) => () }
+      } finally ex.close()
+  })
+  server.start()
+
+  private def respond(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    if (ex.getRequestMethod.equalsIgnoreCase("GET") && path == "/metrics") {
+      val body = service.metrics.map(_.render()).getOrElse("").getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
+      ex.sendResponseHeaders(if (service.metrics.isDefined) 200 else 404,
+        if (body.isEmpty) -1L else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      return
+    }
+    val body = ex.getRequestBody.readAllBytes()
+    // the service reads exactly these; Headers.getFirst is case-insensitive
+    val headers = Seq("X-Proxy-Secret", "X-User-Id", "X-Plan-Id", "Content-Type")
+      .flatMap(n => Option(ex.getRequestHeaders.getFirst(n)).map(n -> _)).toMap
+    val remote = ex.getRemoteAddress.getAddress.getHostAddress
+    val resp = service.handle(ex.getRequestMethod, path, headers, body, remote)
+    val msgpack = headers.get("Content-Type").contains("application/msgpack")
+    val out = if (msgpack) resp.msgpack else resp.json.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      if (msgpack) "application/msgpack" else "application/json")
+    ex.sendResponseHeaders(resp.status, if (out.isEmpty) -1L else out.length.toLong)
+    if (out.nonEmpty) ex.getResponseBody.write(out)
+  }
+
+  /** The bound port (useful with port=0: the OS picks a free one). */
+  def boundPort: Int = server.getAddress.getPort
+
+  /** Graceful shutdown: stop accepting, drain in-flight exchanges up to
+    * `drainSeconds`, then release the worker pool.
+    */
+  def close(drainSeconds: Int = 2): Unit = {
+    server.stop(drainSeconds)
+    pool.shutdown()
+    if (!pool.awaitTermination(drainSeconds.toLong + 1, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdownNow()
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.wire.{HttpListener, WireMetrics, WireService}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The socket adapter's own laws (round-11 verdict item #3): the listener
+  * must carry the middleware chain faithfully over real TCP — tenant
+  * headers, proxy secret, IP whitelist against the actual peer address,
+  * Content-Type codec selection, 404 routing — expose /metrics outside
+  * the tenant wall, and shut down gracefully (drain, then refuse).
+  */
+class HttpListenerSpec extends SparkSuite {
+
+  private def client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String,
+      headers: Map[String, String] = Map.empty): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(
+      java.net.URI.create(s"http://127.0.0.1:$port$path"))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def withListener(
+      secret: Option[String] = None, whitelist: Seq[String] = Nil,
+      metrics: Option[WireMetrics] = None)(f: (HttpListener, Int) => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_spec_").toString
+    val svc = new WireService(spark, dir,
+      userPlans = Map("basic" -> graft.store.UserPlan()),
+      proxySecret = secret, whiteListIps = whitelist, metrics = metrics)
+    val l = new HttpListener(svc)
+    try f(l, l.boundPort) finally l.close()
+  }
+
+  private val tenant = Map("X-User-Id" -> "u1", "X-Plan-Id" -> "basic")
+
+  test("ping, 404 routing, and tenant middleware over a real socket") {
+    withListener() { (_, port) =>
+      val pong = get(port, "/ping", tenant)
+      assert(pong.statusCode() == 200 && pong.body().contains("pong"))
+      assert(pong.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/json"))
+      assert(get(port, "/no/such/route", tenant).statusCode() == 404)
+      // the app-header middleware runs behind the socket exactly like the
+      // in-process face: no tenant headers → 400
+      assert(get(port, "/ping").statusCode() == 400)
+      assert(get(port, "/ping",
+        Map("X-User-Id" -> "u1", "X-Plan-Id" -> "nope")).statusCode() == 403)
+    }
+  }
+
+  test("proxy-secret and IP whitelist see the real peer address") {
+    withListener(secret = Some("s3cr3t")) { (_, port) =>
+      assert(get(port, "/ping", tenant).statusCode() == 407)
+      assert(get(port, "/ping",
+        tenant + ("X-Proxy-Secret" -> "s3cr3t")).statusCode() == 200)
+    }
+    // loopback connects from 127.0.0.1; a whitelist without it must 403,
+    // one with it must pass — proving RemoteAddr is the socket's, not a header
+    withListener(whitelist = Seq("10.9.9.9")) { (_, port) =>
+      assert(get(port, "/ping", tenant).statusCode() == 403)
+    }
+    withListener(whitelist = Seq("127.0.0.1")) { (_, port) =>
+      assert(get(port, "/ping", tenant).statusCode() == 200)
+    }
+  }
+
+  test("msgpack Content-Type round-trips through the socket") {
+    withListener() { (_, port) =>
+      val req = HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port/ping"))
+        .header("X-User-Id", "u1").header("X-Plan-Id", "basic")
+        .header("Content-Type", "application/msgpack")
+        .GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type")
+        .orElse("") == "application/msgpack")
+      val decoded = graft.model.MsgPack.decode(resp.body())
+      assert((decoded \ "message") == org.json4s.JString("pong"))
+    }
+  }
+
+  test("/metrics serves the Prometheus exposition outside the tenant wall") {
+    val m = new WireMetrics
+    withListener(metrics = Some(m)) { (_, port) =>
+      assert(get(port, "/ping", tenant).statusCode() == 200)
+      // no tenant headers on purpose — a scraper doesn't have them
+      val scrape = get(port, "/metrics")
+      assert(scrape.statusCode() == 200)
+      assert(scrape.body().contains("http_request_count"))
+      assert(scrape.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain"))
+    }
+    withListener() { (_, port) =>
+      assert(get(port, "/metrics").statusCode() == 404)
+    }
+  }
+
+  test("graceful shutdown: close() drains, then the port refuses") {
+    var port = 0
+    withListener() { (l, p) =>
+      port = p
+      assert(get(port, "/ping", tenant).statusCode() == 200)
+      l.close() // idempotent with the fixture's own close
+    }
+    intercept[java.io.IOException](get(port, "/ping", tenant))
+  }
+}
