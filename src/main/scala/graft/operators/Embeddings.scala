@@ -55,20 +55,51 @@ object Embeddings {
     val maxId = base.agg(max(id.cast("long"))).head()
     require(!maxId.isNullAt(0), "replicatePerturbed on an empty corpus")
     val step = maxId.getLong(0) + 1
-    val noise = (base: Column, rep: Column, i: Column) =>
-      (((pmod(xxhash64(base, rep, i, lit(salt)), lit(20001L)) - lit(10000L))
-        / lit(10000.0)) * lit(eps)).cast("float")
+    // Perturb + renormalize as ONE compiled per-row loop. The previous
+    // inline form (interpreted HOFs) had a quadratic collapse: the `_n`
+    // norm column was a lazy projection, so CollapseProject re-inlined
+    // its aggregate() into EVERY element of the final transform — dim²
+    // interpreted evals per row, 2.4M at 1536-d, measured at minutes/row
+    // on the recall harness. The UDF replays the exact same arithmetic —
+    // Spark's own XXH64 chain (seed 42, child-by-child reseeding, the
+    // int-typed lambda index, the UTF8 salt) and the identical
+    // float/double cast points — so replicated corpora are bit-identical
+    // to the old path (EmbeddingsSpec pins this against the inline
+    // expression form at 64-d).
+    val saltU8 = org.apache.spark.unsafe.types.UTF8String.fromString(salt)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val perturb = udf { (vBase: Long, rep: Long, v: Seq[Float]) =>
+      val d = v.length
+      val p = new Array[Float](d)
+      var i = 0
+      while (i < d) {
+        val n =
+          if (rep == 0L) 0.0f
+          else {
+            var h = XXH64.hashLong(vBase, 42L)
+            h = XXH64.hashLong(rep, h)
+            h = XXH64.hashInt(i, h)
+            h = XXH64.hashUTF8String(saltU8, h)
+            val pm = ((h % 20001L) + 20001L) % 20001L
+            ((pm - 10000L).toDouble / 10000.0 * eps).toFloat
+          }
+        p(i) = v(i) + n
+        i += 1
+      }
+      var acc = 0.0
+      i = 0
+      while (i < d) { acc += p(i).toDouble * p(i).toDouble; i += 1 }
+      val nrm = math.sqrt(acc)
+      val out = new Array[Float](d)
+      i = 0
+      while (i < d) { out(i) = (p(i).toDouble / nrm).toFloat; i += 1 }
+      out
+    }
     base.select(id.cast("long").as("_base"), vec.cast("array<float>").as("_v"))
       .crossJoin(spark.range(factor).select(col("id").as("_rep")))
-      .withColumn("_p", transform(col("_v"), (x, i) =>
-        x + when(col("_rep") === 0, lit(0.0f))
-          .otherwise(noise(col("_base"), col("_rep"), i))))
-      .withColumn("_n", sqrt(aggregate(col("_p"), lit(0.0d),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
       .select(
         (col("_base") + col("_rep") * step).as("vec_id"),
-        transform(col("_p"), x => (x.cast("double") / col("_n")).cast("float"))
-          .as("embedding"))
+        perturb(col("_base"), col("_rep"), col("_v")).as("embedding"))
   }
 
   /** Project `vec` (array<numeric>, fixed length `dIn`) to `dOut` dims.
@@ -114,18 +145,53 @@ object Embeddings {
   def jlLift(df: DataFrame, id: Column, vec: Column,
       dIn: Int, dOut: Int, salt: String = "graft-jl-lift"): DataFrame = {
     require(dIn > 0 && dOut >= dIn, s"lift must not reduce (got $dIn -> $dOut)")
-    val sign = (i: Column, j: Column) =>
-      when(pmod(xxhash64(i, j, lit(salt)), lit(2L)) === 0L, lit(1.0d))
-        .otherwise(lit(-1.0d))
+    val spark = df.sparkSession
+    // The sign matrix is evaluated ONCE through the same xxhash64
+    // expression the per-row form used (int-typed i/j, same arg order —
+    // bit-identical parities), then the lift itself is a compiled per-row
+    // loop. The previous inline HOF form evaluated dOut·dIn interpreted
+    // expressions PER ROW — ~100k at 1536-d, measured at minutes/row on
+    // the recall harness (the interpreted-HOF trap: janino gives up far
+    // below this size, so nothing ever compiled) — vs dOut·dIn
+    // multiply-adds (~0.1 ms/row) with the matrix hoisted.
+    val signs: Array[Array[Double]] = {
+      val rows = spark.range(dOut.toLong * dIn)
+        .select((col("id") / dIn).cast("int").as("j"),
+          pmod(col("id"), lit(dIn.toLong)).cast("int").as("i"))
+        .select(col("j"), col("i"),
+          when(pmod(xxhash64(col("i"), col("j"), lit(salt)), lit(2L)) === 0L,
+            lit(1.0d)).otherwise(lit(-1.0d)).as("s"))
+        .collect()
+      val m = Array.ofDim[Double](dOut, dIn)
+      rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      m
+    }
+    // fold order matches the replaced aggregate() exactly (i ascending,
+    // double accumulation), so lifted corpora — and every recall number
+    // measured on them — are unchanged
+    val lift = udf { (v: Seq[Float]) =>
+      val y = new Array[Double](dOut)
+      var j = 0
+      while (j < dOut) {
+        val row = signs(j)
+        var acc = 0.0
+        var i = 0
+        while (i < dIn) { acc += v(i).toDouble * row(i); i += 1 }
+        y(j) = acc
+        j += 1
+      }
+      var n = 0.0
+      var t = 0
+      while (t < dOut) { n += y(t) * y(t); t += 1 }
+      val nn = math.sqrt(n)
+      val out = new Array[Float](dOut)
+      t = 0
+      while (t < dOut) { out(t) = (y(t) / nn).toFloat; t += 1 }
+      out
+    }
     df.filter(vec.isNotNull && size(vec) >= dIn)
       .select(id.cast("long").as("vec_id"), vec.cast("array<float>").as("_v"))
-      .withColumn("_y", transform(sequence(lit(0), lit(dOut - 1)), j =>
-        aggregate(sequence(lit(0), lit(dIn - 1)), lit(0.0d), (acc, i) =>
-          acc + element_at(col("_v"), i + 1).cast("double") * sign(i, j))))
-      .withColumn("_n", sqrt(aggregate(col("_y"), lit(0.0d),
-        (acc, x) => acc + x * x)))
-      .select(col("vec_id"),
-        transform(col("_y"), x => (x / col("_n")).cast("float")).as("embedding"))
+      .select(col("vec_id"), lift(col("_v")).as("embedding"))
   }
 
   /** The DuckDB-side sign expression for matrix entry (i, j) — kept next

@@ -71,4 +71,59 @@ class EmbeddingsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Embeddings.jlProject(df, $"vid", $"vec", 0, 1))
     intercept[IllegalArgumentException](Embeddings.jlProject(df, $"vid", $"vec", 4, 8))
   }
+
+  // Round 11: replicatePerturbed and jlLift moved to compiled per-row
+  // loops (the interpreted-HOF quadratic collapse made them minutes/row
+  // at 1536-d). These laws pin the new paths BIT-IDENTICAL to the inline
+  // Spark-expression forms they replaced, at the dimensionality where the
+  // old forms were still runnable — every recall number measured on the
+  // old corpora stays valid.
+
+  test("replicatePerturbed is bit-identical to the inline expression form") {
+    val e = Tables.embeddings(spark, sf001).limit(60)
+    val got = Embeddings.replicatePerturbed(e, $"vec_id", $"embedding", 3, 0.05)
+    val step = e.agg(max($"vec_id".cast("long"))).head().getLong(0) + 1
+    // the replaced implementation, reconstructed literally (noise from
+    // xxhash64(base, rep, i, salt), perturb, double-fold norm, divide)
+    val noise = (base: org.apache.spark.sql.Column,
+        rep: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      (((pmod(xxhash64(base, rep, i, lit("graft-scale")), lit(20001L)) - lit(10000L))
+        / lit(10000.0)) * lit(0.05)).cast("float")
+    val want = e.filter($"embedding".isNotNull)
+      .select($"vec_id".cast("long").as("_base"), $"embedding".cast("array<float>").as("_v"))
+      .crossJoin(spark.range(3).select(col("id").as("_rep")))
+      .withColumn("_p", transform($"_v", (x, i) =>
+        x + when($"_rep" === 0, lit(0.0f)).otherwise(noise($"_base", $"_rep", i))))
+      .withColumn("_n", sqrt(aggregate($"_p", lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select(($"_base" + $"_rep" * step).as("vec_id"),
+        transform($"_p", x => (x.cast("double") / $"_n").cast("float")).as("embedding"))
+    val g = got.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val w = want.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(g.length == w.length && g.length == 180)
+    g.zip(w).foreach { case ((gi, gv), (wi, wv)) =>
+      assert(gi == wi && gv == wv, s"drift at vec_id $gi")
+    }
+  }
+
+  test("jlLift is bit-identical to the inline expression form") {
+    val e = Tables.embeddings(spark, sf001).limit(40)
+    val got = Embeddings.jlLift(e, $"vec_id", $"embedding", dIn = 64, dOut = 96)
+    val sign = (i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+      when(pmod(xxhash64(i, j, lit("graft-jl-lift")), lit(2L)) === 0L, lit(1.0d))
+        .otherwise(lit(-1.0d))
+    val want = e.filter($"embedding".isNotNull && size($"embedding") >= 64)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding".cast("array<float>").as("_v"))
+      .withColumn("_y", transform(sequence(lit(0), lit(95)), j =>
+        aggregate(sequence(lit(0), lit(63)), lit(0.0d), (acc, i) =>
+          acc + element_at($"_v", i + 1).cast("double") * sign(i, j))))
+      .withColumn("_n", sqrt(aggregate($"_y", lit(0.0d), (acc, x) => acc + x * x)))
+      .select($"vec_id", transform($"_y", x => (x / $"_n").cast("float")).as("embedding"))
+    val g = got.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val w = want.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(g.length == w.length && g.nonEmpty)
+    g.zip(w).foreach { case ((gi, gv), (wi, wv)) =>
+      assert(gi == wi && gv == wv, s"drift at vec_id $gi")
+    }
+  }
 }
