@@ -295,6 +295,7 @@ final class WireRouter(db: graft.Graft,
   private val CollectionId = "^/collections/([^/]+)$".r
   private val Points = "^/collections/([^/]+)/points$".r
   private val PointsSearch = "^/collections/([^/]+)/points/search$".r
+  private val PointsSearchBatch = "^/collections/([^/]+)/points/search/batch$".r
 
   /** Dispatch one request. `contentType` selects the body codec for both
     * request and response ("application/msgpack" or JSON otherwise).
@@ -319,6 +320,8 @@ final class WireRouter(db: graft.Graft,
         case ("POST", Points(id)) => withCollection(id)(insertPoints(_, parsed))
         case ("PUT", Points(id)) => withCollection(id)(updatePoints(_, parsed))
         case ("DELETE", Points(id)) => withCollection(id)(deletePoints(_, parsed))
+        case ("POST", PointsSearchBatch(id)) =>
+          withCollection(id)(searchPointsBatch(_, parsed))
         case ("POST", PointsSearch(id)) =>
           withCollection(id)(searchPoints(_, body, contentType))
         case _ => err(404, s"no route for $method $path")
@@ -469,6 +472,33 @@ final class WireRouter(db: graft.Graft,
     val points = df.collect().toList.map(rowToPointMap)
     metrics.foreach(_.pointSearchCount.add(points.length))
     WireResponse(200, JObject("points" -> JArray(points)))
+  }
+
+  /** Batch search (beyond the reference): `{"requests":[<search body>…]}`
+    * → `{"results":[{"points":[…]}, …]}` in request order. The facade's
+    * searchMany walks the batchable graph-served requests of the batch as
+    * ONE hop-fused wave (engine Search.searchMany), so a K-query serving
+    * batch pays ~one walk's job waves instead of K× — the wire face of
+    * the batch-amortized serving path. Each element is a complete v2
+    * search body (the single-request codec, reused verbatim); a malformed
+    * element 400s the whole batch, nothing partial executes first.
+    */
+  private def searchPointsBatch(id: String, j: JValue): WireResponse = {
+    val arr = j \ "requests" match {
+      case JArray(xs) => xs
+      case _ => return err(400, "requests must be an array of search request bodies")
+    }
+    if (arr.isEmpty) return err(400, "requests must not be empty")
+    if (arr.length > 100)
+      return err(400, s"batch size ${arr.length} exceeds the maximum of 100")
+    val reqs = arr.map(x => graft.model.Json.parseSearchRequest(
+      JsonMethods.compact(JsonMethods.render(x))))
+    val out = db.searchMany(id, reqs).map { df =>
+      val points = df.collect().toList.map(rowToPointMap)
+      metrics.foreach(_.pointSearchCount.add(points.length))
+      JObject("points" -> JArray(points)): JValue
+    }
+    WireResponse(200, JObject("results" -> JArray(out.toList)))
   }
 
   // ---- v1 legacy surface ----------------------------------------------------

@@ -59,6 +59,33 @@ class ScaleRecallSpec extends SparkSuite {
     assert(rows("coded-walk Vamana (DiskANN)") >= 0.9, rows)
     assert(rows("RBQ-coded walk Vamana (DiskANN)") >= 0.9, rows)
   }
+  test("third shape: coded walks at 1536-d hold the served band and the payload claim") {
+    // the reference's flagship datasets are 100-1536-d (README.md:191-196);
+    // this pins the coded-walk bands at the TOP of that range on a
+    // suite-affordable slice (1.5k x 1536-d; the recorded 100k x 1536-d
+    // points live in RECALL.md). The config strings carry the MEASURED
+    // per-hop payload: RBQ = D/64 longs + 24 B (216 B at 1536-d) and PQ
+    // m=16 = 64 B, vs the 6,144 B raw vector - the narrow-hop claim is
+    // asserted, not just arithmetic.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf001)
+    val lifted = graft.operators.Embeddings.jlLift(
+      emb, col("vec_id"), col("embedding"), dIn = 64, dOut = 1536)
+    val rows = ScaleRecall.measure(spark, lifted, factor = 3, queryIds,
+      methods = Set("vamana_coded", "vamana_rbq"))
+    val byM = rows.map(r => r.method -> r).toMap
+    info(s"1536-d coded: ${rows.map(r => (r.method, r.recall))}")
+    // deterministic measurements at this slice: PQ 0.88 (m=16 over a
+    // 1.5k fit is the noisy extreme; 5k measures 1.000 - the pilot),
+    // RBQ 1.0 (the 1-bit estimator's error shrinks as O(1/sqrt(D)))
+    assert(byM("coded-walk Vamana (DiskANN)").recall >= 0.85, rows)
+    assert(byM("RBQ-coded walk Vamana (DiskANN)").recall >= 0.95, rows)
+    assert(byM("RBQ-coded walk Vamana (DiskANN)").config
+      .contains("hop payload 216 B vs raw vector 6144 B"), byM)
+    assert(byM("coded-walk Vamana (DiskANN)").config
+      .contains("hop payload 64 B vs raw vector 6144 B"), byM)
+  }
+
   test("second shape headline: engine-served Vamana at 10k x 256-d beats the reference bar") {
     // suite-affordable slice of the RECALL.md 256-d section (the recorded
     // 50k x 256-d point measures 1.0 but costs ~10 min to rebuild; this

@@ -123,6 +123,43 @@ class WireRouterSpec extends SparkSuite {
     assert(parse(r.handle("GET", "/collections")) \ "collections" == JArray(Nil))
   }
 
+  test("batch search: K bodies in one call == K single searches, order preserved; guards") {
+    val r = freshRouter()
+    assert(r.handle("POST", "/collections", json(schemaJson)).status == 200)
+    assert(r.handle("POST", "/collections/mycol/points", json(
+      """{"points":[
+        |  {"_id":"p1","vec":[0.0,0.0],"name":"origin","size":1},
+        |  {"_id":"p2","vec":[1.0,0.0],"name":"east","size":2},
+        |  {"_id":"p3","vec":[0.0,3.0],"name":"north","size":3}]}""".stripMargin)).status == 200)
+    val near = (x: Double, y: Double) =>
+      s"""{"query":{"property":"vec","vectorFlat":{
+         |"vector":[$x,$y],"operator":"near","limit":2}},
+         |"select":["name"],"limit":2}""".stripMargin
+    val filter =
+      """{"query":{"property":"size","integer":{"value":2,"operator":"greaterThanOrEquals"}},
+        |"select":["size"],"sort":[{"property":"size"}],"limit":5}""".stripMargin
+    val batch = parse(r.handle("POST", "/collections/mycol/points/search/batch",
+      json(s"""{"requests":[${near(0.0, 0.0)},$filter,${near(0.0, 3.0)}]}""")))
+    val results = (batch \ "results").asInstanceOf[JArray].arr
+    assert(results.length == 3)
+    // element i of the batch == the single-request response for body i
+    val singles = Seq(near(0.0, 0.0), filter, near(0.0, 3.0)).map(b =>
+      parse(r.handle("POST", "/collections/mycol/points/search", json(b))))
+    results.zip(singles).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got \ "points" == want \ "points", s"batch element $i drifted")
+    }
+    // guards: non-array, empty, oversized, malformed element
+    assert(r.handle("POST", "/collections/mycol/points/search/batch",
+      json("""{"requests":{}}""")).status == 400)
+    assert(r.handle("POST", "/collections/mycol/points/search/batch",
+      json("""{"requests":[]}""")).status == 400)
+    val many = Seq.fill(101)(near(0.0, 0.0)).mkString("[", ",", "]")
+    assert(r.handle("POST", "/collections/mycol/points/search/batch",
+      json(s"""{"requests":$many}""")).status == 400)
+    assert(r.handle("POST", "/collections/mycol/points/search/batch",
+      json("""{"requests":[{"query":{"property":"nope","integer":{"value":1,"operator":"equals"}}}]}""")).status == 400)
+  }
+
   test("batch caps mirror the reference bounds (insert 10000, update/delete 100)") {
     val r = freshRouter()
     assert(r.handle("POST", "/collections", json(
