@@ -359,11 +359,6 @@ object QueryCompiler {
     rerank(col0, prop, metric, vector, limit, w, candIds)
   }
 
-  /** Stage 2 of every approximate path: the TRUE metric over JUST the
-    * candidate rows (broadcast semi-join, ≤ budget rows) — at 100 TB the
-    * wide vector column is read only for candidates. Result schema and
-    * scoring match exact `near` bit-for-bit.
-    */
   /** The tail of the graph-served route: beam pool (graph ids) → string
     * ids → exact re-rank. The gid→id lookup EXECUTES under the walk
     * session like every per-hop fetch (bucket-pruned point reads) —
@@ -427,6 +422,11 @@ object QueryCompiler {
     }
   }
 
+  /** Stage 2 of every approximate path: the TRUE metric over JUST the
+    * candidate rows (broadcast semi-join, ≤ budget rows) — at 100 TB the
+    * wide vector column is read only for candidates. Result schema and
+    * scoring match exact `near` bit-for-bit.
+    */
   private def rerank(
       col0: Collection, prop: String, metric: IndexKind.Metric,
       vector: Seq[Float], limit: Int, w: Float, candIds: DataFrame): Compiled = {

@@ -146,34 +146,33 @@ object Embeddings {
       dIn: Int, dOut: Int, salt: String = "graft-jl-lift"): DataFrame = {
     require(dIn > 0 && dOut >= dIn, s"lift must not reduce (got $dIn -> $dOut)")
     val spark = df.sparkSession
-    // The sign matrix is evaluated ONCE through the same xxhash64
-    // expression the per-row form used (int-typed i/j, same arg order —
-    // bit-identical parities), then the lift itself is a compiled per-row
-    // loop. The previous inline HOF form evaluated dOut·dIn interpreted
-    // expressions PER ROW — ~100k at 1536-d, measured at minutes/row on
-    // the recall harness (the interpreted-HOF trap: janino gives up far
-    // below this size, so nothing ever compiled) — vs dOut·dIn
-    // multiply-adds (~0.1 ms/row) with the matrix hoisted.
-    val signs: Array[Array[Double]] = {
-      val rows = spark.range(dOut.toLong * dIn)
-        .select((col("id") / dIn).cast("int").as("j"),
-          pmod(col("id"), lit(dIn.toLong)).cast("int").as("i"))
-        .select(col("j"), col("i"),
-          when(pmod(xxhash64(col("i"), col("j"), lit(salt)), lit(2L)) === 0L,
-            lit(1.0d)).otherwise(lit(-1.0d)).as("s"))
-        .collect()
-      val m = Array.ofDim[Double](dOut, dIn)
-      rows.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      m
+    // The sign matrix is computed ONCE on the driver by replaying Spark's
+    // own XXH64 chain for `xxhash64(i: int, j: int, salt: string)` (seed
+    // 42, child-by-child reseeding — bit-identical parities, pinned by
+    // EmbeddingsSpec), then BROADCAST so tasks don't each ship a dOut×dIn
+    // closure copy. The previous inline HOF form evaluated dOut·dIn
+    // interpreted expressions PER ROW — ~100k at 1536-d, measured at
+    // minutes/row on the recall harness (the interpreted-HOF trap: janino
+    // gives up far below this size, so nothing ever compiled) — vs
+    // dOut·dIn multiply-adds (~0.1 ms/row) with the matrix hoisted.
+    val saltU8 = org.apache.spark.unsafe.types.UTF8String.fromString(salt)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val signs: Array[Array[Double]] = Array.tabulate(dOut, dIn) { (j, i) =>
+      var h = XXH64.hashInt(i, 42L)
+      h = XXH64.hashInt(j, h)
+      h = XXH64.hashUTF8String(saltU8, h)
+      if (((h % 2L) + 2L) % 2L == 0L) 1.0 else -1.0
     }
+    val bcSigns = spark.sparkContext.broadcast(signs)
     // fold order matches the replaced aggregate() exactly (i ascending,
     // double accumulation), so lifted corpora — and every recall number
     // measured on them — are unchanged
     val lift = udf { (v: Seq[Float]) =>
+      val m = bcSigns.value
       val y = new Array[Double](dOut)
       var j = 0
       while (j < dOut) {
-        val row = signs(j)
+        val row = m(j)
         var acc = 0.0
         var i = 0
         while (i < dIn) { acc += v(i).toDouble * row(i); i += 1 }

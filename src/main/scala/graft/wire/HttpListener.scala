@@ -36,8 +36,13 @@ final class HttpListener(
         // so this guards only the adapter itself (bad socket, torn read)
         case scala.util.control.NonFatal(e) =>
           try {
-            val out = ("{\"error\":\"listener error: " +
-              String.valueOf(e.getMessage).replace('"', '\'') + "\"}").getBytes(UTF_8)
+            // render through the JSON library so any message content
+            // (backslashes, newlines, quotes) stays valid JSON
+            val out = org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+                "error" -> org.json4s.JString(
+                  s"listener error: ${String.valueOf(e.getMessage)}"))))
+              .getBytes(UTF_8)
             ex.getResponseHeaders.set("Content-Type", "application/json")
             ex.sendResponseHeaders(500, out.length.toLong)
             ex.getResponseBody.write(out)
@@ -48,19 +53,23 @@ final class HttpListener(
 
   private def respond(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
-    if (ex.getRequestMethod.equalsIgnoreCase("GET") && path == "/metrics") {
-      val body = service.metrics.map(_.render()).getOrElse("").getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4")
-      ex.sendResponseHeaders(if (service.metrics.isDefined) 200 else 404,
-        if (body.isEmpty) -1L else body.length.toLong)
-      if (body.nonEmpty) ex.getResponseBody.write(body)
-      return
-    }
-    val body = ex.getRequestBody.readAllBytes()
     // the service reads exactly these; Headers.getFirst is case-insensitive
     val headers = Seq("X-Proxy-Secret", "X-User-Id", "X-Plan-Id", "Content-Type")
       .flatMap(n => Option(ex.getRequestHeaders.getFirst(n)).map(n -> _)).toMap
     val remote = ex.getRemoteAddress.getAddress.getHostAddress
+    if (ex.getRequestMethod.equalsIgnoreCase("GET") && path == "/metrics") {
+      // skips only the TENANT wall (a scraper has no tenant headers); the
+      // SECURITY middlewares — proxy secret, IP whitelist against the
+      // socket's peer — still gate the exposition (WireService.handleMetrics)
+      val (status, text) = service.handleMetrics(headers, remote)
+      val body = text.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        if (status == 200) "text/plain; version=0.0.4" else "application/json")
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1L else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      return
+    }
+    val body = ex.getRequestBody.readAllBytes()
     val resp = service.handle(ex.getRequestMethod, path, headers, body, remote)
     val msgpack = headers.get("Content-Type").contains("application/msgpack")
     val out = if (msgpack) resp.msgpack else resp.json.getBytes(UTF_8)

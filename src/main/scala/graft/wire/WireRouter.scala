@@ -491,8 +491,10 @@ final class WireRouter(db: graft.Graft,
     if (arr.isEmpty) return err(400, "requests must not be empty")
     if (arr.length > 100)
       return err(400, s"batch size ${arr.length} exceeds the maximum of 100")
-    val reqs = arr.map(x => graft.model.Json.parseSearchRequest(
-      JsonMethods.compact(JsonMethods.render(x))))
+    // decode straight from the parsed tree (the single-request codec's
+    // JValue face): no re-render/re-parse per element, and msgpack bodies
+    // carrying non-finite floats decode here exactly like the single route
+    val reqs = arr.map(graft.model.Json.searchRequest)
     val out = db.searchMany(id, reqs).map { df =>
       val points = df.collect().toList.map(rowToPointMap)
       metrics.foreach(_.pointSearchCount.add(points.length))
@@ -821,18 +823,53 @@ final class WireService(
     resp
   }
 
-  private def inner(method: String, path: String,
-      headers: Map[String, String], body: Array[Byte],
-      remoteAddr: String): WireResponse = {
+  /** The Prometheus exposition gated by the SECURITY middlewares only
+    * (proxy secret + IP whitelist — a scraper has no tenant headers, so
+    * the tenant wall is skipped by design, but a locked-down port must
+    * not leak per-path request counts and latencies to arbitrary peers).
+    * Returns (status, body): 200 + text, 407/403 on a failed middleware,
+    * 404 when no metrics registry is configured. The scrape itself is
+    * counted through `metrics.observe` like every routed request.
+    */
+  def handleMetrics(headers: Map[String, String],
+      remoteAddr: String): (Int, String) = {
+    val t0 = System.nanoTime()
+    val out = securityGate(headers, remoteAddr) match {
+      case Some(denied) => (denied.status, denied.json)
+      case None => metrics match {
+        case Some(m) => (200, m.render())
+        case None => (404, "")
+      }
+    }
+    metrics.foreach(_.observe(out._1, "GET", "/metrics",
+      (System.nanoTime() - t0) / 1e9, 0L))
+    out
+  }
+
+  /** ProxySecret + WhiteListIP, shared by the routed path and /metrics;
+    * Some(denial) when a middleware rejects.
+    */
+  private def securityGate(headers: Map[String, String],
+      remoteAddr: String): Option[WireResponse] = {
     if (secretEnabled &&
         !headers.get("X-Proxy-Secret").contains(proxySecret.get))
-      return WireResponse(407,
-        org.json4s.JObject("error" -> org.json4s.JString("forbidden")))
+      return Some(WireResponse(407,
+        org.json4s.JObject("error" -> org.json4s.JString("forbidden"))))
     if (whitelistEnabled &&
         java.util.Arrays.binarySearch(
           whitelistSorted.asInstanceOf[Array[AnyRef]], remoteAddr) < 0)
-      return WireResponse(403,
-        org.json4s.JObject("error" -> org.json4s.JString("forbidden")))
+      return Some(WireResponse(403,
+        org.json4s.JObject("error" -> org.json4s.JString("forbidden"))))
+    None
+  }
+
+  private def inner(method: String, path: String,
+      headers: Map[String, String], body: Array[Byte],
+      remoteAddr: String): WireResponse = {
+    securityGate(headers, remoteAddr) match {
+      case Some(denied) => return denied
+      case None => ()
+    }
     val userId = headers.getOrElse("X-User-Id", "")
     val planId = headers.getOrElse("X-Plan-Id", "")
     if (userId.isEmpty || planId.isEmpty)

@@ -81,7 +81,7 @@ class HttpListenerSpec extends SparkSuite {
     }
   }
 
-  test("/metrics serves the Prometheus exposition outside the tenant wall") {
+  test("/metrics skips only the tenant wall — the security middlewares still gate it") {
     val m = new WireMetrics
     withListener(metrics = Some(m)) { (_, port) =>
       assert(get(port, "/ping", tenant).statusCode() == 200)
@@ -91,6 +91,18 @@ class HttpListenerSpec extends SparkSuite {
       assert(scrape.body().contains("http_request_count"))
       assert(scrape.headers().firstValue("Content-Type").orElse("")
         .startsWith("text/plain"))
+      // the scrape itself is observed like every routed request
+      assert(m.render().contains("handler=\"/metrics\""))
+    }
+    // a locked-down port must not leak the exposition to arbitrary peers:
+    // proxy secret and IP whitelist apply to /metrics exactly as to routes
+    withListener(secret = Some("s3cr3t"), metrics = Some(m)) { (_, port) =>
+      assert(get(port, "/metrics").statusCode() == 407)
+      assert(get(port, "/metrics",
+        Map("X-Proxy-Secret" -> "s3cr3t")).statusCode() == 200)
+    }
+    withListener(whitelist = Seq("10.9.9.9"), metrics = Some(m)) { (_, port) =>
+      assert(get(port, "/metrics").statusCode() == 403)
     }
     withListener() { (_, port) =>
       assert(get(port, "/metrics").statusCode() == 404)

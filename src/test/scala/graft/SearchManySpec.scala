@@ -59,6 +59,17 @@ class SearchManySpec extends SparkSuite {
     }
   }
 
+  test("searchManyJson parses like the single JSON face") {
+    val q0 = queries.TestCollections.queryVector(spark, sf0001, 0L)
+    val body =
+      s"""{"query":{"property":"vec_l2","vectorVamana":{
+         |"vector":[${q0.mkString(",")}],"operator":"near",
+         |"searchSize":75,"limit":10,"approx":true}},"limit":100}""".stripMargin
+    val fromJson = Search.searchManyJson(coll, Seq(body, body))
+    val single = Search.searchJson(coll, body)
+    fromJson.foreach(df => assert(rows(df) == rows(single)))
+  }
+
   test("empty batch and invalid request behave like the single face") {
     assert(Search.searchMany(coll, Nil).isEmpty)
     val bad = SearchRequest(

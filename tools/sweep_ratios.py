@@ -2,17 +2,31 @@
 """Compare two graft.Bench records (base vs replicated dir) and print the
 per-query growth-ratio table for the SURVEY §6 full-registry scale sweep.
 
-Usage: python3 tools/sweep_ratios.py /tmp/bench_sf01.json /tmp/bench_sweep.json [topN]
+Feed it each run's bench_record.json (written to the run's CWD — run the
+two benches from DIFFERENT directories, or copy the file between runs).
+The bench's final STDOUT line is the compact summary since round 11 and
+carries no per-query map.
+
+Usage: python3 tools/sweep_ratios.py base/bench_record.json sweep/bench_record.json [topN]
 """
 import json
 import sys
 
 
+def queries_of(path: str) -> dict:
+    rec = json.load(open(path))
+    q = rec.get("queries")
+    if q is None:
+        sys.exit(f"{path} has no 'queries' map - this looks like the compact "
+                 "stdout summary; pass the run's bench_record.json instead")
+    return q
+
+
 def main() -> None:
     base_path, sweep_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    base = json.load(open(base_path))["queries"]
-    sweep = json.load(open(sweep_path))["queries"]
+    base = queries_of(base_path)
+    sweep = queries_of(sweep_path)
     rows = []
     for name, b in base.items():
         s = sweep.get(name)
