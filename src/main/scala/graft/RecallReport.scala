@@ -412,9 +412,12 @@ object RecallReport {
         |design (Subramanya et al. 2019: compressed vectors steer
         |navigation, full precision only re-ranks). Three sources: PQ ADC
         |(m bytes/node), OPQ ADC (m bytes, rotated space), and — round 10 —
-        |RaBitQ (D/64 longs + 3 scalars: 32 B at 64-d vs PQ m=16's 64 B,
-        |and 216 B at 1536-d vs 6 KB raw — the narrowest hop payload the
-        |family offers, with the paper's unbiased estimator steering).
+        |RaBitQ (D/64 longs + 3 scalars: 32 B at 64-d vs PQ m=16's 64 B —
+        |the narrowest hop payload at ≤128-d; above that PQ's payload is
+        |CONSTANT in D while RaBitQ's grows as D/8, so at 1536-d PQ m=16
+        |reads 64 B/hop vs RaBitQ's 216 B vs 6 KB raw — RaBitQ's edge
+        |there is being codebook-free with error that SHRINKS as O(1/√D),
+        |not width; the round-11 1536-d table below measures both).
         |The pool is approximate, so this regime's band is SERVED recall
         |(exact re-rank of the pool vs exact search), measured with the
         |distributed regime forced on (`graft.vamana.localMaxBytes=1`):
@@ -433,6 +436,31 @@ object RecallReport {
         |ScaleRecallSpec ≥0.9 at 5k for PQ- and RBQ-coded; the 256-d rows
         |measured once via `runMain graft.tools.MeasureRecall`, the shape
         |where the code/vector width ratio bites).
+        |
+        |## 1536-d — the reference's flagship dimensionality (round 11)
+        |
+        |The reference's headline dataset is dbpedia-openai-100k at 1536-d,
+        |recall 0.990 (reference README.md:191–196). These rows measure the
+        |coded walks at that dimensionality (64-d table jlLift-ed to 1536),
+        |with the per-hop payload MEASURED, not arithmetic: the interface
+        |width plus on-disk bytes/row of the materialized coded serving
+        |layout (ScaleRecall.payloadNote reads the actual parquet files the
+        |hops fetch). Raw vector: 6,144 B.
+        |
+        || corpus | config | payload (B/hop, disk B/row) | served recall@10 |
+        ||---|---|---|---|
+        || 5,000 × 1536-d (sf0.01 ×10) | engine-served Vamana, degree 32, beam 75 | full vector | 1.000 |
+        || 5,000 × 1536-d (sf0.01 ×10) | PQ m=16/k=16 ADC hops — 96× narrower than raw | 64 B, 108 B/row | 1.000 |
+        || 5,000 × 1536-d (sf0.01 ×10) | RaBitQ 1-bit hops — 28× narrower, no codebook | 216 B, 319 B/row | 0.980 |
+        |<<ROW_1536_HEADLINE>>
+        |
+        |A 1.5k × 1536-d slice of this table is spec-asserted every run
+        |(ScaleRecallSpec third shape, including the payload strings). The
+        |64-d @100k table above remains the binding large-n evidence — the
+        |100k × 1536-d NN-Descent build shuffles ~6 KB vectors through its
+        |candidate joins and exceeds this single box's disk; on a cluster
+        |the same build is ordinary shuffle volume (the round-11 record
+        |documents the measured single-box bound).
         |The engine serves the RBQ-coded walk end-to-end through the store
         |facade under the same `graft.vamana.codedWalk` opt-in as PQ/OPQ
         |(gate w14_rbq_coded_walk, exact-SQL oracled). The exact

@@ -65,8 +65,15 @@ object ScaleSweep {
   def build(spark: SparkSession, baseDir: String, factor: Int, outDir: String): Unit = {
     require(factor >= 1, s"factor must be >= 1 (got $factor)")
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    // write with file-count proportional to the replication: the base
+    // tables are single files, and a factor-100 replica written as ONE
+    // file caps every downstream scan at ~maxPartitionBytes/128MB splits
+    // (measured: the 100x bench ran ~3 cores of 24) — a real corpus at
+    // 100x the size arrives as many files, so the replica must too or the
+    // sweep measures the writer's layout, not the operator's scaling
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.repartition(math.max(8, math.min(256, factor)))
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     // fixed dimension tables (constant at every TPC-H scale factor)
     write(read("region"), "region")
