@@ -24,6 +24,18 @@ object MeasureRecall {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // high-D measurement points (e.g. 20k x 1536-d) keep the vector
+      // table small (~100s of MB) while each vector is KB-wide: letting
+      // VamanaBuild's vec-attach joins broadcast instead of sort-merge
+      // avoids shuffling the candidate-pair stream with 6 KB vectors
+      // attached (measured: ~70 GB of spill per NN-Descent round at the
+      // stock 10 MB threshold — it filled the disk). Production builds
+      // at corpus scale keep the default and SMJ, by design; this is a
+      // measurement-harness conf, same spirit as the suite's 32g heap.
+      .config("spark.sql.autoBroadcastJoinThreshold", (512L << 20).toString)
+      // float shuffle blocks compress materially better under zstd than
+      // the default lz4 — halves what the prune groupBy still spills
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb0 = graft.Tables.embeddings(spark, sfDir)
