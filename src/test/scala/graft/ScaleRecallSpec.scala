@@ -62,7 +62,7 @@ class ScaleRecallSpec extends SparkSuite {
   test("third shape: coded walks at 1536-d hold the served band and the payload claim") {
     // the reference's flagship datasets are 100-1536-d (README.md:191-196);
     // this pins the coded-walk bands at the TOP of that range on a
-    // suite-affordable slice (1.5k x 1536-d; the recorded 100k x 1536-d
+    // suite-affordable slice (1.5k x 1536-d; the recorded 20k/50k x 1536-d
     // points live in RECALL.md). The config strings carry the MEASURED
     // per-hop payload: RBQ = D/64 longs + 24 B (216 B at 1536-d) and PQ
     // m=16 = 64 B, vs the 6,144 B raw vector - the narrow-hop claim is
