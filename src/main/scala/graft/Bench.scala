@@ -117,6 +117,13 @@ object Bench {
       // them between queries (outside the timed region) keeps runs
       // independent of map iteration order
       spark.catalog.clearCache()
+      // localCheckpoint blocks and shuffle files are reclaimed only when
+      // their owning objects are GC'd (ContextCleaner) — negligible at
+      // sf0.1, but a big-replica sweep run accumulates tens of GB of
+      // dead files across queries and can fill the disk mid-pass
+      // (observed at the 100× sweep). Opt-in (it costs ~1 s/query of
+      // untimed wall-clock), used by the sweep runs.
+      if (sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")) System.gc()
       name -> elapsed
     }
     val allPasses = (1 to passes).map(_ => runPass())

@@ -233,7 +233,15 @@ object Dedup {
       base: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val setsA = base.select(col("_pid").as("id_a"), col("_sh").as("_sha"), col("_cnt").as("ca"))
     val setsB = base.select(col("_pid").as("id_b"), col("_sh").as("_shb"), col("_cnt").as("cb"))
-    cand.join(setsA, "id_a").join(setsB, "id_b")
+    // HASH, not sort-merge, joins: after the first join every candidate
+    // row carries a full shingle array (~KB-wide), and SMJ would SORT
+    // that stream — measured at a 100× corpus (500k docs, ~5M
+    // candidates) the id_b-side sort spilled the entire 78 GB disk. The
+    // build side is the per-doc shingle table (corpus-linear, hashed per
+    // partition — bounded by partition count, AQE-splittable), so the
+    // wide candidate stream just probes and never sorts.
+    cand.join(setsA.hint("shuffle_hash"), "id_a")
+      .join(setsB.hint("shuffle_hash"), "id_b")
       .withColumn("common", size(array_intersect(col("_sha"), col("_shb"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("ca") + col("cb") - col("common")))
