@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * `doc_id` and `vec_id` shift by a COMMON step so the `doc_id = vec_id`
   * join queries keep their base-corpus join rate.
   *
-  * Usage: `runMain graft.tools.ScaleSweep <baseDir> <factor> <outDir>`.
+  * Usage: `runMain graft.tools.ScaleSweep <baseDir> <factor> <outDir> [tables]`
+  * (`tables` = optional comma-list to rewrite a subset of the replicas).
   */
 object ScaleSweep {
 
@@ -62,7 +63,8 @@ object ScaleSweep {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
-  def build(spark: SparkSession, baseDir: String, factor: Int, outDir: String): Unit = {
+  def build(spark: SparkSession, baseDir: String, factor: Int, outDir: String,
+      tables: Option[Set[String]] = None): Unit = {
     require(factor >= 1, s"factor must be >= 1 (got $factor)")
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
     // write with file-count proportional to the replication: the base
@@ -70,10 +72,13 @@ object ScaleSweep {
     // file caps every downstream scan at ~maxPartitionBytes/128MB splits
     // (measured: the 100x bench ran ~3 cores of 24) — a real corpus at
     // 100x the size arrives as many files, so the replica must too or the
-    // sweep measures the writer's layout, not the operator's scaling
+    // sweep measures the writer's layout, not the operator's scaling.
+    // `tables` restricts which replicas are (re)written — rebuilding one
+    // perturbation rule shouldn't re-materialize a 60M-row lineitem.
     def write(df: DataFrame, t: String): Unit =
-      df.repartition(math.max(8, math.min(256, factor)))
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      if (tables.forall(_.contains(t)))
+        df.repartition(math.max(8, math.min(256, factor)))
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     // fixed dimension tables (constant at every TPC-H scale factor)
     write(read("region"), "region")
@@ -118,8 +123,20 @@ object ScaleSweep {
             zip_with(
               split(col("text"), " "),
               sequence(lit(0), greatest(size(split(col("text"), " ")) - 1, lit(0))),
+              // salt suffix "r<rep>" with NO separator: the dedup
+              // tokenizer splits on [^\p{L}\p{N}]+, so a "_r<rep>"
+              // suffix would tokenize as the word PLUS a standalone
+              // "r<rep>" token — a per-replica stop-token appearing at
+              // every 4th position, which DENSIFIES within-replica
+              // shingle groups (measured: top group df 10 → 80 at
+              // factor 100, PPJoin candidates 1,190× base for 100×
+              // data — a corpus artifact masquerading as operator
+              // superlinearity, found when the 100× sweep filled the
+              // disk). Fused "wordr<rep>" stays ONE token whose
+              // within-replica df equals the base word's, so candidate
+              // volume scales with the corpus.
               (w, i) => when(pmod(i + col("_rep"), lit(4)) === 0,
-                concat(w, lit("_r"), col("_rep"))).otherwise(w)),
+                concat(w, lit("r"), col("_rep"))).otherwise(w)),
             " ")))
       .drop("_rep")
     write(salted, "documents")
@@ -151,6 +168,7 @@ object ScaleSweep {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outDir = args.lift(2).getOrElse("/tmp/graft_sweep_sf1")
+    val only = args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -158,8 +176,8 @@ object ScaleSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build(spark, baseDir, factor, outDir)
-    graft.Tables.names.foreach { t =>
+    build(spark, baseDir, factor, outDir, only)
+    graft.Tables.names.filter(t => only.forall(_.contains(t))).foreach { t =>
       val n = spark.read.parquet(s"$outDir/$t.parquet").count()
       println(s"[sweep] $t: $n rows")
     }
