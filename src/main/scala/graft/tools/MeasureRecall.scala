@@ -21,7 +21,6 @@ object MeasureRecall {
       .getOrElse(Set("vamana"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // high-D measurement points (e.g. 20k x 1536-d) keep the vector
@@ -32,10 +31,28 @@ object MeasureRecall {
       // stock 10 MB threshold — it filled the disk). Production builds
       // at corpus scale keep the default and SMJ, by design; this is a
       // measurement-harness conf, same spirit as the suite's 32g heap.
-      .config("spark.sql.autoBroadcastJoinThreshold", (512L << 20).toString)
+      // 2 GB: the 100k × 1536-d point's replicated vec table is ~700 MB —
+      // past the previous 512 MB cap it silently fell back to SMJ and
+      // spilled >50 GB in minutes (observed; the exact failure the cap
+      // exists to avoid). The driver heap (48 GB) holds a 2 GB broadcast
+      // comfortably and every measurement corpus stays far below it.
+      .config("spark.sql.autoBroadcastJoinThreshold", (2048L << 20).toString)
       // float shuffle blocks compress materially better under zstd than
       // the default lz4 — halves what the prune groupBy still spills
       .config("spark.io.compression.codec", "zstd")
+      // The prune's collect_list aggregates KB-wide (dist, dst, vec)
+      // structs. ObjectHashAggregate's stock 128-distinct-keys fallback
+      // flips it to SORT-based aggregation, which externally sorts the
+      // wide rows — measured ~50 GB of spill at 100k × 1536-d, a disk
+      // kill on this machine. Raising the fallback threshold (with more,
+      // smaller partitions to bound per-task hash-map memory:
+      // 100k/64 keys × ≤128 structs × ~6 KB ≈ 1.2 GB/task, ×16 slots
+      // ≈ 20 GB peak inside the 48 GB harness heap) keeps it hashing.
+      // At real corpus scale the sort-based spill IS the scalable
+      // behaviour — this is a measurement-machine fitting, like the
+      // broadcast bound above.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.sql.shuffle.partitions", "64")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb0 = graft.Tables.embeddings(spark, sfDir)

@@ -109,6 +109,11 @@ object ScaleRecall {
         s"degree ${buildParams.degreeBound}, ${buildParams.iterations} NN-Descent rounds, beam $searchSize + exact re-rank, n=$n",
         recallOf(vamServed, exactL2))
       coll.vectorIndexes.values.foreach(_.release())
+      // shuffle/checkpoint files free only when their owners are GC'd
+      // (ContextCleaner): without this an at-scale multi-method run
+      // accumulates tens of GB of dead spill across blocks (the
+      // ScaleSweep lesson)
+      System.gc()
     }
 
     // coded-walk Vamana (DiskANN regime): the distributed walk forced on
@@ -117,9 +122,16 @@ object ScaleRecall {
     // exact re-rank of the pool is unchanged. This is the serving shape
     // a >memory artifact actually runs, so its recall band is the one
     // that matters at 100 TB.
+    // ONE graph serves both coded methods: the build is a pure function of
+    // the corpus (the code source only steers the walk, it never shapes the
+    // graph), and the coded serving tables are tag-suffixed per source
+    // (dir_serve_coded_pq / _rbq) — so the second attach reuses the
+    // _SUCCESS-marked graph parquet and the measurement pays the dominant
+    // build cost once instead of per source.
+    lazy val codedGraphDir = java.nio.file.Files
+      .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString
     if (methods("vamana_coded")) {
-      val codDir = java.nio.file.Files
-        .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString
+      val codDir = codedGraphDir
       val pq = graft.operators.ProductQuantizer.fit(
         big, col("embedding"), m = 16, k = 16, dim = dim)
       val coll = graft.engine.Collection(
@@ -144,6 +156,11 @@ object ScaleRecall {
           payloadNote(graft.operators.PqCodes(pq), codDir),
         recallOf(codGot, exactL2))
       coll.vectorIndexes.values.foreach(_.release())
+      // shuffle/checkpoint files free only when their owners are GC'd
+      // (ContextCleaner): without this an at-scale multi-method run
+      // accumulates tens of GB of dead spill across blocks (the
+      // ScaleSweep lesson)
+      System.gc()
     }
 
     // RBQ-coded walk: the same DiskANN regime with the RaBitQ 1-bit
@@ -151,8 +168,7 @@ object ScaleRecall {
     // hop instead of m bytes, the narrowest fetch the family offers; hops
     // rank by the paper's unbiased estimator.
     if (methods("vamana_rbq")) {
-      val codDir = java.nio.file.Files
-        .createTempDirectory(s"graft_scale_vamrbq_f$factor").resolve("art").toString
+      val codDir = codedGraphDir // shared build, own tag-suffixed serving table
       val rbq = graft.operators.RaBitQ.fit(big, col("embedding"), dim)
       val coll = graft.engine.Collection(
           big.select(col("vec_id").cast("string").as("_id"),
@@ -177,6 +193,11 @@ object ScaleRecall {
           payloadNote(graft.operators.RbqCodes(rbq), codDir),
         recallOf(rbqGot, exactL2))
       coll.vectorIndexes.values.foreach(_.release())
+      // shuffle/checkpoint files free only when their owners are GC'd
+      // (ContextCleaner): without this an at-scale multi-method run
+      // accumulates tens of GB of dead spill across blocks (the
+      // ScaleSweep lesson)
+      System.gc()
     }
 
     if (methods("ivfpq")) {
