@@ -348,10 +348,15 @@ final class Graft(val spark: SparkSession, root: String,
     * serving).
     */
   def searchMany(name: String, requests: Seq[SearchRequest]): Seq[DataFrame] = {
+    // validate against the PRE-index view first so a malformed request
+    // fails before any index build is triggered (the single-request
+    // route's ordering); Search.searchMany re-validates against the
+    // final view, which is the one source of validation truth
+    val pre = collection(name)
     requests.foreach { r =>
       graft.model.Validation.validate(r)
         .left.foreach(m => throw new IllegalArgumentException(m))
-      graft.model.Validation.validateSchema(r.query, collection(name).schema)
+      graft.model.Validation.validateSchema(r.query, pre.schema)
         .left.foreach(m => throw new IllegalArgumentException(m))
     }
     ensureTextIndexes(name, requests.map(r => textProps(r.query)).fold(Set.empty)(_ ++ _))

@@ -70,15 +70,22 @@ object QueryCompiler {
           approx = o.approx, budget = math.max(5 * o.limit, 50))
       case (k: IndexKind.VectorVamana, _) if q.vectorVamana.isDefined =>
         val o = q.vectorVamana.get
-        // the rescore budget plays the role of the reference's beam
-        // (searchSize): how many quantized candidates see an exact re-rank
         near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight,
-          approx = o.approx, budget = math.max(o.searchSize, 2 * o.limit))
+          approx = o.approx, budget = vamanaBudget(o))
       case (_: IndexKind.Text, _) if q.text.isDefined =>
         textSearch(col, prop, q.text.get)
       case _ => throw new IllegalArgumentException(
         s"${kind.name} query options not provided for property $prop")
     }
+
+  /** The vectorVamana rescore budget — the role of the reference's beam
+    * (searchSize): how many quantized candidates see an exact re-rank.
+    * THE single definition: Search.searchMany groups batchable requests
+    * by this value, so a second copy of the formula would silently split
+    * batched requests from their single-request twins.
+    */
+  private[engine] def vamanaBudget(o: VectorVamanaOpts): Int =
+    math.max(o.searchSize, 2 * o.limit)
 
   /** Dotted property paths resolve through struct columns natively. */
   private def column(prop: String): Column = col(prop)

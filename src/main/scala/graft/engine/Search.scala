@@ -61,9 +61,9 @@ object Search {
     val tagged = reqs.map(r => r -> batchable(r.query)).zipWithIndex
     val compiledByIdx = scala.collection.mutable.Map[Int, QueryCompiler.Compiled]()
     tagged.collect { case ((r, Some((prop, o, metric))), i) =>
-      // the budget must mirror the single-request route bit-for-bit
-      // (QueryCompiler.leaf) or batch results drift from K independent calls
-      (prop, math.max(o.searchSize, 2 * o.limit), metric) -> ((i, o))
+      // the shared budget definition (QueryCompiler.vamanaBudget) keeps the
+      // batch's walk groups bit-identical to the single-request route
+      (prop, QueryCompiler.vamanaBudget(o), metric) -> ((i, o))
     }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
       val items = members.map { case (_, (_, o)) =>
         (o.vector, o.limit, o.weight.getOrElse(1.0f))

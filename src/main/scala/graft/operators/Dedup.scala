@@ -255,18 +255,14 @@ object Dedup {
     * the claim ("candidates ≈ near-dups, not co-occurrences") that makes
     * this operator survive a 1000× corpus.
     */
-  private[graft] def ngramJaccardStages(
-      df: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double,
+  /** Postings + PPJoin prefix frame from a shingled `base`
+    * (`_pid`, `_sh`, `_cnt`) — THE prefix derivation, shared with the
+    * ScaleDebug stage-size diagnostic so the tool can never drift from
+    * the operator it diagnoses. Returns (postings, prefix postings).
+    */
+  private[graft] def prefixStage(
+      base: DataFrame, threshold: Double,
       maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
-    // materialize the shingle arrays once: base feeds three consumers
-    // (postings, and both verification sides). Eager checkpoint, not
-    // persist() — a CacheManager entry would outlive the call with no
-    // release handle, while checkpoint blocks are GC-reclaimed once the
-    // returned frame is unreferenced
-    val base = shingled(df, id, text, n)
-      .withColumn("_cnt", size(col("_sh")))
-      .localCheckpoint()
     val posts = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
     // global document frequency per shingle as groupBy + join-back, NOT a
     // count-over-window: WindowExec has no map-side partial aggregation, so
@@ -294,6 +290,25 @@ object Dedup {
       // shorten the prefix and silently drop qualifying pairs
       .filter(col("_rank") <= col("_cnt") - ceil(tauD * col("_cnt")) + 1)
       .select("_pid", "_s", "_rank", "_cnt")
+    (posts, prefix)
+  }
+
+  private[graft] def ngramJaccardStages(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
+    // materialize the shingle arrays once: base feeds three consumers
+    // (postings, and both verification sides). Eager checkpoint, not
+    // persist() — a CacheManager entry would outlive the call with no
+    // release handle, while checkpoint blocks are GC-reclaimed once the
+    // returned frame is unreferenced
+    val base = shingled(df, id, text, n)
+      .withColumn("_cnt", size(col("_sh")))
+      .localCheckpoint()
+    val (_, prefix) = prefixStage(base, threshold, maxShingleDf)
+    // the same DECIMAL threshold the prefix bound used (prefixStage) — the
+    // candidate filters below must replay it exactly
+    val tauD = lit(threshold).cast("decimal(12,6)")
     // PPJoin candidate filters (both provably lossless, so the result stays
     // exact — decimal arithmetic again to dodge fp boundary drift):
     //  - length: J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|)

@@ -30,16 +30,10 @@ object ScaleDebug {
       docs, col("doc_id"), col("text"), n = 3, threshold = threshold,
       maxShingleDf = None)
     println(s"[dbg] shingled docs: ${base.count()}")
-    val posts = base.select(col("_pid"), col("_cnt"), explode(col("_sh")).as("_s"))
+    // THE operator's own prefix derivation (Dedup.prefixStage) — not a
+    // copy, so the diagnostic can never drift from what PPJoin executes
+    val (posts, prefix) = Dedup.prefixStage(base, threshold, maxShingleDf = None)
     println(s"[dbg] postings: ${posts.count()}")
-    // replicate the prefix derivation exactly (df rank asc, prefix bound)
-    val dfTable = posts.groupBy("_s").agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(col("_df").asc, col("_s").asc)
-    val tauD = lit(threshold).cast("decimal(12,6)")
-    val prefix = posts.join(dfTable, "_s")
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= col("_cnt") - ceil(tauD * col("_cnt")) + 1)
     println(s"[dbg] prefix postings: ${prefix.count()}")
     val groups = prefix.groupBy("_s").agg(count(lit(1)).as("g"))
     val fanout = groups.agg(sum(col("g") * col("g"))).head().getLong(0)

@@ -22,7 +22,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class HttpListener(
     service: WireService, host: String = "127.0.0.1", port: Int = 0,
-    threads: Int = 8) {
+    threads: Int = 8,
+    /** Request-body cap in bytes, enforced before the body is buffered
+      * (the security middlewares run after the read, so without it an
+      * unauthenticated peer could fill driver memory). 32 MB clears the
+      * largest legal insert batch by a wide margin.
+      */
+    maxBodyBytes: Int = 32 << 20) {
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
   private val server =
@@ -69,7 +75,16 @@ final class HttpListener(
       if (body.nonEmpty) ex.getResponseBody.write(body)
       return
     }
-    val body = ex.getRequestBody.readAllBytes()
+    // Bound the body BEFORE buffering it: the tenant/security middlewares
+    // run inside service.handle, i.e. after the read — without a cap an
+    // unauthenticated peer could stream a multi-GB POST into driver
+    // memory ahead of its 407. Declared length past the cap 413s without
+    // reading; a chunked/lying stream is cut off at the cap + 1 mark.
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(_.toLongOption).getOrElse(-1L)
+    if (declared > maxBodyBytes) { reject413(ex, declared); return }
+    val body = ex.getRequestBody.readNBytes(maxBodyBytes + 1)
+    if (body.length > maxBodyBytes) { reject413(ex, body.length.toLong); return }
     val resp = service.handle(ex.getRequestMethod, path, headers, body, remote)
     val msgpack = headers.get("Content-Type").contains("application/msgpack")
     val out = if (msgpack) resp.msgpack else resp.json.getBytes(UTF_8)
@@ -77,6 +92,14 @@ final class HttpListener(
       if (msgpack) "application/msgpack" else "application/json")
     ex.sendResponseHeaders(resp.status, if (out.isEmpty) -1L else out.length.toLong)
     if (out.nonEmpty) ex.getResponseBody.write(out)
+  }
+
+  private def reject413(ex: HttpExchange, got: Long): Unit = {
+    val out = (s"""{"error":"request body too large""" +
+      s""" (${got} B > $maxBodyBytes B)"}""").getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(413, out.length.toLong)
+    ex.getResponseBody.write(out)
   }
 
   /** The bound port (useful with port=0: the OS picks a free one). */

@@ -495,11 +495,17 @@ final class WireRouter(db: graft.Graft,
     // JValue face): no re-render/re-parse per element, and msgpack bodies
     // carrying non-finite floats decode here exactly like the single route
     val reqs = arr.map(graft.model.Json.searchRequest)
+    var served = 0L
     val out = db.searchMany(id, reqs).map { df =>
       val points = df.collect().toList.map(rowToPointMap)
-      metrics.foreach(_.pointSearchCount.add(points.length))
+      served += points.length
       JObject("points" -> JArray(points)): JValue
     }
+    // count AFTER the whole batch materialized: a mid-batch failure 500s
+    // with zero points returned, so it must also add zero to the counter
+    // (the "exactly K independent calls" contract — a failed single call
+    // counts nothing)
+    metrics.foreach(_.pointSearchCount.add(served))
     WireResponse(200, JObject("results" -> JArray(out.toList)))
   }
 

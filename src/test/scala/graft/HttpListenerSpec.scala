@@ -49,6 +49,38 @@ class HttpListenerSpec extends SparkSuite {
     }
   }
 
+  test("oversized bodies 413 BEFORE the body is buffered or routed") {
+    // the cap guards driver memory ahead of authentication: the listener
+    // must reject on the declared length (and on the streamed length when
+    // the declaration lies) without invoking the service
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_spec_").toString
+    val svc = new WireService(spark, dir,
+      userPlans = Map("basic" -> graft.store.UserPlan()))
+    val l = new graft.wire.HttpListener(svc, maxBodyBytes = 1024)
+    try {
+      val big = "x" * 2048
+      val r = client.send(
+        HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${l.boundPort}/ping"))
+          .header("X-User-Id", "u1").header("X-Plan-Id", "basic")
+          .POST(HttpRequest.BodyPublishers.ofString(big)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 413, s"got ${r.statusCode()}: ${r.body()}")
+      assert(r.body().contains("too large"))
+      // an in-bounds body still routes normally on the same listener
+      // (POST /collections is a real body-carrying route; a bad body is
+      // the router's 400, not the listener's 413 — proving the cap only
+      // rejects size)
+      val ok = client.send(
+        HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${l.boundPort}/collections"))
+          .header("X-User-Id", "u1").header("X-Plan-Id", "basic")
+          .POST(HttpRequest.BodyPublishers.ofString("not json")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 400, s"got ${ok.statusCode()}: ${ok.body()}")
+    } finally l.close()
+  }
+
   test("proxy-secret and IP whitelist see the real peer address") {
     withListener(secret = Some("s3cr3t")) { (_, port) =>
       assert(get(port, "/ping", tenant).statusCode() == 407)
