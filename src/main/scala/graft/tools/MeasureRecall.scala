@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * static entries (e.g. the 256-d coded-walk rows, whose builds are too
   * slow for the per-commit suite).
   *
-  * Usage: `runMain graft.tools.MeasureRecall <sfDir> <factor> <dOut|0> <m1,m2,...>`
-  * (`dOut` 0 = no JL lift, measure at the stored dimensionality).
+  * Usage: `runMain graft.tools.MeasureRecall <sfDir> <factor> <dOut|0>
+  * <m1,m2,...> [searchSize] [graphDir]` (`dOut` 0 = no JL lift, measure at
+  * the stored dimensionality; `graphDir` = a prior run's coded-walk graph
+  * artifact to reuse when sweeping `searchSize` at the same corpus point).
   */
 object MeasureRecall {
   def main(args: Array[String]): Unit = {
@@ -61,8 +63,11 @@ object MeasureRecall {
         graft.operators.Embeddings.jlLift(
           emb0, col("vec_id"), col("embedding"), dIn = 64, dOut = dOut)
       else emb0
+    val searchSize = args.lift(4).map(_.toInt).getOrElse(75)
+    val graphDir = args.lift(5).filter(_.nonEmpty)
     val rows = ScaleRecall.measure(
-      spark, emb, factor, Seq(0L, 7L, 99L, 250L, 444L), methods = methods)
+      spark, emb, factor, Seq(0L, 7L, 99L, 250L, 444L),
+      searchSize = searchSize, methods = methods, graphDir = graphDir)
     rows.foreach(r => println(f"[recall] ${r.method} | ${r.config} | ${r.recall}%.3f"))
     spark.stop()
   }

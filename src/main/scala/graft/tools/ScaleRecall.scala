@@ -38,7 +38,13 @@ object ScaleRecall {
       searchSize: Int = 75, rescore: Int = 200,
       buildParams: graft.operators.VamanaBuild.Params =
         graft.operators.VamanaBuild.Params(degreeBound = 32, iterations = 3),
-      methods: Set[String] = Set("vamana", "ivfpq", "sq8")): Seq[Row] = {
+      methods: Set[String] = Set("vamana", "ivfpq", "sq8"),
+      // Reuse an existing coded-walk graph artifact (a prior run's
+      // graft_scale_vamcoded_<n>/art with its _SUCCESS marker): the corpus
+      // is a pure function of (base table, factor, eps), so a
+      // same-parameters rerun — e.g. sweeping searchSize — can skip the
+      // dominant build cost. The caller owns parameter consistency.
+      graphDir: Option[String] = None): Seq[Row] = {
     import spark.implicits._
     val big = Embeddings.replicatePerturbed(
       emb, col("vec_id"), col("embedding"), factor, eps).persist()
@@ -89,8 +95,10 @@ object ScaleRecall {
     // graph artifact, beam walk (local fast path at this artifact size),
     // exact re-rank through Search
     if (methods("vamana")) {
-      val vamDir = java.nio.file.Files
-      .createTempDirectory(s"graft_scale_vamana_f$factor").resolve("art").toString
+      // the graph is source-independent, so the override reuses a coded
+      // run's artifact for the uncompressed-walk row too
+      val vamDir = graphDir.getOrElse(java.nio.file.Files
+        .createTempDirectory(s"graft_scale_vamana_f$factor").resolve("art").toString)
     val coll = graft.engine.Collection(
         big.select(col("vec_id").cast("string").as("_id"),
           col("embedding").as("vec_l2")),
@@ -128,8 +136,8 @@ object ScaleRecall {
     // (dir_serve_coded_pq / _rbq) — so the second attach reuses the
     // _SUCCESS-marked graph parquet and the measurement pays the dominant
     // build cost once instead of per source.
-    lazy val codedGraphDir = java.nio.file.Files
-      .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString
+    lazy val codedGraphDir = graphDir.getOrElse(java.nio.file.Files
+      .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString)
     if (methods("vamana_coded")) {
       val codDir = codedGraphDir
       val pq = graft.operators.ProductQuantizer.fit(
