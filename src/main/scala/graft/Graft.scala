@@ -341,11 +341,12 @@ final class Graft(val spark: SparkSession, root: String,
 
   /** Serve MANY requests against one collection in one call (request
     * order preserved). Index builds/attaches are ensured ONCE for the
-    * union of the batch's properties, then Search.searchMany walks the
-    * batchable graph-served requests as a single hop-fused wave — a
-    * K-query serving batch pays ~one walk's Spark jobs, not K× (the
-    * per-query job-scheduling floor is the dominant cost of small-K
-    * serving).
+    * union of the batch's properties, then Search.searchMany fuses the
+    * batchable requests: graph-served requests walk as a single
+    * hop-fused wave, and full-scan flat requests share ONE multi-query
+    * candidate scan — a K-query serving batch pays ~one request's heavy
+    * work, not K× (the per-query job-scheduling floor and the candidate
+    * scan are the dominant costs of small-K serving).
     */
   def searchMany(name: String, requests: Seq[SearchRequest]): Seq[DataFrame] = {
     // validate against the PRE-index view first so a malformed request

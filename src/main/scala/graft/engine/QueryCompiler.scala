@@ -67,7 +67,7 @@ object QueryCompiler {
       case (k: IndexKind.VectorFlat, _) if q.vectorFlat.isDefined =>
         val o = q.vectorFlat.get
         near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight,
-          approx = o.approx, budget = math.max(5 * o.limit, 50))
+          approx = o.approx, budget = flatBudget(o))
       case (k: IndexKind.VectorVamana, _) if q.vectorVamana.isDefined =>
         val o = q.vectorVamana.get
         near(col, prop, k.metric, o.vector, o.limit, o.filter, o.weight,
@@ -86,6 +86,13 @@ object QueryCompiler {
     */
   private[engine] def vamanaBudget(o: VectorVamanaOpts): Int =
     math.max(o.searchSize, 2 * o.limit)
+
+  /** The vectorFlat rescore budget — same single-definition rule as
+    * [[vamanaBudget]]: Search.searchMany groups batchable flat requests
+    * by this value.
+    */
+  private[engine] def flatBudget(o: VectorFlatOpts): Int =
+    math.max(5 * o.limit, 50)
 
   /** Dotted property paths resolve through struct columns natively. */
   private def column(prop: String): Column = col(prop)
@@ -227,7 +234,32 @@ object QueryCompiler {
       case None => idx.encoded
       case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
     }
-    val (restricted, qd) = idx match {
+    val (restricted, qd) = flatCandidateExpr(idx, metric, vector, restricted0)
+    val scored = restricted.select(col(IdCol), qd.as("_qd"))
+    // a spilled IVF-PQ artifact stores an id in several cells, so two
+    // probed copies may both score: keep the best per id, or duplicates
+    // burn budget slots (BQ/PQ frames are id-unique — skip the aggregate)
+    val deduped = idx match {
+      case _: IvfPqVectorIndex => scored.groupBy(IdCol).agg(min(col("_qd")).as("_qd"))
+      case _ => scored
+    }
+    val candIds = deduped
+      .orderBy(col("_qd").asc, col(IdCol).asc)
+      .limit(budget)
+      .select(IdCol)
+    rerank(col0, prop, metric, vector, limit, w, candIds)
+  }
+
+  /** Stage-1 candidate scan for a FLAT quantizer artifact: the (scan
+    * frame, quantized-distance column) pair for `vector` under the
+    * DECLARED metric — THE single definition of every per-index candidate
+    * ranking, shared by the one-query route and compileFlatMany (which
+    * folds K of these columns into ONE scan). IVF families also restrict
+    * the frame to their probed cells (per-query partition pruning).
+    */
+  private def flatCandidateExpr(
+      idx: VectorIndex, metric: IndexKind.Metric, vector: Seq[Float],
+      restricted0: DataFrame): (DataFrame, Column) = idx match {
       case BinaryVectorIndex(th, _, levels) =>
         require(vector.length == th.length,
           s"query vector has ${vector.length} dims; binary index has ${th.length}")
@@ -350,20 +382,6 @@ object QueryCompiler {
           graft.operators.IvfPq.adcUdf(tables)(col("_bucket"), col("_codes")))
       case _: VamanaVectorIndex =>
         throw new IllegalStateException("vamana artifacts are served above")
-    }
-    val scored = restricted.select(col(IdCol), qd.as("_qd"))
-    // a spilled IVF-PQ artifact stores an id in several cells, so two
-    // probed copies may both score: keep the best per id, or duplicates
-    // burn budget slots (BQ/PQ frames are id-unique — skip the aggregate)
-    val deduped = idx match {
-      case _: IvfPqVectorIndex => scored.groupBy(IdCol).agg(min(col("_qd")).as("_qd"))
-      case _ => scored
-    }
-    val candIds = deduped
-      .orderBy(col("_qd").asc, col(IdCol).asc)
-      .limit(budget)
-      .select(IdCol)
-    rerank(col0, prop, metric, vector, limit, w, candIds)
   }
 
   /** The tail of the graph-served route: beam pool (graph ids) → string
@@ -423,6 +441,52 @@ object QueryCompiler {
         if (ids.isEmpty) art.filter(lit(false)).select(IdCol)
         else {
           import art.sparkSession.implicits._
+          ids.toDF(IdCol)
+        }
+      rerank(col0, prop, metric, vec, limit, w, candIds)
+    }
+  }
+
+  /** Batched compile for MANY single-leaf, unfiltered, approx vectorFlat
+    * queries against ONE attached full-scan quantizer artifact (BQ / PQ /
+    * OPQ / SQ8 / RaBitQ — Search.searchMany's flat batchable group): the
+    * K quantized-distance columns evaluate in ONE codegen'd pass over the
+    * encoded frame — the scan I/O, the dominant flat candidate-stage cost
+    * at 100 TB, is paid once for the whole group — then a bounded
+    * per-query top-k (Similarity.TopKStrAgg: partial top-budget map-side,
+    * ≤ K×budget narrow rows ever shuffled) replays each query's
+    * `orderBy(_qd asc, _id asc).limit(budget)` exactly, and ONE collect
+    * feeds the per-request exact re-ranks. IVF families are deliberately
+    * NOT batchable here: their win is per-query partition pruning, which
+    * a fused full scan would undo (they take the single pipeline).
+    */
+  private[engine] def compileFlatMany(
+      col0: Collection, prop: String, metric: IndexKind.Metric,
+      items: Seq[(Seq[Float], Int, Float)], budget: Int): Seq[Compiled] = {
+    val idx = col0.vectorIndexes(prop)
+    val frame = idx.encoded
+    val qds = items.map { case (vec, _, _) =>
+      val (restricted, qd) = flatCandidateExpr(idx, metric, vec, frame)
+      // id-unique full-scan families return the frame untouched; anything
+      // that restricts its scan per query must not have been routed here
+      require(restricted eq frame,
+        s"${idx.getClass.getSimpleName} restricts its candidate scan per query — not flat-batchable")
+      qd.cast("double")
+    }
+    val topAgg = udaf(new graft.operators.Similarity.TopKStrAgg(budget))
+    val tops: Map[Int, Seq[String]] = frame
+      .select(col(IdCol), posexplode(array(qds: _*)).as(Seq("_qi", "_qd")))
+      .groupBy("_qi")
+      .agg(topAgg(col("_qd"), col(IdCol)).as("_top"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getStruct(1).getSeq[String](1).toSeq)
+      .toMap
+    items.zipWithIndex.map { case ((vec, limit, w), qi) =>
+      val ids = tops.getOrElse(qi, Nil)
+      val candIds =
+        if (ids.isEmpty) frame.filter(lit(false)).select(IdCol)
+        else {
+          import frame.sparkSession.implicits._
           ids.toDF(IdCol)
         }
       rerank(col0, prop, metric, vec, limit, w, candIds)

@@ -38,14 +38,25 @@ object Search {
     * one fused point read for the whole group — so a K-query batch costs
     * ~maxHops Spark jobs instead of K×maxHops (the per-query
     * job-scheduling floor is the dominant serving cost at small K).
-    * Everything else — filtered or combinator queries, other index kinds
+    * Single-leaf, unfiltered, approx vectorFlat requests against a
+    * full-scan quantizer artifact (BQ/PQ/OPQ/SQ8/RaBitQ) likewise fuse:
+    * the group's K quantized-distance columns evaluate in ONE pass over
+    * the encoded frame (compileFlatMany), amortizing the candidate scan —
+    * the dominant flat serving cost at corpus scale — across the batch.
+    * Everything else — filtered or combinator queries, IVF-backed flat
+    * requests (whose per-query partition pruning a fused scan would undo)
     * — takes the single-request pipeline unchanged.
     */
   def searchMany(col0: Collection, reqs: Seq[SearchRequest]): Seq[DataFrame] = {
     reqs.foreach(validate(col0, _))
-    // batchable = the exact single-leaf shape whose compile is a pure
-    // function of (prop, vector, budget, limit, weight) over one artifact
-    def batchable(q: Query): Option[(String, VectorVamanaOpts, IndexKind.Metric)] =
+    // batchable = the exact single-leaf shapes whose compile is a pure
+    // function of (prop, vector, budget, limit, weight) over one artifact.
+    // Two families fuse: graph-walk requests share hop waves
+    // (compileVamanaMany); full-scan flat requests share ONE multi-query
+    // candidate scan (compileFlatMany). IVF-backed flat requests stay on
+    // the single pipeline — their win is per-query partition pruning,
+    // which a fused full scan would undo.
+    def vamanaTag(q: Query): Option[(String, VectorVamanaOpts, IndexKind.Metric)] =
       q.vectorVamana match {
         case Some(o) if o.approx && o.filter.isEmpty &&
             q.and.isEmpty && q.or.isEmpty =>
@@ -58,11 +69,28 @@ object Search {
           }
         case _ => None
       }
-    val tagged = reqs.map(r => r -> batchable(r.query)).zipWithIndex
+    def flatTag(q: Query): Option[(String, VectorFlatOpts, IndexKind.Metric)] =
+      q.vectorFlat match {
+        case Some(o) if o.approx && o.filter.isEmpty &&
+            q.and.isEmpty && q.or.isEmpty =>
+          col0.schema.get(q.property) match {
+            case Some(k: IndexKind.VectorFlat) =>
+              col0.vectorIndexes.get(q.property) match {
+                case Some(_: BinaryVectorIndex | _: ProductVectorIndex |
+                          _: OpqVectorIndex | _: RbqVectorIndex |
+                          _: ScalarVectorIndex) => Some((q.property, o, k.metric))
+                case _ => None // IVF / vamana / no artifact: single pipeline
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    val tagged = reqs.map(r => (r, vamanaTag(r.query), flatTag(r.query))).zipWithIndex
     val compiledByIdx = scala.collection.mutable.Map[Int, QueryCompiler.Compiled]()
-    tagged.collect { case ((r, Some((prop, o, metric))), i) =>
-      // the shared budget definition (QueryCompiler.vamanaBudget) keeps the
-      // batch's walk groups bit-identical to the single-request route
+    tagged.collect { case (((_, Some((prop, o, metric)), _)), i) =>
+      // the shared budget definitions (QueryCompiler.vamanaBudget /
+      // flatBudget) keep the batch's groups bit-identical to the
+      // single-request route
       (prop, QueryCompiler.vamanaBudget(o), metric) -> ((i, o))
     }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
       val items = members.map { case (_, (_, o)) =>
@@ -71,9 +99,19 @@ object Search {
       val cs = QueryCompiler.compileVamanaMany(col0, prop, metric, items, budget)
       members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
     }
-    tagged.map { case ((r, tag), i) =>
+    tagged.collect { case (((_, None, Some((prop, o, metric)))), i) =>
+      (prop, QueryCompiler.flatBudget(o), metric) -> ((i, o))
+    }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
+      val items = members.map { case (_, (_, o)) =>
+        (o.vector, o.limit, o.weight.getOrElse(1.0f))
+      }
+      val cs = QueryCompiler.compileFlatMany(col0, prop, metric, items, budget)
+      members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
+    }
+    tagged.map { case ((r, vt, ft), i) =>
       assemble(col0, r,
-        if (tag.isDefined) compiledByIdx(i) else QueryCompiler.compile(col0, r.query))
+        if (vt.isDefined || ft.isDefined) compiledByIdx(i)
+        else QueryCompiler.compile(col0, r.query))
     }
   }
 

@@ -87,6 +87,74 @@ object Similarity {
     override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  /** [[TopKBuf]] for STRING ids (the engine's `_id` column). */
+  final case class TopKStrBuf(var ds: Array[Double], var ids: Array[String], var n: Int)
+
+  /** [[TopKAgg]] for STRING ids — the flat candidate scan's bounded
+    * per-query top-k (QueryCompiler.compileFlatMany). The tie-break
+    * compares ids by their UNSIGNED UTF-8 bytes — Spark's own string
+    * ordering (UTF8String.binaryCompare), so the aggregated top-k replays
+    * `orderBy(dist asc, id asc).limit(k)` exactly; JVM `String.compareTo`
+    * is UTF-16 code-unit order, which DISAGREES with UTF-8 order for
+    * supplementary characters and would drift the tie-break on such ids.
+    */
+  final class TopKStrAgg(k: Int)
+      extends Aggregator[(Double, String), TopKStrBuf, TopKStrBuf] {
+    require(k > 0, s"k must be positive (got $k)")
+    private def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.compareUnsigned(x, y)
+    }
+    private val ord: Ordering[(Double, String)] =
+      new Ordering[(Double, String)] {
+        def compare(p: (Double, String), q: (Double, String)): Int = {
+          val c = java.lang.Double.compare(p._1, q._1)
+          if (c != 0) c else utf8Cmp(p._2, q._2)
+        }
+      }
+    private def compact(ds: Array[Double], ids: Array[String], used: Int,
+        keep: Int): TopKStrBuf = {
+      val idx = Array.range(0, used).sortBy(i => (ds(i), ids(i)))(ord)
+      val n = math.min(keep, used)
+      val od = new Array[Double](n); val oi = new Array[String](n)
+      var j = 0
+      while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
+      TopKStrBuf(od, oi, n)
+    }
+    override def zero: TopKStrBuf = TopKStrBuf(new Array(2 * k), new Array(2 * k), 0)
+    override def reduce(b: TopKStrBuf, a: (Double, String)): TopKStrBuf = {
+      if (b.n == b.ds.length) {
+        if (b.ds.length < 2 * k) { // deserialized exact-size buffer: regrow
+          val nd = new Array[Double](2 * k); val ni = new Array[String](2 * k)
+          java.lang.System.arraycopy(b.ds, 0, nd, 0, b.n)
+          java.lang.System.arraycopy(b.ids, 0, ni, 0, b.n)
+          b.ds = nd; b.ids = ni
+        } else {
+          val c = compact(b.ds, b.ids, b.n, k)
+          java.lang.System.arraycopy(c.ds, 0, b.ds, 0, c.n)
+          java.lang.System.arraycopy(c.ids, 0, b.ids, 0, c.n)
+          b.n = c.n
+        }
+      }
+      b.ds(b.n) = a._1
+      b.ids(b.n) = a._2
+      b.n += 1
+      b
+    }
+    override def merge(x: TopKStrBuf, y: TopKStrBuf): TopKStrBuf = {
+      val ds = new Array[Double](x.n + y.n); val ids = new Array[String](x.n + y.n)
+      java.lang.System.arraycopy(x.ds, 0, ds, 0, x.n)
+      java.lang.System.arraycopy(x.ids, 0, ids, 0, x.n)
+      java.lang.System.arraycopy(y.ds, 0, ds, x.n, y.n)
+      java.lang.System.arraycopy(y.ids, 0, ids, x.n, y.n)
+      compact(ds, ids, x.n + y.n, k)
+    }
+    override def finish(b: TopKStrBuf): TopKStrBuf = compact(b.ds, b.ids, b.n, k)
+    override def bufferEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+    override def outputEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+  }
+
   /** For each row of `queries`, the `k` nearest `corpus` rows by `metric`.
     * Output: (query_id, corpus_id, distance, rank). Ids must be castable
     * to long (attach a surrogate id first — e.g. zipWithIndex — for

@@ -92,6 +92,27 @@ object TestCollections {
       docs(s, d).withVamanaVectorIndex("vec_l2", vamanaArtifactDir(d)))
   }
 
+  // SQ8-attached docs collection, cached like docsVamana: the min/max fit
+  // is a deterministic corpus aggregate (identical every call), so the
+  // two SQ8-served gates (s2_near_sq_approx, s2_near_flat_many) measure
+  // SERVING, not a repeated fit
+  private val sqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Collection]()
+
+  /** [[docs]] with an SQ8 scalar-quantizer artifact attached to
+    * `embedding` (the flat `"approx": true` serving path).
+    */
+  def docsSq8(s: SparkSession, d: String): Collection = {
+    val app = s.sparkContext.applicationId
+    sqCache.keySet.removeIf(k => k._1 != app)
+    sqCache.computeIfAbsent((app, d), _ => {
+      val base = docs(s, d)
+      val (lo, hi) = graft.operators.ScalarQuantizer.fitMinMax(
+        base.df, col("embedding"), 64)
+      base.withScalarVectorIndex("embedding", lo, hi)
+    })
+  }
+
   private def vamanaArtifactDir(d: String): String = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
     val stamp =

@@ -517,12 +517,18 @@ object VectorQueries {
     * DuckDB rebuilds the fit, the codes, and the full two-stage pipeline
     * from raw data — every constant is derived, no golden.
     */
+  /** SQL replay of the SQ8 reconstructed-L2 candidate distance (shared by
+    * the single-request gate and the batched flat-serving gate): per-dim
+    * min/max grid code, reconstruction, squared residual to `q.v`.
+    */
+  private def sqReconChain: String = (1 to 64).map { i =>
+    val code = s"least(greatest(floor((CAST(c.embedding[$i] AS DOUBLE) - mm.lo[$i]) * 255.0 / (mm.hi[$i] - mm.lo[$i]) + 0.5), 0.0), 255.0)"
+    val xhat = s"(mm.lo[$i] + $code * ((mm.hi[$i] - mm.lo[$i]) / 255.0))"
+    s"(($xhat - CAST(q.v[$i] AS DOUBLE)) * ($xhat - CAST(q.v[$i] AS DOUBLE)))"
+  }.mkString(" + ")
+
   val s2NearSqApprox = {
-    val chain = (1 to 64).map { i =>
-      val code = s"least(greatest(floor((CAST(c.embedding[$i] AS DOUBLE) - mm.lo[$i]) * 255.0 / (mm.hi[$i] - mm.lo[$i]) + 0.5), 0.0), 255.0)"
-      val xhat = s"(mm.lo[$i] + $code * ((mm.hi[$i] - mm.lo[$i]) / 255.0))"
-      s"(($xhat - CAST(q.v[$i] AS DOUBLE)) * ($xhat - CAST(q.v[$i] AS DOUBLE)))"
-    }.mkString(" + ")
+    val chain = sqReconChain
     NamedQuery(
       "s2_near_sq_approx",
       s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
@@ -547,9 +553,7 @@ object VectorQueries {
          |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
          |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
          |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
-      val base = TestCollections.docs(s, d)
-      val (lo, hi) = graft.operators.ScalarQuantizer.fitMinMax(base.df, col("embedding"), 64)
-      val coll = base.withScalarVectorIndex("embedding", lo, hi)
+      val coll = TestCollections.docsSq8(s, d)
       Search.search(coll, SearchRequest(
         Query("embedding", vectorFlat = Some(VectorFlatOpts(
           TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
@@ -790,10 +794,71 @@ object VectorQueries {
       .orderBy("qi", "dist_r", "_id")
   }
 
+  /** Batch-amortized FLAT serving (round 11): five complete vectorFlat
+    * `"approx": true` requests through Search.searchMany in ONE call —
+    * the group's five SQ8 candidate scans fuse into a single codegen'd
+    * pass over the encoded frame (QueryCompiler.compileFlatMany) with a
+    * bounded per-query top-50 (TopKStrAgg), then the shared exact
+    * re-rank per request. Results are per-request identical to five
+    * independent searches (SearchManySpec flat law), and the oracle
+    * replays the ENTIRE quantized pipeline in SQL per query — min/max
+    * grid, reconstructed-L2 candidate cut at budget 50 (windowed per
+    * query), exact float32 cosine re-rank — so the gate is exact with no
+    * golden.
+    */
+  val s2NearFlatMany = {
+    val chain = sqReconChain
+    NamedQuery(
+      "s2_near_flat_many",
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |corpus AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |mm0 AS (
+         |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+         |  FROM corpus CROSS JOIN dims GROUP BY i),
+         |mm AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM mm0),
+         |q AS (SELECT vec_id AS qi, embedding AS v FROM embeddings WHERE vec_id <= 4),
+         |ad AS (
+         |  SELECT q.qi, c._id, c.embedding, ($chain) AS ad
+         |  FROM corpus c CROSS JOIN q CROSS JOIN mm),
+         |cand AS (
+         |  SELECT qi, _id, embedding FROM (
+         |    SELECT qi, _id, embedding,
+         |      row_number() OVER (PARTITION BY qi ORDER BY ad ASC, _id ASC) AS rn
+         |    FROM ad) WHERE rn <= 50),
+         |rr AS (
+         |  SELECT c.qi, c._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+         |  FROM cand c JOIN q ON c.qi = q.qi),
+         |top AS (
+         |  SELECT qi, _id, dist32 FROM (
+         |    SELECT qi, _id, dist32,
+         |      row_number() OVER (PARTITION BY qi ORDER BY dist32 ASC, _id ASC) AS rn
+         |    FROM rr) WHERE rn <= 10)
+         |SELECT CAST(qi AS BIGINT) AS qi, _id,
+         |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
+         |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
+         |FROM top ORDER BY qi, dist_r, _id""".stripMargin) { (s, d) =>
+      val coll = TestCollections.docsSq8(s, d)
+      val reqs = (0L to 4L).map(i => SearchRequest(
+        Query("embedding", vectorFlat = Some(VectorFlatOpts(
+          TestCollections.queryVector(s, d, i), Op.Near, 10, approx = true))),
+        limit = 100))
+      Search.searchMany(coll, reqs).zipWithIndex.map { case (df, qi) =>
+        df.select(lit(qi.toLong).as("qi"), col("_id"),
+          dround(col("_distance"), Scale).as("dist_r"),
+          dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      }.reduce(_ unionAll _)
+        .orderBy("qi", "dist_r", "_id")
+    }
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
     s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
-    s2NearOpqApprox, s2NearRbqApprox, s2NearIvfRbqApprox, s1NearVamanaMany)
+    s2NearOpqApprox, s2NearRbqApprox, s2NearIvfRbqApprox, s1NearVamanaMany,
+    s2NearFlatMany)
 }

@@ -476,10 +476,11 @@ final class WireRouter(db: graft.Graft,
 
   /** Batch search (beyond the reference): `{"requests":[<search body>…]}`
     * → `{"results":[{"points":[…]}, …]}` in request order. The facade's
-    * searchMany walks the batchable graph-served requests of the batch as
-    * ONE hop-fused wave (engine Search.searchMany), so a K-query serving
-    * batch pays ~one walk's job waves instead of K× — the wire face of
-    * the batch-amortized serving path. Each element is a complete v2
+    * searchMany fuses the batch's batchable requests (engine
+    * Search.searchMany): graph-served requests walk as ONE hop-fused
+    * wave, and full-scan flat requests share ONE multi-query candidate
+    * scan — so a K-query serving batch pays ~one request's heavy work
+    * instead of K×. Each element is a complete v2
     * search body (the single-request codec, reused verbatim); a malformed
     * element 400s the whole batch, nothing partial executes first.
     */

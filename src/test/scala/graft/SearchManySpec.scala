@@ -70,6 +70,39 @@ class SearchManySpec extends SparkSuite {
     fromJson.foreach(df => assert(rows(df) == rows(single)))
   }
 
+  // SQ8-quantized flat collection: the flat batchable family's
+  // representative (same artifact the s2_near_sq_approx gate serves)
+  lazy val flatColl = queries.TestCollections.docsSq8(spark, sf0001)
+
+  private def flatReq(qi: Long, limit: Int = 10, weight: Option[Float] = None,
+      filter: Option[Query] = None) = SearchRequest(
+    Query("embedding", vectorFlat = Some(VectorFlatOpts(
+      queries.TestCollections.queryVector(spark, sf0001, qi), Op.Near,
+      limit, weight = weight, approx = true, filter = filter))),
+    limit = 100)
+
+  test("flat searchMany == K independent searches (fused SQ8 candidate scan)") {
+    val reqs = (0L to 4L).map(flatReq(_))
+    val batch = Search.searchMany(flatColl, reqs)
+    assert(batch.size == reqs.size)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(rows(df) == rows(Search.search(flatColl, r)), s"flat drift for $r")
+    }
+  }
+
+  test("flat searchMany: mixed limits/weights and filtered fallback") {
+    // limit 20 forces budget max(5*20, 50) = 100 ≠ 50: two scan groups;
+    // the filtered request must take the single pipeline unchanged
+    val reqs = Seq(
+      flatReq(0L), flatReq(1L, limit = 20, weight = Some(2.0f)),
+      flatReq(2L, filter = Some(Query("lang",
+        string = Some(StringOpts("en", Op.Equals))))))
+    val batch = Search.searchMany(flatColl, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(rows(df) == rows(Search.search(flatColl, r)))
+    }
+  }
+
   test("empty batch and invalid request behave like the single face") {
     assert(Search.searchMany(coll, Nil).isEmpty)
     val bad = SearchRequest(
