@@ -126,6 +126,26 @@ object BinaryQuantizer {
       lo: Array[Double], hi: Array[Double]): Column = {
     require(query.length == lo.length && lo.length == hi.length,
       s"query/levels dims disagree: ${query.length}/${lo.length}/${hi.length}")
+    // one loop node (functions/BitLevelExpr.scala) instead of a dim-term
+    // CASE chain — the SqReconDistance argument: Catalyst walks, not
+    // execution, dominated the chain's request cost. Bit-identical on
+    // every valid packed row (QuantizerSpec law vs asymmetricDistanceChain).
+    val a2 = lo.indices.map { i =>
+      val q = query(i).toDouble; (q - lo(i)) * (q - lo(i)) }.toArray
+    val b2 = lo.indices.map { i =>
+      val q = query(i).toDouble; (q - hi(i)) * (q - hi(i)) }.toArray
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      graft.functions.BitLevelDistance(
+        org.apache.spark.sql.graft.Bridge.toExpression(packed), a2, b2))
+  }
+
+  /** Chain form of [[asymmetricDistance]], the equivalence law's oracle
+    * (QuantizerSpec) — not used in serving.
+    */
+  private[graft] def asymmetricDistanceChain(packed: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double]): Column = {
+    require(query.length == lo.length && lo.length == hi.length,
+      s"query/levels dims disagree: ${query.length}/${lo.length}/${hi.length}")
     val terms = lo.indices.map { i =>
       val q = query(i).toDouble
       val a2 = (q - lo(i)) * (q - lo(i)) // bit = 0 → low-side level
@@ -491,6 +511,30 @@ object ScalarQuantizer {
     * constants.
     */
   def approxDistance(codes: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double]): Column =
+    reconExpr(codes, query, lo, hi, negDot = false)
+
+  /** One loop node (functions/SqReconExpr.scala) instead of a dim-term
+    * literal chain: the chain made Catalyst tree walks, not execution,
+    * the dominant request cost (~400 nodes/query; measured via
+    * tools/TimeProbe). Arithmetic and null semantics are bit-identical —
+    * QuantizerSpec pins the law against [[approxDistanceChain]].
+    */
+  private def reconExpr(codes: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double], negDot: Boolean): Column = {
+    require(query.length == lo.length, s"query dim ${query.length} != ${lo.length}")
+    val step = lo.indices.map(i =>
+      if (hi(i) <= lo(i)) 0.0 else (hi(i) - lo(i)) / 255.0).toArray
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      graft.functions.SqReconDistance(
+        org.apache.spark.sql.graft.Bridge.toExpression(codes),
+        query.map(_.toDouble).toArray, lo.clone(), step, negDot))
+  }
+
+  /** The replaced literal-chain formulation, kept as the equivalence
+    * law's independent oracle (QuantizerSpec) — not used in serving.
+    */
+  private[graft] def approxDistanceChain(codes: Column, query: Seq[Float],
       lo: Array[Double], hi: Array[Double]): Column = {
     require(query.length == lo.length, s"query dim ${query.length} != ${lo.length}")
     val terms = lo.indices.map { i =>
@@ -510,6 +554,11 @@ object ScalarQuantizer {
     * long vectors).
     */
   def approxDotDistance(codes: Column, query: Seq[Float],
+      lo: Array[Double], hi: Array[Double]): Column =
+    reconExpr(codes, query, lo, hi, negDot = true)
+
+  /** Chain form of [[approxDotDistance]], the equivalence law's oracle. */
+  private[graft] def approxDotDistanceChain(codes: Column, query: Seq[Float],
       lo: Array[Double], hi: Array[Double]): Column = {
     require(query.length == lo.length, s"query dim ${query.length} != ${lo.length}")
     val terms = lo.indices.map { i =>

@@ -370,4 +370,60 @@ class QuantizerSpec extends SparkSuite {
     val (l2, h2) = BinaryQuantizer.fitLevels(const, col("v"), 2, Array(1.5, 1.5))
     assert(l2(0) == 1.5 && h2(0) == 1.5) // no values above 1.5 at dim 0
   }
+
+  test("SqReconDistance loop node == the literal chain, bit-for-bit (L2 and dot)") {
+    // the chain is the independent oracle for the one-node rewrite (the
+    // rewrite exists to collapse Catalyst tree walks, never to change a
+    // bit): random codes, a degenerate hi<=lo dimension, a too-short
+    // array (both must null), and a null array (both must null)
+    import graft.operators.ScalarQuantizer
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val lo = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val hi = lo.map(_ + rnd.nextDouble())
+    hi(13) = lo(13) - 0.1 // degenerate dimension: step 0 by the shared guard
+    val q = Array.fill(dim)(rnd.nextFloat()).toSeq
+    val rows: Seq[Option[Seq[Long]]] =
+      (0 until 500).map(_ => Some(Seq.fill(dim)(rnd.nextInt(256).toLong))) ++
+        Seq(Some(Seq.fill(dim - 3)(1L)), None)
+    val df = rows.toDF("codes")
+    for (dot <- Seq(false, true)) {
+      val (loop, chain) =
+        if (dot) (ScalarQuantizer.approxDotDistance(col("codes"), q, lo, hi),
+          ScalarQuantizer.approxDotDistanceChain(col("codes"), q, lo, hi))
+        else (ScalarQuantizer.approxDistance(col("codes"), q, lo, hi),
+          ScalarQuantizer.approxDistanceChain(col("codes"), q, lo, hi))
+      val got = df.select(loop.as("a"), chain.as("b")).collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null drift: $r")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"bit drift: $r")
+      }
+      assert(got.count(_.isNullAt(0)) == 2, "short + null rows must both null")
+    }
+  }
+
+  test("BitLevelDistance loop node == the CASE chain, bit-for-bit (valid packed rows)") {
+    // valid = encoder-shaped rows (exactly ceil(dim/64) non-null words);
+    // dim=100 exercises cross-word bit addressing
+    val rnd = new scala.util.Random(11)
+    for (dim <- Seq(64, 100)) {
+      val words = (dim + 63) / 64
+      val lo = Array.fill(dim)(rnd.nextDouble() - 1.0)
+      val hi = lo.map(_ + rnd.nextDouble() + 0.1)
+      val q = Array.fill(dim)(rnd.nextFloat()).toSeq
+      val rows = (0 until 300).map(_ => Seq.fill(words)(rnd.nextLong()))
+      val df = rows.toDF("packed")
+      val got = df.select(
+        BinaryQuantizer.asymmetricDistance(col("packed"), q, lo, hi).as("a"),
+        BinaryQuantizer.asymmetricDistanceChain(col("packed"), q, lo, hi).as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"bit drift: $r")
+      }
+    }
+  }
 }
