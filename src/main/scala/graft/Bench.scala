@@ -95,13 +95,17 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] prebuild $name: $e") }
       }
     spark.catalog.clearCache()
-    // two timed passes, REPORT THE WARM ONE: the per-round record runs 90+
-    // queries in one JVM, and pass-1 numbers carry one-time JIT + page-cache
-    // noise that fabricated ~5× "regressions" in earlier rounds (the
-    // baseline's published numbers are warm-cache QPS, so warm is also the
-    // apples-to-apples measurement). SPARK_GRAFT_PASSES=1 restores the
-    // single-pass mode for quick local iteration.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // THREE timed passes by default, REPORT min-per-query: the per-round
+    // record runs 170+ queries in one JVM, and pass-1 numbers carry
+    // one-time JIT + page-cache noise that fabricated ~5× "regressions"
+    // in earlier rounds (the baseline's published numbers are warm-cache
+    // QPS, so warm is also the apples-to-apples measurement). Three
+    // passes (round-12 verdict item #6) because the official record
+    // swung ±20% across identical-code two-pass runs — ambient box
+    // contention lands on SOME pass of SOME query, and min-over-three
+    // shrinks the record's variance without touching semantics.
+    // SPARK_GRAFT_PASSES=1 restores single-pass mode for local iteration.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     def runPass(): Seq[(String, Double)] = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast success: record a
@@ -119,11 +123,13 @@ object Bench {
       spark.catalog.clearCache()
       // localCheckpoint blocks and shuffle files are reclaimed only when
       // their owning objects are GC'd (ContextCleaner) — negligible at
-      // sf0.1, but a big-replica sweep run accumulates tens of GB of
-      // dead files across queries and can fill the disk mid-pass
-      // (observed at the 100× sweep). Opt-in (it costs ~1 s/query of
-      // untimed wall-clock), used by the sweep runs.
-      if (sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")) System.gc()
+      // sf0.1, but dead shuffle files accumulate ACROSS queries and
+      // passes (tens of GB at the 100× sweep; at the official 3-pass
+      // shape they inflate later queries' I/O) — so the GC runs by
+      // default in the official shape (round-12 verdict item #6); it
+      // costs only UNTIMED wall-clock. SPARK_GRAFT_GC_BETWEEN=0 opts out
+      // for quick local iteration.
+      if (!sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("0")) System.gc()
       name -> elapsed
     }
     val allPasses = (1 to passes).map(_ => runPass())

@@ -101,21 +101,27 @@ object Similarity {
   final class TopKStrAgg(k: Int)
       extends Aggregator[(Double, String), TopKStrBuf, TopKStrBuf] {
     require(k > 0, s"k must be positive (got $k)")
-    private def utf8Cmp(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      java.util.Arrays.compareUnsigned(x, y)
-    }
-    private val ord: Ordering[(Double, String)] =
-      new Ordering[(Double, String)] {
-        def compare(p: (Double, String), q: (Double, String)): Int = {
-          val c = java.lang.Double.compare(p._1, q._1)
-          if (c != 0) c else utf8Cmp(p._2, q._2)
-        }
-      }
     private def compact(ds: Array[Double], ids: Array[String], used: Int,
         keep: Int): TopKStrBuf = {
-      val idx = Array.range(0, used).sortBy(i => (ds(i), ids(i)))(ord)
+      // encode each id to UTF-8 ONCE per compact, not once per comparison:
+      // compact runs on every buffer overflow / merge / finish on the
+      // map-side hot path, and an O(n log n) sort re-encoding both sides
+      // at every comparison was measured allocation noise (round-12
+      // advice). The sort itself still compares unsigned bytes — Spark's
+      // own string order (UTF8String.binaryCompare).
+      val bytes = new Array[Array[Byte]](used)
+      var bi = 0
+      while (bi < used) {
+        bytes(bi) = ids(bi).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bi += 1
+      }
+      val ord: Ordering[Int] = new Ordering[Int] {
+        def compare(i: Int, j: Int): Int = {
+          val c = java.lang.Double.compare(ds(i), ds(j))
+          if (c != 0) c else java.util.Arrays.compareUnsigned(bytes(i), bytes(j))
+        }
+      }
+      val idx = Array.range(0, used).sorted(ord)
       val n = math.min(keep, used)
       val od = new Array[Double](n); val oi = new Array[String](n)
       var j = 0

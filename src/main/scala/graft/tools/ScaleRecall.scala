@@ -91,6 +91,33 @@ object ScaleRecall {
       s", hop payload ${src.payloadBytes(dim)} B vs raw vector ${4L * dim} B$disk"
     }
 
+    // Build-parameter sidecar for graph-artifact reuse: the graph is a
+    // pure function of (corpus, buildParams), and the corpus of
+    // (base table, factor, eps, dim) — so a reused `graphDir` from a run
+    // with ANY different parameter silently yields recall numbers for a
+    // mismatched graph, and these numbers land in RECALL.md as published
+    // evidence (round-12 advice). The stamp is written next to the
+    // artifact when this run creates it, and REQUIRED to match when a
+    // prior run's dir is supplied.
+    val paramStamp: String = {
+      val b = buildParams
+      s"factor=$factor eps=$eps dim=$dim n=$n degreeBound=${b.degreeBound} " +
+        s"alpha=${b.alpha} iterations=${b.iterations} ringDegree=${b.ringDegree} " +
+        s"randomDegree=${b.randomDegree} maxCandidates=${b.maxCandidates}"
+    }
+    def stampOrCheck(artDir: String): Unit = {
+      val p = java.nio.file.Paths.get(
+        artDir.stripSuffix("/") + "_build_params.txt")
+      if (java.nio.file.Files.exists(p)) {
+        val found = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        require(found == paramStamp,
+          s"graphDir $artDir was built under different parameters:\n" +
+            s"  artifact: $found\n  this run: $paramStamp")
+      } else java.nio.file.Files.write(p,
+        (paramStamp + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
     // engine-served Vamana: the full `"approx": true` loop — attach-built
     // graph artifact, beam walk (local fast path at this artifact size),
     // exact re-rank through Search
@@ -99,6 +126,7 @@ object ScaleRecall {
       // run's artifact for the uncompressed-walk row too
       val vamDir = graphDir.getOrElse(java.nio.file.Files
         .createTempDirectory(s"graft_scale_vamana_f$factor").resolve("art").toString)
+      stampOrCheck(vamDir)
     val coll = graft.engine.Collection(
         big.select(col("vec_id").cast("string").as("_id"),
           col("embedding").as("vec_l2")),
@@ -136,8 +164,12 @@ object ScaleRecall {
     // (dir_serve_coded_pq / _rbq) — so the second attach reuses the
     // _SUCCESS-marked graph parquet and the measurement pays the dominant
     // build cost once instead of per source.
-    lazy val codedGraphDir = graphDir.getOrElse(java.nio.file.Files
-      .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString)
+    lazy val codedGraphDir = {
+      val d = graphDir.getOrElse(java.nio.file.Files
+        .createTempDirectory(s"graft_scale_vamcoded_f$factor").resolve("art").toString)
+      stampOrCheck(d)
+      d
+    }
     if (methods("vamana_coded")) {
       val codDir = codedGraphDir
       val pq = graft.operators.ProductQuantizer.fit(
