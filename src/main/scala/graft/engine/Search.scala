@@ -39,23 +39,24 @@ object Search {
     * ~maxHops Spark jobs instead of K×maxHops (the per-query
     * job-scheduling floor is the dominant serving cost at small K).
     * Single-leaf, unfiltered, approx vectorFlat requests against a
-    * full-scan quantizer artifact (BQ/PQ/OPQ/SQ8/RaBitQ) likewise fuse:
-    * the group's K quantized-distance columns evaluate in ONE pass over
-    * the encoded frame (compileFlatMany), amortizing the candidate scan —
-    * the dominant flat serving cost at corpus scale — across the batch.
-    * Everything else — filtered or combinator queries, IVF-backed flat
-    * requests (whose per-query partition pruning a fused scan would undo)
-    * — takes the single-request pipeline unchanged.
+    * quantizer artifact (full-scan BQ/PQ/OPQ/SQ8/RaBitQ, or IVF-PQ /
+    * IVF-RaBitQ) likewise fuse: the group's K quantized-distance columns
+    * evaluate in ONE pass over the encoded frame (compileFlatMany),
+    * amortizing the candidate scan — the dominant flat serving cost at
+    * corpus scale — across the batch; IVF members scan the UNION of the
+    * group's probed cells with each query's column guarded to its OWN
+    * cells, so per-query partition pruning survives batching. Everything
+    * else — combinator queries, flat requests with filters — takes the
+    * single-request pipeline unchanged.
     */
   def searchMany(col0: Collection, reqs: Seq[SearchRequest]): Seq[DataFrame] = {
     reqs.foreach(validate(col0, _))
     // batchable = the exact single-leaf shapes whose compile is a pure
     // function of (prop, vector, budget, limit, weight) over one artifact.
     // Two families fuse: graph-walk requests share hop waves
-    // (compileVamanaMany); full-scan flat requests share ONE multi-query
-    // candidate scan (compileFlatMany). IVF-backed flat requests stay on
-    // the single pipeline — their win is per-query partition pruning,
-    // which a fused full scan would undo.
+    // (compileVamanaMany); flat requests — full-scan AND IVF — share ONE
+    // multi-query candidate scan (compileFlatMany; IVF members keep
+    // per-query cell pruning via the union-scan + own-cells guard).
     def vamanaTag(q: Query): Option[(String, VectorVamanaOpts, IndexKind.Metric)] =
       q.vectorVamana match {
         case Some(o) if o.approx && o.filter.isEmpty &&
@@ -78,8 +79,10 @@ object Search {
               col0.vectorIndexes.get(q.property) match {
                 case Some(_: BinaryVectorIndex | _: ProductVectorIndex |
                           _: OpqVectorIndex | _: RbqVectorIndex |
-                          _: ScalarVectorIndex) => Some((q.property, o, k.metric))
-                case _ => None // IVF / vamana / no artifact: single pipeline
+                          _: ScalarVectorIndex |
+                          _: IvfPqVectorIndex | _: IvfRbqVectorIndex) =>
+                  Some((q.property, o, k.metric))
+                case _ => None // vamana artifact / no artifact: single pipeline
               }
             case _ => None
           }

@@ -161,6 +161,144 @@ object Similarity {
     override def outputEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
   }
 
+  /** Buffer for [[TopKStrMultiAgg]]: K bounded top-k regions packed into
+    * one flat (distance, id) pair of arrays with a fixed layout — region
+    * `qi` owns slots `[offs(qi), offs(qi) + 2·ks(qi))` and holds `ns(qi)`
+    * live entries. The layout never changes across reduce/merge/finish,
+    * so serialization round-trips are shape-stable by construction.
+    */
+  final case class TopKMultiBuf(ds: Array[Double], ids: Array[String], ns: Array[Int])
+
+  /** K INDEPENDENT bounded top-k aggregations in ONE pass — the engine of
+    * every fused multi-query candidate scan (QueryCompiler's
+    * compileFlatMany / compileTextMany): each input row carries a K-wide
+    * key array (one ranking key per batched query) plus the row id, and
+    * the aggregator maintains K separate top-`ks(qi)` buffers, each
+    * replaying Spark's `orderBy(key asc, id asc).limit(k)` exactly (ties
+    * compare ids by unsigned UTF-8 bytes — UTF8String.binaryCompare
+    * order, see [[TopKStrAgg]]).
+    *
+    * A NaN key means "this row is NOT a candidate for query qi" and is
+    * skipped — the exclusion channel for per-query IVF cell pruning
+    * (rows in cells the query didn't probe), per-query text eligibility
+    * (containsAll misses), and defensively for a null quantized distance
+    * (which the array encoder could not carry; the single-request route
+    * sorts such rows first — both cases are unreachable under the encode
+    * invariants, and the divergence is documented at the call sites).
+    *
+    * Versus the previous posexplode formulation (K rows per scanned row
+    * feeding [[TopKStrAgg]] through a groupBy): the input stays ONE row
+    * wide regardless of K, so the scan pays no K× row inflation at the
+    * map boundary, and the aggregate is GLOBAL (no grouping shuffle at
+    * all — partials carry ≤ Σ 2·ks(qi) entries per partition). The
+    * posexplode formulation remains the law oracle in SearchManySpec.
+    */
+  final class TopKStrMultiAgg(ks: Array[Int])
+      extends Aggregator[(Seq[Double], String), TopKMultiBuf, TopKMultiBuf] {
+    require(ks.nonEmpty, "at least one query required")
+    ks.foreach(k => require(k > 0, s"every k must be positive (got ${ks.mkString(",")})"))
+    private val nq = ks.length
+    private val caps = ks.map(_ * 2)
+    private val offs = caps.scanLeft(0)(_ + _)
+    private val total = offs(nq)
+
+    /** Exact top-`keep` of `(ds, ids)[0, used)` — encode-once UTF-8 id
+      * tie-break, ascending (key, id).
+      */
+    private def topOf(ds: Array[Double], ids: Array[String], used: Int,
+        keep: Int): (Array[Double], Array[String], Int) = {
+      val bytes = new Array[Array[Byte]](used)
+      var i = 0
+      while (i < used) {
+        bytes(i) = ids(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+      val ord: Ordering[Int] = new Ordering[Int] {
+        def compare(i: Int, j: Int): Int = {
+          val c = java.lang.Double.compare(ds(i), ds(j))
+          if (c != 0) c else java.util.Arrays.compareUnsigned(bytes(i), bytes(j))
+        }
+      }
+      val idx = Array.range(0, used).sorted(ord)
+      val n = math.min(keep, used)
+      val od = new Array[Double](n); val oi = new Array[String](n)
+      var j = 0
+      while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
+      (od, oi, n)
+    }
+
+    /** Compact region `qi` down to its top-`ks(qi)` in place. */
+    private def compactRegion(b: TopKMultiBuf, qi: Int): Unit = {
+      val off = offs(qi); val used = b.ns(qi)
+      val ds = new Array[Double](used); val ids = new Array[String](used)
+      java.lang.System.arraycopy(b.ds, off, ds, 0, used)
+      java.lang.System.arraycopy(b.ids, off, ids, 0, used)
+      val (od, oi, n) = topOf(ds, ids, used, ks(qi))
+      java.lang.System.arraycopy(od, 0, b.ds, off, n)
+      java.lang.System.arraycopy(oi, 0, b.ids, off, n)
+      b.ns(qi) = n
+    }
+
+    override def zero: TopKMultiBuf =
+      TopKMultiBuf(new Array(total), new Array(total), new Array(nq))
+    override def reduce(b: TopKMultiBuf, a: (Seq[Double], String)): TopKMultiBuf = {
+      val keys = a._1
+      require(keys.length == nq,
+        s"key array has ${keys.length} entries; aggregator was built for $nq queries")
+      var qi = 0
+      while (qi < nq) {
+        val d = keys(qi)
+        if (!java.lang.Double.isNaN(d)) {
+          if (b.ns(qi) == caps(qi)) compactRegion(b, qi)
+          val p = offs(qi) + b.ns(qi)
+          b.ds(p) = d
+          b.ids(p) = a._2
+          b.ns(qi) += 1
+        }
+        qi += 1
+      }
+      b
+    }
+    override def merge(x: TopKMultiBuf, y: TopKMultiBuf): TopKMultiBuf = {
+      val out = zero
+      var qi = 0
+      while (qi < nq) {
+        val xn = x.ns(qi); val yn = y.ns(qi); val used = xn + yn
+        val ds = new Array[Double](used); val ids = new Array[String](used)
+        java.lang.System.arraycopy(x.ds, offs(qi), ds, 0, xn)
+        java.lang.System.arraycopy(x.ids, offs(qi), ids, 0, xn)
+        java.lang.System.arraycopy(y.ds, offs(qi), ds, xn, yn)
+        java.lang.System.arraycopy(y.ids, offs(qi), ids, xn, yn)
+        val (od, oi, n) = topOf(ds, ids, used, ks(qi))
+        java.lang.System.arraycopy(od, 0, out.ds, offs(qi), n)
+        java.lang.System.arraycopy(oi, 0, out.ids, offs(qi), n)
+        out.ns(qi) = n
+        qi += 1
+      }
+      out
+    }
+    override def finish(b: TopKMultiBuf): TopKMultiBuf = {
+      var qi = 0
+      while (qi < nq) { compactRegion(b, qi); qi += 1 }
+      b
+    }
+    override def bufferEncoder: Encoder[TopKMultiBuf] = Encoders.product[TopKMultiBuf]
+    override def outputEncoder: Encoder[TopKMultiBuf] = Encoders.product[TopKMultiBuf]
+  }
+
+  object TopKStrMultiAgg {
+    /** Slice a finished [[TopKMultiBuf]] (as collected Seqs) back into
+      * per-query (key, id) lists, in (key asc, id asc) order.
+      */
+    def slices(ks: Array[Int], ds: Seq[Double], ids: Seq[String],
+        ns: Seq[Int]): Seq[Seq[(Double, String)]] = {
+      val offs = ks.map(_ * 2).scanLeft(0)(_ + _)
+      ks.indices.map { qi =>
+        (0 until ns(qi)).map(j => (ds(offs(qi) + j), ids(offs(qi) + j)))
+      }
+    }
+  }
+
   /** For each row of `queries`, the `k` nearest `corpus` rows by `metric`.
     * Output: (query_id, corpus_id, distance, rank). Ids must be castable
     * to long (attach a surrogate id first — e.g. zipWithIndex — for

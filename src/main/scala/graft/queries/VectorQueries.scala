@@ -854,11 +854,109 @@ object VectorQueries {
     }
   }
 
+  /** Batch-amortized IVF serving (round 12): five `"approx": true`
+    * vectorFlat requests against ONE attached IVF-RaBitQ artifact go
+    * through Search.searchMany in ONE call — the five candidate scans
+    * fuse into a single pass over the UNION of the five probe sets, with
+    * each query's estimator column guarded to its OWN probed cells
+    * (QueryCompiler.compileFlatMany's IVF branch: per-query partition
+    * pruning survives batching), then the bounded per-query top-50
+    * (TopKStrMultiAgg) and the shared exact re-rank per request.
+    * Results are per-request identical to five independent searches
+    * (SearchManySpec IVF laws); the oracle replays the ENTIRE pipeline
+    * per query in SQL under the closed-form configuration — sign cells,
+    * decimal-mean centroids, identity rotation, per-query probe ranking
+    * (windowed), residual 1-bit estimator, budget-50 cut, exact float32
+    * cosine re-rank. No golden.
+    */
+  val s2NearIvfMany = NamedQuery(
+    "s2_near_ivf_many",
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding,
+       |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+       |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+       |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+       |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+       |  FROM documents JOIN embeddings ON doc_id = vec_id),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |cmeans AS (
+       |  SELECT bucket, i,
+       |    CAST(round(sum(CAST(embedding[i] AS DECIMAL(28,6))) / count(embedding[i]), 9) AS DOUBLE) AS m
+       |  FROM corpus CROSS JOIN dims GROUP BY bucket, i),
+       |cents AS (SELECT bucket, list(m ORDER BY i) AS c FROM cmeans GROUP BY bucket),
+       |q AS (SELECT vec_id AS qi, embedding AS qv FROM embeddings WHERE vec_id <= 4),
+       |pr0 AS (
+       |  SELECT q.qi, ct.bucket, ct.c,
+       |    row_number() OVER (PARTITION BY q.qi
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |          i -> (CAST(q.qv[i] AS DOUBLE) - ct.c[i]) * (CAST(q.qv[i] AS DOUBLE) - ct.c[i]))) ASC,
+       |        ct.bucket ASC) AS prn
+       |  FROM cents ct CROSS JOIN q),
+       |probe AS (SELECT qi, bucket, c FROM pr0 WHERE prn <= 4),
+       |qr AS (
+       |  SELECT p.qi, p.bucket,
+       |    list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - p.c[i]) AS rq
+       |  FROM probe p JOIN q ON p.qi = q.qi),
+       |qn AS (SELECT qi, bucket, rq, sqrt(list_sum(list_transform(rq, x -> x * x))) AS qnorm FROM qr),
+       |qu AS (SELECT qi, bucket, list_transform(rq, x -> x / qnorm) AS qp, qnorm FROM qn),
+       |enc AS (
+       |  SELECT p.qi, co._id, co.bucket, co.embedding,
+       |    list_transform(range(1, 65), i -> CAST(co.embedding[i] AS DOUBLE) - p.c[i]) AS r
+       |  FROM corpus co JOIN probe p USING (bucket)),
+       |en AS (SELECT qi, _id, bucket, embedding, r,
+       |  sqrt(list_sum(list_transform(r, x -> x * x))) AS nrm FROM enc),
+       |est AS (
+       |  SELECT en.qi, en._id,
+       |    CASE WHEN en.nrm = 0 THEN qu.qnorm * qu.qnorm
+       |    ELSE nrm * nrm + qu.qnorm * qu.qnorm - 2 * nrm * qu.qnorm *
+       |      ((list_sum(list_transform(range(1, 65),
+       |          i -> CASE WHEN en.r[i] > 0 THEN qu.qp[i] ELSE -qu.qp[i] END)) / sqrt(64.0))
+       |       / (list_sum(list_transform(en.r, x -> abs(x / en.nrm))) / sqrt(64.0)))
+       |    END AS e
+       |  FROM en JOIN qu ON en.qi = qu.qi AND en.bucket = qu.bucket),
+       |cand AS (
+       |  SELECT qi, _id FROM (
+       |    SELECT qi, _id,
+       |      row_number() OVER (PARTITION BY qi ORDER BY e ASC, _id ASC) AS rn
+       |    FROM est) WHERE rn <= 50),
+       |rr AS (
+       |  SELECT c.qi, c._id, CAST(1.0 - list_sum(list_transform(range(1, 65),
+       |    t -> CAST(co.embedding[t] AS DOUBLE) * CAST(q.qv[t] AS DOUBLE))) AS REAL) AS dist32
+       |  FROM cand c JOIN corpus co USING (_id) JOIN q ON c.qi = q.qi),
+       |top AS (
+       |  SELECT qi, _id, dist32 FROM (
+       |    SELECT qi, _id, dist32,
+       |      row_number() OVER (PARTITION BY qi ORDER BY dist32 ASC, _id ASC) AS rn
+       |    FROM rr) WHERE rn <= 10)
+       |SELECT CAST(qi AS BIGINT) AS qi, _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
+       |FROM top ORDER BY qi, dist_r, _id""".stripMargin) { (s, d) =>
+    val base = TestCollections.docs(s, d)
+    val rotation = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_many_gate_").toString + "/art"
+    val coll = base.withIvfRbqVectorIndex("embedding", dir,
+      () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+      rotation, nprobe = 4)
+    val reqs = (0L to 4L).map(i => SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        TestCollections.queryVector(s, d, i), Op.Near, 10, approx = true))),
+      limit = 100))
+    Search.searchMany(coll, reqs).zipWithIndex.map { case (df, qi) =>
+      df.select(lit(qi.toLong).as("qi"), col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+    }.reduce(_ unionAll _)
+      .orderBy("qi", "dist_r", "_id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
     s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
     s2NearOpqApprox, s2NearRbqApprox, s2NearIvfRbqApprox, s1NearVamanaMany,
-    s2NearFlatMany)
+    s2NearFlatMany, s2NearIvfMany)
 }

@@ -103,6 +103,91 @@ class SearchManySpec extends SparkSuite {
     }
   }
 
+  /** The de-exploded fused scan's aggregator against the ORIGINAL
+    * posexplode+TopKStrAgg formulation (the round-11 shape, kept here as
+    * the law oracle per the expression-collapse pattern): K independent
+    * bounded top-k's with per-query k, NaN-excluded rows, tie-break by
+    * unsigned UTF-8 id bytes — including ids with supplementary
+    * characters, where UTF-16 `String.compareTo` order DISAGREES with
+    * UTF-8 order and would expose a comparator drift.
+    */
+  test("TopKStrMultiAgg == the posexplode+TopKStrAgg formulation") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(42)
+    val ks = Array(3, 7, 12, 5)
+    val rows = (0 until 400).map { i =>
+      val id = if (i % 37 == 0) s"😀$i" else s"id$i"
+      // coarse key grid forces ties; ~10% NaN exercises the exclusion
+      val keys = Seq.tabulate(ks.length)(_ =>
+        if (rnd.nextInt(10) == 0) Double.NaN
+        else math.floor(rnd.nextDouble() * 20) / 2.0)
+      (id, keys)
+    }
+    val df = rows.toDF("_id", "_qds").repartition(7)
+    val multi = udaf(new Similarity.TopKStrMultiAgg(ks))
+    val st = df.agg(multi(col("_qds"), col("_id"))).head().getStruct(0)
+    val got = Similarity.TopKStrMultiAgg.slices(
+      ks, st.getSeq[Double](0), st.getSeq[String](1), st.getSeq[Int](2))
+    val oracleAgg = udaf(new Similarity.TopKStrAgg(ks.max))
+    val want = df
+      .select(col("_id"), posexplode(col("_qds")).as(Seq("_qi", "_qd")))
+      .filter(!isnan(col("_qd")))
+      .groupBy("_qi")
+      .agg(oracleAgg(col("_qd"), col("_id")).as("_top"))
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getInt(0) -> s.getSeq[Double](0).zip(s.getSeq[String](1)).toSeq
+      }.toMap
+    ks.indices.foreach { qi =>
+      assert(got(qi).toSeq == want(qi).take(ks(qi)), s"query $qi drift")
+    }
+  }
+
+  test("flat searchMany fuses IVF-RaBitQ requests over the union of probed cells") {
+    val base = queries.TestCollections.docs(spark, sf0001)
+    val rotation = Array.tabulate(64)(i =>
+      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfrbq_many_").toString + "/art"
+    val coll = base.withIvfRbqVectorIndex("embedding", dir,
+      () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+      rotation, nprobe = 4)
+    // 5 distinct query vectors probe different cell sets — the fused scan
+    // reads their union while each query's column is guarded to its own
+    val reqs = (0L to 4L).map(i => SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        queries.TestCollections.queryVector(spark, sf0001, i), Op.Near,
+        10, approx = true))), limit = 100))
+    val batch = Search.searchMany(coll, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(rows(df) == rows(Search.search(coll, r)), s"IVF-RBQ drift for $r")
+    }
+  }
+
+  test("flat searchMany fuses SPILLED IVF-PQ requests (per-id min dedup preserved)") {
+    val base = queries.TestCollections.docs(spark, sf0001)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_many_").toString
+    // spill=2 stores ids in TWO cells: the batched route must keep the
+    // single route's per-id min-quantized-distance dedup, or duplicate
+    // candidates would burn budget slots and drift the candidate set
+    val coll = base.withIvfPqVectorIndex(
+      "embedding", dir,
+      () => graft.operators.IvfPq.kmeansCoarse(base.df, col("embedding"), k = 16),
+      c => graft.operators.IvfPq.fitResidualPq(
+        base.df, col("embedding"), c, m = 16, k = 16),
+      nprobe = 4, spill = 2)
+    val reqs = (0L to 4L).map(i => SearchRequest(
+      Query("embedding", vectorFlat = Some(VectorFlatOpts(
+        queries.TestCollections.queryVector(spark, sf0001, i), Op.Near,
+        10, approx = true))), limit = 100))
+    val batch = Search.searchMany(coll, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(rows(df) == rows(Search.search(coll, r)), s"IVF-PQ drift for $r")
+    }
+  }
+
   test("empty batch and invalid request behave like the single face") {
     assert(Search.searchMany(coll, Nil).isEmpty)
     val bad = SearchRequest(
