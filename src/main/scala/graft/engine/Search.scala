@@ -45,9 +45,11 @@ object Search {
     * amortizing the candidate scan — the dominant flat serving cost at
     * corpus scale — across the batch; IVF members scan the UNION of the
     * group's probed cells with each query's column guarded to its OWN
-    * cells, so per-query partition pruning survives batching. Everything
-    * else — combinator queries, flat requests with filters — takes the
-    * single-request pipeline unchanged.
+    * cells, so per-query partition pruning survives batching. Single-leaf,
+    * unfiltered TEXT requests against one property share the postings
+    * restriction, the df table, and one fused per-doc scoring aggregate
+    * (compileTextMany). Everything else — combinator queries, flat/text
+    * requests with filters — takes the single-request pipeline unchanged.
     */
   def searchMany(col0: Collection, reqs: Seq[SearchRequest]): Seq[DataFrame] = {
     reqs.foreach(validate(col0, _))
@@ -88,9 +90,21 @@ object Search {
           }
         case _ => None
       }
-    val tagged = reqs.map(r => (r, vamanaTag(r.query), flatTag(r.query))).zipWithIndex
+    // single-leaf, unfiltered text queries share postings/df work per
+    // property (compileTextMany) — hybrid serving workloads are
+    // text+vector, so the text half must amortize too
+    def textTag(q: Query): Option[String] = q.text match {
+      case Some(o) if o.filter.isEmpty && q.and.isEmpty && q.or.isEmpty =>
+        col0.schema.get(q.property) match {
+          case Some(_: IndexKind.Text) => Some(q.property)
+          case _ => None
+        }
+      case _ => None
+    }
+    val tagged = reqs.map(r =>
+      (r, vamanaTag(r.query), flatTag(r.query), textTag(r.query))).zipWithIndex
     val compiledByIdx = scala.collection.mutable.Map[Int, QueryCompiler.Compiled]()
-    tagged.collect { case (((_, Some((prop, o, metric)), _)), i) =>
+    tagged.collect { case (((_, Some((prop, o, metric)), _, _)), i) =>
       // the shared budget definitions (QueryCompiler.vamanaBudget /
       // flatBudget) keep the batch's groups bit-identical to the
       // single-request route
@@ -102,7 +116,7 @@ object Search {
       val cs = QueryCompiler.compileVamanaMany(col0, prop, metric, items, budget)
       members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
     }
-    tagged.collect { case (((_, None, Some((prop, o, metric)))), i) =>
+    tagged.collect { case (((_, None, Some((prop, o, metric)), _)), i) =>
       (prop, QueryCompiler.flatBudget(o), metric) -> ((i, o))
     }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
       val items = members.map { case (_, (_, o)) =>
@@ -111,9 +125,15 @@ object Search {
       val cs = QueryCompiler.compileFlatMany(col0, prop, metric, items, budget)
       members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
     }
-    tagged.map { case ((r, vt, ft), i) =>
+    tagged.collect { case (((r, None, None, Some(prop))), i) =>
+      prop -> ((i, r.query.text.get))
+    }.groupBy(_._1).foreach { case (prop, members) =>
+      val cs = QueryCompiler.compileTextMany(col0, prop, members.map(_._2._2))
+      members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
+    }
+    tagged.map { case ((r, vt, ft, tt), i) =>
       assemble(col0, r,
-        if (vt.isDefined || ft.isDefined) compiledByIdx(i)
+        if (vt.isDefined || ft.isDefined || tt.isDefined) compiledByIdx(i)
         else QueryCompiler.compile(col0, r.query))
     }
   }

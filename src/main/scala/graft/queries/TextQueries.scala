@@ -120,5 +120,81 @@ object TextQueries {
       .orderBy(col("score_r").desc, col("id"))
   }
 
-  val all: Seq[NamedQuery] = Seq(s3ContainsAny, s3ContainsAll, s3Filtered, textBm25)
+  /** Batch-amortized TEXT serving (round 12): three complete text
+    * requests — mixed containsAny/containsAll, limits and weights — go
+    * through Search.searchMany in ONE call: the group shares one
+    * postings restriction (union of all query terms), one df table, one
+    * fused per-doc conditional-scoring aggregate and one bounded
+    * per-query top-k (QueryCompiler.compileTextMany). Results are
+    * per-request identical to independent searches (SearchManySpec text
+    * laws, 4-decimal rounding — the float32 cast absorbs per-term sum
+    * order); the oracle replays each request's full tf-idf pipeline over
+    * SHARED tokenization CTEs, windowed by request, same analyzer parity
+    * and REAL-cast convention as the single-text gates.
+    */
+  val s3TextMany = NamedQuery(
+    "s3_text_many",
+    s"""WITH tok AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS _id,
+       |         ${TextAnalyzer.sqlAnalyze("text")} AS terms
+       |  FROM documents JOIN embeddings ON doc_id = vec_id),
+       |posts AS (
+       |  SELECT _id, len(terms) AS doclen, unnest(terms) AS term FROM tok),
+       |grouped AS (
+       |  SELECT _id, doclen, term, count(*) AS freq
+       |  FROM posts GROUP BY _id, doclen, term),
+       |stats AS (SELECT count(*) AS numdocs FROM tok),
+       |df0 AS (SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ('spark', 'filter', 'merge') GROUP BY term),
+       |sc0 AS (SELECT g._id, count(*) AS nterms,
+       |    sum((CAST(g.freq AS DOUBLE) / g.doclen)
+       |        * log10(CAST(numdocs AS DOUBLE) / (d.df + 1))) AS score
+       |  FROM grouped g JOIN df0 d USING (term) CROSS JOIN stats GROUP BY g._id),
+       |rk0 AS (SELECT _id, CAST(score AS REAL) AS score32 FROM sc0
+       |  ORDER BY score DESC, _id ASC LIMIT 10),
+       |df1 AS (SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ('spark', 'window') GROUP BY term),
+       |sc1 AS (SELECT g._id, count(*) AS nterms,
+       |    sum((CAST(g.freq AS DOUBLE) / g.doclen)
+       |        * log10(CAST(numdocs AS DOUBLE) / (d.df + 1))) AS score
+       |  FROM grouped g JOIN df1 d USING (term) CROSS JOIN stats GROUP BY g._id),
+       |rk1 AS (SELECT _id, CAST(score AS REAL) AS score32 FROM sc1
+       |  WHERE nterms = 2 ORDER BY score DESC, _id ASC LIMIT 7),
+       |df2 AS (SELECT term, count(*) AS df FROM grouped
+       |  WHERE term IN ('vector', 'table') GROUP BY term),
+       |sc2 AS (SELECT g._id, count(*) AS nterms,
+       |    sum((CAST(g.freq AS DOUBLE) / g.doclen)
+       |        * log10(CAST(numdocs AS DOUBLE) / (d.df + 1))) AS score
+       |  FROM grouped g JOIN df2 d USING (term) CROSS JOIN stats GROUP BY g._id),
+       |rk2 AS (SELECT _id, CAST(score AS REAL) AS score32 FROM sc2
+       |  ORDER BY score DESC, _id ASC LIMIT 5)
+       |SELECT CAST(qi AS BIGINT) AS qi, _id,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r,
+       |  CAST(round(CAST(hy32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+       |FROM (
+       |  SELECT 0 AS qi, _id, score32,
+       |    CAST(CAST(1.0 AS REAL) * score32 AS REAL) AS hy32 FROM rk0
+       |  UNION ALL SELECT 1, _id, score32,
+       |    CAST(CAST(2.0 AS REAL) * score32 AS REAL) FROM rk1
+       |  UNION ALL SELECT 2, _id, score32,
+       |    CAST(CAST(0.5 AS REAL) * score32 AS REAL) FROM rk2)
+       |ORDER BY qi, score_r DESC, _id""".stripMargin) { (s, d) =>
+    val reqs = Seq(
+      SearchRequest(Query("text", text = Some(TextOpts(
+        "the spark AND filter, merge!", Op.ContainsAny, 10))), limit = 100),
+      SearchRequest(Query("text", text = Some(TextOpts(
+        "spark window", Op.ContainsAll, 7, weight = Some(2.0f)))), limit = 100),
+      SearchRequest(Query("text", text = Some(TextOpts(
+        "vector table", Op.ContainsAny, 5, weight = Some(0.5f)))), limit = 100))
+    Search.searchMany(TestCollections.docs(s, d), reqs).zipWithIndex.map {
+      case (df, qi) =>
+        df.select(lit(qi.toLong).as("qi"), col("_id"),
+          dround(col("_score"), 4).as("score_r"),
+          dround(col("_hybridScore"), 4).as("hybrid_r"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("qi"), col("score_r").desc, col("_id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(s3ContainsAny, s3ContainsAll, s3Filtered,
+    textBm25, s3TextMany)
 }

@@ -188,6 +188,46 @@ class SearchManySpec extends SparkSuite {
     }
   }
 
+  private def textReq(value: String, op: String, limit: Int = 10,
+      weight: Option[Float] = None, filter: Option[Query] = None) = SearchRequest(
+    Query("text", text = Some(TextOpts(value, op, limit,
+      filter = filter, weight = weight))), limit = 100)
+
+  /** Text scores compare ROUNDED to 4 decimals (the gates' own claim
+    * strength): batch and single routes sum the identical per-term
+    * doubles but in potentially different orders inside their groupBys,
+    * and while the float32 cast absorbs the ulp in practice, exact
+    * bitwise equality of a reordered double sum is not a law either
+    * route promises.
+    */
+  private def textRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("_id"), round(col("_score").cast("double"), 4).cast("string"),
+      round(col("_hybridScore").cast("double"), 4).cast("string"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("text searchMany == K independent searches (shared postings/df scan)") {
+    val reqs = Seq(
+      textReq("the spark AND filter, merge!", Op.ContainsAny),
+      textReq("spark window", Op.ContainsAll, limit = 7, weight = Some(2.0f)),
+      textReq("vector table", Op.ContainsAny, limit = 5, weight = Some(0.5f)),
+      textReq("spark", Op.ContainsAny, limit = 3))
+    val batch = Search.searchMany(coll, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(textRows(df) == textRows(Search.search(coll, r)), s"text drift for $r")
+    }
+  }
+
+  test("filtered text requests fall back to the single pipeline unchanged") {
+    val reqs = Seq(
+      textReq("vector table", Op.ContainsAny, filter = Some(Query("lang",
+        string = Some(StringOpts("de", Op.Equals))))),
+      textReq("spark window", Op.ContainsAll))
+    val batch = Search.searchMany(coll, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(textRows(df) == textRows(Search.search(coll, r)))
+    }
+  }
+
   test("empty batch and invalid request behave like the single face") {
     assert(Search.searchMany(coll, Nil).isEmpty)
     val bad = SearchRequest(
