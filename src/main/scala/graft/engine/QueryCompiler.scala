@@ -425,16 +425,32 @@ object QueryCompiler {
     *
     * `items` = (vector, limit, weight) per request; `budget` is the shared
     * beam width (requests with different budgets land in different groups).
+    *
+    * `filter`: requests with EQUAL filter ASTs (structural case-class
+    * equality — the grouping key in Search.searchMany) batch as filtered
+    * optimistic walks (round-12 item #8): the filter compiles ONCE per
+    * group, the in-filter seed set and membership verdicts are shared
+    * across the wave (they are query-independent — see
+    * VamanaServe.beamCandidateGidsFilteredBatch), and only per-query
+    * frontiers differ.
     */
   private[engine] def compileVamanaMany(
       col0: Collection, prop: String, metric: IndexKind.Metric,
-      items: Seq[(Seq[Float], Int, Float)], budget: Int): Seq[Compiled] = {
+      items: Seq[(Seq[Float], Int, Float)], budget: Int,
+      filter: Option[Query] = None): Seq[Compiled] = {
     val vidx = col0.vectorIndexes(prop).asInstanceOf[VamanaVectorIndex]
     val coded = vidx.codedServing.map(c => (c, vidx.coded.get))
     val art = coded.map(_._1).getOrElse(vidx.serving)
-    val pools = VamanaServe.beamCandidateGidsBatch(
-      art, metric, items.map(_._1), budget, vidx.entry, vidx.maxHops,
-      vidx.local, coded.map(_._2))
+    val pools = filter match {
+      case None => VamanaServe.beamCandidateGidsBatch(
+        art, metric, items.map(_._1), budget, vidx.entry, vidx.maxHops,
+        vidx.local, coded.map(_._2))
+      case Some(f) =>
+        val matchArt = applySet(col0, compile(col0, f).set, art)
+        VamanaServe.beamCandidateGidsFilteredBatch(
+          art, matchArt, metric, items.map(_._1), budget, vidx.entry,
+          vidx.maxHops, vidx.local, coded.map(_._2))
+    }
     val allGids = pools.flatten.distinct
     val gidToId: Map[Long, String] =
       if (allGids.isEmpty) Map.empty

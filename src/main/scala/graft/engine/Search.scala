@@ -29,9 +29,11 @@ object Search {
   /** Serve MANY requests in one call, returning one result frame per
     * request in request order. Semantics are exactly K independent
     * [[search]] calls; the win is the serving cost of the graph-walk
-    * family: requests that are single-leaf, unfiltered, approx
-    * vectorVamana `near` queries against the SAME attached graph artifact
-    * (grouped further by rescore budget, which sets the beam width) walk
+    * family: requests that are single-leaf approx vectorVamana `near`
+    * queries against the SAME attached graph artifact (grouped further
+    * by rescore budget — the beam width — and by filter AST: unfiltered
+    * requests together, filtered ones batching when their filters are
+    * EQUAL, sharing the filter's seed set and membership verdicts) walk
     * as ONE hop-batched wave — per hop round every group member's
     * frontier fuses into a single bucket-pruned fetch
     * (VamanaServe.beamCandidateGidsBatch), and the final gid→id lookup is
@@ -59,10 +61,13 @@ object Search {
     // (compileVamanaMany); flat requests — full-scan AND IVF — share ONE
     // multi-query candidate scan (compileFlatMany; IVF members keep
     // per-query cell pruning via the union-scan + own-cells guard).
+    // filtered approx requests ARE batchable (round-12 item #8): the
+    // optimistic filtered walk's seeds and membership verdicts are pure
+    // functions of the filter, so requests with EQUAL filter ASTs share
+    // them — the filter joins the group key below
     def vamanaTag(q: Query): Option[(String, VectorVamanaOpts, IndexKind.Metric)] =
       q.vectorVamana match {
-        case Some(o) if o.approx && o.filter.isEmpty &&
-            q.and.isEmpty && q.or.isEmpty =>
+        case Some(o) if o.approx && q.and.isEmpty && q.or.isEmpty =>
           col0.schema.get(q.property) match {
             case Some(k: IndexKind.VectorVamana)
                 if col0.vectorIndexes.get(q.property)
@@ -107,13 +112,15 @@ object Search {
     tagged.collect { case (((_, Some((prop, o, metric)), _, _)), i) =>
       // the shared budget definitions (QueryCompiler.vamanaBudget /
       // flatBudget) keep the batch's groups bit-identical to the
-      // single-request route
-      (prop, QueryCompiler.vamanaBudget(o), metric) -> ((i, o))
-    }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
+      // single-request route; the filter AST in the key means only
+      // EQUAL-filter requests share a (seeded, membership-probed) wave
+      (prop, QueryCompiler.vamanaBudget(o), metric, o.filter) -> ((i, o))
+    }.groupBy(_._1).foreach { case ((prop, budget, metric, filter), members) =>
       val items = members.map { case (_, (_, o)) =>
         (o.vector, o.limit, o.weight.getOrElse(1.0f))
       }
-      val cs = QueryCompiler.compileVamanaMany(col0, prop, metric, items, budget)
+      val cs = QueryCompiler.compileVamanaMany(
+        col0, prop, metric, items, budget, filter)
       members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
     }
     tagged.collect { case (((_, None, Some((prop, o, metric)), _)), i) =>

@@ -404,6 +404,25 @@ object VamanaServe {
     walkBatch(access(art, None, local, coded), metric, queries, searchSize,
       entry, maxHops, filtered = false)
 
+  /** The FILTERED sibling of [[beamCandidateGidsBatch]] (round-12 verdict
+    * item #8): Q optimistic filtered walks (see
+    * [[beamCandidateGidsFiltered]]) sharing ONE filter advance as a
+    * single wave. The walk machinery already shares everything
+    * query-independent — the in-filter SEED set (a pure function of the
+    * filter: first `searchSize` in-filter gids ascending), the per-round
+    * fused node fetches, and the membership verdict cache (`okKnown` —
+    * a node's filter verdict holds for every query) — so only the
+    * per-query pools/frontiers differ. Pools are identical to Q
+    * independent filtered walks (VamanaServeSpec law).
+    */
+  def beamCandidateGidsFilteredBatch(
+      art: DataFrame, matchArt: DataFrame, metric: Metric,
+      queries: Seq[Seq[Float]], searchSize: Int, entry: Long,
+      maxHops: Int = 64, local: Option[LocalGraph] = None,
+      coded: Option[graft.operators.CodedSource] = None): Seq[Seq[Long]] =
+    walkBatch(access(art, Some(matchArt), local, coded), metric, queries,
+      searchSize, entry, maxHops, filtered = true)
+
   private def access(
       art: DataFrame, matchArt: Option[DataFrame],
       local: Option[LocalGraph],

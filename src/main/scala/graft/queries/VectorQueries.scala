@@ -952,11 +952,54 @@ object VectorQueries {
       .orderBy("qi", "dist_r", "_id")
   }
 
+  /** Batch-amortized FILTERED graph serving (round 12): five filtered
+    * `"approx": true` vectorVamana requests with the SAME filter go
+    * through Search.searchMany in ONE call — the group shares the
+    * filter's compiled match set, the in-filter seed set, and the
+    * membership verdict cache across one hop-fused wave
+    * (VamanaServe.beamCandidateGidsFilteredBatch). The label=3 filter
+    * matches ≤ searchSize points, so every request is served EXACTLY by
+    * the optimistic-seeding construction (the s1_near_vamana_filtered_
+    * approx argument) and the windowed exact filtered SQL is a true
+    * oracle for the whole batch; per-request identity to independent
+    * searches is the SearchManySpec equal-filter law.
+    */
+  val s1NearFilteredMany = NamedQuery(
+    "s1_near_filtered_many",
+    s"""WITH q AS (SELECT vec_id AS qi, embedding AS v FROM embeddings WHERE vec_id <= 4),
+       |ranked AS (
+       |  SELECT q.qi, CAST(doc_id AS VARCHAR) AS _id,
+       |    CAST(power(list_distance(embedding, q.v), 2) AS REAL) AS dist32,
+       |    row_number() OVER (PARTITION BY q.qi
+       |      ORDER BY CAST(power(list_distance(embedding, q.v), 2) AS REAL) ASC,
+       |               CAST(doc_id AS VARCHAR) ASC) AS rn
+       |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN q
+       |  WHERE label = 3)
+       |SELECT CAST(qi AS BIGINT) AS qi, _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(CAST(CAST(-1.5 AS REAL) * dist32 AS REAL) AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
+       |FROM ranked WHERE rn <= 10 ORDER BY qi, dist_r, _id""".stripMargin) { (s, d) =>
+    val coll = TestCollections.docsVamana(s, d)
+    val reqs = (0L to 4L).map(i => SearchRequest(
+      Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+        TestCollections.queryVector(s, d, i), Op.Near, searchSize = 75,
+        limit = 10, weight = Some(1.5f),
+        filter = Some(Query("label", integer = Some(IntegerOpts(3, Op.Equals)))),
+        approx = true))),
+      limit = 100))
+    Search.searchMany(coll, reqs).zipWithIndex.map { case (df, qi) =>
+      df.select(lit(qi.toLong).as("qi"), col("_id"),
+        dround(col("_distance"), Scale).as("dist_r"),
+        dround(col("_hybridScore"), Scale).as("hybrid_r"))
+    }.reduce(_ unionAll _)
+      .orderBy("qi", "dist_r", "_id")
+  }
+
   val all: Seq[NamedQuery] = Seq(
     s2NearCosine, s1NearVamanaEuclidean, s1NearFiltered, s2NearDot,
     s2NearHamming, s2NearJaccard, s2NearHaversine, s2NearBqApprox,
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
     s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
     s2NearOpqApprox, s2NearRbqApprox, s2NearIvfRbqApprox, s1NearVamanaMany,
-    s2NearFlatMany, s2NearIvfMany)
+    s2NearFlatMany, s2NearIvfMany, s1NearFilteredMany)
 }

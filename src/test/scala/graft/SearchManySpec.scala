@@ -48,6 +48,9 @@ class SearchManySpec extends SparkSuite {
   }
 
   test("non-batchable requests fall back to the single pipeline unchanged") {
+    // a FILTERED approx request batches (in its own filter group) since
+    // round 12, so it appears here only as a distinct-group neighbor; the
+    // genuinely non-batchable shapes are plain predicates and combinators
     val filtered = vamanaReq(3L, filter = Some(Query("lang",
       string = Some(StringOpts("en", Op.Equals)))))
     val plain = SearchRequest(
@@ -56,6 +59,22 @@ class SearchManySpec extends SparkSuite {
     val batch = Search.searchMany(coll, reqs)
     reqs.zip(batch).foreach { case (r, df) =>
       assert(rows(df) == rows(Search.search(coll, r)))
+    }
+  }
+
+  test("filtered vamana requests with EQUAL filters batch as one wave") {
+    val en = Some(Query("lang", string = Some(StringOpts("en", Op.Equals))))
+    val de = Some(Query("lang", string = Some(StringOpts("de", Op.Equals))))
+    // three EQUAL-filter requests share one wave; the de-filter and
+    // unfiltered requests land in their own groups — all five must equal
+    // their independent single-request twins
+    val reqs = Seq(
+      vamanaReq(0L, filter = en), vamanaReq(1L, filter = en),
+      vamanaReq(2L, filter = en), vamanaReq(3L, filter = de),
+      vamanaReq(4L))
+    val batch = Search.searchMany(coll, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(rows(df) == rows(Search.search(coll, r)), s"filtered drift for $r")
     }
   }
 
