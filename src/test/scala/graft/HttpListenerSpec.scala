@@ -141,6 +141,103 @@ class HttpListenerSpec extends SparkSuite {
     }
   }
 
+  /** Round-12 verdict item #5: the listener pool is 8 threads sharing one
+    * SparkSession and the walk-clone cache — routing, codec, and tenant
+    * isolation had only ever been asserted one request at a time. Drive
+    * 32 PARALLEL mixed requests (searches + inserts + metrics scrapes,
+    * TWO tenants owning same-named collections) through real sockets and
+    * assert every one succeeds and no row crosses the tenant wall.
+    */
+  test("32 concurrent mixed requests across two tenants: all succeed, isolation holds") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val m = new WireMetrics
+    val dir = java.nio.file.Files.createTempDirectory("graft_http_conc_").toString
+    val svc = new WireService(spark, dir,
+      userPlans = Map("basic" -> graft.store.UserPlan()), metrics = Some(m))
+    val l = new HttpListener(svc)
+    try {
+      val port = l.boundPort
+      val cl = client
+      def call(user: String, method: String, path: String,
+          body: String = ""): HttpResponse[String] = {
+        val b = HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .method(method, HttpRequest.BodyPublishers.ofString(body))
+        if (user.nonEmpty)
+          b.header("X-User-Id", user).header("X-Plan-Id", "basic")
+        cl.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def insertBody(ids: Seq[String], size: Long): String =
+        JsonMethods.compact(JsonMethods.render(JObject("points" -> JArray(
+          ids.toList.map(id => JObject(
+            "_id" -> JString(id), "p_size" -> JInt(BigInt(size))))))))
+      val searchBody =
+        """{"query":{"property":"p_size",
+          |  "integer":{"value":0,"operator":"greaterThanOrEquals"}},
+          | "select":[], "limit":100}""".stripMargin
+      // both tenants own a collection NAMED "conc" — the strongest isolation
+      // probe: any cross-tenant leak would surface under the same id
+      Seq("u1", "u2").foreach { u =>
+        val r = call(u, "POST", "/collections",
+          """{"id":"conc","indexSchema":{"p_size":{"type":"integer"}}}""")
+        assert(r.statusCode() == 200, s"$u create: ${r.body()}")
+        assert(call(u, "POST", "/collections/conc/points",
+          insertBody((0 until 10).map(i => s"${u}_base$i"), 1)).statusCode() == 200)
+      }
+      // 32 concurrent tasks on 16 threads: per tenant, 8 searches +
+      // 7 inserts (disjoint id ranges) + 1 unauthenticated metrics scrape
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(String, Int, String)]] =
+          (0 until 32).map { t =>
+            () => {
+              val u = if (t % 2 == 0) "u1" else "u2"
+              t % 4 match {
+                case 0 | 1 =>
+                  val r = call(u, "POST", "/collections/conc/points/search", searchBody)
+                  (s"search-$u-$t", r.statusCode(), r.body())
+                case 2 =>
+                  val r = call(u, "POST", "/collections/conc/points",
+                    insertBody(Seq(s"${u}_conc$t"), 2))
+                  (s"insert-$u-$t", r.statusCode(), r.body())
+                case _ =>
+                  val r = call("", "GET", "/metrics")
+                  (s"metrics-$t", r.statusCode(), r.body())
+              }
+            }
+          }
+        val results = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+        results.foreach { case (label, status, body) =>
+          assert(status == 200, s"$label -> $status: ${body.take(200)}")
+        }
+        // isolation: every id a tenant's search returned under the storm
+        // belongs to that tenant (searches raced the inserts, so the SET
+        // varies — membership must not)
+        results.collect { case (label, _, body) if label.startsWith("search-") =>
+          val u = label.split("-")(1)
+          val ids = (JsonMethods.parse(body) \ "points").asInstanceOf[JArray]
+            .arr.map(p => (p \ "_id").asInstanceOf[JString].s)
+          assert(ids.nonEmpty, s"$label returned no rows")
+          assert(ids.forall(_.startsWith(u + "_")),
+            s"$label leaked foreign ids: ${ids.filterNot(_.startsWith(u + "_"))}")
+        }
+      } finally pool.shutdownNow()
+      // settled state: each tenant sees its base rows + exactly its own
+      // concurrent inserts — nothing lost, nothing leaked
+      Seq("u1", "u2").foreach { u =>
+        val ids = (JsonMethods.parse(call(u, "POST",
+          "/collections/conc/points/search", searchBody).body()) \ "points")
+          .asInstanceOf[JArray].arr.map(p => (p \ "_id").asInstanceOf[JString].s)
+        val expected = (0 until 10).map(i => s"${u}_base$i").toSet ++
+          (0 until 32).filter(t => t % 4 == 2 &&
+            (if (t % 2 == 0) "u1" else "u2") == u).map(t => s"${u}_conc$t")
+        assert(ids.toSet == expected, s"$u settled set drift: got ${ids.sorted}")
+      }
+    } finally l.close()
+  }
+
   test("graceful shutdown: close() drains, then the port refuses") {
     var port = 0
     withListener() { (l, p) =>
