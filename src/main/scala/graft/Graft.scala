@@ -157,6 +157,14 @@ final class Graft(val spark: SparkSession, root: String,
   def buildVamanaIndex(name: String, prop: String): Unit =
     withWriteLock(name)(store.buildVamanaIndex(name, prop))
 
+  /** Publish a prebuilt graph artifact (see
+    * [[graft.store.CollectionStore.importVamanaIndex]] — the
+    * offline-build / online-serve split).
+    */
+  def importVamanaIndex(
+      name: String, prop: String, graph: DataFrame, idmap: DataFrame): Unit =
+    withWriteLock(name)(store.importVamanaIndex(name, prop, graph, idmap))
+
   /** The maintained graph artifact: (graph(nid, neighbors), idmap(_id, nid)). */
   def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] =
     store.vamanaIndex(name, prop)

@@ -1128,6 +1128,23 @@ final class CollectionStore(
     writeVamanaArtifact(name, prop, graph, idmap)
   }
 
+  /** Publish a PREBUILT graph artifact for `prop` — the offline-build /
+    * online-serve deployment split (DiskANN's own operating shape: the
+    * graph is constructed by a batch job and only SERVED online).
+    * [[buildVamanaIndex]] is this method with the build inlined, and the
+    * graph is a pure function of (vectors, metric, params) — the code
+    * source never shapes it — so a caller that builds once can publish
+    * the SAME frames to several collections holding identical rows
+    * (e.g. one per serving quantizer, the MeasureQps harness shape).
+    * The caller owns that row-identity invariant; the prop must be
+    * vamana-declared, which is validated here.
+    */
+  def importVamanaIndex(
+      name: String, prop: String, graph: DataFrame, idmap: DataFrame): Unit = {
+    vamanaConfig(name, prop)
+    writeVamanaArtifact(name, prop, graph, idmap)
+  }
+
   /** The graph artifact, if built: (graph(nid, neighbors), idmap(_id, nid)). */
   def vamanaIndex(name: String, prop: String): Option[(DataFrame, DataFrame)] =
     vamanaIndexWithDir(name, prop).map { case (g, m, _) => (g, m) }
