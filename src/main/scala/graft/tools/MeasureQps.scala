@@ -66,20 +66,31 @@ object MeasureQps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb0 = graft.Tables.embeddings(spark, sfDir)
-    val emb =
-      if (dOut > 0) Embeddings.jlLift(
-        emb0, col("vec_id"), col("embedding"), dIn = 64, dOut = dOut)
-      else emb0
-    val big = Embeddings.replicatePerturbed(
-      emb, col("vec_id"), col("embedding"), factor, 0.05).persist()
+    val storeRootEarly = s"/tmp/graft_qps_store_f${factor}_d$dOut"
+    // the lifted+replicated corpus is a pure function of (base, factor,
+    // dOut) and costs ~10 single-core minutes at the flagship shape (the
+    // per-element hash chains) — snapshot it beside the store so a rerun
+    // (or a crash recovery) pays a parquet read instead
+    val corpusPath = s"$storeRootEarly/corpus_parquet"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$corpusPath/_SUCCESS"))) {
+      val emb0 = graft.Tables.embeddings(spark, sfDir)
+      val emb =
+        if (dOut > 0) Embeddings.jlLift(
+          emb0, col("vec_id"), col("embedding"), dIn = 64, dOut = dOut)
+        else emb0
+      Embeddings.replicatePerturbed(
+        emb, col("vec_id"), col("embedding"), factor, 0.05)
+        .repartition(32).write.mode("overwrite").parquet(corpusPath)
+    }
+    val big = spark.read.parquet(corpusPath).persist()
     val n = big.count()
     val dim = big.select("embedding").head().getSeq[Float](0).length
     println(s"[qps] corpus n=$n dim=$dim")
     val data = big.select(
       col("vec_id").cast("string").as("_id"), col("embedding").as("vec"))
 
-    val storeRoot = s"/tmp/graft_qps_store_f${factor}_d$dOut"
+    val storeRoot = storeRootEarly
     val db = graft.Graft.forTenant(spark, storeRoot, "qps")
     val colls = Seq(
       "exact" -> (("qpsex", IndexKind.Quantizer.NoQuant: IndexKind.Quantizer)),
@@ -92,11 +103,14 @@ object MeasureQps {
       colls.iterator.map(c => db.vamanaIndex(c._2._1, "vec"))
         .collectFirst { case Some(g) => g }
     colls.foreach { case (tag, (name, quant)) =>
-      if (!db.listCollections().contains(name)) {
-        val t0 = System.nanoTime()
+      val t0 = System.nanoTime()
+      if (!db.listCollections().contains(name))
         db.createCollection(name, graft.model.IndexSchema(
           "vec" -> IndexKind.VectorVamana(dim, IndexKind.Metric.Euclidean,
             degreeBound = 32, quantizer = quant)), data)
+      // a crashed earlier run can leave the collection WITHOUT its graph —
+      // the artifact presence, not the collection, is the resume marker
+      if (db.vamanaIndex(name, "vec").isEmpty) {
         graph match {
           case None =>
             db.buildVamanaIndex(name, "vec")
