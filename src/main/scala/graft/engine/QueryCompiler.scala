@@ -504,6 +504,24 @@ object QueryCompiler {
     * choice degrades softly per query instead of crashing the whole
     * batch in the array encoder.
     */
+  /** ONE multi-top-k pass — the shared tail of every fused multi-query
+    * scan (compileFlatMany / compileTextMany): select (id, K-wide key
+    * array), aggregate GLOBALLY with TopKStrMultiAgg (bounded partials,
+    * no grouping shuffle), collect the single finished buffer, slice it
+    * back into per-query (key, id) lists.
+    */
+  private def multiTopK(
+      frame: DataFrame, keys: Seq[Column],
+      ks: Array[Int]): Seq[Seq[(Double, String)]] = {
+    val topAgg = udaf(new graft.operators.Similarity.TopKStrMultiAgg(ks))
+    val st = frame
+      .select(col(IdCol), array(keys: _*).as("_qds"))
+      .agg(topAgg(col("_qds"), col(IdCol)).as("_top"))
+      .head().getStruct(0)
+    graft.operators.Similarity.TopKStrMultiAgg.slices(
+      ks, st.getSeq[Double](0), st.getSeq[String](1), st.getSeq[Int](2))
+  }
+
   private[engine] def compileFlatMany(
       col0: Collection, prop: String, metric: IndexKind.Metric,
       items: Seq[(Seq[Float], Int, Float)], budget: Int): Seq[Compiled] = {
@@ -540,15 +558,8 @@ object QueryCompiler {
           items.indices.map(i => col(s"_qd$i")))
       case _ => (scan, qds)
     }
-    val ksArr = Array.fill(items.length)(budget)
-    val topAgg = udaf(new graft.operators.Similarity.TopKStrMultiAgg(ksArr))
-    val row = aggFrame
-      .select(col(IdCol), array(keyCols: _*).as("_qds"))
-      .agg(topAgg(col("_qds"), col(IdCol)).as("_top"))
-      .head()
-    val st = row.getStruct(0)
-    val tops = graft.operators.Similarity.TopKStrMultiAgg.slices(
-      ksArr, st.getSeq[Double](0), st.getSeq[String](1), st.getSeq[Int](2))
+    val tops = multiTopK(aggFrame, keyCols,
+      Array.fill(items.length)(budget))
     items.zip(tops).map { case ((vec, limit, w), pairs) =>
       val ids = pairs.map(_._2)
       val candIds =
@@ -715,15 +726,7 @@ object QueryCompiler {
         when(eligible, -col(s"_s$i").cast(FloatType).cast("double") + lit(0.0)),
         lit(Double.NaN))
     }
-    val ksArr = optsList.map(_.limit).toArray
-    val topAgg = udaf(new graft.operators.Similarity.TopKStrMultiAgg(ksArr))
-    val row = fused
-      .select(col(IdCol), array(keys: _*).as("_qds"))
-      .agg(topAgg(col("_qds"), col(IdCol)).as("_top"))
-      .head()
-    val st = row.getStruct(0)
-    val tops = graft.operators.Similarity.TopKStrMultiAgg.slices(
-      ksArr, st.getSeq[Double](0), st.getSeq[String](1), st.getSeq[Int](2))
+    val tops = multiTopK(fused, keys, optsList.map(_.limit).toArray)
     optsList.zip(tops).map { case (o, pairs) =>
       val w = o.weight.getOrElse(1.0f)
       import col0.df.sparkSession.implicits._

@@ -87,6 +87,37 @@ object Similarity {
     override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   }
 
+  /** Exact top-`keep` of the first `used` (key, id) entries by
+    * (key asc, id asc), ids compared as UNSIGNED UTF-8 BYTES — Spark's
+    * own string order (UTF8String.binaryCompare) — encoded ONCE per call,
+    * not per comparison. THE single ranking kernel behind both bounded
+    * string-id aggregators ([[TopKStrAgg]] and [[TopKStrMultiAgg]]): a
+    * tie-break or ordering fix lands here once, or the batched serving
+    * route would silently drift from the single-route oracle it is
+    * specced against.
+    */
+  private def topKByKeyId(ds: Array[Double], ids: Array[String], used: Int,
+      keep: Int): (Array[Double], Array[String], Int) = {
+    val bytes = new Array[Array[Byte]](used)
+    var bi = 0
+    while (bi < used) {
+      bytes(bi) = ids(bi).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      bi += 1
+    }
+    val ord: Ordering[Int] = new Ordering[Int] {
+      def compare(i: Int, j: Int): Int = {
+        val c = java.lang.Double.compare(ds(i), ds(j))
+        if (c != 0) c else java.util.Arrays.compareUnsigned(bytes(i), bytes(j))
+      }
+    }
+    val idx = Array.range(0, used).sorted(ord)
+    val n = math.min(keep, used)
+    val od = new Array[Double](n); val oi = new Array[String](n)
+    var j = 0
+    while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
+    (od, oi, n)
+  }
+
   /** [[TopKBuf]] for STRING ids (the engine's `_id` column). */
   final case class TopKStrBuf(var ds: Array[Double], var ids: Array[String], var n: Int)
 
@@ -103,29 +134,7 @@ object Similarity {
     require(k > 0, s"k must be positive (got $k)")
     private def compact(ds: Array[Double], ids: Array[String], used: Int,
         keep: Int): TopKStrBuf = {
-      // encode each id to UTF-8 ONCE per compact, not once per comparison:
-      // compact runs on every buffer overflow / merge / finish on the
-      // map-side hot path, and an O(n log n) sort re-encoding both sides
-      // at every comparison was measured allocation noise (round-12
-      // advice). The sort itself still compares unsigned bytes — Spark's
-      // own string order (UTF8String.binaryCompare).
-      val bytes = new Array[Array[Byte]](used)
-      var bi = 0
-      while (bi < used) {
-        bytes(bi) = ids(bi).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        bi += 1
-      }
-      val ord: Ordering[Int] = new Ordering[Int] {
-        def compare(i: Int, j: Int): Int = {
-          val c = java.lang.Double.compare(ds(i), ds(j))
-          if (c != 0) c else java.util.Arrays.compareUnsigned(bytes(i), bytes(j))
-        }
-      }
-      val idx = Array.range(0, used).sorted(ord)
-      val n = math.min(keep, used)
-      val od = new Array[Double](n); val oi = new Array[String](n)
-      var j = 0
-      while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
+      val (od, oi, n) = topKByKeyId(ds, ids, used, keep)
       TopKStrBuf(od, oi, n)
     }
     override def zero: TopKStrBuf = TopKStrBuf(new Array(2 * k), new Array(2 * k), 0)
@@ -202,30 +211,12 @@ object Similarity {
     private val offs = caps.scanLeft(0)(_ + _)
     private val total = offs(nq)
 
-    /** Exact top-`keep` of `(ds, ids)[0, used)` — encode-once UTF-8 id
-      * tie-break, ascending (key, id).
+    /** Exact top-`keep` of `(ds, ids)[0, used)` — the shared
+      * [[topKByKeyId]] kernel.
       */
     private def topOf(ds: Array[Double], ids: Array[String], used: Int,
-        keep: Int): (Array[Double], Array[String], Int) = {
-      val bytes = new Array[Array[Byte]](used)
-      var i = 0
-      while (i < used) {
-        bytes(i) = ids(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        i += 1
-      }
-      val ord: Ordering[Int] = new Ordering[Int] {
-        def compare(i: Int, j: Int): Int = {
-          val c = java.lang.Double.compare(ds(i), ds(j))
-          if (c != 0) c else java.util.Arrays.compareUnsigned(bytes(i), bytes(j))
-        }
-      }
-      val idx = Array.range(0, used).sorted(ord)
-      val n = math.min(keep, used)
-      val od = new Array[Double](n); val oi = new Array[String](n)
-      var j = 0
-      while (j < n) { od(j) = ds(idx(j)); oi(j) = ids(idx(j)); j += 1 }
-      (od, oi, n)
-    }
+        keep: Int): (Array[Double], Array[String], Int) =
+      topKByKeyId(ds, ids, used, keep)
 
     /** Compact region `qi` down to its top-`ks(qi)` in place. */
     private def compactRegion(b: TopKMultiBuf, qi: Int): Unit = {

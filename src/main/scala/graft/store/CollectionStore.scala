@@ -1142,6 +1142,16 @@ final class CollectionStore(
   def importVamanaIndex(
       name: String, prop: String, graph: DataFrame, idmap: DataFrame): Unit = {
     vamanaConfig(name, prop)
+    // the build path constructs these frames itself; an import must not
+    // publish a swapped/mis-shaped pair as the live serving generation
+    // (the failure would otherwise surface as an opaque AnalysisException
+    // at the NEXT search, after the good generation is retired)
+    def requireCols(df: DataFrame, which: String, cols: String*): Unit =
+      cols.foreach(c => require(df.columns.contains(c),
+        s"imported $which frame must carry column '$c' " +
+          s"(got ${df.columns.mkString(", ")})"))
+    requireCols(graph, "graph", "id", "neighbors")
+    requireCols(idmap, "idmap", IdCol, "nid")
     writeVamanaArtifact(name, prop, graph, idmap)
   }
 

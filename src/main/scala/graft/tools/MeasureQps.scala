@@ -202,14 +202,22 @@ object MeasureQps {
     }
 
     // phase A: the 100 TB serving shape — distributed walks (exact past
-    // the local budget; coded by construction)
+    // the local budget; coded by construction). At SMALL (factor, dOut)
+    // arguments the raw artifact fits the default 128 MB local budget and
+    // the exact regime silently serves the driver-held snapshot — label
+    // honestly, or a small smoke run's numbers would misattribute the
+    // distributed walk cost (phase A == phase B regime there).
+    val rawArtBytes = n * (40L + 4L * dim + 8L * 32)
+    val phaseA =
+      if (rawArtBytes > (128L << 20)) "distributed"
+      else "local-sized (raw artifact under the 128 MB local budget — exact serves the driver snapshot, same regime as phase B)"
     locally {
       val svc = new graft.wire.WireService(spark, storeRoot,
         userPlans = Map("basic" -> graft.store.UserPlan()))
       val l = new graft.wire.HttpListener(svc)
       try colls.foreach { case (tag, (name, _)) =>
         measure(l.boundPort, name,
-          f"$tag%-5s distributed, n=$n d=$dim")
+          f"$tag%-5s $phaseA, n=$n d=$dim")
       } finally l.close()
     }
     // phase B: the single-node reference deployment shape — the exact

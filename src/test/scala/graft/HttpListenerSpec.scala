@@ -186,14 +186,17 @@ class HttpListenerSpec extends SparkSuite {
           insertBody((0 until 10).map(i => s"${u}_base$i"), 1)).statusCode() == 200)
       }
       // 32 concurrent tasks on 16 threads: per tenant, 8 searches +
-      // 7 inserts (disjoint id ranges) + 1 unauthenticated metrics scrape
+      // 4 inserts (disjoint id ranges); 8 unauthenticated metrics scrapes
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       try {
         import scala.jdk.CollectionConverters._
         val tasks: Seq[java.util.concurrent.Callable[(String, Int, String)]] =
           (0 until 32).map { t =>
             () => {
-              val u = if (t % 2 == 0) "u1" else "u2"
+              // tenant from t/4, op from t%4: every op CLASS hits both
+              // tenants (t%2 would give every insert slot an even t, i.e.
+              // all inserts to u1 — u2's concurrent write path untested)
+              val u = if ((t / 4) % 2 == 0) "u1" else "u2"
               t % 4 match {
                 case 0 | 1 =>
                   val r = call(u, "POST", "/collections/conc/points/search", searchBody)
@@ -232,7 +235,7 @@ class HttpListenerSpec extends SparkSuite {
           .asInstanceOf[JArray].arr.map(p => (p \ "_id").asInstanceOf[JString].s)
         val expected = (0 until 10).map(i => s"${u}_base$i").toSet ++
           (0 until 32).filter(t => t % 4 == 2 &&
-            (if (t % 2 == 0) "u1" else "u2") == u).map(t => s"${u}_conc$t")
+            (if ((t / 4) % 2 == 0) "u1" else "u2") == u).map(t => s"${u}_conc$t")
         assert(ids.toSet == expected, s"$u settled set drift: got ${ids.sorted}")
       }
     } finally l.close()
