@@ -227,7 +227,7 @@ object QueryCompiler {
               art, matchArt, metric, vector, budget, entry, maxHops,
               vidx.local, codedModel)
         }
-        return vamanaPoolCompiled(col0, prop, metric, vector, limit, w, art, gids)
+        return vamanaPoolCompiled(metric, vector, limit, w, vidx, gids)
       case _ => ()
     }
     val restricted0 = filter match {
@@ -390,28 +390,66 @@ object QueryCompiler {
         throw new IllegalStateException("vamana artifacts are served above")
   }
 
-  /** The tail of the graph-served route: beam pool (graph ids) → string
-    * ids → exact re-rank. The gid→id lookup EXECUTES under the walk
-    * session like every per-hop fetch (bucket-pruned point reads) —
-    * merely rebinding the frame would be a no-op, because rerank's join
-    * would re-plan it under the main session where the auto-demotion
-    * drops file pruning. The result is ≤ searchSize ids, so the collect
-    * is bounded and rerank gets a broadcast-sized local relation.
+  /** Pool gids → (id, full-precision vector), the input of the graph
+    * family's CANDIDATE-BOUNDED exact re-rank (round 12; see
+    * [[vamanaRerank]]): zero jobs in the local regime (the [[VamanaServe
+    * .LocalGraph]] snapshot carries ids and vectors), ONE bucket-pruned
+    * point read of ≤ searchSize wide rows from the raw serving table
+    * otherwise — the same fetch shape as a walk hop, planned under the
+    * walk session so bucket pruning holds. The raw serving table carries
+    * `_vec` even when the WALK ran over a coded layout — DiskANN's own
+    * split (codes steer navigation, full-precision vectors are read only
+    * to re-rank), at the cost of the raw layout existing alongside the
+    * coded one.
     */
+  private def vamanaCandidates(
+      vidx: VamanaVectorIndex, gids: Seq[Long]): Map[Long, (String, Seq[Float])] =
+    if (gids.isEmpty) Map.empty
+    else vidx.local match {
+      case Some(g) =>
+        gids.iterator.flatMap(gid =>
+          for { id <- g.ids.get(gid); nv <- g.nodes.get(gid) }
+            yield gid -> ((id, nv._1.toSeq))).toMap
+      case None =>
+        VamanaServe.forWalkFetch(
+          vidx.serving.filter(col("_gid").isin(gids: _*))
+            .select(col("_gid"), col(IdCol), col("_vec")))
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Float](2))))
+          .toMap
+    }
+
+  /** Exact re-rank of a walk pool WITHOUT touching the collection: the
+    * candidates' (id, vector) pairs (already fetched, ≤ searchSize rows)
+    * become a local relation and the SAME distance kernel / sort /
+    * limit / scoring expressions as [[rerank]] run over it — bit-identical
+    * results with the corpus never scanned. This was the graph family's
+    * per-request floor at the flagship QPS measurement (a ~600 MB vector
+    * column read per request at 100k × 1536-d); at 100 TB a per-request
+    * corpus scan is not a serving path at all.
+    */
+  private def vamanaRerank(
+      metric: IndexKind.Metric, vector: Seq[Float], limit: Int, w: Float,
+      cand: Seq[(String, Seq[Float])], spark: org.apache.spark.sql.SparkSession): Compiled = {
+    import spark.implicits._
+    val d = Distances.distanceToQuery(metric, col("_vec"), vector).cast(FloatType)
+    val ranked = cand.toDF(IdCol, "_vec")
+      .select(col(IdCol), d.as(DistanceCol))
+      .orderBy(col(DistanceCol).asc, col(IdCol).asc)
+      .limit(limit)
+      .withColumn(ScoreCol, lit(null).cast(FloatType))
+      .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
+    Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
+  }
+
+  /** The tail of the graph-served route: beam pool (graph ids) →
+    * (id, vector) candidates → candidate-bounded exact re-rank. */
   private def vamanaPoolCompiled(
-      col0: Collection, prop: String, metric: IndexKind.Metric,
-      vector: Seq[Float], limit: Int, w: Float,
-      art: DataFrame, gids: Seq[Long]): Compiled = {
-    val candIds =
-      if (gids.isEmpty) art.filter(lit(false)).select(IdCol)
-      else {
-        val ids = VamanaServe.forWalkFetch(
-          art.filter(col("_gid").isin(gids: _*)).select(IdCol))
-          .collect().map(_.getString(0)).toSeq
-        import art.sparkSession.implicits._
-        ids.toDF(IdCol)
-      }
-    rerank(col0, prop, metric, vector, limit, w, candIds)
+      metric: IndexKind.Metric, vector: Seq[Float], limit: Int, w: Float,
+      vidx: VamanaVectorIndex, gids: Seq[Long]): Compiled = {
+    val byGid = vamanaCandidates(vidx, gids)
+    vamanaRerank(metric, vector, limit, w,
+      gids.flatMap(byGid.get), vidx.encoded.sparkSession)
   }
 
   /** Batched compile for MANY single-leaf, unfiltered, approx vectorVamana
@@ -451,21 +489,15 @@ object QueryCompiler {
           art, matchArt, metric, items.map(_._1), budget, vidx.entry,
           vidx.maxHops, vidx.local, coded.map(_._2))
     }
-    val allGids = pools.flatten.distinct
-    val gidToId: Map[Long, String] =
-      if (allGids.isEmpty) Map.empty
-      else VamanaServe.forWalkFetch(
-        art.filter(col("_gid").isin(allGids: _*)).select(col("_gid"), col(IdCol)))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ONE fused candidate materialization for the whole group (gid →
+    // (id, vector) over the union of the pools — zero jobs local, one
+    // bucket-pruned point read distributed), then each request's
+    // candidate-bounded exact re-rank (vamanaRerank: the corpus is never
+    // scanned — round 12)
+    val byGid = vamanaCandidates(vidx, pools.flatten.distinct)
     items.zip(pools).map { case ((vec, limit, w), gids) =>
-      val ids = gids.flatMap(gidToId.get)
-      val candIds =
-        if (ids.isEmpty) art.filter(lit(false)).select(IdCol)
-        else {
-          import art.sparkSession.implicits._
-          ids.toDF(IdCol)
-        }
-      rerank(col0, prop, metric, vec, limit, w, candIds)
+      vamanaRerank(metric, vec, limit, w,
+        gids.flatMap(byGid.get), vidx.encoded.sparkSession)
     }
   }
 

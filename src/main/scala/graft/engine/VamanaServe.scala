@@ -50,13 +50,18 @@ import graft.model.IndexKind.Metric
   */
 object VamanaServe {
 
-  /** Collected snapshot of a broadcast-sized artifact: gid → (vec, nbrs),
-    * immutable and shared across every query against the index.
+  /** Collected snapshot of a broadcast-sized artifact: gid → (vec, nbrs)
+    * plus gid → _id, immutable and shared across every query against the
+    * index. `ids` lets the post-walk candidate materialization (pool →
+    * (id, vector) for the exact re-rank) run with ZERO jobs in the local
+    * regime — the in-RAM single-node serving shape.
     */
-  final case class LocalGraph(nodes: Map[Long, (Array[Float], Array[Long])])
+  final case class LocalGraph(
+      nodes: Map[Long, (Array[Float], Array[Long])],
+      ids: Map[Long, String])
 
-  /** Collect `art` (`_gid`, `_vec`, `_nbrs`) into a [[LocalGraph]] when
-    * its estimated bytes fit `graft.vamana.localMaxBytes` (default
+  /** Collect `art` (`_gid`, `_vec`, `_nbrs`, `_id`) into a [[LocalGraph]]
+    * when its estimated bytes fit `graft.vamana.localMaxBytes` (default
     * 128 MB); None past the budget — callers then walk distributed. The
     * estimate is rowCount × (first-row vec/nbr widths + fixed overhead),
     * honest for the fixed-dim bounded-degree frames VamanaBuild emits.
@@ -66,18 +71,20 @@ object VamanaServe {
       .getOption("graft.vamana.localMaxBytes").map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     val head = art.select(col("_gid"), col("_vec"), col("_nbrs")).head(1)
-    if (head.isEmpty) return Some(LocalGraph(Map.empty))
+    if (head.isEmpty) return Some(LocalGraph(Map.empty, Map.empty))
     val dim = head(0).getSeq[Float](1).length
     val deg = head(0).getSeq[Long](2).length
-    val rowBytes = 40L + 4L * dim + 8L * deg
+    val rowBytes = 80L + 4L * dim + 8L * deg // 80 ≈ fixed + id string
     val n = art.count()
     if (n * rowBytes > maxBytes) None
-    else Some(LocalGraph(
-      art.select(col("_gid"), col("_vec"), col("_nbrs"))
+    else {
+      val rows = art.select(col("_gid"), col("_vec"), col("_nbrs"), col("_id"))
         .collect()
-        .map(r => r.getLong(0) ->
-          (r.getSeq[Float](1).toArray, r.getSeq[Long](2).toArray))
-        .toMap))
+      Some(LocalGraph(
+        rows.map(r => r.getLong(0) ->
+          (r.getSeq[Float](1).toArray, r.getSeq[Long](2).toArray)).toMap,
+        rows.map(r => r.getLong(0) -> r.getString(3)).toMap))
+    }
   }
 
   /** Catalog name for the bucketed serving table at `dir` — deterministic
