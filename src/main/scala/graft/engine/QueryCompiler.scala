@@ -38,16 +38,28 @@ object QueryCompiler {
   final case class Compiled(
       set: SetRep, ranked: Option[DataFrame], setFromRanked: Boolean = false)
 
-  def compile(col: Collection, q: Query): Compiled = q.property match {
-    case "_and" => merge(col, q.and.map(compile(col, _)), disjunction = false)
-    case "_or" => merge(col, q.or.map(compile(col, _)), disjunction = true)
-    case "_id" => Compiled(Pred(idPredicate(q)), None)
-    case prop =>
-      col.schema.get(prop) match {
-        case None => throw new IllegalArgumentException(
-          s"property $prop not found in index schema, cannot query")
-        case Some(kind) => leaf(col, prop, kind, q)
-      }
+  /** `pre`: leaf nodes already compiled by a batch group (Search.searchMany
+    * decomposes every request's tree, fuses batchable leaves across the
+    * batch, and injects the per-leaf results here) — keyed by the leaf
+    * Query VALUE, so an identical leaf shared by two requests compiles
+    * once. Lookup happens only on the `_and`/`_or` recursion path, never
+    * inside a leaf's own `filter` sub-query (a filter is a set predicate;
+    * matching it against a ranked batch result would change semantics).
+    */
+  def compile(col: Collection, q: Query,
+      pre: Map[Query, Compiled] = Map.empty): Compiled = pre.get(q) match {
+    case Some(c) => c
+    case None => q.property match {
+      case "_and" => merge(col, q.and.map(compile(col, _, pre)), disjunction = false)
+      case "_or" => merge(col, q.or.map(compile(col, _, pre)), disjunction = true)
+      case "_id" => Compiled(Pred(idPredicate(q)), None)
+      case prop =>
+        col.schema.get(prop) match {
+          case None => throw new IllegalArgumentException(
+            s"property $prop not found in index schema, cannot query")
+          case Some(kind) => leaf(col, prop, kind, q)
+        }
+    }
   }
 
   // ---- leaves -------------------------------------------------------------

@@ -50,8 +50,15 @@ object Search {
     * cells, so per-query partition pruning survives batching. Single-leaf,
     * unfiltered TEXT requests against one property share the postings
     * restriction, the df table, and one fused per-doc scoring aggregate
-    * (compileTextMany). Everything else — combinator queries, flat/text
-    * requests with filters — takes the single-request pipeline unchanged.
+    * (compileTextMany). Batchable leaves are harvested from ANYWHERE in a
+    * request's query tree (round 12): a hybrid `_and`/`_or` of text +
+    * vector leaves decomposes into the same fused families — the leaves
+    * batch across requests, then each request's combinator merge runs on
+    * the precompiled leaf results, so hybrid serving workloads amortize
+    * end-to-end instead of falling back whole. Identical leaves shared by
+    * several requests compile ONCE (the precompiled map is keyed by leaf
+    * value). Everything else — plain predicates, flat/text leaves with
+    * filters — takes the single-request pipeline unchanged.
     */
   def searchMany(col0: Collection, reqs: Seq[SearchRequest]): Seq[DataFrame] = {
     reqs.foreach(validate(col0, _))
@@ -106,43 +113,54 @@ object Search {
         }
       case _ => None
     }
-    val tagged = reqs.map(r =>
-      (r, vamanaTag(r.query), flatTag(r.query), textTag(r.query))).zipWithIndex
-    val compiledByIdx = scala.collection.mutable.Map[Int, QueryCompiler.Compiled]()
-    tagged.collect { case (((_, Some((prop, o, metric)), _, _)), i) =>
+    // harvest batchable leaves from the whole tree (a top-level leaf is
+    // the depth-0 case); `distinct` dedups identical leaves across
+    // requests so each compiles once
+    def leaves(q: Query): Seq[Query] = q.property match {
+      case "_and" => q.and.flatMap(leaves)
+      case "_or" => q.or.flatMap(leaves)
+      case _ =>
+        if (vamanaTag(q).isDefined || flatTag(q).isDefined ||
+          textTag(q).isDefined) Seq(q)
+        else Nil
+    }
+    val distinctLeaves = reqs.flatMap(r => leaves(r.query)).distinct
+    val pre = scala.collection.mutable.Map[Query, QueryCompiler.Compiled]()
+    distinctLeaves.flatMap(q => vamanaTag(q).map((q, _))).groupBy {
       // the shared budget definitions (QueryCompiler.vamanaBudget /
       // flatBudget) keep the batch's groups bit-identical to the
       // single-request route; the filter AST in the key means only
       // EQUAL-filter requests share a (seeded, membership-probed) wave
-      (prop, QueryCompiler.vamanaBudget(o), metric, o.filter) -> ((i, o))
-    }.groupBy(_._1).foreach { case ((prop, budget, metric, filter), members) =>
-      val items = members.map { case (_, (_, o)) =>
+      case (_, (prop, o, metric)) =>
+        (prop, QueryCompiler.vamanaBudget(o), metric, o.filter)
+    }.foreach { case ((prop, budget, metric, filter), members) =>
+      val items = members.map { case (_, (_, o, _)) =>
         (o.vector, o.limit, o.weight.getOrElse(1.0f))
       }
       val cs = QueryCompiler.compileVamanaMany(
         col0, prop, metric, items, budget, filter)
-      members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
+      members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
     }
-    tagged.collect { case (((_, None, Some((prop, o, metric)), _)), i) =>
-      (prop, QueryCompiler.flatBudget(o), metric) -> ((i, o))
-    }.groupBy(_._1).foreach { case ((prop, budget, metric), members) =>
-      val items = members.map { case (_, (_, o)) =>
-        (o.vector, o.limit, o.weight.getOrElse(1.0f))
+    distinctLeaves.filter(vamanaTag(_).isEmpty)
+      .flatMap(q => flatTag(q).map((q, _))).groupBy {
+        case (_, (prop, o, metric)) =>
+          (prop, QueryCompiler.flatBudget(o), metric)
+      }.foreach { case ((prop, budget, metric), members) =>
+        val items = members.map { case (_, (_, o, _)) =>
+          (o.vector, o.limit, o.weight.getOrElse(1.0f))
+        }
+        val cs = QueryCompiler.compileFlatMany(col0, prop, metric, items, budget)
+        members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
       }
-      val cs = QueryCompiler.compileFlatMany(col0, prop, metric, items, budget)
-      members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
-    }
-    tagged.collect { case (((r, None, None, Some(prop))), i) =>
-      prop -> ((i, r.query.text.get))
-    }.groupBy(_._1).foreach { case (prop, members) =>
-      val cs = QueryCompiler.compileTextMany(col0, prop, members.map(_._2._2))
-      members.zip(cs).foreach { case ((_, (i, _)), c) => compiledByIdx(i) = c }
-    }
-    tagged.map { case ((r, vt, ft, tt), i) =>
-      assemble(col0, r,
-        if (vt.isDefined || ft.isDefined || tt.isDefined) compiledByIdx(i)
-        else QueryCompiler.compile(col0, r.query))
-    }
+    distinctLeaves.filter(q => vamanaTag(q).isEmpty && flatTag(q).isEmpty)
+      .flatMap(q => textTag(q).map((q, _))).groupBy(_._2)
+      .foreach { case (prop, members) =>
+        val cs = QueryCompiler.compileTextMany(
+          col0, prop, members.map(_._1.text.get))
+        members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
+      }
+    val preMap = pre.toMap
+    reqs.map(r => assemble(col0, r, QueryCompiler.compile(col0, r.query, preMap)))
   }
 
   /** JSON-request face of [[searchMany]]. */

@@ -125,6 +125,70 @@ object HybridQueries {
       .orderBy(col("hybrid_r").desc, col("_id"))
   }
 
+  /** Batch-amortized HYBRID serving (round 12): four complete
+    * `_or`(vamana + text) requests through Search.searchMany in ONE call.
+    * searchMany decomposes each request's tree: the four approx vamana
+    * leaves advance as a single hop-fused walk wave, the four IDENTICAL
+    * text leaves compile once (value-keyed precompiled map), and each
+    * request's `_or` merge then runs on the precompiled leaf results —
+    * the full hybrid workload amortizes end-to-end instead of falling
+    * back to the sequential pipeline. Per-request results are identical
+    * to independent Search.search calls (SearchManySpec hybrid law), so
+    * the oracle is the q3_hybrid_or replay windowed per query: exact
+    * per-qi vector top-10 (at beam 75 each walk pool contains its exact
+    * top-10 — the s1_near_vamana_many argument) full-outer-joined with
+    * the shared tf-idf text top-20, float32 weighted score-sum.
+    */
+  val q3HybridMany = NamedQuery(
+    "q3_hybrid_many",
+    s"""${prelude(Seq("spark", "filter", "merge"))},
+       |qm AS (SELECT vec_id AS qi, embedding AS v FROM embeddings WHERE vec_id <= 3),
+       |vrank AS (
+       |  SELECT qm.qi, CAST(doc_id AS VARCHAR) AS _id,
+       |    CAST(power(list_distance(embedding, qm.v), 2) AS REAL) AS dist32,
+       |    row_number() OVER (PARTITION BY qm.qi
+       |      ORDER BY CAST(power(list_distance(embedding, qm.v), 2) AS REAL) ASC,
+       |               CAST(doc_id AS VARCHAR) ASC) AS rn
+       |  FROM documents JOIN embeddings ON doc_id = vec_id CROSS JOIN qm),
+       |vh AS (
+       |  SELECT qi, _id, dist32,
+       |         CAST(CAST(-0.5 AS REAL) * dist32 AS REAL) AS vhybrid
+       |  FROM vrank WHERE rn <= 10),
+       |trank AS (
+       |  SELECT _id, CAST(score AS REAL) AS score32 FROM scored
+       |  ORDER BY score DESC, _id ASC LIMIT 20),
+       |th AS (
+       |  SELECT qs.qi, t._id, t.score32,
+       |         CAST(CAST(2.0 AS REAL) * t.score32 AS REAL) AS thybrid
+       |  FROM (SELECT DISTINCT qi FROM qm) qs CROSS JOIN trank t),
+       |merged AS (
+       |  SELECT coalesce(v.qi, t.qi) AS qi, coalesce(v._id, t._id) AS _id,
+       |         v.dist32, t.score32,
+       |         CAST(coalesce(v.vhybrid, 0) + coalesce(t.thybrid, 0) AS REAL) AS hybrid
+       |  FROM vh v FULL OUTER JOIN th t ON v.qi = t.qi AND v._id = t._id)
+       |SELECT CAST(qi AS BIGINT) AS qi, _id,
+       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+       |  CAST(round(CAST(score32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS score_r,
+       |  CAST(round(CAST(hybrid AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
+       |FROM merged ORDER BY qi, hybrid_r DESC, _id""".stripMargin) { (s, d) =>
+    val coll = TestCollections.docsVamana(s, d)
+    val reqs = (0L to 3L).map(i => SearchRequest(
+      Query("_or", or = Seq(
+        Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+          TestCollections.queryVector(s, d, i), Op.Near, searchSize = 75,
+          limit = 10, weight = Some(0.5f), approx = true))),
+        Query("text", text = Some(TextOpts("spark filter merge",
+          Op.ContainsAny, 20, weight = Some(2.0f)))))),
+      limit = 100))
+    Search.searchMany(coll, reqs).zipWithIndex.map { case (df, qi) =>
+      df.select(lit(qi.toLong).as("qi"), col("_id"),
+        dround(col("_distance"), 4).as("dist_r"),
+        dround(col("_score"), 4).as("score_r"),
+        dround(col("_hybridScore"), 4).as("hybrid_r"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("qi"), col("hybrid_r").desc, col("_id"))
+  }
+
   /** Kitchen sink: pre-filtered weighted vamana OR post-filtered weighted
     * text, select + data-column sort + limit 5.
     */
@@ -259,5 +323,6 @@ object HybridQueries {
       .orderBy(col("rrf_r").desc, col("id"))
   }
 
-  val all: Seq[NamedQuery] = Seq(q2HybridAnd, q3HybridOr, kitchenSink, hybridRrfFuse)
+  val all: Seq[NamedQuery] = Seq(q2HybridAnd, q3HybridOr, q3HybridMany,
+    kitchenSink, hybridRrfFuse)
 }

@@ -247,6 +247,51 @@ class SearchManySpec extends SparkSuite {
     }
   }
 
+  /** Hybrid decomposition (round 12): a combinator request's batchable
+    * LEAVES join the fused families across the batch — the `_and`/`_or`
+    * merge then runs on the precompiled leaf results. Covers `_or` and
+    * `_and` of text+vamana, a shared identical text leaf (compiled once
+    * via the value-keyed map), a nested combinator, and a plain-predicate
+    * sibling leaf that must stay on the single pipeline.
+    */
+  test("hybrid combinator requests batch leaf-wise == independent searches") {
+    def hybrid(op: String, qi: Long, terms: String, textOp: String) = {
+      val children = Seq(
+        Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+          queries.TestCollections.queryVector(spark, sf0001, qi), Op.Near,
+          searchSize = 75, limit = 10, weight = Some(0.5f), approx = true))),
+        Query("text", text = Some(TextOpts(terms, textOp, 20, weight = Some(2.0f)))))
+      SearchRequest(
+        if (op == "_or") Query("_or", or = children)
+        else Query("_and", and = children),
+        limit = 100)
+    }
+    // a nested combinator: _or( vamana, _and(text, plain predicate) ) —
+    // the text leaf batches, the predicate stays a Column, the nested
+    // _and post-filters the ranked text list (kitchen-sink semantics)
+    val nested = SearchRequest(
+      Query("_or", or = Seq(
+        Query("vec_l2", vectorVamana = Some(VectorVamanaOpts(
+          queries.TestCollections.queryVector(spark, sf0001, 3L), Op.Near,
+          searchSize = 75, limit = 10, weight = Some(0.25f), approx = true))),
+        Query("_and", and = Seq(
+          Query("text", text = Some(TextOpts("spark filter merge",
+            Op.ContainsAny, 20, weight = Some(2.0f)))),
+          Query("n_chars", integer = Some(IntegerOpts(200, Op.GreaterThan))))))),
+      limit = 100)
+    val reqs = Seq(
+      hybrid("_or", 0L, "spark filter merge", Op.ContainsAny),
+      hybrid("_or", 1L, "spark filter merge", Op.ContainsAny), // shares the text leaf
+      hybrid("_and", 2L, "spark window", Op.ContainsAll),
+      nested,
+      vamanaReq(4L)) // single-leaf neighbor joins the same walk wave
+    val batch = Search.searchMany(coll, reqs)
+    assert(batch.size == reqs.size)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(textRows(df) == textRows(Search.search(coll, r)), s"hybrid drift for $r")
+    }
+  }
+
   test("empty batch and invalid request behave like the single face") {
     assert(Search.searchMany(coll, Nil).isEmpty)
     val bad = SearchRequest(
