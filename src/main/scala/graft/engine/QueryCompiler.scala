@@ -568,9 +568,17 @@ object QueryCompiler {
 
   private[engine] def compileFlatMany(
       col0: Collection, prop: String, metric: IndexKind.Metric,
-      items: Seq[(Seq[Float], Int, Float)], budget: Int): Seq[Compiled] = {
+      items: Seq[(Seq[Float], Int, Float)], budget: Int,
+      filter: Option[Query] = None): Seq[Compiled] = {
     val idx = col0.vectorIndexes(prop)
-    val frame = idx.encoded
+    // a shared pre-filter (Search.searchMany groups flat requests by
+    // filter AST, so every member's filter is EQUAL) restricts the fused
+    // candidate scan itself, exactly like the single route's approxNear —
+    // filtered-out rows never consume candidate budget
+    val frame = filter match {
+      case None => idx.encoded
+      case Some(f) => applySet(col0, compile(col0, f).set, idx.encoded)
+    }
     val cands = items.map { case (vec, _, _) =>
       flatCandidateExpr(idx, metric, vec, frame)
     }
@@ -710,8 +718,8 @@ object QueryCompiler {
     Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
   }
 
-  /** Batched compile for MANY single-leaf, unfiltered text queries
-    * against ONE property (Search.searchMany's text batchable group —
+  /** Batched compile for MANY single-leaf text queries against ONE
+    * property (Search.searchMany's text batchable group —
     * round-12 verdict item #3; hybrid serving workloads are text+vector,
     * and before this only the vector half amortized): each text leaf
     * alone pays a postings scan + a df aggregation + a per-doc grouped
@@ -736,7 +744,8 @@ object QueryCompiler {
     * absorbs it everywhere observable (the gates additionally round).
     */
   private[engine] def compileTextMany(
-      col0: Collection, prop: String, optsList: Seq[TextOpts]): Seq[Compiled] = {
+      col0: Collection, prop: String, optsList: Seq[TextOpts],
+      filter: Option[Query] = None): Seq[Compiled] = {
     val termsPer = optsList.map { o =>
       val ts = TextAnalyzer.analyzeString(o.value).distinct
       if (ts.isEmpty)
@@ -759,7 +768,14 @@ object QueryCompiler {
       sum(when(col("_term").isin(ts: _*), contrib)).as(s"_s$i"),
       count(when(col("_term").isin(ts: _*), lit(1))).as(s"_n$i"))
     }
-    val fused = joined.groupBy(IdCol).agg(aggCols.head, aggCols.tail: _*)
+    val fused0 = joined.groupBy(IdCol).agg(aggCols.head, aggCols.tail: _*)
+    // shared pre-filter (EQUAL across the group by construction): intersect
+    // AFTER the posting-set merge, BEFORE scoring truncation — the single
+    // route's placement (text.go:328–334); df/idf statistics stay unfiltered
+    val fused = filter match {
+      case None => fused0
+      case Some(f) => applySet(col0, compile(col0, f).set, fused0)
+    }
     val keys = optsList.zip(termsPer).zipWithIndex.map { case ((o, ts), i) =>
       val eligible = o.operator match {
         case Op.ContainsAll => col(s"_n$i") === ts.length

@@ -57,8 +57,13 @@ object Search {
     * the precompiled leaf results, so hybrid serving workloads amortize
     * end-to-end instead of falling back whole. Identical leaves shared by
     * several requests compile ONCE (the precompiled map is keyed by leaf
-    * value). Everything else — plain predicates, flat/text leaves with
-    * filters — takes the single-request pipeline unchanged.
+    * value). FILTERED leaves batch in every family when their filter ASTs
+    * are EQUAL (the filter joins each family's group key): the vamana
+    * group shares the filter's seed set and membership verdicts, the flat
+    * group's fused scan is filter-restricted once, and the text group
+    * intersects its fused per-doc frame once (after set merge, before
+    * truncation — the single route's placement). Only plain predicates and
+    * combinators contribute no fused work of their own.
     */
   def searchMany(col0: Collection, reqs: Seq[SearchRequest]): Seq[DataFrame] = {
     reqs.foreach(validate(col0, _))
@@ -86,8 +91,7 @@ object Search {
       }
     def flatTag(q: Query): Option[(String, VectorFlatOpts, IndexKind.Metric)] =
       q.vectorFlat match {
-        case Some(o) if o.approx && o.filter.isEmpty &&
-            q.and.isEmpty && q.or.isEmpty =>
+        case Some(o) if o.approx && q.and.isEmpty && q.or.isEmpty =>
           col0.schema.get(q.property) match {
             case Some(k: IndexKind.VectorFlat) =>
               col0.vectorIndexes.get(q.property) match {
@@ -106,7 +110,7 @@ object Search {
     // property (compileTextMany) — hybrid serving workloads are
     // text+vector, so the text half must amortize too
     def textTag(q: Query): Option[String] = q.text match {
-      case Some(o) if o.filter.isEmpty && q.and.isEmpty && q.or.isEmpty =>
+      case Some(_) if q.and.isEmpty && q.or.isEmpty =>
         col0.schema.get(q.property) match {
           case Some(_: IndexKind.Text) => Some(q.property)
           case _ => None
@@ -143,20 +147,24 @@ object Search {
     }
     distinctLeaves.filter(vamanaTag(_).isEmpty)
       .flatMap(q => flatTag(q).map((q, _))).groupBy {
+        // filter AST in the key: EQUAL-filter requests share one
+        // filter-restricted fused scan (round 12)
         case (_, (prop, o, metric)) =>
-          (prop, QueryCompiler.flatBudget(o), metric)
-      }.foreach { case ((prop, budget, metric), members) =>
+          (prop, QueryCompiler.flatBudget(o), metric, o.filter)
+      }.foreach { case ((prop, budget, metric, filter), members) =>
         val items = members.map { case (_, (_, o, _)) =>
           (o.vector, o.limit, o.weight.getOrElse(1.0f))
         }
-        val cs = QueryCompiler.compileFlatMany(col0, prop, metric, items, budget)
+        val cs = QueryCompiler.compileFlatMany(
+          col0, prop, metric, items, budget, filter)
         members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
       }
     distinctLeaves.filter(q => vamanaTag(q).isEmpty && flatTag(q).isEmpty)
-      .flatMap(q => textTag(q).map((q, _))).groupBy(_._2)
-      .foreach { case (prop, members) =>
+      .flatMap(q => textTag(q).map((q, _)))
+      .groupBy { case (q, prop) => (prop, q.text.get.filter) }
+      .foreach { case ((prop, filter), members) =>
         val cs = QueryCompiler.compileTextMany(
-          col0, prop, members.map(_._1.text.get))
+          col0, prop, members.map(_._1.text.get), filter)
         members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
       }
     val preMap = pre.toMap

@@ -854,6 +854,69 @@ object VectorQueries {
     }
   }
 
+  /** Batch-amortized FILTERED flat serving (round 12): three filtered
+    * `"approx": true` vectorFlat requests with EQUAL filters through
+    * Search.searchMany in ONE call — the group shares one
+    * filter-RESTRICTED fused candidate scan (QueryCompiler.compileFlatMany
+    * with the group's filter; filtered-out rows never consume candidate
+    * budget, the single route's filter-first placement), then the bounded
+    * per-query top-50 and the shared exact re-rank. Per-request results
+    * equal independent searches (SearchManySpec equal-filter flat law);
+    * the oracle replays the whole pipeline per query with the filter as
+    * one WHERE on the candidate scan — the fit (min/max grid) stays
+    * corpus-wide, exactly like the attached artifact.
+    */
+  val s2NearFilteredMany = {
+    val chain = sqReconChain
+    NamedQuery(
+      "s2_near_filtered_many",
+      s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+         |corpus AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS _id, embedding, label
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |mm0 AS (
+         |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+         |  FROM corpus CROSS JOIN dims GROUP BY i),
+         |mm AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM mm0),
+         |q AS (SELECT vec_id AS qi, embedding AS v FROM embeddings WHERE vec_id <= 2),
+         |ad AS (
+         |  SELECT q.qi, c._id, c.embedding, ($chain) AS ad
+         |  FROM corpus c CROSS JOIN q CROSS JOIN mm
+         |  WHERE c.label BETWEEN 0 AND 4),
+         |cand AS (
+         |  SELECT qi, _id, embedding FROM (
+         |    SELECT qi, _id, embedding,
+         |      row_number() OVER (PARTITION BY qi ORDER BY ad ASC, _id ASC) AS rn
+         |    FROM ad) WHERE rn <= 50),
+         |rr AS (
+         |  SELECT c.qi, c._id, CAST(1.0 - list_sum(list_transform(range(1, 65), t -> CAST(c.embedding[t] AS DOUBLE) * CAST(q.v[t] AS DOUBLE))) AS REAL) AS dist32
+         |  FROM cand c JOIN q ON c.qi = q.qi),
+         |top AS (
+         |  SELECT qi, _id, dist32 FROM (
+         |    SELECT qi, _id, dist32,
+         |      row_number() OVER (PARTITION BY qi ORDER BY dist32 ASC, _id ASC) AS rn
+         |    FROM rr) WHERE rn <= 10)
+         |SELECT CAST(qi AS BIGINT) AS qi, _id,
+         |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
+         |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
+         |FROM top ORDER BY qi, dist_r, _id""".stripMargin) { (s, d) =>
+      val coll = TestCollections.docsSq8(s, d)
+      val f = Some(Query("label", integer = Some(IntegerOpts(0, Op.InRange, 4))))
+      val reqs = (0L to 2L).map(i => SearchRequest(
+        Query("embedding", vectorFlat = Some(VectorFlatOpts(
+          TestCollections.queryVector(s, d, i), Op.Near, 10,
+          filter = f, approx = true))),
+        limit = 100))
+      Search.searchMany(coll, reqs).zipWithIndex.map { case (df, qi) =>
+        df.select(lit(qi.toLong).as("qi"), col("_id"),
+          dround(col("_distance"), Scale).as("dist_r"),
+          dround(col("_hybridScore"), Scale).as("hybrid_r"))
+      }.reduce(_ unionAll _)
+        .orderBy("qi", "dist_r", "_id")
+    }
+  }
+
   /** Batch-amortized IVF serving (round 12): five `"approx": true`
     * vectorFlat requests against ONE attached IVF-RaBitQ artifact go
     * through Search.searchMany in ONE call — the five candidate scans
@@ -1001,5 +1064,5 @@ object VectorQueries {
     s2NearPqApprox, s1NearVamanaApprox, s1NearVamanaFilteredApprox,
     s1NearFilteredBq, s2NearSqApprox, s1NearVamanaBatch, s2NearBqAsymApprox,
     s2NearOpqApprox, s2NearRbqApprox, s2NearIvfRbqApprox, s1NearVamanaMany,
-    s2NearFlatMany, s2NearIvfMany, s1NearFilteredMany)
+    s2NearFlatMany, s2NearIvfMany, s1NearFilteredMany, s2NearFilteredMany)
 }

@@ -109,9 +109,9 @@ class SearchManySpec extends SparkSuite {
     }
   }
 
-  test("flat searchMany: mixed limits/weights and filtered fallback") {
+  test("flat searchMany: mixed limits/weights/filters split into their own groups") {
     // limit 20 forces budget max(5*20, 50) = 100 ≠ 50: two scan groups;
-    // the filtered request must take the single pipeline unchanged
+    // the filtered request batches in its own filter group (round 12)
     val reqs = Seq(
       flatReq(0L), flatReq(1L, limit = 20, weight = Some(2.0f)),
       flatReq(2L, filter = Some(Query("lang",
@@ -119,6 +119,20 @@ class SearchManySpec extends SparkSuite {
     val batch = Search.searchMany(flatColl, reqs)
     reqs.zip(batch).foreach { case (r, df) =>
       assert(rows(df) == rows(Search.search(flatColl, r)))
+    }
+  }
+
+  test("filtered flat requests with EQUAL filters batch as one restricted scan") {
+    val en = Some(Query("lang", string = Some(StringOpts("en", Op.Equals))))
+    val de = Some(Query("lang", string = Some(StringOpts("de", Op.Equals))))
+    // three EQUAL-filter requests share one filter-restricted fused scan;
+    // the de-filter and unfiltered requests land in their own groups
+    val reqs = Seq(
+      flatReq(0L, filter = en), flatReq(1L, filter = en),
+      flatReq(2L, filter = en), flatReq(3L, filter = de), flatReq(4L))
+    val batch = Search.searchMany(flatColl, reqs)
+    reqs.zip(batch).foreach { case (r, df) =>
+      assert(rows(df) == rows(Search.search(flatColl, r)), s"filtered flat drift for $r")
     }
   }
 
@@ -236,14 +250,20 @@ class SearchManySpec extends SparkSuite {
     }
   }
 
-  test("filtered text requests fall back to the single pipeline unchanged") {
+  test("filtered text requests batch per equal-filter group (round 12)") {
+    val de = Some(Query("lang", string = Some(StringOpts("de", Op.Equals))))
+    val nc = Some(Query("n_chars", integer = Some(IntegerOpts(200, Op.GreaterThan))))
+    // two EQUAL-filter requests share one intersected fused frame; the
+    // different-filter and unfiltered requests land in their own groups —
+    // all must equal their independent single-request twins
     val reqs = Seq(
-      textReq("vector table", Op.ContainsAny, filter = Some(Query("lang",
-        string = Some(StringOpts("de", Op.Equals))))),
+      textReq("vector table", Op.ContainsAny, filter = de),
+      textReq("spark filter merge", Op.ContainsAny, limit = 7, filter = de),
+      textReq("spark window", Op.ContainsAll, filter = nc),
       textReq("spark window", Op.ContainsAll))
     val batch = Search.searchMany(coll, reqs)
     reqs.zip(batch).foreach { case (r, df) =>
-      assert(textRows(df) == textRows(Search.search(coll, r)))
+      assert(textRows(df) == textRows(Search.search(coll, r)), s"filtered text drift for $r")
     }
   }
 
