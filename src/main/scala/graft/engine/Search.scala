@@ -130,6 +130,14 @@ object Search {
     }
     val distinctLeaves = reqs.flatMap(r => leaves(r.query)).distinct
     val pre = scala.collection.mutable.Map[Query, QueryCompiler.Compiled]()
+    // a group with ONE distinct leaf has nothing to fuse — the Many-compile
+    // would only add its eager materialization step (an extra job at toy
+    // scale, measured ~2x on a K=1 batch) over the single route's lazy
+    // plan. Compile it once on the single path; the precompiled map still
+    // shares that one result across every request carrying the leaf.
+    def fuseOrSingle(members: Seq[Query])(many: => Seq[QueryCompiler.Compiled]): Unit =
+      if (members.size == 1) pre(members.head) = QueryCompiler.compile(col0, members.head)
+      else members.zip(many).foreach { case (q, c) => pre(q) = c }
     distinctLeaves.flatMap(q => vamanaTag(q).map((q, _))).groupBy {
       // the shared budget definitions (QueryCompiler.vamanaBudget /
       // flatBudget) keep the batch's groups bit-identical to the
@@ -138,12 +146,12 @@ object Search {
       case (_, (prop, o, metric)) =>
         (prop, QueryCompiler.vamanaBudget(o), metric, o.filter)
     }.foreach { case ((prop, budget, metric, filter), members) =>
-      val items = members.map { case (_, (_, o, _)) =>
-        (o.vector, o.limit, o.weight.getOrElse(1.0f))
+      fuseOrSingle(members.map(_._1)) {
+        val items = members.map { case (_, (_, o, _)) =>
+          (o.vector, o.limit, o.weight.getOrElse(1.0f))
+        }
+        QueryCompiler.compileVamanaMany(col0, prop, metric, items, budget, filter)
       }
-      val cs = QueryCompiler.compileVamanaMany(
-        col0, prop, metric, items, budget, filter)
-      members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
     }
     distinctLeaves.filter(vamanaTag(_).isEmpty)
       .flatMap(q => flatTag(q).map((q, _))).groupBy {
@@ -152,20 +160,20 @@ object Search {
         case (_, (prop, o, metric)) =>
           (prop, QueryCompiler.flatBudget(o), metric, o.filter)
       }.foreach { case ((prop, budget, metric, filter), members) =>
-        val items = members.map { case (_, (_, o, _)) =>
-          (o.vector, o.limit, o.weight.getOrElse(1.0f))
+        fuseOrSingle(members.map(_._1)) {
+          val items = members.map { case (_, (_, o, _)) =>
+            (o.vector, o.limit, o.weight.getOrElse(1.0f))
+          }
+          QueryCompiler.compileFlatMany(col0, prop, metric, items, budget, filter)
         }
-        val cs = QueryCompiler.compileFlatMany(
-          col0, prop, metric, items, budget, filter)
-        members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
       }
     distinctLeaves.filter(q => vamanaTag(q).isEmpty && flatTag(q).isEmpty)
       .flatMap(q => textTag(q).map((q, _)))
       .groupBy { case (q, prop) => (prop, q.text.get.filter) }
       .foreach { case ((prop, filter), members) =>
-        val cs = QueryCompiler.compileTextMany(
-          col0, prop, members.map(_._1.text.get), filter)
-        members.zip(cs).foreach { case ((q, _), c) => pre(q) = c }
+        fuseOrSingle(members.map(_._1)) {
+          QueryCompiler.compileTextMany(col0, prop, members.map(_._1.text.get), filter)
+        }
       }
     val preMap = pre.toMap
     reqs.map(r => assemble(col0, r, QueryCompiler.compile(col0, r.query, preMap)))

@@ -138,12 +138,19 @@ class WireRouterSpec extends SparkSuite {
     val filter =
       """{"query":{"property":"size","integer":{"value":2,"operator":"greaterThanOrEquals"}},
         |"select":["size"],"sort":[{"property":"size"}],"limit":5}""".stripMargin
+    // a combinator body rides the same batch (round 12: hybrid requests
+    // decompose leaf-wise inside searchMany — the wire face must agree)
+    val hybrid =
+      s"""{"query":{"property":"_or","_or":[
+         |  {"property":"vec","vectorFlat":{"vector":[1.0,0.0],"operator":"near","limit":2}},
+         |  {"property":"size","integer":{"value":3,"operator":"greaterThanOrEquals"}}]},
+         |"select":["name","size"],"limit":5}""".stripMargin
     val batch = parse(r.handle("POST", "/collections/mycol/points/search/batch",
-      json(s"""{"requests":[${near(0.0, 0.0)},$filter,${near(0.0, 3.0)}]}""")))
+      json(s"""{"requests":[${near(0.0, 0.0)},$filter,${near(0.0, 3.0)},$hybrid]}""")))
     val results = (batch \ "results").asInstanceOf[JArray].arr
-    assert(results.length == 3)
+    assert(results.length == 4)
     // element i of the batch == the single-request response for body i
-    val singles = Seq(near(0.0, 0.0), filter, near(0.0, 3.0)).map(b =>
+    val singles = Seq(near(0.0, 0.0), filter, near(0.0, 3.0), hybrid).map(b =>
       parse(r.handle("POST", "/collections/mycol/points/search", json(b))))
     results.zip(singles).zipWithIndex.foreach { case ((got, want), i) =>
       assert(got \ "points" == want \ "points", s"batch element $i drifted")
