@@ -155,12 +155,16 @@ object Bench {
     // per-pass totals make cross-RUN swings diagnosable from the record
     // alone: stable passes within a run + a shifted total across runs =
     // session/box state (ambient), a noisy single pass = transient
-    // contention that the min already absorbed
+    // contention that the min already absorbed. pass_fails disambiguates
+    // the other direction: a pass whose total DROPPED because a query
+    // failed in it (and was excluded from the sum) must not read as a
+    // speedup — a nonzero entry says that pass's total is missing work.
     val passTotals = allPasses.map(p =>
       r2(p.collect { case (_, v) if v >= 0 => v }.sum)).mkString("[", ",", "]")
+    val passFails = allPasses.map(_.count(_._2 < 0)).mkString("[", ",", "]")
     // FULL record (per-query map included) goes to bench_record.json only.
     // total = sum of per-query minima, so total ≤ cold_total by construction.
-    val record = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"failed":$failed,"total":${r2(total)}}"""
+    val record = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"pass_fails":$passFails,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"failed":$failed,"total":${r2(total)}}"""
     // COMPACT summary for stdout: the driver stores/parses only the LAST
     // 2000 chars of output, and the full record line is ~4 KB at 168
     // queries — it enters that window mid-JSON and can never parse (ten
@@ -172,7 +176,7 @@ object Bench {
     val failedCompact = (failedNames.take(10).map("\"" + _ + "\"") ++
       (if (failedNames.length > 10) Seq("\"+" + (failedNames.length - 10) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"nfailed":${failedNames.length},"failed":$failedCompact,"total":${r2(total)}}"""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"pass_fails":$passFails,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"nfailed":${failedNames.length},"failed":$failedCompact,"total":${r2(total)}}"""
     // Emit the record as the process's FINAL stdout line, AFTER teardown:
     // round 7's official artifact was unparseable because a StateStore
     // maintenance thread threw RpcEnvStoppedException after spark.stop()

@@ -128,15 +128,22 @@ object Search {
           textTag(q).isDefined) Seq(q)
         else Nil
     }
-    val distinctLeaves = reqs.flatMap(r => leaves(r.query)).distinct
+    val allLeaves = reqs.flatMap(r => leaves(r.query))
+    val distinctLeaves = allLeaves.distinct
+    // how many REQUESTS consume each leaf — not how many distinct leaves a
+    // group holds: a single leaf shared by K requests still wants the
+    // EAGER Many-compile, because each consuming request's merge pins
+    // (localCheckpoints) its ranked children separately, and a lazy shared
+    // plan would re-execute the leaf's scoring K times
+    val consumers = allLeaves.groupBy(identity).map { case (q, qs) => (q, qs.size) }
     val pre = scala.collection.mutable.Map[Query, QueryCompiler.Compiled]()
-    // a group with ONE distinct leaf has nothing to fuse — the Many-compile
-    // would only add its eager materialization step (an extra job at toy
-    // scale, measured ~2x on a K=1 batch) over the single route's lazy
-    // plan. Compile it once on the single path; the precompiled map still
-    // shares that one result across every request carrying the leaf.
+    // a group with ONE distinct leaf consumed by ONE request has nothing
+    // to fuse or share — the Many-compile would only add its eager
+    // materialization step (an extra job at toy scale, measured ~2x on a
+    // K=1 batch) over the single route's lazy plan
     def fuseOrSingle(members: Seq[Query])(many: => Seq[QueryCompiler.Compiled]): Unit =
-      if (members.size == 1) pre(members.head) = QueryCompiler.compile(col0, members.head)
+      if (members.size == 1 && consumers(members.head) == 1)
+        pre(members.head) = QueryCompiler.compile(col0, members.head)
       else members.zip(many).foreach { case (q, c) => pre(q) = c }
     distinctLeaves.flatMap(q => vamanaTag(q).map((q, _))).groupBy {
       // the shared budget definitions (QueryCompiler.vamanaBudget /

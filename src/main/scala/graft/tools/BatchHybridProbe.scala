@@ -11,7 +11,9 @@ import graft.engine.Search
   * postings/df/score pass across the K text leaves, so the batched cost
   * must grow sub-linearly in K while the sequential cost is ~K×.
   *
-  * Usage: `runMain graft.tools.BatchHybridProbe [sfDir] [passes]`
+  * Usage: `runMain graft.tools.BatchHybridProbe [sfDir] [passes] [mode]`
+  * where mode ∈ {hybrid (default), vamana, text} isolates one family —
+  * single-leaf requests of just that kind — for per-family attribution.
   */
 object BatchHybridProbe {
   def main(args: Array[String]): Unit = {

@@ -305,10 +305,18 @@ class SearchManySpec extends SparkSuite {
       hybrid("_and", 2L, "spark window", Op.ContainsAll),
       nested,
       vamanaReq(4L)) // single-leaf neighbor joins the same walk wave
+    // like textRows but with _distance too: the merged frame carries all
+    // three score columns and each must survive the precompiled-leaf path
+    def hybridRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("_id"),
+        round(col("_distance").cast("double"), 4).cast("string"),
+        round(col("_score").cast("double"), 4).cast("string"),
+        round(col("_hybridScore").cast("double"), 4).cast("string"))
+        .collect().map(_.mkString("|")).sorted.toSeq
     val batch = Search.searchMany(coll, reqs)
     assert(batch.size == reqs.size)
     reqs.zip(batch).foreach { case (r, df) =>
-      assert(textRows(df) == textRows(Search.search(coll, r)), s"hybrid drift for $r")
+      assert(hybridRows(df) == hybridRows(Search.search(coll, r)), s"hybrid drift for $r")
     }
   }
 
