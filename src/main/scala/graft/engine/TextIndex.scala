@@ -129,11 +129,23 @@ object TextIndex {
   def buildDiskCached(df: DataFrame, prop: String, cacheDir: Path): TextIndex = {
     val spark = df.sparkSession
     val postingsPath = cacheDir.resolve("postings").toString
-    val donePath = cacheDir.resolve("_done")
+    // _done2 = the TERM-CLUSTERED layout below; caches built by the older
+    // row-ordered writer (marker `_done`) are rebuilt on first touch
+    val donePath = cacheDir.resolve("_done2")
     if (!Files.exists(donePath)) {
       val (postings, n) = compute(df, prop)
       Files.createDirectories(cacheDir)
-      postings.write.mode("overwrite").parquet(postingsPath)
+      // cluster the on-disk postings BY TERM (range-partition, then sort
+      // within files): a query's `_term isin (...)` read then prunes whole
+      // files and row groups via parquet min/max stats instead of scanning
+      // every posting of every document — the difference between an
+      // inverted index and a table that merely contains one. In document
+      // order (the natural compute() output) every row group spans the
+      // whole vocabulary and term predicates prune nothing.
+      postings
+        .repartitionByRange(col("_term"), col(IdCol))
+        .sortWithinPartitions("_term", IdCol)
+        .write.mode("overwrite").parquet(postingsPath)
       Files.writeString(cacheDir.resolve("numdocs"), n.toString)
       Files.writeString(donePath, "")
     }
