@@ -88,6 +88,7 @@ object Bench {
       "s1_near_vamana_euclidean", // attaches the shared docsVamana graph
       "w6_vamana_store_serve", "w12_opq_store_serve", "w13_rbq_store_serve",
       "w14_rbq_coded_walk", "ann_ivf_rbq", "ann_ivf_rbq_dot",
+      "s2_near_ivfrbq_approx", // attaches the shared docsIvfRbq artifact
       "text_classifier")
       .filter(selected.contains)
       .foreach { name =>

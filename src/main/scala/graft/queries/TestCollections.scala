@@ -113,6 +113,43 @@ object TestCollections {
     })
   }
 
+  // IVF-RaBitQ-attached docs collection (identity rotation, 4-bit sign
+  // coarse, nprobe 4 — the s2_near_ivfrbq_approx / s2_near_ivf_many gate
+  // configuration), cached like docsVamana: the fit is a pure function of
+  // the corpus (sign-bit cells + deterministic residual codes), so a
+  // reused artifact is byte-identical to a fresh one — and the gates then
+  // measure SERVING, not a per-invocation rebuild (the graft.Bench
+  // convention for artifact-heavy gates).
+  private val ivfRbqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Collection]()
+
+  /** [[docs]] with an IVF-RaBitQ artifact attached to `embedding`. */
+  def docsIvfRbq(s: SparkSession, d: String): Collection = {
+    val app = s.sparkContext.applicationId
+    ivfRbqCache.keySet.removeIf(k => k._1 != app)
+    ivfRbqCache.computeIfAbsent((app, d), _ => {
+      val base = docs(s, d)
+      val rotation = Array.tabulate(64)(i =>
+        Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
+      base.withIvfRbqVectorIndex("embedding", ivfRbqArtifactDir(d),
+        () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
+        rotation, nprobe = 4)
+    })
+  }
+
+  private def ivfRbqArtifactDir(d: String): String = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "absent"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d#$stamp#ivfrbq_v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_ivfrbq_$key", "art").toString
+  }
+
   private def vamanaArtifactDir(d: String): String = {
     val src = java.nio.file.Paths.get(d, "embeddings.parquet")
     val stamp =

@@ -692,14 +692,7 @@ object VectorQueries {
       |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
       |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), 4) AS DOUBLE) AS hybrid_r
       |FROM top ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
-    val base = TestCollections.docs(s, d)
-    val rotation = Array.tabulate(64)(i =>
-      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivfrbq_gate_").toString + "/art"
-    val coll = base.withIvfRbqVectorIndex("embedding", dir,
-      () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
-      rotation, nprobe = 4)
+    val coll = TestCollections.docsIvfRbq(s, d)
     Search.search(coll, SearchRequest(
       Query("embedding", vectorFlat = Some(VectorFlatOpts(
         TestCollections.queryVector(s, d, 0), Op.Near, 10, approx = true))),
@@ -995,14 +988,7 @@ object VectorQueries {
        |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS dist_r,
        |  CAST(round(CAST(CAST(-1.0 * dist32 AS REAL) AS DECIMAL(28,6)), $Scale) AS DOUBLE) AS hybrid_r
        |FROM top ORDER BY qi, dist_r, _id""".stripMargin) { (s, d) =>
-    val base = TestCollections.docs(s, d)
-    val rotation = Array.tabulate(64)(i =>
-      Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_many_gate_").toString + "/art"
-    val coll = base.withIvfRbqVectorIndex("embedding", dir,
-      () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
-      rotation, nprobe = 4)
+    val coll = TestCollections.docsIvfRbq(s, d)
     val reqs = (0L to 4L).map(i => SearchRequest(
       Query("embedding", vectorFlat = Some(VectorFlatOpts(
         TestCollections.queryVector(s, d, i), Op.Near, 10, approx = true))),
