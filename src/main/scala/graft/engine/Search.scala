@@ -27,8 +27,13 @@ object Search {
   }
 
   /** Serve MANY requests in one call, returning one result frame per
-    * request in request order. Semantics are exactly K independent
-    * [[search]] calls; the win is the serving cost of the graph-walk
+    * request in request order. Semantics are K independent [[search]]
+    * calls — bit-identical for the vector families; for text, identical
+    * up to float32 rounding of the per-term double sum, whose order
+    * inside the fused groupBy can differ from the single route's (neither
+    * route promises a summation order; the SearchManySpec laws assert
+    * 4-decimal equality, the same strength the gates claim). The win is
+    * the serving cost of the graph-walk
     * family: requests that are single-leaf approx vectorVamana `near`
     * queries against the SAME attached graph artifact (grouped further
     * by rescore budget — the beam width — and by filter AST: unfiltered

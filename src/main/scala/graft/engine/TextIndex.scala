@@ -128,10 +128,15 @@ object TextIndex {
     */
   def buildDiskCached(df: DataFrame, prop: String, cacheDir: Path): TextIndex = {
     val spark = df.sparkSession
-    val postingsPath = cacheDir.resolve("postings").toString
-    // _done2 = the TERM-CLUSTERED layout below; caches built by the older
-    // row-ordered writer (marker `_done`) are rebuilt on first touch
-    val donePath = cacheDir.resolve("_done2")
+    // postings_t = the TERM-CLUSTERED layout below (own path, own marker —
+    // the marker NAME is coupled to the path so a marker from any other
+    // layout generation can never vouch for this one): caches built by
+    // the older row-ordered writer (`postings` + `_done`) are rebuilt on
+    // first touch, but NEVER overwritten in place — a concurrent JVM
+    // still serving the old layout keeps its files; the old dir becomes
+    // garbage once every reader has moved on
+    val postingsPath = cacheDir.resolve("postings_t").toString
+    val donePath = cacheDir.resolve("_done_postings_t")
     if (!Files.exists(donePath)) {
       val (postings, n) = compute(df, prop)
       Files.createDirectories(cacheDir)

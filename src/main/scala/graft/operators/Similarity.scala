@@ -211,20 +211,13 @@ object Similarity {
     private val offs = caps.scanLeft(0)(_ + _)
     private val total = offs(nq)
 
-    /** Exact top-`keep` of `(ds, ids)[0, used)` — the shared
-      * [[topKByKeyId]] kernel.
-      */
-    private def topOf(ds: Array[Double], ids: Array[String], used: Int,
-        keep: Int): (Array[Double], Array[String], Int) =
-      topKByKeyId(ds, ids, used, keep)
-
     /** Compact region `qi` down to its top-`ks(qi)` in place. */
     private def compactRegion(b: TopKMultiBuf, qi: Int): Unit = {
       val off = offs(qi); val used = b.ns(qi)
       val ds = new Array[Double](used); val ids = new Array[String](used)
       java.lang.System.arraycopy(b.ds, off, ds, 0, used)
       java.lang.System.arraycopy(b.ids, off, ids, 0, used)
-      val (od, oi, n) = topOf(ds, ids, used, ks(qi))
+      val (od, oi, n) = topKByKeyId(ds, ids, used, ks(qi))
       java.lang.System.arraycopy(od, 0, b.ds, off, n)
       java.lang.System.arraycopy(oi, 0, b.ids, off, n)
       b.ns(qi) = n
@@ -260,7 +253,7 @@ object Similarity {
         java.lang.System.arraycopy(x.ids, offs(qi), ids, 0, xn)
         java.lang.System.arraycopy(y.ds, offs(qi), ds, xn, yn)
         java.lang.System.arraycopy(y.ids, offs(qi), ids, xn, yn)
-        val (od, oi, n) = topOf(ds, ids, used, ks(qi))
+        val (od, oi, n) = topKByKeyId(ds, ids, used, ks(qi))
         java.lang.System.arraycopy(od, 0, out.ds, offs(qi), n)
         java.lang.System.arraycopy(oi, 0, out.ids, offs(qi), n)
         out.ns(qi) = n

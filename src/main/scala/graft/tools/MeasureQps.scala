@@ -66,12 +66,12 @@ object MeasureQps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val storeRootEarly = s"/tmp/graft_qps_store_f${factor}_d$dOut"
+    val storeRoot = s"/tmp/graft_qps_store_f${factor}_d$dOut"
     // the lifted+replicated corpus is a pure function of (base, factor,
     // dOut) and costs ~10 single-core minutes at the flagship shape (the
     // per-element hash chains) — snapshot it beside the store so a rerun
     // (or a crash recovery) pays a parquet read instead
-    val corpusPath = s"$storeRootEarly/corpus_parquet"
+    val corpusPath = s"$storeRoot/corpus_parquet"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$corpusPath/_SUCCESS"))) {
       val emb0 = graft.Tables.embeddings(spark, sfDir)
@@ -90,7 +90,6 @@ object MeasureQps {
     val data = big.select(
       col("vec_id").cast("string").as("_id"), col("embedding").as("vec"))
 
-    val storeRoot = storeRootEarly
     val db = graft.Graft.forTenant(spark, storeRoot, "qps")
     val colls = Seq(
       "exact" -> (("qpsex", IndexKind.Quantizer.NoQuant: IndexKind.Quantizer)),
@@ -189,7 +188,7 @@ object MeasureQps {
       } finally pool.shutdownNow()
       val conc = stats(clats, (System.nanoTime() - c0) / 1e9, nSingles)
       // batch endpoint: ceil(nSingles / batchK) rounds of K requests
-      val rounds = math.max(1, nSingles / batchK)
+      val rounds = math.max(1, (nSingles + batchK - 1) / batchK)
       val b0 = System.nanoTime()
       val blats = (0 until rounds).map { r =>
         val s0 = System.nanoTime()
@@ -207,7 +206,10 @@ object MeasureQps {
     // the exact regime silently serves the driver-held snapshot — label
     // honestly, or a small smoke run's numbers would misattribute the
     // distributed walk cost (phase A == phase B regime there).
-    val rawArtBytes = n * (40L + 4L * dim + 8L * 32)
+    // MUST mirror VamanaServe.tryLocal's row estimate (80 ≈ fixed + id
+    // string) — a lower constant here would label runs in the gap
+    // "local-sized" while the walk actually runs distributed
+    val rawArtBytes = n * (80L + 4L * dim + 8L * 32)
     val phaseA =
       if (rawArtBytes > (128L << 20)) "distributed"
       else "local-sized (raw artifact under the 128 MB local budget — exact serves the driver snapshot, same regime as phase B)"

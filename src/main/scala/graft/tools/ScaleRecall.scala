@@ -114,8 +114,20 @@ object ScaleRecall {
         require(found == paramStamp,
           s"graphDir $artDir was built under different parameters:\n" +
             s"  artifact: $found\n  this run: $paramStamp")
-      } else java.nio.file.Files.write(p,
-        (paramStamp + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else {
+        // only THIS run's fresh build may stamp: an already-existing
+        // artifact without a sidecar predates the stamp guard and its
+        // build parameters are unknown — writing this run's stamp beside
+        // it would bless a possibly-mismatched graph forever (and publish
+        // recall numbers under wrong provenance)
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(artDir, "_SUCCESS")),
+          s"graphDir $artDir exists but carries no _build_params.txt " +
+            "sidecar (pre-stamp artifact, parameters unknown) — rebuild " +
+            "it fresh or restore its original sidecar")
+        java.nio.file.Files.write(p,
+          (paramStamp + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
 
     // engine-served Vamana: the full `"approx": true` loop — attach-built

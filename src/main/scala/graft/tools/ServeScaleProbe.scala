@@ -32,8 +32,11 @@ object ServeScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$out/documents.parquet"))) {
+    // _SUCCESS, not bare dir existence: a crashed partial materialization
+    // must rebuild, or the "100×" ratio silently measures a fraction of
+    // the replicas (MeasureQps's corpus snapshot established the pattern)
+    if (!Seq("documents", "embeddings").forall(t => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/$t.parquet/_SUCCESS")))) {
       println(s"[serve100] materializing documents+embeddings replicas at $out")
       ScaleSweep.build(spark, base, factor, out,
         tables = Some(Set("documents", "embeddings")))
