@@ -207,6 +207,19 @@ object Search {
           .withColumn(DistanceCol, lit(null).cast(FloatType))
           .withColumn(ScoreCol, lit(null).cast(FloatType))
           .withColumn(HybridScoreCol, lit(0.0f))
+      case Some(ranked) if compiled.setFromRanked &&
+          req.select.isEmpty && req.sort.isEmpty =>
+        // metadata-only leaf request with default ordering (the hot ANN
+        // serving shape — the reference's empty `select` returns metadata
+        // only, shard.go:384): the ranked frame already carries every
+        // returned column (_id + the three scores) and its ids are the
+        // collection's by construction (every leaf ranks rows of the
+        // collection or of an artifact the store keeps write-consistent
+        // with it), so the backfill join would add nothing — and at
+        // serving shapes it costs a collection scan + broadcast per
+        // request (the flagship QPS floor after the candidate-bounded
+        // re-rank landed).
+        ranked
       case Some(ranked) if compiled.setFromRanked =>
         // leaf case: the set IS the ranked ids — one inner broadcast join
         // does membership AND backfill, so the top-k subtree runs once
