@@ -10,12 +10,24 @@ import graft.model.IndexSchema
   * cluster fan-out/merge of reference cluster/actions.go:312–376).
   *
   * Dotted property paths ("nested.vector") resolve into struct columns.
+  *
+  * `pointLookup`, when present, returns the CURRENT row versions for a
+  * BOUNDED id set WITHOUT scanning `df` — the store wires in its
+  * `_id`-bucketed doc table (CollectionStore.load), so a backfill or `_id`
+  * lookup of ≤100 ids is a file-pruned point read instead of a corpus
+  * scan (the reference reads points straight out of the id-keyed bbolt
+  * bucket, shard/pointstore/pointstore.go:78 — this is that access path's
+  * Spark shape; at
+  * 100 TB it is the difference between opening ~k bucket files and
+  * scheduling a scan over the whole collection). Rows carry exactly the
+  * data columns of `df`. Callers own the boundedness of `ids`.
   */
 final case class Collection(
     df: DataFrame,
     schema: IndexSchema,
     textIndexes: Map[String, TextIndex] = Map.empty,
-    vectorIndexes: Map[String, VectorIndex] = Map.empty) {
+    vectorIndexes: Map[String, VectorIndex] = Map.empty,
+    pointLookup: Option[Seq[String] => DataFrame] = None) {
   require(df.columns.contains(Collection.IdCol), s"collection must have ${Collection.IdCol}")
 
   /** Return a copy with the text index for `prop` built and attached

@@ -203,12 +203,22 @@ object Search {
     // their scores, set-only rows get hybrid score 0 (shard.go:350–369).
     val withScores = compiled.ranked match {
       case None =>
-        applySet(col0, compiled.set)
+        // `_id` lookups are the reference's point-read face
+        // (shard/pointstore/pointstore.go:78 — a bbolt Get per id); with a
+        // store-wired pointLookup they answer from the id-bucketed doc
+        // table (≤ k bucket files opened) instead of filtering the corpus
+        // scan — the set semantics are identical (idPredicate matches the
+        // same literal ids).
+        val base = (idQueryIds(req.query), col0.pointLookup) match {
+          case (Some(ids), Some(lookup)) => lookup(ids)
+          case _ => applySet(col0, compiled.set)
+        }
+        base
           .withColumn(DistanceCol, lit(null).cast(FloatType))
           .withColumn(ScoreCol, lit(null).cast(FloatType))
           .withColumn(HybridScoreCol, lit(0.0f))
       case Some(ranked) if compiled.setFromRanked &&
-          req.select.isEmpty && req.sort.isEmpty =>
+          metadataOnly(req, col0.df.schema) && req.sort.isEmpty =>
         // metadata-only leaf request with default ordering (the hot ANN
         // serving shape — the reference's empty `select` returns metadata
         // only, shard.go:384): the ranked frame already carries every
@@ -218,12 +228,35 @@ object Search {
         // with it), so the backfill join would add nothing — and at
         // serving shapes it costs a collection scan + broadcast per
         // request (the flagship QPS floor after the candidate-bounded
-        // re-rank landed).
+        // re-rank landed). A select that resolves to NO data column
+        // (`["_id"]`, or only unknown paths — which project() silently
+        // drops) is metadata-only in the same sense.
         ranked
+      case Some(ranked) if compiled.setFromRanked && col0.pointLookup.isDefined =>
+        // leaf case with select/sort on a STORE-served collection: the set
+        // IS the ranked ids, bounded by the per-index limit (≤75,
+        // Validation), so materialize it ONCE driver-side and backfill by
+        // POINT READ — the store-wired pointLookup opens only the bucket
+        // files hashing the requested ids (plus the delta overlay). Before
+        // this, the broadcast build executed the ranked subtree (scan 1)
+        // and the probe side re-read the collection in full (scan 2) — the
+        // serving cost of every select-bearing request. Collecting here
+        // makes the STORE path eager by one bounded job; the plain
+        // plain-Collection path below stays fully lazy (a composable library
+        // frame must not run jobs at plan time — only the serving facade,
+        // which executes per request anyway, buys eagerness for pruning).
+        val spark = col0.df.sparkSession
+        val rows = ranked.collect()
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), ranked.schema)
+        val idIdx = ranked.schema.fieldIndex(IdCol)
+        val ids = rows.map(_.getString(idIdx)).toSeq
+        col0.pointLookup.get(ids).join(broadcast(local), Seq(IdCol), "inner")
       case Some(ranked) if compiled.setFromRanked =>
-        // leaf case: the set IS the ranked ids — one inner broadcast join
-        // does membership AND backfill, so the top-k subtree runs once
-        // (a semi-join + separate broadcast would execute it twice)
+        // plain-Collection leaf case: one inner broadcast join does
+        // membership AND backfill, so the top-k subtree runs once (a
+        // semi-join + separate broadcast would execute it twice) and the
+        // returned frame stays lazy
         col0.df.join(broadcast(ranked), Seq(IdCol), "inner")
       case Some(ranked) =>
         // ranked is bounded by per-index limits (≤75 rows per leaf), so the
@@ -250,6 +283,28 @@ object Search {
     val page = ordered.offset(req.offset).limit(req.limit)
     project(page, col0.df.schema, req.select)
   }
+
+  /** True when the request's projection needs no data column beyond the
+    * metadata the ranked frame already carries: empty select, or a select
+    * naming only `_id` / paths that don't resolve (project() drops those
+    * silently, shard.go:384's behavior).
+    */
+  private def metadataOnly(req: SearchRequest, dataSchema: StructType): Boolean =
+    req.select.forall(p => p == IdCol || (p != "*" && !resolves(dataSchema, p)))
+
+  /** The literal id set of a pure top-level `_id` query — None for any
+    * other shape. Mirrors QueryCompiler.idPredicate exactly (string →
+    * equality on the one value, stringArray → membership in the list), so
+    * routing these through `pointLookup` preserves the set semantics
+    * bit-for-bit.
+    */
+  private def idQueryIds(q: Query): Option[Seq[String]] =
+    if (q.property != "_id") None
+    else (q.string, q.stringArray) match {
+      case (Some(s), _) => Some(Seq(s.value))
+      case (_, Some(sa)) => Some(sa.value)
+      case _ => None
+    }
 
   /** Compile and run a JSON search request body. */
   def searchJson(col0: Collection, json: String): DataFrame =

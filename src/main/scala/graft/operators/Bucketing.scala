@@ -28,19 +28,28 @@ object Bucketing {
     * NOT by table count. Sorting within buckets additionally lets a
     * sort-merge join skip its per-task sort (and serves range scans).
     */
+  /** `options` pass through to the parquet writer — a POINT-READ table
+    * (bounded id fetches, never full scans) wants small row groups
+    * (`parquet.block.size`) so a pushed `key IN (...)` skips at row-group
+    * granularity inside each bucket file; the default 128 MB row group
+    * makes min/max stats useless for point reads (one group spans the
+    * bucket) while costing full scans nothing they'd notice.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       path: String,
       key: String,
       numBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val w: DataFrameWriter[Row] = df.write
       .mode("overwrite")
       .option("path", path)
+      .options(options)
       .bucketBy(numBuckets, key)
     val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.format("parquet").saveAsTable(table)

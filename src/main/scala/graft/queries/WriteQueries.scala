@@ -900,9 +900,85 @@ object WriteQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** W16: the POINT-READ backfill face under the gate (round 12). A
+    * select-bearing search on a store-loaded collection backfills its
+    * bounded ranked ids through Collection.pointLookup — a file-pruned
+    * read of the `_id`-bucketed doc table plus the delta overlay — never
+    * a second corpus scan (the reference's id-keyed point store,
+    * shard/pointstore/pointstore.go, as a parquet layout). The collection
+    * carries write overlays (field-merge price bump, tombstoned deletes)
+    * landed through the WAL, so the point read must merge base + deltas
+    * correctly for the hash to survive: the oracle replays the mutated
+    * state, the exact euclidean top-10 (integer-valued components — the
+    * float32 distances are exact), and the selected columns in SQL.
+    */
+  private val pointDbCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.Graft]()
+  private def pointDb(s: org.apache.spark.sql.SparkSession, d: String): graft.Graft = {
+    val app = s.sparkContext.applicationId
+    pointDbCache.keySet.removeIf(k => k._1 != app)
+    pointDbCache.computeIfAbsent((app, d), _ => {
+      val db = graft.Graft(s, Files.createTempDirectory("graft_point_store_").toString)
+      val part = Tables.part(s, d).select(
+        col("p_partkey").cast("string").as("_id"),
+        col("p_name"),
+        col("p_retailprice").cast("double").as("p_retailprice"),
+        array(col("p_size").cast("float"), (col("p_partkey") % 97).cast("float"))
+          .as("pvec"))
+      db.createCollection("parts16", IndexSchema(
+        "p_name" -> IndexKind.Str(),
+        "p_retailprice" -> IndexKind.Float,
+        "pvec" -> IndexKind.VectorFlat(2, IndexKind.Metric.Euclidean)), part)
+      import s.implicits._
+      // field-merge overlay: +100 on prices of small parts (contract-sized
+      // update batches through the WAL)
+      Tables.part(s, d).filter(col("p_size") <= 3)
+        .select(col("p_partkey").cast("string"),
+          (col("p_retailprice").cast("double") + 100).as("p"))
+        .as[(String, Double)].collect().toSeq
+        .grouped(CollectionStore.MaxUpdateBatch)
+        .foreach(b => db.update("parts16", b.toDF("_id", "p_retailprice")))
+      // tombstone overlay: every fifth size-3 part leaves the collection
+      Tables.part(s, d)
+        .filter(col("p_size") === 3 && col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").cast("string")).as[String].collect().toSeq
+        .grouped(CollectionStore.MaxDeleteBatch)
+        .foreach(b => db.delete("parts16", b))
+      db
+    })
+  }
+
+  val w16PointBackfill = NamedQuery(
+    "w16_point_backfill",
+    """WITH state AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name,
+      |    CASE WHEN p_size <= 3 THEN p_retailprice + 100
+      |         ELSE p_retailprice END AS p_retailprice,
+      |    CAST(p_size AS DOUBLE) AS vx, CAST(p_partkey % 97 AS DOUBLE) AS vy
+      |  FROM part
+      |  WHERE NOT (p_size = 3 AND p_partkey % 5 = 0)),
+      |ranked AS (
+      |  SELECT _id, p_name, p_retailprice,
+      |    CAST((vx - 3.0)*(vx - 3.0) + (vy - 40.0)*(vy - 40.0) AS REAL) AS dist32
+      |  FROM state
+      |  ORDER BY dist32 ASC, _id ASC LIMIT 10)
+      |SELECT _id,
+      |  CAST(round(CAST(dist32 AS DECIMAL(28,6)), 4) AS DOUBLE) AS dist_r,
+      |  p_name,
+      |  CAST(round(CAST(p_retailprice AS DECIMAL(28,6)), 2) AS DOUBLE) AS price_r
+      |FROM ranked ORDER BY dist_r, _id""".stripMargin) { (s, d) =>
+    pointDb(s, d).search("parts16",
+      """{"query": {"property": "pvec",
+        |  "vectorFlat": {"vector": [3.0, 40.0], "operator": "near", "limit": 10}},
+        | "select": ["p_name", "p_retailprice"], "limit": 100}""".stripMargin)
+      .select(col("_id"), dround(col("_distance"), 4).as("dist_r"),
+        col("p_name"), dround(col("p_retailprice"), 2).as("price_r"))
+      .orderBy(col("dist_r"), col("_id"))
+  }
+
   val all: Seq[NamedQuery] =
     Seq(w1WritePath, w4FacadeSearch, w5BulkIngest, w6VamanaStoreServe,
       w7BackupRestore, w8TenantIsolation, w9WireLifecycle, w10V1Lifecycle,
       w11WireMetrics, w12OpqStoreServe, w13RbqStoreServe, w14RbqCodedWalk,
-      w15HttpListener)
+      w15HttpListener, w16PointBackfill)
 }

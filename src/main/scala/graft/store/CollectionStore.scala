@@ -115,8 +115,17 @@ final class CollectionStore(
     maybeFitQuantizers(name)
   }
 
-  def load(name: String): Collection =
-    Collection(mergedView(name), readSchema(name))
+  def load(name: String): Collection = {
+    val view = mergedView(name) // flushes pending first (read-your-writes)
+    val base = currentVersion(name)
+    val baseDf = baseFrame(name, base)
+    val deltas = cachedDeltas(name, base).map(_._2)
+    // the point-read face pins the SAME (base, delta) frames as `view`, so
+    // a backfill sees exactly the snapshot the search compiled against —
+    // writes landing after load() are invisible to both
+    Collection(view, readSchema(name),
+      pointLookup = Some(ids => pointRows(name, base, baseDf, deltas, ids)))
+  }
 
   def drop(name: String): Unit = withCollLock(name) {
     // the WHOLE body under the collection lock: an in-flight mirror
@@ -126,11 +135,23 @@ final class CollectionStore(
     clearDeltaCache(name)
     reapRetired(name)
     baseCache.remove(name)
+    docTableCache.keySet.removeIf(_._1 == name)
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
     liveIdMirrors.remove(name)
     pendingOps.remove(name)
     val dir = Paths.get(root, name)
-    if (Files.exists(dir)) deleteTree(dir)
+    if (Files.exists(dir)) {
+      // retire doc-table catalog entries with their files — the `ready`
+      // check would never use a dangling one (`_SUCCESS` is gone), but a
+      // dropped collection must not leak table names into the shared
+      // session catalog
+      listNames(dir).foreach { s =>
+        if (s.matches("docserve_v\\d+"))
+          graft.operators.Bucketing.drop(spark,
+            graft.engine.VamanaServe.servingTableName(dir.resolve(s).toString))
+      }
+      deleteTree(dir)
+    }
   }
 
   def list(): Seq[String] = {
@@ -211,6 +232,7 @@ final class CollectionStore(
     clearDeltaCache(name)
     reapRetired(name)
     baseCache.remove(name)
+    docTableCache.keySet.removeIf(_._1 == name)
     Option(idFrameCache.remove(name)).foreach(_._2.unpersist(false))
     liveIdMirrors.remove(name)
     pendingOps.remove(name)
@@ -1518,6 +1540,10 @@ final class CollectionStore(
   private val baseCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame)]()
 
+  // Resolved doc-table frames per (name, base) — see docTable.
+  private val docTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), DataFrame]()
+
   private def baseFrame(name: String, base: Long): DataFrame = {
     val cur = baseCache.get(name)
     if (cur != null && cur._1 == base) cur._2
@@ -1589,6 +1615,122 @@ final class CollectionStore(
     all.coalesce(1).withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col(TombstoneCol))
       .drop("_rn", SeqCol, TombstoneCol)
+  }
+
+  /** Current row versions for a BOUNDED id set answered from the
+    * `_id`-BUCKETED doc table instead of a base scan: the engine's
+    * point-read backfill face (Collection.pointLookup — reference
+    * shard/pointstore/pointstore.go reads points from the id-keyed bbolt
+    * bucket; this is that access path over parquet). The base side opens
+    * only the bucket files hashing the requested ids (file-level bucket
+    * pruning, the VamanaServe serving-table layout applied to the
+    * collection itself); the delta overlay is bounded by
+    * CompactThreshold × batch size. At 100 TB a ≤100-id backfill touches
+    * ~100 bucket files + the delta log — the whole point: select-bearing
+    * serving requests stop paying a corpus scan.
+    *
+    * `baseDf`/`deltas` are the frames the caller's snapshot pinned
+    * (load()), so the read composes with in-flight searches; the plan is
+    * rebound to the bucketed-scan-preserving walk session because the
+    * planner's auto-demotion of bucketed scans also drops the file
+    * pruning (the measured VamanaServe finding).
+    */
+  private def pointRows(
+      name: String, base: Long, baseDf: DataFrame,
+      deltas: Vector[DataFrame], ids: Seq[String]): DataFrame = {
+    if (ids.isEmpty) return baseDf.limit(0)
+    // docTable returns the frame ALREADY rebound to the walk session, so
+    // per-request plans build incrementally on it — no whole-tree
+    // re-analysis per point read
+    val bucketed = docTable(name, base, baseDf)
+    val b0 = bucketed.filter(col(IdCol).isin(ids: _*))
+    // no deltas (fresh create, or right after compaction — the standing
+    // serving state): base rows ARE the latest versions, no merge stage
+    if (deltas.isEmpty) return b0
+    val b = b0
+      .withColumn(SeqCol, lit(-1L))
+      .withColumn(TombstoneCol, lit(false))
+    val all = b.unionByName(
+      deltas.reduce(_ unionByName _).filter(col(IdCol).isin(ids: _*)))
+    // latest-wins merge as a partial-aggregatable max_by (NOT viewRowsFor's
+    // coalesce(1)+window: coalescing would fold the selected bucket files
+    // into ONE task and serialize the whole point read — measured 2.3×
+    // slower than the pushdown scan at 500k wide docs before this). The
+    // scan side stays partition-parallel; only ≤ |ids| × (deltas+1)
+    // already-combined rows cross the exchange.
+    val dataCols = bucketed.columns.toSeq
+    val payload = (dataCols.filterNot(_ == IdCol) :+ TombstoneCol).map(col)
+    all
+      .groupBy(col(IdCol))
+      .agg(max_by(struct(payload: _*), col(SeqCol)).as("_w"))
+      .filter(!col(s"_w.$TombstoneCol"))
+      .select(dataCols.map(c =>
+        if (c == IdCol) col(IdCol) else col(s"_w.$c").as(c)): _*)
+  }
+
+  /** The `_id`-bucketed + sorted doc table for base `v<base>`, materialized
+    * lazily on the FIRST point read per base version (the documented O(n)
+    * attach cost — the same pay-once-per-generation contract as the vamana
+    * serving table) and immutable afterwards (a base version never
+    * changes; compaction publishes the next one). Buckets size from the
+    * base's on-disk bytes at ~32 MB/bucket: the pruning granularity lever,
+    * scaling with the collection rather than fixed. Older generations are
+    * retired one-behind (pinned readers of the previous base keep their
+    * files for one more compaction, the store's standard deferral).
+    */
+  private def docTable(name: String, base: Long, baseDf: DataFrame): DataFrame = {
+    // memoized per (name, base): the catalog existence probe + table
+    // resolution are driver-side RPCs a per-request point read should not
+    // repay (a base version is immutable, so the resolved frame never
+    // staleness-checks; drop()/restore() clear the entry with the rest of
+    // the caches)
+    val cached = docTableCache.get((name, base))
+    if (cached != null) return cached
+    val dir = Paths.get(root, name, s"docserve_v$base")
+    val tbl = graft.engine.VamanaServe.servingTableName(dir.toString)
+    val ready = spark.catalog.tableExists(tbl) && Files.exists(dir.resolve("_SUCCESS"))
+    if (!ready) withCollLock(name) {
+      // re-check under the lock: a concurrent point read may have just
+      // materialized it (writeBucketed's DDL is not concurrency-safe)
+      if (!(spark.catalog.tableExists(tbl) && Files.exists(dir.resolve("_SUCCESS")))) {
+        val bytes = treeBytes(Paths.get(root, name, s"v$base"))
+        val buckets = math.min(1L << 20,
+          math.max(32L, bytes / (32L * 1024 * 1024) + 1)).toInt
+        // pre-shuffle onto the bucket hash so each bucket lands as ONE file
+        // (the servingTable convention — otherwise every write task emits
+        // its own per-bucket file and a point read opens tasks×buckets
+        // small files); within-bucket sort by _id + 4 MB row groups make
+        // the pushed `_id IN` skip at row-group granularity INSIDE each
+        // selected bucket — with the parquet default (128 MB) one row
+        // group spans the whole bucket and a selected file is read in
+        // full, which measured SLOWER than the pushdown corpus scan at
+        // 500k wide docs (tools/PointReadProbe). The doc table is never
+        // full-scanned, so small row groups cost nothing here.
+        graft.operators.Bucketing.writeBucketed(
+          baseDf.repartition(buckets, col(IdCol)),
+          tbl, dir.toString, IdCol, buckets, sortCols = Seq(IdCol),
+          options = Map("parquet.block.size" -> (4L * 1024 * 1024).toString))
+        // retire doc tables of bases older than the immediately-previous
+        // one, catalog entries included
+        listNames(Paths.get(root, name)).foreach { s =>
+          if (s.matches("docserve_v\\d+") && s.drop(10).toLong < base - 1) {
+            val old = Paths.get(root, name, s)
+            graft.operators.Bucketing.drop(
+              spark, graft.engine.VamanaServe.servingTableName(old.toString))
+            docTableCache.remove((name, s.drop(10).toLong))
+            deleteTree(old)
+          }
+        }
+      }
+    }
+    // cache the frame REBOUND to the bucketed-scan-preserving walk
+    // session (the planner's auto-demotion of bucketed scans also drops
+    // file pruning — the measured VamanaServe finding); callers build
+    // per-request filters on top, inheriting the session, so the rebind's
+    // analysis cost is paid once per (name, base), not per point read
+    val t = graft.engine.VamanaServe.forWalkFetch(spark.table(tbl))
+    docTableCache.put((name, base), t)
+    t
   }
 
   /** Append one delta directory (full row versions of the affected ids),
