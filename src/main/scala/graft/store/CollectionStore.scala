@@ -1599,7 +1599,14 @@ final class CollectionStore(
     */
   private def viewRowsFor(name: String, ids: Seq[String]): DataFrame = {
     val base = currentVersion(name)
-    val baseDf = baseFrame(name, base)
+    // serve the bounded read from the id-bucketed doc table when one is
+    // ALREADY materialized for this base (a write path must never trigger
+    // the attach itself — that's a corpus rewrite): the bucket-pruned
+    // point read opens ~|ids| files where the plain base read schedules a
+    // task per file split just to check footers — per update/delete
+    // batch, the same scan-vs-point argument as the search backfill
+    val docSrc = Option(docTableCache.get((name, base)))
+    val baseDf = docSrc.getOrElse(baseFrame(name, base))
       .filter(col(IdCol).isin(ids: _*))
       .withColumn(SeqCol, lit(-1L))
       .withColumn(TombstoneCol, lit(false))

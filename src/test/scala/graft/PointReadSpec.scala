@@ -127,6 +127,13 @@ class PointReadSpec extends SparkSuite {
     val newRow = fresh.pointLookup.get(Seq("2", "9")).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("size")).toMap
     assert(newRow == Map("2" -> 9999L), newRow)
+    // the full merge-on-read view agrees — the post-materialization writes
+    // flowed through viewRowsFor with the doc table as its base source
+    // (the write-path point merge), so a wrong doc-table read would
+    // corrupt the folded delta itself, not just the lookup
+    val viewRow = fresh.df.filter(col("_id").isin("2", "9")).collect()
+      .map(r => r.getAs[String]("_id") -> r.getAs[Long]("size")).toMap
+    assert(viewRow == Map("2" -> 9999L), viewRow)
   }
 
   test("compaction publishes the next doc-table generation and retires one-behind") {
