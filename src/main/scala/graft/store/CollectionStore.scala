@@ -1699,33 +1699,52 @@ final class CollectionStore(
     if (!ready) withCollLock(name) {
       // re-check under the lock: a concurrent point read may have just
       // materialized it (writeBucketed's DDL is not concurrency-safe)
+      val meta = dir.resolve("_graft_buckets")
       if (!(spark.catalog.tableExists(tbl) && Files.exists(dir.resolve("_SUCCESS")))) {
-        val bytes = treeBytes(Paths.get(root, name, s"v$base"))
-        val buckets = math.min(1L << 20,
-          math.max(32L, bytes / (32L * 1024 * 1024) + 1)).toInt
-        // pre-shuffle onto the bucket hash so each bucket lands as ONE file
-        // (the servingTable convention — otherwise every write task emits
-        // its own per-bucket file and a point read opens tasks×buckets
-        // small files); within-bucket sort by _id + 4 MB row groups make
-        // the pushed `_id IN` skip at row-group granularity INSIDE each
-        // selected bucket — with the parquet default (128 MB) one row
-        // group spans the whole bucket and a selected file is read in
-        // full, which measured SLOWER than the pushdown corpus scan at
-        // 500k wide docs (tools/PointReadProbe). The doc table is never
-        // full-scanned, so small row groups cost nothing here.
-        graft.operators.Bucketing.writeBucketed(
-          baseDf.repartition(buckets, col(IdCol)),
-          tbl, dir.toString, IdCol, buckets, sortCols = Seq(IdCol),
-          options = Map("parquet.block.size" -> (4L * 1024 * 1024).toString))
-        // retire doc tables of bases older than the immediately-previous
-        // one, catalog entries included
-        listNames(Paths.get(root, name)).foreach { s =>
-          if (s.matches("docserve_v\\d+") && s.drop(10).toLong < base - 1) {
-            val old = Paths.get(root, name, s)
-            graft.operators.Bucketing.drop(
-              spark, graft.engine.VamanaServe.servingTableName(old.toString))
-            docTableCache.remove((name, s.drop(10).toLong))
-            deleteTree(old)
+        if (Files.exists(dir.resolve("_SUCCESS")) && Files.exists(meta)) {
+          // the FILES survived the session that wrote them; only the
+          // catalog entry is session-scoped. Re-REGISTER the external
+          // bucketed table over the existing layout (bucket count from the
+          // sidecar, schema from the immutable base) instead of rewriting
+          // the corpus — at scale a restart must cost a DDL, not a shuffle.
+          val buckets = Files.readString(meta).trim.toInt
+          spark.sql(
+            s"CREATE TABLE `$tbl` (${baseDf.schema.toDDL}) USING parquet " +
+              s"CLUSTERED BY (`$IdCol`) SORTED BY (`$IdCol`) " +
+              s"INTO $buckets BUCKETS LOCATION '${dir.toUri}'")
+        } else {
+          val bytes = treeBytes(Paths.get(root, name, s"v$base"))
+          val buckets = math.min(1L << 20,
+            math.max(32L, bytes / (32L * 1024 * 1024) + 1)).toInt
+          // pre-shuffle onto the bucket hash so each bucket lands as ONE
+          // file (the servingTable convention — otherwise every write task
+          // emits its own per-bucket file and a point read opens
+          // tasks×buckets small files); within-bucket sort by _id + 4 MB
+          // row groups make the pushed `_id IN` skip at row-group
+          // granularity INSIDE each selected bucket — with the parquet
+          // default (128 MB) one row group spans the whole bucket and a
+          // selected file is read in full, which measured SLOWER than the
+          // pushdown corpus scan at 500k wide docs (tools/PointReadProbe).
+          // The doc table is never full-scanned, so small row groups cost
+          // nothing here.
+          graft.operators.Bucketing.writeBucketed(
+            baseDf.repartition(buckets, col(IdCol)),
+            tbl, dir.toString, IdCol, buckets, sortCols = Seq(IdCol),
+            options = Map("parquet.block.size" -> (4L * 1024 * 1024).toString))
+          // bucket-count sidecar: the catalog entry dies with the session,
+          // the layout doesn't — the register-from-disk branch above needs
+          // the count to re-declare it
+          Files.writeString(meta, buckets.toString)
+          // retire doc tables of bases older than the immediately-previous
+          // one, catalog entries included
+          listNames(Paths.get(root, name)).foreach { s =>
+            if (s.matches("docserve_v\\d+") && s.drop(10).toLong < base - 1) {
+              val old = Paths.get(root, name, s)
+              graft.operators.Bucketing.drop(
+                spark, graft.engine.VamanaServe.servingTableName(old.toString))
+              docTableCache.remove((name, s.drop(10).toLong))
+              deleteTree(old)
+            }
           }
         }
       }

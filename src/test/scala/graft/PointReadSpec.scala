@@ -136,6 +136,32 @@ class PointReadSpec extends SparkSuite {
     assert(viewRow == Map("2" -> 9999L), viewRow)
   }
 
+  test("a fresh session re-registers the doc table from disk instead of rewriting") {
+    val (st, name, root) = mutatedStore()
+    st.load(name).pointLookup.get(Seq("2")).collect() // materialize
+    val dir = new java.io.File(root, name).listFiles()
+      .filter(_.getName.startsWith("docserve_v")).head
+    def inventory = dir.listFiles()
+      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = inventory
+    // simulate a restart: the catalog entry dies with the session, the
+    // files and the bucket-count sidecar don't; a fresh store instance has
+    // cold caches
+    graft.operators.Bucketing.drop(spark,
+      graft.engine.VamanaServe.servingTableName(dir.toString))
+    val st2 = new CollectionStore(spark, root)
+    val rows = st2.load(name).pointLookup.get(Seq("2", "3", "5")).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("2", "3")) // 5 tombstoned
+    assert(inventory == before,
+      "re-registration must be a DDL, not a rewrite of the table files")
+    // and the re-registered table still bucket-prunes point reads
+    val probe = st2.load(name).pointLookup.get(Seq("2"))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.exists(x => x.group(1).toInt < x.group(2).toInt), plan)
+  }
+
   test("compaction publishes the next doc-table generation and retires one-behind") {
     val root = Files.createTempDirectory("graft_pointread_").toString
     val st = new CollectionStore(spark, root)
