@@ -27,8 +27,7 @@ object Bucketing {
     * parallelism, so size them like shuffle partitions (data / ~128 MB),
     * NOT by table count. Sorting within buckets additionally lets a
     * sort-merge join skip its per-task sort (and serves range scans).
-    */
-  /** `options` pass through to the parquet writer — a POINT-READ table
+    * `options` pass through to the parquet writer — a POINT-READ table
     * (bounded id fetches, never full scans) wants small row groups
     * (`parquet.block.size`) so a pushed `key IN (...)` skips at row-group
     * granularity inside each bucket file; the default 128 MB row group

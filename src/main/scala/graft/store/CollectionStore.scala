@@ -116,15 +116,21 @@ final class CollectionStore(
   }
 
   def load(name: String): Collection = {
-    val view = mergedView(name) // flushes pending first (read-your-writes)
-    val base = currentVersion(name)
-    val baseDf = baseFrame(name, base)
-    val deltas = cachedDeltas(name, base).map(_._2)
-    // the point-read face pins the SAME (base, delta) frames as `view`, so
-    // a backfill sees exactly the snapshot the search compiled against —
-    // writes landing after load() are invisible to both
-    Collection(view, readSchema(name),
-      pointLookup = Some(ids => pointRows(name, base, baseDf, deltas, ids)))
+    flush(name) // fold pending write batches first (read-your-writes)
+    // resolve ONE snapshot under the collection lock and build both faces
+    // from it: the point-read face pins the SAME (base, delta) frames as
+    // the view, so a backfill sees exactly the snapshot the search
+    // compiled against — writes landing after load() are invisible to
+    // both, and a write or compaction racing load() cannot split the two
+    // faces across different snapshots
+    withCollLock(name) {
+      val base = currentVersion(name)
+      val baseDf = baseFrame(name, base)
+      val frames = cachedDeltas(name, base)
+      val deltas = frames.map(_._2)
+      Collection(viewFrom(name, base, baseDf, frames), readSchema(name),
+        pointLookup = Some(ids => pointRows(name, base, baseDf, deltas, ids)))
+    }
   }
 
   def drop(name: String): Unit = withCollLock(name) {
@@ -145,11 +151,7 @@ final class CollectionStore(
       // check would never use a dangling one (`_SUCCESS` is gone), but a
       // dropped collection must not leak table names into the shared
       // session catalog
-      listNames(dir).foreach { s =>
-        if (s.matches("docserve_v\\d+"))
-          graft.operators.Bucketing.drop(spark,
-            graft.engine.VamanaServe.servingTableName(dir.resolve(s).toString))
-      }
+      dropDocTableEntries(name)
       deleteTree(dir)
     }
   }
@@ -237,16 +239,53 @@ final class CollectionStore(
     liveIdMirrors.remove(name)
     pendingOps.remove(name)
     val dir = Paths.get(root, name)
-    if (Files.exists(dir)) deleteTree(dir)
+    if (Files.exists(dir)) {
+      dropDocTableEntries(name)
+      deleteTree(dir)
+    }
     copyTree(snap, dir)
+    // a pre-restore registration could survive pointing at the SAME
+    // docserve path with a DIFFERENT bucket count than the restored files
+    // (the dirs are version-addressed, and versions recur after a
+    // restore) — drop any entries the restored tree resolves to, so the
+    // next point read re-registers from the restored sidecar
+    dropDocTableEntries(name)
   }
 
+  /** Drop the session-catalog entries of every docserve dir currently
+    * under `name` (the files are the caller's business) — drop() and
+    * restore() must not leak doc-table names into the shared catalog, nor
+    * leave an entry whose bucket spec disagrees with the files now at
+    * that path.
+    */
+  private def dropDocTableEntries(name: String): Unit = {
+    val dir = Paths.get(root, name)
+    if (Files.exists(dir)) listNames(dir).foreach { s =>
+      if (s.matches("docserve_v\\d+"))
+        graft.operators.Bucketing.drop(spark,
+          graft.engine.VamanaServe.servingTableName(dir.resolve(s).toString))
+    }
+  }
+
+  /** Recursive copy, skipping derived doc-table dirs (`docserve_v*` and
+    * their tmp siblings): they are pure derivations of the immutable base
+    * — docTable re-registers or rebuilds from disk on demand — and
+    * copying them would double every backup's size and lock-hold time.
+    */
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     val s = Files.walk(src)
     val paths = try s.iterator().asScala.toSeq finally s.close()
+    def derived(p: java.nio.file.Path): Boolean = {
+      val rel = src.relativize(p)
+      (0 until rel.getNameCount).exists { i =>
+        val n = rel.getName(i).toString
+        n.matches("docserve_v\\d+") || n.startsWith(".tmp_docserve_")
+      }
+    }
     paths.foreach { p =>
       val target = dst.resolve(src.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(target)
+      if (derived(p)) ()
+      else if (Files.isDirectory(p)) Files.createDirectories(target)
       else {
         Files.createDirectories(target.getParent)
         Files.copy(p, target,
@@ -1562,8 +1601,16 @@ final class CollectionStore(
   private def mergedView(name: String): DataFrame = {
     flush(name) // fold any pending write batches first (read-your-writes)
     val base = currentVersion(name)
-    val baseDf = baseFrame(name, base)
-    val frames = cachedDeltas(name, base)
+    viewFrom(name, base, baseFrame(name, base), cachedDeltas(name, base))
+  }
+
+  /** Build the merge-on-read view from an EXPLICIT (base, deltas) snapshot
+    * — load() resolves the snapshot once under the collection lock so the
+    * search view and the point-read face pin the SAME frames.
+    */
+  private def viewFrom(
+      name: String, base: Long, baseDf: DataFrame,
+      frames: Vector[(Long, DataFrame)]): DataFrame = {
     if (frames.isEmpty) baseDf
     else {
       val dAll = frames.map(_._2).reduce(_ unionByName _)
@@ -1695,56 +1742,83 @@ final class CollectionStore(
     if (cached != null) return cached
     val dir = Paths.get(root, name, s"docserve_v$base")
     val tbl = graft.engine.VamanaServe.servingTableName(dir.toString)
-    val ready = spark.catalog.tableExists(tbl) && Files.exists(dir.resolve("_SUCCESS"))
-    if (!ready) withCollLock(name) {
-      // re-check under the lock: a concurrent point read may have just
-      // materialized it (writeBucketed's DDL is not concurrency-safe)
-      val meta = dir.resolve("_graft_buckets")
-      if (!(spark.catalog.tableExists(tbl) && Files.exists(dir.resolve("_SUCCESS")))) {
-        if (Files.exists(dir.resolve("_SUCCESS")) && Files.exists(meta)) {
-          // the FILES survived the session that wrote them; only the
-          // catalog entry is session-scoped. Re-REGISTER the external
-          // bucketed table over the existing layout (bucket count from the
-          // sidecar, schema from the immutable base) instead of rewriting
-          // the corpus — at scale a restart must cost a DDL, not a shuffle.
+    val meta = dir.resolve("_graft_buckets")
+    def registered: Boolean =
+      spark.catalog.tableExists(tbl) && Files.exists(dir.resolve("_SUCCESS"))
+    def onDisk: Boolean =
+      Files.exists(dir.resolve("_SUCCESS")) && Files.exists(meta)
+    if (!registered) {
+      var published = false
+      if (!onDisk) {
+        // build OUTSIDE the collection lock: the materialization is an
+        // O(corpus) rewrite, and holding the lock for it would stall every
+        // write, flush, and load on the collection for the duration (the
+        // exact outage a serving store cannot take after each compaction).
+        // Unique tmp dir + throwaway catalog name, atomic publish below;
+        // a lost race just discards its tmp. The base is immutable, so
+        // concurrent builders produce identical layouts.
+        val tmp = Paths.get(root, name,
+          s".tmp_docserve_v${base}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val tmpTbl = graft.engine.VamanaServe.servingTableName(tmp.toString)
+        val bytes = treeBytes(Paths.get(root, name, s"v$base"))
+        val buckets = math.min(1L << 20,
+          math.max(32L, bytes / (32L * 1024 * 1024) + 1)).toInt
+        // pre-shuffle onto the bucket hash so each bucket lands as ONE
+        // file (the servingTable convention — otherwise every write task
+        // emits its own per-bucket file and a point read opens
+        // tasks×buckets small files); within-bucket sort by _id + 4 MB
+        // row groups make the pushed `_id IN` skip at row-group
+        // granularity INSIDE each selected bucket — with the parquet
+        // default (128 MB) one row group spans the whole bucket and a
+        // selected file is read in full, which measured SLOWER than the
+        // pushdown corpus scan at 500k wide docs (tools/PointReadProbe).
+        // The doc table is never full-scanned, so small row groups cost
+        // nothing here.
+        graft.operators.Bucketing.writeBucketed(
+          baseDf.repartition(buckets, col(IdCol)),
+          tmpTbl, tmp.toString, IdCol, buckets, sortCols = Seq(IdCol),
+          options = Map("parquet.block.size" -> (4L * 1024 * 1024).toString))
+        graft.operators.Bucketing.drop(spark, tmpTbl)
+        // bucket-count sidecar: the catalog entry dies with the session,
+        // the layout doesn't — the register step reads it back
+        Files.writeString(tmp.resolve("_graft_buckets"), buckets.toString)
+        withCollLock(name) {
+          require(Files.exists(Paths.get(root, name, "schema.json")),
+            s"collection $name does not exist (dropped concurrently?)")
+          if (!Files.exists(dir))
+            Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+          else deleteTree(tmp) // a concurrent builder published first
+        }
+        published = true
+      }
+      withCollLock(name) {
+        // register under the lock (DDL is not concurrency-safe). Fresh
+        // publishers always (re-)register — an idempotent drop+create from
+        // the sidecar — so no stale same-name entry can survive a publish;
+        // the restart path registers only when the entry is missing.
+        if (published || !spark.catalog.tableExists(tbl)) {
+          // the FILES survived the session (or were just published); only
+          // the catalog entry is session-scoped. Re-REGISTER the external
+          // bucketed table over the existing layout (bucket count from
+          // the sidecar, schema from the immutable base) instead of
+          // rewriting the corpus — a restart must cost a DDL, not a
+          // shuffle.
           val buckets = Files.readString(meta).trim.toInt
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
           spark.sql(
             s"CREATE TABLE `$tbl` (${baseDf.schema.toDDL}) USING parquet " +
               s"CLUSTERED BY (`$IdCol`) SORTED BY (`$IdCol`) " +
               s"INTO $buckets BUCKETS LOCATION '${dir.toUri}'")
-        } else {
-          val bytes = treeBytes(Paths.get(root, name, s"v$base"))
-          val buckets = math.min(1L << 20,
-            math.max(32L, bytes / (32L * 1024 * 1024) + 1)).toInt
-          // pre-shuffle onto the bucket hash so each bucket lands as ONE
-          // file (the servingTable convention — otherwise every write task
-          // emits its own per-bucket file and a point read opens
-          // tasks×buckets small files); within-bucket sort by _id + 4 MB
-          // row groups make the pushed `_id IN` skip at row-group
-          // granularity INSIDE each selected bucket — with the parquet
-          // default (128 MB) one row group spans the whole bucket and a
-          // selected file is read in full, which measured SLOWER than the
-          // pushdown corpus scan at 500k wide docs (tools/PointReadProbe).
-          // The doc table is never full-scanned, so small row groups cost
-          // nothing here.
-          graft.operators.Bucketing.writeBucketed(
-            baseDf.repartition(buckets, col(IdCol)),
-            tbl, dir.toString, IdCol, buckets, sortCols = Seq(IdCol),
-            options = Map("parquet.block.size" -> (4L * 1024 * 1024).toString))
-          // bucket-count sidecar: the catalog entry dies with the session,
-          // the layout doesn't — the register-from-disk branch above needs
-          // the count to re-declare it
-          Files.writeString(meta, buckets.toString)
-          // retire doc tables of bases older than the immediately-previous
-          // one, catalog entries included
-          listNames(Paths.get(root, name)).foreach { s =>
-            if (s.matches("docserve_v\\d+") && s.drop(10).toLong < base - 1) {
-              val old = Paths.get(root, name, s)
-              graft.operators.Bucketing.drop(
-                spark, graft.engine.VamanaServe.servingTableName(old.toString))
-              docTableCache.remove((name, s.drop(10).toLong))
-              deleteTree(old)
-            }
+        }
+        // retire doc tables of bases older than the immediately-previous
+        // one, catalog entries included
+        listNames(Paths.get(root, name)).foreach { s =>
+          if (s.matches("docserve_v\\d+") && s.drop(10).toLong < base - 1) {
+            val old = Paths.get(root, name, s)
+            graft.operators.Bucketing.drop(
+              spark, graft.engine.VamanaServe.servingTableName(old.toString))
+            docTableCache.remove((name, s.drop(10).toLong))
+            deleteTree(old)
           }
         }
       }

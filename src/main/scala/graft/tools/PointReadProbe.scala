@@ -109,7 +109,6 @@ object PointReadProbe {
 
     // micro-section: the RAW lookup (no ranked leaf, no join/sort) — where
     // does each backfill route's time actually go
-    val probeIds = (0 until 10).map(i => s"doc_${i * 101}")
     val liveIds = loaded.df.select("_id").limit(10).collect().map(_.getString(0)).toSeq
     def timeIt(label: String)(body: => Unit): Unit = {
       body // warm

@@ -162,6 +162,22 @@ class PointReadSpec extends SparkSuite {
     assert(m.exists(x => x.group(1).toInt < x.group(2).toInt), plan)
   }
 
+  test("backups skip the derived doc table; restore rebuilds it on demand") {
+    val (st, name, root) = mutatedStore()
+    st.load(name).pointLookup.get(Seq("2")).collect() // materialize
+    val seq = st.backup(name).get
+    val snap = new java.io.File(root, s".backups/$name/$seq")
+    // the doc table is a pure derivation of the immutable base — copying
+    // it would double every snapshot's size and lock-hold time
+    assert(!snap.listFiles().exists(_.getName.startsWith("docserve_v")),
+      snap.listFiles().map(_.getName).toSeq)
+    st.restore(name, seq)
+    // the restored collection has no doc table and no stale catalog entry;
+    // the next point read rebuilds and serves the restored state
+    val rows = st.load(name).pointLookup.get(Seq("2", "5")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("2")) // 5 was tombstoned pre-backup
+  }
+
   test("compaction publishes the next doc-table generation and retires one-behind") {
     val root = Files.createTempDirectory("graft_pointread_").toString
     val st = new CollectionStore(spark, root)
