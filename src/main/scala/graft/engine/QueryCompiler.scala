@@ -176,13 +176,26 @@ object QueryCompiler {
     val w = weight.getOrElse(1.0f)
     val base = filter.map(f => applySet(col0, compile(col0, f).set)).getOrElse(col0.df)
     val d = Distances.distanceToQuery(metric, column(prop), vector).cast(FloatType)
+    // Score columns are projected BELOW the sort+limit (cheap per-row
+    // arithmetic over the already-computed distance attribute) so ranked
+    // is Limit(Sort(Project)) — the shape Spark's SpecialLimits strategy
+    // fuses into TakeOrderedAndProject (per-partition partial top-k, no
+    // corpus-wide sort) NO MATTER what callers stack above. With the
+    // score projections ABOVE the limit, CollapseProject refuses to merge
+    // them into downstream projections (merging would duplicate the
+    // non-cheap distance expression), the composed plan becomes
+    // Limit(Project(Project(Sort))) — one Project too many for the
+    // TakeOrderedAndProject pattern — and the corpus takes a
+    // range-partitioned GLOBAL sort per request (measured exactly that
+    // on the metadata-only serving shape, plans/r12).
     val ranked = base
       .filter(column(prop).isNotNull)
       .select(col(IdCol), d.as(DistanceCol))
+      .select(col(IdCol), col(DistanceCol),
+        lit(null).cast(FloatType).as(ScoreCol),
+        (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType).as(HybridScoreCol))
       .orderBy(col(DistanceCol).asc, col(IdCol).asc) // id tie-break for determinism
       .limit(limit)
-      .withColumn(ScoreCol, lit(null).cast(FloatType))
-      .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
     Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
   }
 
@@ -445,12 +458,15 @@ object QueryCompiler {
       cand: Seq[(String, Seq[Float])], spark: org.apache.spark.sql.SparkSession): Compiled = {
     import spark.implicits._
     val d = Distances.distanceToQuery(metric, col("_vec"), vector).cast(FloatType)
+    // same Limit(Sort(Project)) shape as exact `near` (see the comment
+    // there): scores below the sort+limit keep the top-k fusable
     val ranked = cand.toDF(IdCol, "_vec")
       .select(col(IdCol), d.as(DistanceCol))
+      .select(col(IdCol), col(DistanceCol),
+        lit(null).cast(FloatType).as(ScoreCol),
+        (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType).as(HybridScoreCol))
       .orderBy(col(DistanceCol).asc, col(IdCol).asc)
       .limit(limit)
-      .withColumn(ScoreCol, lit(null).cast(FloatType))
-      .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
     Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
   }
 
@@ -633,14 +649,17 @@ object QueryCompiler {
       col0: Collection, prop: String, metric: IndexKind.Metric,
       vector: Seq[Float], limit: Int, w: Float, candIds: DataFrame): Compiled = {
     val d = Distances.distanceToQuery(metric, column(prop), vector).cast(FloatType)
+    // same Limit(Sort(Project)) shape as exact `near` (see the comment
+    // there): scores below the sort+limit keep the top-k fusable
     val ranked = col0.df
       .join(broadcast(candIds), Seq(IdCol), "left_semi")
       .filter(column(prop).isNotNull)
       .select(col(IdCol), d.as(DistanceCol))
+      .select(col(IdCol), col(DistanceCol),
+        lit(null).cast(FloatType).as(ScoreCol),
+        (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType).as(HybridScoreCol))
       .orderBy(col(DistanceCol).asc, col(IdCol).asc)
       .limit(limit)
-      .withColumn(ScoreCol, lit(null).cast(FloatType))
-      .withColumn(HybridScoreCol, (lit(-1.0f) * lit(w) * col(DistanceCol)).cast(FloatType))
     Compiled(Ids(ranked.select(IdCol)), Some(ranked), setFromRanked = true)
   }
 

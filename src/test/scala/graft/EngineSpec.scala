@@ -116,6 +116,24 @@ class EngineSpec extends SparkSuite {
     assert(rows.map(_.getAs[Float]("_hybridScore")).toSeq == Seq(0f, -2f, -2f, -8f, -8f))
   }
 
+  test("exact near metadata-only: corpus top-k stays a PARTIAL top-k, never a global sort") {
+    // The ranked frame is Limit(Sort(Project)) by construction
+    // (QueryCompiler.near — score columns projected BELOW the sort+limit),
+    // so the corpus top-k plans as TakeOrderedAndProject regardless of
+    // what assemble or a caller stacks above. The regression this pins:
+    // score projections ABOVE the limit left Limit(Project(Project(Sort)))
+    // — one Project too many for Spark's TakeOrderedAndProject pattern
+    // (CollapseProject won't merge through the non-cheap distance
+    // expression) — and the metadata-only serving shape paid a
+    // range-partitioned GLOBAL sort of the whole corpus per request.
+    val df = Search.search(fixture, SearchRequest(
+      Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(5f, 6f), Op.Near, 10))),
+      limit = 100))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+    assert(!physical.contains("rangepartitioning"), physical)
+  }
+
   test("near with pre-filter restricts candidates (filter-first)") {
     val rows = run(SearchRequest(
       Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(50f, 51f), Op.Near, 3,
