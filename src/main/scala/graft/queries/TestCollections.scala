@@ -51,28 +51,32 @@ object TestCollections {
     // to its dead context — unusable and heap-pinning; drop them
     docsCache.keySet.removeIf(k => k._1 != app)
     docsCache.computeIfAbsent((app, d), _ =>
-      docsUncached(s, d).withTextIndexCached("text", textIdxCacheDir(d)))
+      docsUncached(s, d).withTextIndexCached("text", textIdxCacheDir(s, d)))
   }
 
-  /** Per-sfDir parquet location for the docs text index: survives
-    * `clearCache()` (the bench isolation step) and even JVM restarts —
-    * a cleared cache costs a columnar re-read, not a corpus re-tokenize.
-    * The key fingerprints the source file's (size, mtime) so a
-    * regenerated documents.parquet can never serve stale postings.
+  /** Per-(application, sfDir) parquet location for a derived serving
+    * artifact (text index / vamana graph / ivf-rbq layout). Survives
+    * `clearCache()` (the bench isolation step) WITHIN the invocation —
+    * a cleared cache costs a columnar re-read, not a re-derivation —
+    * but deliberately NOT across driver invocations: every bench/oracle
+    * run derives its artifacts from the parquet inputs afresh (the
+    * builds are untimed — Bench's warm-up/prebuild block — so the timed
+    * region still measures pure serving). The applicationId in the key
+    * is what forbids cross-run reuse; the version component documents
+    * the artifact format so an in-app format change can't alias.
     */
-  private def textIdxCacheDir(d: String): java.nio.file.Path = {
-    val src = java.nio.file.Paths.get(d, "documents.parquet")
-    val stamp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "absent"
-    // v2: postings format changed (explode_outer null-term rows) — the
-    // version component invalidates caches written by older builds
+  private def artifactDir(
+      s: SparkSession, kind: String, d: String, version: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d#$stamp#v2".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(s"$d#$version#${s.sparkContext.applicationId}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_textidx_${key}_text")
+      sys.props("java.io.tmpdir"), s"graft_${kind}_$key").toString
   }
+
+  private def textIdxCacheDir(s: SparkSession, d: String): java.nio.file.Path =
+    // v2: postings format changed (explode_outer null-term rows)
+    java.nio.file.Paths.get(artifactDir(s, "textidx", d, "v2") + "_text")
 
   // vamana-attached docs collection, cached like docsCache (the attach
   // joins + persists the serving frame and computes the entry node once)
@@ -81,15 +85,18 @@ object TestCollections {
 
   /** [[docs]] with a Vamana graph artifact attached to `vec_l2` — the
     * engine's `"approx": true` vectorVamana serving path. The artifact is
-    * disk-cached per sfDir (stamp-keyed like the text index) because the
-    * build is a pure function of the corpus: a reused artifact is
-    * byte-identical to a fresh one (VamanaSpec layout-independence).
+    * disk-cached per (application, sfDir): the build is a pure function
+    * of the corpus (a reused artifact is byte-identical to a fresh one,
+    * VamanaSpec layout-independence), and Bench derives it untimed in
+    * the prebuild block each invocation.
     */
   def docsVamana(s: SparkSession, d: String): Collection = {
     val app = s.sparkContext.applicationId
     vamanaCache.keySet.removeIf(k => k._1 != app)
     vamanaCache.computeIfAbsent((app, d), _ =>
-      docs(s, d).withVamanaVectorIndex("vec_l2", vamanaArtifactDir(d)))
+      // v1 = degreeBound 32, α 1.2, 2 NN-Descent rounds (the attach default)
+      docs(s, d).withVamanaVectorIndex(
+        "vec_l2", artifactDir(s, "vamana", d, "vamana_v1")))
   }
 
   // SQ8-attached docs collection, cached like docsVamana: the min/max fit
@@ -131,37 +138,11 @@ object TestCollections {
       val base = docs(s, d)
       val rotation = Array.tabulate(64)(i =>
         Array.tabulate(64)(j => if (i == j) 1.0 else 0.0))
-      base.withIvfRbqVectorIndex("embedding", ivfRbqArtifactDir(d),
+      base.withIvfRbqVectorIndex("embedding",
+        artifactDir(s, "ivfrbq", d, "ivfrbq_v1") + "/art",
         () => graft.operators.IvfPq.signCoarse(base.df, col("embedding"), nBits = 4),
         rotation, nprobe = 4)
     })
-  }
-
-  private def ivfRbqArtifactDir(d: String): String = {
-    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val stamp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "absent"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d#$stamp#ivfrbq_v1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_ivfrbq_$key", "art").toString
-  }
-
-  private def vamanaArtifactDir(d: String): String = {
-    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val stamp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}_${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "absent"
-    // v1 = degreeBound 32, α 1.2, 2 NN-Descent rounds (the attach default)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d#$stamp#vamana_v1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_vamana_$key").toString
   }
 
   private def docsUncached(s: SparkSession, d: String): Collection = {
