@@ -11,6 +11,19 @@ object Bench {
       // bench would -1 that query on any host whose JVM default isn't UTC
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Joins: let the planner pick shuffled-hash over sort-merge when the
+      // build side fits (filter-set semi-joins on _id otherwise SMJ-sort
+      // the WIDE candidate stream per request — the same never-sort-the-
+      // payload-stream rule the dedup verify joins learned at 100×), and
+      // let AQE rewrite a planned SMJ to SHJ from REAL post-shuffle
+      // partition sizes. Both parameterized: a cluster profile re-tunes
+      // via env; the defaults are the optimization guide's baseline and
+      // scale gracefully (the AQE rewrite simply stops applying when
+      // partitions outgrow the local-map threshold).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated subset for local iteration (absent = all)

@@ -28,6 +28,12 @@ object DumpPlans {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror graft.Bench's join-strategy defaults: dumped plans must be
+      // the plans the bench executes
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val registry = graft.SparkEntry.queries
