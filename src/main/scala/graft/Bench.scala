@@ -17,9 +17,16 @@ object Bench {
       // payload-stream rule the dedup verify joins learned at 100×), and
       // let AQE rewrite a planned SMJ to SHJ from REAL post-shuffle
       // partition sizes. Both parameterized: a cluster profile re-tunes
-      // via env; the defaults are the optimization guide's baseline and
-      // scale gracefully (the AQE rewrite simply stops applying when
-      // partitions outgrow the local-map threshold).
+      // via env. Caveat (round-12 advice): preferSortMergeJoin=false
+      // changes the STATIC planner choice from ESTIMATED sizes, and a
+      // shuffled-hash build map does not spill — a badly underestimated
+      // or skewed build side can OOM where SMJ would not. The AQE
+      // threshold path is the safe half (it decides from REAL partition
+      // sizes and stops applying past 64m); a memory-tight cluster
+      // profile should set SPARK_GRAFT_PREFER_SMJ=true and rely on the
+      // AQE rewrite alone. The engine's own bounded-build joins are
+      // explicit (broadcast()/shuffle_hash hints), so they don't depend
+      // on this session default either way.
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
@@ -182,15 +189,24 @@ object Bench {
     // COMPACT summary for stdout: the driver stores/parses only the LAST
     // 2000 chars of output, and the full record line is ~4 KB at 168
     // queries — it enters that window mid-JSON and can never parse (ten
-    // rounds of BENCH parsed:null). This line is ~200 chars regardless of
-    // gate count, so it always fits; the per-query map lives in
-    // bench_record.json. The failed list is capped at 10 names so even a
-    // catastrophic run can't push the line past the window.
+    // rounds of BENCH parsed:null). The round-12 fix shrank the line to
+    // ~200 chars but lost ALL per-query visibility (PERF per_query:{},
+    // geomean:null — the round-12 verdict's #1 item). Middle ground: emit
+    // the TOP-40 cost-descending per-query pairs inline (~1 KB — they
+    // cover >60% of the total; failures sort first so a -1 is always
+    // visible) plus `tail_total`/`ntail` so the full total remains
+    // reconstructible; the complete map still lives in bench_record.json.
+    // The failed list is capped at 10 names so even a catastrophic run
+    // can't push the line past the window.
+    val headN = 40
+    val qsHead = results.take(headN)
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val tailTotal = results.drop(headN).collect { case (_, v) if v >= 0 => v }.sum
     val failedNames = results.collect { case (k, v) if v < 0 => k }
     val failedCompact = (failedNames.take(10).map("\"" + _ + "\"") ++
       (if (failedNames.length > 10) Seq("\"+" + (failedNames.length - 10) + " more\"") else Nil))
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"pass_fails":$passFails,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"nfailed":${failedNames.length},"failed":$failedCompact,"total":${r2(total)}}"""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsHead,"tail_total":${r2(tailTotal)},"ntail":${(results.length - headN).max(0)},"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"pass_fails":$passFails,"cold_total":${r2(coldTotal)},"nqueries":${results.length},"nfailed":${failedNames.length},"failed":$failedCompact,"total":${r2(total)}}"""
     // Emit the record as the process's FINAL stdout line, AFTER teardown:
     // round 7's official artifact was unparseable because a StateStore
     // maintenance thread threw RpcEnvStoppedException after spark.stop()

@@ -70,13 +70,39 @@ object TestCollections {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d#$version#${s.sparkContext.applicationId}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_${kind}_$key").toString
+    registerArtifactDir(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_${kind}_$key").toString)
+  }
+
+  // Application-keyed artifact dirs are unreachable after the JVM exits
+  // (the key forbids cross-run reuse by design), so they would leak in
+  // java.io.tmpdir forever — one text index + vamana graph + ivf-rbq
+  // layout per bench/verify/dump invocation (round-12 advice). A single
+  // shutdown hook reaps every dir this JVM created (the PipelineQueries
+  // convention); deletion is best-effort — a crash leaks one run's dirs,
+  // not an unbounded accumulation.
+  private val createdArtifactDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val artifactReaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      createdArtifactDirs.forEach(p =>
+        try graft.Fs.deleteTree(java.nio.file.Paths.get(p))
+        catch { case _: Throwable => () })
+    }))
+  private def registerArtifactDir(p: String): String = {
+    artifactReaper
+    createdArtifactDirs.add(p)
+    // withVamanaVectorIndex derives a sibling "<dir>_serve" bucketed
+    // serving table next to the graph dir — reap it with its owner
+    createdArtifactDirs.add(p.stripSuffix("/") + "_serve")
+    p
   }
 
   private def textIdxCacheDir(s: SparkSession, d: String): java.nio.file.Path =
-    // v2: postings format changed (explode_outer null-term rows)
-    java.nio.file.Paths.get(artifactDir(s, "textidx", d, "v2") + "_text")
+    // v2: postings format changed (explode_outer null-term rows).
+    // The suffixed dir is the one actually created — register it too.
+    java.nio.file.Paths.get(
+      registerArtifactDir(artifactDir(s, "textidx", d, "v2") + "_text"))
 
   // vamana-attached docs collection, cached like docsCache (the attach
   // joins + persists the serving frame and computes the entry node once)

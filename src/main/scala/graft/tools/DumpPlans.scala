@@ -22,7 +22,11 @@ object DumpPlans {
     val names = args.drop(2).toSeq
     java.nio.file.Files.createDirectories(outDir)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same default as graft.Bench ("4"): shuffle-partition count feeds
+    // join-strategy and AQE decisions, so a diverging default would
+    // silently dump plans the bench never executes (round-12 advice) —
+    // round records set SPARK_GRAFT_CPUS explicitly to the bench shape
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

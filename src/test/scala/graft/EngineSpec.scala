@@ -233,6 +233,70 @@ class EngineSpec extends SparkSuite {
     bad(SearchRequest(Query("flat", vectorFlat = Some(VectorFlatOpts(Seq(1f, 2f, 3f), Op.Near, 10))), limit = 10))
   }
 
+  test("driver-side vamana re-rank ≡ the expression re-rank it replaced (round 13)") {
+    import graft.engine.QueryCompiler
+    import graft.functions.Distances
+    // ties (duplicate vectors), a −0.0-producing dot row, and ids whose
+    // UTF-16 and UTF-8 orders DISAGREE (U+FFFD sorts before U+1F600 in
+    // UTF-8 bytes but after its surrogate pair in UTF-16 code units)
+    val cand: Seq[(String, Seq[Float])] = Seq(
+      ("b", Seq(1f, 2f)), ("a", Seq(1f, 2f)),
+      ("�", Seq(3f, 1f)), ("😀", Seq(3f, 1f)),
+      ("z", Seq(0f, 0f)),
+      ("m", Seq(-2f, 5f)))
+    val metrics = Seq(Metric.Euclidean, Metric.Cosine, Metric.Dot,
+      Metric.Hamming, Metric.Jaccard, Metric.Haversine)
+    for (metric <- metrics; w <- Seq(1.0f, 0.25f); limit <- Seq(3, 10)) {
+      val got = QueryCompiler.vamanaRerank(metric, Seq(1f, 1f), limit, w, cand, spark)
+        .ranked.get
+      // the replaced formulation, inline: LocalRelation → distance
+      // expression → score projection → orderBy → limit
+      val d = Distances.distanceToQuery(metric, col("_vec"), Seq(1f, 1f)).cast("float")
+      val want = cand.toDF("_id", "_vec")
+        .select(col("_id"), d.as("_distance"))
+        .select(col("_id"), col("_distance"),
+          lit(null).cast("float").as("_score"),
+          (lit(-1.0f) * lit(w) * col("_distance")).cast("float").as("_hybridScore"))
+        .orderBy(col("_distance").asc, col("_id").asc)
+        .limit(limit)
+      assert(got.schema.map(f => (f.name, f.dataType, f.nullable)) ==
+        want.schema.map(f => (f.name, f.dataType, f.nullable)), s"$metric w=$w")
+      assert(got.collect().toSeq == want.collect().toSeq, s"$metric w=$w limit=$limit")
+    }
+  }
+
+  test("local metadata page ≡ the lazy default-order page it replaces (round 13)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, FloatType}
+    // a ranked-shaped LOCAL relation with the tricky orderings: hybrid
+    // ties broken by UTF-8 id order, −0.0/+0.0 comparing EQUAL, a null
+    // hybrid (desc → nulls last)
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("_distance", FloatType),
+      StructField("_score", FloatType), StructField("_hybridScore", FloatType)))
+    val rows: Seq[Row] = Seq(
+      Row("b", 1.0f, null, -1.0f), Row("a", 1.0f, null, -1.0f),
+      Row("n", 2.0f, null, null),
+      Row("�", 0.5f, null, 0.0f), Row("😀", 0.5f, null, -0.0f),
+      Row("z", 3.0f, null, -2.5f))
+    val ranked = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    for (offset <- Seq(0, 2); limit <- Seq(3, 10)) {
+      val req = SearchRequest(Query("x"), offset = offset, limit = limit)
+      val got = Search.localMetaPage(ranked, req)
+      assert(got.isDefined, "LocalRelation ranked frame must take the local page")
+      val want = ranked
+        .orderBy(col("_hybridScore").desc, col("_id").asc)
+        .offset(offset).limit(limit)
+        .select(col("_id"), col("_distance"), col("_score"), col("_hybridScore"))
+      assert(got.get.collect().toSeq == want.collect().toSeq, s"off=$offset lim=$limit")
+      assert(got.get.schema == want.schema, s"off=$offset lim=$limit")
+    }
+    // a non-local ranked plan (sort+limit not yet collapsed) keeps the
+    // shared lazy pipeline
+    val lazyRanked = ranked.orderBy(col("_distance").asc).limit(3)
+    assert(Search.localMetaPage(lazyRanked, SearchRequest(Query("x"))).isEmpty)
+  }
+
   test("schema validation: reserved property names and NaN bounds fail closed") {
     import graft.model.{IndexKind, IndexSchema}
     assert(IndexSchema.validate(IndexSchema("_and" -> IndexKind.Integer)).isLeft)

@@ -628,6 +628,53 @@ class StoreSpec extends SparkSuite {
     } finally s.close()
   }
 
+  test("staleness law: serve-after-delete returns no deleted id through every serving family") {
+    // Pins the metadata-only shortcut's consistency invariant (round-12
+    // verdict item #6): Search.assemble returns the ranked frame WITHOUT
+    // a backfill join on the metadata-only serving shape, which assumes
+    // every ranked id still exists in the collection — i.e. the store
+    // keeps every serving artifact (vamana graph, fitted quantizer)
+    // write-consistent. A stale artifact would surface a deleted id here.
+    import graft.model._
+    val dir = Files.createTempDirectory("graft_stale_").toString
+    val db = graft.Graft(spark, dir)
+    val n = 30
+    val rows = (0 until n).map(i =>
+      (s"p$i", Array(i.toFloat, (i % 7).toFloat), Array(i.toFloat, (i % 7).toFloat),
+        s"tok$i shared corpus text"))
+    db.createCollection("c", IndexSchema(
+      "v" -> IndexKind.VectorVamana(2, IndexKind.Metric.Euclidean, degreeBound = 32),
+      "f" -> IndexKind.VectorFlat(2, IndexKind.Metric.Euclidean,
+        IndexKind.Quantizer.Scalar(triggerThreshold = 1)),
+      "t" -> IndexKind.Text()), rows.toDF("_id", "v", "f", "t"))
+    db.buildVamanaIndex("c", "v")
+    // the deleted ids are the NEAREST to the query vector (and text
+    // matches) — exactly the rows a stale artifact would keep returning
+    val deleted = Seq("p0", "p1", "p2")
+    assert(db.delete("c", deleted) == 3)
+    def servedIds(json: String): Seq[String] =
+      db.search("c", json).collect().map(_.getAs[String]("_id")).toSeq
+    // every serving family, metadata-only (select [] — the shortcut path)
+    val families = Seq(
+      // exact flat near
+      """{"query":{"property":"f","vectorFlat":{"vector":[0.0,0.0],"operator":"near","limit":10}},"select":[],"limit":10}""",
+      // approx flat near via the fitted SQ8 artifact
+      """{"query":{"property":"f","vectorFlat":{"vector":[0.0,0.0],"operator":"near","limit":10,"approx":true}},"select":[],"limit":10}""",
+      // exact vamana near
+      """{"query":{"property":"v","vectorVamana":{"vector":[0.0,0.0],"operator":"near","searchSize":25,"limit":10}},"select":[],"limit":10}""",
+      // approx vamana near via the store-maintained graph
+      """{"query":{"property":"v","vectorVamana":{"vector":[0.0,0.0],"operator":"near","searchSize":25,"limit":10,"approx":true}},"select":[],"limit":10}""",
+      // text search
+      """{"query":{"property":"t","text":{"value":"shared corpus","operator":"containsAny","limit":10}},"select":[],"limit":10}""")
+    families.foreach { json =>
+      val got = servedIds(json)
+      assert(got.nonEmpty, s"family returned nothing: $json")
+      assert(got.toSet.intersect(deleted.toSet).isEmpty,
+        s"deleted id served after delete: $got via $json")
+    }
+    graft.Fs.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("concurrent update batches on one collection lose no acked op") {
     // regression for the WAL seq race: two batches reading the same pending
     // vector computed the same seq, renamed over each other's WAL file, and
