@@ -307,40 +307,43 @@ final class CollectionStore(
     // pending ops must fold first: a pending tombstone on a re-inserted id
     // would otherwise outrank the new row at the next flush
     flush(name)
-    // materialize the batch ONCE: the id collect, the vector-length agg,
-    // and the delta write below must all see the same rows even for
-    // non-deterministic sources (uuid ids, samples, changing inputs)
-    val batch = normalize(points).localCheckpoint()
-    // try/finally like ingestBatch: a REJECTED batch (size/null/dup/clash/
-    // quota) must not pin its checkpoint blocks forever
-    val batchIds = try {
-      // one bounded id collect covers the size check, the in-batch duplicate
-      // check, and the clash probe (no aggregate job, no broadcast build)
-      val ids = batch.select(col(IdCol))
-        .limit(MaxInsertBatch + 1).collect().map(_.getString(0)).toSeq
-      val n = ids.length.toLong
-      require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
-      require(!ids.contains(null), s"null $IdCol in insert batch")
-      require(ids.distinct.length == ids.length, "duplicate _id within insert batch")
-      // clash probe + commit under ONE lock acquisition (the ReentrantLock
-      // nests through writeDelta's own acquisition): two concurrent direct-
-      // store writers could otherwise BOTH pass the probe before either's
-      // delta lands, and the duplicate would silently resolve
-      // last-writer-wins instead of the contract's rejection
-      withCollLock(name) {
-        val clash = liveIds(name, ids)
-        require(clash.isEmpty, s"${clash.size} point(s) already exist")
-        val coerced = admitAndCoerce(name, batch, n)
-        writeDelta(name, coerced, tombstone = false)
-        mirrorAdd(name, ids)
-      }
-      ids
-    } finally org.apache.spark.sql.graft.Bridge.release(batch)
+    // materialize the batch ONCE, to the DRIVER: the contract caps the
+    // batch at 10k rows, so it fits by construction (the id collect below
+    // was already driver-bounded). LOCAL plans — the wire path's
+    // createDataFrame point batches, literal toDF frames — yield their
+    // rows with ZERO jobs (localHeadRows, the update path's rule);
+    // distributed inputs pay ONE bounded collect instead of the previous
+    // localCheckpoint + id-collect job pair. Either way the single row
+    // snapshot feeds the checks AND the delta write, so non-deterministic
+    // sources (uuid ids, samples) still see one evaluation.
+    val normalized = normalize(points)
+    val rows = localHeadRows(normalized, MaxInsertBatch + 1)
+    val n = rows.length.toLong
+    require(n <= MaxInsertBatch, s"insert batch exceeds $MaxInsertBatch points")
+    val idIdx = normalized.schema.fieldIndex(IdCol)
+    val ids = rows.map(r =>
+      if (r.isNullAt(idIdx)) null else r.getString(idIdx)).toSeq
+    require(!ids.contains(null), s"null $IdCol in insert batch")
+    require(ids.distinct.length == ids.length, "duplicate _id within insert batch")
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), normalized.schema)
+    // clash probe + commit under ONE lock acquisition (the ReentrantLock
+    // nests through writeDelta's own acquisition): two concurrent direct-
+    // store writers could otherwise BOTH pass the probe before either's
+    // delta lands, and the duplicate would silently resolve
+    // last-writer-wins instead of the contract's rejection
+    withCollLock(name) {
+      val clash = liveIds(name, ids)
+      require(clash.isEmpty, s"${clash.size} point(s) already exist")
+      val coerced = admitAndCoerce(name, batch, n)
+      writeDelta(name, coerced, tombstone = false)
+      mirrorAdd(name, ids)
+    }
     val vamProps = builtVamanaProps(name)
     if (vamProps.nonEmpty)
-      patchVamanaIndexes(name, vamProps.map(_ -> batchIds).toMap, Nil)
+      patchVamanaIndexes(name, vamProps.map(_ -> ids).toMap, Nil)
     maybeFitQuantizers(name)
-    batchIds
+    ids
   }
 
   /** Streaming/bulk ingest — W1's semantics with every check DISTRIBUTED:
